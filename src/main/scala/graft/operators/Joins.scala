@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond plain `Dataset.join`.
+  *
+  * Beam surface: `CoGroupByKey`
+  * (reference: sdks/java/core/.../transforms/join/CoGroupByKey.java:71),
+  * schema `Join`/`CoGroup` (schemas/transforms/Join.java,
+  * CoGroup.java), the SQL join rels (extensions/sql/.../rel/BeamJoinRel.java:59)
+  * and the side-input/broadcast path (BeamSideInputJoinRel.java:69).
+  * Equi/outer/semi/anti/theta joins are native Spark; what we add are the
+  * Beam-shaped cogroup and an as-of join (absent in Beam — SURVEY §2.4
+  * flags it as a capability bonus) built shuffle-once.
+  */
+object Joins {
+
+  /** Beam-style CoGroupByKey of two keyed inputs: one row per key with
+    * the grouped values of each side as (sorted) arrays. Relationally:
+    * full-outer join of two pre-grouped sides — two partial-aggregated
+    * shuffles on the same key, then a key-aligned join (AQE will pick a
+    * sort-merge or hash join; both sides are already reduced). */
+  def coGroupByKey(left: DataFrame, right: DataFrame, key: String,
+      leftVal: String, rightVal: String): DataFrame = {
+    val l = left.groupBy(col(key))
+      .agg(sort_array(collect_list(col(leftVal))).as("left_values"))
+    val r = right.groupBy(col(key))
+      .agg(sort_array(collect_list(col(rightVal))).as("right_values"))
+    l.join(r, Seq(key), "full_outer")
+      .select(col(key),
+        coalesce(col("left_values"), array().cast(l.schema("left_values").dataType)).as("left_values"),
+        coalesce(col("right_values"), array().cast(r.schema("right_values").dataType)).as("right_values"))
+  }
+
+  /** As-of join: for each left row, attach the latest right row with
+    * right.ts <= left.ts for the same key.
+    *
+    * Implementation is the single-shuffle union trick (not a range
+    * join): union both sides tagged, one window pass per key ordered by
+    * (ts, side) carrying the last right payload forward. At 100 TB this
+    * is one repartition-by-key + per-partition sort — strictly cheaper
+    * than a range-condition join (which would BNLJ) and skew-safe via
+    * AQE. Right side at equal ts wins (tag orders right before left).
+    *
+    * @param valueCols columns of `right` to carry onto matches
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val payload = to_json(struct(valueCols.map(col): _*))
+    val rSel = right
+      .select((Seq(col(key), col(tsCol)) :+ payload.as("__payload")): _*)
+      .withColumn("__side", lit(0))
+    val lSel = left
+      .select(col(key), col(tsCol), lit(null).cast("string").as("__payload"))
+      .withColumn("__side", lit(1))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rSel.unionByName(lSel)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col(key), col(tsCol), col("__match"))
+    left.join(carried, Seq(key, tsCol))
+  }
+
+  /** Theta/range join helper — Spark-native arbitrary-condition join,
+    * which Beam SQL rejects (BeamJoinRel only supports conjunctions of
+    * equalities); exposed for parity documentation. */
+  def thetaJoin(left: DataFrame, right: DataFrame, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    left.join(right, cond, joinType)
+
+  /** Broadcast (side-input) join — Beam's View/side-input pattern
+    * (transforms/View.java:139, BeamSideInputJoinRel.java:69). */
+  def broadcastJoin(big: DataFrame, small: DataFrame, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    big.join(broadcast(small), cond, joinType)
+}

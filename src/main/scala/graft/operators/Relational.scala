@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators that are thin-but-real wrappers over
+  * Catalyst plans (SURVEY §2.2-§2.6).
+  *
+  * Reference operators mapped here: `Top` (transforms/Top.java:58),
+  * `Latest` (transforms/Latest.java:56), `Partition`
+  * (transforms/Partition.java:83), `Sample` (transforms/Sample.java:50),
+  * `WithFailures` (transforms/WithFailures.java:73), `Sets`
+  * (transforms/Sets.java:81), `SortValues` (extensions/sorter/).
+  */
+object Relational {
+
+  /** Global top-k: `orderBy.limit` — Spark plans TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k·parts rows, no full sort).
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Per-key top-k via ranked window (Beam: Top.perKey). One shuffle on
+    * the key; rank prunes before any further stage. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      k: Int, rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Latest value per key by timestamp with deterministic tie-break
+    * (Beam: Latest.perKey — transforms/Latest.java:56). */
+  def latestPerKey(df: DataFrame, keys: Seq[Column], ts: Column,
+      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ts.desc, tieBreak.desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Split one DataFrame into disjoint partitions by predicate list; rows
+    * matching no predicate are dropped (Beam: Partition.of). Each output
+    * re-reads the (cached) parent — cache before fanning out. */
+  def partition(df: DataFrame, preds: Seq[Column]): Seq[DataFrame] =
+    preds.zipWithIndex.map { case (p, i) =>
+      val notEarlier = preds.take(i).foldLeft(lit(true))((acc, q) => acc && !q)
+      df.filter(p && notEarlier)
+    }
+
+  /** Dead-letter pattern (Beam: WithFailures.java:73): evaluate `attempt`
+    * and split success/failure rows on a null/err marker column. */
+  def withFailures(df: DataFrame, attempt: Column, errCond: Column,
+      outCol: String): (DataFrame, DataFrame) = {
+    val evaluated = df.withColumn(outCol, attempt)
+    (evaluated.filter(!errCond), evaluated.filter(errCond))
+  }
+
+  /** Secondary sort (Beam: SortValues) — values sorted within each key
+    * group without a global sort: sort_array over collected structs. */
+  def sortedValuesPerKey(df: DataFrame, key: Column, sortCol: Column,
+      valueCol: Column): DataFrame =
+    df.groupBy(key)
+      .agg(transform(sort_array(collect_list(struct(sortCol.as("s"), valueCol.as("v")))),
+        x => x.getField("v")).as("sorted_values"))
+}

@@ -1,0 +1,570 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Joins, Relational}
+import graft.functions.PortableHash
+
+/** Batch relational operator coverage (SURVEY §2.2-§2.9): aggregation,
+  * joins, set ops, sort/limit/top-k, OVER windows, scalar functions.
+  * Every query is a capability demo backed by a DuckDB oracle.
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def sup(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def reg(s: SparkSession, d: String) = Tables.region(s, d)
+  private def prt(s: SparkSession, d: String) = Tables.part(s, d)
+
+  def queries: Seq[Q] = Seq(
+
+    // ===== Aggregation (Beam Combine/Count/Sum/Mean/Group — SURVEY §2.3)
+    Q("agg_tpch_q1",
+      (s, d) => li(s, d)
+        .filter(col("l_shipdate") <= lit("2001-08-06").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_extendedprice").as("avg_price"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        sum(l_extendedprice) AS sum_base_price,
+        sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        avg(l_quantity) AS avg_qty,
+        avg(l_extendedprice) AS avg_price,
+        avg(l_discount) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-08-06'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("agg_global",
+      (s, d) => li(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("total_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        countDistinct("l_orderkey").as("n_orders")),
+      Some("""SELECT count(*) AS n_rows, sum(l_quantity) AS total_qty,
+        avg(l_extendedprice) AS avg_price, min(l_shipdate) AS min_ship,
+        max(l_shipdate) AS max_ship,
+        count(DISTINCT l_orderkey) AS n_orders FROM lineitem""")),
+
+    Q("agg_stats",
+      (s, d) => li(s, d).groupBy("l_returnflag").agg(
+        round(var_pop(col("l_discount")), 8).as("var_pop_disc"),
+        round(var_samp(col("l_discount")), 8).as("var_samp_disc"),
+        round(stddev_samp(col("l_discount")), 8).as("stddev_disc"),
+        round(covar_pop(col("l_discount"), col("l_tax")), 8).as("covar_pop_dt"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 8).as("covar_samp_dt"),
+        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_dt"),
+        count_if(col("l_discount") > 0.05).as("n_big_disc")),
+      Some("""SELECT l_returnflag,
+        round(var_pop(l_discount), 8) AS var_pop_disc,
+        round(var_samp(l_discount), 8) AS var_samp_disc,
+        round(stddev_samp(l_discount), 8) AS stddev_disc,
+        round(covar_pop(l_discount, l_tax), 8) AS covar_pop_dt,
+        round(covar_samp(l_discount, l_tax), 8) AS covar_samp_dt,
+        round(corr(l_discount, l_tax), 6) AS corr_dt,
+        count(*) FILTER (WHERE l_discount > 0.05) AS n_big_disc
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("agg_bitops",
+      (s, d) => li(s, d).groupBy("l_returnflag").agg(
+        bit_and(col("l_linenumber").cast("long")).as("band"),
+        bit_or(col("l_linenumber").cast("long")).as("bor"),
+        bit_xor(col("l_linenumber").cast("long")).as("bxor")),
+      Some("""SELECT l_returnflag,
+        CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS band,
+        CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bor,
+        CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bxor
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("agg_collect",
+      (s, d) => ord(s, d).groupBy("o_orderpriority").agg(
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+        count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority,
+        array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        count(*) AS n FROM orders GROUP BY o_orderpriority""")),
+
+    Q("agg_percentiles",
+      (s, d) => li(s, d).groupBy("l_linestatus").agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75")),
+      Some("""SELECT l_linestatus,
+        round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        round(quantile_cont(l_quantity, 0.75), 6) AS p75
+        FROM lineitem GROUP BY l_linestatus""")),
+
+    Q("agg_cube",
+      (s, d) => li(s, d).cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        coalesce(l_linestatus, 'ALL') AS ls,
+        count(*) AS n, sum(l_quantity) AS qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
+    Q("agg_count_distinct",
+      (s, d) => li(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps,
+        count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        FROM lineitem""")),
+
+    // Beam ApproximateDistinct/HllCount (sketches) — approximate values
+    // are engine-specific, so this entry is rows-only checked.
+    Q("agg_approx_distinct",
+      (s, d) => li(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders")),
+      None),
+
+    // ===== Latest / Top (Beam Latest.java:56, Top.java:58)
+    Q("latest_per_key",
+      (s, d) => Relational.latestPerKey(ord(s, d), Seq(col("o_custkey")),
+          col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
+          col("o_orderdate").as("latest_date")),
+      Some("""SELECT o_custkey, o_orderkey AS latest_order,
+        o_orderdate AS latest_date FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""")),
+
+    Q("topk_global",
+      (s, d) => Relational.topK(ord(s, d), 10,
+          col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    Q("topk_per_key",
+      (s, d) => Relational.topKPerKey(ord(s, d), Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rk").cast("long").as("rk")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+        FROM orders
+        QUALIFY rk <= 3""")),
+
+    Q("sort_limit_offset",
+      (s, d) => ord(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(10).limit(20)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 10""")),
+
+    // ===== Distinct / dedup (Beam Distinct.java:67)
+    Q("distinct_rows",
+      (s, d) => li(s, d).select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    Q("sample_hash",
+      (s, d) => li(s, d)
+        .filter(pmod(PortableHash.md5Long(
+          concat_ws("_", col("l_orderkey"), col("l_linenumber"))), lit(20)) === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE ${PortableHash.md5LongSql(
+          "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} % 20 = 0""")),
+
+    // ===== Joins (SURVEY §2.4)
+    Q("join_inner_broadcast",
+      (s, d) => ord(s, d)
+        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("revenue")),
+      Some("""SELECT n_name, count(*) AS n_orders,
+        sum(o_totalprice) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""")),
+
+    Q("join_left_outer",
+      (s, d) => cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+        round(coalesce(sum(o_totalprice), 0), 4) AS total
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey""")),
+
+    Q("join_semi",
+      (s, d) => cust(s, d).join(
+          ord(s, d).filter(col("o_orderstatus") === "F").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         AND o_orderstatus = 'F')""")),
+
+    Q("join_anti",
+      (s, d) => cust(s, d).join(ord(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    Q("join_full_outer",
+      (s, d) => {
+        val c = cust(s, d).groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = sup(s, d).groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, Seq("nk"), "full_outer")
+          .select(col("nk").cast("long").as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+        coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey nk, count(*) n_cust FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+        (SELECT s_nationkey nk, count(*) n_supp FROM supplier GROUP BY 1) s
+        USING (nk)""")),
+
+    Q("join_multiway",
+      (s, d) => li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue")),
+      Some("""SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, year(o_orderdate)""")),
+
+    Q("join_theta_range",
+      (s, d) => Joins.thetaJoin(cust(s, d), broadcast(sup(s, d)),
+          col("c_acctbal").between(col("s_acctbal") - 50, col("s_acctbal") + 50))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_close_customers")),
+      Some("""SELECT s_suppkey, count(*) AS n_close_customers
+        FROM customer JOIN supplier
+        ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+        GROUP BY s_suppkey""")),
+
+    Q("cogroup_by_key",
+      (s, d) => Joins.coGroupByKey(
+          ord(s, d).select(col("o_custkey").as("key"), col("o_orderkey")),
+          cust(s, d).select(col("c_custkey").as("key"), col("c_name")),
+          "key", "o_orderkey", "c_name")
+        .select(col("key"),
+          size(col("left_values")).cast("long").as("n_orders"),
+          concat_ws(",", col("right_values")).as("names")),
+      Some("""SELECT coalesce(o.key, c.key) AS key,
+        CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+        coalesce(c.names, '') AS names
+        FROM (SELECT o_custkey AS key, count(*) AS n_orders
+              FROM orders GROUP BY 1) o
+        FULL OUTER JOIN
+        (SELECT c_custkey AS key,
+                array_to_string(list_sort(list(c_name)), ',') AS names
+         FROM customer GROUP BY 1) c
+        ON o.key = c.key""")),
+
+    // ===== Set operations (Beam Sets.java:81, Flatten.java:49)
+    Q("union_all",
+      (s, d) => {
+        val f = ord(s, d).filter(col("o_orderstatus") === "F")
+        val o = ord(s, d).filter(col("o_orderstatus") === "O")
+        f.unionByName(o).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n FROM (
+        SELECT * FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'O') u
+        GROUP BY o_orderpriority""")),
+
+    Q("intersect_distinct",
+      (s, d) => ord(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+        .intersect(ord(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"))),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")),
+
+    Q("except_distinct",
+      (s, d) => ord(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+        .except(ord(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"))),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")),
+
+    Q("except_all",
+      (s, d) => li(s, d).select(col("l_orderkey").as("k"))
+        .exceptAll(ord(s, d).select(col("o_orderkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n")),
+      Some("""SELECT k, count(*) AS n FROM (
+        SELECT l_orderkey AS k FROM lineitem
+        EXCEPT ALL SELECT o_orderkey AS k FROM orders) e
+        GROUP BY k""")),
+
+    Q("intersect_all",
+      (s, d) => li(s, d).filter(col("l_quantity") > 25)
+        .select(col("l_orderkey").as("k"))
+        .intersectAll(li(s, d).filter(col("l_discount") > 0.05)
+          .select(col("l_orderkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n")),
+      Some("""SELECT k, count(*) AS n FROM (
+        SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 25
+        INTERSECT ALL
+        SELECT l_orderkey AS k FROM lineitem WHERE l_discount > 0.05) e
+        GROUP BY k""")),
+
+    // ===== OVER-clause window functions (SURVEY §2.7)
+    Q("window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        cust(s, d).select(
+          col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"))
+      },
+      Some("""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        CAST(row_number() OVER w AS BIGINT) AS rn,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        round(percent_rank() OVER w, 6) AS prnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey ASC)""")),
+
+    Q("window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        ord(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("running_total"),
+          round(lag(col("o_totalprice"), 1).over(w), 4).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 4).as("next_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+        round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
+        round(lead(o_totalprice, 1) OVER w, 4) AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)""")),
+
+    Q("window_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-3, 0)
+        ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+          round(avg(col("o_totalprice")).over(w), 4).as("moving_avg"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        FROM orders""")),
+
+    Q("window_ntile_cume",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        cust(s, d).select(col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("c_custkey")).over(
+            Window.partitionBy(col("c_nationkey"))
+              .orderBy(col("c_acctbal").asc, col("c_custkey").asc)).as("first_in_nation"))
+      },
+      Some("""SELECT c_custkey,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        round(cume_dist() OVER w, 6) AS cd,
+        first_value(c_custkey) OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal ASC, c_custkey ASC) AS first_in_nation
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)""")),
+
+    // ===== Element-wise & scalar functions (SURVEY §2.2, §2.9)
+    Q("scalar_string",
+      (s, d) => prt(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 2, 5).as("sub"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("cat"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_name, 3)").as("r3"),
+        lpad(col("p_brand"), 12, "0").as("pad"),
+        reverse(col("p_brand")).as("rev"),
+        col("p_name").startsWith("a").as("sw"),
+        col("p_name").contains("e").as("has_e"),
+        locate("an", col("p_name")).cast("long").as("pos_an"),
+        trim(col("p_name")).as("trimmed"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u")),
+      Some("""SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        CAST(length(p_name) AS BIGINT) AS len,
+        substr(p_name, 2, 5) AS sub,
+        p_brand || '-' || p_type AS cat,
+        left(p_name, 4) AS l4, right(p_name, 3) AS r3,
+        lpad(p_brand, 12, '0') AS pad, reverse(p_brand) AS rev,
+        starts_with(p_name, 'a') AS sw, contains(p_name, 'e') AS has_e,
+        CAST(strpos(p_name, 'an') AS BIGINT) AS pos_an,
+        trim(p_name) AS trimmed,
+        regexp_replace(p_type, ' ', '_', 'g') AS type_u
+        FROM part""")),
+
+    Q("scalar_math",
+      (s, d) => li(s, d).limit(0).unionByName(li(s, d)) // no-op shape guard
+        .filter(col("l_linenumber") <= 3)
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+          round(abs(-col("l_quantity")), 6).as("aq"),
+          round(ceil(col("l_extendedprice") / 100), 6).cast("long").as("cl"),
+          round(floor(col("l_extendedprice") / 100), 6).cast("long").as("fl"),
+          round(pow(col("l_quantity"), 2), 6).as("sq"),
+          round(sqrt(col("l_quantity")), 6).as("rt"),
+          round(exp(col("l_discount")), 6).as("ex"),
+          round(log(col("l_quantity")), 6).as("ln_q"),
+          round(log10(col("l_quantity")), 6).as("lg"),
+          pmod(col("l_linenumber"), lit(3)).cast("long").as("md"),
+          signum(col("l_quantity") - 25).cast("long").as("sg"),
+          round(sinh(col("l_discount")), 6).as("sh"),
+          round(cosh(col("l_discount")), 6).as("ch"),
+          round(tanh(col("l_discount")), 6).as("th")),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        round(abs(-l_quantity), 6) AS aq,
+        CAST(round(ceil(l_extendedprice / 100), 6) AS BIGINT) AS cl,
+        CAST(round(floor(l_extendedprice / 100), 6) AS BIGINT) AS fl,
+        round(pow(l_quantity, 2), 6) AS sq,
+        round(sqrt(l_quantity), 6) AS rt,
+        round(exp(l_discount), 6) AS ex,
+        round(ln(l_quantity), 6) AS ln_q,
+        round(log10(l_quantity), 6) AS lg,
+        CAST(l_linenumber % 3 AS BIGINT) AS md,
+        CAST(sign(l_quantity - 25) AS BIGINT) AS sg,
+        round(sinh(l_discount), 6) AS sh,
+        round(cosh(l_discount), 6) AS ch,
+        round(tanh(l_discount), 6) AS th
+        FROM lineitem WHERE l_linenumber <= 3""")),
+
+    Q("scalar_datetime",
+      (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+        quarter(col("o_orderdate")).cast("long").as("qt"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s")),
+      Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(month(o_orderdate) AS BIGINT) AS mo,
+        CAST(day(o_orderdate) AS BIGINT) AS dy,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qt,
+        date_trunc('month', o_orderdate) AS month_start,
+        o_orderdate + INTERVAL 30 DAY AS due,
+        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+        FROM orders""")),
+
+    Q("scalar_case_cast",
+      (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("tier"),
+        floor(col("o_totalprice")).cast("long").as("price_int"),
+        col("o_orderkey").cast("string").as("key_str"),
+        (col("o_orderstatus") === "F").as("is_f"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status2"),
+        greatest(col("o_totalprice"), lit(150000.0)).as("gst"),
+        least(col("o_totalprice"), lit(150000.0)).as("lst")),
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_totalprice > 300000 THEN 'high'
+             WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS tier,
+        CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        CAST(o_orderkey AS VARCHAR) AS key_str,
+        o_orderstatus = 'F' AS is_f,
+        coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+        greatest(o_totalprice, 150000.0) AS gst,
+        least(o_totalprice, 150000.0) AS lst
+        FROM orders""")),
+
+    Q("scalar_hash",
+      (s, d) => cust(s, d).select(
+        col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        PortableHash.md5Long(col("c_name")).as("h_long")),
+      Some(s"""SELECT c_custkey, md5(c_name) AS h_md5,
+        sha256(c_name) AS h_sha256,
+        ${PortableHash.md5LongSql("c_name")} AS h_long
+        FROM customer""")),
+
+    Q("json_extract",
+      (s, d) => Tables.events(s, d).groupBy("event_type").agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+        CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        count(*) AS n
+        FROM events GROUP BY event_type""")),
+
+    // ===== Explode / unnest (BeamUnnestRel — SURVEY §2.8)
+    Q("explode_word_counts",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(20),
+      Some("""SELECT word, n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 20""")),
+
+    // ===== Literal values (Beam Create.of / BeamValuesRel)
+    Q("create_values",
+      (s, d) => {
+        import s.implicits._
+        Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+          .toDF("id", "tag", "v")
+      },
+      Some("""SELECT * FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5),
+        (3, 'c', 3.5)) AS t(id, tag, v)""")),
+  )
+}
