@@ -1,24 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"queries":{...}}. Each query is
+  * forced with a count() after a warmup of the table reads (so parquet
+  * footer/OS-cache effects don't dominate the first query measured).
+  */
 object Bench {
+  // Headline set: one representative per operator family; excludes the
+  // intentionally-quadratic small-data oracles (ngram pairwise jaccard)
+  // that are not the scale path.
+  private val headline = Seq(
+    "agg_tpch_q1", "agg_stats", "agg_cube",
+    "join_multiway", "join_inner_broadcast", "cogroup_by_key",
+    "topk_per_key", "window_running", "distinct_rows",
+    "win_tumbling", "win_sliding", "win_session", "gap_fill_hours",
+    "dedup_events_first", "text_stats", "text_quality", "text_simhash",
+    "dedup_minhash_pairs", "dedup_exact_docs",
+    "vec_cosine_topk", "vec_centroids", "dedup_embedding_cosine",
+    "vec_ann_lsh", "explode_word_counts", "json_extract")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val all = SparkEntry.queries
+    val names = headline.filter(all.contains)
+    // warmup: touch every table once so IO cache state is uniform
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,8 +28,8 @@ object Dedup {
     * Deterministic (unlike `dropDuplicates`, whose survivor depends on
     * partition order — fine for semantics, wrong for golden tests).
     */
-  def exactByKey(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak).asc)
+  def exactByKey(df: DataFrame, keys: Seq[String], tieBreak: Column*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -28,9 +28,12 @@ object TextAnalysis {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(sequence(lit(0), count - 1),
-      i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*))
+    val count = size(toks) - (n - 1)
+    // guard: sequence(0, -1) would produce a DESCENDING array in Spark,
+    // so short docs must short-circuit to an empty shingle list.
+    when(count <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
   }
 
   /** Normalized-text fingerprint (lowercase, collapsed whitespace → md5).

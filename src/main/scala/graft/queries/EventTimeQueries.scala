@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Relational, Windowing}
+
+/** Event-time windowing coverage over the `events` table (SURVEY §2.10):
+  * tumbling/sliding/session/calendar windows, event-time dedup, latest,
+  * and time-series gap filling. The same `window()`/`session_window()`
+  * expressions run unchanged on a streaming DataFrame (tested in
+  * StreamingSpec); the batch form here is what the DuckDB oracle can
+  * verify.
+  *
+  * Oracle convention: window bounds are emitted as epoch seconds
+  * (BIGINT) so cross-engine timestamp precision/timezone differences
+  * can't perturb the hash.
+  */
+object EventTimeQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+
+  def queries: Seq[Q] = Seq(
+
+    // Beam FixedWindows (windowing/FixedWindows.java:38)
+    Q("win_tumbling",
+      (s, d) => Windowing.tumbling(ev(s, d), "ts", "1 hour", col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(Windowing.windowStartSec(col("window")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+        event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // Beam SlidingWindows (windowing/SlidingWindows.java:42): each event
+    // belongs to size/slide = 2 windows.
+    Q("win_sliding",
+      (s, d) => Windowing.sliding(ev(s, d), "ts", "10 minutes", "5 minutes")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(Windowing.windowStartSec(col("window")).as("win_start"),
+          col("n"), col("n_users")),
+      Some("""SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - o.i) * 300 AS win_start,
+        count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) o
+        GROUP BY 1""")),
+
+    // Beam Sessions (windowing/Sessions.java:42): gap-merged per-key
+    // windows; window = [min_ts, max_ts + gap). Oracle reconstructs the
+    // merge with a lag/cumsum session-id assignment.
+    Q("win_session",
+      (s, d) => Windowing.sessions(ev(s, d), "ts", "30 minutes", col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("user_id"),
+          Windowing.windowStartSec(col("session_window")).as("sess_start"),
+          Windowing.windowEndSec(col("session_window")).as("sess_end"),
+          col("n"), col("sum_value")),
+      Some("""WITH g AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), se AS (
+          SELECT user_id, ts, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+        SELECT user_id,
+          CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+          CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS sess_end,
+          count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM se GROUP BY user_id, sid""")),
+
+    // Beam CalendarWindows (windowing/CalendarWindows.java:47) — window()
+    // can't express variable-length calendar units; date_trunc keys can.
+    Q("win_calendar_day",
+      (s, d) => Windowing.calendar(ev(s, d), "ts", "day")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_timestamp(col("window_start")).as("day_start"),
+          col("n"), col("n_users")),
+      Some("""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
+        count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1""")),
+
+    // Beam Deduplicate (transforms/Deduplicate.java:70): keep first event
+    // per (user, type) in event time, deterministic tie-break on id.
+    Q("dedup_events_first",
+      (s, d) => Dedup.exactByKey(ev(s, d), Seq("user_id", "event_type"),
+          col("ts").asc, col("event_id").asc)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value")),
+      Some("""SELECT user_id, event_type, event_id, value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts ASC, event_id ASC) = 1""")),
+
+    // Beam Latest.perKey (transforms/Latest.java:56)
+    Q("latest_event_per_user",
+      (s, d) => Relational.latestPerKey(ev(s, d), Seq(col("user_id")),
+          col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("event_type").as("last_type"), col("value").as("last_value")),
+      Some("""SELECT user_id, event_id AS last_event,
+        event_type AS last_type, value AS last_value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) = 1""")),
+
+    // Beam FillGaps (extensions/timeseries/.../FillGaps.java): zero-fill
+    // missing hours per user between their first and last active hour.
+    Q("gap_fill_hours",
+      (s, d) => {
+        val hrs = ev(s, d)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val span = hrs.groupBy("user_id")
+          .agg(min("hr").as("h0"), max("hr").as("h1"))
+        val all = span.select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+        all.join(hrs, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), unix_timestamp(col("hr")).as("hr_start"),
+            coalesce(col("n"), lit(0L)).as("n"))
+      },
+      Some("""WITH hrs AS (
+          SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hrs GROUP BY 1
+        ), allh AS (
+          SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+          FROM span)
+        SELECT a.user_id, CAST(floor(epoch(a.hr)) AS BIGINT) AS hr_start,
+          coalesce(h.n, 0) AS n
+        FROM allh a LEFT JOIN hrs h
+          ON a.user_id = h.user_id AND a.hr = h.hr""")),
+  )
+}

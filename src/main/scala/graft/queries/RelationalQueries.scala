@@ -479,9 +479,9 @@ object RelationalQueries {
         round(log10(l_quantity), 6) AS lg,
         CAST(l_linenumber % 3 AS BIGINT) AS md,
         CAST(sign(l_quantity - 25) AS BIGINT) AS sg,
-        round(sinh(l_discount), 6) AS sh,
-        round(cosh(l_discount), 6) AS ch,
-        round(tanh(l_discount), 6) AS th
+        round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sh,
+        round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS ch,
+        round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6) AS th
         FROM lineitem WHERE l_linenumber <= 3""")),
 
     Q("scalar_datetime",
@@ -553,9 +553,9 @@ object RelationalQueries {
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word").asc).limit(20),
-      Some("""SELECT word, n FROM (
+      Some("""SELECT word, count(*) AS n FROM (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
-        GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 20""")),
+        GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""")),
 
     // ===== Literal values (Beam Create.of / BeamValuesRel)
     Q("create_values",
@@ -564,7 +564,8 @@ object RelationalQueries {
         Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
           .toDF("id", "tag", "v")
       },
-      Some("""SELECT * FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5),
+      Some("""SELECT CAST(id AS BIGINT) AS id, tag, CAST(v AS DOUBLE) AS v
+        FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5),
         (3, 'c', 3.5)) AS t(id, tag, v)""")),
   )
 }

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Text-analysis + dedup coverage over the `documents` table: token
+  * stats, language ID, quality scoring, fingerprinting, SimHash, exact
+  * dedup, MinHash-LSH and n-gram-Jaccard near-dup pairs. Every hash is
+  * [[graft.functions.PortableHash]]-derived so DuckDB reproduces it
+  * bit-for-bit.
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+
+  /** DuckDB token-list expression mirroring TextAnalysis.tokens. */
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []
+       ELSE string_split_regex(trim(text), '\s+') END"""
+
+  def queries: Seq[Q] = Seq(
+
+    // Token counting + document fingerprints (rolling content hash).
+    Q("text_stats",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprint64(col("text")).as("fp64")),
+      Some(s"""SELECT doc_id,
+        CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS len_chars,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15) AS BIGINT) AS fp64
+        FROM documents""")),
+
+    // Language-ID n-gram heuristic (argmax of marker-token hits).
+    Q("text_lang_id",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess")),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            CASE WHEN length(trim(lower(text))) = 0 THEN []
+                 ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+          FROM documents
+        ), sc AS (
+          SELECT doc_id,
+            len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+            len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+            len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS s_fr,
+            len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS s_es
+          FROM t)
+        SELECT doc_id,
+          CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               WHEN s_de = greatest(s_de, s_fr, s_es) THEN 'de'
+               WHEN s_fr = greatest(s_fr, s_es) THEN 'fr'
+               ELSE 'es' END AS lang_guess
+        FROM sc""")),
+
+    // Quality scoring (length / punctuation / stopword-ratio heuristic).
+    Q("text_quality",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(s"""WITH t AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len($toksSql) AS DOUBLE) AS nt,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+            CAST(len(list_filter(
+              CASE WHEN length(trim(lower(text))) = 0 THEN []
+                   ELSE string_split_regex(trim(lower(text)), '\\s+') END,
+              x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) AS ns
+          FROM documents)
+        SELECT doc_id, round(
+          least(nt / 50.0, 1.0) * 0.4
+          + (CASE WHEN nt > 0 AND nc / nt >= 3 AND nc / nt <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
+          + least((CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) * 4.0, 1.0) * 0.2
+          + least((CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 10.0, 1.0) * 0.1, 6) AS quality
+        FROM t""")),
+
+    // SimHash document fingerprint: per-bit majority vote of token hashes.
+    Q("text_simhash",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        Dedup.simHash(col("text"), 16).as("simhash")),
+      Some("""WITH tk AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ), h AS (
+          SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+          FROM tk
+        ), v AS (
+          SELECT doc_id, b.bit,
+            sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+          GROUP BY 1, 2)
+        SELECT d.doc_id,
+          CAST(coalesce(sum(CASE WHEN v.vote > 0
+            THEN CAST(1 AS BIGINT) << v.bit ELSE 0 END), 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+        GROUP BY d.doc_id""")),
+
+    // Exact dedup by normalized-content hash (hash-groupBy).
+    Q("dedup_exact_docs",
+      (s, d) => docs(s, d)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups")),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1""")),
+
+    // MinHash + LSH near-dup candidate pairs with estimated Jaccard
+    // (16 hashes, 4 bands × 4 rows, word 3-gram shingles).
+    Q("dedup_minhash_pairs",
+      (s, d) => Dedup.minHashCandidates(docs(s, d), "doc_id", "text",
+        numHashes = 16, numBands = 4),
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), sh AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+          FROM tok CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+        ), sig AS (
+          SELECT doc_id, h.hid,
+            min(CAST('0x' || substr(md5(CAST(h.hid AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS hv
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS hid) h
+          GROUP BY 1, 2
+        ), band AS (
+          SELECT doc_id, hid // 4 AS band,
+            md5(string_agg(CAST(hv AS VARCHAR), '_' ORDER BY hid)) AS bucket
+          FROM sig GROUP BY doc_id, hid // 4
+        ), pair AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT p.id_a, p.id_b,
+          round(CAST(sum(CASE WHEN x.hv = y.hv THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+        FROM pair p
+        JOIN sig x ON x.doc_id = p.id_a
+        JOIN sig y ON y.doc_id = p.id_b AND y.hid = x.hid
+        GROUP BY 1, 2""")),
+
+    // Exact n-gram Jaccard pairs above threshold (shingle inverted index).
+    Q("dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.1),
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+          FROM tok CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+        ), sz AS (
+          SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_i
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          round(CAST(n_i AS DOUBLE) / (a.sz + b.sz - n_i), 6) AS jaccard
+        FROM inter JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+        WHERE round(CAST(n_i AS DOUBLE) / (a.sz + b.sz - n_i), 6) >= 0.1""")),
+  )
+}
