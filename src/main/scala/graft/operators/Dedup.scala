@@ -33,19 +33,44 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** 2^61 - 1: modulus of the affine MinHash family (fits DuckDB's
+    * overflow-checked BIGINT arithmetic: a·h31 + b < 2^62). */
+  val MinHashPrime: Long = 2305843009213693951L
+
+  /** Member i of the affine hash family h_i(x) = (a_i·x + b_i) mod P,
+    * with a_i, b_i 31-bit splitmix-derived constants (a_i odd). Shared
+    * with the DuckDB oracle via TextQueries. */
+  def affineParams(i: Int): (Long, Long) = {
+    val a = ((((i + 1).toLong * 0x9E3779B97F4A7C15L) >>> 33) & 0x7FFFFFFFL) | 1L
+    val b = (((i + 1).toLong * 0xC2B2AE3D27D4EB4FL) >>> 33) & 0x7FFFFFFFL
+    (a, b)
+  }
+
   /** MinHash signature matrix: one row per doc, `numHashes` minima over
     * word `shingleSize`-gram shingles. Pure column expressions
     * (explode-free: array `transform` + `array_min`), so it is a single
-    * narrow projection — no shuffle at all. */
+    * narrow projection — no shuffle at all.
+    *
+    * Each shingle is md5-hashed ONCE (staged projection, kept out of
+    * the signature columns so Catalyst cannot inline it 16×), then the
+    * `numHashes` family members are cheap affine maps of that base hash
+    * — this keeps generated code small (fast Janino compile) and the
+    * per-row cost at one digest per shingle instead of `numHashes`. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val sh = TextAnalysis.shingles(col(textCol), shingleSize)
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(sh, s =>
-        PortableHash.md5Long(concat(lit(i.toString), lit(":"), s))))
-        .as(s"h$i")
-    }
-    df.select((col(idCol) +: sigCols): _*)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // The shingle→md5→affine→min pipeline runs in one compiled loop per
+    // row ([[graft.functions.MinHashSignature]]): Spark HOF lambdas are
+    // interpreted per element, which cost ~60µs/shingle here. Docs
+    // shorter than the shingle size have no signature (null → filtered;
+    // matches the oracle, which has no shingle rows for them).
+    val staged = df.select(col(idCol),
+      call_function("minhash_sig", TextAnalysis.tokens(col(textCol)),
+        lit(shingleSize), lit(numHashes)).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val sigCols = (0 until numHashes).map(i =>
+      element_at(col("__sig"), i + 1).as(s"h$i"))
+    staged.select((col(idCol) +: sigCols): _*)
   }
 
   /** LSH band buckets from a signature frame produced by
@@ -92,19 +117,12 @@ object Dedup {
   }
 
   /** SimHash over whitespace tokens using `bits` bits of the portable
-    * hash. Per-bit majority vote of token hashes; one narrow projection.
-    */
-  def simHash(text: Column, bits: Int = 16): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val hashes = transform(toks, t => PortableHash.md5Long(t))
-    val bitCols = (0 until bits).map { b =>
-      // sum over tokens of (bit b set ? 1 : -1), then sign → bit b
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+    * hash. Per-bit majority vote of token hashes; one narrow projection
+    * through the compiled [[graft.functions.SimHash]] loop. Caller must
+    * have a session with GraftFunctions registered (any graft operator
+    * entry point does this). */
+  def simHash(text: Column, bits: Int = 16): Column =
+    call_function("simhash", TextAnalysis.tokens(text), lit(bits))
 
   /** Exact n-gram Jaccard similarity pairs above a threshold, via
     * shingle inverted index: explode distinct shingles, self-join on
@@ -112,8 +130,10 @@ object Dedup {
     * One shuffle on the shingle key + one on the pair key. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"))
+      explode(array_distinct(call_function("shingles",
+        TextAnalysis.tokens(col(textCol)), lit(n)))).as("sh"))
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))

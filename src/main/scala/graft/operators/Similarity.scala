@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Vector-similarity operators over `array<float>` embedding columns.
   *
@@ -12,25 +13,23 @@ import org.apache.spark.sql.functions._
   * search itself is the capability a training-data pipeline adds on top.
   *
   * Scale design:
-  *  - brute-force top-k broadcasts the (small) query set and computes
-  *    dot products with codegen'd higher-order functions — a single scan
-  *    of the corpus, no shuffle of the corpus itself;
+  *  - dot products run through [[graft.functions.VectorDot]] — a native
+  *    codegen'd Catalyst expression (tight primitive loop, no HOF
+  *    lambda overhead) since it is evaluated O(candidate pairs) times;
+  *  - L2 norms are computed ONCE PER ROW before any join, never per
+  *    pair (an O(n²·dim) → O(n·dim) reduction);
+  *  - brute-force top-k broadcasts the (small) query set — a single
+  *    scan of the corpus, no shuffle of the corpus itself;
   *  - the LSH variant buckets by random-hyperplane signs so candidate
   *    generation is an equi-join on (bucket), avoiding the full cross
-  *    product when both sides are large.
+  *    product when both sides are large. Hyperplane weights are
+  *    plan-time literals (zero per-row hashing).
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns, computed in double.
+    * HOF form for ad-hoc use; hot paths below use vec_dot + norm cols. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -47,17 +46,42 @@ object Similarity {
     * keeps the result oracle-stable across fp summation orders. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"))
+    GraftFunctions.register(queries.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("match_id"),
+      col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("match_id"))
       .select(col("query_id"), col("match_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+        round(call_function("vec_dot", col("qv"), col("cv"))
+          / (col("qn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("match_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("match_id"), col("sim"),
         col("rk").cast("int").as("rk"))
+  }
+
+  /** All pairs with cosine similarity above `threshold` (exact, brute
+    * force over id_a < id_b): the correctness baseline for
+    * embedding-space near-dedup. Norms are per-row columns; the pair
+    * loop is one codegen'd vec_dot per candidate. */
+  def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      l2Norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"))
+    val sim = round(call_function("vec_dot", col("va"), col("vb"))
+      / (col("na") * col("nb")), 6)
+    // The similarity predicate lives INSIDE the join condition: the
+    // nested-loop join then evaluates one codegen'd vec_dot per
+    // candidate and only materializes the (rare) matching pairs —
+    // never the O(n²) joined rows with their embedding payloads.
+    a.join(broadcast(b), col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
   }
 
   /** Per-label centroids: mean of each vector component. Shuffles once on
@@ -68,19 +92,26 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))
 
+  /** Deterministic ±1 hyperplane weights for SRP-LSH, derived from md5
+    * at PLAN time (JVM) — the per-row path is pure arithmetic. */
+  private def srpWeights(bits: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def parity(s: String): Double = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      if ((d(d.length - 1) & 1) == 1) 1.0 else -1.0
+    }
+    (0 until bits).map(b => (0 until dim).map(i => parity(s"$seed:$b:$i")))
+  }
+
   /** Sign-random-projection LSH bucket id: `bits` hyperplanes with
-    * deterministic ±1 weights derived from md5 — engine-portable and
-    * reproducible. Bucketing both sides turns ANN search into an
-    * equi-join on (bucket). */
-  def srpBucket(vec: Column, bits: Int = 8, seed: Int = 7): Column = {
+    * deterministic ±1 weights (literal arrays — no per-row hashing).
+    * Bucketing both sides turns ANN search into an equi-join on
+    * (bucket). `dim` must cover the vector length. */
+  def srpBucket(vec: Column, bits: Int = 8, dim: Int = 64, seed: Int = 7): Column = {
+    val weights = srpWeights(bits, dim, seed)
     val bitCols = (0 until bits).map { b =>
-      // deterministic ±1 weight per (plane b, component i): parity of md5
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          val h = graft.functions.PortableHash.md5Long(
-            concat(lit(s"$seed:$b:"), i.cast("string")))
-          when(h.bitwiseAND(1L) === 1L, x.cast("double")).otherwise(-x.cast("double"))
-        }),
+        zip_with(vec, typedlit(weights(b)), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }
@@ -91,15 +122,19 @@ object Similarity {
     * rank by exact cosine within candidates. Recall < 1 by construction;
     * scale path for corpus × corpus search where brute force is O(n²). */
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      srpBucket(col(vecCol), bits).as("bucket"))
+      l2Norm(col(vecCol)).as("qn"),
+      srpBucket(col(vecCol), bits, dim).as("bucket"))
     val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
-      srpBucket(col(vecCol), bits).as("bucket"))
+      l2Norm(col(vecCol)).as("cn"),
+      srpBucket(col(vecCol), bits, dim).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("match_id"))
       .select(col("query_id"), col("match_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+        round(call_function("vec_dot", col("qv"), col("cv"))
+          / (col("qn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("match_id").asc)
     scored.withColumn("rk", row_number().over(w))

@@ -84,8 +84,11 @@ object TextQueries {
 
     // SimHash document fingerprint: per-bit majority vote of token hashes.
     Q("text_simhash",
-      (s, d) => docs(s, d).select(col("doc_id"),
-        Dedup.simHash(col("text"), 16).as("simhash")),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, d).select(col("doc_id"),
+          Dedup.simHash(col("text"), 16).as("simhash"))
+      },
       Some("""WITH tk AS (
           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
           FROM documents WHERE length(trim(text)) > 0
@@ -113,21 +116,29 @@ object TextQueries {
         FROM documents GROUP BY 1""")),
 
     // MinHash + LSH near-dup candidate pairs with estimated Jaccard
-    // (16 hashes, 4 bands × 4 rows, word 3-gram shingles).
+    // (16 hashes, 4 bands × 4 rows, word 3-gram shingles). The affine
+    // hash-family constants are generated from Dedup.affineParams so
+    // Spark and the oracle share one source of truth.
     Q("dedup_minhash_pairs",
       (s, d) => Dedup.minHashCandidates(docs(s, d), "doc_id", "text",
         numHashes = 16, numBands = 4),
-      Some("""WITH tok AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      Some(s"""WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
           FROM documents WHERE length(trim(text)) > 0
         ), sh AS (
           SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
           FROM tok CROSS JOIN LATERAL
             (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
         ), sig AS (
-          SELECT doc_id, h.hid,
-            min(CAST('0x' || substr(md5(CAST(h.hid AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS hv
-          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS hid) h
+          SELECT doc_id, ab.hid,
+            min((ab.a * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483648) + ab.b)
+                % ${Dedup.MinHashPrime}) AS hv
+          FROM sh CROSS JOIN (SELECT * FROM (VALUES ${
+            (0 until 16).map { i =>
+              val (a, b) = Dedup.affineParams(i)
+              s"($i, $a, $b)"
+            }.mkString(", ")
+          }) AS t(hid, a, b)) ab
           GROUP BY 1, 2
         ), band AS (
           SELECT doc_id, hid // 4 AS band,

@@ -76,14 +76,8 @@ object VectorQueries {
     // Embedding-cosine near-duplicate pairs (exact, brute force): the
     // correctness baseline for near-dedup; LSH below is the scale path.
     Q("dedup_embedding_cosine",
-      (s, d) => {
-        val a = emb(s, d).select(col("vec_id").as("id_a"), col("embedding").as("va"))
-        val b = emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-        a.join(broadcast(b), col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
-          .filter(col("sim") >= 0.9)
-      },
+      (s, d) => Similarity.cosinePairsAbove(emb(s, d), "vec_id", "embedding",
+        threshold = 0.9),
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -94,7 +88,7 @@ object VectorQueries {
     Q("vec_ann_lsh",
       (s, d) => Similarity.lshCosineTopK(
         emb(s, d).filter(col("vec_id") % 100 === 0), emb(s, d),
-        "vec_id", "embedding", k = 5, bits = 4),
+        "vec_id", "embedding", k = 5, bits = 4, dim = 64),
       None),
   )
 }
