@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Specs for text ops (SURVEY §2.12 north-star: tokenize, shingles,
+  * fingerprint, lang-id, MinHash/SimHash dedup). */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("tokens splits on whitespace; empty → empty array") {
+    val df = Seq("a  b\tc", "", "  ").toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+    assert(df.as[Seq[String]].collect().toSeq ==
+      Seq(Seq("a", "b", "c"), Seq(), Seq()))
+  }
+
+  test("shingles builds word n-grams; short docs → empty") {
+    val got = one("the quick brown fox")
+      .select(TextAnalysis.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(got == Seq("the quick brown", "quick brown fox"))
+    val short = one("hi there")
+      .select(TextAnalysis.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(short == Seq())
+  }
+
+  test("compiled WordShingles expression matches declarative shingles") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val a = docs.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), 3).as("s"))
+    val b = docs.select(col("doc_id"),
+      call_function("shingles", TextAnalysis.tokens(col("text")), lit(3)).as("s"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq("Hello  World", "hello world").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("f"))
+    val fs = df.as[String].collect()
+    assert(fs(0) == fs(1))
+  }
+
+  test("langId picks dominant marker language") {
+    val df = Seq("the cat and the dog is here",
+      "der hund und die katze ist da",
+      "zzz qqq").toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "und"))
+  }
+
+  test("identical docs share MinHash signature; disjoint docs do not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val sig = Dedup.minHashSignatures(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("simHash of near-identical docs differs in few bits") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "entirely different words compose this unrelated document text"))
+      .toDF("doc_id", "text")
+    val h = df.select(col("doc_id"), Dedup.simHash(col("text"), 16).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+  }
+
+  test("minHashCandidates surfaces duplicate docs as a pair") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated totally different content here now ok yes"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashCandidates(df, "doc_id", "text",
+      numHashes = 16, numBands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Specs for vector similarity (SURVEY §2.12: ANN / embedding ops) and
+  * the native VectorDot/VectorNorm expressions. */
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 1.0f, 0.0f)),
+    (4L, Array(2.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("native vec_dot matches HOF dot on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(50)
+    val pairs = emb.select(col("embedding").as("a"))
+      .crossJoin(emb.select(col("embedding").as("b")).limit(5))
+    val diff = pairs.select(
+      abs(call_function("vec_dot", col("a"), col("b")) -
+        Similarity.dot(col("a"), col("b"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(diff < 1e-9)
+  }
+
+  test("vec_norm matches sqrt of self-dot") {
+    val got = vecs.select(
+      abs(call_function("vec_norm", col("embedding")) -
+        sqrt(Similarity.dot(col("embedding"), col("embedding")))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(got < 1e-12)
+  }
+
+  test("cosine: parallel=1, orthogonal=0") {
+    val a = typedlit(Seq(1.0f, 0.0f))
+    val b = typedlit(Seq(3.0f, 0.0f))
+    val c = typedlit(Seq(0.0f, 2.0f))
+    val row = spark.range(1)
+      .select(Similarity.cosine(a, b).as("par"), Similarity.cosine(a, c).as("ort"))
+      .as[(Double, Double)].head()
+    assert(math.abs(row._1 - 1.0) < 1e-12 && math.abs(row._2) < 1e-12)
+  }
+
+  test("cosineTopK ranks nearest first, excludes self") {
+    val got = Similarity.cosineTopK(
+      vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", 2)
+      .select("match_id", "rk").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((4L, 1), (3L, 2))) // identical direction first, 45° second
+  }
+
+  test("cosinePairsAbove finds exactly the near-parallel pair") {
+    val got = Similarity.cosinePairsAbove(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L)))
+  }
+
+  test("lshCosineTopK returns subset of brute-force ranking") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val lsh = Similarity.lshCosineTopK(queries, emb, "vec_id", "embedding",
+      k = 5, bits = 4, dim = 64)
+    // recall<1 by construction; contract: at most k matches per query,
+    // none matching itself
+    val over = lsh.groupBy("query_id").count().filter(col("count") > 5).count()
+    assert(over == 0)
+    assert(lsh.filter(col("query_id") === col("match_id")).count() == 0)
+    assert(lsh.count() > 0)
+  }
+}
