@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming operators matching Beam's unbounded-PCollection
+  * surface (SURVEY §2.10). Beam's defining feature — one transform graph
+  * for bounded and unbounded data — maps to Spark's one DataFrame API:
+  * every builder here takes a DataFrame that may be batch or streaming
+  * (`df.isStreaming`) and returns the same declarative plan.
+  *
+  * Reference semantics being matched:
+  *  - FixedWindows (sdks/java/core/.../windowing/FixedWindows.java:38)
+  *  - SlidingWindows (windowing/SlidingWindows.java:42)
+  *  - Sessions (windowing/Sessions.java:42)
+  *  - Window.withAllowedLateness (windowing/Window.java:288) →
+  *    `withWatermark` delay
+  *  - Deduplicate (transforms/Deduplicate.java:70) →
+  *    `dropDuplicatesWithinWatermark`
+  *  - BeamCoGBKJoinRel unbounded×unbounded once-per-window join
+  *    (extensions/sql/.../rel/BeamCoGBKJoinRel.java:139-160) →
+  *    stream-stream join with watermark range condition
+  *  - BeamSideInputJoinRel (rel/BeamSideInputJoinRel.java:69) →
+  *    stream-static join
+  *
+  * Trigger/pane mapping (SURVEY §7.4): Beam's default trigger
+  * (emit once when watermark passes window end) ≡ append output mode;
+  * early firings ≡ update mode re-emitting per micro-batch; panes beyond
+  * that (accumulating+retracting, per-pane metadata) are out of the
+  * declared surface and handled by [[Stateful]] where needed.
+  */
+object StreamOps {
+
+  /** Event-time tumbling-window aggregation with lateness handling.
+    * Batch and streaming: identical plan; streaming adds the watermark.
+    */
+  def tumblingAgg(df: DataFrame, tsCol: String, size: String,
+      lateness: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, lateness) else df
+    wm.groupBy((window(col(tsCol), size) +: keys): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sliding windows: each event contributes to size/slide windows. */
+  def slidingAgg(df: DataFrame, tsCol: String, size: String, slide: String,
+      lateness: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, lateness) else df
+    wm.groupBy((window(col(tsCol), size, slide) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Session windows (gap-merged per key) — native `session_window`,
+    * including merge across micro-batches backed by the state store. */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String,
+      lateness: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, lateness) else df
+    wm.groupBy((session_window(col(tsCol), gap) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Beam Deduplicate: drop duplicate ids arriving within the watermark
+    * horizon. State is GC'd once the watermark passes — bounded memory
+    * at any scale (the 100 TB property Beam gets from its TTL timer). */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, lateness: String,
+      idCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stream-stream inner join bounded by an event-time range: the Spark
+    * equivalent of Beam's windowed CoGBK join. Both sides carry
+    * watermarks; the range condition lets the state store GC rows. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, lateness: String,
+      keyCond: Column, maxDelta: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, keyCond &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelta") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelta"))
+  }
+
+  /** Stream × static (side-input) join — Beam's broadcast side input for
+    * unbounded mains. The static side is re-read per micro-batch by
+    * Spark; broadcast keeps it off the shuffle path. */
+  def streamStaticJoin(stream: DataFrame, static: DataFrame,
+      cond: Column, joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(static), cond, joinType)
+
+  /** File-replay source: stream the driver-written parquet through the
+    * file source (Beam TextIO.watchForNewFiles / Watch analog). */
+  def replayParquet(spark: SparkSession, path: String, schema: StructType,
+      filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(path)
+
+  /** Replay the driver's `events` table as a stream: the parquet stores
+    * TIMESTAMP(NANOS), which the vectorized reader only surfaces as long
+    * nanos (legacy flag) — read that shape, then downcast to micros so
+    * the streaming frame matches [[graft.sources.Tables.events]]. */
+  def replayEvents(spark: SparkSession, sfDir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // schema probe
+    // The file stream source wants a directory to watch (Beam's
+    // FileIO.match continuously matching a glob); stage the single
+    // driver-written file into one.
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(dir.toString)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts",
+        timestamp_micros((col("ts") / 1000L).cast("long")))
+    else stream
+  }
+
+  /** Beam PeriodicImpulse / GenerateSequence (unbounded) — rate source. */
+  def periodicImpulse(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+}

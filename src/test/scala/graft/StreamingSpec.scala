@@ -1,0 +1,225 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.{Stateful, StreamOps}
+
+/** An event in the Nexmark-ish shape of the `events` table. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Deterministic streaming tests — the analog of Beam's TestStream
+  * (reference: sdks/java/core/.../testing/TestStream.java:125-212):
+  * MemoryStream supplies elements per micro-batch; watermark advancement
+  * comes from max-event-time minus delay, with Spark's no-data
+  * micro-batches closing windows once the watermark passes (Beam's
+  * AfterWatermark default trigger).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  private var tableN = 0
+  private def freshTable(): String = { tableN += 1; s"stream_out_$tableN" }
+
+  test("tumbling window agg: streaming append == batch result (unification)") {
+    val events = Seq(
+      Ev(1, ts(1), 1, "view", 1.0), Ev(2, ts(4), 1, "view", 2.0),
+      Ev(3, ts(11), 2, "click", 3.0), Ev(4, ts(14), 1, "view", 4.0),
+      // far-future sentinel advances the watermark past both windows
+      Ev(99, ts(50), 9, "eof", 0.0))
+
+    val mem = MemoryStream[Ev]
+    val streamed = StreamOps.tumblingAgg(mem.toDF(), "ts", "10 minutes",
+      "0 seconds", Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), sum("value").as("sv")))
+    val table = freshTable()
+    val q = streamed.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(events: _*)
+    runToCompletion(q)
+
+    val got = spark.table(table)
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n"), col("sv"))
+      .collect().map(_.toSeq).toSet
+    // batch run of the SAME builder over the same data, minus the
+    // sentinel's still-open window
+    val batch = StreamOps.tumblingAgg(events.toDF(), "ts", "10 minutes",
+        "0 seconds", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), sum("value").as("sv")))
+      .filter(col("window.start") < ts(50))
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n"), col("sv"))
+      .collect().map(_.toSeq).toSet
+    assert(got == batch && got.size == 3, s"got=$got batch=$batch")
+  }
+
+  test("late data beyond watermark is dropped (allowed-lateness semantics)") {
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.tumblingAgg(mem.toDF(), "ts", "10 minutes",
+      "5 minutes", Seq.empty, Seq(count(lit(1)).as("n")))
+    val table = freshTable()
+    val q = agg.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    // batch 1: window [10:00,10:10) gets 2 events; advance watermark far
+    mem.addData(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 1, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, ts(40), 1, "a", 1.0)) // watermark → 10:35
+    q.processAllAvailable()
+    // batch 3: a late event for the long-closed 10:00 window — dropped
+    mem.addData(Ev(4, ts(3), 1, "late", 1.0))
+    mem.addData(Ev(5, ts(55), 1, "a", 1.0)) // close the 10:40 window too
+    runToCompletion(q)
+    val n0 = spark.table(table)
+      .filter(col("window.start").cast("string").contains("10:00"))
+      .select("n").as[Long].collect()
+    assert(n0.toSeq == Seq(2L), s"late event must not re-open window: ${n0.toSeq}")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by event_id") {
+    val mem = MemoryStream[Ev]
+    val dd = StreamOps.dedupWithinWatermark(mem.toDF(), "ts", "10 minutes",
+      Seq("event_id"))
+    val table = freshTable()
+    val q = dd.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(
+      Ev(1, ts(1), 1, "a", 1.0), Ev(1, ts(1, 30), 1, "a", 1.0), // dup id
+      Ev(2, ts(2), 1, "b", 2.0))
+    runToCompletion(q)
+    val ids = spark.table(table).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("session windows merge events within gap across micro-batches") {
+    val mem = MemoryStream[Ev]
+    val sess = StreamOps.sessionAgg(mem.toDF(), "ts", "5 minutes",
+      "0 seconds", Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+    val table = freshTable()
+    val q = sess.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(3), 1, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, ts(6), 1, "a", 1.0)) // within gap of 10:03 → merges
+    q.processAllAvailable()
+    mem.addData(Ev(9, ts(59), 7, "eof", 0.0)) // advance watermark
+    runToCompletion(q)
+    val rows = spark.table(table).filter(col("user_id") === 1)
+      .select(col("session_window.start").cast("string"),
+        col("session_window.end").cast("string"), col("n"))
+      .collect().map(_.toSeq)
+    // one merged session [10:01, 10:11) with 3 events — not two sessions
+    assert(rows.toSeq == Seq(Seq("2026-01-01 10:01:00", "2026-01-01 10:11:00", 3L)),
+      rows.toSeq.toString)
+  }
+
+  test("stream-stream join within event-time bound") {
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val joined = StreamOps.streamStreamJoin(
+      clicks.toDF().select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id").as("cu")),
+      views.toDF().select(col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("user_id").as("vu")),
+      "click_ts", "view_ts", "1 minute",
+      col("cu") === col("vu"), "10 minutes")
+    val table = freshTable()
+    val q = joined.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    clicks.addData(Ev(1, ts(5), 1, "c", 0), Ev(2, ts(30), 2, "c", 0))
+    views.addData(Ev(10, ts(3), 1, "v", 0),  // within 10 min of click 1
+      Ev(11, ts(3), 2, "v", 0))              // 27 min before click 2: out
+    runToCompletion(q)
+    val pairs = spark.table(table).select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L)), pairs.toString)
+  }
+
+  test("stream-static broadcast join enriches events") {
+    val mem = MemoryStream[Ev]
+    val sdf = mem.toDF()
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name")
+    val joined = StreamOps.streamStaticJoin(sdf, dim,
+      sdf("user_id") === dim("uid"))
+      .select(col("event_id"), col("name"))
+    val table = freshTable()
+    val q = joined.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 9, "a", 1.0))
+    runToCompletion(q)
+    val got = spark.table(table).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "alice")))
+  }
+
+  test("groupIntoBatches: batch mode emits size-capped batches + remainder") {
+    val ds = Seq(("k1", 1), ("k1", 2), ("k1", 3), ("k1", 4), ("k1", 5),
+      ("k2", 10)).toDS()
+    val out = Stateful.groupIntoBatches(ds, maxSize = 2)
+      .collect().map { case (k, vs) => (k, vs.sorted) }
+    val k1 = out.filter(_._1 == "k1").map(_._2.size).sorted
+    assert(k1.toSeq == Seq(1, 2, 2), s"k1 batch sizes: ${k1.toSeq}")
+    assert(out.filter(_._1 == "k2").map(_._2).toSeq == Seq(Seq(10)))
+  }
+
+  test("statefulFlatMap keeps running per-key state across micro-batches") {
+    val mem = MemoryStream[(String, Int)]
+    val counted = Stateful.statefulFlatMap[String, Int, Long, (String, Long)](
+      mem.toDS(), 0L,
+      (k, _, s) => { val s2 = s + 1; (s2, Iterator((k, s2))) })
+    val table = freshTable()
+    val q = counted.toDF("key", "running_n").writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(("a", 1), ("a", 2), ("b", 1))
+    q.processAllAvailable()
+    mem.addData(("a", 3)) // second micro-batch: state must carry 2 → 3
+    runToCompletion(q)
+    val a = spark.table(table).filter(col("key") === "a")
+      .select("running_n").as[Long].collect().sorted
+    assert(a.toSeq == Seq(1L, 2L, 3L), s"running counts: ${a.toSeq}")
+  }
+
+  test("processInOrder releases buffered out-of-sequence events in order") {
+    val mem = MemoryStream[(String, Long, String)]
+    val ordered = Stateful.processInOrder(mem.toDS())
+    val table = freshTable()
+    val q = ordered.toDF("key", "seq", "v").writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(("k", 1L, "b"), ("k", 3L, "d")) // 0 missing: all buffered
+    q.processAllAvailable()
+    assert(spark.table(table).count() == 0)
+    mem.addData(("k", 0L, "a")) // unblocks 0,1 (3 still waits on 2)
+    q.processAllAvailable()
+    assert(spark.table(table).select("seq").as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L))
+    mem.addData(("k", 2L, "c")) // unblocks 2,3
+    runToCompletion(q)
+    assert(spark.table(table).select("seq").as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("file-replay source streams the events parquet (TextIO.watch analog)") {
+    val batchDf = graft.sources.Tables.events(spark, sfDir)
+    val streamDf = StreamOps.replayEvents(spark, sfDir)
+    assert(streamDf.isStreaming)
+    val agg = streamDf.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val table = freshTable()
+    val q = agg.writeStream.format("memory")
+      .queryName(table).outputMode("complete").start()
+    runToCompletion(q)
+    val streamed = spark.table(table).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = batchDf.groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+}
