@@ -40,8 +40,11 @@ object Bench {
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { all(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      // a query that throws reports -1.0, not a normal-looking elapsed
+      // time, so failures are detectable in BENCH_r{N}.json
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

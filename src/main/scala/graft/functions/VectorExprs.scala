@@ -135,5 +135,11 @@ object GraftFunctions {
       (e: Seq[Expression]) => SimHash(e(0), litInt(e(1))), "built-in")
     reg.createOrReplaceTempFunction("shingles",
       (e: Seq[Expression]) => WordShingles(e(0), litInt(e(1))), "built-in")
+    reg.createOrReplaceTempFunction("countmin_agg",
+      (e: Seq[Expression]) => CountMinSketchAgg(e(0), litInt(e(1)), litInt(e(2))),
+      "built-in")
+    reg.createOrReplaceTempFunction("countmin_est",
+      (e: Seq[Expression]) => CountMinEstimate(e(0), e(1), litInt(e(2)), litInt(e(3))),
+      "built-in")
   }
 }

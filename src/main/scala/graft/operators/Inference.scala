@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+/** Batched model inference over DataFrame columns — Beam's RunInference.
+  *
+  * Reference: sdks/python/apache_beam/ml/inference/base.py:171
+  * (`ModelHandler`: load_model once per worker, run_inference per batch)
+  * — the contract that keeps model weights off the per-row path and
+  * amortizes invocation over batches.
+  *
+  * Spark mapping: `mapPartitions` with (1) the model loaded once per
+  * partition (Beam: per-bundle setup), (2) rows processed in fixed-size
+  * batches (`grouped`), (3) lazy iteration — constant memory regardless
+  * of partition size. Model weights travel to executors via closure
+  * capture (≈ broadcast for small models; a real deployment would load
+  * from a model registry path inside `loadModel`).
+  *
+  * The demo model is a deterministic linear scorer so the DuckDB oracle
+  * can verify the full batched-execution path bit-for-bit; swapping in
+  * an ONNX/JNI model changes only the ModelHandler implementation.
+  */
+object Inference {
+
+  /** Beam ModelHandler contract: load once, score in batches. */
+  trait ModelHandler[M] extends Serializable {
+    def loadModel(): M
+    def runInference(model: M, batch: Seq[Array[Float]]): Seq[Double]
+  }
+
+  /** Deterministic logistic scorer: sigmoid(w·x) with splitmix-derived
+    * weights — a stand-in for real model weights, reproducible in SQL. */
+  final class LinearScorer(dim: Int) extends ModelHandler[Array[Double]] {
+    override def loadModel(): Array[Double] = weights(dim).toArray
+    override def runInference(model: Array[Double],
+        batch: Seq[Array[Float]]): Seq[Double] =
+      batch.map { v =>
+        var z = 0.0
+        var i = 0
+        val n = math.min(v.length, model.length)
+        while (i < n) { z += v(i).toDouble * model(i); i += 1 }
+        1.0 / (1.0 + math.exp(-z))
+      }
+  }
+
+  /** Plan-time weight constants (shared with the SQL oracle). */
+  def weights(dim: Int): Seq[Double] =
+    (0 until dim).map(i => ((((i + 1).toLong * 0x9E3779B97F4A7C15L) >>> 40) % 1000L) / 1000.0 - 0.5)
+
+  /** Score `vecCol` (array<float>) into `scoreCol` (double) via batched
+    * inference. */
+  def runInference[M](df: DataFrame, vecCol: String, scoreCol: String,
+      handler: ModelHandler[M], batchSize: Int = 128): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(scoreCol, DoubleType, nullable = true))
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val model = handler.loadModel() // once per partition (per-bundle)
+      rows.grouped(batchSize).flatMap { batch =>
+        val vecs = batch.map { r =>
+          r.get(vecIdx) match {
+            case s: scala.collection.Seq[_] =>
+              s.map(_.asInstanceOf[Float]).toArray
+            case a: Array[Float] => a
+            case null => Array.empty[Float]
+          }
+        }
+        val scores = handler.runInference(model, vecs)
+        batch.lazyZip(scores).map { case (r, sc) => Row.fromSeq(r.toSeq :+ sc) }
+      }
+    }(enc)
+  }
+}

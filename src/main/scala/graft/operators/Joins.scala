@@ -35,34 +35,40 @@ object Joins {
   }
 
   /** As-of join: for each left row, attach the latest right row with
-    * right.ts <= left.ts for the same key.
+    * right.ts <= left.ts for the same key (nulls when none exists —
+    * LEFT ASOF semantics).
     *
     * Implementation is the single-shuffle union trick (not a range
     * join): union both sides tagged, one window pass per key ordered by
-    * (ts, side) carrying the last right payload forward. At 100 TB this
-    * is one repartition-by-key + per-partition sort — strictly cheaper
-    * than a range-condition join (which would BNLJ) and skew-safe via
-    * AQE. Right side at equal ts wins (tag orders right before left).
+    * (ts, side) carrying the last right payload struct forward. At
+    * 100 TB this is one repartition-by-key + per-partition sort —
+    * strictly cheaper than a range-condition join (which would BNLJ)
+    * and skew-safe via AQE. Right side at equal ts wins (tag orders
+    * right before left). Left payloads ride the union in a struct, so
+    * duplicate (key, ts) left rows stay 1:1 with their outputs (a
+    * join-back on (key, ts) would multiply them).
     *
-    * @param valueCols columns of `right` to carry onto matches
+    * @param leftCols  columns of `left` to keep in the output
+    * @param valueCols columns of `right` to attach as `r_<name>`
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
-    val payload = to_json(struct(valueCols.map(col): _*))
-    val rSel = right
-      .select((Seq(col(key), col(tsCol)) :+ payload.as("__payload")): _*)
-      .withColumn("__side", lit(0))
-    val lSel = left
-      .select(col(key), col(tsCol), lit(null).cast("string").as("__payload"))
-      .withColumn("__side", lit(1))
+      leftCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val rPay = struct(valueCols.map(col): _*)
+    val rSel = right.select(col(key), col(tsCol), rPay.as("__rpay"), lit(0).as("__side"))
+    val rPayType = rSel.schema("__rpay").dataType
+    val lSel = left.select(col(key), col(tsCol),
+      lit(null).cast(rPayType).as("__rpay"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__lpay"))
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rSel.unionByName(lSel)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+    rSel.withColumn("__lpay", lit(null).cast(lSel.schema("__lpay").dataType))
+      .unionByName(lSel)
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col(key), col(tsCol), col("__match"))
-    left.join(carried, Seq(key, tsCol))
+      .select(Seq(col(key), col(tsCol)) ++
+        leftCols.map(c => col(s"__lpay.$c").as(c)) ++
+        valueCols.map(c => col(s"__match.$c").as(s"r_$c")): _*)
   }
 
   /** Theta/range join helper — Spark-native arbitrary-condition join,

@@ -115,7 +115,13 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }
-    bitCols.reduce(_ + _)
+    // Plan-time contract check at runtime: a dim mismatch would silently
+    // zero-pad projections (zip_with pads with null) and collapse every
+    // row into bucket 0, turning the LSH equi-join into a cross product.
+    when(size(vec) === dim, bitCols.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"srp_bucket: vector length != dim=$dim, got "),
+        size(vec).cast("string"))).cast("long"))
   }
 
   /** ANN top-k via SRP-LSH: join query and corpus rows sharing a bucket,

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Joins, Relational}
+
+/** Second-wave relational coverage (SURVEY §2.2-§2.9 entries that had
+  * operators but no oracle-backed registry queries, plus capability
+  * bonuses): Regex family, ToJson/JsonToRow round-trip, Partition,
+  * WithFailures dead-lettering, GroupIntoBatches (batch form),
+  * SortValues secondary sort, ROLLUP+GROUPING, array/map complex types,
+  * nested-struct schema transforms, and the as-of join.
+  */
+object CoverageQueries {
+
+  private def ord(s: org.apache.spark.sql.SparkSession, d: String) = Tables.orders(s, d)
+  private def prt(s: org.apache.spark.sql.SparkSession, d: String) = Tables.part(s, d)
+  private def li(s: org.apache.spark.sql.SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.events(s, d)
+
+  def queries: Seq[Q] = Seq(
+
+    // ===== Beam Regex family (transforms/Regex.java:44):
+    // matches / find / replaceAll / split re-expressed as native
+    // regexp_* expressions (codegen'd, no UDF).
+    Q("regex_ops",
+      (s, d) => prt(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        col("p_name").rlike("widget|bolt").as("is_hw"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("long").as("brand_num")),
+      Some("""SELECT p_partkey,
+        regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        regexp_matches(p_name, 'widget|bolt') AS is_hw,
+        CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
+        FROM part""")),
+
+    // ===== Beam ToJson / JsonToRow (transforms/ToJson.java:38,
+    // JsonToRow.java:83): serialize a struct to JSON text and parse it
+    // back through a schema (round-trip proves both directions).
+    Q("json_roundtrip",
+      (s, d) => {
+        val js = to_json(struct(col("o_orderkey"), col("o_orderstatus")))
+        ord(s, d)
+          .withColumn("js", js)
+          .withColumn("parsed",
+            from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(
+              "o_orderkey BIGINT, o_orderstatus STRING")))
+          .select(col("o_orderkey"), col("js"),
+            col("parsed.o_orderkey").as("rt_key"),
+            col("parsed.o_orderstatus").as("rt_status"))
+      },
+      Some("""SELECT o_orderkey,
+        to_json(struct_pack(o_orderkey := o_orderkey,
+                            o_orderstatus := o_orderstatus)) AS js,
+        o_orderkey AS rt_key, o_orderstatus AS rt_status
+        FROM orders""")),
+
+    // ===== Beam Partition (transforms/Partition.java:83): split into N
+    // disjoint outputs by predicate; recombined with a part tag so the
+    // oracle can verify every branch at once.
+    Q("partition_split",
+      (s, d) => {
+        val parts = Relational.partition(ord(s, d), Seq(
+          col("o_totalprice") > 300000,
+          col("o_totalprice") > 100000,
+          lit(true)))
+        parts.zipWithIndex.map { case (p, i) =>
+          p.groupBy().agg(count(lit(1)).as("n"),
+              round(sum("o_totalprice"), 2).as("total"))
+            .select(lit(i).cast("long").as("part_id"), col("n"), col("total"))
+        }.reduce(_ unionByName _)
+      },
+      Some("""SELECT part_id, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM (SELECT CAST(CASE WHEN o_totalprice > 300000 THEN 0
+                    WHEN o_totalprice > 100000 THEN 1
+                    ELSE 2 END AS BIGINT) AS part_id, o_totalprice
+              FROM orders) t
+        GROUP BY part_id""")),
+
+    // ===== Beam WithFailures (transforms/WithFailures.java:73):
+    // dead-letter split on a failing parse (try_cast), success and
+    // failure branches recombined with a branch tag.
+    Q("with_failures",
+      (s, d) => {
+        val dirty = ord(s, d).withColumn("raw",
+          when(col("o_orderkey") % 3 === 0, concat(lit("x"), col("o_orderkey")))
+            .otherwise(col("o_orderkey").cast("string")))
+        val (good, bad) = Relational.withFailures(dirty,
+          expr("try_cast(raw AS BIGINT)"), col("parsed").isNull, "parsed")
+        good.groupBy().agg(count(lit(1)).as("n"), sum("parsed").as("s"))
+          .select(lit("ok").as("branch"), col("n"), col("s"))
+          .unionByName(
+            bad.groupBy().agg(count(lit(1)).as("n"),
+              lit(null).cast("bigint").as("s"))
+            .select(lit("dead_letter").as("branch"), col("n"), col("s")))
+      },
+      Some("""SELECT branch, count(*) AS n,
+          CASE WHEN branch = 'ok' THEN sum(parsed) END AS s
+        FROM (SELECT CASE WHEN TRY_CAST(
+                CASE WHEN o_orderkey % 3 = 0
+                     THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) IS NULL
+              THEN 'dead_letter' ELSE 'ok' END AS branch,
+              TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                     THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS parsed
+              FROM orders) t
+        GROUP BY branch""")),
+
+    // ===== Beam GroupIntoBatches (transforms/GroupIntoBatches.java:108),
+    // batch form: deterministic per-key batches of 5 in event order
+    // (streaming form with state+timeout flush: Stateful.groupIntoBatches,
+    // exercised in StreamingSpec).
+    Q("batch_per_key",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        ord(s, d)
+          .withColumn("batch_id", ((row_number().over(w) - 1) / 5).cast("long"))
+          .groupBy("o_custkey", "batch_id")
+          .agg(count(lit(1)).as("n"), min("o_orderkey").as("first_ok"),
+            max("o_orderkey").as("last_ok"))
+      },
+      Some("""SELECT o_custkey, CAST((rn - 1) // 5 AS BIGINT) AS batch_id,
+        count(*) AS n, min(o_orderkey) AS first_ok, max(o_orderkey) AS last_ok
+        FROM (SELECT o_custkey, o_orderkey,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+              FROM orders) t
+        GROUP BY o_custkey, (rn - 1) // 5""")),
+
+    // ===== Beam SortValues (extensions/sorter/.../SortValues.java):
+    // secondary sort — values ordered within each key group without a
+    // global sort (sort_array over collected structs; shuffle spills via
+    // the normal agg path).
+    Q("sortvalues_secondary",
+      (s, d) => li(s, d).groupBy(col("l_suppkey"))
+        .agg(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(
+              col("l_shipdate").as("s1"), col("l_orderkey").as("s2"),
+              col("l_linenumber").as("v")))),
+            x => x.getField("v").cast("string"))).as("lines_in_ship_order")),
+      Some("""SELECT l_suppkey,
+        string_agg(CAST(l_linenumber AS VARCHAR), ','
+          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS lines_in_ship_order
+        FROM lineitem GROUP BY l_suppkey""")),
+
+    // ===== ROLLUP + GROUPING() (capability bonus over Beam — SURVEY
+    // §2.3 notes Beam SQL has single groupSet only).
+    Q("agg_rollup",
+      (s, d) => li(s, d).rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("qty")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        coalesce(l_linestatus, 'ALL') AS ls,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        count(*) AS n, round(sum(l_quantity), 4) AS qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    // ===== Array / map complex types (Beam FieldType.array/map —
+    // schema.proto:120,134; BeamSqlDslArrayTest / BeamSqlMapTest).
+    Q("complex_types",
+      (s, d) => {
+        val arr = array(col("p_size"), col("p_size") * 2, col("p_size") + 1)
+        val m = map(lit("sz"), col("p_size"), lit("dbl"), col("p_size") * 2)
+        prt(s, d).select(
+          col("p_partkey"),
+          concat_ws(",", transform(sort_array(arr), _.cast("string"))).as("arr_sorted"),
+          array_contains(arr, 10).as("has_ten"),
+          element_at(arr, 2).cast("long").as("second"),
+          size(slice(arr, 1, 2)).cast("long").as("slice_n"),
+          element_at(m, "sz").cast("long").as("m_sz"),
+          size(m).cast("long").as("m_n"))
+      },
+      Some("""SELECT p_partkey,
+        array_to_string(list_sort([p_size, p_size * 2, p_size + 1]), ',') AS arr_sorted,
+        list_contains([p_size, p_size * 2, p_size + 1], 10) AS has_ten,
+        CAST(([p_size, p_size * 2, p_size + 1])[2] AS BIGINT) AS second,
+        CAST(len(([p_size, p_size * 2, p_size + 1])[1:2]) AS BIGINT) AS slice_n,
+        CAST(map_extract(map(['sz', 'dbl'], [p_size, p_size * 2]), 'sz')[1] AS BIGINT) AS m_sz,
+        CAST(cardinality(map(['sz', 'dbl'], [p_size, p_size * 2])) AS BIGINT) AS m_n
+        FROM part""")),
+
+    // ===== Nested-row schema transforms (schemas/transforms/: AddFields/
+    // DropFields/RenameFields/nested Select — SURVEY M3): build a nested
+    // struct, add a computed field with withField, read nested paths
+    // back out flat.
+    Q("schema_nested",
+      (s, d) => {
+        val nested = struct(
+          col("o_orderkey").as("id"),
+          struct(col("o_totalprice").as("amt"),
+            col("o_orderstatus").as("st")).as("fin"))
+        ord(s, d).select(nested.as("row"))
+          .withColumn("row", col("row").withField("fin.tier",
+            when(col("row.fin.amt") > 200000, "big").otherwise("small")))
+          .withColumn("row", col("row").dropFields("fin.st"))
+          .select(
+            col("row.id").as("id"),
+            round(col("row.fin.amt"), 2).as("amt"),
+            col("row.fin.tier").as("tier"))
+      },
+      Some("""SELECT o_orderkey AS id, round(o_totalprice, 2) AS amt,
+        CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS tier
+        FROM orders""")),
+
+    // ===== As-of join (SURVEY §2.4 capability bonus; absent in Beam):
+    // each purchase matched to the user's latest click at-or-before it.
+    // Single-shuffle union trick — no range join, no BNLJ; verified
+    // against DuckDB's native ASOF LEFT JOIN. Both sides reduced to
+    // microsecond timestamps first so engines agree on ties.
+    Q("join_asof",
+      (s, d) => {
+        val e = ev(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("click_event_id"))
+        Joins.asOfJoin(purchases, clicks, "user_id", "ts",
+            leftCols = Seq("event_id"), valueCols = Seq("click_event_id"))
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id").as("purchase_event"), col("r_click_event_id"))
+      },
+      Some("""WITH p AS (
+          SELECT user_id, make_timestamp(epoch_us(ts)) AS tsu, event_id
+          FROM events WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT user_id, make_timestamp(epoch_us(ts)) AS tsu,
+            max(event_id) AS click_event_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.user_id, epoch_us(p.tsu) AS ts_us,
+          p.event_id AS purchase_event, c.click_event_id AS r_click_event_id
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.tsu >= c.tsu""")),
+
+    // ===== MLTransform min-max scaling (ml/transforms/base.py:298 —
+    // fit artifacts then transform): global min/max fit in one agg,
+    // broadcast back over the data. Two narrow passes, no shuffle of
+    // the main table.
+    Q("ml_minmax_scale",
+      (s, d) => {
+        val fit = ord(s, d).agg(min("o_totalprice").as("mn"),
+          max("o_totalprice").as("mx"))
+        ord(s, d).crossJoin(broadcast(fit))
+          .select(col("o_orderkey"),
+            round((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")), 6)
+              .as("scaled"))
+      },
+      Some("""SELECT o_orderkey,
+        round((o_totalprice - min(o_totalprice) OVER ())
+          / (max(o_totalprice) OVER () - min(o_totalprice) OVER ()), 6) AS scaled
+        FROM orders""")),
+  )
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+import graft.sources.Tables
+import graft.operators.{Dedup, Enrichment, Inference, MatchRecognize, Multimodal}
+import graft.functions.{CountMinEstimate, PortableHash}
+
+/** Input row for the MATCH_RECOGNIZE demo (top-level so the product
+  * encoder has no outer pointer). */
+final case class PmEvent(user_id: Long, event_id: Long, event_type: String,
+    ts_us: Long)
+/** Output row: one per matched (view+ purchase) run. */
+final case class PmMatch(user_id: Long, match_id: Long, n_views: Long,
+    purchase_event_id: Long)
+
+/** Training-data-pipeline coverage: count-min sketch frequencies,
+  * batched model inference, multimodal binary plumbing, RAG chunking,
+  * BPE-ish tokenization, anomaly detection, lookup enrichment, and
+  * MATCH_RECOGNIZE row-pattern matching. Every query is oracle-backed —
+  * including the sketch and the NFA, whose hash/automaton semantics are
+  * deliberately deterministic.
+  */
+object PipelineQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) = Tables.embeddings(s, d)
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.events(s, d)
+
+  private val CmDepth = 4
+  private val CmWidth = 64
+
+  def queries: Seq[Q] = Seq(
+
+    // ===== SketchFrequencies (extensions/sketching/.../SketchFrequencies
+    // .java) as a custom TypedImperativeAggregate: build one count-min
+    // sketch over all events (depth×width longs cross the shuffle, O(1)
+    // in data size), then read per-type estimates back out of the
+    // sketch. est >= actual always (CMS bound); the oracle rebuilds the
+    // exact counter matrix from the shared md5-affine hash family.
+    Q("countmin_freq",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val sketch = ev(s, d)
+          .agg(call_function("countmin_agg", col("event_type"),
+            lit(CmDepth), lit(CmWidth)).as("sk"))
+        val types = ev(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("actual"))
+        types.crossJoin(broadcast(sketch))
+          .select(col("event_type"),
+            call_function("countmin_est", col("sk"), col("event_type"),
+              lit(CmDepth), lit(CmWidth)).as("est"),
+            col("actual"))
+      },
+      Some(s"""WITH params(j, a, b) AS (VALUES ${
+          (0 until CmDepth).map { i =>
+            val (a, b) = Dedup.affineParams(i)
+            s"($i, $a, $b)"
+          }.mkString(", ")
+        }),
+        h AS (
+          SELECT event_type, count(*) AS actual,
+            ${PortableHash.md5LongSql("event_type")} % 2147483648 AS h31
+          FROM events GROUP BY event_type
+        ), bk AS (
+          SELECT h.event_type, h.actual, p.j,
+            ((p.a * h.h31 + p.b) % ${Dedup.MinHashPrime}) % $CmWidth AS bucket
+          FROM h CROSS JOIN params p
+        ), counters AS (
+          SELECT j, bucket, sum(actual) AS c FROM bk GROUP BY 1, 2
+        )
+        SELECT b.event_type, CAST(min(c.c) AS BIGINT) AS est,
+          CAST(min(b.actual) AS BIGINT) AS actual
+        FROM bk b JOIN counters c ON b.j = c.j AND b.bucket = c.bucket
+        GROUP BY b.event_type""")),
+
+    // ===== RunInference (ml/inference/base.py:171): batched linear
+    // scorer over embeddings — model loaded once per partition, rows
+    // scored in batches of 128; the oracle replays the identical
+    // sequential dot product + sigmoid.
+    Q("ml_inference",
+      (s, d) => Inference.runInference(emb(s, d), "embedding", "score",
+          new Inference.LinearScorer(64))
+        .select(col("vec_id"), round(col("score"), 6).as("score")),
+      Some(s"""SELECT vec_id, round(
+          1.0 / (1.0 + exp(-(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_zip(embedding, [${
+              Inference.weights(64).mkString(", ")}]),
+              z -> CAST(z[1] AS DOUBLE) * z[2])),
+            (acc, x) -> acc + x)))), 6) AS score
+        FROM embeddings""")),
+
+    // ===== Multimodal binary columns (ml/transforms/base.py:666-813):
+    // text → opaque binary payload → batched stub decode (real decode
+    // libs absent in this container; see Multimodal.StubCodec) → typed
+    // metadata struct → frame-sampling explode. The oracle recomputes
+    // the deterministic stub from octet_length.
+    Q("multimodal_meta",
+      (s, d) => {
+        val withBytes = Multimodal.withPayload(docs(s, d), "text", "payload")
+        val decoded = Multimodal.decodeMeta(withBytes, "payload", "meta")
+        Multimodal.sampleFrames(decoded, "meta", stride = 4)
+          .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+            col("meta.format").as("format"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            col("meta.n_frames").cast("long").as("n_frames"),
+            col("frame_idx").cast("long").as("frame_idx"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents
+        ), meta AS (
+          SELECT doc_id, n_bytes,
+            CASE n_bytes % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              ELSE 'webp' END AS format,
+            n_bytes % 640 + 16 AS width,
+            n_bytes % 480 + 16 AS height,
+            n_bytes % 24 + 1 AS n_frames
+          FROM m)
+        SELECT doc_id, n_bytes, format, width, height, n_frames,
+          CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx
+        FROM meta""")),
+
+    // ===== RAG chunking (ml/rag/chunking/base.py): fixed-size
+    // overlapping character chunks (size 120, stride 90) with stable
+    // ids — a narrow explode, no shuffle.
+    Q("rag_chunking",
+      (s, d) => {
+        val n = length(col("text"))
+        val nChunks = when(n <= 120, lit(1L))
+          .otherwise(ceil((n - 120).cast("double") / 90.0).cast("long") + 1)
+        docs(s, d)
+          .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+          .select(col("doc_id"), col("chunk_idx"),
+            expr("substring(text, CAST(chunk_idx * 90 + 1 AS INT), 120)").as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            md5(col("chunk")).as("chunk_md5"),
+            length(col("chunk")).cast("long").as("chunk_len"))
+      },
+      Some("""WITH n AS (
+          SELECT doc_id, text, length(text) AS len,
+            CASE WHEN length(text) <= 120 THEN 1
+                 ELSE CAST(ceil((length(text) - 120) / 90.0) AS BIGINT) + 1
+            END AS n_chunks
+          FROM documents)
+        SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+          md5(substr(text, CAST(g.i * 90 + 1 AS INT), 120)) AS chunk_md5,
+          CAST(length(substr(text, CAST(g.i * 90 + 1 AS INT), 120)) AS BIGINT) AS chunk_len
+        FROM n CROSS JOIN LATERAL
+          (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g""")),
+
+    // ===== BPE-ish regex tokenization (SURVEY: token counting beyond
+    // whitespace): letter runs / digit runs / single punctuation.
+    Q("text_token_bpe",
+      (s, d) => {
+        val pieces = regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+        docs(s, d).select(col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          size(array_distinct(pieces)).cast("long").as("n_unique"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_pieces,
+        CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_unique
+        FROM documents""")),
+
+    // ===== Anomaly detection (ml/anomaly/): per-type z-score against
+    // fitted mean/stddev (one agg pass, broadcast back), flag |z|>2.5.
+    Q("anomaly_zscore",
+      (s, d) => {
+        val stats = ev(s, d).groupBy("event_type")
+          .agg(avg("value").as("mean_v"), stddev_samp(col("value")).as("sd_v"))
+        ev(s, d).join(broadcast(stats), "event_type")
+          .withColumn("z", round((col("value") - col("mean_v")) / col("sd_v"), 6))
+          .filter(abs(col("z")) > 2.5)
+          .select(col("event_id"), col("event_type"), col("z"))
+      },
+      Some("""WITH stats AS (
+          SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS sd_v
+          FROM events GROUP BY 1)
+        SELECT event_id, e.event_type,
+          round((value - mean_v) / sd_v, 6) AS z
+        FROM events e JOIN stats USING (event_type)
+        WHERE abs(round((value - mean_v) / sd_v, 6)) > 2.5""")),
+
+    // ===== Enrichment lookup join (transforms/enrichment.py:103): per-
+    // partition client lifecycle, per-row point lookup — no shuffle of
+    // the main input. Client wraps the (tiny) nation dim; the oracle is
+    // the equivalent relational join.
+    Q("enrich_lookup",
+      (s, d) => {
+        val nations = Tables.nation(s, d).collect()
+          .map(r => (r.getAs[Int]("n_nationkey").toLong, r.getAs[String]("n_name")))
+          .toMap
+        val client = () => new Enrichment.MapClient(
+          nations.map { case (k, v) => (k: Any, v: Any) })
+        Enrichment.enrich(
+            Tables.customer(s, d).select(col("c_custkey"),
+              col("c_nationkey").cast("long").as("nk")),
+            "nk", StructField("nation_name", org.apache.spark.sql.types.StringType),
+            client)
+          .select(col("c_custkey"), col("nation_name"))
+      },
+      Some("""SELECT c_custkey, n_name AS nation_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey""")),
+
+    // ===== MATCH_RECOGNIZE (rel/BeamMatchRel.java:76 — NFA over keyed
+    // time-sorted rows): pattern (V:view)+ (P:purchase), AFTER MATCH
+    // SKIP PAST LAST ROW, per-user in (ts, event_id) order. The oracle
+    // reconstructs the same automaton relationally: a purchase preceded
+    // by k>=1 consecutive views matches, consuming the whole run.
+    Q("pattern_match",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("ts_us"))
+          .as[PmEvent]
+        MatchRecognize.matchRecognize[Long, PmEvent, PmMatch](
+          events, _.user_id, Seq(col("ts_us"), col("event_id")),
+          Seq(
+            MatchRecognize.Step[PmEvent]("V", _.event_type == "view",
+              min = 1, max = Int.MaxValue),
+            MatchRecognize.Step[PmEvent]("P", _.event_type == "purchase"))
+        ) { m =>
+          PmMatch(m.key, m.matchSeq,
+            m.captured("V").size.toLong,
+            m.captured("P").head.event_id)
+        }.toDF()
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), runs AS (
+          SELECT user_id, event_id, event_type, rn,
+            rn - coalesce(max(CASE WHEN event_type <> 'view' THEN rn END)
+              OVER (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - 1
+              AS prior_views
+          FROM ordered)
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT)
+            AS match_id,
+          CAST(prior_views AS BIGINT) AS n_views,
+          event_id AS purchase_event_id
+        FROM runs
+        WHERE event_type = 'purchase' AND prior_views >= 1""")),
+  )
+}

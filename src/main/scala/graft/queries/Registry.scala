@@ -14,5 +14,6 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     RelationalQueries.queries ++ EventTimeQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++
+      CoverageQueries.queries ++ PipelineQueries.queries
 }

@@ -75,13 +75,16 @@ object VectorQueries {
 
     // Embedding-cosine near-duplicate pairs (exact, brute force): the
     // correctness baseline for near-dedup; LSH below is the scale path.
+    // Threshold 0.35 ≈ the top 0.1% of the data's pairwise-similarity
+    // distribution (max observed 0.51), so the oracle compares a
+    // non-empty result set and actually exercises the value path.
     Q("dedup_embedding_cosine",
       (s, d) => Similarity.cosinePairsAbove(emb(s, d), "vec_id", "embedding",
-        threshold = 0.9),
+        threshold = 0.35),
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.9""")),
+        WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.35""")),
 
     // SRP-LSH approximate top-k: recall < 1 by construction (bucketed
     // equi-join candidate generation) → rows-only check.

@@ -39,7 +39,10 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer division: `/` would be double division, which at
+        // epoch-nanos magnitude (~1.7e18, ulp=256ns) truncates to the
+        // wrong microsecond for ~1.5% of rows.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

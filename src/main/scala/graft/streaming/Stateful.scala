@@ -117,28 +117,50 @@ object Stateful {
     * sequence-number order. Events arriving before their predecessor
     * wait in state; duplicates of already-emitted sequence numbers drop.
     */
+  /** @param staleTimeoutMs when > 0, a processing-time timeout fires for
+    *   keys with no arrivals for this long: permanently-gapped sequences
+    *   are force-flushed in order (skipping the gap) and the key's state
+    *   is dropped — bounding the state store for quiescent keys, like
+    *   Beam's ordered-processing status/TTL handling. <= 0 keeps state
+    *   forever (batch, or callers managing lifecycle themselves). */
   def processInOrder[K: Encoder, V: Encoder](
-      ds: Dataset[(K, Long, V)])(
+      ds: Dataset[(K, Long, V)],
+      staleTimeoutMs: Long = -1L)(
       implicit oE: Encoder[(K, Long, V)],
       sE: Encoder[(Long, Map[Long, V])]): Dataset[(K, Long, V)] = {
 
+    val timeoutConf =
+      if (staleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
     def fn(key: K, rows: Iterator[(K, Long, V)],
         state: GroupState[(Long, Map[Long, V])]): Iterator[(K, Long, V)] = {
-      var (nextSeq, pending) = state.getOption.getOrElse((0L, Map.empty[Long, V]))
-      val out = scala.collection.mutable.ArrayBuffer[(K, Long, V)]()
-      rows.foreach { case (_, seq, v) =>
-        if (seq >= nextSeq) pending += (seq -> v)
-        while (pending.contains(nextSeq)) {
-          out += ((key, nextSeq, pending(nextSeq)))
-          pending -= nextSeq
-          nextSeq += 1
+      if (rows.isEmpty && state.hasTimedOut) {
+        // stale key: flush whatever is buffered, in sequence order
+        // (acknowledging the gap will never fill), then drop the state.
+        val (_, pending) = state.getOption.getOrElse((0L, Map.empty[Long, V]))
+        state.remove()
+        pending.toSeq.sortBy(_._1).iterator.map { case (seq, v) => (key, seq, v) }
+      } else {
+        var (nextSeq, pending) = state.getOption.getOrElse((0L, Map.empty[Long, V]))
+        val out = scala.collection.mutable.ArrayBuffer[(K, Long, V)]()
+        rows.foreach { case (_, seq, v) =>
+          if (seq >= nextSeq) pending += (seq -> v)
+          while (pending.contains(nextSeq)) {
+            out += ((key, nextSeq, pending(nextSeq)))
+            pending -= nextSeq
+            nextSeq += 1
+          }
         }
+        // state survives while the key is active (nextSeq guards against
+        // re-emitting duplicates); only the timeout path drops it.
+        state.update((nextSeq, pending))
+        if (staleTimeoutMs > 0) state.setTimeoutDuration(staleTimeoutMs)
+        out.iterator
       }
-      state.update((nextSeq, pending))
-      out.iterator
     }
 
     ds.groupByKey(_._1).flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout)(fn)
+      OutputMode.Append(), timeoutConf)(fn)
   }
 }

@@ -112,8 +112,9 @@ object StreamOps {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(dir.toString)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div`, not `/`: double division loses the final microsecond at
+      // epoch-nanos magnitude (see Tables.events).
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else stream
   }
 

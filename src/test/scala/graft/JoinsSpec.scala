@@ -19,16 +19,25 @@ class JoinsSpec extends SparkSpec {
   }
 
   test("asOfJoin attaches latest right row at or before left ts") {
-    val trades = Seq(("AA", 3L), ("AA", 7L), ("BB", 1L)).toDF("sym", "ts")
+    val trades = Seq(("AA", 3L, 1L), ("AA", 7L, 2L), ("BB", 1L, 3L))
+      .toDF("sym", "ts", "trade_id")
     val quotes = Seq(("AA", 2L, 10.0), ("AA", 5L, 11.0), ("AA", 7L, 12.0),
       ("BB", 9L, 99.0)).toDF("sym", "ts", "px")
-    val got = Joins.asOfJoin(trades, quotes, "sym", "ts", Seq("px"))
-      .select(col("sym"), col("ts"),
-        get_json_object(col("__match"), "$.px").cast("double").as("px"))
+    val got = Joins.asOfJoin(trades, quotes, "sym", "ts",
+        Seq("trade_id"), Seq("px"))
+      .select(col("sym"), col("ts"), col("trade_id"), col("r_px"))
     assertRows(got, Seq(
-      Seq("AA", 3L, 10.0),  // latest quote at ts<=3 is ts=2
-      Seq("AA", 7L, 12.0),  // equal ts matches (right wins tie)
-      Seq("BB", 1L, null))) // no quote yet
+      Seq("AA", 3L, 1L, 10.0),  // latest quote at ts<=3 is ts=2
+      Seq("AA", 7L, 2L, 12.0),  // equal ts matches (right wins tie)
+      Seq("BB", 1L, 3L, null))) // no quote yet
+  }
+
+  test("asOfJoin keeps duplicate (key, ts) left rows 1:1") {
+    val trades = Seq(("AA", 3L, 1L), ("AA", 3L, 2L)).toDF("sym", "ts", "trade_id")
+    val quotes = Seq(("AA", 2L, 10.0)).toDF("sym", "ts", "px")
+    val got = Joins.asOfJoin(trades, quotes, "sym", "ts",
+      Seq("trade_id"), Seq("px"))
+    assert(got.count() == 2) // a join-back on (sym, ts) would yield 4
   }
 
   test("broadcastJoin produces a BroadcastHashJoin plan") {
