@@ -84,6 +84,57 @@ object Similarity {
       .select(col("id_a"), col("id_b"), sim.as("sim"))
   }
 
+  /** [[cosinePairsAbove]] as a compiled kernel: the corpus rides an
+    * explicit broadcast as primitive arrays and the pair loop runs in
+    * one tight `mapPartitions` pass — no per-pair expression-tree
+    * dispatch (the BNLJ form evaluates round/div/vec_dot nodes per
+    * candidate). Arithmetic is bit-identical to the declarative form:
+    * sequential double fold for dot and norm, HALF_UP rounding applied
+    * only to near-threshold candidates. Same O(n²) semantics — the
+    * exact baseline; LSH remains the scale path. */
+  def cosinePairsAboveKernel(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val corpus = rows.collect().sortBy(_._1)
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+    val norms = corpus.map(c => norm(c._2))
+    val bc = spark.sparkContext.broadcast((corpus, norms))
+    val margin = threshold - 5e-7 // below this, rounding can't reach it
+    rows.mapPartitions { it =>
+      val (corp, ns) = bc.value
+      val ids = corp.map(_._1)
+      it.flatMap { case (idA, va) =>
+        val na = norm(va)
+        // corpus sorted by id: binary-search the first id_b > id_a
+        var lo = java.util.Arrays.binarySearch(ids, idA)
+        lo = if (lo >= 0) lo + 1 else -lo - 1
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var j = lo
+        while (j < corp.length) {
+          val (idB, vb) = corp(j)
+          var s = 0.0; var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+          val sim = s / (na * ns(j))
+          if (sim >= margin) {
+            val rounded = java.math.BigDecimal.valueOf(sim)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (rounded >= threshold) out += ((idA, idB, rounded))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "sim")
+  }
+
   /** Per-label centroids: mean of each vector component. Shuffles once on
     * (label, pos) after a posexplode — partial aggregation collapses each
     * partition to at most |labels|·dim rows before the exchange. */

@@ -79,7 +79,7 @@ object VectorQueries {
     // distribution (max observed 0.51), so the oracle compares a
     // non-empty result set and actually exercises the value path.
     Q("dedup_embedding_cosine",
-      (s, d) => Similarity.cosinePairsAbove(emb(s, d), "vec_id", "embedding",
+      (s, d) => Similarity.cosinePairsAboveKernel(emb(s, d), "vec_id", "embedding",
         threshold = 0.35),
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
