@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink round-trips (SURVEY §2.11): TextIO/CSV/JSON/ParquetIO
+  * analogs over Spark's native readers — including compression and the
+  * partition-pruning behavior Beam lacks (no partitioned tables there).
+  * spark-avro is not on this container's classpath; Avro is noted as
+  * surface in SURVEY §2.11.
+  */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("out").toString
+
+  test("text round-trip with gzip compression (TextIO analog)") {
+    val dir = tmp("graft-text")
+    val lines = Seq("alpha", "beta", "gamma délta")
+    lines.toDF("value").write.option("compression", "gzip").text(dir)
+    val back = spark.read.text(dir).as[String].collect().sorted
+    assert(back.toSeq == lines.sorted)
+    // compression actually applied
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".gz")))
+  }
+
+  test("csv round-trip with header + explicit schema") {
+    val dir = tmp("graft-csv")
+    val df = Seq((1L, "a,b", 1.5), (2L, "c\"d", 2.5), (3L, null, 3.5))
+      .toDF("id", "s", "v")
+    df.write.option("header", "true").csv(dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assertRows(back, Seq(Seq(1L, "a,b", 1.5), Seq(2L, "c\"d", 2.5),
+      Seq(3L, null, 3.5)))
+  }
+
+  test("json-lines round-trip preserves nested structs and arrays") {
+    val dir = tmp("graft-json")
+    val df = Seq((1L, Seq(1, 2, 3), ("x", 9L)), (2L, Seq.empty[Int], ("y", 8L)))
+      .toDF("id", "arr", "nested")
+    df.write.json(dir)
+    val back = spark.read.json(dir).select("id", "arr", "nested._1", "nested._2")
+    assertRows(back, Seq(Seq(1L, Seq(1L, 2L, 3L), "x", 9L),
+      Seq(2L, Seq(), "y", 8L)))
+  }
+
+  test("corrupt JSON records go to the dead-letter column (JsonToRow analog)") {
+    val dir = Files.createTempDirectory("graft-badjson")
+    Files.write(dir.resolve("part-0.json"),
+      java.util.Arrays.asList("""{"id": 1, "s": "ok"}""", """{"id": oops"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("_corrupt_record", StringType)))
+    // Spark disallows filtering on the corrupt column straight off the
+    // raw file scan — cache the parsed result first (documented pattern)
+    val back = spark.read.schema(schema).json(dir.toString).cache()
+    try {
+      assert(back.filter(col("_corrupt_record").isNull).count() == 1)
+      assert(back.filter(col("_corrupt_record").isNotNull).count() == 1)
+    } finally back.unpersist()
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp("graft-part")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+      .write.partitionBy("k").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("k") === "a")
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("isnotnull(k"),
+      s"expected partition filter in scan:\n$scan")
+  }
+
+  test("parquet scan pushes filters and prunes columns on the testdata") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 49.0).select("l_orderkey")
+    val scanStr = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanStr.contains("PushedFilters") &&
+      scanStr.contains("GreaterThan(l_quantity,49.0)"),
+      s"filter not pushed:\n$scanStr")
+    assert(scanStr.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scanStr")
+  }
+
+  test("generate sequence source (GenerateSequence analog)") {
+    val got = spark.range(0, 10, 3).as[Long].collect()
+    assert(got.toSeq == Seq(0L, 3L, 6L, 9L))
+  }
+}

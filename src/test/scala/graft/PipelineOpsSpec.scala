@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField}
+import graft.operators.{Enrichment, Inference, MatchRecognize, Multimodal, Similarity}
+import graft.operators.MatchRecognize.Step
+import graft.queries.{PmEvent, PmMatch}
+
+/** Specs for the pipeline operators added in round 2: MATCH_RECOGNIZE
+  * NFA, count-min sketch, enrichment lookup, multimodal plumbing,
+  * batched inference, and the compiled cosine kernel. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- MatchRecognize ----
+
+  private def matches(events: Seq[PmEvent], steps: Seq[Step[PmEvent]]) =
+    MatchRecognize.matchRecognize[Long, PmEvent, PmMatch](
+      events.toDS(), _.user_id, Seq(col("ts_us"), col("event_id")), steps) { m =>
+      PmMatch(m.key, m.matchSeq,
+        m.captured.getOrElse("V", Seq.empty).size.toLong,
+        m.captured.getOrElse("P", Seq.empty).headOption.map(_.event_id).getOrElse(-1L))
+    }.collect().toSeq.sortBy(m => (m.user_id, m.match_id))
+
+  private val vPlusP = Seq(
+    Step[PmEvent]("V", _.event_type == "view", 1, Int.MaxValue),
+    Step[PmEvent]("P", _.event_type == "purchase"))
+
+  private def ev(id: Long, t: String, ts: Long, u: Long = 1) =
+    PmEvent(u, id, t, ts)
+
+  test("matchRecognize: greedy V+ P consumes the whole view run") {
+    val got = matches(Seq(
+      ev(1, "view", 10), ev(2, "view", 20), ev(3, "purchase", 30)), vPlusP)
+    assert(got == Seq(PmMatch(1, 1, 2, 3)))
+  }
+
+  test("matchRecognize: SKIP PAST LAST ROW — matches never overlap") {
+    val got = matches(Seq(
+      ev(1, "view", 10), ev(2, "purchase", 20),
+      ev(3, "purchase", 30), // no preceding view → unmatched
+      ev(4, "view", 40), ev(5, "purchase", 50)), vPlusP)
+    assert(got == Seq(PmMatch(1, 1, 1, 2), PmMatch(1, 2, 1, 5)))
+  }
+
+  test("matchRecognize: non-matching interleave blocks the pattern") {
+    val got = matches(Seq(
+      ev(1, "view", 10), ev(2, "click", 20), ev(3, "purchase", 30)), vPlusP)
+    assert(got.isEmpty)
+  }
+
+  test("matchRecognize: backtracking — greedy step yields rows to the rest") {
+    // pattern A+ B where both match 'x': A+ must give one 'x' back to B
+    val steps = Seq(
+      Step[PmEvent]("A", _.event_type == "x", 1, Int.MaxValue),
+      Step[PmEvent]("B", _.event_type == "x"))
+    val got = MatchRecognize.matchRecognize[Long, PmEvent, (Long, Long)](
+      Seq(ev(1, "x", 10), ev(2, "x", 20), ev(3, "x", 30)).toDS(),
+      _.user_id, Seq(col("ts_us")), steps) { m =>
+      (m.captured("A").size.toLong, m.captured("B").head.event_id)
+    }.collect().toSeq
+    assert(got == Seq((2L, 3L))) // A grabs 2 greedily, B gets the last
+  }
+
+  test("matchRecognize: optional step (min=0) can match empty") {
+    val steps = Seq(
+      Step[PmEvent]("V", _.event_type == "view", 0, Int.MaxValue),
+      Step[PmEvent]("P", _.event_type == "purchase"))
+    val got = matches(Seq(ev(1, "purchase", 10)), steps)
+    assert(got == Seq(PmMatch(1, 1, 0, 1)))
+  }
+
+  test("matchRecognize: keys are independent") {
+    val got = matches(Seq(
+      ev(1, "view", 10, u = 1), ev(2, "purchase", 20, u = 2)), vPlusP)
+    assert(got.isEmpty) // view and purchase are on different keys
+  }
+
+  // ---- Count-min sketch ----
+
+  test("countmin estimate >= actual for every key; exact when no collision") {
+    val df = Seq.tabulate(300)(i => s"k${i % 7}").toDF("s")
+    val sk = df.agg(call_function("countmin_agg", col("s"), lit(4), lit(64)).as("sk"))
+    val est = df.distinct().crossJoin(sk)
+      .select(col("s"),
+        call_function("countmin_est", col("sk"), col("s"), lit(4), lit(64)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val actual = df.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    actual.foreach { case (k, n) => assert(est(k) >= n, s"est(${k}) < actual") }
+    // 7 keys in 64 buckets × 4 independent rows: collisions in every row
+    // are vanishingly unlikely — estimates should be exact here
+    assert(est == actual)
+  }
+
+  test("countmin sketches merge across partitions (partial aggregation)") {
+    val df = spark.range(1000).repartition(7)
+      .select(concat(lit("k"), (col("id") % 5)).as("s"))
+    val est = df.agg(call_function("countmin_agg", col("s"), lit(4), lit(64)).as("sk"))
+      .select(call_function("countmin_est", col("sk"), lit("k0"), lit(4), lit(64)))
+      .collect().head.getLong(0)
+    assert(est == 200L)
+  }
+
+  // ---- Enrichment ----
+
+  test("enrich attaches looked-up values, null when missing") {
+    val df = Seq((1L, "a"), (2L, "b"), (9L, "c")).toDF("k", "v")
+    val client = () => new Enrichment.MapClient(Map(1L -> "one", 2L -> "two"))
+    val got = Enrichment.enrich(df, "k", StructField("name", StringType), client)
+    assertRows(got, Seq(Seq(1L, "a", "one"), Seq(2L, "b", "two"),
+      Seq(9L, "c", null)))
+  }
+
+  // ---- Multimodal ----
+
+  test("multimodal: payload bytes + stub decode + frame sampling") {
+    val df = Seq((1L, "abcdef")).toDF("doc_id", "text") // 6 bytes
+    val meta = Multimodal.decodeMeta(
+      Multimodal.withPayload(df, "text", "payload"), "payload", "meta")
+    val row = meta.select("meta.n_bytes", "meta.format", "meta.width",
+      "meta.height", "meta.n_frames").collect().head
+    assert(row.toSeq == Seq(6L, "png", 22, 22, 7))
+    val frames = Multimodal.sampleFrames(meta, "meta", stride = 3)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(frames == Seq(0, 3, 6))
+  }
+
+  test("multimodal: batched decode crosses batch boundaries intact") {
+    val df = (1 to 150).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(
+      Multimodal.withPayload(df, "text", "payload"), "payload", "meta",
+      batchSize = 64)
+    val got = meta.select(col("doc_id"), col("meta.n_bytes")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 150 && (1 to 150).forall(i => got(i.toLong) == i.toLong))
+  }
+
+  // ---- Inference ----
+
+  test("batched inference scores match a driver-side reference") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, -0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val handler = new Inference.LinearScorer(2)
+    val got = Inference.runInference(df, "embedding", "score", handler, batchSize = 1)
+      .select("vec_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = Inference.weights(2)
+    vecs.foreach { case (id, v) =>
+      val z = v.zip(w).map { case (x, wi) => x.toDouble * wi }.sum
+      assert(math.abs(got(id) - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+    }
+  }
+
+  // ---- Similarity kernel parity ----
+
+  test("cosinePairsAboveKernel == declarative cosinePairsAbove") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = Similarity.cosinePairsAbove(emb, "vec_id", "embedding", 0.3)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.cosinePairsAboveKernel(emb, "vec_id", "embedding", 0.3)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("srpBucket raises on vector-length/dim mismatch") {
+    val emb = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      emb.select(Similarity.srpBucket(col("embedding"), bits = 4, dim = 64))
+        .collect()
+    }
+    assert(ex.getMessage.contains("srp_bucket") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("srp_bucket"))
+  }
+}
