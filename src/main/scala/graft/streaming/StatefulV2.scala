@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Beam State/Timer parity on Spark 4's `transformWithState` — the
+  * successor to `flatMapGroupsWithState` ([[Stateful]]) with the full
+  * Beam state-cell vocabulary (SURVEY §2.10):
+  *
+  * | Beam (state/)                    | here                        |
+  * |----------------------------------|-----------------------------|
+  * | ValueState (ValueState.java:27)  | handle.getValueState        |
+  * | BagState (BagState.java:31)      | handle.getListState         |
+  * | MapState (MapState.java:33)      | handle.getMapState          |
+  * | @TimerId / Timer (Timer.java:42) | handle.registerTimer        |
+  * | state TTL (Deduplicate.java:70)  | TTLConfig(Duration)         |
+  *
+  * Requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass` =
+  * `...state.RocksDBStateStoreProvider`) — which is also the provider
+  * to run at 100 TB: per-key state lives off-heap/on-disk per
+  * partition, checkpointed incrementally via changelog.
+  */
+object StatefulV2 {
+
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Beam GroupIntoBatches (transforms/GroupIntoBatches.java:108) with
+    * real timers: BagState buffer + ValueState count + a processing-time
+    * flush timer per key — the exact state/timer cell layout of the
+    * Beam implementation. */
+  class BatchingProcessor[K, V](maxSize: Int, flushTimeoutMs: Long)(
+      implicit vEnc: Encoder[V])
+      extends StatefulProcessor[K, (K, V), (K, Seq[V])] {
+
+    @transient private var buf: ListState[V] = _
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, V)],
+        timers: TimerValues): Iterator[(K, Seq[V])] = {
+      val out = scala.collection.mutable.ArrayBuffer[(K, Seq[V])]()
+      var n = if (cnt.exists()) cnt.get() else 0L
+      val hadPending = n > 0
+      rows.foreach { case (_, v) =>
+        buf.appendValue(v)
+        n += 1
+        if (n >= maxSize) {
+          out += ((key, buf.get().toSeq))
+          buf.clear(); n = 0
+        }
+      }
+      cnt.update(n)
+      // arm a flush timer for the remainder (one per key; re-armed per
+      // batch like Beam's bufferingTimer.offset().setRelative())
+      if (n > 0 && !hadPending && flushTimeoutMs > 0)
+        getHandle.registerTimer(
+          timers.getCurrentProcessingTimeInMs() + flushTimeoutMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Seq[V])] = {
+      val pending = buf.get().toSeq
+      buf.clear(); cnt.clear()
+      if (pending.nonEmpty) Iterator((key, pending)) else Iterator.empty
+    }
+  }
+
+  /** GroupIntoBatches via transformWithState: size-capped batches per
+    * key; the remainder flushes when the per-key processing-time timer
+    * fires. With no flush timeout the query runs in TimeMode.None —
+    * ProcessingTime mode makes the engine schedule continuous no-data
+    * micro-batches to advance the timer clock, which is wasted work
+    * when no timers exist. */
+  def groupIntoBatchesTws[K: Encoder, V: Encoder](
+      ds: Dataset[(K, V)], maxSize: Int, flushTimeoutMs: Long)(
+      implicit outEnc: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new BatchingProcessor[K, V](maxSize, flushTimeoutMs),
+      if (flushTimeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+      OutputMode.Append())
+
+  /** Beam Deduplicate (transforms/Deduplicate.java:70) as explicit
+    * MapState + TTL: ids expire after `ttl`, so re-arrivals beyond the
+    * horizon pass through again — bounded state, Beam's exact TTL-timer
+    * design (vs dropDuplicatesWithinWatermark's watermark coupling). */
+  class TtlDedupProcessor[K, V](ttl: java.time.Duration)(
+      implicit vEnc: Encoder[V])
+      extends StatefulProcessor[K, (K, Long, V), (K, Long, V)] {
+
+    @transient private var seen: MapState[Long, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig(ttl))
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
+        timers: TimerValues): Iterator[(K, Long, V)] =
+      rows.flatMap { case (k, id, v) =>
+        if (seen.containsKey(id)) None
+        else { seen.updateValue(id, true); Some((k, id, v)) }
+      }
+  }
+
+  /** Exactly-once-by-id within a TTL horizon, per key. */
+  def dedupWithTtl[K: Encoder, V: Encoder](
+      ds: Dataset[(K, Long, V)], ttl: java.time.Duration)(
+      implicit outEnc: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] =
+    ds.groupByKey(_._1).transformWithState(
+      new TtlDedupProcessor[K, V](ttl),
+      TimeMode.ProcessingTime(), OutputMode.Append())
+}

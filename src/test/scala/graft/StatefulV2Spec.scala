@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.StatefulV2
+
+/** transformWithState (Spark 4 state API) specs — Beam's @StateId /
+  * @TimerId / TTL vocabulary on the RocksDB state store. */
+class StatefulV2Spec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withRocksDb[T](body: => T): T = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, StatefulV2.RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  private var tableN = 0
+  private def freshTable(): String = { tableN += 1; s"tws_out_$tableN" }
+
+  private def startMemorySink(ds: org.apache.spark.sql.Dataset[_],
+      table: String): StreamingQuery =
+    ds.writeStream.format("memory").queryName(table).outputMode("append").start()
+
+  /** Timer-driven queries run continuous no-data micro-batches (the
+    * engine advances the processing-time clock), so processAllAvailable
+    * never idles — poll the sink for the expected condition instead. */
+  private def awaitSink(table: String, deadlineMs: Long = 30000L)(
+      cond: => Boolean): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!cond && System.currentTimeMillis() - t0 < deadlineMs)
+      Thread.sleep(100)
+    assert(cond, s"condition not reached within ${deadlineMs}ms on $table")
+  }
+
+  test("groupIntoBatchesTws emits size-capped batches per key") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, String)]
+      val batched = StatefulV2.groupIntoBatchesTws(mem.toDS(), maxSize = 2,
+        flushTimeoutMs = -1L)
+      val table = freshTable()
+      val q = startMemorySink(batched, table)
+      mem.addData((1L, "a"), (1L, "b"), (1L, "c"), (2L, "x"), (2L, "y"))
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Seq[String])].collect().toSet
+      // full batches emitted; remainder (1,"c") still buffered (no timer)
+      assert(got == Set((1L, Seq("a", "b")), (2L, Seq("x", "y"))))
+      q.stop()
+    }
+  }
+
+  test("groupIntoBatchesTws flush timer emits the remainder") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, String)]
+      val batched = StatefulV2.groupIntoBatchesTws(mem.toDS(), maxSize = 10,
+        flushTimeoutMs = 300L)
+      val table = freshTable()
+      val q = startMemorySink(batched, table)
+      mem.addData((1L, "a"), (1L, "b")) // buffers + arms the timer
+      awaitSink(table) {
+        spark.table(table).as[(Long, Seq[String])].collect()
+          .contains((1L, Seq("a", "b")))
+      }
+      q.stop()
+    }
+  }
+
+  test("dedupWithTtl drops repeated ids per key within the horizon") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, Long, String)]
+      val deduped = StatefulV2.dedupWithTtl(mem.toDS(),
+        java.time.Duration.ofHours(1))
+      val table = freshTable()
+      val q = startMemorySink(deduped, table)
+      mem.addData((1L, 10L, "first"), (1L, 10L, "dup-same-batch"), (2L, 10L, "other-key"))
+      awaitSink(table)(spark.table(table).count() == 2)
+      mem.addData((1L, 10L, "dup-next-batch"), (1L, 11L, "new-id"))
+      awaitSink(table)(spark.table(table).count() == 3)
+      // settle one more poll interval: a late duplicate emission would
+      // push the count past 3
+      Thread.sleep(500)
+      val got = spark.table(table).as[(Long, Long, String)].collect().toSet
+      assert(got == Set((1L, 10L, "first"), (2L, 10L, "other-key"),
+        (1L, 11L, "new-id")))
+      q.stop()
+    }
+  }
+}
