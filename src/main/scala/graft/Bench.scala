@@ -20,7 +20,8 @@ object Bench {
     "vec_cosine_topk", "vec_centroids", "dedup_embedding_cosine",
     "vec_ann_lsh", "explode_word_counts", "json_extract",
     "countmin_freq", "ml_inference", "anomaly_zscore", "pattern_match",
-    "rag_chunking", "multimodal_meta", "sortvalues_secondary")
+    "rag_chunking", "multimodal_meta", "sortvalues_secondary",
+    "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -62,4 +62,29 @@ object Relational {
     df.groupBy(key)
       .agg(transform(sort_array(collect_list(struct(sortCol.as("s"), valueCol.as("v")))),
         x => x.getField("v")).as("sorted_values"))
+
+  /** Hot-key fanout (Beam: Combine.withFanout — transforms/Combine.java):
+    * two-stage aggregation through a salt key. Stage 1 aggregates on
+    * (key, salt) — spreading each hot key over `fanout` reducers —
+    * stage 2 merges the per-salt partials. Only valid for algebraic
+    * aggregates (partial results merge with the same function: sum,
+    * count, min, max). At 100 TB this is what keeps a 3-distinct-value
+    * grouping key from serializing into 3 reducer tasks; AQE's skew
+    * handling covers joins, but aggregation skew needs the salt.
+    *
+    * @param stage1Aggs aliased partial aggregates (e.g. sum(x).as("s"))
+    * @param stage2Aggs merge aggregates over the stage-1 aliases
+    *                   (e.g. sum("s").as("s"); count partials merge
+    *                   with sum)
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[Column], fanout: Int,
+      stage1Aggs: Seq[Column], stage2Aggs: Seq[Column]): DataFrame = {
+    val salt = pmod(hash(spark_partition_id(), monotonically_increasing_id()),
+      lit(fanout)).as("__salt")
+    df.withColumn("__salt", salt)
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(stage1Aggs.head, stage1Aggs.tail: _*)
+      .groupBy(keys: _*)
+      .agg(stage2Aggs.head, stage2Aggs.tail: _*)
+  }
 }

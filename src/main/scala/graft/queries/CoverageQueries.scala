@@ -15,6 +15,7 @@ import graft.operators.{Joins, Relational}
 object CoverageQueries {
 
   private def ord(s: org.apache.spark.sql.SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: org.apache.spark.sql.SparkSession, d: String) = Tables.customer(s, d)
   private def prt(s: org.apache.spark.sql.SparkSession, d: String) = Tables.part(s, d)
   private def li(s: org.apache.spark.sql.SparkSession, d: String) = Tables.lineitem(s, d)
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.events(s, d)
@@ -246,6 +247,89 @@ object CoverageQueries {
           p.event_id AS purchase_event, c.click_event_id AS r_click_event_id
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.tsu >= c.tsu""")),
+
+    // ===== Combine.withFanout (transforms/Combine.java — hot-key
+    // fanout): two-stage salted aggregation over a 3-distinct-value key
+    // (maximal skew — every row hits one of 3 reducers without the
+    // salt). Result is identical to the direct groupBy; only the
+    // physical shuffle shape differs.
+    Q("agg_salted_fanout",
+      (s, d) => Relational.saltedAgg(li(s, d), Seq(col("l_returnflag")),
+          fanout = 16,
+          stage1Aggs = Seq(sum("l_quantity").as("qty"),
+            count(lit(1)).as("n"), max("l_extendedprice").as("mx")),
+          stage2Aggs = Seq(round(sum("qty"), 4).as("qty"),
+            sum("n").as("n"), max("mx").as("mx"))),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 4) AS qty,
+        count(*) AS n, max(l_extendedprice) AS mx
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ===== SQL front door (SURVEY §3.2: Catalyst replaces Calcite
+    // wholesale): the full pipeline expressed as one SQL string over
+    // registered temp views — parser, analyzer, optimizer, codegen all
+    // native.
+    Q("sql_front_door",
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("v_orders")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""
+          SELECT c_mktsegment,
+                 CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 count(*) AS n,
+                 round(sum(o_totalprice), 2) AS revenue,
+                 CAST(rank() OVER (PARTITION BY c_mktsegment
+                   ORDER BY round(sum(o_totalprice), 2) DESC) AS BIGINT) AS yr_rank
+          FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, year(o_orderdate)""")
+      },
+      Some("""SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        count(*) AS n, round(sum(o_totalprice), 2) AS revenue,
+        CAST(rank() OVER (PARTITION BY c_mktsegment
+          ORDER BY round(sum(o_totalprice), 2) DESC) AS BIGINT) AS yr_rank
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, year(o_orderdate)""")),
+
+    // ===== GroupByEncryptedKey (transforms/GroupByEncryptedKey.java:52):
+    // group on an HMAC'd key so the plaintext never crosses the shuffle.
+    Q("group_by_encrypted",
+      (s, d) => cust(s, d)
+        .groupBy(sha2(concat(col("c_mktsegment"), lit(":pepper")), 256).as("ek"))
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 4).as("bal")),
+      Some("""SELECT sha256(c_mktsegment || ':pepper') AS ek,
+        count(*) AS n, round(sum(c_acctbal), 4) AS bal
+        FROM customer GROUP BY 1""")),
+
+    // ===== Reify (transforms/Reify.java:45): expose element timestamp
+    // and assigned window as ordinary values.
+    Q("reify_metadata",
+      (s, d) => ev(s, d).select(
+        col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_timestamp(window(col("ts"), "1 hour").getField("start"))
+          .as("win_start"),
+        unix_timestamp(window(col("ts"), "1 hour").getField("end"))
+          .as("win_end")),
+      Some("""SELECT event_id, epoch_us(make_timestamp(epoch_us(ts))) AS ts_us,
+        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+        CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS win_end
+        FROM events""")),
+
+    // ===== ApproximateQuantiles / TDigestQuantiles (sketching ext):
+    // approximate values are engine-specific → rows-only check.
+    Q("agg_approx_quantiles",
+      (s, d) => li(s, d).groupBy("l_linestatus")
+        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+          .as("approx_q")),
+      None),
+
+    // ===== HllCount.Init/Extract (extensions/zetasketch/HllCount.java):
+    // mergeable HLL sketch bytes + estimate — Spark-native DataSketches
+    // implementation; estimates are engine-specific → rows-only.
+    Q("agg_hll_sketch",
+      (s, d) => li(s, d).groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))")
+          .as("hll_orders")),
+      None),
 
     // ===== MLTransform min-max scaling (ml/transforms/base.py:298 —
     // fit artifacts then transform): global min/max fit in one agg,

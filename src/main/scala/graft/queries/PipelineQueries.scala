@@ -165,6 +165,35 @@ object PipelineQueries {
         CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_unique
         FROM documents""")),
 
+    // ===== TF-IDF (MLTransform tft surface — ml/transforms/tft.py):
+    // classic sparse text features. Term frequencies shuffle once on
+    // (doc, term); document frequencies reuse the same exploded frame;
+    // the join back is on the (small) term dimension.
+    Q("text_tfidf",
+      (s, d) => {
+        val terms = docs(s, d).select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val nDocs = docs(s, d).count()
+        val dfreq = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(dfreq, "term")
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6)
+              .as("tfidf"))
+      },
+      Some("""WITH terms AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+          FROM documents WHERE length(trim(text)) > 0
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term,
+          round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n""")),
+
     // ===== Anomaly detection (ml/anomaly/): per-type z-score against
     // fitted mean/stddev (one agg pass, broadcast back), flag |z|>2.5.
     Q("anomaly_zscore",

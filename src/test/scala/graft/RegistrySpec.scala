@@ -13,7 +13,8 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("every query name has an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("agg_approx_distinct", "vec_ann_lsh")
+    val rowsOnly = Set("agg_approx_distinct", "vec_ann_lsh",
+      "agg_approx_quantiles", "agg_hll_sketch")
     val missing = Registry.all.filter(q => q.oracle.isEmpty && !rowsOnly(q.name))
     assert(missing.isEmpty,
       s"queries without oracle SQL: ${missing.map(_.name).mkString(", ")}")

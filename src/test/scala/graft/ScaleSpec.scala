@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Scale-shape specs: physical-plan properties that matter at 100 TB —
+  * bucketed co-located joins (no exchange), salted aggregation
+  * equivalence, broadcast thresholds, and pipeline metrics
+  * (Beam Metrics → df.observe / Observation).
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .saveAsTable("bucketed_a")
+    df.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .saveAsTable("bucketed_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_a")
+        .join(spark.table("bucketed_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+
+  test("saltedAgg equals direct aggregation on skewed keys") {
+    // 3 distinct keys over 10k rows — the pathological skew shape
+    val df = spark.range(10000)
+      .select((col("id") % 3).cast("string").as("k"), col("id").as("v"))
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), max("v").as("mx"))
+      .collect().map(_.toSeq).toSet
+    val salted = Relational.saltedAgg(df, Seq(col("k")), fanout = 8,
+        stage1Aggs = Seq(sum("v").as("s"), count(lit(1)).as("n"),
+          max("v").as("mx")),
+        stage2Aggs = Seq(sum("s").as("s"), sum("n").as("n"),
+          max("mx").as("mx")))
+      .collect().map(_.toSeq).toSet
+    assert(salted == direct)
+  }
+
+  test("saltedAgg stage 1 spreads a hot key over multiple salts") {
+    val df = spark.range(10000).repartition(4)
+      .select(lit("hot").as("k"), col("id").as("v"))
+    val salts = df.withColumn("__salt",
+        pmod(hash(spark_partition_id(), monotonically_increasing_id()), lit(8)))
+      .select("__salt").distinct().count()
+    assert(salts > 1, "salt must fan the hot key out")
+  }
+
+  test("observe collects pipeline metrics (Beam Counter/Distribution analog)") {
+    val obs = org.apache.spark.sql.Observation("li_metrics")
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum("l_quantity").as("total_qty"),
+        max("l_extendedprice").as("max_price"))
+    val n = df.count()
+    val m = obs.get
+    assert(m("rows") == n)
+    assert(m("total_qty").asInstanceOf[Double] > 0)
+  }
+
+  test("AQE coalesces shuffle partitions on small data") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val agg = spark.range(1000).groupBy(col("id") % 10).count()
+      agg.collect()
+      val finalPlan = agg.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead") ||
+        finalPlan.contains("coalesced"),
+        s"expected AQE shuffle coalescing:\n$finalPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
