@@ -175,6 +175,57 @@ object Similarity {
         size(vec).cast("string"))).cast("long"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — `nCells`
+    * seed vectors chosen by hashed id — partitions the corpus into
+    * cells (each corpus row assigned to its nearest seed); queries probe
+    * their `nProbe` nearest cells and rank candidates by exact cosine.
+    *
+    * The other classic ANN scale path next to SRP-LSH ([[lshCosineTopK]]):
+    * candidate generation is an equi-join on cell id, so corpus work is
+    * one narrow assignment scan + a hash join — never O(n²). Seeds are
+    * plan-time literals; a production variant would k-means them
+    * (Lloyd iterations over the same assignment expression). */
+  def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // deterministic pseudo-random seed choice: smallest md5(id)
+    val seeds: Seq[Seq[Float]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .withColumn("h", graft.functions.PortableHash.md5Long(col("id")))
+      .orderBy("h").limit(nCells)
+      .select("v").as[Seq[Float]].collect().toSeq
+    def seedSim(vec: Column, norm: Column, i: Int): Column = {
+      val s = seeds(i)
+      val sNorm = math.sqrt(s.map(x => x.toDouble * x.toDouble).sum)
+      call_function("vec_dot", vec, typedlit(s)) / (norm * sNorm)
+    }
+    def cellsRanked(vec: Column, norm: Column): Column =
+      sort_array(array(seeds.indices.map(i =>
+        struct((-seedSim(vec, norm, i)).as("negSim"), lit(i).as("cell"))): _*))
+    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
+        l2Norm(col(vecCol)).as("cn"))
+      .withColumn("cell", element_at(cellsRanked(col("cv"), col("cn")), 1)
+        .getField("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2Norm(col(vecCol)).as("qn"))
+      .withColumn("cell", explode(transform(
+        slice(cellsRanked(col("qv"), col("qn")), 1, nProbe),
+        x => x.getField("cell"))))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"),
+        round(call_function("vec_dot", col("qv"), col("cv"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+      .distinct() // a pair can surface via several probed cells
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("match_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** ANN top-k via SRP-LSH: join query and corpus rows sharing a bucket,
     * rank by exact cosine within candidates. Recall < 1 by construction;
     * scale path for corpus × corpus search where brute force is O(n²). */

@@ -93,5 +93,13 @@ object VectorQueries {
         emb(s, d).filter(col("vec_id") % 100 === 0), emb(s, d),
         "vec_id", "embedding", k = 5, bits = 4, dim = 64),
       None),
+
+    // IVF ANN: coarse-quantizer cells + multi-probe — the other scale
+    // path; recall < 1 by construction → rows-only check.
+    Q("vec_ann_ivf",
+      (s, d) => Similarity.ivfCosineTopK(
+        emb(s, d).filter(col("vec_id") % 100 === 0), emb(s, d),
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4),
+      None),
   )
 }

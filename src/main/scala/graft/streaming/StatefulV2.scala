@@ -115,4 +115,61 @@ object StatefulV2 {
     ds.groupByKey(_._1).transformWithState(
       new TtlDedupProcessor[K, V](ttl),
       TimeMode.ProcessingTime(), OutputMode.Append())
+
+  /** Beam's event-time timer (`@TimerId` in TimeDomain.EVENT_TIME — the
+    * domain Beam windows/GC run on): buffer values per key, register a
+    * timer at (max seen event time + gapMs), re-arming as later events
+    * arrive; when the WATERMARK passes the timer, flush the buffer as
+    * one batch. This is ReduceFnRunner's end-of-window firing rebuilt
+    * on transformWithState — a custom session-ish window with the
+    * default (AfterWatermark.pastEndOfWindow) trigger.
+    *
+    * Input (key, eventTime, value); output (key, flushedValues). */
+  class EventTimeGapFlushProcessor[K, V](gapMs: Long)(
+      implicit vEnc: Encoder[V])
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Seq[V])] {
+
+    @transient private var buf: ListState[V] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, V)],
+        timers: TimerValues): Iterator[(K, Seq[V])] = {
+      var maxTs = if (armed.exists()) armed.get() - gapMs else Long.MinValue
+      rows.foreach { case (_, ts, v) =>
+        buf.appendValue(v)
+        if (ts.getTime > maxTs) maxTs = ts.getTime
+      }
+      // re-arm: drop the previous event-time timer, set end-of-gap
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val fireAt = maxTs + gapMs
+      getHandle.registerTimer(fireAt)
+      armed.update(fireAt)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Seq[V])] = {
+      val pending = buf.get().toSeq
+      buf.clear(); armed.clear()
+      if (pending.nonEmpty) Iterator((key, pending)) else Iterator.empty
+    }
+  }
+
+  /** Gap-flush on the event-time watermark: values buffer per key and
+    * emit as one batch when the watermark passes last-event + gap.
+    * `ds` must carry a watermark on its timestamp column
+    * (`.withWatermark("_2", …)` upstream — EventTime mode requires it). */
+  def eventTimeGapFlush[K: Encoder, V: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, V)], gapMs: Long)(
+      implicit outEnc: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new EventTimeGapFlushProcessor[K, V](gapMs),
+      TimeMode.EventTime(), OutputMode.Append())
 }

@@ -13,7 +13,7 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("every query name has an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("agg_approx_distinct", "vec_ann_lsh",
+    val rowsOnly = Set("agg_approx_distinct", "vec_ann_lsh", "vec_ann_ivf",
       "agg_approx_quantiles", "agg_hll_sketch")
     val missing = Registry.all.filter(q => q.oracle.isEmpty && !rowsOnly(q.name))
     assert(missing.isEmpty,

@@ -72,6 +72,29 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("event-time timer fires when the watermark passes last event + gap") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      def t(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+      val flushed = graft.streaming.StatefulV2.eventTimeGapFlush(
+        mem.toDS().withWatermark("_2", "0 seconds"), gapMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(flushed, table)
+      mem.addData((1L, t(1), "a"), (1L, t(3), "b"))
+      q.processAllAvailable()
+      // watermark still at 00:03 — timer armed for 00:13, nothing out
+      assert(spark.table(table).count() == 0)
+      // sentinel on another key pushes the watermark past 00:13
+      mem.addData((9L, t(50), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "wm2")) // one more batch to deliver the firing
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Seq[String])].collect().toSet
+      assert(got.contains((1L, Seq("a", "b"))), s"expected flush, got $got")
+      q.stop()
+    }
+  }
+
   test("dedupWithTtl drops repeated ids per key within the horizon") {
     withRocksDb {
       val mem = MemoryStream[(Long, Long, String)]

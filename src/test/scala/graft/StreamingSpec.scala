@@ -86,6 +86,29 @@ class StreamingSpec extends SparkSpec {
     assert(n0.toSeq == Seq(2L), s"late event must not re-open window: ${n0.toSeq}")
   }
 
+  test("update mode re-emits per micro-batch (Beam early firings)") {
+    // Beam: AfterWatermark.pastEndOfWindow().withEarlyFirings(...) in
+    // accumulating mode — each firing emits the accumulated-so-far
+    // value. Spark's update output mode is exactly that: every
+    // micro-batch re-emits the updated accumulated aggregate.
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.tumblingAgg(mem.toDF(), "ts", "10 minutes",
+      "0 seconds", Seq.empty, Seq(count(lit(1)).as("n")))
+    val table = freshTable()
+    val q = agg.writeStream.format("memory")
+      .queryName(table).outputMode("update").start()
+    mem.addData(Ev(1, ts(1), 1, "a", 1.0))
+    q.processAllAvailable() // early firing 1: n=1
+    mem.addData(Ev(2, ts(2), 1, "a", 1.0))
+    q.processAllAvailable() // early firing 2: n=2 (accumulating)
+    runToCompletion(q)
+    val firings = spark.table(table)
+      .filter(col("window.start").cast("string").contains("10:00"))
+      .select("n").as[Long].collect().sorted
+    assert(firings.toSeq == Seq(1L, 2L),
+      s"expected accumulating early firings 1 then 2, got ${firings.toSeq}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups by event_id") {
     val mem = MemoryStream[Ev]
     val dd = StreamOps.dedupWithinWatermark(mem.toDF(), "ts", "10 minutes",

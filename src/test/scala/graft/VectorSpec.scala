@@ -56,6 +56,28 @@ class VectorSpec extends SparkSpec {
     assert(got == Set((1L, 4L)))
   }
 
+  test("ivfCosineTopK sims agree with brute force on shared pairs") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val brute = graft.operators.Similarity
+      .cosineTopK(q, emb, "vec_id", "embedding", k = 50)
+      .select("query_id", "match_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = graft.operators.Similarity
+      .ivfCosineTopK(q, emb, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(ivf.nonEmpty)
+    // ivf candidates carry the exact cosine: any pair also in the
+    // brute-force top-50 must have the identical rounded sim
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
+    }
+    // per-query cap respected
+    val perQuery = ivf.groupBy(_.getLong(0)).map(_._2.length)
+    assert(perQuery.forall(_ <= 5))
+  }
+
   test("lshCosineTopK returns subset of brute-force ranking") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
