@@ -84,6 +84,32 @@ object EventTimeQueries {
         count(*) AS n, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1""")),
 
+    // Nexmark Q5 "hot items" (reference: sdks/java/testing/nexmark/
+    // .../queries/Query5.java — highest-count auction per sliding
+    // window): the per-window argmax over a sliding-window count.
+    // Deterministic tie-break on event_type.
+    Q("win_hot_items",
+      (s, d) => {
+        val counts = Windowing.sliding(ev(s, d), "ts", "10 minutes",
+            "5 minutes", col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window"))
+          .orderBy(col("n").desc, col("event_type").asc)
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(Windowing.windowStartSec(col("window")).as("win_start"),
+            col("event_type").as("hot_type"), col("n"))
+      },
+      Some("""WITH c AS (
+          SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - o.i) * 300 AS win_start,
+            event_type, count(*) AS n
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) o
+          GROUP BY 1, 2)
+        SELECT win_start, event_type AS hot_type, n FROM c
+        QUALIFY row_number() OVER (PARTITION BY win_start
+          ORDER BY n DESC, event_type ASC) = 1""")),
+
     // Beam Deduplicate (transforms/Deduplicate.java:70): keep first event
     // per (user, type) in event time, deterministic tie-break on id.
     Q("dedup_events_first",
