@@ -67,6 +67,29 @@ object MatchRecognize {
     }
   }
 
+  /** Run the pattern over one key's already-sorted rows — the reusable
+    * core for streaming composition: feed it window-closed groups (e.g.
+    * the output of [[graft.streaming.StatefulV2.eventTimeGapFlush]]) to
+    * get MATCH_RECOGNIZE over unbounded input, which is exactly Beam's
+    * per-key-and-window NFA execution model. */
+  def matchRows[K, T, O](key: K, rows: IndexedSeq[T], steps: Seq[Step[T]])(
+      measure: Match[K, T] => O): Seq[O] = {
+    val out = scala.collection.mutable.ArrayBuffer[O]()
+    var pos = 0
+    var matchSeq = 1L
+    while (pos < rows.length) {
+      tryMatch(rows, pos, steps) match {
+        case Some((end, captured)) if end > pos =>
+          out += measure(Match(key, matchSeq, captured))
+          matchSeq += 1
+          pos = end // AFTER MATCH SKIP PAST LAST ROW
+        case _ =>
+          pos += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Run the pattern over every key group of `ds`, sorted by `sortCols`
     * within the group (Beam's @RequiresTimeSortedInput contract — the
     * sort rides the shuffle via Spark's spill-safe group sort, not an
@@ -81,21 +104,7 @@ object MatchRecognize {
       steps: Seq[Step[T]])(measure: Match[K, T] => O): Dataset[O] = {
     ds.groupByKey(key).flatMapSortedGroups(sortCols: _*) {
       (k: K, it: Iterator[T]) =>
-        val rows = it.toIndexedSeq
-        val out = scala.collection.mutable.ArrayBuffer[O]()
-        var pos = 0
-        var matchSeq = 1L
-        while (pos < rows.length) {
-          tryMatch(rows, pos, steps) match {
-            case Some((end, captured)) if end > pos =>
-              out += measure(Match(k, matchSeq, captured))
-              matchSeq += 1
-              pos = end // AFTER MATCH SKIP PAST LAST ROW
-            case _ =>
-              pos += 1
-          }
-        }
-        out.iterator
+        matchRows(k, it.toIndexedSeq, steps)(measure).iterator
     }
   }
 }

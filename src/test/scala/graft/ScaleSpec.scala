@@ -70,6 +70,19 @@ class ScaleSpec extends SparkSpec {
     assert(m("total_qty").asInstanceOf[Double] > 0)
   }
 
+  test("HLL sketches are mergeable bytes (HllCount.MergePartial analog)") {
+    // Beam HllCount: Init → sketch bytes, MergePartial → union, Extract
+    // → estimate. Spark: hll_sketch_agg / hll_union_agg /
+    // hll_sketch_estimate over binary sketch columns.
+    val a = spark.range(0, 1000).selectExpr("hll_sketch_agg(id) AS sk")
+    val b = spark.range(500, 1500).selectExpr("hll_sketch_agg(id) AS sk")
+    val merged = a.unionAll(b)
+      .selectExpr("hll_sketch_estimate(hll_union_agg(sk)) AS est")
+      .collect().head.getLong(0)
+    // 1500 distinct with HLL default accuracy ~±2%
+    assert(merged > 1400 && merged < 1600, s"estimate $merged out of range")
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -95,6 +95,41 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("streaming MATCH_RECOGNIZE: NFA over watermark-closed groups") {
+    // Beam's BeamMatchRel runs its NFA per key AND window; composing
+    // eventTimeGapFlush (window close on watermark) with the NFA core
+    // reproduces that on a stream: pattern (click)+ (purchase).
+    withRocksDb {
+      import graft.operators.MatchRecognize
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      def t(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+      val sessions = graft.streaming.StatefulV2.eventTimeGapFlush(
+        mem.toDS().withWatermark("_2", "0 seconds"), gapMs = 10000L)
+      val steps = Seq(
+        MatchRecognize.Step[String]("C", _ == "click", 1, Int.MaxValue),
+        MatchRecognize.Step[String]("P", _ == "purchase"))
+      val matched = sessions.flatMap { case (user, evs) =>
+        MatchRecognize.matchRows(user, evs.toIndexedSeq, steps) { m =>
+          (user, m.matchSeq, m.captured("C").size.toLong)
+        }
+      }
+      val table = freshTable()
+      val q = startMemorySink(matched, table)
+      mem.addData((1L, t(1), "click"), (1L, t(2), "click"),
+        (1L, t(3), "purchase"), (1L, t(4), "view"),
+        (1L, t(5), "click"), (1L, t(6), "purchase"))
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "wm")) // advance watermark → close the gap
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "wm2")) // deliver the firing
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Long, Long)].collect().toSet
+      assert(got.contains((1L, 1L, 2L)) && got.contains((1L, 2L, 1L)),
+        s"expected two matches for user 1, got $got")
+      q.stop()
+    }
+  }
+
   test("dedupWithTtl drops repeated ids per key within the horizon") {
     withRocksDb {
       val mem = MemoryStream[(Long, Long, String)]
