@@ -248,6 +248,34 @@ object CoverageQueries {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.tsu >= c.tsu""")),
 
+    // ===== WithKeys / Keys / Values / KvSwap / MapKeys / MapValues
+    // (transforms/WithKeys.java:58 etc.): KV-shape manipulation as
+    // column projections.
+    Q("kv_ops",
+      (s, d) => ord(s, d)
+        .select(col("o_custkey").as("key"), col("o_totalprice").as("value"))
+        .select(col("value").as("key"), col("key").as("value"))   // KvSwap
+        .select((col("key") * 2).as("key"), col("value"))          // MapKeys
+        .select(col("key"), concat(lit("c"), col("value")).as("value")) // MapValues
+        .groupBy("value").agg(round(sum("key"), 4).as("sum_key")),
+      Some("""SELECT 'c' || CAST(o_custkey AS VARCHAR) AS value,
+        round(sum(o_totalprice * 2), 4) AS sum_key
+        FROM orders GROUP BY 1""")),
+
+    // ===== Sample.fixedSizeGlobally (transforms/Sample.java:50):
+    // exact-size deterministic sample — smallest n by portable hash
+    // (a reproducible reservoir; Beam's is random, ours is stable for
+    // golden tests).
+    Q("sample_fixed_size",
+      (s, d) => ord(s, d)
+        .orderBy(graft.functions.PortableHash.md5Long(
+          col("o_orderkey").cast("string")).asc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey"),
+      Some(s"""SELECT o_orderkey, o_custkey FROM orders
+        ORDER BY ${graft.functions.PortableHash.md5LongSql(
+          "CAST(o_orderkey AS VARCHAR)")} ASC, o_orderkey ASC LIMIT 100""")),
+
     // ===== Combine.withFanout (transforms/Combine.java — hot-key
     // fanout): two-stage salted aggregation over a 3-distinct-value key
     // (maximal skew — every row hits one of 3 reducers without the

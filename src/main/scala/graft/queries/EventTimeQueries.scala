@@ -72,6 +72,18 @@ object EventTimeQueries {
           count(*) AS n, round(sum(value), 4) AS sum_value
         FROM se GROUP BY user_id, sid""")),
 
+    // Beam CalendarWindows.months (variable-length units — the case
+    // window() cannot express at all).
+    Q("win_calendar_month",
+      (s, d) => Windowing.calendar(ev(s, d), "ts", "month")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(unix_timestamp(col("window_start")).as("month_start"),
+          col("n"), col("sum_value")),
+      Some("""SELECT CAST(floor(epoch(date_trunc('month', ts))) AS BIGINT)
+          AS month_start,
+        count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1""")),
+
     // Beam CalendarWindows (windowing/CalendarWindows.java:47) — window()
     // can't express variable-length calendar units; date_trunc keys can.
     Q("win_calendar_day",
