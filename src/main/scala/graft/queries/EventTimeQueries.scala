@@ -122,6 +122,51 @@ object EventTimeQueries {
         QUALIFY row_number() OVER (PARTITION BY win_start
           ORDER BY n DESC, event_type ASC) = 1""")),
 
+    // Nexmark Q7 "highest bid" (queries/Query7.java — max per fixed
+    // window via a Max side input, then filter to the rows achieving
+    // it): window-max broadcast back as the side input. Tie-break:
+    // all achieving rows emit (matching Beam's semantics), so the
+    // result is deterministic without argmin games.
+    Q("win_highest_value",
+      (s, d) => {
+        val win = window(col("ts"), "1 hour")
+        val events = ev(s, d).withColumn("w", win)
+        val maxes = events.groupBy("w")
+          .agg(max("value").as("max_value"))
+        events.join(broadcast(maxes), Seq("w"))
+          .filter(col("value") === col("max_value"))
+          .select(unix_timestamp(col("w.start")).as("win_start"),
+            col("event_id"), round(col("value"), 4).as("value"))
+      },
+      Some("""WITH w AS (
+          SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+            event_id, value,
+            max(value) OVER (PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT))
+              AS max_value
+          FROM events)
+        SELECT win_start, event_id, round(value, 4) AS value
+        FROM w WHERE value = max_value""")),
+
+    // Nexmark Q8 "monitor new users" (queries/Query8.java — tumbling-
+    // window join of two event kinds): users who signed up AND
+    // purchased within the same 1-hour window.
+    Q("win_new_users",
+      (s, d) => {
+        val win = window(col("ts"), "1 hour")
+        val signups = ev(s, d).filter(col("event_type") === "signup")
+          .select(col("user_id"), win.as("w")).distinct()
+        val purchases = ev(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), win.as("w")).distinct()
+        signups.join(purchases, Seq("user_id", "w"))
+          .select(col("user_id"), unix_timestamp(col("w.start")).as("win_start"))
+      },
+      Some("""SELECT DISTINCT s.user_id,
+          CAST(floor(epoch(s.ts) / 3600) * 3600 AS BIGINT) AS win_start
+        FROM events s JOIN events p
+          ON s.user_id = p.user_id
+          AND floor(epoch(s.ts) / 3600) = floor(epoch(p.ts) / 3600)
+        WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""")),
+
     // Beam Deduplicate (transforms/Deduplicate.java:70): keep first event
     // per (user, type) in event time, deterministic tie-break on id.
     Q("dedup_events_first",

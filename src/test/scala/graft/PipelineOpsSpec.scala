@@ -163,6 +163,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("operators handle empty inputs without failure") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.minHashCandidates(
+      emptyDocs, "doc_id", "text").count() == 0)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairsAboveKernel(
+      emptyVecs, "vec_id", "embedding", 0.5).count() == 0)
+    val noMatches = matches(Seq.empty, vPlusP)
+    assert(noMatches.isEmpty)
+  }
+
   test("srpBucket raises on vector-length/dim mismatch") {
     val emb = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
