@@ -21,7 +21,10 @@ object Bench {
     "vec_ann_lsh", "explode_word_counts", "json_extract",
     "countmin_freq", "ml_inference", "anomaly_zscore", "pattern_match",
     "rag_chunking", "multimodal_meta", "sortvalues_secondary",
-    "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale")
+    "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale",
+    // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
+    // published SMOKE suite's 100k-event scale)
+    "win_hot_items", "win_highest_value", "win_new_users")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
