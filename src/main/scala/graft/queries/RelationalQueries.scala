@@ -49,6 +49,46 @@ object RelationalQueries {
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-08-06'
         GROUP BY l_returnflag, l_linestatus""")),
 
+    // TPC-H Q3 shape (shipping priority): selective join + agg + top-k.
+    Q("agg_tpch_q3",
+      (s, d) => li(s, d)
+        .join(ord(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust(s, d).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("odate_s"),
+          col("revenue")),
+      Some("""SELECT l_orderkey,
+        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_s,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
+    // TPC-H Q6 shape (forecasting revenue change): pure scan-filter-agg
+    // — the pushdown-and-prune showcase (no join, no wide columns).
+    Q("agg_tpch_q6",
+      (s, d) => li(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")),
+
     Q("agg_global",
       (s, d) => li(s, d).agg(
         count(lit(1)).as("n_rows"),

@@ -70,6 +70,30 @@ class ScaleSpec extends SparkSpec {
     assert(m("total_qty").asInstanceOf[Double] > 0)
   }
 
+  test("session_window supports per-row dynamic gaps (Sessions.withGap analog)") {
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // short gap for 'fast' keys, long for 'slow' — gap as an expression
+    val df = Seq(("fast", t(0)), ("fast", t(3)), ("slow", t(10)), ("slow", t(13)))
+      .toDF("k", "ts")
+    val gap = when(col("k") === "fast", "2 minutes").otherwise("5 minutes")
+    val sessions = df.groupBy(session_window(col("ts"), gap), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select("k", "n").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // fast: 3min between events > 2min gap → two 1-event sessions;
+    // slow: 3min between events < 5min gap → one 2-event session
+    assert(sessions.sorted == Seq(("fast", 1L), ("fast", 1L), ("slow", 2L)),
+      s"got $sessions")
+  }
+
+  test("repartition redistributes into the requested partition count (Reshuffle)") {
+    val df = spark.range(1000).repartition(13)
+    assert(df.rdd.getNumPartitions == 13)
+    val rebalanced = spark.range(1000).coalesce(1).repartition(4)
+    assert(rebalanced.rdd.getNumPartitions == 4)
+    assert(rebalanced.count() == 1000)
+  }
+
   test("HLL sketches are mergeable bytes (HllCount.MergePartial analog)") {
     // Beam HllCount: Init → sketch bytes, MergePartial → union, Extract
     // → estimate. Spark: hll_sketch_agg / hll_union_agg /
