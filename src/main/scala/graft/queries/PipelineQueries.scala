@@ -194,6 +194,84 @@ object PipelineQueries {
           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
         FROM tf JOIN dfreq USING (term) CROSS JOIN n""")),
 
+    // ===== compute_and_apply_vocabulary (MLTransform tft surface):
+    // terms ranked by (frequency desc, term asc) → integer ids; terms
+    // outside the top-K become OOV (-1). The vocab is a fit artifact —
+    // tiny — broadcast back over the exploded terms.
+    Q("text_vocab_ids",
+      (s, d) => {
+        val terms = docs(s, d).select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term").asc)
+        val vocab = terms.groupBy("term").agg(count(lit(1)).as("n"))
+          .withColumn("vocab_id", (row_number().over(w) - 1).cast("long"))
+          .filter(col("vocab_id") < 20)
+          .select("term", "vocab_id")
+        terms.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy("doc_id", "term")
+          .agg(coalesce(min("vocab_id"), lit(-1L)).as("vocab_id"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH terms AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+          FROM documents WHERE length(trim(text)) > 0
+        ), vocab AS (
+          SELECT term,
+            CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1
+              AS BIGINT) AS vocab_id
+          FROM terms GROUP BY term
+          QUALIFY vocab_id < 20)
+        SELECT doc_id, t.term, coalesce(min(v.vocab_id), -1) AS vocab_id,
+          count(*) AS n
+        FROM terms t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY doc_id, t.term""")),
+
+    // ===== tft.bucketize: quantile-boundary discretization — exact
+    // quartile boundaries fit in one agg (plan-time artifact), applied
+    // as a CASE over the data.
+    Q("ml_bucketize",
+      (s, d) => {
+        val ords = Tables.orders(s, d)
+        val qs = ords.agg(
+          expr("percentile(o_totalprice, 0.25)").as("q1"),
+          expr("percentile(o_totalprice, 0.5)").as("q2"),
+          expr("percentile(o_totalprice, 0.75)").as("q3"))
+        ords.crossJoin(broadcast(qs))
+          .select(col("o_orderkey"),
+            when(col("o_totalprice") < col("q1"), 0L)
+              .when(col("o_totalprice") < col("q2"), 1L)
+              .when(col("o_totalprice") < col("q3"), 2L)
+              .otherwise(3L).as("bucket"))
+      },
+      Some("""WITH qs AS (
+          SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                 quantile_cont(o_totalprice, 0.5) AS q2,
+                 quantile_cont(o_totalprice, 0.75) AS q3
+          FROM orders)
+        SELECT o_orderkey,
+          CAST(CASE WHEN o_totalprice < q1 THEN 0
+               WHEN o_totalprice < q2 THEN 1
+               WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket
+        FROM orders CROSS JOIN qs""")),
+
+    // ===== Feature hashing (the hashing trick): term → fixed-width
+    // feature index via the portable hash — no vocab artifact at all,
+    // the 100 TB-friendly featurizer.
+    Q("ml_feature_hash",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+        .select(col("doc_id"),
+          pmod(PortableHash.md5Long(col("term")), lit(256)).as("feature"))
+        .groupBy("doc_id", "feature").agg(count(lit(1)).as("n")),
+      Some(s"""SELECT doc_id,
+        ${PortableHash.md5LongSql("term")} % 256 AS feature, count(*) AS n
+        FROM (SELECT doc_id,
+              unnest(string_split_regex(trim(text), '\\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0) t
+        GROUP BY 1, 2""")),
+
     // ===== Anomaly detection (ml/anomaly/): per-type z-score against
     // fitted mean/stddev (one agg pass, broadcast back), flag |z|>2.5.
     Q("anomaly_zscore",
