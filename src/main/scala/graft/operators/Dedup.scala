@@ -124,6 +124,40 @@ object Dedup {
   def simHash(text: Column, bits: Int = 16): Column =
     call_function("simhash", TextAnalysis.tokens(text), lit(bits))
 
+  /** SimHash near-duplicate pairs within a Hamming-distance radius,
+    * banded for scale: the `bits`-bit simhash splits into `bands`
+    * equal slices; by pigeonhole, two hashes within Hamming distance
+    * `maxHamming` < `bands` must agree on at least one whole band —
+    * so candidate generation is an equi-join on (band, slice value),
+    * never the O(n²) pair space. Exact Hamming filter afterwards.
+    * Requires maxHamming < bands for completeness (no missed pairs). */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands,
+      "pigeonhole completeness needs maxHamming < bands")
+    require(bits % bands == 0)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sliceBits = bits / bands
+    val mask = (1L << sliceBits) - 1
+    val h = df.select(col(idCol).as("id"), simHash(col(textCol), bits).as("sh"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * sliceBits).bitwiseAND(mask).as("bv"))
+    }
+    val banded = h.select(col("id"), col("sh"),
+      explode(array(bandCols: _*)).as("bb"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.bb") === col("b.bb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs above a threshold, via
     * shingle inverted index: explode distinct shingles, self-join on
     * shingle, count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).

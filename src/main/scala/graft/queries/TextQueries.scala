@@ -20,6 +20,28 @@ object TextQueries {
     """CASE WHEN length(trim(text)) = 0 THEN []
        ELSE string_split_regex(trim(text), '\s+') END"""
 
+  /** Shared DuckDB CTE body producing sh(doc_id, simhash) — the
+    * `bits`-wide SimHash replicated bit-for-bit (used by text_simhash
+    * at 16 bits and dedup_simhash_pairs at 32). */
+  private def simhashCtes(bits: Int) =
+    s"""tk AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ), h AS (
+          SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+          FROM tk
+        ), v AS (
+          SELECT doc_id, b.bit,
+            sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, ${bits - 1})) AS bit) b
+          GROUP BY 1, 2
+        ), sh AS (
+          SELECT d.doc_id,
+            CAST(coalesce(sum(CASE WHEN v.vote > 0
+              THEN CAST(1 AS BIGINT) << v.bit ELSE 0 END), 0) AS BIGINT) AS simhash
+          FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+          GROUP BY d.doc_id)"""
+
   def queries: Seq[Q] = Seq(
 
     // Token counting + document fingerprints (rolling content hash).
@@ -89,22 +111,21 @@ object TextQueries {
         docs(s, d).select(col("doc_id"),
           Dedup.simHash(col("text"), 16).as("simhash"))
       },
-      Some("""WITH tk AS (
-          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-          FROM documents WHERE length(trim(text)) > 0
-        ), h AS (
-          SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
-          FROM tk
-        ), v AS (
-          SELECT doc_id, b.bit,
-            sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
-          GROUP BY 1, 2)
-        SELECT d.doc_id,
-          CAST(coalesce(sum(CASE WHEN v.vote > 0
-            THEN CAST(1 AS BIGINT) << v.bit ELSE 0 END), 0) AS BIGINT) AS simhash
-        FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
-        GROUP BY d.doc_id""")),
+      Some(s"""WITH ${simhashCtes(16)}
+        SELECT doc_id, simhash FROM sh""")),
+
+    // SimHash near-dup pairs within Hamming distance 3, banded (by
+    // pigeonhole, hamming<=3 over 4 bands forces one identical band —
+    // candidate generation is an equi-join, never O(n²)). 32-bit hash
+    // for pair discrimination; oracle is the brute-force pairwise scan.
+    Q("dedup_simhash_pairs",
+      (s, d) => Dedup.simHashPairs(docs(s, d), "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3),
+      Some(s"""WITH ${simhashCtes(32)}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
 
     // Exact dedup by normalized-content hash (hash-groupBy).
     Q("dedup_exact_docs",
