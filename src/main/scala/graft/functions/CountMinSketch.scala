@@ -121,6 +121,11 @@ case class CountMinEstimate(left: Expression, right: Expression,
 
   override protected def nullSafeEval(sk: Any, v: Any): Any = {
     val sketch = sk.asInstanceOf[ArrayData]
+    if (sketch.numElements() != depth * width)
+      throw new IllegalArgumentException(
+        s"countmin_est: sketch has ${sketch.numElements()} counters but " +
+        s"depth=$depth x width=$width expects ${depth * width} — " +
+        "estimate parameters must match the countmin_agg that built it")
     val h31 = TextHash.md5Long60(md, v.asInstanceOf[UTF8String].getBytes) % 2147483648L
     var est = Long.MaxValue
     var j = 0

@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * impl/transform/BeamJoinTransforms.java:99 JoinAsLookup).
   *
   * Spark mapping: `mapPartitions` IS the DoFn lifecycle — client opened
-  * at partition start (setup), closed in the partition's finally
-  * (teardown), one in-process cache per partition. The lookup itself
+  * at partition start (setup), closed by a task-completion listener
+  * (teardown — fires on success, partial consumption, and failure
+  * alike), one in-process cache per partition. The lookup itself
   * stays out of the shuffle path entirely: no exchange, no broadcast of
   * the main input, linear scan — the only shape that works when the
   * "table" is a remote service and the main input is 100 TB.
@@ -46,16 +47,15 @@ object Enrichment {
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       val client = clientFactory() // DoFn.setup
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h) client.close() // DoFn.teardown
-          h
-        }
-        def next(): Row = {
-          val r = rows.next()
-          Row.fromSeq(r.toSeq :+ client.lookup(r.get(keyIdx)).orNull)
-        }
+      // DoFn.teardown: the task-completion listener runs whether the
+      // iterator is fully drained, partially consumed (limit), or the
+      // task fails mid-partition — the `closed` flag keeps it idempotent.
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; client.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ client.lookup(r.get(keyIdx)).orNull)
       }
     }(enc)
   }

@@ -135,6 +135,75 @@ object Similarity {
     }.toDF("id_a", "id_b", "sim")
   }
 
+  /** [[cosinePairsAbove]] as a DISTRIBUTED block kernel: rows hash into
+    * `nBlocks` blocks (`id % nBlocks`), every unordered block pair
+    * {x, y} (x <= y) becomes one task, and each task runs the same tight
+    * primitive pair loop as the single-node kernel over its two blocks.
+    * Nothing is ever materialized on the driver: blocks are built by a
+    * `collect_list` aggregation on the executors and the block-pair
+    * cross join replicates each block only `nBlocks` times. At 100 TB
+    * pick `nBlocks` so one block fits a task's memory (replication
+    * factor and task count are both O(nBlocks)); LSH stays the
+    * sub-quadratic scale path — this is the exact baseline.
+    * Arithmetic is bit-identical to the declarative form: sequential
+    * double fold for dot/norm, HALF_UP rounding applied only to
+    * near-threshold candidates. */
+  def cosinePairsAboveBlocked(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blocks = df
+      .select((col(idCol).cast("long") % nBlocks).cast("int").as("b"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .groupBy("b")
+      .agg(collect_list(struct(col("id"), col("v"))).as("rows"))
+    val pairs = blocks.toDF("bx", "xs")
+      .join(blocks.toDF("by", "ys"), col("bx") <= col("by"))
+      .repartition(col("bx"), col("by")) // one block pair per task
+      .as[(Int, Seq[(Long, Array[Float])], Int, Seq[(Long, Array[Float])])]
+    val margin = threshold - 5e-7 // below this, rounding can't reach it
+    pairs.flatMap { case (bx, xsRaw, by, ysRaw) =>
+      def norm(v: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+        math.sqrt(s)
+      }
+      val xs = xsRaw.toArray
+      val ys = if (bx == by) xs else ysRaw.toArray
+      val nxs = xs.map(r => norm(r._2))
+      val nys = if (bx == by) nxs else ys.map(r => norm(r._2))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val sameBlock = bx == by
+      var i = 0
+      while (i < xs.length) {
+        val (idX, vx) = xs(i)
+        var j = 0
+        while (j < ys.length) {
+          val (idY, vy) = ys(j)
+          // same block: each unordered pair appears at (i,j) and (j,i) —
+          // keep only idX < idY. Cross block: the pair appears exactly
+          // once, in whatever order — emit it as (min, max).
+          if (if (sameBlock) idX < idY else idX != idY) {
+            var s = 0.0; var p = 0
+            val n = math.min(vx.length, vy.length)
+            while (p < n) { s += vx(p).toDouble * vy(p).toDouble; p += 1 }
+            val sim = s / (nxs(i) * nys(j))
+            if (sim >= margin) {
+              val rounded = java.math.BigDecimal.valueOf(sim)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (rounded >= threshold)
+                out += (if (idX < idY) (idX, idY, rounded)
+                        else (idY, idX, rounded))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("id_a", "id_b", "sim")
+  }
+
   /** Per-label centroids: mean of each vector component. Shuffles once on
     * (label, pos) after a posexplode — partial aggregation collapses each
     * partition to at most |labels|·dim rows before the exchange. */

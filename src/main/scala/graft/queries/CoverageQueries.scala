@@ -343,11 +343,17 @@ object CoverageQueries {
         FROM events""")),
 
     // ===== ApproximateQuantiles / TDigestQuantiles (sketching ext):
-    // approximate values are engine-specific → rows-only check.
+    // approximate values are engine-specific → rows-only check. Scalar
+    // columns (not one array column) so the driver's checker can sort
+    // and hash the frame.
     Q("agg_approx_quantiles",
       (s, d) => li(s, d).groupBy("l_linestatus")
         .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
-          .as("approx_q")),
+          .as("aq"))
+        .select(col("l_linestatus"),
+          element_at(col("aq"), 1).as("q25"),
+          element_at(col("aq"), 2).as("q50"),
+          element_at(col("aq"), 3).as("q75")),
       None),
 
     // ===== HllCount.Init/Extract (extensions/zetasketch/HllCount.java):

@@ -200,15 +200,21 @@ object PipelineQueries {
     // tiny — broadcast back over the exploded terms.
     Q("text_vocab_ids",
       (s, d) => {
+        import s.implicits._
         val terms = docs(s, d).select(col("doc_id"),
           explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("term").asc)
-        val vocab = terms.groupBy("term").agg(count(lit(1)).as("n"))
-          .withColumn("vocab_id", (row_number().over(w) - 1).cast("long"))
-          .filter(col("vocab_id") < 20)
-          .select("term", "vocab_id")
-        terms.join(broadcast(vocab), Seq("term"), "left")
+        // The top-K vocabulary is a FIT ARTIFACT: `orderBy.limit(K)`
+        // compiles to TakeOrderedAndProject (per-partition top-K heaps,
+        // K rows to the driver) — never a global un-partitioned window
+        // over all distinct terms. Ranks are assigned on the K-row
+        // artifact and broadcast back.
+        val topK = terms.groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term").asc).limit(20)
+          .select("term").as[String].collect()
+        val vocab = broadcast(
+          topK.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+            .toSeq.toDF("term", "vocab_id"))
+        terms.join(vocab, Seq("term"), "left")
           .groupBy("doc_id", "term")
           .agg(coalesce(min("vocab_id"), lit(-1L)).as("vocab_id"),
             count(lit(1)).as("n"))

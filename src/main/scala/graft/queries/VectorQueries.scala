@@ -78,8 +78,11 @@ object VectorQueries {
     // Threshold 0.35 ≈ the top 0.1% of the data's pairwise-similarity
     // distribution (max observed 0.51), so the oracle compares a
     // non-empty result set and actually exercises the value path.
+    // Registered form is the distributed block kernel — no driver
+    // materialization anywhere in the plan (the single-node collect
+    // kernel remains available for ≤broadcast-size corpora).
     Q("dedup_embedding_cosine",
-      (s, d) => Similarity.cosinePairsAboveKernel(emb(s, d), "vec_id", "embedding",
+      (s, d) => Similarity.cosinePairsAboveBlocked(emb(s, d), "vec_id", "embedding",
         threshold = 0.35),
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim

@@ -119,9 +119,13 @@ object Stateful {
     */
   /** @param staleTimeoutMs when > 0, a processing-time timeout fires for
     *   keys with no arrivals for this long: permanently-gapped sequences
-    *   are force-flushed in order (skipping the gap) and the key's state
-    *   is dropped — bounding the state store for quiescent keys, like
-    *   Beam's ordered-processing status/TTL handling. <= 0 keeps state
+    *   are force-flushed in order (skipping the gap), then a tombstone
+    *   (advanced nextSeq, empty buffer) holds for one more timeout
+    *   period so late duplicates of flushed seqs still drop; a second
+    *   idle timeout drops the state entirely — bounding the store for
+    *   quiescent keys, like Beam's ordered-processing status/TTL
+    *   handling. Exactly-once dedup of emitted seqs therefore holds
+    *   until one full idle timeout beyond the flush. <= 0 keeps state
     *   forever (batch, or callers managing lifecycle themselves). */
   def processInOrder[K: Encoder, V: Encoder](
       ds: Dataset[(K, Long, V)],
@@ -137,10 +141,21 @@ object Stateful {
         state: GroupState[(Long, Map[Long, V])]): Iterator[(K, Long, V)] = {
       if (rows.isEmpty && state.hasTimedOut) {
         // stale key: flush whatever is buffered, in sequence order
-        // (acknowledging the gap will never fill), then drop the state.
-        val (_, pending) = state.getOption.getOrElse((0L, Map.empty[Long, V]))
-        state.remove()
-        pending.toSeq.sortBy(_._1).iterator.map { case (seq, v) => (key, seq, v) }
+        // (acknowledging the gap will never fill). A TOMBSTONE — the
+        // advanced nextSeq with an empty buffer — survives one more
+        // timeout period, so duplicates of already-emitted or
+        // force-flushed sequence numbers still drop after the flush;
+        // only a second fully-idle timeout removes the key's state.
+        val (nextSeq, pending) = state.getOption.getOrElse((0L, Map.empty[Long, V]))
+        if (pending.isEmpty) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val flushed = pending.toSeq.sortBy(_._1)
+          state.update((flushed.last._1 + 1, Map.empty[Long, V]))
+          state.setTimeoutDuration(staleTimeoutMs)
+          flushed.iterator.map { case (seq, v) => (key, seq, v) }
+        }
       } else {
         var (nextSeq, pending) = state.getOption.getOrElse((0L, Map.empty[Long, V]))
         val out = scala.collection.mutable.ArrayBuffer[(K, Long, V)]()

@@ -36,38 +36,52 @@ object StatefulV2 {
 
     @transient private var buf: ListState[V] = _
     @transient private var cnt: ValueState[Long] = _
+    @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
       cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        TTLConfig.NONE)
     }
 
     override def handleInputRows(key: K, rows: Iterator[(K, V)],
         timers: TimerValues): Iterator[(K, Seq[V])] = {
       val out = scala.collection.mutable.ArrayBuffer[(K, Seq[V])]()
       var n = if (cnt.exists()) cnt.get() else 0L
-      val hadPending = n > 0
+      var sizeFlushed = false
       rows.foreach { case (_, v) =>
         buf.appendValue(v)
         n += 1
         if (n >= maxSize) {
           out += ((key, buf.get().toSeq))
           buf.clear(); n = 0
+          sizeFlushed = true
         }
       }
       cnt.update(n)
-      // arm a flush timer for the remainder (one per key; re-armed per
-      // batch like Beam's bufferingTimer.offset().setRelative())
-      if (n > 0 && !hadPending && flushTimeoutMs > 0)
-        getHandle.registerTimer(
-          timers.getCurrentProcessingTimeInMs() + flushTimeoutMs)
+      // Beam's bufferingTimer contract: the timer covers the CURRENT
+      // remainder. Clear + re-arm whenever a flush emptied the buffer
+      // (a stale timer would otherwise fire early for rows buffered
+      // after a size flush); drop it when nothing is pending.
+      if (flushTimeoutMs > 0) {
+        val hadTimer = armed.exists()
+        if (n == 0) {
+          if (hadTimer) { getHandle.deleteTimer(armed.get()); armed.clear() }
+        } else if (sizeFlushed || !hadTimer) {
+          if (hadTimer) getHandle.deleteTimer(armed.get())
+          val at = timers.getCurrentProcessingTimeInMs() + flushTimeoutMs
+          getHandle.registerTimer(at)
+          armed.update(at)
+        }
+      }
       out.iterator
     }
 
     override def handleExpiredTimer(key: K, timers: TimerValues,
         timer: ExpiredTimerInfo): Iterator[(K, Seq[V])] = {
       val pending = buf.get().toSeq
-      buf.clear(); cnt.clear()
+      buf.clear(); cnt.clear(); armed.clear()
       if (pending.nonEmpty) Iterator((key, pending)) else Iterator.empty
     }
   }

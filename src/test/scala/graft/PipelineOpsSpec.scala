@@ -163,6 +163,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("cosinePairsAboveBlocked == declarative cosinePairsAbove") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = Similarity.cosinePairsAbove(emb, "vec_id", "embedding", 0.3)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.cosinePairsAboveBlocked(emb, "vec_id", "embedding", 0.3,
+      nBlocks = 5)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("operators handle empty inputs without failure") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.operators.Dedup.minHashCandidates(
