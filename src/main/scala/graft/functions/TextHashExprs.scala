@@ -26,18 +26,25 @@ import org.apache.spark.sql.types._
   * instead because the runner can't (Beam has no codegen layer).
   */
 private[graft] object TextHash {
-  /** First 15 hex chars of md5 as a long ≡
-    * conv(substr(md5(s),1,15),16,10): big-endian first 8 bytes,
-    * unsigned-shifted 4 (drops the 16th nibble). */
-  def md5Long60(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+  /** First 16 hex chars of md5 as a SIGNED 64-bit long: big-endian
+    * first 8 digest bytes. The oracle reconstructs any bit b as
+    * `b >= 4 ? (h60 >> (b-4)) & 1 : (nib16 >> b) & 1` where h60 is the
+    * 15-hex-char BIGINT and nib16 the 16th hex char (DuckDB's BIGINT
+    * cast cannot hold the full unsigned 64-bit value and its `<<` is
+    * overflow-checked, so the value is never assembled there). */
+  def md5Long64(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
     val d = md.digest(bytes)
-    val top =
-      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-    top >>> 4
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+    ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+    ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+    ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
+
+  /** First 15 hex chars of md5 as a long ≡
+    * conv(substr(md5(s),1,15),16,10): [[md5Long64]] unsigned-shifted 4
+    * (drops the 16th nibble). */
+  def md5Long60(md: java.security.MessageDigest, bytes: Array[Byte]): Long =
+    md5Long64(md, bytes) >>> 4
 }
 
 /** `minhash_sig(tokens, shingleSize, numHashes)` → array<long> of the
@@ -141,9 +148,14 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 /** `simhash(tokens, bits)` → long SimHash: per-bit majority vote of the
-  * 60-bit md5 token hashes (0 for an empty token list). */
+  * signed 64-bit md5 token hashes (0 for an empty token list).
+  * `bits` up to 64 — 64-bit hashes banded into 16-bit slices keep
+  * band-bucket cardinality at 65536 per band, the parameterization
+  * that survives 10^9-document corpora (8-bit slices collapse into
+  * quadratic buckets). */
 case class SimHash(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 64, s"simhash bits must be in [1,64], got $bits")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -160,7 +172,7 @@ case class SimHash(child: Expression, bits: Int)
     val votes = new Array[Long](bits)
     var i = 0
     while (i < toks.numElements()) {
-      val h = TextHash.md5Long60(md, toks.getUTF8String(i).getBytes)
+      val h = TextHash.md5Long64(md, toks.getUTF8String(i).getBytes)
       var b = 0
       while (b < bits) {
         votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)

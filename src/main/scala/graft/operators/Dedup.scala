@@ -116,12 +116,12 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** SimHash over whitespace tokens using `bits` bits of the portable
-    * hash. Per-bit majority vote of token hashes; one narrow projection
-    * through the compiled [[graft.functions.SimHash]] loop. Caller must
-    * have a session with GraftFunctions registered (any graft operator
-    * entry point does this). */
-  def simHash(text: Column, bits: Int = 16): Column =
+  /** SimHash over whitespace tokens using `bits` bits (≤ 64) of the
+    * signed 64-bit md5 token hash. Per-bit majority vote; one narrow
+    * projection through the compiled [[graft.functions.SimHash]] loop.
+    * Caller must have a session with GraftFunctions registered (any
+    * graft operator entry point does this). */
+  def simHash(text: Column, bits: Int = 64): Column =
     call_function("simhash", TextAnalysis.tokens(text), lit(bits))
 
   /** SimHash near-duplicate pairs within a Hamming-distance radius,
@@ -130,22 +130,41 @@ object Dedup {
     * `maxHamming` < `bands` must agree on at least one whole band —
     * so candidate generation is an equi-join on (band, slice value),
     * never the O(n²) pair space. Exact Hamming filter afterwards.
-    * Requires maxHamming < bands for completeness (no missed pairs). */
+    * Requires maxHamming < bands for completeness (no missed pairs).
+    *
+    * Defaults (64-bit hash, 4 bands) give 16-bit slices — 65536 bucket
+    * values per band, the cardinality that keeps within-bucket joins
+    * tractable at 10^9 documents (8-bit slices collapse to 256 buckets
+    * and go quadratic).
+    *
+    * @param maxBucket when > 0, drop band buckets holding more than
+    *   this many docs before the self-join — a deliberate recall trade:
+    *   a pathological bucket (e.g. every empty doc hashing to 0) would
+    *   otherwise do |bucket|² work. Capped buckets can only MISS pairs,
+    *   never invent them; 0 keeps exact pigeonhole completeness. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Long = 0L): DataFrame = {
     require(maxHamming < bands,
       "pigeonhole completeness needs maxHamming < bands")
     require(bits % bands == 0)
     graft.functions.GraftFunctions.register(df.sparkSession)
     val sliceBits = bits / bands
-    val mask = (1L << sliceBits) - 1
+    val mask = if (sliceBits == 64) -1L else (1L << sliceBits) - 1
     val h = df.select(col(idCol).as("id"), simHash(col(textCol), bits).as("sh"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * sliceBits).bitwiseAND(mask).as("bv"))
     }
-    val banded = h.select(col("id"), col("sh"),
+    val banded0 = h.select(col("id"), col("sh"),
       explode(array(bandCols: _*)).as("bb"))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        val w = Window.partitionBy(col("bb"))
+        banded0.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      }
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.bb") === col("b.bb") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -213,8 +213,9 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))
 
   /** Deterministic ±1 hyperplane weights for SRP-LSH, derived from md5
-    * at PLAN time (JVM) — the per-row path is pure arithmetic. */
-  private def srpWeights(bits: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
+    * at PLAN time (JVM) — the per-row path is pure arithmetic. Shared
+    * with the compiled [[graft.functions.SrpBuckets]] kernel. */
+  private[graft] def srpWeights(bits: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def parity(s: String): Double = {
       val d = md.digest(s.getBytes("UTF-8"))
@@ -295,20 +296,40 @@ object Similarity {
       .drop("rk")
   }
 
-  /** ANN top-k via SRP-LSH: join query and corpus rows sharing a bucket,
-    * rank by exact cosine within candidates. Recall < 1 by construction;
-    * scale path for corpus × corpus search where brute force is O(n²). */
+  /** ANN top-k via banded multi-table SRP-LSH: each row hashes into
+    * `tables` independent `bits`-bit sign-random-projection buckets
+    * (one compiled [[graft.functions.SrpBuckets]] dispatch per row);
+    * query and corpus rows sharing a (table, bucket) cell become
+    * candidates — an equi-join, never O(n²) — then candidates are
+    * ranked by exact cosine.
+    *
+    * OR-amplification across tables is the classic recall knob: more
+    * `bits` → smaller (scale-safe) buckets and lower per-table recall;
+    * more `tables` → recall back up at linear cost. Size
+    * `bits ≈ log2(n / target_bucket_size)` — 16 bits gives 65536
+    * buckets per table, the shape that holds at 10^9 rows, where a
+    * single low-bit table (e.g. 4 bits = 16 buckets) goes quadratic.
+    * Candidate (query, match) pairs deduplicate across tables BEFORE
+    * scoring, so each survivor costs one vec_dot. */
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 16, dim: Int = 64,
+      tables: Int = 4, seed: Int = 7): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
+    def buckets(vec: Column): Column =
+      call_function("srp_buckets", vec, lit(bits), lit(dim), lit(tables), lit(seed))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"),
-      srpBucket(col(vecCol), bits, dim).as("bucket"))
-    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
-      l2Norm(col(vecCol)).as("cn"),
-      srpBucket(col(vecCol), bits, dim).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
+      posexplode(buckets(col(vecCol))).as(Seq("table", "bucket")))
+    val c = corpus.select(col(idCol).as("match_id"),
+      posexplode(buckets(col(vecCol))).as(Seq("table", "bucket")))
+    val cand = q.select("query_id", "table", "bucket")
+      .join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("match_id"))
+      .select("query_id", "match_id").distinct()
+    val qVecs = broadcast(q.select("query_id", "qv", "qn").distinct())
+    val cVecs = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val scored = cand.join(qVecs, "query_id").join(cVecs, "match_id")
       .select(col("query_id"), col("match_id"),
         round(call_function("vec_dot", col("qv"), col("cv"))
           / (col("qn") * col("cn")), 6).as("sim"))

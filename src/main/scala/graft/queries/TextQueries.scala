@@ -22,23 +22,33 @@ object TextQueries {
 
   /** Shared DuckDB CTE body producing sh(doc_id, simhash) — the
     * `bits`-wide SimHash replicated bit-for-bit (used by text_simhash
-    * at 16 bits and dedup_simhash_pairs at 32). */
+    * at 16 bits and dedup_simhash_pairs at 64). The token hash is the
+    * SIGNED 64-bit value of md5's first 8 bytes; DuckDB's BIGINT can't
+    * hold the unsigned form and `<<` is overflow-checked, so bit b is
+    * read from the 15-hex-char prefix / 16th nibble split and bit 63
+    * contributes the negative two's-complement constant via HUGEINT. */
   private def simhashCtes(bits: Int) =
     s"""tk AS (
           SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
           FROM documents WHERE length(trim(text)) > 0
         ), h AS (
-          SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+          SELECT doc_id,
+            CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h60,
+            CAST('0x' || substr(md5(tok), 16, 1) AS BIGINT) AS nib
           FROM tk
         ), v AS (
           SELECT doc_id, b.bit,
-            sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            sum(CASE WHEN (CASE WHEN b.bit >= 4 THEN h60 >> (b.bit - 4)
+                                ELSE nib >> b.bit END) & 1 = 1
+                THEN 1 ELSE -1 END) AS vote
           FROM h CROSS JOIN (SELECT unnest(generate_series(0, ${bits - 1})) AS bit) b
           GROUP BY 1, 2
         ), sh AS (
           SELECT d.doc_id,
-            CAST(coalesce(sum(CASE WHEN v.vote > 0
-              THEN CAST(1 AS BIGINT) << v.bit ELSE 0 END), 0) AS BIGINT) AS simhash
+            CAST(coalesce(sum(CASE WHEN v.vote > 0 THEN
+              CASE WHEN v.bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                   ELSE CAST(CAST(1 AS BIGINT) << v.bit AS HUGEINT) END
+              ELSE 0 END), 0) AS BIGINT) AS simhash
           FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
           GROUP BY d.doc_id)"""
 
@@ -116,12 +126,14 @@ object TextQueries {
 
     // SimHash near-dup pairs within Hamming distance 3, banded (by
     // pigeonhole, hamming<=3 over 4 bands forces one identical band —
-    // candidate generation is an equi-join, never O(n²)). 32-bit hash
-    // for pair discrimination; oracle is the brute-force pairwise scan.
+    // candidate generation is an equi-join, never O(n²)). 64-bit hash
+    // → 16-bit band slices: 65536 bucket values per band, the
+    // cardinality that holds up at corpus scale. Oracle is the
+    // brute-force pairwise scan.
     Q("dedup_simhash_pairs",
       (s, d) => Dedup.simHashPairs(docs(s, d), "doc_id", "text",
-        bits = 32, bands = 4, maxHamming = 3),
-      Some(s"""WITH ${simhashCtes(32)}
+        bits = 64, bands = 4, maxHamming = 3),
+      Some(s"""WITH ${simhashCtes(64)}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -89,12 +89,18 @@ object VectorQueries {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.35""")),
 
-    // SRP-LSH approximate top-k: recall < 1 by construction (bucketed
-    // equi-join candidate generation) → rows-only check.
+    // Banded multi-table SRP-LSH approximate top-k: candidate
+    // generation is an equi-join on (table, bucket) — never O(n²).
+    // 8 bits × 8 tables here (bucket count sized to this corpus's
+    // ~10³ near-orthogonal vectors; at 10⁹ rows raise bits to
+    // ~log2(n/bucket_target) and add tables to recover recall — the
+    // recall@1 spec in VectorSpec demonstrates 16-bit × 4 tables on
+    // planted near-duplicates). Recall < 1 by construction →
+    // rows-only check.
     Q("vec_ann_lsh",
       (s, d) => Similarity.lshCosineTopK(
         emb(s, d).filter(col("vec_id") % 100 === 0), emb(s, d),
-        "vec_id", "embedding", k = 5, bits = 4, dim = 64),
+        "vec_id", "embedding", k = 5, bits = 8, dim = 64, tables = 8),
       None),
 
     // IVF ANN: coarse-quantizer cells + multi-probe — the other scale

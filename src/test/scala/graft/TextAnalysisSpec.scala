@@ -75,6 +75,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
   }
 
+  test("64-bit simhash band slices do not collapse (bucket cardinality)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val bits = 64; val bands = 4; val sliceBits = bits / bands
+    val mask = (1L << sliceBits) - 1
+    val h = docs.select(Dedup.simHash(col("text"), bits).as("sh"))
+    val nHashes = h.select(countDistinct("sh")).as[Long].head()
+    // each 16-bit band slice must retain most of the hash diversity —
+    // the anti-collapse property 8-bit slices (256 values) lacked
+    (0 until bands).foreach { b =>
+      val nSlices = h.select(countDistinct(
+        shiftright(col("sh"), b * sliceBits).bitwiseAND(mask))).as[Long].head()
+      assert(nSlices.toDouble >= 0.5 * nHashes,
+        s"band $b: $nSlices distinct slices vs $nHashes distinct hashes")
+    }
+  }
+
   test("minHashCandidates surfaces duplicate docs as a pair") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

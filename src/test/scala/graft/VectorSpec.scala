@@ -82,12 +82,54 @@ class VectorSpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
     val lsh = Similarity.lshCosineTopK(queries, emb, "vec_id", "embedding",
-      k = 5, bits = 4, dim = 64)
+      k = 5, bits = 8, dim = 64, tables = 8)
     // recall<1 by construction; contract: at most k matches per query,
     // none matching itself
     val over = lsh.groupBy("query_id").count().filter(col("count") > 5).count()
     assert(over == 0)
     assert(lsh.filter(col("query_id") === col("match_id")).count() == 0)
     assert(lsh.count() > 0)
+  }
+
+  test("srp_buckets compiled kernel agrees with declarative srpBucket") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(100)
+    // table t of the compiled kernel uses seed seed+t — compare each
+    // against the declarative single-table form
+    val tables = 3
+    val rows = emb.select(
+      call_function("srp_buckets", col("embedding"),
+        lit(8), lit(64), lit(tables), lit(7)).as("compiled"),
+      array((0 until tables).map(t =>
+        Similarity.srpBucket(col("embedding"), bits = 8, dim = 64,
+          seed = 7 + t)): _*).as("declarative"))
+    val mismatches = rows
+      .filter(col("compiled") =!= col("declarative")).count()
+    assert(mismatches == 0)
+  }
+
+  /** Deterministic pseudo-random double in [-0.5, 0.5] from md5. */
+  private def r(tag: String): Float = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8"))
+    val v = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+    (v.toDouble / 0xffffff - 0.5).toFloat
+  }
+
+  test("lshCosineTopK recall@1 >= 0.8 on planted near-duplicates") {
+    val dim = 64
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => r(s"b:$i:$j")))
+    }
+    val probes = (0 until 20).map { i =>
+      (1000L + i, Array.tabulate(dim)(j =>
+        base(i)._2(j) + 0.02f * r(s"p:$i:$j")))
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    val queries = probes.toDF("vec_id", "embedding")
+    val got = Similarity.lshCosineTopK(queries, corpus, "vec_id", "embedding",
+      k = 1, bits = 16, dim = dim, tables = 4)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 20).count(i => got.get(1000L + i).contains(i.toLong))
+    assert(hits >= 16, s"recall@1 = $hits/20 — LSH parameterization lost recall")
   }
 }
