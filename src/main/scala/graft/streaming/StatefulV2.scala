@@ -186,4 +186,142 @@ object StatefulV2 {
     ds.groupByKey(_._1).transformWithState(
       new EventTimeGapFlushProcessor[K, V](gapMs),
       TimeMode.EventTime(), OutputMode.Append())
+
+  /** One fired pane of [[TriggeredWindowProcessor]]:
+    * (key, windowStart, paneIndex, timing, isFinal, values). Timing ∈
+    * EARLY / ON_TIME / LATE — Beam's PaneInfo.Timing
+    * (windowing/PaneInfo.java:45); paneIndex increments per firing of
+    * the same window; isFinal marks the window-closing (GC) pane. */
+  type Pane[K, V] = (K, Long, Long, String, Boolean, Seq[V])
+
+  /** Beam's trigger/pane state machine — a reduced ReduceFnRunner
+    * (runners/core-java/.../ReduceFnRunner.java:97) for fixed windows
+    * with the canonical compound trigger
+    * `AfterWatermark.pastEndOfWindow()                    // AfterWatermark.java:60
+    *    .withEarlyFirings(AfterPane.elementCountAtLeast(earlyFireEvery))
+    *    .withLateFirings(AfterPane.elementCountAtLeast(lateFireEvery))`
+    * (AfterPane.java:33), in either accumulation mode:
+    *
+    *  - EARLY panes: before the watermark passes the window end, every
+    *    `earlyFireEvery` buffered elements fire a pane (0 = no early
+    *    firings — the pure default trigger).
+    *  - ON_TIME pane: fired exactly once when the (conceptual) Beam
+    *    watermark passes the window end; fired even if no new elements
+    *    arrived since the last early pane (Beam's default
+    *    OnTimeBehavior.FIRE_ALWAYS).
+    *  - LATE panes: elements arriving after the on-time firing but
+    *    within `allowedLatenessMs` fire every `lateFireEvery` elements.
+    *  - At window end + allowed lateness the window is CLOSED: a final
+    *    pane (isFinal=true) flushes any unfired remainder and state is
+    *    GC'd — ReduceFnRunner's onGarbageCollection.
+    *  - `accumulating=true` ⇒ each pane carries ALL window values so
+    *    far (Beam accumulatingFiredPanes); false ⇒ only values since
+    *    the previous pane (discardingFiredPanes).
+    *
+    * Watermark mapping: Spark has ONE watermark (max event − delay),
+    * Beam two concepts (watermark + allowed lateness beyond it). The
+    * caller MUST set the upstream watermark delay to `allowedLatenessMs`
+    * (`.withWatermark(ts, s"$allowedLatenessMs milliseconds")`); the
+    * conceptual Beam watermark is then Spark's + allowedLateness, so
+    * the on-time timer arms at (windowEnd − allowedLateness) and the GC
+    * timer at windowEnd in Spark's domain. Spark drops rows below its
+    * watermark by ELEMENT time where Beam drops by WINDOW end — rows
+    * early in their window arriving near the lateness horizon can be
+    * dropped slightly sooner than Beam would; same bounded-staleness
+    * contract, documented difference. */
+  class TriggeredWindowProcessor[K, V](windowMs: Long, allowedLatenessMs: Long,
+      earlyFireEvery: Int, lateFireEvery: Int, accumulating: Boolean)(
+      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)])
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
+    require(windowMs > 0 && allowedLatenessMs >= 0 && lateFireEvery >= 1)
+
+    // per-window pane state: (buffer, countSinceLastFire, paneIndex,
+    // onTimeFired) — buffer holds the whole window when accumulating,
+    // else only values since the previous pane
+    @transient private var windows: MapState[Long, (Seq[V], Long, Long, Boolean)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      windows = getHandle.getMapState[Long, (Seq[V], Long, Long, Boolean)](
+        "windows", Encoders.scalaLong, stEnc, TTLConfig.NONE)
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, V)],
+        timers: TimerValues): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
+      val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      rows.foreach { case (_, ts, v) =>
+        val w = Math.floorDiv(ts.getTime, windowMs) * windowMs
+        val opening = !windows.containsKey(w)
+        if (opening) {
+          // arm the window's timers once, in Spark-watermark domain
+          getHandle.registerTimer(w + windowMs - allowedLatenessMs) // on-time
+          if (allowedLatenessMs > 0)
+            getHandle.registerTimer(w + windowMs) // GC / window close
+        }
+        var (buf, since, pane, fired) =
+          if (opening) (Seq.empty[V], 0L, 0L, false) else windows.getValue(w)
+        buf :+= v
+        since += 1
+        val fireEvery = if (fired) lateFireEvery.toLong
+                        else if (earlyFireEvery > 0) earlyFireEvery.toLong
+                        else Long.MaxValue
+        if (since >= fireEvery) {
+          out += ((key, w, pane, if (fired) "LATE" else "EARLY", false, buf))
+          pane += 1; since = 0
+          if (!accumulating) buf = Seq.empty
+        }
+        windows.updateValue(w, (buf, since, pane, fired))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
+      val expiry = timer.getExpiryTimeInMs()
+      val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      // map the expiry back to its window(s); open windows per key are
+      // few (bounded by lateness horizon / window size)
+      val openWindows = {
+        val it = windows.keys(); val b = scala.collection.mutable.ArrayBuffer[Long]()
+        while (it.hasNext) b += it.next()
+        b.sorted
+      }
+      openWindows.foreach { w =>
+        // on-time firing: conceptual watermark passed the window end
+        if (w + windowMs - allowedLatenessMs == expiry) {
+          val (buf, _, pane, fired) = windows.getValue(w)
+          if (!fired) {
+            val closing = allowedLatenessMs == 0
+            out += ((key, w, pane, "ON_TIME", closing, buf))
+            windows.updateValue(w,
+              (if (accumulating) buf else Seq.empty, 0L, pane + 1, true))
+          }
+        }
+        // window close + GC: lateness horizon passed
+        if (w + windowMs == expiry) {
+          val (buf, since, pane, fired) = windows.getValue(w)
+          if (allowedLatenessMs == 0 && !fired) {
+            // single-timer case already handled above as closing ON_TIME
+          } else if (since > 0) {
+            out += ((key, w, pane, if (fired) "LATE" else "ON_TIME", true, buf))
+          }
+          windows.removeKey(w)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Fixed windows with Beam's early/on-time/late trigger panes — see
+    * [[TriggeredWindowProcessor]]. `ds` must carry
+    * `.withWatermark(tsCol, s"$allowedLatenessMs milliseconds")`. */
+  def triggeredWindows[K: Encoder, V: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, V)], windowMs: Long,
+      allowedLatenessMs: Long = 0L, earlyFireEvery: Int = 0,
+      lateFireEvery: Int = 1, accumulating: Boolean = false)(
+      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)],
+      outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new TriggeredWindowProcessor[K, V](windowMs, allowedLatenessMs,
+        earlyFireEvery, lateFireEvery, accumulating),
+      TimeMode.EventTime(), OutputMode.Append())
 }

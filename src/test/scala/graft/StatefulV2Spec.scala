@@ -130,6 +130,107 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  // ---- Trigger/pane semantics (Beam ReduceFnRunner scenarios, cf.
+  // testing/TestStream.java:125-212) ----
+
+  private def t(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+
+  test("triggered windows: early firing every 2 elements, discarding, then on-time pane") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.triggeredWindows(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 10000L, allowedLatenessMs = 0L, earlyFireEvery = 2,
+        accumulating = false)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "c"))
+      q.processAllAvailable()
+      // early pane fired on the 2nd element, before any watermark motion
+      mem.addData((9L, t(50), "wm")) // watermark past window end → on-time
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "wm2")) // deliver the firing
+      q.processAllAvailable()
+      awaitSink(table) {
+        spark.table(table).filter("_1 = 1").count() == 2
+      }
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._3, p._4, p._5, p._6)).toSeq
+      assert(got == Seq(
+        (0L, "EARLY", false, Seq("a", "b")),
+        (1L, "ON_TIME", true, Seq("c"))), s"got $got")
+      q.stop()
+    }
+  }
+
+  test("triggered windows: accumulating panes carry the whole window so far") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.triggeredWindows(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 10000L, allowedLatenessMs = 0L, earlyFireEvery = 2,
+        accumulating = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "c"))
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 2)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._3, p._4, p._6)).toSeq
+      assert(got == Seq(
+        (0L, "EARLY", Seq("a", "b")),
+        (1L, "ON_TIME", Seq("a", "b", "c"))), s"got $got")
+      q.stop()
+    }
+  }
+
+  test("triggered windows: late element within allowed lateness fires a LATE pane") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // allowedLateness 5s ⇒ watermark delay 5s; window [10:00:00, 10:00:10)
+      val panes = StatefulV2.triggeredWindows(
+        mem.toDS().withWatermark("_2", "5000 milliseconds"),
+        windowMs = 10000L, allowedLatenessMs = 5000L, earlyFireEvery = 0,
+        lateFireEvery = 1, accumulating = false)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(3), "b"))
+      q.processAllAvailable()
+      // sentinel to 10:00:12 → spark wm 10:00:07 ≥ on-time expiry 10:00:05
+      // (= window end − lateness): conceptual Beam watermark passed end
+      mem.addData((9L, t(12), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, t(13), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 1)
+      // late element at 10:00:09 — above spark wm (10:00:08 after the
+      // second sentinel), within the window's lateness horizon → LATE
+      mem.addData((1L, t(9), "late"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 2)
+      // push past window end + lateness → GC (no further panes: the
+      // late pane already flushed)
+      mem.addData((9L, t(30), "wm3"))
+      q.processAllAvailable()
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._3, p._4, p._6)).toSeq
+      assert(got == Seq(
+        (0L, "ON_TIME", Seq("a", "b")),
+        (1L, "LATE", Seq("late"))), s"got $got")
+      q.stop()
+    }
+  }
+
   test("dedupWithTtl drops repeated ids per key within the horizon") {
     withRocksDb {
       val mem = MemoryStream[(Long, Long, String)]
