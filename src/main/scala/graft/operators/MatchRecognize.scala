@@ -22,17 +22,73 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * Semantics implemented (the MATCH_RECOGNIZE core):
   *  - quantifiers `{min,max}` per step (greedy, with backtracking — a
   *    step prefers the longest run that still lets the remainder match);
+  *  - CORRELATED DEFINE conditions ([[CtxStep]]): predicates see the
+  *    match-so-far through [[MatchCtx]] — `PREV(n)` physical-row
+  *    navigation plus `FIRST`/`LAST`/`COUNT` per pattern variable
+  *    (Beam compiles these via impl/cep/CEPOperation into the NFA's
+  *    `PREV`/`FIRST`/`LAST` row navigation, impl/nfa/NFA.java:55);
+  *  - ALTERNATION ([[Alt]]): `(A | B)` sub-patterns, leftmost branch
+  *    preferred (SQL alternation order);
   *  - AFTER MATCH SKIP PAST LAST ROW (matches never overlap);
   *  - unmatched rows are skipped one at a time (match start slides).
   */
 object MatchRecognize {
+
+  /** A pattern element: a quantified step, a context-aware step, or an
+    * alternation of sub-patterns. */
+  sealed trait Elem[T]
 
   /** One quantified pattern step: matches `pred`-satisfying rows
     * between `min` and `max` times (greedy). `Step("A", p)` ≡ `A`,
     * `Step("A", p, 1, Int.MaxValue)` ≡ `A+`, `(0, MaxValue)` ≡ `A*`,
     * `(0, 1)` ≡ `A?`. */
   final case class Step[T](name: String, pred: T => Boolean,
-      min: Int = 1, max: Int = 1)
+      min: Int = 1, max: Int = 1) extends Elem[T]
+
+  /** A quantified step whose DEFINE condition sees the match-so-far —
+    * SQL conditions like `B.value < PREV(B.value)` become
+    * `CtxStep("B", (t, ctx) => ctx.prev().exists(p => t.value < p.value))`. */
+  final case class CtxStep[T](name: String, pred: (T, MatchCtx[T]) => Boolean,
+      min: Int = 1, max: Int = 1) extends Elem[T]
+
+  /** Alternation `(branch₁ | branch₂ | …)`: each branch is a full
+    * sub-pattern; branches try in declared order (leftmost preferred). */
+  final case class Alt[T](branches: Seq[Elem[T]]*) extends Elem[T]
+
+  /** Navigation over the match-so-far, passed to [[CtxStep]] predicates
+    * evaluated at (0-based) partition index `posIdx`. Mirrors the SQL
+    * DEFINE navigation ops: PREV/NEXT are PHYSICAL partition rows;
+    * FIRST/LAST navigate a variable's matched rows. */
+  final class MatchCtx[T] private[MatchRecognize] (part: IndexedSeq[T],
+      val matchStartIdx: Int, val posIdx: Int,
+      assigned: List[(String, Int)]) {
+
+    /** SQL PREV(col, n): the n-th previous physical row of the
+      * partition (may precede the match start); None before row 0. */
+    def prev(n: Int = 1): Option[T] = {
+      val i = posIdx - n
+      if (i >= 0 && n >= 1) Some(part(i)) else None
+    }
+
+    /** SQL FIRST(X.col): the earliest row matched to variable `name`
+      * so far in this match attempt. */
+    def first(name: String): Option[T] = {
+      var res: Option[T] = None
+      var it = assigned
+      while (it.nonEmpty) {
+        if (it.head._1 == name) res = Some(part(it.head._2))
+        it = it.tail
+      }
+      res
+    }
+
+    /** SQL LAST(X.col): the most recent row matched to `name`. */
+    def last(name: String): Option[T] =
+      assigned.collectFirst { case (n, i) if n == name => part(i) }
+
+    /** SQL COUNT(X.*) over the match so far. */
+    def count(name: String): Int = assigned.count(_._1 == name)
+  }
 
   /** One complete match: the per-key ordinal (1-based, in row order) and
     * the rows captured by each step, in order. */
@@ -41,29 +97,57 @@ object MatchRecognize {
 
   /** Backtracking matcher over one key's sorted rows. Greedy: each
     * quantifier tries its longest feasible run first, backing off until
-    * the remaining steps match. Returns end-exclusive index on success. */
+    * the remaining pattern matches; alternation tries branches leftmost
+    * first. Variable→row assignments thread through as a prepend list
+    * so context predicates see the match-so-far. Returns end-exclusive
+    * index on success. */
   private def tryMatch[T](rows: IndexedSeq[T], start: Int,
-      steps: Seq[Step[T]]): Option[(Int, Map[String, Seq[T]])] = {
+      elems: Seq[Elem[T]]): Option[(Int, Map[String, Seq[T]])] = {
 
-    def go(pos: Int, si: Int,
-        acc: List[(String, Seq[T])]): Option[(Int, List[(String, Seq[T])])] = {
-      if (si == steps.length) Some((pos, acc))
-      else {
-        val st = steps(si)
-        // longest run of pred-rows available here, capped at max
-        var hi = pos
-        while (hi < rows.length && (hi - pos) < st.max && st.pred(rows(hi))) hi += 1
-        var take = hi - pos
-        var res: Option[(Int, List[(String, Seq[T])])] = None
-        while (res.isEmpty && take >= st.min) {
-          res = go(pos + take, si + 1, (st.name, rows.slice(pos, pos + take)) :: acc)
-          take -= 1
-        }
-        res
+    def go(pos: Int, rest: List[Elem[T]],
+        assigned: List[(String, Int)]): Option[(Int, List[(String, Int)])] =
+      rest match {
+        case Nil => Some((pos, assigned))
+        case (st: Step[T @unchecked]) :: tail =>
+          quant(pos, st.name, (t, _) => st.pred(t), st.min, st.max, tail, assigned)
+        case (cs: CtxStep[T @unchecked]) :: tail =>
+          quant(pos, cs.name, cs.pred, cs.min, cs.max, tail, assigned)
+        case (alt: Alt[T @unchecked]) :: tail =>
+          alt.branches.iterator
+            .map(branch => go(pos, branch.toList ::: tail, assigned))
+            .collectFirst { case Some(r) => r }
       }
+
+    def quant(pos: Int, name: String, pred: (T, MatchCtx[T]) => Boolean,
+        min: Int, max: Int, tail: List[Elem[T]],
+        assigned: List[(String, Int)]): Option[(Int, List[(String, Int)])] = {
+      // longest feasible greedy run; each extension sees assignments
+      // including the run's own earlier rows (a row's condition only
+      // depends on what precedes it, so truncating the run on backtrack
+      // cannot invalidate the kept prefix)
+      var runAssigned = assigned
+      var hi = pos
+      while (hi < rows.length && (hi - pos) < max &&
+          pred(rows(hi), new MatchCtx(rows, start, hi, runAssigned))) {
+        runAssigned = (name, hi) :: runAssigned
+        hi += 1
+      }
+      var take = hi - pos
+      var res: Option[(Int, List[(String, Int)])] = None
+      while (res.isEmpty && take >= min) {
+        var acc = assigned
+        var i = 0
+        while (i < take) { acc = (name, pos + i) :: acc; i += 1 }
+        res = go(pos + take, tail, acc)
+        take -= 1
+      }
+      res
     }
-    go(start, 0, Nil).map { case (end, acc) =>
-      (end, acc.reverse.groupBy(_._1).map { case (n, xs) => n -> xs.flatMap(_._2) })
+
+    go(start, elems.toList, Nil).map { case (end, assigned) =>
+      val ordered = assigned.reverse
+      (end, ordered.groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(x => rows(x._2)) })
     }
   }
 
@@ -72,7 +156,7 @@ object MatchRecognize {
     * the output of [[graft.streaming.StatefulV2.eventTimeGapFlush]]) to
     * get MATCH_RECOGNIZE over unbounded input, which is exactly Beam's
     * per-key-and-window NFA execution model. */
-  def matchRows[K, T, O](key: K, rows: IndexedSeq[T], steps: Seq[Step[T]])(
+  def matchRows[K, T, O](key: K, rows: IndexedSeq[T], steps: Seq[Elem[T]])(
       measure: Match[K, T] => O): Seq[O] = {
     val out = scala.collection.mutable.ArrayBuffer[O]()
     var pos = 0
@@ -101,7 +185,7 @@ object MatchRecognize {
   def matchRecognize[K: Encoder, T: Encoder, O: Encoder](
       ds: Dataset[T], key: T => K,
       sortCols: Seq[org.apache.spark.sql.Column],
-      steps: Seq[Step[T]])(measure: Match[K, T] => O): Dataset[O] = {
+      steps: Seq[Elem[T]])(measure: Match[K, T] => O): Dataset[O] = {
     ds.groupByKey(key).flatMapSortedGroups(sortCols: _*) {
       (k: K, it: Iterator[T]) =>
         matchRows(k, it.toIndexedSeq, steps)(measure).iterator

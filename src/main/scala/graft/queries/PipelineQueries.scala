@@ -13,6 +13,12 @@ final case class PmEvent(user_id: Long, event_id: Long, event_type: String,
 /** Output row: one per matched (view+ purchase) run. */
 final case class PmMatch(user_id: Long, match_id: Long, n_views: Long,
     purchase_event_id: Long)
+/** Input row for the correlated-condition MATCH_RECOGNIZE demo. */
+final case class DrEvent(user_id: Long, event_id: Long, ts_us: Long,
+    value: Double)
+/** Output row: one per maximal strictly-descending value run. */
+final case class DrMatch(user_id: Long, match_seq: Long, run_len: Long,
+    peak: Double, trough: Double)
 
 /** Training-data-pipeline coverage: count-min sketch frequencies,
   * batched model inference, multimodal binary plumbing, RAG chunking,
@@ -361,5 +367,55 @@ object PipelineQueries {
           event_id AS purchase_event_id
         FROM runs
         WHERE event_type = 'purchase' AND prior_views >= 1""")),
+
+    // ===== MATCH_RECOGNIZE with a CORRELATED DEFINE condition (the
+    // impl/cep/ CEPOperation surface): down-run detection
+    //   PATTERN (A B+)  DEFINE B AS B.value < PREV(B.value)
+    // i.e. maximal strictly-descending value runs per user, AFTER MATCH
+    // SKIP PAST LAST ROW. The oracle is the gaps-and-islands rewrite:
+    // descending islands of length >= 2 in (ts, event_id) order.
+    Q("pattern_down_run",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .as[DrEvent]
+        MatchRecognize.matchRecognize[Long, DrEvent, DrMatch](
+          events, _.user_id, Seq(col("ts_us"), col("event_id")),
+          Seq(
+            MatchRecognize.Step[DrEvent]("A", _ => true),
+            MatchRecognize.CtxStep[DrEvent]("B",
+              (t, ctx) => ctx.prev().exists(p => t.value < p.value),
+              min = 1, max = Int.MaxValue))
+        ) { m =>
+          DrMatch(m.key, m.matchSeq,
+            (m.captured("B").size + 1).toLong,
+            m.captured("A").head.value,
+            m.captured("B").last.value)
+        }.toDF()
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN value < lag(value) OVER
+              (PARTITION BY user_id ORDER BY rn)
+            THEN 0 ELSE 1 END AS brk
+          FROM ordered
+        ), grp AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS g
+          FROM marked
+        ), runs AS (
+          SELECT user_id, g, count(*) AS run_len, min(rn) AS head_rn,
+            arg_min(value, rn) AS peak, arg_max(value, rn) AS trough
+          FROM grp GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY head_rn)
+            AS BIGINT) AS match_seq,
+          CAST(run_len AS BIGINT) AS run_len, peak, trough
+        FROM runs""")),
   )
 }

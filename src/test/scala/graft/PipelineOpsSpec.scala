@@ -76,6 +76,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.isEmpty) // view and purchase are on different keys
   }
 
+  // ---- MatchRecognize: correlated conditions + alternation ----
+
+  test("matchRecognize: correlated PREV — down-runs A B+ with B < PREV(B)") {
+    // PATTERN (A B+) DEFINE B AS B.value < PREV(B.value)
+    val steps = Seq(
+      MatchRecognize.Step[Double]("A", _ => true),
+      MatchRecognize.CtxStep[Double]("B",
+        (t, ctx) => ctx.prev().exists(p => t < p), 1, Int.MaxValue))
+    val got = MatchRecognize.matchRows(1L,
+      IndexedSeq(5.0, 4.0, 3.0, 6.0, 2.0, 1.0), steps) { m =>
+      (m.captured("A").head, m.captured("B").last, m.captured("B").size)
+    }
+    assert(got == Seq((5.0, 3.0, 2), (6.0, 1.0, 2)))
+  }
+
+  test("matchRecognize: FIRST/LAST navigation — strictly increasing runs") {
+    // B extends while above the last matched B (falling back to A's row)
+    val steps = Seq(
+      MatchRecognize.Step[Double]("A", _ => true),
+      MatchRecognize.CtxStep[Double]("B",
+        (t, ctx) => ctx.last("B").orElse(ctx.first("A")).exists(b => t > b),
+        1, Int.MaxValue))
+    val got = MatchRecognize.matchRows(1L,
+      IndexedSeq(1.0, 2.0, 5.0, 4.0), steps) { m =>
+      (m.captured("A").head, m.captured("B"))
+    }
+    assert(got == Seq((1.0, Seq(2.0, 5.0))))
+  }
+
+  test("matchRecognize: alternation (A|B) — leftmost branch preferred") {
+    val alt = MatchRecognize.Alt[String](
+      Seq(MatchRecognize.Step[String]("A", _ == "view")),
+      Seq(MatchRecognize.Step[String]("B", _ == "click")))
+    val steps = Seq(alt, MatchRecognize.Step[String]("P", _ == "purchase"))
+    val viaA = MatchRecognize.matchRows(1L,
+      IndexedSeq("view", "purchase"), steps)(m => m.captured.keySet)
+    val viaB = MatchRecognize.matchRows(1L,
+      IndexedSeq("click", "purchase"), steps)(m => m.captured.keySet)
+    assert(viaA == Seq(Set("A", "P")) && viaB == Seq(Set("B", "P")))
+    // both branches feasible (predicate overlap): leftmost must win
+    val both = MatchRecognize.Alt[String](
+      Seq(MatchRecognize.Step[String]("L", _.nonEmpty)),
+      Seq(MatchRecognize.Step[String]("R", _ == "view")))
+    val won = MatchRecognize.matchRows(1L, IndexedSeq("view"),
+      Seq(both))(m => m.captured.keySet)
+    assert(won == Seq(Set("L")))
+  }
+
+  test("matchRecognize: alternation backtracks into the next branch") {
+    // (A A | A) P over [x, purchase]: the two-row first branch cannot
+    // leave a row for P — the single-row second branch must be taken
+    val alt = MatchRecognize.Alt[String](
+      Seq(MatchRecognize.Step[String]("A1", _ == "x"),
+        MatchRecognize.Step[String]("A2", _ == "x")),
+      Seq(MatchRecognize.Step[String]("A3", _ == "x")))
+    val steps = Seq(alt, MatchRecognize.Step[String]("P", _ == "purchase"))
+    val got = MatchRecognize.matchRows(1L, IndexedSeq("x", "purchase"),
+      steps)(m => m.captured.keySet)
+    assert(got == Seq(Set("A3", "P")))
+  }
+
   // ---- Count-min sketch ----
 
   test("countmin estimate >= actual for every key; exact when no collision") {
