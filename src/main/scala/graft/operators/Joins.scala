@@ -34,6 +34,40 @@ object Joins {
         coalesce(col("right_values"), array().cast(r.schema("right_values").dataType)).as("right_values"))
   }
 
+  /** N-ary schema CoGroup (schemas/transforms/CoGroup.java:819): join
+    * any number of keyed inputs into one row per key, each input's
+    * grouped values as a sorted array, with PER-INPUT inner/outer
+    * participation (Beam's `CoGroup.join(...)` with per-input
+    * `fieldNames(...).withOptionalParticipation()`): an inner input
+    * requires the key to be present in it; an outer input contributes
+    * an empty array when absent.
+    *
+    * Plan shape: every input partial-aggregates to one row per key
+    * BEFORE the chained key-aligned joins — N reduced shuffles on the
+    * same key, never a row-level N-way join explosion. */
+  def coGroup(inputs: Seq[(DataFrame, String)], key: String,
+      inner: Seq[Boolean] = Seq.empty): DataFrame = {
+    require(inputs.size >= 2, "coGroup needs at least two inputs")
+    val innerFlags =
+      if (inner.isEmpty) Seq.fill(inputs.size)(false) else inner
+    require(innerFlags.size == inputs.size,
+      "inner participation flags must match the input count")
+    val grouped = inputs.zipWithIndex.map { case ((df, valCol), i) =>
+      df.groupBy(col(key))
+        .agg(sort_array(collect_list(col(valCol))).as(s"values_$i"))
+    }
+    val joined = grouped.reduce((a, b) => a.join(b, Seq(key), "full_outer"))
+    val participating = innerFlags.zipWithIndex.foldLeft(joined) {
+      case (df, (isInner, i)) =>
+        if (isInner) df.filter(col(s"values_$i").isNotNull) else df
+    }
+    participating.select(col(key) +: grouped.indices.map { i =>
+      coalesce(col(s"values_$i"),
+        array().cast(grouped(i).schema(s"values_$i").dataType))
+        .as(s"values_$i")
+    }: _*)
+  }
+
   /** As-of join: for each left row, attach the latest right row with
     * right.ts <= left.ts for the same key (nulls when none exists —
     * LEFT ASOF semantics).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,26 @@ object Relational {
     val evaluated = df.withColumn(outCol, attempt)
     (evaluated.filter(!errCond), evaluated.filter(errCond))
   }
+
+  /** Exception-catching dead-letter — the DoFn path of Beam's
+    * WithFailures (transforms/WithFailures.java:73
+    * `exceptionsInto/exceptionsVia`): apply `fn` per element inside
+    * try/catch in ONE narrow pass. Success rows carry
+    * (Some(result), None, null); failures carry
+    * (None, Some(input), "ExceptionClass: message") — Beam's
+    * WithFailures.Result output/failures pair flattened into one frame
+    * so a single evaluation feeds both branches (callers filtering into
+    * two datasets should cache the returned frame first).
+    * Only NonFatal throwables are dead-lettered; errors propagate. */
+  def tryMap[T, O](ds: Dataset[T], fn: T => O)(
+      implicit enc: Encoder[(Option[O], Option[T], String)]): Dataset[(Option[O], Option[T], String)] =
+    ds.map { t =>
+      try { (Some(fn(t)), Option.empty[T], null.asInstanceOf[String]) }
+      catch {
+        case scala.util.control.NonFatal(ex) =>
+          (Option.empty[O], Some(t), s"${ex.getClass.getName}: ${ex.getMessage}")
+      }
+    }
 
   /** Secondary sort (Beam: SortValues) — values sorted within each key
     * group without a global sort: sort_array over collected structs. */

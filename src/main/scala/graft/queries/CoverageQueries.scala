@@ -317,6 +317,100 @@ object CoverageQueries {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment, year(o_orderdate)""")),
 
+    // ===== SQL-text TVF windowing (rule/BeamAggregationRule.java:121-165
+    // rewrites GROUP BY TUMBLE(ts, …) into windowed aggregation; Spark
+    // SQL accepts GROUP BY window(ts, '1 hour') natively — parser,
+    // window assignment, and agg all from SQL text).
+    Q("sql_front_door_windowed",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("v_events")
+        s.sql("""
+          SELECT CAST(unix_timestamp(window.start) AS BIGINT) AS win_start,
+                 event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+          FROM v_events
+          GROUP BY window(ts, '1 hour'), event_type""")
+      },
+      Some("""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+        event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ===== User CombineFn → SQL UDAF (transforms/Combine.java:88
+    // CombineFn contract; SQL wrap ≡ impl/UdafImpl.java): a user
+    // Aggregator[IN,BUF,OUT] (geometric mean — no Spark built-in)
+    // registered via spark.udf.register and called from SQL text;
+    // partial-agg lifted like any native aggregate.
+    Q("sql_udaf_geomean",
+      (s, d) => {
+        graft.functions.UserAggregators.register(s)
+        ord(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""
+          SELECT o_orderpriority, round(geo_mean(o_totalprice), 4) AS gm,
+                 count(*) AS n
+          FROM v_orders GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+        round(exp(avg(ln(o_totalprice))), 4) AS gm, count(*) AS n
+        FROM orders GROUP BY 1""")),
+
+    // ===== n-ary schema CoGroup (schemas/transforms/CoGroup.java:819):
+    // three keyed inputs cogrouped on nationkey with per-input
+    // participation — INNER on customer (keys absent from customer
+    // drop), OUTER on supplier and nation (absent → empty array).
+    Q("cogroup_3way",
+      (s, d) => Joins.coGroup(
+        Seq(
+          (cust(s, d).select(col("c_nationkey").cast("long").as("nationkey"),
+            col("c_name")), "c_name"),
+          (Tables.supplier(s, d).select(
+            col("s_nationkey").cast("long").as("nationkey"),
+            col("s_name")), "s_name"),
+          (Tables.nation(s, d).select(
+            col("n_nationkey").cast("long").as("nationkey"),
+            col("n_name")), "n_name")),
+        key = "nationkey", inner = Seq(true, false, false)),
+      Some("""WITH c AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+            list_sort(list(c_name)) AS values_0 FROM customer GROUP BY 1
+        ), su AS (
+          SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+            list_sort(list(s_name)) AS values_1 FROM supplier GROUP BY 1
+        ), na AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+            list_sort(list(n_name)) AS values_2 FROM nation GROUP BY 1)
+        SELECT c.nationkey, values_0,
+          coalesce(values_1, []) AS values_1,
+          coalesce(values_2, []) AS values_2
+        FROM c LEFT JOIN su USING (nationkey)
+               LEFT JOIN na USING (nationkey)""")),
+
+    // ===== Exception-catching dead-letter (transforms/WithFailures
+    // .java:73 — the throwing-DoFn path, complementing the
+    // expression-level try_cast form of `with_failures`): a transform
+    // that throws on small values routes (input, error) to the failure
+    // branch; successes carry the computed result. One frame, two
+    // branches, one evaluation.
+    Q("with_failures_caught",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val evts = ev(s, d).select(col("event_id"), col("value"))
+          .as[(Long, Double)]
+        Relational.tryMap[(Long, Double), (Long, Double)](evts, {
+          case (id, v) =>
+            if (v < 0.2) throw new IllegalArgumentException(s"too_small:$id")
+            (id, BigDecimal(math.sqrt(v))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }).map { case (ok, failed, err) =>
+          (ok.map(_._1).orElse(failed.map(_._1)).get, ok.map(_._2), Option(err))
+        }.toDF("event_id", "sqrt_value", "err")
+      },
+      Some("""SELECT event_id,
+        CASE WHEN value >= 0.2 THEN round(sqrt(value), 6) END AS sqrt_value,
+        CASE WHEN value < 0.2
+          THEN 'java.lang.IllegalArgumentException: too_small:' || event_id
+        END AS err
+        FROM events""")),
+
     // ===== GroupByEncryptedKey (transforms/GroupByEncryptedKey.java:52):
     // group on an HMAC'd key so the plaintext never crosses the shuffle.
     Q("group_by_encrypted",
