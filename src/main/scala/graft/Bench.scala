@@ -22,9 +22,11 @@ object Bench {
     "countmin_freq", "ml_inference", "anomaly_zscore", "pattern_match",
     "rag_chunking", "multimodal_meta", "sortvalues_secondary",
     "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale",
+    "pattern_down_run", "cogroup_3way", "sql_udaf_geomean",
     // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
     // published SMOKE suite's 100k-event scale)
-    "win_hot_items", "win_highest_value", "win_new_users")
+    "win_hot_items", "win_highest_value", "win_new_users",
+    "nexmark_q3_join", "nexmark_q9_winning_bid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -167,6 +167,85 @@ object EventTimeQueries {
           AND floor(epoch(s.ts) / 3600) = floor(epoch(p.ts) / 3600)
         WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""")),
 
+    // Nexmark Q3 "local item suggestion" (queries/Query3.java — THE
+    // state+timers showcase: an incremental Person⋈Auction join where
+    // whichever side arrives first waits in per-key state): persons ≡
+    // each user's FIRST signup event, auctions ≡ their purchases; the
+    // WHERE P.state IN (…) filter becomes signup.value >= 250. The
+    // batch form is the plain shuffle equi-join Catalyst plans; the
+    // streaming form is StatefulV2.incrementalJoin (StatefulV2Spec).
+    Q("nexmark_q3_join",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val persons = ev(s, d).filter(col("event_type") === "signup")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .filter(col("value") >= 250)
+          .select(col("user_id"), col("event_id").as("signup_event"),
+            round(col("value"), 4).as("signup_value"))
+        val auctions = ev(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_event"))
+        auctions.join(persons, Seq("user_id"))
+          .select(col("user_id"), col("signup_event"), col("signup_value"),
+            col("purchase_event"))
+      },
+      Some("""WITH persons AS (
+          SELECT user_id, event_id AS signup_event,
+            round(value, 4) AS signup_value
+          FROM events WHERE event_type = 'signup'
+          QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) = 1
+        )
+        SELECT p.user_id, signup_event, signup_value,
+          a.event_id AS purchase_event
+        FROM events a JOIN persons p ON a.user_id = p.user_id
+        WHERE a.event_type = 'purchase' AND signup_value >= 250""")),
+
+    // Nexmark Q9 "winning bids" (queries/Query9.java — the highest bid
+    // within each auction's lifetime, price desc / time asc): auctions ≡
+    // first signup per user opening a 1-hour window; bids ≡ that user's
+    // clicks inside the window; one winner per auction. Streaming form:
+    // StatefulV2.winningBid (auction-close event-time timer).
+    Q("nexmark_q9_winning_bid",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val auctions = ev(s, d).filter(col("event_type") === "signup")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("auction_id"),
+            col("ts").as("open_ts"))
+        val bids = ev(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("bid_id"),
+            col("ts").as("bid_ts"), col("value"))
+        val joined = auctions.join(bids, Seq("user_id"))
+          .filter(col("bid_ts") >= col("open_ts") &&
+            col("bid_ts") < col("open_ts") + expr("INTERVAL 1 HOUR"))
+        val rank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("auction_id"))
+          .orderBy(col("value").desc, col("bid_ts").asc, col("bid_id").asc)
+        joined.withColumn("rk", row_number().over(rank))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("auction_id"), col("bid_id"),
+            round(col("value"), 4).as("price"))
+      },
+      Some("""WITH auctions AS (
+          SELECT user_id, event_id AS auction_id, ts AS open_ts
+          FROM events WHERE event_type = 'signup'
+          QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) = 1
+        ), bids AS (
+          SELECT a.user_id, a.auction_id, b.event_id AS bid_id,
+            b.ts AS bid_ts, b.value
+          FROM auctions a JOIN events b ON a.user_id = b.user_id
+          WHERE b.event_type = 'click'
+            AND b.ts >= a.open_ts AND b.ts < a.open_ts + INTERVAL 1 HOUR)
+        SELECT user_id, auction_id, bid_id, round(value, 4) AS price
+        FROM bids
+        QUALIFY row_number() OVER (PARTITION BY auction_id
+          ORDER BY value DESC, bid_ts ASC, bid_id ASC) = 1""")),
+
     // Beam Deduplicate (transforms/Deduplicate.java:70): keep first event
     // per (user, type) in event time, deterministic tie-break on id.
     Q("dedup_events_first",

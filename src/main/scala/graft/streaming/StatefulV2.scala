@@ -311,6 +311,136 @@ object StatefulV2 {
     }
   }
 
+  /** Nexmark Q3's incremental join (nexmark/.../queries/Query3.java —
+    * THE Beam state+timers showcase): per key, one LEFT ("person") value
+    * arrives at some point; RIGHT ("auction") values arriving BEFORE it
+    * buffer in BagState and flush the moment the person appears; rights
+    * arriving after join immediately against the ValueState. First
+    * person wins (Q3's semantics — person records are immutable).
+    *
+    * Input rows carry exactly one side: (key, Some(l), None) or
+    * (key, None, Some(r)). Output: one (key, l, r) per joined pair. */
+  class IncrementalJoinProcessor[K, L, R](
+      implicit lEnc: Encoder[L], rEnc: Encoder[R])
+      extends StatefulProcessor[K, (K, Option[L], Option[R]), (K, L, R)] {
+
+    @transient private var person: ValueState[L] = _
+    @transient private var pending: ListState[R] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      person = getHandle.getValueState[L]("person", lEnc, TTLConfig.NONE)
+      pending = getHandle.getListState[R]("pending", rEnc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Option[L], Option[R])],
+        timers: TimerValues): Iterator[(K, L, R)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(K, L, R)]()
+      rows.foreach {
+        case (_, Some(l), _) if !person.exists() =>
+          person.update(l)
+          val buffered = pending.get().toSeq
+          pending.clear()
+          buffered.foreach(r => out += ((key, l, r)))
+        case (_, Some(_), _) => // duplicate person: first wins
+        case (_, None, Some(r)) =>
+          if (person.exists()) out += ((key, person.get(), r))
+          else pending.appendValue(r)
+        case _ => // (None, None): ignore
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming Nexmark-Q3 join — see [[IncrementalJoinProcessor]]. */
+  def incrementalJoin[K: Encoder, L: Encoder, R: Encoder](
+      ds: Dataset[(K, Option[L], Option[R])])(
+      implicit outEnc: Encoder[(K, L, R)]): Dataset[(K, L, R)] =
+    ds.groupByKey(_._1).transformWithState(
+      new IncrementalJoinProcessor[K, L, R](),
+      TimeMode.None(), OutputMode.Append())
+
+  /** Nexmark Q9 "winning bids" (nexmark/.../queries/Query9.java): per
+    * key, an auction row opens a window of `durationMs`; bid rows
+    * compete by (price desc, time asc, id asc); when the WATERMARK
+    * passes the auction close, the winning bid emits and state clears.
+    * Bids arriving before their auction buffer and replay once it opens
+    * (out-of-order arrival, Beam's Q9 join contract); bids outside the
+    * auction window drop at replay/arrival time.
+    *
+    * Input: (key, eventTime, isAuction, id, value).
+    * Output: (key, auctionId, bidId, price). */
+  class WinningBidProcessor[K](durationMs: Long)
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, Boolean, Long, Double), (K, Long, Long, Double)] {
+
+    @transient private var auction: ValueState[(Long, Long)] = _      // (openMs, auctionId)
+    @transient private var best: ValueState[(Double, Long, Long)] = _ // (value, tsMs, bidId)
+    @transient private var early: ListState[(Long, Long, Double)] = _ // (tsMs, bidId, value)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      auction = getHandle.getValueState[(Long, Long)]("auction",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      best = getHandle.getValueState[(Double, Long, Long)]("best",
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+      early = getHandle.getListState[(Long, Long, Double)]("early",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaDouble), TTLConfig.NONE)
+    }
+
+    private def offer(openMs: Long, tsMs: Long, bidId: Long, value: Double): Unit = {
+      if (tsMs >= openMs && tsMs < openMs + durationMs) {
+        val better = !best.exists() || {
+          val (bv, bts, bid) = best.get()
+          value > bv || (value == bv && (tsMs < bts ||
+            (tsMs == bts && bidId < bid)))
+        }
+        if (better) best.update((value, tsMs, bidId))
+      }
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, Boolean, Long, Double)],
+        timers: TimerValues): Iterator[(K, Long, Long, Double)] = {
+      rows.foreach { case (_, ts, isAuction, id, value) =>
+        if (isAuction) {
+          if (!auction.exists()) {
+            val openMs = ts.getTime
+            auction.update((openMs, id))
+            getHandle.registerTimer(openMs + durationMs)
+            early.get().foreach { case (bts, bid, bv) => offer(openMs, bts, bid, bv) }
+            early.clear()
+          }
+        } else {
+          if (auction.exists()) offer(auction.get()._1, ts.getTime, id, value)
+          else early.appendValue((ts.getTime, id, value))
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Long, Long, Double)] = {
+      val out =
+        if (auction.exists() && best.exists()) {
+          val (_, auctionId) = auction.get()
+          val (value, _, bidId) = best.get()
+          Iterator((key, auctionId, bidId, value))
+        } else Iterator.empty
+      auction.clear(); best.clear(); early.clear()
+      out
+    }
+  }
+
+  /** Streaming Nexmark-Q9 winning bids — see [[WinningBidProcessor]].
+    * `ds` must carry a watermark on the timestamp column. */
+  def winningBid[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Boolean, Long, Double)],
+      durationMs: Long)(
+      implicit outEnc: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] =
+    ds.groupByKey(_._1).transformWithState(
+      new WinningBidProcessor[K](durationMs),
+      TimeMode.EventTime(), OutputMode.Append())
+
   /** Fixed windows with Beam's early/on-time/late trigger panes — see
     * [[TriggeredWindowProcessor]]. `ds` must carry
     * `.withWatermark(tsCol, s"$allowedLatenessMs milliseconds")`. */

@@ -231,6 +231,61 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  // ---- Nexmark Q3/Q9 streaming analogs ----
+
+  test("incrementalJoin buffers early auctions and flushes when the person arrives") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, Option[String], Option[Long])]
+      val joined = StatefulV2.incrementalJoin(mem.toDS())
+      val table = freshTable()
+      val q = startMemorySink(joined, table)
+      // two auctions arrive BEFORE their person → buffer
+      mem.addData((1L, None, Some(101L)), (1L, None, Some(102L)))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 0)
+      // person arrives → both flush; a later auction joins immediately
+      mem.addData((1L, Some("alice"), None))
+      q.processAllAvailable()
+      mem.addData((1L, None, Some(103L)))
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, String, Long)].collect().toSet
+      assert(got == Set((1L, "alice", 101L), (1L, "alice", 102L),
+        (1L, "alice", 103L)))
+      q.stop()
+    }
+  }
+
+  test("winningBid emits the highest bid at auction close (watermark)") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Boolean, Long, Double)]
+      // 10s watermark delay so the auction row (earlier event time) can
+      // still ARRIVE after its bids without being dropped as late
+      val won = StatefulV2.winningBid(
+        mem.toDS().withWatermark("_2", "10 seconds"), durationMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(won, table)
+      // a bid arrives BEFORE its auction → buffers
+      mem.addData((1L, t(8), false, 201L, 5.0))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 0)
+      // auction opens [10:00:05, 10:00:15): buffered bid replays
+      // in-window; 9.0 wins over 5.0; 7.0 at 10:00:30 is out-of-window
+      mem.addData((1L, t(5), true, 900L, 0.0),
+        (1L, t(12), false, 202L, 9.0), (1L, t(30), false, 203L, 7.0))
+      q.processAllAvailable()
+      // sentinel key advances the watermark past close
+      mem.addData((9L, t(40), true, 901L, 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, t(45), false, 204L, 1.0))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 1)
+      val got = spark.table(table).as[(Long, Long, Long, Double)]
+        .collect().filter(_._1 == 1L).toSeq
+      assert(got == Seq((1L, 900L, 202L, 9.0)), s"got $got")
+      q.stop()
+    }
+  }
+
   test("dedupWithTtl drops repeated ids per key within the horizon") {
     withRocksDb {
       val mem = MemoryStream[(Long, Long, String)]
