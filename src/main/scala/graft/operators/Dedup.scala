@@ -180,13 +180,30 @@ object Dedup {
   /** Exact n-gram Jaccard similarity pairs above a threshold, via
     * shingle inverted index: explode distinct shingles, self-join on
     * shingle, count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
-    * One shuffle on the shingle key + one on the pair key. */
+    * One shuffle on the shingle key + one on the pair key.
+    *
+    * @param maxShingleDf when > 0, shingles appearing in more than this
+    *   many documents are PRUNED from the index before the self-join —
+    *   the hot-shingle fix for the quadratic stop-shingle blowup (a
+    *   shingle in k docs contributes k² candidate rows; frequency-prune
+    *   caps that at maxShingleDf² per shingle). Jaccard is then
+    *   computed over the pruned shingle universe (sizes and
+    *   intersections consistently exclude hot shingles) — the standard
+    *   web-dedup approximation; 0 keeps the exact measure. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.1): DataFrame = {
+      n: Int = 3, threshold: Double = 0.1,
+      maxShingleDf: Long = 0L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sh = df.select(col(idCol).as("id"),
+    val shAll = df.select(col(idCol).as("id"),
       explode(array_distinct(call_function("shingles",
         TextAnalysis.tokens(col(textCol)), lit(n)))).as("sh"))
+    val sh =
+      if (maxShingleDf <= 0) shAll
+      else {
+        val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("sh")
+        shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))

@@ -46,4 +46,36 @@ object Windowing {
     unix_timestamp(windowCol.getField("start"))
   def windowEndSec(windowCol: Column): Column =
     unix_timestamp(windowCol.getField("end"))
+
+  /** CUSTOM MERGING WindowFn (windowing/WindowFn.java `mergeWindows` /
+    * `MergeOverlappingIntervalWindows` — the general contract behind
+    * Sessions): each row carries its OWN interval [startCol, endCol)
+    * (any per-row window assignment — variable gaps, data-dependent
+    * spans); overlapping or touching intervals per key MERGE into one
+    * window. Returns one row per merged window with
+    * (key, win_start, win_end, n_rows).
+    *
+    * Declarative gaps-and-islands: one shuffle on the key, a running
+    * cumulative max of window ends in (start, end) order marks where a
+    * new island begins (start > max end so far), a running sum of those
+    * marks is the merged-window id. Same plan shape as Catalyst's own
+    * session_window rewrite — sort-based merge after a single exchange,
+    * no per-row state, spill-safe at 100 TB. */
+  def mergeIntervals(df: DataFrame, keys: Seq[Column], startCol: Column,
+      endCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(startCol.asc, endCol.asc)
+    val prevMaxEnd = max(endCol)
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val marked = df
+      .withColumn("__new_win",
+        when(prevMaxEnd.isNull || startCol > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__win_id",
+        sum(col("__new_win")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    marked.groupBy(keys :+ col("__win_id"): _*)
+      .agg(min(startCol).as("win_start"), max(endCol).as("win_end"),
+        count(lit(1)).as("n_rows"))
+      .drop("__win_id")
+  }
 }

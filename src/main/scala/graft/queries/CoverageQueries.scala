@@ -411,6 +411,23 @@ object CoverageQueries {
         END AS err
         FROM events""")),
 
+    // ===== DDL/catalog front door (SURVEY §2.8 — Beam SQL's
+    // CREATE EXTERNAL TABLE / Calcite catalog, parser/.../SqlDdlNodes):
+    // DDL statements run through the same SQL entry point as queries —
+    // a view defined by CREATE TEMPORARY VIEW is queried downstream.
+    Q("sql_ddl_catalog",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("v_nation_raw")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW v_nation_filtered AS
+          SELECT n_nationkey, n_name, n_regionkey FROM v_nation_raw
+          WHERE n_regionkey IN (1, 3)""")
+        s.sql("""SELECT n_regionkey, count(*) AS n,
+          min(n_name) AS first_name FROM v_nation_filtered
+          GROUP BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        FROM nation WHERE n_regionkey IN (1, 3) GROUP BY n_regionkey""")),
+
     // ===== GroupByEncryptedKey (transforms/GroupByEncryptedKey.java:52):
     // group on an HMAC'd key so the plaintext never crosses the shuffle.
     Q("group_by_encrypted",

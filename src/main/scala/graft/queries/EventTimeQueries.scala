@@ -246,6 +246,39 @@ object EventTimeQueries {
         QUALIFY row_number() OVER (PARTITION BY auction_id
           ORDER BY value DESC, bid_ts ASC, bid_id ASC) = 1""")),
 
+    // CUSTOM MERGING WindowFn (windowing/WindowFn.java mergeWindows /
+    // MergeOverlappingIntervalWindows — the general contract behind
+    // Sessions): each event carries a DATA-DEPENDENT interval
+    // [ts, ts + (1+floor(value)) minutes); overlapping intervals per
+    // user merge into one window. Oracle = gaps-and-islands.
+    Q("win_merge_intervals",
+      (s, d) => {
+        val st = unix_micros(col("ts"))
+        val en = st + (floor(col("value")).cast("long") + 1L) * 60000000L
+        val base = ev(s, d).select(col("user_id"), st.as("st"), en.as("en"))
+        Windowing.mergeIntervals(base, Seq(col("user_id")), col("st"), col("en"))
+      },
+      Some("""WITH iv AS (
+          SELECT user_id,
+            epoch_us(make_timestamp(epoch_us(ts))) AS st,
+            epoch_us(make_timestamp(epoch_us(ts)))
+              + (CAST(floor(value) AS BIGINT) + 1) * 60000000 AS en
+          FROM events
+        ), m AS (
+          SELECT user_id, st, en,
+            CASE WHEN max(en) OVER w IS NULL OR st > max(en) OVER w
+              THEN 1 ELSE 0 END AS brk
+          FROM iv
+          WINDOW w AS (PARTITION BY user_id ORDER BY st, en
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), g AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wid
+          FROM m)
+        SELECT user_id, min(st) AS win_start, max(en) AS win_end,
+          count(*) AS n_rows
+        FROM g GROUP BY user_id, wid""")),
+
     // Beam Deduplicate (transforms/Deduplicate.java:70): keep first event
     // per (user, type) in event time, deterministic tie-break on id.
     Q("dedup_events_first",

@@ -180,12 +180,15 @@ object PipelineQueries {
         val terms = docs(s, d).select(col("doc_id"),
           explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val nDocs = docs(s, d).count()
+        // the corpus size is a 1-row fit artifact broadcast into the
+        // plan — no eager extra scan at construction time
+        val nDocs = broadcast(docs(s, d).agg(
+          count(lit(1)).cast("double").as("n_docs")))
         val dfreq = terms.select("doc_id", "term").distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
-        tf.join(dfreq, "term")
+        tf.join(dfreq, "term").crossJoin(nDocs)
           .select(col("doc_id"), col("term"),
-            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6)
+            round(col("tf") * log(col("n_docs") / col("df")), 6)
               .as("tfidf"))
       },
       Some("""WITH terms AS (

@@ -122,4 +122,25 @@ object StreamOps {
   def periodicImpulse(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Generalized Beam `Watch` (transforms/Watch.java:129 — poll a
+    * growth function, emit each newly-discovered output once): a rate
+    * impulse drives `poll` once per tick on the executors; results
+    * keyed by `id` dedupe through the stream so only GROWTH reaches
+    * the sink. `poll` must be serializable and idempotent (it re-runs
+    * every trigger — Beam's poll-interval contract). The seen-id state
+    * grows with the watched set, exactly like Beam's Watch state per
+    * input; termination (Beam's Growth.TerminationCondition) maps to
+    * stopping the query. */
+  def watchGrowth[T](spark: SparkSession, pollsPerSecond: Int,
+      poll: () => Seq[T], id: T => String)(
+      implicit tEnc: org.apache.spark.sql.Encoder[T],
+      pairEnc: org.apache.spark.sql.Encoder[(String, T)]): org.apache.spark.sql.Dataset[T] = {
+    import spark.implicits._
+    periodicImpulse(spark, pollsPerSecond)
+      .select(col("value")).as[Long]
+      .flatMap(_ => poll().map(t => (id(t), t)))
+      .dropDuplicates("_1")
+      .map(_._2)
+  }
 }

@@ -51,4 +51,55 @@ class RelationalOpsSpec extends SparkSpec {
       .filter(col("k") === "a").select("sorted_values").as[Seq[Int]].head()
     assert(got == Seq(1, 3, 2)) // ordered by v: 10→id1, 20→id3, 30→id2
   }
+
+  test("tryMap dead-letters thrown exceptions with the input row") {
+    val ds = Seq(1, 2, -3, 4).toDS()
+    val attempted = graft.operators.Relational.tryMap[Int, Int](ds, { n =>
+      if (n < 0) throw new IllegalStateException(s"neg:$n") else n * 10
+    }).collect().toSeq
+    val ok = attempted.collect { case (Some(o), _, _) => o }
+    val bad = attempted.collect { case (_, Some(t), err) => (t, err) }
+    assert(ok.sorted == Seq(10, 20, 40))
+    assert(bad == Seq((-3, "java.lang.IllegalStateException: neg:-3")))
+  }
+
+  test("asyncMap overlaps work and preserves input order") {
+    val n = 64
+    val ds = spark.range(n).repartition(2).as[Long]
+    val t0 = System.nanoTime()
+    val got = graft.operators.Async.asyncMap[Long, Long](ds, { x =>
+      Thread.sleep(20); x * 2
+    }, maxInFlight = 16).collect().toSeq
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(got.sorted == (0L until n).map(_ * 2))
+    // input order preserved: a single ascending partition must come
+    // back ascending even though evaluations overlap
+    val ordered = graft.operators.Async.asyncMap[Long, Long](
+      spark.range(n).coalesce(1).as[Long],
+      { x => Thread.sleep(1); x * 2 }, maxInFlight = 16).collect().toSeq
+    assert(ordered == (0L until n).map(_ * 2))
+    // 64 × 20ms serial = 1280ms per partition; 16-way overlap over 2
+    // partitions must land far below that
+    assert(elapsedMs < 1000, s"asyncMap showed no concurrency: ${elapsedMs}ms")
+  }
+
+  test("waitOn forces the signal before returning the main dataset") {
+    val acc = spark.sparkContext.longAccumulator("signal_rows")
+    val signal = spark.range(10).map { x => acc.add(1); x }
+    val main = graft.operators.Async.waitOn(spark.range(3).toDF(), signal)
+    assert(acc.value == 10) // signal ran at waitOn time, before any main action
+    assert(main.count() == 3)
+  }
+
+  test("mergeIntervals merges overlapping per-key intervals") {
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 5L, 12L), ("a", 20L, 25L),
+      ("b", 3L, 4L)).toDF("k", "st", "en")
+    val got = graft.operators.Windowing
+      .mergeIntervals(df, Seq(col("k")), col("st"), col("en"))
+      .select("k", "win_start", "win_end", "n_rows")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 0L, 12L, 2L), ("a", 20L, 25L, 1L),
+      ("b", 3L, 4L, 1L)))
+  }
 }

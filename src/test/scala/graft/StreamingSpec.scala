@@ -230,6 +230,38 @@ class StreamingSpec extends SparkSpec {
       == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("watchGrowth polls a growing set and emits each discovery once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-watch")
+    def put(name: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), name)
+    put("a"); put("b")
+    val dirPath = dir.toString // capture a serializable path, not the Path
+    val watched = StreamOps.watchGrowth[String](spark, pollsPerSecond = 10,
+      poll = () => {
+        val f = new java.io.File(dirPath).listFiles()
+        if (f == null) Seq.empty else f.map(_.getName).toSeq
+      },
+      id = identity)
+    val table = freshTable()
+    val q = watched.writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    def seen(): Set[String] =
+      spark.table(table).as[String].collect().toSet
+    val t0 = System.currentTimeMillis()
+    while (seen() != Set("a", "b") && System.currentTimeMillis() - t0 < 30000)
+      Thread.sleep(100)
+    assert(seen() == Set("a", "b"))
+    put("c") // the set GROWS: only the new element may emit again
+    val t1 = System.currentTimeMillis()
+    while (seen() != Set("a", "b", "c") && System.currentTimeMillis() - t1 < 30000)
+      Thread.sleep(100)
+    q.processAllAvailable()
+    q.stop()
+    // each discovery emitted exactly once despite dozens of re-polls
+    val all = spark.table(table).as[String].collect().toSeq
+    assert(all.sorted == Seq("a", "b", "c"), s"duplicate emissions: $all")
+  }
+
   test("file-replay source streams the events parquet (TextIO.watch analog)") {
     val batchDf = graft.sources.Tables.events(spark, sfDir)
     val streamDf = StreamOps.replayEvents(spark, sfDir)

@@ -91,6 +91,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardPairs hot-shingle prune kills stop-shingle blowup only") {
+    // every doc shares the stop shingle "the quick fox"; docs 1/2 also
+    // share rare content. With the prune, the rare-content pair
+    // survives; pairs connected ONLY through the stop shingle vanish.
+    val stop = "the quick fox"
+    val df = (1 to 12).map {
+      case 1 => (1L, s"$stop alpha beta gamma delta")
+      case 2 => (2L, s"$stop alpha beta gamma epsilon")
+      case i => (i.toLong, s"$stop unique$i filler$i word$i tail$i")
+    }.toDF("doc_id", "text")
+    val pruned = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        n = 3, threshold = 0.05, maxShingleDf = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pruned == Set((1L, 2L)), s"got $pruned")
+    // without the prune the stop shingle connects every doc pair
+    val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        n = 3, threshold = 0.05)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size > 1 && exact.contains((1L, 2L)))
+  }
+
   test("minHashCandidates surfaces duplicate docs as a pair") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
