@@ -70,6 +70,13 @@ object MatchRecognize {
       if (i >= 0 && n >= 1) Some(part(i)) else None
     }
 
+    /** SQL NEXT(col, n): the n-th following physical row of the
+      * partition (lookahead); None past the end. */
+    def next(n: Int = 1): Option[T] = {
+      val i = posIdx + n
+      if (i < part.length && n >= 1) Some(part(i)) else None
+    }
+
     /** SQL FIRST(X.col): the earliest row matched to variable `name`
       * so far in this match attempt. */
     def first(name: String): Option[T] = {

@@ -217,6 +217,13 @@ object StatefulV2 {
     *  - `accumulating=true` ⇒ each pane carries ALL window values so
     *    far (Beam accumulatingFiredPanes); false ⇒ only values since
     *    the previous pane (discardingFiredPanes).
+    *  - `retractions=true` (requires accumulating) ⇒ before each
+    *    non-first pane, a RETRACT pane re-emits the PREVIOUS pane's
+    *    contents so downstream consumers can subtract it — Beam's
+    *    accumulatingAndRetractingFiredPanes
+    *    (`Window.java:259-270` / the retraction region of
+    *    beam_runner_api.proto; Beam itself never shipped runner
+    *    support — the mode exists here end-to-end).
     *
     * Watermark mapping: Spark has ONE watermark (max event − delay),
     * Beam two concepts (watermark + allowed lateness beyond it). The
@@ -230,10 +237,13 @@ object StatefulV2 {
     * dropped slightly sooner than Beam would; same bounded-staleness
     * contract, documented difference. */
   class TriggeredWindowProcessor[K, V](windowMs: Long, allowedLatenessMs: Long,
-      earlyFireEvery: Int, lateFireEvery: Int, accumulating: Boolean)(
+      earlyFireEvery: Int, lateFireEvery: Int, accumulating: Boolean,
+      retractions: Boolean = false)(
       implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
     require(windowMs > 0 && allowedLatenessMs >= 0 && lateFireEvery >= 1)
+    require(!retractions || accumulating,
+      "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
     // per-window pane state: (buffer, countSinceLastFire, paneIndex,
     // onTimeFired) — buffer holds the whole window when accumulating,
@@ -265,6 +275,11 @@ object StatefulV2 {
                         else if (earlyFireEvery > 0) earlyFireEvery.toLong
                         else Long.MaxValue
         if (since >= fireEvery) {
+          if (retractions && pane > 0) {
+            val prevPane = buf.take(buf.size - since.toInt)
+            if (prevPane.nonEmpty)
+              out += ((key, w, pane - 1, "RETRACT", false, prevPane))
+          }
           out += ((key, w, pane, if (fired) "LATE" else "EARLY", false, buf))
           pane += 1; since = 0
           if (!accumulating) buf = Seq.empty
@@ -288,8 +303,13 @@ object StatefulV2 {
       openWindows.foreach { w =>
         // on-time firing: conceptual watermark passed the window end
         if (w + windowMs - allowedLatenessMs == expiry) {
-          val (buf, _, pane, fired) = windows.getValue(w)
+          val (buf, since, pane, fired) = windows.getValue(w)
           if (!fired) {
+            if (retractions && pane > 0) {
+              val prevPane = buf.take(buf.size - since.toInt)
+              if (prevPane.nonEmpty)
+                out += ((key, w, pane - 1, "RETRACT", false, prevPane))
+            }
             val closing = allowedLatenessMs == 0
             out += ((key, w, pane, "ON_TIME", closing, buf))
             windows.updateValue(w,
@@ -302,6 +322,11 @@ object StatefulV2 {
           if (allowedLatenessMs == 0 && !fired) {
             // single-timer case already handled above as closing ON_TIME
           } else if (since > 0) {
+            if (retractions && pane > 0) {
+              val prevPane = buf.take(buf.size - since.toInt)
+              if (prevPane.nonEmpty)
+                out += ((key, w, pane - 1, "RETRACT", false, prevPane))
+            }
             out += ((key, w, pane, if (fired) "LATE" else "ON_TIME", true, buf))
           }
           windows.removeKey(w)
@@ -447,11 +472,12 @@ object StatefulV2 {
   def triggeredWindows[K: Encoder, V: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, V)], windowMs: Long,
       allowedLatenessMs: Long = 0L, earlyFireEvery: Int = 0,
-      lateFireEvery: Int = 1, accumulating: Boolean = false)(
+      lateFireEvery: Int = 1, accumulating: Boolean = false,
+      retractions: Boolean = false)(
       implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)],
       outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     ds.groupByKey(_._1).transformWithState(
       new TriggeredWindowProcessor[K, V](windowMs, allowedLatenessMs,
-        earlyFireEvery, lateFireEvery, accumulating),
+        earlyFireEvery, lateFireEvery, accumulating, retractions),
       TimeMode.EventTime(), OutputMode.Append())
 }

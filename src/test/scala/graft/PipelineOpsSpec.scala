@@ -105,6 +105,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((1.0, Seq(2.0, 5.0))))
   }
 
+  test("matchRecognize: NEXT lookahead — peak detection") {
+    // A is a peak: higher than both physical neighbours
+    val steps = Seq(
+      MatchRecognize.CtxStep[Double]("A", (t, ctx) =>
+        ctx.prev().exists(t > _) && ctx.next().exists(t > _)))
+    val got = MatchRecognize.matchRows(1L,
+      IndexedSeq(1.0, 5.0, 2.0, 7.0, 3.0), steps)(m => m.captured("A").head)
+    assert(got == Seq(5.0, 7.0))
+  }
+
   test("matchRecognize: alternation (A|B) — leftmost branch preferred") {
     val alt = MatchRecognize.Alt[String](
       Seq(MatchRecognize.Step[String]("A", _ == "view")),

@@ -107,6 +107,51 @@ class ScaleSpec extends SparkSpec {
     assert(merged > 1400 && merged < 1600, s"estimate $merged out of range")
   }
 
+  test("approx_percentile values sit within rank-error bound of exact percentiles") {
+    // value-tests the agg_approx_quantiles registry entry (rows-only at
+    // the oracle gate: approximate values are engine-specific)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val rows = li.groupBy("l_linestatus").agg(
+      expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)").as("aq"),
+      expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("ex"),
+      count(lit(1)).as("n"))
+      .as[(String, Seq[Double], Seq[Double], Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, aq, ex, n) =>
+      // accuracy 1000 bounds rank error by n/1000; translate to a value
+      // bound via the worst-case quantity spread per rank (<= 1 here:
+      // quantities are dense integers 1..50)
+      val tol = math.max(1.0, n / 1000.0 * 2)
+      aq.zip(ex).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= tol, s"approx $a vs exact $e (n=$n)")
+      }
+    }
+  }
+
+  test("approx_count_distinct within rsd bound of exact distinct count") {
+    // value-tests the agg_approx_distinct registry entry
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val (approx, exact) = li.agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.05).as("a"),
+      countDistinct(col("l_orderkey")).as("e"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("hll estimate within 5% of exact distinct count") {
+    // value-tests the agg_hll_sketch registry entry
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val rows = li.groupBy("l_returnflag").agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("est"),
+      countDistinct(col("l_orderkey")).as("exact"))
+      .as[(String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, est, exact) =>
+      assert(math.abs(est - exact) / exact < 0.05, s"hll $est vs $exact")
+    }
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

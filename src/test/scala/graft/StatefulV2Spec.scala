@@ -231,6 +231,36 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("triggered windows: retractions re-emit the previous pane before each firing") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.triggeredWindows(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 10000L, allowedLatenessMs = 0L, earlyFireEvery = 2,
+        accumulating = true, retractions = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "c"))
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 3)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L)
+        // chronological: pane N fires, then RETRACT(N) just before pane N+1
+        .sortBy(p => if (p._4 == "RETRACT") p._3 + 0.5 else p._3.toDouble)
+        .map(p => (p._3, p._4, p._6)).toSeq
+      assert(got == Seq(
+        (0L, "EARLY", Seq("a", "b")),
+        (0L, "RETRACT", Seq("a", "b")),   // retract pane 0 before pane 1
+        (1L, "ON_TIME", Seq("a", "b", "c"))), s"got $got")
+      q.stop()
+    }
+  }
+
   // ---- Nexmark Q3/Q9 streaming analogs ----
 
   test("incrementalJoin buffers early auctions and flushes when the person arrives") {
