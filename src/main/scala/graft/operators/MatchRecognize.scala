@@ -102,6 +102,65 @@ object MatchRecognize {
   final case class Match[K, T](key: K, matchSeq: Long,
       captured: Map[String, Seq[T]])
 
+  /** Parse a SQL `PATTERN (...)` clause body into pattern elements —
+    * the front-door syntax of `MATCH_RECOGNIZE` (Beam parses it via
+    * Calcite into `CEPPattern`, extensions/sql/.../impl/cep/): variable
+    * names with quantifiers `+ * ? {m} {m,} {m,n}` and single-level
+    * alternation groups `(A|B C|D)`. DEFINE conditions come from the
+    * `define` map (a variable absent from it matches any row — SQL's
+    * undefined-variable rule).
+    *
+    * `parsePattern("A B+ (C|D) E{2,5}", Map("B" -> pred, ...))` ≡
+    * `Seq(CtxStep(A), CtxStep(B,1,∞), Alt(Seq(C),Seq(D)), CtxStep(E,2,5))`. */
+  def parsePattern[T](pattern: String,
+      define: Map[String, (T, MatchCtx[T]) => Boolean]): Seq[Elem[T]] = {
+    val Tok = """([A-Za-z_][A-Za-z_0-9]*)(\+|\*|\?|\{\d+(?:,\d*)?\})?|(\()|(\))|(\|)""".r
+    def predOf(name: String): (T, MatchCtx[T]) => Boolean =
+      define.getOrElse(name, (_: T, _: MatchCtx[T]) => true)
+    def mkStep(name: String, quant: String): CtxStep[T] = quant match {
+      case null | ""  => CtxStep(name, predOf(name))
+      case "+"        => CtxStep(name, predOf(name), 1, Int.MaxValue)
+      case "*"        => CtxStep(name, predOf(name), 0, Int.MaxValue)
+      case "?"        => CtxStep(name, predOf(name), 0, 1)
+      case b =>
+        val body = b.stripPrefix("{").stripSuffix("}")
+        body.split(",", -1) match {
+          case Array(m)     => CtxStep(name, predOf(name), m.toInt, m.toInt)
+          case Array(m, "") => CtxStep(name, predOf(name), m.toInt, Int.MaxValue)
+          case Array(m, n)  => CtxStep(name, predOf(name), m.toInt, n.toInt)
+        }
+    }
+    // single-pass with one level of (…|…) grouping
+    val top = scala.collection.mutable.ArrayBuffer[Elem[T]]()
+    var branches: scala.collection.mutable.ArrayBuffer[Seq[Elem[T]]] = null
+    var current: scala.collection.mutable.ArrayBuffer[Elem[T]] = null
+    Tok.findAllMatchIn(pattern).foreach { m =>
+      if (m.group(3) != null) { // '('
+        require(branches == null, s"nested groups unsupported: $pattern")
+        branches = scala.collection.mutable.ArrayBuffer.empty
+        current = scala.collection.mutable.ArrayBuffer.empty
+      } else if (m.group(4) != null) { // ')'
+        require(branches != null, s"unbalanced ')': $pattern")
+        branches += current.toSeq
+        top += (if (branches.size == 1) branches.head.head match {
+          case single if branches.head.size == 1 => single
+          case _ => Alt[T](branches.head)
+        } else Alt[T](branches.toSeq: _*))
+        branches = null; current = null
+      } else if (m.group(5) != null) { // '|'
+        require(branches != null, s"'|' outside a group: $pattern")
+        branches += current.toSeq
+        current = scala.collection.mutable.ArrayBuffer.empty
+      } else {
+        val step = mkStep(m.group(1), m.group(2))
+        if (current != null) current += step else top += step
+      }
+    }
+    require(branches == null, s"unbalanced '(': $pattern")
+    require(top.nonEmpty, s"empty pattern: $pattern")
+    top.toSeq
+  }
+
   /** Backtracking matcher over one key's sorted rows. Greedy: each
     * quantifier tries its longest feasible run first, backing off until
     * the remaining pattern matches; alternation tries branches leftmost

@@ -89,6 +89,74 @@ object RelationalQueries {
           AND l_shipdate < TIMESTAMP '1998-01-01'
           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")),
 
+    // TPC-H Q4 shape (order priority checking): EXISTS correlated
+    // subquery → LEFT SEMI join (one pass over lineitem, no row
+    // multiplication before the aggregate).
+    Q("agg_tpch_q4",
+      (s, d) => ord(s, d)
+        .join(li(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count")),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority""")),
+
+    // TPC-H Q5 shape (local supplier volume): the classic 6-table
+    // star-plus-constraint join — fact-fact shuffle joins on the keys,
+    // tiny dims broadcast, the c_nationkey = s_nationkey constraint
+    // applied at the supplier join.
+    Q("agg_tpch_q5",
+      (s, d) => li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue")),
+      Some("""SELECT n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""")),
+
+    // TPC-H Q12 shape (shipping modes / priority): join + conditional
+    // CASE aggregation — both branches in one pass.
+    Q("agg_tpch_q12",
+      (s, d) => li(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count")),
+      Some("""SELECT l_linestatus,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus""")),
+
     Q("agg_global",
       (s, d) => li(s, d).agg(
         count(lit(1)).as("n_rows"),

@@ -147,6 +147,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(Set("A3", "P")))
   }
 
+  test("parsePattern: SQL PATTERN clause text drives the matcher") {
+    // PATTERN (A B+ (C|D)) DEFINE B AS B.v < PREV(B.v) — SQL-text front
+    // door over the same NFA
+    val define = Map[String, (Double, MatchRecognize.MatchCtx[Double]) => Boolean](
+      "B" -> ((t, ctx) => ctx.prev().exists(p => t < p)),
+      "C" -> ((t, _) => t == 0.0),
+      "D" -> ((t, _) => t >= 100.0))
+    val steps = MatchRecognize.parsePattern("A B+ (C|D)", define)
+    val got = MatchRecognize.matchRows(1L,
+      IndexedSeq(5.0, 4.0, 3.0, 100.0, 9.0, 8.0, 0.0), steps) { m =>
+      (m.captured("B").size, m.captured.contains("C"), m.captured.contains("D"))
+    }
+    // [5,4,3,100]: B takes 4,3 then D matches 100; [9,8,0]: C matches 0
+    assert(got == Seq((2, false, true), (1, true, false)))
+    // quantifier forms parse to the right bounds
+    val q = MatchRecognize.parsePattern[Double]("X{2,5} Y* Z?", Map.empty)
+    val bounds = q.collect { case MatchRecognize.CtxStep(n, _, mn, mx) => (n, mn, mx) }
+    assert(bounds == Seq(("X", 2, 5), ("Y", 0, Int.MaxValue), ("Z", 0, 1)))
+  }
+
   // ---- Count-min sketch ----
 
   test("countmin estimate >= actual for every key; exact when no collision") {
