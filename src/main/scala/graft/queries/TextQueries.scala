@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Dedup, TextAnalysis}
@@ -138,6 +139,73 @@ object TextQueries {
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
+
+    // Repetition-based quality signals (the Gopher/C4 filtering rules a
+    // curation pipeline runs before training): duplicate-word fraction
+    // and most-frequent-bigram fraction per document. Word stats are
+    // pure expressions; the bigram mode is one (doc, gram) shuffle.
+    Q("text_repetition",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val toks = TextAnalysis.tokens(col("text"))
+        val wordStats = docs(s, d).select(col("doc_id"),
+          when(size(toks) > 0,
+            round(lit(1.0) - size(array_distinct(toks)).cast("double")
+              / size(toks), 6)).otherwise(0.0).as("dup_word_frac"))
+        val grams = docs(s, d).select(col("doc_id"),
+          explode(call_function("shingles", toks, lit(2))).as("g"))
+        val gramCounts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val top = gramCounts.groupBy("doc_id")
+          .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+            .as("top_bigram_frac"))
+        wordStats.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_word_frac"),
+            coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), words AS (
+          SELECT doc_id, CASE WHEN len(toks) > 0
+            THEN round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+            ELSE 0.0 END AS dup_word_frac
+          FROM t
+        ), grams AS (
+          SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+          FROM t CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i) ix
+        ), gc AS (
+          SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+        ), top AS (
+          SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+            AS top_bigram_frac
+          FROM gc GROUP BY 1)
+        SELECT w.doc_id, dup_word_frac,
+          coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM words w LEFT JOIN top USING (doc_id)""")),
+
+    // Stratified (per-group proportional) sampling — exact 10% of each
+    // event_type, selected deterministically by portable-hash rank so
+    // every engine picks the identical sample. One exchange on the
+    // stratum key; both window functions share it.
+    Q("sample_stratified",
+      (s, d) => {
+        val h = graft.functions.PortableHash
+          .md5Long(col("event_id").cast("string"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("hv").asc, col("event_id").asc)
+        val cw = Window.partitionBy(col("event_type"))
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+            h.as("hv"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(cw))
+          .filter(col("rn") <= ceil(col("n") * 0.1))
+          .select(col("event_id"), col("event_type"))
+      },
+      Some(s"""SELECT event_id, event_type FROM events
+        QUALIFY row_number() OVER (PARTITION BY event_type
+            ORDER BY ${graft.functions.PortableHash.md5LongSql("CAST(event_id AS VARCHAR)")} ASC,
+              event_id ASC)
+          <= ceil(count(*) OVER (PARTITION BY event_type) * 0.1)""")),
 
     // Exact dedup by normalized-content hash (hash-groupBy).
     Q("dedup_exact_docs",

@@ -152,6 +152,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scan splits scale with maxPartitionBytes (Splittable-DoFn analog)") {
+    // Beam's Splittable DoFn exists to subdivide a source into
+    // checkpointable restrictions; Spark's DSv2 file scan does the
+    // same split planning from maxPartitionBytes — more budget → more
+    // parallel, independently-schedulable splits of one file.
+    val conf = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(conf)
+    def partsAt(bytes: String): Int = {
+      spark.conf.set(conf, bytes)
+      spark.read.parquet(s"$sfDir/../sf0.1/lineitem.parquet")
+        .rdd.getNumPartitions
+    }
+    try {
+      val coarse = partsAt("128m")
+      val fine = partsAt("64k")
+      assert(fine > coarse,
+        s"expected more splits at 64k ($fine) than 128m ($coarse)")
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
