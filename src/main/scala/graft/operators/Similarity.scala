@@ -245,35 +245,74 @@ object Similarity {
         size(vec).cast("string"))).cast("long"))
   }
 
-  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — `nCells`
-    * seed vectors chosen by hashed id — partitions the corpus into
-    * cells (each corpus row assigned to its nearest seed); queries probe
-    * their `nProbe` nearest cells and rank candidates by exact cosine.
-    *
-    * The other classic ANN scale path next to SRP-LSH ([[lshCosineTopK]]):
-    * candidate generation is an equi-join on cell id, so corpus work is
-    * one narrow assignment scan + a hash join — never O(n²). Seeds are
-    * plan-time literals; a production variant would k-means them
-    * (Lloyd iterations over the same assignment expression). */
-  def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    GraftFunctions.register(queries.sparkSession)
-    val spark = queries.sparkSession
-    import spark.implicits._
-    // deterministic pseudo-random seed choice: smallest md5(id)
-    val seeds: Seq[Seq[Float]] = corpus
-      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
-      .withColumn("h", graft.functions.PortableHash.md5Long(col("id")))
-      .orderBy("h").limit(nCells)
-      .select("v").as[Seq[Float]].collect().toSeq
-    def seedSim(vec: Column, norm: Column, i: Int): Column = {
+  /** Cell ranking for a fixed seed set: array of (negSim, cell) sorted
+    * best-first. Seeds are plan-time literals — the per-row cost is
+    * `nCells` codegen'd vec_dot calls, no broadcast needed. */
+  private def cellsRankedFor(seeds: Seq[Seq[Float]])(
+      vec: Column, norm: Column): Column = {
+    def seedSim(i: Int): Column = {
       val s = seeds(i)
       val sNorm = math.sqrt(s.map(x => x.toDouble * x.toDouble).sum)
       call_function("vec_dot", vec, typedlit(s)) / (norm * sNorm)
     }
+    sort_array(array(seeds.indices.map(i =>
+      struct((-seedSim(i)).as("negSim"), lit(i).as("cell"))): _*))
+  }
+
+  /** Deterministic initial seeds (smallest md5(id)) optionally refined
+    * by `iters` spherical-k-means Lloyd rounds: assign every corpus row
+    * to its nearest seed (one narrow scan, the SAME assignment
+    * expression the quantizer uses), average per cell (posexplode +
+    * partial-agg shuffle — at most nCells·dim rows cross), collect the
+    * nCells·dim fit artifact, repeat. Empty cells keep their previous
+    * seed. This is the production IVF training path; iters=0 is the
+    * plan-time-deterministic quantizer. */
+  def kmeansSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 0): Seq[Seq[Float]] = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var seeds: Seq[Seq[Float]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .withColumn("h", graft.functions.PortableHash.md5Long(col("id")))
+      .orderBy("h").limit(nCells)
+      .select("v").as[Seq[Float]].collect().toSeq
+    for (_ <- 0 until iters) {
+      val cents = corpus
+        .select(col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__n"))
+        .withColumn("cell",
+          element_at(cellsRankedFor(seeds)(col("__v"), col("__n")), 1)
+            .getField("cell"))
+        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_._2).map(_._3.toFloat).toSeq
+        }
+      seeds = seeds.indices.map(c => cents.getOrElse(c, seeds(c)))
+    }
+    seeds
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer — `nCells` seed
+    * vectors, optionally k-means-refined ([[kmeansSeeds]],
+    * `kmeansIters`) — partitions the corpus into cells (each corpus row
+    * assigned to its nearest seed); queries probe their `nProbe`
+    * nearest cells and rank candidates by exact cosine.
+    *
+    * The other classic ANN scale path next to SRP-LSH ([[lshCosineTopK]]):
+    * candidate generation is an equi-join on cell id, so corpus work is
+    * one narrow assignment scan + a hash join — never O(n²). Seeds are
+    * plan-time literals. */
+  def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val seeds = kmeansSeeds(corpus, idCol, vecCol, nCells, kmeansIters)
     def cellsRanked(vec: Column, norm: Column): Column =
-      sort_array(array(seeds.indices.map(i =>
-        struct((-seedSim(vec, norm, i)).as("negSim"), lit(i).as("cell"))): _*))
+      cellsRankedFor(seeds)(vec, norm)
     val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"))
       .withColumn("cell", element_at(cellsRanked(col("cv"), col("cn")), 1)

@@ -78,6 +78,29 @@ class VectorSpec extends SparkSpec {
     assert(perQuery.forall(_ <= 5))
   }
 
+  test("kmeansSeeds Lloyd rounds improve the quantizer objective") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    def objective(seeds: Seq[Seq[Float]]): Double = {
+      // mean cosine of each corpus row to its NEAREST centroid —
+      // spherical k-means maximizes this
+      val sims = emb.collect().map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+        val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+        seeds.map { s =>
+          val d = v.zip(s).map { case (a, b) => a.toDouble * b }.sum
+          val sn = math.sqrt(s.map(x => x.toDouble * x).sum)
+          d / (vn * sn)
+        }.max
+      }
+      sims.sum / sims.length
+    }
+    val init = Similarity.kmeansSeeds(emb, "vec_id", "embedding", 16, iters = 0)
+    val refined = Similarity.kmeansSeeds(emb, "vec_id", "embedding", 16, iters = 3)
+    val (o0, o3) = (objective(init), objective(refined))
+    assert(o3 >= o0 - 1e-9, s"k-means worsened the objective: $o0 -> $o3")
+    assert(o3 > o0, s"3 Lloyd rounds should strictly improve here: $o0 -> $o3")
+  }
+
   test("lshCosineTopK returns subset of brute-force ranking") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
