@@ -187,6 +187,37 @@ object StatefulV2 {
       new EventTimeGapFlushProcessor[K, V](gapMs),
       TimeMode.EventTime(), OutputMode.Append())
 
+  /** Compositional element-count trigger language — the combinator
+    * shapes of Beam's trigger API (`Repeatedly.java:38`,
+    * `AfterFirst.java:31`, `AfterAll.java:30`) over the
+    * `AfterPane.elementCountAtLeast` primitive (`AfterPane.java:33`).
+    * A trigger is asked, after each element, whether the current pane
+    * should fire given `sinceLastFire`; firing resets the count (our
+    * panes always re-arm, i.e. every composite is implicitly wrapped in
+    * Beam's `Repeatedly.forever`). Processing-time primitives are out
+    * of scope (a transformWithState processor runs in ONE time mode). */
+  sealed trait CountTrigger {
+    def shouldFire(sinceLastFire: Long): Boolean
+  }
+  /** AfterPane.elementCountAtLeast(n). */
+  final case class AfterCount(n: Int) extends CountTrigger {
+    require(n >= 1)
+    def shouldFire(since: Long): Boolean = since >= n
+  }
+  /** Fires when ANY sub-trigger would (Beam AfterFirst). */
+  final case class AfterFirstOf(ts: CountTrigger*) extends CountTrigger {
+    def shouldFire(since: Long): Boolean = ts.exists(_.shouldFire(since))
+  }
+  /** Fires when ALL sub-triggers would (Beam AfterAll). */
+  final case class AfterAllOf(ts: CountTrigger*) extends CountTrigger {
+    def shouldFire(since: Long): Boolean = ts.forall(_.shouldFire(since))
+  }
+  /** Never fires on elements — only the watermark pane (Beam Never /
+    * the pure default trigger). */
+  case object NeverCount extends CountTrigger {
+    def shouldFire(since: Long): Boolean = false
+  }
+
   /** One fired pane of [[TriggeredWindowProcessor]]:
     * (key, windowStart, paneIndex, timing, isFinal, values). Timing ∈
     * EARLY / ON_TIME / LATE — Beam's PaneInfo.Timing
@@ -237,11 +268,11 @@ object StatefulV2 {
     * dropped slightly sooner than Beam would; same bounded-staleness
     * contract, documented difference. */
   class TriggeredWindowProcessor[K, V](windowMs: Long, allowedLatenessMs: Long,
-      earlyFireEvery: Int, lateFireEvery: Int, accumulating: Boolean,
-      retractions: Boolean = false)(
+      earlyTrigger: CountTrigger, lateTrigger: CountTrigger,
+      accumulating: Boolean, retractions: Boolean = false)(
       implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
-    require(windowMs > 0 && allowedLatenessMs >= 0 && lateFireEvery >= 1)
+    require(windowMs > 0 && allowedLatenessMs >= 0)
     require(!retractions || accumulating,
       "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
@@ -271,10 +302,9 @@ object StatefulV2 {
           if (opening) (Seq.empty[V], 0L, 0L, false) else windows.getValue(w)
         buf :+= v
         since += 1
-        val fireEvery = if (fired) lateFireEvery.toLong
-                        else if (earlyFireEvery > 0) earlyFireEvery.toLong
-                        else Long.MaxValue
-        if (since >= fireEvery) {
+        val fire = if (fired) lateTrigger.shouldFire(since)
+                   else earlyTrigger.shouldFire(since)
+        if (fire) {
           if (retractions && pane > 0) {
             val prevPane = buf.take(buf.size - since.toInt)
             if (prevPane.nonEmpty)
@@ -476,8 +506,25 @@ object StatefulV2 {
       retractions: Boolean = false)(
       implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)],
       outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
+    triggeredWindowsWith(ds, windowMs, allowedLatenessMs,
+      earlyTrigger = if (earlyFireEvery > 0) AfterCount(earlyFireEvery)
+                     else NeverCount,
+      lateTrigger = AfterCount(lateFireEvery),
+      accumulating = accumulating, retractions = retractions)
+
+  /** [[triggeredWindows]] with compositional [[CountTrigger]]s, e.g.
+    * `earlyTrigger = AfterFirstOf(AfterCount(100), AfterAllOf(...))`. */
+  def triggeredWindowsWith[K: Encoder, V: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, V)], windowMs: Long,
+      allowedLatenessMs: Long = 0L,
+      earlyTrigger: CountTrigger = NeverCount,
+      lateTrigger: CountTrigger = AfterCount(1),
+      accumulating: Boolean = false,
+      retractions: Boolean = false)(
+      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)],
+      outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     ds.groupByKey(_._1).transformWithState(
       new TriggeredWindowProcessor[K, V](windowMs, allowedLatenessMs,
-        earlyFireEvery, lateFireEvery, accumulating, retractions),
+        earlyTrigger, lateTrigger, accumulating, retractions),
       TimeMode.EventTime(), OutputMode.Append())
 }

@@ -231,6 +231,39 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("triggered windows: composite AfterFirstOf trigger fires on the earlier condition") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // AfterFirst(count>=5, AfterAll(count>=2, count>=3)): the AfterAll
+      // branch is satisfied at 3 elements — before the count>=5 branch
+      val panes = StatefulV2.triggeredWindowsWith(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 10000L,
+        earlyTrigger = StatefulV2.AfterFirstOf(
+          StatefulV2.AfterCount(5),
+          StatefulV2.AfterAllOf(StatefulV2.AfterCount(2),
+            StatefulV2.AfterCount(3))))
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "c"),
+        (1L, t(4), "d"))
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 2)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._3, p._4, p._6)).toSeq
+      assert(got == Seq(
+        (0L, "EARLY", Seq("a", "b", "c")),   // fired at 3 (AfterAll branch)
+        (1L, "ON_TIME", Seq("d"))), s"got $got")
+      q.stop()
+    }
+  }
+
   test("triggered windows: retractions re-emit the previous pane before each firing") {
     withRocksDb {
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
