@@ -221,7 +221,7 @@ object EventTimeQueries {
             col("ts").as("bid_ts"), col("value"))
         val joined = auctions.join(bids, Seq("user_id"))
           .filter(col("bid_ts") >= col("open_ts") &&
-            col("bid_ts") < col("open_ts") + expr("INTERVAL 1 HOUR"))
+            col("bid_ts") < col("open_ts") + expr("INTERVAL 1 DAY"))
         val rank = org.apache.spark.sql.expressions.Window
           .partitionBy(col("auction_id"))
           .orderBy(col("value").desc, col("bid_ts").asc, col("bid_id").asc)
@@ -240,11 +240,52 @@ object EventTimeQueries {
             b.ts AS bid_ts, b.value
           FROM auctions a JOIN events b ON a.user_id = b.user_id
           WHERE b.event_type = 'click'
-            AND b.ts >= a.open_ts AND b.ts < a.open_ts + INTERVAL 1 HOUR)
+            AND b.ts >= a.open_ts AND b.ts < a.open_ts + INTERVAL 1 DAY)
         SELECT user_id, auction_id, bid_id, round(value, 4) AS price
         FROM bids
         QUALIFY row_number() OVER (PARTITION BY auction_id
           ORDER BY value DESC, bid_ts ASC, bid_id ASC) = 1""")),
+
+    // Nexmark Q4 "average price for a category" (queries/Query4.java —
+    // winning bids joined back to auction categories, then a per-
+    // category mean: the two-level aggregation shape): category ≡
+    // user_id % 10; level 1 = winning bid per auction (Q9's argmax),
+    // level 2 = mean winning price per category.
+    Q("nexmark_q4_avg_price",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val auctions = ev(s, d).filter(col("event_type") === "signup")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("auction_id"),
+            col("ts").as("open_ts"))
+        val bids = ev(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("bid_id"),
+            col("ts").as("bid_ts"), col("value"))
+        val joined = auctions.join(bids, Seq("user_id"))
+          .filter(col("bid_ts") >= col("open_ts") &&
+            col("bid_ts") < col("open_ts") + expr("INTERVAL 1 DAY"))
+        val winners = joined.groupBy("auction_id", "user_id")
+          .agg(max("value").as("price"))
+        winners.groupBy((col("user_id") % 10).as("category"))
+          .agg(round(avg("price"), 4).as("avg_price"),
+            count(lit(1)).as("n_auctions"))
+      },
+      Some("""WITH auctions AS (
+          SELECT user_id, event_id AS auction_id, ts AS open_ts
+          FROM events WHERE event_type = 'signup'
+          QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) = 1
+        ), winners AS (
+          SELECT a.auction_id, a.user_id, max(b.value) AS price
+          FROM auctions a JOIN events b ON a.user_id = b.user_id
+          WHERE b.event_type = 'click'
+            AND b.ts >= a.open_ts AND b.ts < a.open_ts + INTERVAL 1 DAY
+          GROUP BY 1, 2)
+        SELECT user_id % 10 AS category,
+          round(avg(price), 4) AS avg_price, count(*) AS n_auctions
+        FROM winners GROUP BY 1""")),
 
     // CUSTOM MERGING WindowFn (windowing/WindowFn.java mergeWindows /
     // MergeOverlappingIntervalWindows — the general contract behind
