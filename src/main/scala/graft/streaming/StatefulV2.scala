@@ -375,7 +375,7 @@ object StatefulV2 {
     *
     * Input rows carry exactly one side: (key, Some(l), None) or
     * (key, None, Some(r)). Output: one (key, l, r) per joined pair. */
-  class IncrementalJoinProcessor[K, L, R](
+  class IncrementalJoinProcessor[K, L, R](ttl: TTLConfig = TTLConfig.NONE)(
       implicit lEnc: Encoder[L], rEnc: Encoder[R])
       extends StatefulProcessor[K, (K, Option[L], Option[R]), (K, L, R)] {
 
@@ -383,8 +383,12 @@ object StatefulV2 {
     @transient private var pending: ListState[R] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      person = getHandle.getValueState[L]("person", lEnc, TTLConfig.NONE)
-      pending = getHandle.getListState[R]("pending", rEnc, TTLConfig.NONE)
+      // the GC story: with a TTL, a person (and any never-joined
+      // buffered rights) ages out `ttl` after its last update — bounded
+      // state for keys that stop arriving. NONE matches Beam Q3's
+      // forever-persons exactly.
+      person = getHandle.getValueState[L]("person", lEnc, ttl)
+      pending = getHandle.getListState[R]("pending", rEnc, ttl)
     }
 
     override def handleInputRows(key: K, rows: Iterator[(K, Option[L], Option[R])],
@@ -406,13 +410,17 @@ object StatefulV2 {
     }
   }
 
-  /** Streaming Nexmark-Q3 join — see [[IncrementalJoinProcessor]]. */
+  /** Streaming Nexmark-Q3 join — see [[IncrementalJoinProcessor]].
+    * Pass a `ttl` to bound state for keys that never complete
+    * (TTL requires ProcessingTime mode). */
   def incrementalJoin[K: Encoder, L: Encoder, R: Encoder](
-      ds: Dataset[(K, Option[L], Option[R])])(
+      ds: Dataset[(K, Option[L], Option[R])],
+      ttl: TTLConfig = TTLConfig.NONE)(
       implicit outEnc: Encoder[(K, L, R)]): Dataset[(K, L, R)] =
     ds.groupByKey(_._1).transformWithState(
-      new IncrementalJoinProcessor[K, L, R](),
-      TimeMode.None(), OutputMode.Append())
+      new IncrementalJoinProcessor[K, L, R](ttl),
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
+      OutputMode.Append())
 
   /** Nexmark Q9 "winning bids" (nexmark/.../queries/Query9.java): per
     * key, an auction row opens a window of `durationMs`; bid rows
@@ -423,8 +431,14 @@ object StatefulV2 {
     * auction window drop at replay/arrival time.
     *
     * Input: (key, eventTime, isAuction, id, value).
-    * Output: (key, auctionId, bidId, price). */
-  class WinningBidProcessor[K](durationMs: Long)
+    * Output: (key, auctionId, bidId, price).
+    *
+    * GC story: auction state clears at the close timer. Bids buffered
+    * for a key whose auction NEVER arrives would leak — when
+    * `orphanTtlMs` > 0, the first orphan bid arms a cleanup timer at
+    * (bidTime + orphanTtlMs); if no auction has opened by then, the
+    * buffer drops (bounded state under key churn). */
+  class WinningBidProcessor[K](durationMs: Long, orphanTtlMs: Long = 0L)
       extends StatefulProcessor[K, (K, java.sql.Timestamp, Boolean, Long, Double), (K, Long, Long, Double)] {
 
     @transient private var auction: ValueState[(Long, Long)] = _      // (openMs, auctionId)
@@ -467,7 +481,11 @@ object StatefulV2 {
           }
         } else {
           if (auction.exists()) offer(auction.get()._1, ts.getTime, id, value)
-          else early.appendValue((ts.getTime, id, value))
+          else {
+            if (orphanTtlMs > 0 && !early.get().hasNext)
+              getHandle.registerTimer(ts.getTime + orphanTtlMs)
+            early.appendValue((ts.getTime, id, value))
+          }
         }
       }
       Iterator.empty
@@ -475,14 +493,21 @@ object StatefulV2 {
 
     override def handleExpiredTimer(key: K, timers: TimerValues,
         timer: ExpiredTimerInfo): Iterator[(K, Long, Long, Double)] = {
-      val out =
-        if (auction.exists() && best.exists()) {
-          val (_, auctionId) = auction.get()
-          val (value, _, bidId) = best.get()
-          Iterator((key, auctionId, bidId, value))
-        } else Iterator.empty
-      auction.clear(); best.clear(); early.clear()
-      out
+      if (!auction.exists()) {
+        // orphan-bid horizon passed with no auction: drop the buffer
+        early.clear()
+        Iterator.empty
+      } else if (timer.getExpiryTimeInMs() ==
+          auction.get()._1 + durationMs) {
+        val out =
+          if (best.exists()) {
+            val (_, auctionId) = auction.get()
+            val (value, _, bidId) = best.get()
+            Iterator((key, auctionId, bidId, value))
+          } else Iterator.empty
+        auction.clear(); best.clear(); early.clear()
+        out
+      } else Iterator.empty // stale orphan timer; the auction did open
     }
   }
 
@@ -490,10 +515,10 @@ object StatefulV2 {
     * `ds` must carry a watermark on the timestamp column. */
   def winningBid[K: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, Boolean, Long, Double)],
-      durationMs: Long)(
+      durationMs: Long, orphanTtlMs: Long = 0L)(
       implicit outEnc: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] =
     ds.groupByKey(_._1).transformWithState(
-      new WinningBidProcessor[K](durationMs),
+      new WinningBidProcessor[K](durationMs, orphanTtlMs),
       TimeMode.EventTime(), OutputMode.Append())
 
   /** Fixed windows with Beam's early/on-time/late trigger panes — see

@@ -264,6 +264,63 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("triggered windows: two open windows fire independently") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.triggeredWindows(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      // one batch feeds two windows of the same key: [0,10s) and [10,20s)
+      mem.addData((1L, t(2), "w0-a"), (1L, t(12), "w1-a"), (1L, t(3), "w0-b"))
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 2)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._2)
+        .map(p => (p._4, p._6)).toSeq
+      assert(got == Seq(("ON_TIME", Seq("w0-a", "w0-b")),
+        ("ON_TIME", Seq("w1-a"))), s"got $got")
+      q.stop()
+    }
+  }
+
+  test("winningBid drops orphan bids after the orphan TTL (state GC)") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Boolean, Long, Double)]
+      val won = StatefulV2.winningBid(
+        mem.toDS().withWatermark("_2", "0 seconds"),
+        durationMs = 10000L, orphanTtlMs = 5000L)
+      val table = freshTable()
+      val q = startMemorySink(won, table)
+      // bids with no auction — the orphan horizon (bid ts + 5s) passes
+      mem.addData((1L, t(1), false, 201L, 5.0))
+      q.processAllAvailable()
+      mem.addData((9L, t(20), true, 900L, 0.0)) // watermark past 00:06
+      q.processAllAvailable()
+      mem.addData((9L, t(21), false, 204L, 1.0))
+      q.processAllAvailable()
+      // auction for key 1 opens AFTER the orphan cleanup: the dropped
+      // bid must not resurface as a winner
+      mem.addData((1L, t(25), true, 901L, 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, t(60), true, 902L, 0.0)) // close key 1's auction
+      q.processAllAvailable()
+      mem.addData((9L, t(65), false, 205L, 1.0))
+      q.processAllAvailable()
+      Thread.sleep(500)
+      val got = spark.table(table).as[(Long, Long, Long, Double)]
+        .collect().filter(_._1 == 1L).toSeq
+      assert(got.isEmpty, s"orphan bid resurfaced: $got")
+      q.stop()
+    }
+  }
+
   test("triggered windows: retractions re-emit the previous pane before each firing") {
     withRocksDb {
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
