@@ -188,28 +188,36 @@ object GraftFunctions {
     case other => other.toString.toInt
   }
 
+  /** name → expression builder, shared by the imperative
+    * [[register]] path and the [[graft.GraftExtensions]] injection. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> ((e: Seq[Expression]) => VectorDot(e(0), e(1))),
+    "vec_norm" -> ((e: Seq[Expression]) => VectorNorm(e(0))),
+    "minhash_sig" -> ((e: Seq[Expression]) =>
+      MinHashSignature(e(0), litInt(e(1)), litInt(e(2)))),
+    "simhash" -> ((e: Seq[Expression]) => SimHash(e(0), litInt(e(1)))),
+    "shingles" -> ((e: Seq[Expression]) => WordShingles(e(0), litInt(e(1)))),
+    "countmin_agg" -> ((e: Seq[Expression]) =>
+      CountMinSketchAgg(e(0), litInt(e(1)), litInt(e(2)))),
+    "countmin_est" -> ((e: Seq[Expression]) =>
+      CountMinEstimate(e(0), e(1), litInt(e(2)), litInt(e(3)))),
+    "srp_buckets" -> ((e: Seq[Expression]) =>
+      SrpBuckets(e(0), litInt(e(1)), litInt(e(2)), litInt(e(3)), litInt(e(4)))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      (e: Seq[Expression]) => VectorDot(e(0), e(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_norm",
-      (e: Seq[Expression]) => VectorNorm(e(0)), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      (e: Seq[Expression]) => MinHashSignature(e(0), litInt(e(1)), litInt(e(2))),
-      "built-in")
-    reg.createOrReplaceTempFunction("simhash",
-      (e: Seq[Expression]) => SimHash(e(0), litInt(e(1))), "built-in")
-    reg.createOrReplaceTempFunction("shingles",
-      (e: Seq[Expression]) => WordShingles(e(0), litInt(e(1))), "built-in")
-    reg.createOrReplaceTempFunction("countmin_agg",
-      (e: Seq[Expression]) => CountMinSketchAgg(e(0), litInt(e(1)), litInt(e(2))),
-      "built-in")
-    reg.createOrReplaceTempFunction("countmin_est",
-      (e: Seq[Expression]) => CountMinEstimate(e(0), e(1), litInt(e(2)), litInt(e(3))),
-      "built-in")
-    reg.createOrReplaceTempFunction("srp_buckets",
-      (e: Seq[Expression]) => SrpBuckets(e(0), litInt(e(1)), litInt(e(2)),
-        litInt(e(3)), litInt(e(4))),
-      "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+
+  /** Session-extension injection (`spark.sql.extensions=graft.GraftExtensions`). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        (e: Seq[Expression]) => b(e)))
+    }
 }

@@ -172,6 +172,57 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("flagship plans keep their audited shapes (plan-regression guard)") {
+    def plan(name: String): String =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    // TPC-H Q5: dims broadcast, region filter reaches the scan
+    val q5 = plan("agg_tpch_q5")
+    assert(q5.contains("BroadcastHashJoin"), "q5 lost its broadcast joins")
+    assert(q5.contains("EqualTo(r_name,ASIA)"), "q5 region filter not pushed down")
+    // Q4: EXISTS stays a semi join (no row multiplication)
+    assert(plan("agg_tpch_q4").contains("LeftSemi"), "q4 lost the semi join")
+    // vocab fit artifact: broadcast join, NO global rank window
+    val vocab = plan("text_vocab_ids")
+    assert(vocab.contains("BroadcastHashJoin"), "vocab join not broadcast")
+    assert(!vocab.contains("Window "), s"vocab regained a rank window")
+    // global top-k must be TakeOrdered (per-partition heaps), not a sort
+    assert(plan("topk_global").contains("TakeOrderedAndProject"),
+      "topk_global lost TakeOrderedAndProject")
+    // Q6: predicates reach the parquet scan
+    assert(plan("agg_tpch_q6").contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q6 lost scan pushdown")
+  }
+
+  test("GraftExtensions injects native functions at session build") {
+    val spark0 = spark // force shared-session init before clearing
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // `.withExtensions` ≡ what `spark.sql.extensions=graft.GraftExtensions`
+      // does at SparkContext build time (that static conf is only read
+      // when the context itself starts, which this shared-JVM test
+      // can't redo)
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate() // reuses the JVM's SparkContext, new session state
+      val got = s2.sql(
+        """SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+                         array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)))""")
+        .head().getDouble(0)
+      assert(math.abs(got - 9.0) < 1e-12)
+      val sh = s2.sql("SELECT simhash(array('hello'), 16)").head().getLong(0)
+      assert(sh != 0L)
+    } finally {
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      assert(spark0 eq spark)
+    }
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
