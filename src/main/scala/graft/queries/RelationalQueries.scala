@@ -170,6 +170,28 @@ object RelationalQueries {
         max(l_shipdate) AS max_ship,
         count(DISTINCT l_orderkey) AS n_orders FROM lineitem""")),
 
+    // Extended aggregate surface: median (continuous interpolation in
+    // both engines) + the SQL:2003 linear-regression family. Skewness/
+    // kurtosis are deliberately absent — Spark computes population
+    // moments where DuckDB applies sample corrections, so their values
+    // diverge past 6 decimals (documented engine difference).
+    Q("agg_stats_regr",
+      (s, d) => li(s, d).groupBy("l_returnflag").agg(
+        median(col("l_quantity")).as("med_qty"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n")),
+      Some("""SELECT l_returnflag, median(l_quantity) AS med_qty,
+        round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        regr_count(l_extendedprice, l_quantity) AS n
+        FROM lineitem GROUP BY l_returnflag""")),
+
     Q("agg_stats",
       (s, d) => li(s, d).groupBy("l_returnflag").agg(
         round(var_pop(col("l_discount")), 8).as("var_pop_disc"),
