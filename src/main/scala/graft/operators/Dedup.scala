@@ -177,6 +177,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over a near-duplicate PAIR graph — the step
+    * after candidate generation in every dedup pipeline: pairs →
+    * clusters → one canonical doc per cluster. Iterative min-label
+    * propagation: every node starts labeled with its own id; each round
+    * joins labels across edges (both directions) and keeps the minimum
+    * seen; converged when no label changes. Rounds needed = graph
+    * diameter ≤ `maxIter` (near-dup components are short chains —
+    * diameter beyond ~20 means the threshold is too loose, and the
+    * iteration cap surfaces that instead of looping forever).
+    *
+    * Scale shape: each round is one edge-join + one min-aggregation on
+    * the node key — all shuffles on the same key, O(diameter) rounds
+    * (the large-star/small-star optimization halves rounds at extreme
+    * diameters; unnecessary for near-dup graphs). The per-round
+    * `count` on the converged check forces evaluation, so lineage
+    * stays bounded.
+    *
+    * Returns (id, cluster) where cluster = min id in the component —
+    * `cluster` is the canonical keeper under keep-smallest. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // labels a node can see: its own + each neighbour's current label
+      val candidate = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nbr_label"), Seq("dst"))
+        .select(col("src").as("id"), col("nbr_label").as("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .cache()
+      val changed = candidate.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = candidate
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs above a threshold, via
     * shingle inverted index: explode distinct shingles, self-join on
     * shingle, count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).

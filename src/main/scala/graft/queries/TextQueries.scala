@@ -53,6 +53,37 @@ object TextQueries {
           FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
           GROUP BY d.doc_id)"""
 
+  /** DuckDB CTE chain rebuilding the MinHash-LSH candidate pairs
+    * (tok → shingles → affine signatures → band buckets → pair), shared
+    * by dedup_minhash_pairs and dedup_clusters. */
+  private val minhashPairCtes: String = s"""tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), sh AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+          FROM tok CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+        ), sig AS (
+          SELECT doc_id, ab.hid,
+            min((ab.a * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483648) + ab.b)
+                % ${Dedup.MinHashPrime}) AS hv
+          FROM sh CROSS JOIN (SELECT * FROM (VALUES ${
+            (0 until 16).map { i =>
+              val (a, b) = Dedup.affineParams(i)
+              s"($i, $a, $b)"
+            }.mkString(", ")
+          }) AS t(hid, a, b)) ab
+          GROUP BY 1, 2
+        ), band AS (
+          SELECT doc_id, hid // 4 AS band,
+            md5(string_agg(CAST(hv AS VARCHAR), '_' ORDER BY hid)) AS bucket
+          FROM sig GROUP BY doc_id, hid // 4
+        ), pair AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )"""
+
   def queries: Seq[Q] = Seq(
 
     // Token counting + document fingerprints (rolling content hash).
@@ -223,39 +254,35 @@ object TextQueries {
     Q("dedup_minhash_pairs",
       (s, d) => Dedup.minHashCandidates(docs(s, d), "doc_id", "text",
         numHashes = 16, numBands = 4),
-      Some(s"""WITH tok AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-          FROM documents WHERE length(trim(text)) > 0
-        ), sh AS (
-          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
-          FROM tok CROSS JOIN LATERAL
-            (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
-        ), sig AS (
-          SELECT doc_id, ab.hid,
-            min((ab.a * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483648) + ab.b)
-                % ${Dedup.MinHashPrime}) AS hv
-          FROM sh CROSS JOIN (SELECT * FROM (VALUES ${
-            (0 until 16).map { i =>
-              val (a, b) = Dedup.affineParams(i)
-              s"($i, $a, $b)"
-            }.mkString(", ")
-          }) AS t(hid, a, b)) ab
-          GROUP BY 1, 2
-        ), band AS (
-          SELECT doc_id, hid // 4 AS band,
-            md5(string_agg(CAST(hv AS VARCHAR), '_' ORDER BY hid)) AS bucket
-          FROM sig GROUP BY doc_id, hid // 4
-        ), pair AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM band a JOIN band b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        )
+      Some(s"""WITH $minhashPairCtes
         SELECT p.id_a, p.id_b,
           round(CAST(sum(CASE WHEN x.hv = y.hv THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
         FROM pair p
         JOIN sig x ON x.doc_id = p.id_a
         JOIN sig y ON y.doc_id = p.id_b AND y.hid = x.hid
         GROUP BY 1, 2""")),
+
+    // Near-dup CLUSTERS: the step after pair generation in a dedup
+    // pipeline — connected components over the MinHash candidate graph,
+    // cluster id = min doc id (the canonical keeper under
+    // keep-smallest). Spark: iterative min-label propagation
+    // (O(diameter) rounds of edge-join + min-agg); oracle: recursive
+    // transitive closure + min(reachable).
+    Q("dedup_clusters",
+      (s, d) => Dedup.connectedComponents(
+        Dedup.minHashCandidates(docs(s, d), "doc_id", "text",
+          numHashes = 16, numBands = 4),
+        "id_a", "id_b"),
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pair
+          UNION SELECT id_b, id_a FROM pair
+        ), reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        )
+        SELECT id, min(r) AS cluster FROM reach GROUP BY id""")),
 
     // Exact n-gram Jaccard pairs above threshold (shingle inverted index).
     Q("dedup_ngram_jaccard",

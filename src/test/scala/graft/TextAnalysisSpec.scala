@@ -112,6 +112,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exact.size > 1 && exact.contains((1L, 2L)))
   }
 
+  test("connectedComponents labels chains and keeps singleton pairs apart") {
+    // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("minHashCandidates surfaces duplicate docs as a pair") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
