@@ -17,7 +17,7 @@ object Bench {
     "win_tumbling", "win_sliding", "win_session", "gap_fill_hours",
     "dedup_events_first", "text_stats", "text_quality", "text_simhash",
     "dedup_minhash_pairs", "dedup_exact_docs", "dedup_simhash_pairs", "text_token_bpe",
-    "dedup_clusters",
+    "dedup_clusters", "pipeline_curation",
     "vec_cosine_topk", "vec_centroids", "dedup_embedding_cosine",
     "vec_ann_lsh", "explode_word_counts", "json_extract",
     "countmin_freq", "ml_inference", "anomaly_zscore", "pattern_match",

@@ -7,9 +7,13 @@ import graft.queries.Registry
   * the stable façade the driver invokes.
   */
 object SparkEntry {
-  /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. The
+    * composed curation pipeline (quality filter → language filter →
+    * exact dedup → near-dup cluster canonicals) exercises text
+    * analysis, fingerprinting, MinHash-LSH, and connected components
+    * in one pass. */
   def entry(spark: SparkSession): DataFrame =
-    queries("agg_tpch_q1")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_curation")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -179,45 +179,52 @@ object Dedup {
 
   /** Connected components over a near-duplicate PAIR graph — the step
     * after candidate generation in every dedup pipeline: pairs →
-    * clusters → one canonical doc per cluster. Iterative min-label
-    * propagation: every node starts labeled with its own id; each round
-    * joins labels across edges (both directions) and keeps the minimum
-    * seen; converged when no label changes. Rounds needed = graph
-    * diameter ≤ `maxIter` (near-dup components are short chains —
-    * diameter beyond ~20 means the threshold is too loose, and the
-    * iteration cap surfaces that instead of looping forever).
+    * clusters → one canonical doc per cluster. Min-label propagation
+    * with POINTER JUMPING: each round a node takes the minimum of its
+    * own label, its neighbours' labels (one-hop propagation), and its
+    * label's label (doubling the propagation distance — the classic
+    * pointer-jump), so convergence needs O(log diameter) rounds, not
+    * O(diameter). Converged when no label changes; `maxIter` is a
+    * pathological-graph backstop.
     *
-    * Scale shape: each round is one edge-join + one min-aggregation on
-    * the node key — all shuffles on the same key, O(diameter) rounds
-    * (the large-star/small-star optimization halves rounds at extreme
-    * diameters; unnecessary for near-dup graphs). The per-round
-    * `count` on the converged check forces evaluation, so lineage
-    * stays bounded.
+    * Scale shape: each round is one edge-join + one label-self-join +
+    * one min-aggregation, all shuffling on the node/label key, ONE
+    * action (the convergence count runs against the same cached
+    * frame), and caching truncates lineage per round.
     *
     * Returns (id, cluster) where cluster = min id in the component —
     * `cluster` is the canonical keeper under keep-smallest. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 15): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
+    // localCheckpoint (eager) per round: an ITERATIVE dataframe
+    // algorithm must truncate lineage — the pointer-jump references
+    // `labels` three times, so an un-truncated logical plan grows 3^n
+    // and analysis itself becomes the bottleneck (the classic
+    // iterative-Spark pitfall). Checkpoint blocks are reclaimed by the
+    // context cleaner as references drop.
     var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("label", col("id")).cache()
+      .distinct().withColumn("label", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // labels a node can see: its own + each neighbour's current label
-      val candidate = edges
+      val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nbr_label"), Seq("dst"))
         .select(col("src").as("id"), col("nbr_label").as("label"))
-        .union(labels)
+      val viaPointer = labels.as("a")
+        .join(labels.select(col("id").as("label"),
+          col("label").as("jump")), Seq("label"))
+        .select(col("id"), col("jump").as("label"))
+      val stepped = viaEdges.union(viaPointer).union(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .cache()
-      val changed = candidate.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = candidate
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .localCheckpoint()
+      val changed = stepped.filter(col("label") =!= col("old")).count()
+      labels = stepped.select("id", "label")
       converged = changed == 0
       i += 1
     }

@@ -84,6 +84,47 @@ object TextQueries {
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         )"""
 
+  /** Full language-ID SELECT (doc_id, lang_guess) — reused by
+    * text_lang_id and the curation pipeline oracle. */
+  private val langIdSelect: String = """WITH t AS (
+          SELECT doc_id,
+            CASE WHEN length(trim(lower(text))) = 0 THEN []
+                 ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+          FROM documents
+        ), sc AS (
+          SELECT doc_id,
+            len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+            len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+            len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS s_fr,
+            len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS s_es
+          FROM t)
+        SELECT doc_id,
+          CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               WHEN s_de = greatest(s_de, s_fr, s_es) THEN 'de'
+               WHEN s_fr = greatest(s_fr, s_es) THEN 'fr'
+               ELSE 'es' END AS lang_guess
+        FROM sc"""
+
+  /** Full quality-score SELECT (doc_id, quality) — reused by
+    * text_quality and the curation pipeline oracle. */
+  private lazy val qualitySelect: String = s"""WITH t AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len($toksSql) AS DOUBLE) AS nt,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+            CAST(len(list_filter(
+              CASE WHEN length(trim(lower(text))) = 0 THEN []
+                   ELSE string_split_regex(trim(lower(text)), '\\s+') END,
+              x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) AS ns
+          FROM documents)
+        SELECT doc_id, round(
+          least(nt / 50.0, 1.0) * 0.4
+          + (CASE WHEN nt > 0 AND nc / nt >= 3 AND nc / nt <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
+          + least((CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) * 4.0, 1.0) * 0.2
+          + least((CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 10.0, 1.0) * 0.1, 6) AS quality
+        FROM t"""
+
   def queries: Seq[Q] = Seq(
 
     // Token counting + document fingerprints (rolling content hash).
@@ -105,46 +146,66 @@ object TextQueries {
     Q("text_lang_id",
       (s, d) => docs(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_guess")),
-      Some("""WITH t AS (
-          SELECT doc_id,
-            CASE WHEN length(trim(lower(text))) = 0 THEN []
-                 ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
-          FROM documents
-        ), sc AS (
-          SELECT doc_id,
-            len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-            len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
-            len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS s_fr,
-            len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS s_es
-          FROM t)
-        SELECT doc_id,
-          CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-               WHEN s_de = greatest(s_de, s_fr, s_es) THEN 'de'
-               WHEN s_fr = greatest(s_fr, s_es) THEN 'fr'
-               ELSE 'es' END AS lang_guess
-        FROM sc""")),
+      Some(langIdSelect)),
 
     // Quality scoring (length / punctuation / stopword-ratio heuristic).
     Q("text_quality",
       (s, d) => docs(s, d).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality")),
-      Some(s"""WITH t AS (
-          SELECT doc_id,
-            CAST(length(text) AS DOUBLE) AS nc,
-            CAST(len($toksSql) AS DOUBLE) AS nt,
-            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
-            CAST(len(list_filter(
-              CASE WHEN length(trim(lower(text))) = 0 THEN []
-                   ELSE string_split_regex(trim(lower(text)), '\\s+') END,
-              x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) AS ns
-          FROM documents)
-        SELECT doc_id, round(
-          least(nt / 50.0, 1.0) * 0.4
-          + (CASE WHEN nt > 0 AND nc / nt >= 3 AND nc / nt <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
-          + least((CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) * 4.0, 1.0) * 0.2
-          + least((CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 10.0, 1.0) * 0.1, 6) AS quality
-        FROM t""")),
+      Some(qualitySelect)),
+
+    // ===== THE CURATION PIPELINE — the composed end-to-end pass a
+    // training-data pipeline runs before tokenization: quality filter →
+    // language filter → exact dedup (keep smallest id per fingerprint)
+    // → near-dup clustering (keep each MinHash cluster's canonical
+    // doc). Every stage is an operator verified on its own above; this
+    // query proves they COMPOSE, and the oracle replays the identical
+    // pass in one SQL statement.
+    Q("pipeline_curation",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        val w = Window.partitionBy(col("fp"))
+        val exactKeep = base
+          .withColumn("keep_id", min("doc_id").over(w))
+          .filter(col("doc_id") === col("keep_id"))
+        val filtered = exactKeep
+          .filter(col("quality") >= 0.5 && col("lang") === "en")
+        val clusters = Dedup.connectedComponents(
+          Dedup.minHashCandidates(docs(s, d), "doc_id", "text",
+            numHashes = 16, numBands = 4),
+          "id_a", "id_b")
+        filtered
+          .join(clusters.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left")
+          .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+          .select(col("doc_id"), col("quality"), col("lang"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pair
+          UNION SELECT id_b, id_a FROM pair
+        ), reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        ), clusters AS (
+          SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        ), q AS ($qualitySelect), lg AS ($langIdSelect),
+        exact_keep AS (
+          SELECT doc_id FROM documents
+          QUALIFY doc_id = min(doc_id) OVER (PARTITION BY
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+        )
+        SELECT d.doc_id, q.quality, lg.lang_guess AS lang
+        FROM exact_keep d
+        JOIN q ON d.doc_id = q.doc_id
+        JOIN lg ON d.doc_id = lg.doc_id
+        LEFT JOIN clusters c ON d.doc_id = c.id
+        WHERE q.quality >= 0.5 AND lg.lang_guess = 'en'
+          AND (c.cluster IS NULL OR c.cluster = d.doc_id)""")),
 
     // SimHash document fingerprint: per-bit majority vote of token hashes.
     Q("text_simhash",
