@@ -48,6 +48,19 @@ class IoSpec extends SparkSpec {
       Seq(2L, Seq(), "y", 8L)))
   }
 
+  test("orc round-trip with predicate pushdown (columnar-IO analog)") {
+    val dir = tmp("graft-orc")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "s", "v")
+    df.write.orc(dir)
+    val back = spark.read.orc(dir).filter(col("id") >= 2)
+    assertRows(back.select("id", "s", "v"),
+      Seq(Seq(2L, "b", 2.5), Seq(3L, "c", 3.5)))
+    // the filter reaches the ORC scan
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+  }
+
   test("corrupt JSON records go to the dead-letter column (JsonToRow analog)") {
     val dir = Files.createTempDirectory("graft-badjson")
     Files.write(dir.resolve("part-0.json"),
