@@ -24,7 +24,7 @@ object Bench {
     "rag_chunking", "multimodal_meta", "sortvalues_secondary",
     "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale",
     "pattern_down_run", "cogroup_3way", "sql_udaf_geomean",
-    "agg_tpch_q4", "agg_tpch_q5", "agg_tpch_q12",
+    "agg_tpch_q4", "agg_tpch_q5", "agg_tpch_q10", "agg_tpch_q12", "agg_tpch_q14",
     "win_merge_intervals", "text_repetition", "sample_stratified",
     // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
     // published SMOKE suite's 100k-event scale)

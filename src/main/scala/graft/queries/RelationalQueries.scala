@@ -157,6 +157,43 @@ object RelationalQueries {
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY l_linestatus""")),
 
+    // TPC-H Q10 shape (returned-item reporting): 3-table join filtered
+    // to returned lineitems, revenue agg per customer, top 20.
+    Q("agg_tpch_q10",
+      (s, d) => li(s, d).filter(col("l_returnflag") === "R")
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20),
+      Some("""SELECT c_custkey, c_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")),
+
+    // TPC-H Q14 shape (promotion effect): conditional revenue ratio —
+    // a CASE aggregate over a broadcast dim join.
+    Q("agg_tpch_q14",
+      (s, d) => li(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"),
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("promo_revenue_pct")),
+      Some("""SELECT round(100.0 *
+          sum(CASE WHEN p_type LIKE 'PROMO%'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+          sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey""")),
+
     Q("agg_global",
       (s, d) => li(s, d).agg(
         count(lit(1)).as("n_rows"),
