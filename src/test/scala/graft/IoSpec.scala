@@ -48,6 +48,18 @@ class IoSpec extends SparkSpec {
       Seq(2L, Seq(), "y", 8L)))
   }
 
+  test("saveAsTable registers a persistent catalog table (DDL/catalog analog)") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    df.write.mode("overwrite").saveAsTable("graft_cat_demo")
+    try {
+      assert(spark.catalog.tableExists("graft_cat_demo"))
+      // reachable from SQL text through the catalog, not a temp view
+      val n = spark.sql("SELECT count(*) FROM graft_cat_demo").head().getLong(0)
+      assert(n == 2)
+      assert(!spark.catalog.getTable("graft_cat_demo").isTemporary)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cat_demo")
+  }
+
   test("orc round-trip with predicate pushdown (columnar-IO analog)") {
     val dir = tmp("graft-orc")
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
