@@ -29,7 +29,8 @@ object Bench {
     // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
     // published SMOKE suite's 100k-event scale)
     "win_hot_items", "win_highest_value", "win_new_users",
-    "nexmark_q3_join", "nexmark_q9_winning_bid", "nexmark_q4_avg_price")
+    "nexmark_q3_join", "nexmark_q9_winning_bid", "nexmark_q4_avg_price",
+    "nexmark_q1_convert", "nexmark_q2_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

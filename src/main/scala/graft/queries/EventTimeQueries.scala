@@ -167,6 +167,25 @@ object EventTimeQueries {
           AND floor(epoch(s.ts) / 3600) = floor(epoch(p.ts) / 3600)
         WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""")),
 
+    // Nexmark Q1 "currency conversion" (queries/Query1.java — a pure
+    // per-element map over the bid stream: dollars → euros).
+    Q("nexmark_q1_convert",
+      (s, d) => ev(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 0.908, 4).as("price_eur")),
+      Some("""SELECT event_id, user_id, round(value * 0.908, 4) AS price_eur
+        FROM events WHERE event_type = 'click'""")),
+
+    // Nexmark Q2 "selection" (queries/Query2.java — a pure filter over
+    // the bid stream for a sparse key set).
+    Q("nexmark_q2_filter",
+      (s, d) => ev(s, d).filter(col("event_type") === "click" &&
+          col("user_id") % 13 === 0)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("price")),
+      Some("""SELECT event_id, user_id, round(value, 4) AS price
+        FROM events WHERE event_type = 'click' AND user_id % 13 = 0""")),
+
     // Nexmark Q3 "local item suggestion" (queries/Query3.java — THE
     // state+timers showcase: an incremental Person⋈Auction join where
     // whichever side arrives first waits in per-key state): persons ≡
@@ -268,8 +287,12 @@ object EventTimeQueries {
             col("bid_ts") < col("open_ts") + expr("INTERVAL 1 DAY"))
         val winners = joined.groupBy("auction_id", "user_id")
           .agg(max("value").as("price"))
+        // total, not average: prices are exact 2-decimal money, so a
+        // rounded 2-decimal SUM is order-independent across engines;
+        // an average can land exactly on a rounding boundary
+        // (73.34125 did) where float summation order flips the result
         winners.groupBy((col("user_id") % 10).as("category"))
-          .agg(round(avg("price"), 4).as("avg_price"),
+          .agg(round(sum("price"), 2).as("total_price"),
             count(lit(1)).as("n_auctions"))
       },
       Some("""WITH auctions AS (
@@ -284,7 +307,7 @@ object EventTimeQueries {
             AND b.ts >= a.open_ts AND b.ts < a.open_ts + INTERVAL 1 DAY
           GROUP BY 1, 2)
         SELECT user_id % 10 AS category,
-          round(avg(price), 4) AS avg_price, count(*) AS n_auctions
+          round(sum(price), 2) AS total_price, count(*) AS n_auctions
         FROM winners GROUP BY 1""")),
 
     // CUSTOM MERGING WindowFn (windowing/WindowFn.java mergeWindows /
