@@ -406,6 +406,37 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("transformWithState state survives a query restart (checkpoint recovery)") {
+    withRocksDb {
+      // buffered (unflushed) state must come back after stop+restart —
+      // the incremental-checkpoint fault-tolerance contract every
+      // long-running 100 TB stream depends on
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-rec").toString
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      def start() = StatefulV2.eventTimeGapFlush(
+          mem.toDS().withWatermark("_2", "0 seconds"), gapMs = 10000L)
+        .toDF("key", "vals")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData((1L, t(1), "a"), (1L, t(3), "b"))
+      q1.processAllAvailable()
+      q1.stop() // "a","b" buffered in state, nothing emitted yet
+      val q2 = start()
+      mem.addData((9L, t(50), "wm")) // watermark past 00:13 → flush
+      q2.processAllAvailable()
+      mem.addData((9L, t(55), "wm2"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .as[(Long, Seq[String])].collect().toSet
+      assert(got.contains((1L, Seq("a", "b"))),
+        s"state lost across restart: $got")
+      q2.stop()
+    }
+  }
+
   test("dedupWithTtl drops repeated ids per key within the horizon") {
     withRocksDb {
       val mem = MemoryStream[(Long, Long, String)]
