@@ -299,6 +299,28 @@ object TextQueries {
               event_id ASC)
           <= ceil(count(*) OVER (PARTITION BY event_type) * 0.1)""")),
 
+    // Beam Sample.fixedSizePerKey (transforms/Sample.java:50): exactly
+    // min(n, |group|) rows per key, selected deterministically by
+    // portable-hash rank (Beam's reservoir is random per run; the hash
+    // rank is the reproducible equivalent — same engine-portable
+    // sample every run, rerun-safe under retries).
+    Q("sample_fixed_per_key",
+      (s, d) => {
+        val h = graft.functions.PortableHash
+          .md5Long(col("event_id").cast("string"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("hv").asc, col("event_id").asc)
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+            h.as("hv"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 25)
+          .select(col("event_id"), col("event_type"))
+      },
+      Some(s"""SELECT event_id, event_type FROM events
+        QUALIFY row_number() OVER (PARTITION BY event_type
+            ORDER BY ${graft.functions.PortableHash.md5LongSql("CAST(event_id AS VARCHAR)")} ASC,
+              event_id ASC) <= 25""")),
+
     // Exact dedup by normalized-content hash (hash-groupBy).
     Q("dedup_exact_docs",
       (s, d) => docs(s, d)
