@@ -24,13 +24,24 @@ object Bench {
     "rag_chunking", "multimodal_meta", "sortvalues_secondary",
     "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale",
     "pattern_down_run", "cogroup_3way", "sql_udaf_geomean",
-    "agg_tpch_q4", "agg_tpch_q5", "agg_tpch_q10", "agg_tpch_q12", "agg_tpch_q14",
+    "agg_tpch_q2", "agg_tpch_q3", "agg_tpch_q4", "agg_tpch_q5", "agg_tpch_q6",
+    "agg_tpch_q7", "agg_tpch_q8", "agg_tpch_q9", "agg_tpch_q10", "agg_tpch_q11",
+    "agg_tpch_q12", "agg_tpch_q13", "agg_tpch_q14", "agg_tpch_q15", "agg_tpch_q16",
+    "agg_tpch_q17", "agg_tpch_q18", "agg_tpch_q19", "agg_tpch_q20", "agg_tpch_q21",
+    "agg_tpch_q22",
     "win_merge_intervals", "text_repetition", "sample_stratified",
     // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
     // published SMOKE suite's 100k-event scale)
     "win_hot_items", "win_highest_value", "win_new_users",
     "nexmark_q3_join", "nexmark_q9_winning_bid", "nexmark_q4_avg_price",
     "nexmark_q1_convert", "nexmark_q2_filter")
+
+  /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
+  private def dropCaches(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,13 +69,20 @@ object Bench {
       try all(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    dropCaches(spark)
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { all(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       // a query that throws reports -1.0, not a normal-looking elapsed
       // time, so failures are detectable in BENCH_r{N}.json
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // Release this query's cached/localCheckpointed blocks so storage
+      // never accumulates across the 60+ query session — at a fixed
+      // heap that accumulation evicts into GC thrash and taxes every
+      // later shuffle join. Cleanup is untimed (outside t0..dt).
+      dropCaches(spark)
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

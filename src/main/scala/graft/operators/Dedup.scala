@@ -229,6 +229,16 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // A silent non-converged exit would hand back wrong cluster ids
+    // (and corrupt canonical-doc selection downstream) with no signal.
+    // Pointer jumping converges in O(log diameter), so hitting the
+    // backstop means a pathological graph or a too-small maxIter —
+    // surface it loudly rather than guessing.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(labels still changing); raise maxIter — pointer jumping " +
+          "needs ~log2(graph diameter) rounds")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

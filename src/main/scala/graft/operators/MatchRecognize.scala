@@ -134,7 +134,21 @@ object MatchRecognize {
     val top = scala.collection.mutable.ArrayBuffer[Elem[T]]()
     var branches: scala.collection.mutable.ArrayBuffer[Seq[Elem[T]]] = null
     var current: scala.collection.mutable.ArrayBuffer[Elem[T]] = null
+    // Tokens must COVER the input (whitespace aside): findAllMatchIn
+    // alone silently skips unmatched text, so "(A|B)+" would parse as
+    // "(A|B)" with the quantifier dropped and garbage would be ignored
+    // — unsupported syntax has to be a parse error, not a semantics
+    // change.
+    var pos = 0
+    def gapTo(start: Int): Unit = {
+      val gap = pattern.substring(pos, start)
+      require(gap.forall(_.isWhitespace),
+        s"unsupported syntax at '${gap.trim}' in pattern: $pattern " +
+          "(supported: variables with + * ? {m} {m,} {m,n}, one level " +
+          "of (A|B) alternation; quantified groups are not)")
+    }
     Tok.findAllMatchIn(pattern).foreach { m =>
+      gapTo(m.start); pos = m.end
       if (m.group(3) != null) { // '('
         require(branches == null, s"nested groups unsupported: $pattern")
         branches = scala.collection.mutable.ArrayBuffer.empty
@@ -156,6 +170,7 @@ object MatchRecognize {
         if (current != null) current += step else top += step
       }
     }
+    gapTo(pattern.length)
     require(branches == null, s"unbalanced '(': $pattern")
     require(top.nonEmpty, s"empty pattern: $pattern")
     top.toSeq

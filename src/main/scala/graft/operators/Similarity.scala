@@ -152,8 +152,15 @@ object Similarity {
       threshold: Double, nBlocks: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Block on a hash of the id, not a numeric cast: a non-numeric id
+    // would cast to a null block that never satisfies bx <= by and its
+    // rows would silently vanish from every pair. The id itself must
+    // still be long-castable (output schema) — a non-castable id now
+    // fails loudly at encoding (non-nullable Long field) instead of
+    // dropping silently.
     val blocks = df
-      .select((col(idCol).cast("long") % nBlocks).cast("int").as("b"),
+      .select(pmod(xxhash64(col(idCol).cast("string")), lit(nBlocks))
+          .cast("int").as("b"),
         col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .groupBy("b")
       .agg(collect_list(struct(col("id"), col("v"))).as("rows"))

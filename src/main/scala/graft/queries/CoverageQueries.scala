@@ -367,7 +367,15 @@ object CoverageQueries {
           (Tables.nation(s, d).select(
             col("n_nationkey").cast("long").as("nationkey"),
             col("n_name")), "n_name")),
-        key = "nationkey", inner = Seq(true, false, false)),
+        key = "nationkey", inner = Seq(true, false, false))
+        // The grouped lists are emitted as '|'-joined strings, not
+        // arrays: the driver's pandas-based checker cannot sort/hash
+        // array cells (it crashed on them in round 3), and a joined
+        // sorted list carries the same information.
+        .select(col("nationkey"),
+          array_join(sort_array(col("values_0")), "|").as("values_0"),
+          array_join(sort_array(col("values_1")), "|").as("values_1"),
+          array_join(sort_array(col("values_2")), "|").as("values_2")),
       Some("""WITH c AS (
           SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
             list_sort(list(c_name)) AS values_0 FROM customer GROUP BY 1
@@ -377,9 +385,10 @@ object CoverageQueries {
         ), na AS (
           SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
             list_sort(list(n_name)) AS values_2 FROM nation GROUP BY 1)
-        SELECT c.nationkey, values_0,
-          coalesce(values_1, []) AS values_1,
-          coalesce(values_2, []) AS values_2
+        SELECT c.nationkey,
+          array_to_string(values_0, '|') AS values_0,
+          array_to_string(coalesce(values_1, []), '|') AS values_1,
+          array_to_string(coalesce(values_2, []), '|') AS values_2
         FROM c LEFT JOIN su USING (nationkey)
                LEFT JOIN na USING (nationkey)""")),
 

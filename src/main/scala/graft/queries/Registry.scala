@@ -13,7 +13,8 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    RelationalQueries.queries ++ EventTimeQueries.queries ++
+    RelationalQueries.queries ++ TpchQueries.queries ++
+      EventTimeQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
       CoverageQueries.queries ++ PipelineQueries.queries
 }

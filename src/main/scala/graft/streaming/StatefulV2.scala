@@ -266,13 +266,26 @@ object StatefulV2 {
     * watermark by ELEMENT time where Beam drops by WINDOW end — rows
     * early in their window arriving near the lateness horizon can be
     * dropped slightly sooner than Beam would; same bounded-staleness
-    * contract, documented difference. */
+    * contract, documented difference.
+    *
+    * Constraint: `allowedLatenessMs < windowMs` (enforced). The
+    * on-time timer arms at (windowEnd − allowedLateness) in Spark's
+    * domain; with lateness ≥ the window size that expiry lands at or
+    * before the window START, so the timer could fire below the
+    * registration watermark and rows conceptually on-time/late would
+    * be mis-classified EARLY. Larger lateness horizons want a wider
+    * window or a two-level (window, horizon) state design — rejected
+    * here rather than silently mis-labelled. */
   class TriggeredWindowProcessor[K, V](windowMs: Long, allowedLatenessMs: Long,
       earlyTrigger: CountTrigger, lateTrigger: CountTrigger,
       accumulating: Boolean, retractions: Boolean = false)(
       implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
     require(windowMs > 0 && allowedLatenessMs >= 0)
+    require(allowedLatenessMs < windowMs,
+      s"allowedLatenessMs ($allowedLatenessMs) must be < windowMs " +
+        s"($windowMs): the on-time timer arms at windowEnd - lateness, " +
+        "which must fall strictly inside the window (see scaladoc)")
     require(!retractions || accumulating,
       "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
