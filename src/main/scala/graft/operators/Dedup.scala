@@ -208,6 +208,18 @@ object Dedup {
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("label", col("id"))
       .localCheckpoint()
+    // Convergence via the LABEL SUM: labels only ever decrease (each
+    // round takes a min over a set containing the current label), so
+    // the decimal sum is strictly monotone and "sum unchanged" ⇔ "no
+    // label changed". That saves the per-round old-label join +
+    // filter-count a direct comparison would need — one aggregate on
+    // the already-checkpointed frame instead. decimal(38,0): exact for
+    // any sum of longs (no double rounding, no bigint overflow when
+    // ids are 63-bit hashes).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -219,13 +231,12 @@ object Dedup {
         .join(labels.select(col("id").as("label"),
           col("label").as("jump")), Seq("label"))
         .select(col("id"), col("jump").as("label"))
-      val stepped = viaEdges.union(viaPointer).union(labels)
+      labels = viaEdges.union(viaPointer).union(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .join(labels.withColumnRenamed("label", "old"), "id")
         .localCheckpoint()
-      val changed = stepped.filter(col("label") =!= col("old")).count()
-      labels = stepped.select("id", "label")
-      converged = changed == 0
+      val newSum = labelSum(labels)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     edges.unpersist()

@@ -36,24 +36,29 @@ object TpchQueries {
   def queries: Seq[Q] = Seq(
 
     // Q2 (minimum cost supplier): correlated scalar MIN subquery →
-    // per-part min-agg + equi-filter join. partsupp's supply cost is
+    // per-part window MIN + equi-filter. partsupp's supply cost is
     // derived as each (part, supplier)'s minimum observed unit price.
+    // Scale notes: the part filter prunes lineitem BEFORE the
+    // (part, supplier) aggregation (~1/300 selectivity here — the
+    // original's '%BRASS'+size is similarly selective), and the
+    // correlated min is a WINDOW over the already-tiny candidate set,
+    // not a second evaluation of the whole subtree.
     Q("agg_tpch_q2",
       (s, d) => {
-        val ps = li(s, d).groupBy(col("l_partkey"), col("l_suppkey"))
+        import org.apache.spark.sql.expressions.Window
+        val wantedParts = prt(s, d)
+          .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+        val ps = li(s, d)
+          .join(wantedParts, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"), col("l_suppkey"))
           .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
         val europeSup = sup(s, d)
           .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg(s, d).filter(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
-        val cand = ps
-          .join(prt(s, d).filter(col("p_size") === 15 && col("p_type") === "LARGE"),
-            col("l_partkey") === col("p_partkey"))
-          .join(europeSup, col("l_suppkey") === col("s_suppkey"))
-        val minCost = cand.groupBy(col("p_partkey").as("mc_partkey"))
-          .agg(min("cost").as("min_cost"))
-        cand.join(minCost,
-            col("p_partkey") === col("mc_partkey") && col("cost") === col("min_cost"))
+        ps.join(europeSup, col("l_suppkey") === col("s_suppkey"))
+          .withColumn("min_cost", min("cost").over(Window.partitionBy("p_partkey")))
+          .filter(col("cost") === col("min_cost"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("p_partkey"), round(col("cost"), 4).as("supply_cost"))
           .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -79,23 +84,31 @@ object TpchQueries {
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
 
     // Q7 (volume shipping): bidirectional nation-pair revenue by year
-    // — the two-sided disjunctive join constraint.
+    // — the two-sided disjunctive join constraint. Scale notes: the
+    // two-nation filter lands on customer and supplier BEFORE their
+    // fact joins (2/25 selectivity each side), so lineitem and orders
+    // shrink at the earliest join instead of after five of them; only
+    // the cross-pair disjunction remains as a post-join filter.
     Q("agg_tpch_q7",
       (s, d) => {
-        val cn = broadcast(nat(s, d).select(
-          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
-        val sn = broadcast(nat(s, d).select(
-          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+        val pair = Seq("NATION_1", "NATION_2")
+        val custN = cust(s, d)
+          .join(broadcast(nat(s, d).filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("cn_key"),
+              col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cn_key"))
+        val supN = sup(s, d)
+          .join(broadcast(nat(s, d).filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
         li(s, d)
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(supN, col("l_suppkey") === col("s_suppkey"))
           .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
-          .join(cn, col("c_nationkey") === col("cn_key"))
-          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
-          .join(sn, col("s_nationkey") === col("sn_key"))
-          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .join(custN, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
           .agg(round(sum(col("l_extendedprice") * disc), 4).as("revenue"))

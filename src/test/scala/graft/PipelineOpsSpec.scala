@@ -167,6 +167,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bounds == Seq(("X", 2, 5), ("Y", 0, Int.MaxValue), ("Z", 0, 1)))
   }
 
+  test("parsePattern: unsupported syntax is a parse error, never dropped") {
+    // a quantified group used to parse as the bare group with the '+'
+    // silently discarded — wrong match semantics instead of an error
+    val err = intercept[IllegalArgumentException] {
+      MatchRecognize.parsePattern[Double]("(A|B)+", Map.empty)
+    }
+    assert(err.getMessage.contains("unsupported syntax"))
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parsePattern[Double]("A % B", Map.empty)
+    }
+    // whitespace between tokens is still fine
+    assert(MatchRecognize.parsePattern[Double]("  A   B+  ", Map.empty).size == 2)
+  }
+
   // ---- Count-min sketch ----
 
   test("countmin estimate >= actual for every key; exact when no collision") {
@@ -262,6 +276,23 @@ class PipelineOpsSpec extends SparkSpec {
       nBlocks = 5)
       .collect().map(_.toSeq).toSet
     assert(a.nonEmpty && a == b)
+  }
+
+  test("cosinePairsAboveBlocked: non-numeric ids fail loudly, never drop") {
+    // blocking is on a hash of the id, so a non-long-castable id can't
+    // silently land in a null block — the long output cast errors
+    val bad = Seq(("a1", Array(1.0f, 0.0f)), ("a2", Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[Throwable] {
+      Similarity.cosinePairsAboveBlocked(bad, "vec_id", "embedding", 0.5,
+        nBlocks = 3).collect()
+    }
+    // numeric STRING ids are fine and hash into blocks like longs do
+    val ok = Seq(("1", Array(1.0f, 0.0f)), ("2", Array(1.0f, 0.0f)),
+      ("3", Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.cosinePairsAboveBlocked(ok, "vec_id", "embedding",
+      0.99, nBlocks = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
   }
 
   test("operators handle empty inputs without failure") {

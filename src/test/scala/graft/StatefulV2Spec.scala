@@ -321,6 +321,19 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("triggered windows: lateness >= window size is rejected up front") {
+    // the on-time timer arms at windowEnd - lateness; lateness >= the
+    // window would land it at/before the window start and mis-classify
+    // on-time rows as EARLY — constructor rejects instead
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val err = intercept[IllegalArgumentException] {
+      StatefulV2.triggeredWindows(
+        mem.toDS().withWatermark("_2", "10 seconds"),
+        windowMs = 10000L, allowedLatenessMs = 10000L)
+    }
+    assert(err.getMessage.contains("allowedLatenessMs"))
+  }
+
   test("triggered windows: retractions re-emit the previous pane before each firing") {
     withRocksDb {
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]

@@ -122,6 +122,17 @@ class TextAnalysisSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents refuses to return non-converged labels") {
+    // a 6-node chain cannot stabilize in one round even with pointer
+    // jumping; a silent exit here would corrupt canonical-doc picks
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val err = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 1).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
   test("minHashCandidates surfaces duplicate docs as a pair") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
