@@ -25,6 +25,15 @@ object TextAnalysis {
 
   /** Word n-gram shingles (space-joined), e.g. for MinHash / Jaccard.
     * Implemented with `transform` over token indices — codegen'd, no UDF.
+    *
+    * PERFORMANCE TRAP: the `get(toks, i+j)` references inside the
+    * lambda each re-evaluate the `split` child PER ELEMENT (Catalyst
+    * inlines it; no CSE across lambda invocations), so this is
+    * O(tokens²) regex work per row. For hot paths use the compiled
+    * `call_function("shingles", tokens(text), lit(n))` expression
+    * (functions/TextHashExprs.scala WordShingles) — measured 12× on
+    * the corpus queries. This HOF form stays as the no-registration
+    * fallback for ad-hoc use.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

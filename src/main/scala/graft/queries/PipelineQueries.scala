@@ -420,5 +420,106 @@ object PipelineQueries {
             AS BIGINT) AS match_seq,
           CAST(run_len AS BIGINT) AS run_len, peak, trough
         FROM runs""")),
+
+    // ===== Corpus-level duplicated-n-gram fraction (the Gopher/
+    // RefinedWeb dedup SIGNAL, complementing the pairwise dedup_ngram_
+    // jaccard): per doc, the fraction of its distinct 3-gram shingles
+    // that occur in more than 5 documents corpus-wide. Scale shape: one
+    // explode + one (shingle → doc-frequency) aggregation + one join
+    // back on the shingle key — the inverted-index pattern, no pairwise
+    // blowup (cf. reference ngram use in dedup,
+    // sdks/java/extensions/ml 's similarity utilities).
+    Q("text_dup_ngram_fraction",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val sh = docs(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), explode(array_distinct(
+            call_function("shingles",
+              graft.operators.TextAnalysis.tokens(col("text")), lit(3))))
+            .as("sh"))
+        val dfreq = sh.groupBy("sh")
+          .agg(countDistinct("doc_id").as("ndocs"))
+        sh.join(dfreq, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            round(avg(when(col("ndocs") > 5, 1.0).otherwise(0.0)), 6)
+              .as("dup_frac"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+          FROM tok CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+        ), dfreq AS (
+          SELECT sh, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY 1)
+        SELECT doc_id, count(*) AS n_shingles,
+          round(avg(CASE WHEN ndocs > 5 THEN 1.0 ELSE 0.0 END), 6)
+            AS dup_frac
+        FROM sh JOIN dfreq USING (sh)
+        GROUP BY doc_id""")),
+
+    // ===== Eval-set decontamination — the step every training pipeline
+    // runs before the corpus ships: drop/flag documents sharing any
+    // shingle with a benchmark set. Benchmark stand-in: doc_id % 100 =
+    // 0 (~1%). Scale shape: the benchmark shingle set is SMALL (it's an
+    // eval set) → distinct + broadcast semi join against the corpus's
+    // exploded shingles; the corpus is never self-joined.
+    Q("pipeline_decontaminate",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val shingled = docs(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), explode(array_distinct(
+            call_function("shingles",
+              graft.operators.TextAnalysis.tokens(col("text")), lit(3))))
+            .as("sh"))
+        val benchShingles = shingled.filter(col("doc_id") % 100 === 0)
+          .select("sh").distinct()
+        shingled.filter(col("doc_id") % 100 =!= 0)
+          .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+          FROM tok CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g)
+        SELECT doc_id, count(*) AS n_shared
+        FROM sh
+        WHERE doc_id % 100 <> 0
+          AND sh IN (SELECT sh FROM sh WHERE doc_id % 100 = 0)
+        GROUP BY doc_id""")),
+
+    // ===== Source-mixture bookkeeping: per (source, language) doc and
+    // token counts plus each cell's share of total tokens — the table a
+    // pipeline consults to set mixture sampling weights. One partial
+    // agg + a broadcast 1-row total; no second scan of documents.
+    Q("pipeline_source_mix",
+      (s, d) => {
+        val per = docs(s, d)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.operators.TextAnalysis.tokenCount(col("text")))
+              .as("n_tokens"))
+        per.crossJoin(broadcast(per.agg(sum("n_tokens").as("tot"))))
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("n_tokens"),
+            round(col("n_tokens") / col("tot"), 6).as("token_share"))
+      },
+      Some("""WITH per AS (
+          SELECT source, lang, count(*) AS n_docs,
+            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+              AS n_tokens
+          FROM documents GROUP BY 1, 2)
+        SELECT source, lang, n_docs, n_tokens,
+          round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per),
+            6) AS token_share
+        FROM per""")),
   )
 }

@@ -100,6 +100,68 @@ object StatefulV2 {
       if (flushTimeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
       OutputMode.Append())
 
+  /** Beam's PROCESSING-TIME trigger primitive in the global window —
+    * `Repeatedly.forever(AfterProcessingTime.pastFirstElementInPane()
+    * .plusDelayOf(delay))` (AfterProcessingTime.java:39,
+    * Repeatedly.java:38): each key fires a pane `delayMs` of wall time
+    * after the first element that arrived since the previous firing,
+    * forever. Pane metadata (index) and both accumulation modes match
+    * [[TriggeredWindowProcessor]]; a pane always holds ≥1 new element
+    * (pastFirstElementInPane — an empty interval never fires). */
+  class ProcessingTimePaneProcessor[K, V](delayMs: Long, accumulating: Boolean)(
+      implicit vEnc: Encoder[V])
+      extends StatefulProcessor[K, (K, V), (K, Long, Seq[V])] {
+    require(delayMs > 0, "delayMs must be positive")
+
+    @transient private var buf: ListState[V] = _      // pane contents
+    @transient private var since: ValueState[Long] = _ // new since last fire
+    @transient private var pane: ValueState[Long] = _  // next pane index
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
+      since = getHandle.getValueState[Long]("since", Encoders.scalaLong,
+        TTLConfig.NONE)
+      pane = getHandle.getValueState[Long]("pane", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, V)],
+        timers: TimerValues): Iterator[(K, Long, Seq[V])] = {
+      var n = if (since.exists()) since.get() else 0L
+      val firstOfPane = n == 0
+      rows.foreach { case (_, v) => buf.appendValue(v); n += 1 }
+      since.update(n)
+      // pastFirstElementInPane: the delay is anchored at the FIRST
+      // element of the pane; later arrivals never push it out
+      if (firstOfPane && n > 0)
+        getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + delayMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Long, Seq[V])] = {
+      val n = if (since.exists()) since.get() else 0L
+      if (n == 0) return Iterator.empty // raced with a concurrent clear
+      val p = if (pane.exists()) pane.get() else 0L
+      val contents = buf.get().toSeq
+      if (!accumulating) buf.clear()
+      since.update(0L)
+      pane.update(p + 1)
+      Iterator((key, p, contents))
+    }
+  }
+
+  /** [[ProcessingTimePaneProcessor]] over a keyed stream: periodic
+    * per-key panes on a wall-clock cadence, independent of event time
+    * — Beam's canonical "emit what you have every N seconds" global-
+    * window trigger. Output: (key, paneIndex, values). */
+  def processingTimePanes[K: Encoder, V: Encoder](
+      ds: Dataset[(K, V)], delayMs: Long, accumulating: Boolean = false)(
+      implicit outEnc: Encoder[(K, Long, Seq[V])]): Dataset[(K, Long, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new ProcessingTimePaneProcessor[K, V](delayMs, accumulating),
+      TimeMode.ProcessingTime(), OutputMode.Append())
+
   /** Beam Deduplicate (transforms/Deduplicate.java:70) as explicit
     * MapState + TTL: ids expire after `ttl`, so re-arrivals beyond the
     * horizon pass through again — bounded state, Beam's exact TTL-timer

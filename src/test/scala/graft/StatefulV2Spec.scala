@@ -72,6 +72,49 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("processingTimePanes fires repeatedly: one pane per delay after first element") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, String)]
+      val panes = StatefulV2.processingTimePanes(mem.toDS(), delayMs = 300L)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, "a"), (1L, "b")) // first element anchors pane 0
+      awaitSink(table) {
+        spark.table(table).as[(Long, Long, Seq[String])].collect()
+          .contains((1L, 0L, Seq("a", "b")))
+      }
+      // Repeatedly.forever: a fresh element after the firing anchors
+      // pane 1 with only the new (discarding) contents
+      mem.addData((1L, "c"))
+      awaitSink(table) {
+        spark.table(table).as[(Long, Long, Seq[String])].collect()
+          .contains((1L, 1L, Seq("c")))
+      }
+      q.stop()
+    }
+  }
+
+  test("processingTimePanes accumulating panes carry the whole history") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, String)]
+      val panes = StatefulV2.processingTimePanes(mem.toDS(), delayMs = 300L,
+        accumulating = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, "a"))
+      awaitSink(table) {
+        spark.table(table).as[(Long, Long, Seq[String])].collect()
+          .contains((1L, 0L, Seq("a")))
+      }
+      mem.addData((1L, "b"))
+      awaitSink(table) {
+        spark.table(table).as[(Long, Long, Seq[String])].collect()
+          .contains((1L, 1L, Seq("a", "b")))
+      }
+      q.stop()
+    }
+  }
+
   test("event-time timer fires when the watermark passes last event + gap") {
     withRocksDb {
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
