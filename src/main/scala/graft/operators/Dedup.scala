@@ -231,9 +231,12 @@ object Dedup {
         .join(labels.select(col("id").as("label"),
           col("label").as("jump")), Seq("label"))
         .select(col("id"), col("jump").as("label"))
+      // lazy checkpoint: the labelSum action right below materializes
+      // it, so each round runs ONE job instead of an eager-checkpoint
+      // job followed by the sum job — same lineage truncation.
       labels = viaEdges.union(viaPointer).union(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val newSum = labelSum(labels)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
