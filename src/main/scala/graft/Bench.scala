@@ -23,7 +23,7 @@ object Bench {
     "countmin_freq", "ml_inference", "anomaly_zscore", "pattern_match",
     "rag_chunking", "multimodal_meta", "sortvalues_secondary",
     "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale",
-    "pattern_down_run", "cogroup_3way", "sql_udaf_geomean",
+    "pattern_down_run", "pattern_sql_clause", "cogroup_3way", "sql_udaf_geomean",
     "agg_tpch_q2", "agg_tpch_q3", "agg_tpch_q4", "agg_tpch_q5", "agg_tpch_q6",
     "agg_tpch_q7", "agg_tpch_q8", "agg_tpch_q9", "agg_tpch_q10", "agg_tpch_q11",
     "agg_tpch_q12", "agg_tpch_q13", "agg_tpch_q14", "agg_tpch_q15", "agg_tpch_q16",

@@ -1,0 +1,339 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** SQL-TEXT front door for [[MatchRecognize]] — the full
+  * `MATCH_RECOGNIZE (...)` clause body parsed and run over a DataFrame,
+  * completing the path Beam takes through Calcite
+  * (extensions/sql/.../rel/BeamMatchRel.java:76 + the impl/cep/
+  * CEPOperation compiler): PARTITION BY, ORDER BY, MEASURES,
+  * ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW, PATTERN
+  * (via [[MatchRecognize.parsePattern]]: quantifiers + one level of
+  * alternation), and DEFINE with a real predicate grammar —
+  * comparisons over `V.col`, `PREV/NEXT(V.col[, k])`,
+  * `FIRST/LAST(V.col)`, numeric/string/boolean literals, AND/OR and
+  * parentheses.
+  *
+  * Semantics notes (SQL:2016 row-pattern matching):
+  *  - in DEFINE of variable V, `V.col` is the CURRENT row; another
+  *    variable's `W.col` means `LAST(W.col)` (its most recent match);
+  *  - PREV/NEXT navigate PHYSICAL partition rows (may cross the match
+  *    start), FIRST/LAST navigate a variable's matched rows;
+  *  - a comparison with a missing navigation target (e.g. PREV at row
+  *    0) is NULL → false, the SQL three-valued outcome;
+  *  - MEASURES support `FIRST(V.col)`, `LAST(V.col)`, `V.col`
+  *    (≡ LAST in ONE ROW PER MATCH), `COUNT(V.*)`, `COUNT(*)`,
+  *    `MATCH_NUMBER()`; an unmatched optional variable yields NULL
+  *    (COUNT yields 0).
+  *
+  * Scale: identical to the DSL path — one shuffle on the partition
+  * key, sort-merged groups, tight JVM matcher per group.
+  */
+object MatchRecognizeSql {
+
+  // ---- predicate AST over Row + MatchCtx[Row] ----
+  private sealed trait Pred {
+    def eval(t: Row, ctx: MatchRecognize.MatchCtx[Row]): Boolean
+  }
+  private final case class And(l: Pred, r: Pred) extends Pred {
+    def eval(t: Row, c: MatchRecognize.MatchCtx[Row]) = l.eval(t, c) && r.eval(t, c)
+  }
+  private final case class Or(l: Pred, r: Pred) extends Pred {
+    def eval(t: Row, c: MatchRecognize.MatchCtx[Row]) = l.eval(t, c) || r.eval(t, c)
+  }
+  private final case class Cmp(l: Operand, op: String, r: Operand,
+      selfVar: String) extends Pred {
+    def eval(t: Row, c: MatchRecognize.MatchCtx[Row]): Boolean = {
+      val a = l.value(t, c, selfVar)
+      val b = r.value(t, c, selfVar)
+      if (a == null || b == null) return false // SQL NULL comparison
+      val r0 = compareVals(a, b)
+      op match {
+        case "<" => r0 < 0
+        case "<=" => r0 <= 0
+        case ">" => r0 > 0
+        case ">=" => r0 >= 0
+        case "=" => r0 == 0
+        case "<>" | "!=" => r0 != 0
+      }
+    }
+  }
+
+  private def compareVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => String.valueOf(a).compareTo(String.valueOf(b))
+  }
+
+  // ---- operands: literals and navigation references ----
+  private sealed trait Operand {
+    /** null ⇔ SQL NULL (missing navigation target / null cell). */
+    def value(t: Row, ctx: MatchRecognize.MatchCtx[Row], selfVar: String): Any
+  }
+  private final case class NumLit(v: Double) extends Operand {
+    def value(t: Row, c: MatchRecognize.MatchCtx[Row], s: String): Any =
+      java.lang.Double.valueOf(v)
+  }
+  private final case class StrLit(v: String) extends Operand {
+    def value(t: Row, c: MatchRecognize.MatchCtx[Row], s: String): Any = v
+  }
+  /** kind ∈ cur | prev | next | first | last */
+  private final case class Nav(kind: String, varName: String, colName: String,
+      k: Int) extends Operand {
+    def value(t: Row, ctx: MatchRecognize.MatchCtx[Row], selfVar: String): Any = {
+      val row: Option[Row] = kind match {
+        case "cur" =>
+          if (varName == selfVar) Some(t) else ctx.last(varName)
+        case "prev" => ctx.prev(k)
+        case "next" => ctx.next(k)
+        case "first" => ctx.first(varName)
+        case "last" => ctx.last(varName)
+      }
+      row match {
+        case Some(r) =>
+          val i = r.fieldIndex(colName)
+          if (r.isNullAt(i)) null else r.get(i)
+        case None => null
+      }
+    }
+  }
+
+  // ---- predicate tokenizer/parser (recursive descent) ----
+  private final class PredParser(input: String, selfVar: String) {
+    private val toks: Vector[String] = {
+      val pat = ("""\s*(<=|>=|<>|!=|<|>|=|\(|\)|,|'[^']*'|""" +
+        """[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?|""" +
+        """-?\d+(?:\.\d+)?)""").r
+      var pos = 0
+      val out = Vector.newBuilder[String]
+      while (pos < input.length) {
+        pat.findPrefixMatchOf(input.subSequence(pos, input.length)) match {
+          case Some(m) if m.group(1) != null =>
+            out += m.group(1); pos += m.end
+          case _ =>
+            if (input.substring(pos).trim.isEmpty) pos = input.length
+            else throw new IllegalArgumentException(
+              s"DEFINE parse error at '${input.substring(pos).take(20)}'")
+        }
+      }
+      out.result()
+    }
+    private var i = 0
+    private def peek: String = if (i < toks.length) toks(i) else ""
+    private def take(): String = { val t = peek; i += 1; t }
+    private def expect(t: String): Unit = {
+      val got = take()
+      require(got.equalsIgnoreCase(t), s"expected '$t', got '$got' in: $input")
+    }
+
+    def parse(): Pred = {
+      val p = orExpr()
+      require(i == toks.length, s"trailing tokens after predicate: $input")
+      p
+    }
+    private def orExpr(): Pred = {
+      var l = andExpr()
+      while (peek.equalsIgnoreCase("OR")) { take(); l = Or(l, andExpr()) }
+      l
+    }
+    private def andExpr(): Pred = {
+      var l = cmpExpr()
+      while (peek.equalsIgnoreCase("AND")) { take(); l = And(l, cmpExpr()) }
+      l
+    }
+    private def cmpExpr(): Pred = {
+      if (peek == "(") { take(); val p = orExpr(); expect(")"); return p }
+      val l = operand()
+      val op = take()
+      require(Set("<", "<=", ">", ">=", "=", "<>", "!=").contains(op),
+        s"expected comparison operator, got '$op' in: $input")
+      Cmp(l, op, operand(), selfVar)
+    }
+    private def operand(): Operand = {
+      val t = take()
+      if (t.startsWith("'")) return StrLit(t.substring(1, t.length - 1))
+      if (t.matches("""-?\d+(\.\d+)?""")) return NumLit(t.toDouble)
+      val up = t.toUpperCase
+      if (Set("PREV", "NEXT", "FIRST", "LAST").contains(up)) {
+        expect("(")
+        val ref = take()
+        require(ref.contains("."), s"$up() needs VAR.col, got '$ref'")
+        val Array(v, c) = ref.split("\\.", 2)
+        val k = if (peek == ",") { take(); take().toInt } else 1
+        expect(")")
+        return Nav(up.toLowerCase, v, c, k)
+      }
+      require(t.contains("."), s"expected VAR.col reference, got '$t' in: $input")
+      val Array(v, c) = t.split("\\.", 2)
+      Nav("cur", v, c, 0)
+    }
+  }
+
+  // ---- measure spec ----
+  private sealed trait Measure { def name: String }
+  private final case class MCount(name: String, varName: String) extends Measure // "" = *
+  private final case class MNav(name: String, kind: String, varName: String,
+      colName: String) extends Measure // kind ∈ first | last
+  private final case class MMatchNum(name: String) extends Measure
+
+  private def parseMeasures(text: String): Seq[Measure] =
+    splitTopLevel(text, ',').map(_.trim).filter(_.nonEmpty).map { m =>
+      val asIdx = findKeyword(m, "AS")
+      require(asIdx >= 0, s"MEASURES entry needs AS: $m")
+      val expr = m.substring(0, asIdx).trim
+      val name = m.substring(asIdx + 2).trim
+      require(name.matches("""[A-Za-z_][A-Za-z_0-9]*"""),
+        s"bad measure name '$name'")
+      val up = expr.toUpperCase
+      if (up == "MATCH_NUMBER()") MMatchNum(name)
+      else if (up.startsWith("COUNT(")) {
+        val inner = expr.substring(6, expr.length - 1).trim
+        if (inner == "*") MCount(name, "")
+        else {
+          require(inner.endsWith(".*"), s"COUNT takes V.* or *: $expr")
+          MCount(name, inner.dropRight(2))
+        }
+      } else if (up.startsWith("FIRST(") || up.startsWith("LAST(")) {
+        val kind = if (up.startsWith("FIRST(")) "first" else "last"
+        val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
+        val Array(v, c) = inner.split("\\.", 2)
+        MNav(name, kind, v, c)
+      } else {
+        require(expr.contains("."), s"unsupported MEASURES expression: $expr")
+        val Array(v, c) = expr.split("\\.", 2)
+        MNav(name, "last", v, c) // ONE ROW PER MATCH: V.col ≡ LAST(V.col)
+      }
+    }
+
+  /** Split on `sep` at paren depth 0 (so COUNT(a, b) survives). */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Index of a whole-word, case-insensitive keyword at paren depth 0;
+    * -1 if absent. */
+  private def findKeyword(s: String, kw: String): Int = {
+    val up = s.toUpperCase
+    val kwu = kw.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i <= up.length - kwu.length) {
+      up.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      if (depth == 0 && up.regionMatches(i, kwu, 0, kwu.length) &&
+          (i == 0 || !up.charAt(i - 1).isLetterOrDigit) &&
+          (i + kwu.length == up.length ||
+            !up.charAt(i + kwu.length).isLetterOrDigit))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Run a `MATCH_RECOGNIZE (...)` clause BODY over `df`. Sections
+    * PARTITION BY / ORDER BY / PATTERN / DEFINE are required; MEASURES
+    * is required (it defines the output); ONE ROW PER MATCH and
+    * AFTER MATCH SKIP PAST LAST ROW are accepted and are the only
+    * (default) modes. Output columns: partition cols then measures. */
+  def apply(df: DataFrame, clause: String): DataFrame = {
+    val body = clause.trim
+    // section slicing: each keyword found at depth 0, in order
+    val keywords = Seq("PARTITION BY", "ORDER BY", "MEASURES",
+      "ONE ROW PER MATCH", "AFTER MATCH SKIP PAST LAST ROW", "PATTERN",
+      "DEFINE")
+    val found = keywords.flatMap { kw =>
+      val idx = findKeyword(body, kw)
+      if (idx >= 0) Some((kw, idx)) else None
+    }.sortBy(_._2)
+    require(found.map(_._1).containsSlice(Seq("PARTITION BY", "ORDER BY")),
+      "clause needs PARTITION BY and ORDER BY")
+    def section(kw: String): Option[String] = {
+      val i = found.indexWhere(_._1 == kw)
+      if (i < 0) None
+      else {
+        val start = found(i)._2 + kw.length
+        val end = if (i + 1 < found.length) found(i + 1)._2 else body.length
+        Some(body.substring(start, end).trim)
+      }
+    }
+    val partCols = splitTopLevel(section("PARTITION BY").get, ',')
+      .map(_.trim).filter(_.nonEmpty)
+    val sortSpecs: Seq[Column] = splitTopLevel(section("ORDER BY").get, ',')
+      .map(_.trim).filter(_.nonEmpty).map { sp =>
+        val parts = sp.split("\\s+")
+        if (parts.length > 1 && parts(1).equalsIgnoreCase("DESC"))
+          col(parts(0)).desc
+        else col(parts(0))
+      }
+    val measures = parseMeasures(section("MEASURES")
+      .getOrElse(throw new IllegalArgumentException("MEASURES required")))
+    val patternText = {
+      val p = section("PATTERN").get.trim
+      require(p.startsWith("(") && p.endsWith(")"), s"PATTERN needs (...): $p")
+      p.substring(1, p.length - 1)
+    }
+    val defines: Map[String, (Row, MatchRecognize.MatchCtx[Row]) => Boolean] =
+      section("DEFINE").map { d =>
+        splitTopLevel(d, ',').map(_.trim).filter(_.nonEmpty).map { entry =>
+          val asIdx = findKeyword(entry, "AS")
+          require(asIdx > 0, s"DEFINE entry needs AS: $entry")
+          val v = entry.substring(0, asIdx).trim
+          val pred = new PredParser(entry.substring(asIdx + 2).trim, v).parse()
+          v -> ((t: Row, c: MatchRecognize.MatchCtx[Row]) => pred.eval(t, c))
+        }.toMap
+      }.getOrElse(Map.empty)
+
+    val steps = MatchRecognize.parsePattern[Row](patternText, defines)
+
+    // output schema: partition cols (source dtypes) ++ measures
+    val inSchema = df.schema
+    def colType(name: String): DataType = inSchema(name).dataType
+    val outFields = partCols.map(c => StructField(c, colType(c))) ++
+      measures.map {
+        case MCount(n, _) => StructField(n, LongType, nullable = false)
+        case MMatchNum(n) => StructField(n, LongType, nullable = false)
+        case MNav(n, _, _, c) => StructField(n, colType(c), nullable = true)
+      }
+    val outSchema = StructType(outFields.toArray)
+
+    val partIdx = partCols.map(inSchema.fieldIndex)
+    val matched = MatchRecognize.matchRecognize[String, Row, Row](
+      df, r => partIdx.map(i => String.valueOf(r.get(i))).mkString("\u001f"),
+      sortSpecs, steps) { m =>
+      val anyRow = m.captured.valuesIterator.flatten.next()
+      val partVals = partIdx.map(anyRow.get)
+      val mVals = measures.map {
+        case MCount(_, "") => m.captured.valuesIterator.map(_.size).sum.toLong
+        case MCount(_, v) => m.captured.get(v).map(_.size).getOrElse(0).toLong
+        case MMatchNum(_) => m.matchSeq
+        case MNav(_, kind, v, c) =>
+          m.captured.get(v).filter(_.nonEmpty) match {
+            case Some(rows) =>
+              val r = if (kind == "first") rows.head else rows.last
+              val i = r.fieldIndex(c)
+              if (r.isNullAt(i)) null else r.get(i)
+            case None => null
+          }
+      }
+      Row.fromSeq(partVals ++ mVals)
+    }(Encoders.STRING, Encoders.row(inSchema), Encoders.row(outSchema))
+    matched
+  }
+}

@@ -421,6 +421,52 @@ object PipelineQueries {
           CAST(run_len AS BIGINT) AS run_len, peak, trough
         FROM runs""")),
 
+    // ===== MATCH_RECOGNIZE SQL-TEXT front door: the identical
+    // down-run query expressed as the full SQL clause — PARTITION BY /
+    // ORDER BY / MEASURES / PATTERN / DEFINE with the
+    // `B.value < PREV(B.value)` predicate parsed from text
+    // (operators/MatchRecognizeSql; Beam parses this via Calcite into
+    // BeamMatchRel). Same oracle as the DSL form: SQL text and DSL
+    // must agree with each other AND with DuckDB.
+    Q("pattern_sql_clause",
+      (s, d) => {
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.operators.MatchRecognizeSql(events, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES MATCH_NUMBER() AS match_seq, COUNT(B.*) AS n_down,
+                   FIRST(A.value) AS peak, LAST(B.value) AS trough
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS B.value < PREV(B.value)""")
+          .select(col("user_id"), col("match_seq"),
+            (col("n_down") + 1).as("run_len"), col("peak"), col("trough"))
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN value < lag(value) OVER
+              (PARTITION BY user_id ORDER BY rn)
+            THEN 0 ELSE 1 END AS brk
+          FROM ordered
+        ), grp AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS g
+          FROM marked
+        ), runs AS (
+          SELECT user_id, g, count(*) AS run_len, min(rn) AS head_rn,
+            arg_min(value, rn) AS peak, arg_max(value, rn) AS trough
+          FROM grp GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY head_rn)
+            AS BIGINT) AS match_seq,
+          CAST(run_len AS BIGINT) AS run_len, peak, trough
+        FROM runs""")),
+
     // ===== Corpus-level duplicated-n-gram fraction (the Gopher/
     // RefinedWeb dedup SIGNAL, complementing the pairwise dedup_ngram_
     // jaccard): per doc, the fraction of its distinct 3-gram shingles

@@ -134,6 +134,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(won == Seq(Set("L")))
   }
 
+  test("MatchRecognizeSql: full clause == DSL down-run results") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 4.0), (1L, 3L, 3.0), (1L, 4L, 9.0),
+      (1L, 5L, 8.0), (2L, 6L, 1.0), (2L, 7L, 2.0))
+      .toDF("user_id", "seq", "value")
+    val got = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES MATCH_NUMBER() AS match_seq, COUNT(B.*) AS n_down,
+               FIRST(A.value) AS peak, LAST(B.value) AS trough
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B+)
+      DEFINE B AS B.value < PREV(B.value)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    // user 1: run 5,4,3 (A=5, B=4,3) then run 9,8; user 2 ascends → none
+    assert(got == Set((1L, 1L, 2L, 5.0, 3.0), (1L, 2L, 1L, 9.0, 8.0)))
+  }
+
+  test("MatchRecognizeSql: alternation, string literals, AND/OR in DEFINE") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq(
+      (1L, 1L, "view", 10.0), (1L, 2L, "click", 0.0), (1L, 3L, "purchase", 99.0),
+      (1L, 4L, "view", 1.0), (1L, 5L, "purchase", 2.0))
+      .toDF("user_id", "seq", "etype", "value")
+    val got = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES MATCH_NUMBER() AS m, COUNT(*) AS n, LAST(P.value) AS amt
+      PATTERN (V* C* P)
+      DEFINE V AS V.etype = 'view',
+             C AS C.etype = 'click' AND C.value <= 0,
+             P AS P.etype = 'purchase' AND (P.value > 50 OR P.value < 5)""")
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    // match 1: view,click,purchase(99); match 2: view,purchase(2)
+    assert(got == Set((3L, 99.0), (2L, 2.0)))
+    // single-level alternation through the SQL path
+    val alt = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES MATCH_NUMBER() AS m, COUNT(*) AS n
+      PATTERN ((V | C) P)
+      DEFINE V AS V.etype = 'view',
+             C AS C.etype = 'click',
+             P AS P.etype = 'purchase'""")
+      .collect().map(_.getLong(2)).toSet
+    assert(alt == Set(2L)) // click+purchase and view+purchase, both n=2
+  }
+
+  test("MatchRecognizeSql: unsupported syntax errors, missing sections error") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq((1L, 1L, 1.0)).toDF("user_id", "seq", "value")
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql(df, "PATTERN (A) DEFINE A AS A.value > 0")
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql(df, """PARTITION BY user_id ORDER BY seq
+        MEASURES COUNT(*) AS n PATTERN (A)
+        DEFINE A AS A.value BETWEEN 1 AND 2""").collect()
+    }
+  }
+
   test("matchRecognize: alternation backtracks into the next branch") {
     // (A A | A) P over [x, purchase]: the two-row first branch cannot
     // leave a row for P — the single-row second branch must be taken
