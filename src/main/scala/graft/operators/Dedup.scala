@@ -205,8 +205,13 @@ object Dedup {
     // and analysis itself becomes the bottleneck (the classic
     // iterative-Spark pitfall). Checkpoint blocks are reclaimed by the
     // context cleaner as references drop.
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("label", col("id"))
+    // Seed labels with min(id, min neighbor) — the first one-hop
+    // propagation folded into initialization (one aggregation instead
+    // of a full join+jump round). Edges are symmetric, so every node
+    // appears as src exactly once per distinct neighbor.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint()
     // Convergence via the LABEL SUM: labels only ever decrease (each
     // round takes a min over a set containing the current label), so

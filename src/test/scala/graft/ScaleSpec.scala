@@ -192,6 +192,28 @@ class ScaleSpec extends SparkSpec {
     // Q6: predicates reach the parquet scan
     assert(plan("agg_tpch_q6").contains("PushedFilters: [IsNotNull(l_shipdate)"),
       "q6 lost scan pushdown")
+    // Q19: Catalyst decomposes the 3-branch disjunction per table and
+    // pushes each side down to its scan (quantity → lineitem,
+    // brand/size → part) — visible as scan-level DataFilters
+    val q19Scans = plan("agg_tpch_q19").linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(q19Scans.exists(l => l.contains("[l_partkey") &&
+        l.contains("l_quantity") && l.contains(">= 1.0")),
+      "q19 quantity disjunction no longer pushed to the lineitem scan")
+    assert(q19Scans.exists(l => l.contains("[p_partkey") &&
+        l.contains("Brand#12")),
+      "q19 brand disjunction no longer pushed to the part scan")
+    // Q21: top-20 must be TakeOrdered; EXISTS/NOT-EXISTS rewrite keeps
+    // semi joins (no row multiplication against lineitem)
+    val q21 = plan("agg_tpch_q21")
+    assert(q21.contains("TakeOrderedAndProject"), "q21 lost TakeOrdered")
+    assert(q21.contains("LeftSemi"), "q21 lost its semi joins")
+    // Q2: the correlated min is ONE window over the candidate set, not
+    // a second evaluation of the whole join subtree
+    val q2 = plan("agg_tpch_q2")
+    assert(q2.contains("Window"), "q2 lost the min-cost window")
+    assert("Scan parquet".r.findAllIn(q2).size <= 5,
+      "q2 re-scans inputs: candidate subtree evaluated more than once")
   }
 
   test("GraftExtensions injects native functions at session build") {
