@@ -105,8 +105,8 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val sigA = sig.toDF(sig.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
-    val sigB = sig.toDF(sig.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val sigA = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
     val agree = (0 until numHashes)
       .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -223,7 +223,7 @@ object Dedup {
     // ids are 63-bit hashes).
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0

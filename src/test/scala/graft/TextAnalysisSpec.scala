@@ -122,6 +122,37 @@ class TextAnalysisSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents == reference union-find on random graphs") {
+    // seeded pseudo-random instances; reference = driver union-find
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a == b) (a, b + 1) else (a, b)
+      }
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map { x =>
+        // canonical label = min node id in the component
+        val root = find(x)
+        x -> parent.keys.filter(find(_) == root).min
+      }.toMap
+      val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial mismatch")
+    }
+  }
+
   test("connectedComponents refuses to return non-converged labels") {
     // a 6-node chain cannot stabilize in one round even with pointer
     // jumping; a silent exit here would corrupt canonical-doc picks
