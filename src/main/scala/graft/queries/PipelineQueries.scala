@@ -553,6 +553,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(graft.operators.TextAnalysis.tokenCount(col("text")))
               .as("n_tokens"))
+          .persist() // fit artifact: one documents scan feeds both branches
         per.crossJoin(broadcast(per.agg(sum("n_tokens").as("tot"))))
           .select(col("source"), col("lang"), col("n_docs"),
             col("n_tokens"),

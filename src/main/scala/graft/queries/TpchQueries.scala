@@ -204,14 +204,19 @@ object TpchQueries {
     // join of a 1-row aggregate, not a driver collect).
     Q("agg_tpch_q11",
       (s, d) => {
+        // The per-part aggregate is a FIT ARTIFACT: persist it so the
+        // grand-total branch reads the cached |parts|-row frame instead
+        // of re-running the lineitem join+agg (Catalyst does not reuse
+        // the exchange across the crossJoin's two branches — verified).
         val value = li(s, d)
           .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nat(s, d).filter(col("n_name") === "NATION_9")),
             col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("l_partkey").as("p_key"))
           .agg(sum(col("l_extendedprice")).as("value"))
+          .persist()
         value.crossJoin(broadcast(value.agg(sum("value").as("total"))))
-          .filter(col("value") > col("total") * 0.001)
+          .filter(col("value") > col("total") * 0.0002)
           .select(col("p_key"), round(col("value"), 4).as("part_value"))
       },
       Some("""WITH v AS (
@@ -221,7 +226,7 @@ object TpchQueries {
           JOIN nation ON s_nationkey = n_nationkey
           WHERE n_name = 'NATION_9' GROUP BY 1)
         SELECT p_key, round(value, 4) AS part_value FROM v
-        WHERE value > (SELECT sum(value) * 0.001 FROM v)""")),
+        WHERE value > (SELECT sum(value) * 0.0002 FROM v)""")),
 
     // Q13 (customer order-count distribution): LEFT join with an
     // ON-clause filter, then a two-level aggregation (count per
@@ -247,11 +252,14 @@ object TpchQueries {
     // max — the revenue-view + scalar-MAX-subquery shape.
     Q("agg_tpch_q15",
       (s, d) => {
+        // persist: the per-supplier revenue view feeds both the scalar
+        // MAX and the final selection — one lineitem scan, not two
         val rev = li(s, d)
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
           .groupBy(col("l_suppkey"))
           .agg(sum(col("l_extendedprice") * disc).as("total_revenue"))
+          .persist()
         rev.crossJoin(broadcast(rev.agg(max("total_revenue").as("max_rev"))))
           .filter(col("total_revenue") === col("max_rev"))
           .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))

@@ -94,6 +94,25 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("processingTimePanes: Nexmark Q12 analog — per-user bid counts in wall-clock panes") {
+    // Q12 (BoundedSideInputJoin sibling in the reference suite): how
+    // many bids per bidder within fixed PROCESSING-time windows —
+    // event time never consulted. Pane counts are the measure.
+    withRocksDb {
+      val mem = MemoryStream[(Long, Long)] // (bidder, auction)
+      val panes = StatefulV2.processingTimePanes(mem.toDS(), delayMs = 300L)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((7L, 100L), (7L, 101L), (9L, 102L))
+      awaitSink(table) {
+        val got = spark.table(table).as[(Long, Long, Seq[Long])].collect()
+        got.exists(p => p._1 == 7L && p._3.size == 2) &&
+          got.exists(p => p._1 == 9L && p._3.size == 1)
+      }
+      q.stop()
+    }
+  }
+
   test("processingTimePanes accumulating panes carry the whole history") {
     withRocksDb {
       val mem = MemoryStream[(Long, String)]
