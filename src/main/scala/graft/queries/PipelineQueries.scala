@@ -478,15 +478,21 @@ object PipelineQueries {
     Q("text_dup_ngram_fraction",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        import org.apache.spark.sql.expressions.Window
         val sh = docs(s, d)
           .filter(length(trim(col("text"))) > 0)
           .select(col("doc_id"), explode(array_distinct(
             call_function("shingles",
               graft.operators.TextAnalysis.tokens(col("text")), lit(3))))
             .as("sh"))
-        val dfreq = sh.groupBy("sh")
-          .agg(countDistinct("doc_id").as("ndocs"))
-        sh.join(dfreq, "sh")
+        // Shingles are DISTINCT per doc, so each shingle's document
+        // frequency is count(*) over its window — ONE explode and one
+        // exchange on the shingle key, instead of a separate df
+        // aggregation joined back (which re-scans + re-explodes the
+        // whole corpus: the df table outgrows broadcast at scale, so
+        // that join shuffles everything a second time anyway).
+        sh.withColumn("ndocs",
+            count(lit(1)).over(Window.partitionBy("sh")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             round(avg(when(col("ndocs") > 5, 1.0).otherwise(0.0)), 6)
