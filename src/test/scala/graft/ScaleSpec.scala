@@ -200,9 +200,14 @@ class ScaleSpec extends SparkSpec {
     assert(q19Scans.exists(l => l.contains("[l_partkey") &&
         l.contains("l_quantity") && l.contains(">= 1.0")),
       "q19 quantity disjunction no longer pushed to the lineitem scan")
-    assert(q19Scans.exists(l => l.contains("[p_partkey") &&
-        l.contains("Brand#12")),
-      "q19 brand disjunction no longer pushed to the part scan")
+    // the derived p_size >= 1 bound exists ONLY because Catalyst
+    // decomposed the disjunction per table; it prints at the head of
+    // the scan's DataFilters so it survives plan-string truncation
+    // (the Brand#12 literal further down the list does not, depending
+    // on expr-id widths)
+    assert(q19Scans.exists(l => l.contains("isnotnull(p_size") &&
+        l.contains(">= 1)")),
+      "q19 size/brand disjunction no longer pushed to the part scan")
     // Q21: top-20 must be TakeOrdered; EXISTS/NOT-EXISTS rewrite keeps
     // semi joins (no row multiplication against lineitem)
     val q21 = plan("agg_tpch_q21")
