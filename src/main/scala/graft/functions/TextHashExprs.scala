@@ -192,3 +192,75 @@ case class SimHash(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }
+
+/** `text_normalize(s)` → canonical text for dedup/fingerprinting:
+  * Unicode NFC, lowercase, combining marks (accents) stripped via NFD
+  * decomposition, whitespace collapsed to single spaces and trimmed.
+  * The standard pre-pass before fingerprint/minhash on multilingual
+  * corpora (Beam keeps this in user code; DuckDB mirrors it as
+  * nfc_normalize + lower + strip_accents). One pass per row, no
+  * shuffle. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text_normalize requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "text_normalize"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    import java.text.Normalizer
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val nfc = Normalizer.normalize(s, Normalizer.Form.NFC).toLowerCase
+    // strip accents: NFD-decompose, drop combining marks, recompose
+    val stripped = Normalizer
+      .normalize(Normalizer.normalize(nfc, Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", ""), Normalizer.Form.NFC)
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      stripped.trim.replaceAll("\\s+", " "))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+/** `char_entropy(s)` → Shannon entropy (nats) of the character
+  * distribution of a document — the cheap perplexity proxy quality
+  * filters use (low entropy ⇔ repetitive/degenerate text, high ⇔
+  * random noise). Computed in ONE pass per row with a local frequency
+  * table: zero shuffles, unlike the explode-chars + two-aggregation
+  * formulation. Empty string → 0.0. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val n = s.length
+    if (n == 0) return 0.0
+    val freq = scala.collection.mutable.HashMap.empty[Char, Int]
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      freq.update(c, freq.getOrElse(c, 0) + 1)
+      i += 1
+    }
+    var h = 0.0
+    freq.valuesIterator.foreach { cnt =>
+      val p = cnt.toDouble / n
+      h -= p * math.log(p)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}

@@ -202,7 +202,9 @@ object GraftFunctions {
     "countmin_est" -> ((e: Seq[Expression]) =>
       CountMinEstimate(e(0), e(1), litInt(e(2)), litInt(e(3)))),
     "srp_buckets" -> ((e: Seq[Expression]) =>
-      SrpBuckets(e(0), litInt(e(1)), litInt(e(2)), litInt(e(3)), litInt(e(4)))))
+      SrpBuckets(e(0), litInt(e(1)), litInt(e(2)), litInt(e(3)), litInt(e(4)))),
+    "text_normalize" -> ((e: Seq[Expression]) => NormalizeText(e(0))),
+    "char_entropy" -> ((e: Seq[Expression]) => CharEntropy(e(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

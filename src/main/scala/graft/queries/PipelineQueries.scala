@@ -548,6 +548,41 @@ object PipelineQueries {
           AND sh IN (SELECT sh FROM sh WHERE doc_id % 100 = 0)
         GROUP BY doc_id""")),
 
+    // ===== Unicode normalization + character-entropy quality signal:
+    // `text_normalize` (NFC → lower → strip accents → collapse ws) is
+    // the canonicalization pre-pass before fingerprint/minhash on
+    // multilingual corpora; `char_entropy` is the cheap perplexity
+    // proxy (low ⇔ repetitive/degenerate, high ⇔ noise). Both are
+    // one-pass compiled expressions — ZERO shuffles (vs the
+    // explode-chars + two-aggregation formulation the oracle uses).
+    // The corpus is ASCII, so the oracle mirrors normalization as
+    // lower + whitespace-collapse (NFC/strip_accents are identity
+    // there; the unicode semantics are spec'd in TextAnalysisSpec
+    // with non-ASCII literals).
+    Q("text_normalize_entropy",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, d).select(col("doc_id"),
+          substring(call_function("text_normalize", col("text")), 1, 40)
+            .as("norm_prefix"),
+          round(call_function("char_entropy", col("text")), 6).as("entropy"))
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, ch, count(*) AS c FROM (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents) GROUP BY doc_id, ch
+        ), ent AS (
+          SELECT f.doc_id,
+            round(-sum((f.c / n.n) * ln(f.c / n.n)), 6) AS entropy
+          FROM f JOIN (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n
+            FROM documents) n ON f.doc_id = n.doc_id
+          GROUP BY f.doc_id)
+        SELECT d.doc_id,
+          substr(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'),
+            1, 40) AS norm_prefix,
+          ent.entropy
+        FROM documents d JOIN ent ON d.doc_id = ent.doc_id""")),
+
     // ===== Source-mixture bookkeeping: per (source, language) doc and
     // token counts plus each cell's share of total tokens — the table a
     // pipeline consults to set mixture sampling weights. One partial

@@ -122,6 +122,25 @@ class TextAnalysisSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("text_normalize: NFC, lowercase, accent strip, whitespace collapse") {
+    graft.functions.GraftFunctions.register(spark)
+    // e + combining acute (NFD) normalizes to é then strips to e
+    val got = Seq("  Héllo\t Wörld ", "Café", "")
+      .toDF("t")
+      .select(call_function("text_normalize", col("t")).as("n"))
+      .as[String].collect().toSeq
+    assert(got == Seq("hello world", "cafe", ""))
+  }
+
+  test("char_entropy: 0 for uniform-char and empty; ln 2 for a 50/50 doc") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = Seq("aaaa", "", "abab").toDF("t")
+      .select(call_function("char_entropy", col("t")).as("e"))
+      .as[Double].collect().toSeq
+    assert(got(0) == 0.0 && got(1) == 0.0 &&
+      math.abs(got(2) - math.log(2)) < 1e-12)
+  }
+
   test("connectedComponents == reference union-find on random graphs") {
     // seeded pseudo-random instances; reference = driver union-find
     val rnd = new scala.util.Random(42)
