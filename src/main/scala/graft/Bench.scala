@@ -31,7 +31,7 @@ object Bench {
     "agg_tpch_q22",
     "win_merge_intervals", "text_repetition", "sample_stratified",
     "text_dup_ngram_fraction", "pipeline_decontaminate", "pipeline_source_mix",
-    "text_normalize_entropy",
+    "text_normalize_entropy", "sample_weighted", "pipeline_seq_packing",
     // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
     // published SMOKE suite's 100k-event scale)
     "win_hot_items", "win_highest_value", "win_new_users",

@@ -548,6 +548,66 @@ object PipelineQueries {
           AND sh IN (SELECT sh FROM sh WHERE doc_id % 100 = 0)
         GROUP BY doc_id""")),
 
+    // ===== Deterministic WEIGHTED sampling — curriculum/quality-
+    // weighted corpus retention without RNG state: keep a doc iff
+    // portableHash(id) mod M < weight·M, weight = clamped length
+    // proxy. Per-row arithmetic, zero shuffles, reproducible across
+    // engines and runs (the property Beam's Sample cannot give you);
+    // weights can be any deterministic column (quality, source prior).
+    Q("sample_weighted",
+      (s, d) => docs(s, d)
+        .withColumn("w", least(col("n_chars") / 400.0, lit(1.0)))
+        .filter(pmod(PortableHash.md5Long(col("doc_id")), lit(1000000)) <
+          col("w") * 1000000)
+        .select(col("doc_id"), col("n_chars")),
+      Some(s"""SELECT doc_id, n_chars FROM documents
+        WHERE ${PortableHash.md5LongSql("doc_id")} % 1000000 <
+          least(n_chars / 400.0, 1.0) * 1000000""")),
+
+    // ===== Sequence PACKING for training batches: assign docs to
+    // fixed-token-budget bins. Scale shape: docs hash into `Shards`
+    // independent shards (parallelism knob), packing is a cumulative-
+    // sum window WITHIN each shard — no global order, no single-task
+    // bottleneck (the vocab-rank lesson); bin = floor(cumsum_before /
+    // budget), the standard streaming-fill semantics (a bin may
+    // overshoot by its last doc). Deterministic: shard and fill order
+    // derive from the portable hash and (n_tokens, doc_id).
+    Q("pipeline_seq_packing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val shards = 16
+        val budget = 2048
+        val toks = docs(s, d).select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_tokens"),
+          pmod(PortableHash.md5Long(col("doc_id")), lit(shards)).as("shard"))
+        val w = Window.partitionBy("shard")
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toks
+          .withColumn("cum_before",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("bin", floor(col("cum_before") / budget))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              AS n_tokens,
+            ${PortableHash.md5LongSql("doc_id")} % 16 AS shard
+          FROM documents
+        ), p AS (
+          SELECT shard, doc_id, n_tokens,
+            coalesce(sum(n_tokens) OVER (PARTITION BY shard
+              ORDER BY n_tokens DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_before
+          FROM t)
+        SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS bin,
+          count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM p GROUP BY 1, 2""")),
+
     // ===== Unicode normalization + character-entropy quality signal:
     // `text_normalize` (NFC → lower → strip accents → collapse ws) is
     // the canonicalization pre-pass before fingerprint/minhash on
