@@ -386,9 +386,9 @@ object CoverageQueries {
           SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
             list_sort(list(n_name)) AS values_2 FROM nation GROUP BY 1)
         SELECT c.nationkey,
-          array_to_string(values_0, '|') AS values_0,
-          array_to_string(coalesce(values_1, []), '|') AS values_1,
-          array_to_string(coalesce(values_2, []), '|') AS values_2
+          coalesce(array_to_string(values_0, '|'), '') AS values_0,
+          coalesce(array_to_string(values_1, '|'), '') AS values_1,
+          coalesce(array_to_string(values_2, '|'), '') AS values_2
         FROM c LEFT JOIN su USING (nationkey)
                LEFT JOIN na USING (nationkey)""")),
 
