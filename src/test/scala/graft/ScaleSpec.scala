@@ -172,6 +172,35 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB fact-fact join story: when neither side broadcasts, a
+    // selective filter on one side should inject a runtime BLOOM
+    // filter that drops non-matching fact rows BEFORE the shuffle —
+    // Spark's runtime-filter optimizer rule. This pins the behavior
+    // (and the configs that enable it) so the capability is on record.
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // fact-fact: no broadcast
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = overrides.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val urgent = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
+        "no runtime bloom filter injected on the probe side")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("flagship plans keep their audited shapes (plan-regression guard)") {
     def plan(name: String): String =
       graft.SparkEntry.queries(name)(spark, sfDir)
