@@ -36,7 +36,8 @@ object Bench {
     // published SMOKE suite's 100k-event scale)
     "win_hot_items", "win_highest_value", "win_new_users",
     "nexmark_q3_join", "nexmark_q9_winning_bid", "nexmark_q4_avg_price",
-    "nexmark_q1_convert", "nexmark_q2_filter")
+    "nexmark_q1_convert", "nexmark_q2_filter",
+    "nexmark_q0_passthrough", "nexmark_q6_avg_last10")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

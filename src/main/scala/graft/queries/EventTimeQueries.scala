@@ -167,6 +167,45 @@ object EventTimeQueries {
           AND floor(epoch(s.ts) / 3600) = floor(epoch(p.ts) / 3600)
         WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""")),
 
+    // Nexmark Q0 "passthrough" (queries/Query0.java — the measurement
+    // floor: deserialize + re-emit every event unchanged).
+    Q("nexmark_q0_passthrough",
+      (s, d) => ev(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value"), 4).as("value")),
+      Some("""SELECT event_id, user_id, event_type,
+          epoch_us(ts) AS ts_us, round(value, 4) AS value
+        FROM events""")),
+
+    // Nexmark Q6 "average selling price by seller" (queries/Query6
+    // .java — the bounded-per-key-history shape: a mean over each
+    // seller's LAST 10 sales): per user, the average of the last 10
+    // click values in (ts, event_id) order, one row per user.
+    Q("nexmark_q6_avg_last10",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        ev(s, d).filter(col("event_type") === "click")
+          .withColumn("avg10",
+            avg("value").over(w.rowsBetween(-9, 0)))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), round(col("avg10"), 4).as("avg_last10"))
+      },
+      Some("""WITH c AS (
+          SELECT user_id, ts, event_id,
+            avg(value) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS avg10
+          FROM events WHERE event_type = 'click')
+        SELECT user_id, round(avg10, 4) AS avg_last10 FROM c
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) = 1""")),
+
     // Nexmark Q1 "currency conversion" (queries/Query1.java — a pure
     // per-element map over the bid stream: dollars → euros).
     Q("nexmark_q1_convert",
