@@ -14,6 +14,11 @@ run / fork := true
 // Pass the forked process's stdout straight through (no "[info] "
 // prefix) so Bench's single JSON result line stays machine-parseable.
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the trailing "[success] Total time: ..." epilogue so
+// the JSON line is the LAST line of stdout (the bench driver parses the
+// final line; r1-r4 all recorded parsed=null because of the epilogue).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
