@@ -627,4 +627,183 @@ object StatefulV2 {
       new TriggeredWindowProcessor[K, V](windowMs, allowedLatenessMs,
         earlyTrigger, lateTrigger, accumulating, retractions),
       TimeMode.EventTime(), OutputMode.Append())
+
+  /** Beam's MIXED time-mode compound trigger — the one trigger shape a
+    * single-time-mode processor can't express:
+    *
+    * `AfterWatermark.pastEndOfWindow()                 // event time
+    *    .withEarlyFirings(AfterProcessingTime          // WALL CLOCK
+    *       .pastFirstElementInPane().plusDelayOf(earlyDelay))
+    *    .withLateFirings(AfterProcessingTime
+    *       .pastFirstElementInPane().plusDelayOf(lateDelay))`
+    * (AfterWatermark.java:60 + AfterProcessingTime.java:39 — Beam's
+    * most common production trigger: "emit a preview every N seconds of
+    * wall time, the real answer at the watermark, corrections for late
+    * data").
+    *
+    * HOW the two clocks coexist on one `transformWithState` processor:
+    * the processor runs in TimeMode.ProcessingTime (wall-clock timers
+    * drive early/late panes), while the EVENT-time machinery reads
+    * `TimerValues.getCurrentWatermarkInMs()` — Spark propagates the
+    * event-time watermark of the upstream `.withWatermark` into every
+    * invocation regardless of the processor's own time mode, and (unlike
+    * TimeMode.EventTime) the operator applies NO late-row filter, so
+    * lateness policy is entirely ours:
+    *
+    *  - rows land in their event-time fixed window; rows whose
+    *    window end + allowedLateness < watermark are dropped — by
+    *    WINDOW end, Beam's exact drop rule (TriggeredWindowProcessor
+    *    documents its element-time approximation; this processor has
+    *    the faithful semantics, and no `lateness < window` restriction)
+    *  - EARLY panes: `earlyDelayMs` of wall time after the first
+    *    element buffered since the last firing (pastFirstElementInPane
+    *    anchoring — later arrivals never push the deadline out)
+    *  - ON_TIME pane: fired when the watermark passes the window end
+    *    (FIRE_ALWAYS, even if no elements arrived since the last early
+    *    pane); observed on the next timer/input invocation after the
+    *    watermark advances — a heartbeat timer guarantees one within
+    *    `heartbeatMs` even on an idle key
+    *  - LATE panes: elements within allowed lateness fire
+    *    `lateDelayMs` after the first late element of the pane
+    *  - window close at watermark ≥ end + lateness: unfired remainder
+    *    flushes as a final pane (isFinal=true), state GC'd
+    *  - accumulating / discarding / accumulating-and-retracting modes
+    *    as in [[TriggeredWindowProcessor]].
+    *
+    * Scale: state is one MapState entry per OPEN window per key (bounded
+    * by the lateness horizon); each firing drains or snapshots the
+    * buffer; timers are O(open windows) per key. RocksDB-backed as the
+    * rest of this file. */
+  class MixedTriggerWindowProcessor[K, V](
+      windowMs: Long, allowedLatenessMs: Long,
+      earlyDelayMs: Long, lateDelayMs: Long,
+      accumulating: Boolean, retractions: Boolean = false,
+      heartbeatMs: Long = 200L)(
+      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean, Long)])
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
+    require(windowMs > 0 && allowedLatenessMs >= 0)
+    require(earlyDelayMs > 0 && lateDelayMs > 0 && heartbeatMs > 0)
+    require(!retractions || accumulating,
+      "retractions require accumulating mode (a discarding pane has nothing to retract)")
+
+    // per-window pane state: (buffer, countSinceLastFire, paneIndex,
+    // onTimeFired, anchorDeadlineMs) — anchorDeadline 0 = no pending
+    // wall-clock pane; buffer holds the whole window when accumulating,
+    // else only values since the previous pane
+    @transient private var windows: MapState[Long, (Seq[V], Long, Long, Boolean, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      windows = getHandle.getMapState[Long, (Seq[V], Long, Long, Boolean, Long)](
+        "windows", Encoders.scalaLong, stEnc, TTLConfig.NONE)
+
+    private def openWindows(): Seq[Long] = {
+      val it = windows.keys(); val b = scala.collection.mutable.ArrayBuffer[Long]()
+      while (it.hasNext) b += it.next()
+      b.sorted.toSeq
+    }
+
+    private def retractionOf(key: K, buf: Seq[V], since: Long, pane: Long,
+        out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])],
+        w: Long): Unit =
+      if (retractions && pane > 0) {
+        val prevPane = buf.take(buf.size - since.toInt)
+        if (prevPane.nonEmpty) out += ((key, w, pane - 1, "RETRACT", false, prevPane))
+      }
+
+    /** Watermark-driven transitions (on-time firing, window close/GC)
+      * for every open window; runs before wall-clock pane firing in
+      * both handlers so elements pending when the watermark passes the
+      * end land in the ON_TIME pane, as in Beam. */
+    private def sweep(key: K, wm: Long,
+        out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
+      openWindows().foreach { w =>
+        var (buf, since, pane, fired, anchor) = windows.getValue(w)
+        var closed = false
+        if (!fired && wm >= w + windowMs) {
+          retractionOf(key, buf, since, pane, out, w)
+          val closing = allowedLatenessMs == 0
+          out += ((key, w, pane, "ON_TIME", closing, buf))
+          if (closing) { windows.removeKey(w); closed = true }
+          else {
+            buf = if (accumulating) buf else Seq.empty
+            since = 0; pane += 1; fired = true; anchor = 0
+            windows.updateValue(w, (buf, since, pane, fired, anchor))
+          }
+        }
+        if (!closed && fired && wm >= w + windowMs + allowedLatenessMs) {
+          if (since > 0) {
+            retractionOf(key, buf, since, pane, out, w)
+            out += ((key, w, pane, "LATE", true, buf))
+          }
+          windows.removeKey(w)
+        }
+      }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, V)],
+        timers: TimerValues): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val now = timers.getCurrentProcessingTimeInMs()
+      val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      rows.foreach { case (_, ts, v) =>
+        val w = Math.floorDiv(ts.getTime, windowMs) * windowMs
+        if (wm < w + windowMs + allowedLatenessMs) { // else: expired window, drop
+          var (buf, since, pane, fired, anchor) =
+            if (windows.containsKey(w)) windows.getValue(w)
+            else (Seq.empty[V], 0L, 0L, false, 0L)
+          buf :+= v
+          since += 1
+          if (anchor == 0L) { // first element of this pane anchors the delay
+            anchor = now + (if (fired) lateDelayMs else earlyDelayMs)
+            getHandle.registerTimer(anchor)
+          }
+          windows.updateValue(w, (buf, since, pane, fired, anchor))
+        }
+      }
+      sweep(key, wm, out)
+      // idle-key progress: one heartbeat so the on-time/GC sweep runs
+      // again even if no further input or pane timer arrives
+      if (openWindows().nonEmpty) getHandle.registerTimer(now + heartbeatMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val now = timers.getCurrentProcessingTimeInMs()
+      val expiry = timer.getExpiryTimeInMs()
+      val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      sweep(key, wm, out)
+      openWindows().foreach { w =>
+        var (buf, since, pane, fired, anchor) = windows.getValue(w)
+        if (anchor != 0L && anchor <= expiry && since > 0) {
+          retractionOf(key, buf, since, pane, out, w)
+          out += ((key, w, pane, if (fired) "LATE" else "EARLY", false, buf))
+          if (!accumulating) buf = Seq.empty
+          since = 0; pane += 1; anchor = 0
+          windows.updateValue(w, (buf, since, pane, fired, anchor))
+        }
+      }
+      if (openWindows().nonEmpty) getHandle.registerTimer(now + heartbeatMs)
+      out.iterator
+    }
+  }
+
+  /** Fixed windows with Beam's mixed-clock compound trigger — wall-
+    * clock early/late panes inside event-time windows; see
+    * [[MixedTriggerWindowProcessor]]. `ds` must carry a watermark on
+    * its timestamp column (any delay; the processor reads the
+    * watermark but does its own window-end lateness drops). */
+  def mixedTriggerWindows[K: Encoder, V: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, V)], windowMs: Long,
+      allowedLatenessMs: Long = 0L,
+      earlyDelayMs: Long = 1000L, lateDelayMs: Long = 1000L,
+      accumulating: Boolean = false, retractions: Boolean = false,
+      heartbeatMs: Long = 200L)(
+      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean, Long)],
+      outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new MixedTriggerWindowProcessor[K, V](windowMs, allowedLatenessMs,
+        earlyDelayMs, lateDelayMs, accumulating, retractions, heartbeatMs),
+      TimeMode.ProcessingTime(), OutputMode.Append())
 }

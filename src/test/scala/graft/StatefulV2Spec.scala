@@ -532,4 +532,91 @@ class StatefulV2Spec extends SparkSpec {
       q.stop()
     }
   }
+
+  // ===== mixed time-mode triggers: wall-clock early/late firings
+  // INSIDE event-time windows (AfterWatermark.pastEndOfWindow()
+  //   .withEarlyFirings(AfterProcessingTime.pastFirstElementInPane()))
+  // — the processor runs in TimeMode.ProcessingTime and reads the
+  // propagated event-time watermark for on-time/close transitions.
+
+  type MixedPane = (Long, Long, Long, String, Boolean, Seq[String])
+  private def panesOf(table: String, key: Long): Seq[(Long, String, Boolean, Seq[String])] =
+    spark.table(table).as[MixedPane].collect().filter(_._1 == key)
+      .sortBy(_._3).map(p => (p._3, p._4, p._5, p._6)).toSeq
+
+  test("mixed triggers: wall-clock EARLY panes fire while the event-time window stays open") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.mixedTriggerWindows(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 3600000L, earlyDelayMs = 300L, lateDelayMs = 300L)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      // the watermark NEVER reaches the 1-hour window end in this test:
+      // every pane below is wall-clock-triggered
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"))
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "EARLY", false, Seq("a", "b"))))
+      // pastFirstElementInPane re-anchors: the next element opens pane 1
+      mem.addData((1L, t(3), "c"))
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "EARLY", false, Seq("a", "b")),
+            (1L, "EARLY", false, Seq("c"))))
+      q.stop()
+    }
+  }
+
+  test("mixed triggers: ON_TIME at the watermark, then a wall-clock LATE pane") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // early delay far beyond the test horizon ⇒ no early panes; the
+      // on-time firing is watermark-driven, the late pane wall-clock
+      val panes = StatefulV2.mixedTriggerWindows(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 10000L, allowedLatenessMs = 30000L,
+        earlyDelayMs = 600000L, lateDelayMs = 300L)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"))
+      mem.addData((9L, t(25), "wm")) // watermark → 25s > window end 10s
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "ON_TIME", false, Seq("a", "b"))))
+      // late element within the 30s lateness horizon: fires 300ms of
+      // wall time after arrival, tagged LATE
+      mem.addData((1L, t(5), "l"))
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "ON_TIME", false, Seq("a", "b")),
+            (1L, "LATE", false, Seq("l"))))
+      q.stop()
+    }
+  }
+
+  test("mixed triggers: window close flushes the unfired remainder as a final pane; beyond-lateness rows drop") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // both wall-clock delays beyond the horizon ⇒ only watermark-
+      // driven panes; accumulating mode carries the window history
+      val panes = StatefulV2.mixedTriggerWindows(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 10000L, allowedLatenessMs = 30000L,
+        earlyDelayMs = 600000L, lateDelayMs = 600000L,
+        accumulating = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"))
+      mem.addData((9L, t(25), "wm"))
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "ON_TIME", false, Seq("a", "b"))))
+      mem.addData((1L, t(5), "l")) // buffered late (late delay far out)
+      mem.addData((9L, t(55), "wm2")) // watermark 55s ≥ 10s + 30s: close
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "ON_TIME", false, Seq("a", "b")),
+            (1L, "LATE", true, Seq("a", "b", "l"))))
+      // the window is GC'd: a row for it is now beyond lateness → drop
+      mem.addData((1L, t(6), "dead"))
+      Thread.sleep(700)
+      assert(panesOf(table, 1L).size == 2, "dropped row must not re-open the window")
+      q.stop()
+    }
+  }
 }
