@@ -32,6 +32,8 @@ object Bench {
     "win_merge_intervals", "text_repetition", "sample_stratified",
     "text_dup_ngram_fraction", "pipeline_decontaminate", "pipeline_source_mix",
     "text_normalize_entropy", "sample_weighted", "pipeline_seq_packing",
+    "pivot_wide", "unpivot_long", "udtf_stack", "udtf_posexplode_outer",
+    "text_pii_redact", "text_gopher_filters",
     // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
     // published SMOKE suite's 100k-event scale)
     "win_hot_items", "win_highest_value", "win_new_users",

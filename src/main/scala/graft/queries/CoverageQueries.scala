@@ -502,5 +502,68 @@ object CoverageQueries {
         round((o_totalprice - min(o_totalprice) OVER ())
           / (max(o_totalprice) OVER () - min(o_totalprice) OVER ()), 6) AS scaled
         FROM orders""")),
+
+    // ===== PIVOT (long → wide rotation): Beam reaches this through the
+    // pandas DeferredDataFrame facade (dataframe/frames.py pivot);
+    // Spark has it natively as a relational op. Pinned value list so
+    // the output schema is static (no extra values-discovery job) —
+    // the form that scales (discovery over 100 TB is its own pass).
+    Q("pivot_wide",
+      (s, d) => ord(s, d).groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_filled"),
+          coalesce(col("P"), lit(0L)).as("n_pending")),
+      Some("""SELECT o_orderpriority,
+        count(*) FILTER (o_orderstatus = 'O') AS n_open,
+        count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+        count(*) FILTER (o_orderstatus = 'P') AS n_pending
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // ===== UNPIVOT / melt (wide → long): the inverse rotation, Spark
+    // Dataset.unpivot (pandas DeferredDataFrame melt in Beam).
+    Q("unpivot_long",
+      (s, d) => li(s, d).groupBy("l_returnflag").agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value"),
+      Some("""WITH wide AS (SELECT l_returnflag,
+          round(sum(l_quantity), 2) AS sum_qty,
+          round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS metric, sum_price FROM wide""")),
+
+    // ===== UDTF surface (§2.13): generator expressions. stack() turns
+    // N column groups into rows — the SQL-native FlatMapElements shape
+    // (Beam SQL reaches table functions through Calcite UNNEST).
+    Q("udtf_stack",
+      (s, d) => prt(s, d).selectExpr("p_partkey",
+        "stack(2, 'brand', p_brand, 'type', p_type) AS (attr, val)"),
+      Some("""SELECT p_partkey, 'brand' AS attr, p_brand AS val FROM part
+        UNION ALL SELECT p_partkey, 'type', p_type FROM part""")),
+
+    // posexplode_outer: ordinal-preserving explode that keeps rows with
+    // EMPTY collections (null pos/word) — Beam FlatMap drops them, the
+    // outer generator is the join-preserving variant. ~37% of parts
+    // have no >=5-char word at this data, so both branches are live.
+    Q("udtf_posexplode_outer",
+      (s, d) => prt(s, d)
+        .withColumn("long_words",
+          filter(split(col("p_name"), " "), w => length(w) >= 5))
+        .select(col("p_partkey"),
+          posexplode_outer(col("long_words")).as(Seq("pos", "word"))),
+      Some("""WITH lw AS (SELECT p_partkey,
+          list_filter(string_split(p_name, ' '), w -> len(w) >= 5) AS ws
+        FROM part)
+        SELECT p_partkey, CAST(i - 1 AS INT) AS pos, ws[i] AS word
+        FROM lw CROSS JOIN LATERAL
+          (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        UNION ALL
+        SELECT p_partkey, NULL, NULL FROM lw WHERE len(ws) = 0""")),
   )
 }

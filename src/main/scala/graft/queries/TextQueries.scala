@@ -388,5 +388,99 @@ object TextQueries {
           round(CAST(n_i AS DOUBLE) / (a.sz + b.sz - n_i), 6) AS jaccard
         FROM inter JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
         WHERE round(CAST(n_i AS DOUBLE) / (a.sz + b.sz - n_i), 6) >= 0.1""")),
+
+    // ===== PII redaction — the pre-training scrub pass: emails, phone
+    // numbers and IPv4s replaced by typed placeholder tokens, with
+    // per-category hit counts proving full coverage. The corpus is
+    // synthetic word-salad with no real PII, so the demo embeds
+    // deterministic doc_id-derived PII first (both engines build the
+    // identical string); the redaction chain itself is the operator —
+    // three codegen'd regexp_replace passes, zero shuffles, scan-
+    // parallel at any corpus size.
+    Q("text_pii_redact",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        docs(s, d)
+          .withColumn("raw", concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+            lit(" call 555-01"),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+            lit(" host 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")))
+          .select(col("doc_id"),
+            regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_email"),
+            regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phone"),
+            regexp_count(col("raw"), lit(ipRe)).cast("long").as("n_ip"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+                ipRe, "<IP>"),
+              phoneRe, "<PHONE>").as("redacted"))
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com call 555-01'
+               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+        FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(raw,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        FROM raw""")),
+
+    // ===== Gopher-style document quality filters (Rae et al. 2021 —
+    // the word-level repetition/shape rules every pretraining corpus
+    // pass applies): word count bounds, mean word length window,
+    // stopword floor, distinct-word floor, composed into one KEEP
+    // verdict. All narrow codegen'd expressions over one split() —
+    // the array is projected ONCE then referenced by the lambdas (the
+    // HOF-over-computed-array trap in TextAnalysis.shingles' scaladoc
+    // doesn't bite: lambdas here reference only the attribute).
+    Q("text_gopher_filters",
+      (s, d) => {
+        val stop = Seq("the", "a", "and", "of", "to", "in")
+        val nw = size(col("words"))
+        docs(s, d)
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"),
+            nw.cast("long").as("n_words"),
+            round(aggregate(col("words"), lit(0.0),
+              (acc, w) => acc + length(w)) / nw, 6).as("mean_word_len"),
+            round(size(filter(col("words"),
+              w => w.isin(stop: _*))).cast("double") / nw, 6).as("stop_frac"),
+            round(size(array_distinct(col("words"))).cast("double") / nw, 6)
+              .as("uniq_frac"))
+          .withColumn("keep",
+            col("n_words").between(30, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("stop_frac") >= 0.03 && col("uniq_frac") >= 0.5)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          round(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+            / len(ws), 6) AS mean_word_len,
+          round(CAST(len(list_filter(ws,
+            x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+            / len(ws), 6) AS stop_frac,
+          round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+            AS uniq_frac
+        FROM w)
+        SELECT doc_id, n_words, mean_word_len, stop_frac, uniq_frac,
+          (n_words BETWEEN 30 AND 100000
+           AND mean_word_len BETWEEN 3.0 AND 10.0
+           AND stop_frac >= 0.03 AND uniq_frac >= 0.5) AS keep
+        FROM m""")),
   )
 }
