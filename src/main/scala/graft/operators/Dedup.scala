@@ -187,44 +187,136 @@ object Dedup {
     * O(diameter). Converged when no label changes; `maxIter` is a
     * pathological-graph backstop.
     *
-    * Scale shape: each round is one edge-join + one label-self-join +
-    * one min-aggregation, all shuffling on the node/label key, ONE
-    * action (the convergence count runs against the same cached
-    * frame), and caching truncates lineage per round.
+    * This is the ONE deliberate RDD loop in the engine (integral-id
+    * inputs; a DataFrame loop below covers other id types). An
+    * iterative fixpoint is where Catalyst's economics invert: the
+    * DataFrame form re-analyzes, re-optimizes and re-codegens the
+    * 3-way-union plan EVERY round (~0.23s/round measured vs 0.12s of
+    * actual work at sf0.1), and because each round's output is a fresh
+    * checkpoint whose partitioning Catalyst cannot see, it reshuffles
+    * BOTH join sides every round. The RDD loop pins one
+    * HashPartitioner across all rounds (the GraphX/Pregel design), so:
+    *
+    *  - `edges ⋈ labels` is narrow (both sides co-partitioned) — zero
+    *    exchange;
+    *  - the merge of propagated labels back into `labels` is a narrow
+    *    equi-join on co-partitioned sides — zero exchange;
+    *  - the ONLY per-round exchange is the propagation traffic itself
+    *    (one reduceByKey of the update messages), which is the
+    *    information-theoretic minimum for label propagation;
+    *  - per-round driver cost is one job with no planning.
+    *
+    * The partitioner is sized to the graph (~250k edges/partition,
+    * capped at the session shuffle width): a 6.7k-edge sf0.1 graph
+    * runs single-partition rounds with no scheduling overhead, a
+    * billion-edge 100 TB graph runs at full cluster width. Duplicate
+    * input pairs are harmless (min is idempotent), so no up-front
+    * distinct pass is spent on them.
     *
     * Returns (id, cluster) where cluster = min id in the component —
     * `cluster` is the canonical keeper under keep-smallest. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 15): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = pairs.schema(aCol).dataType
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType).contains(idType)
+    if (integral) connectedComponentsRdd(pairs, aCol, bCol, maxIter)
+    else connectedComponentsDf(pairs, aCol, bCol, maxIter)
+  }
+
+  /** The pinned-partitioner RDD fixpoint — see [[connectedComponents]]. */
+  private def connectedComponentsRdd(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(aCol).dataType
+    val raw = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairCount = raw.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = math.max(1L,
+      math.min(sessionParts.toLong, pairCount * 2 / 250000L + 1L)).toInt
+    val part = new HashPartitioner(nPart)
+    // symmetrized edges, co-partitioned by src for the whole loop
+    val edges = raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // Seed labels with min(id, min neighbor) — the first one-hop
+    // propagation folded into initialization. reduceByKey over the
+    // co-partitioned edges is map-side only: no exchange.
+    var labels = edges.reduceByKey(part, math.min(_, _))
+      .mapPartitions(_.map { case (id, mn) => (id, math.min(id, mn)) },
+        preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence via the LABEL SUM: labels only ever decrease (each
+    // round takes a min over a set containing the current label), so
+    // the sum is strictly monotone and "sum unchanged" ⇔ "no label
+    // changed" — one aggregate action per round, no old-vs-new join.
+    // BigInt: exact for any sum of 63-bit ids.
+    def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      r.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+    var prevSum = labelSum(labels)
+    raw.unpersist(blocking = false)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbour labels: narrow join (both sides on `part`), then the
+      // propagation exchange — each edge sends its src's label to dst
+      val viaEdges = edges.join(labels, part)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+      // pointer jump: label(label(id)) — re-key by label (the one
+      // genuinely new key), narrow against labels on the right
+      val viaPointer = labels.map { case (id, lbl) => (lbl, id) }
+        .join(labels, part)
+        .map { case (_, (id, jump)) => (id, jump) }
+      // ONE exchange merges all update messages; the merge back into
+      // `labels` is narrow (update keys cover every node — symmetric
+      // edges mean every node receives at least its own neighbourhood)
+      val updates = viaEdges.union(viaPointer).reduceByKey(part, math.min(_, _))
+      val newLabels = updates.join(labels, part)
+        .mapPartitions(_.map { case (id, (u, old)) => (id, math.min(u, old)) },
+          preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSum = labelSum(newLabels)
+      labels.unpersist(blocking = false)
+      labels = newLabels
+      converged = newSum == prevSum
+      prevSum = newSum
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    // A silent non-converged exit would hand back wrong cluster ids
+    // (and corrupt canonical-doc selection downstream) with no signal.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(labels still changing); raise maxIter — pointer jumping " +
+          "needs ~log2(graph diameter) rounds")
+    labels.localCheckpoint() // truncate the loop lineage before handoff
+    spark.createDataFrame(labels.map { case (id, cl) => org.apache.spark.sql.Row(id, cl) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.LongType, nullable = false))))
+      .select(col("id").cast(idType).as("id"), col("cluster").cast(idType).as("cluster"))
+  }
+
+  /** DataFrame fixpoint for non-integral id types (string keys etc.):
+    * same algorithm; per-round localCheckpoint truncates lineage (the
+    * pointer-jump references `labels` three times, so an un-truncated
+    * plan grows 3^n and analysis itself becomes the bottleneck). */
+  private def connectedComponentsDf(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
-    // localCheckpoint (eager) per round: an ITERATIVE dataframe
-    // algorithm must truncate lineage — the pointer-jump references
-    // `labels` three times, so an un-truncated logical plan grows 3^n
-    // and analysis itself becomes the bottleneck (the classic
-    // iterative-Spark pitfall). Checkpoint blocks are reclaimed by the
-    // context cleaner as references drop.
-    // Seed labels with min(id, min neighbor) — the first one-hop
-    // propagation folded into initialization (one aggregation instead
-    // of a full join+jump round). Edges are symmetric, so every node
-    // appears as src exactly once per distinct neighbor.
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("id"), col("label"))
       .localCheckpoint()
-    // Convergence via the LABEL SUM: labels only ever decrease (each
-    // round takes a min over a set containing the current label), so
-    // the decimal sum is strictly monotone and "sum unchanged" ⇔ "no
-    // label changed". That saves the per-round old-label join +
-    // filter-count a direct comparison would need — one aggregate on
-    // the already-checkpointed frame instead. decimal(38,0): exact for
-    // any sum of longs (no double rounding, no bigint overflow when
-    // ids are 63-bit hashes).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // Convergence: count of labels that changed this round (string
+    // labels have no monotone sum) — one join per round.
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -236,23 +328,17 @@ object Dedup {
         .join(labels.select(col("id").as("label"),
           col("label").as("jump")), Seq("label"))
         .select(col("id"), col("jump").as("label"))
-      // lazy checkpoint: the labelSum action right below materializes
-      // it, so each round runs ONE job instead of an eager-checkpoint
-      // job followed by the sum job — same lineage truncation.
+      val prev = labels
       labels = viaEdges.union(viaPointer).union(labels)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(eager = false)
-      val newSum = labelSum(labels)
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
+      val changed = labels.as("n")
+        .join(prev.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      converged = changed == 0
       i += 1
     }
     edges.unpersist()
-    // A silent non-converged exit would hand back wrong cluster ids
-    // (and corrupt canonical-doc selection downstream) with no signal.
-    // Pointer jumping converges in O(log diameter), so hitting the
-    // backstop means a pathological graph or a too-small maxIter —
-    // surface it loudly rather than guessing.
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

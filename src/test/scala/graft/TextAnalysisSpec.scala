@@ -172,6 +172,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents string-id fallback (DataFrame loop) labels components") {
+    // non-integral ids take the DataFrame fixpoint; min-label is
+    // lexicographic there ("doc1" < "doc2"; "doc10" heads its own pair)
+    val pairs = Seq(("doc1", "doc2"), ("doc2", "doc3"), ("doc10", "doc11"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("doc1" -> "doc1", "doc2" -> "doc1", "doc3" -> "doc1",
+      "doc10" -> "doc10", "doc11" -> "doc10"))
+  }
+
   test("connectedComponents refuses to return non-converged labels") {
     // a 6-node chain cannot stabilize in one round even with pointer
     // jumping; a silent exit here would corrupt canonical-doc picks
