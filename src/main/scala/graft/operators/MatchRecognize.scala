@@ -29,10 +29,23 @@ import org.apache.spark.sql.{Dataset, Encoder}
   *    `PREV`/`FIRST`/`LAST` row navigation, impl/nfa/NFA.java:55);
   *  - ALTERNATION ([[Alt]]): `(A | B)` sub-patterns, leftmost branch
   *    preferred (SQL alternation order);
-  *  - AFTER MATCH SKIP PAST LAST ROW (matches never overlap);
+  *  - AFTER MATCH SKIP modes ([[SkipMode]]): PAST LAST ROW (default —
+  *    matches never overlap) and TO NEXT ROW (scan resumes one row
+  *    after the match START, so overlapping matches are reported —
+  *    Calcite/SQL:2016's other deterministic mode);
   *  - unmatched rows are skipped one at a time (match start slides).
   */
 object MatchRecognize {
+
+  /** AFTER MATCH SKIP strategy (SQL:2016 12.2; Calcite
+    * SqlMatchRecognize.AfterOption). */
+  sealed trait SkipMode
+  /** AFTER MATCH SKIP PAST LAST ROW — resume after the match end;
+    * matches never overlap (the default). */
+  case object SkipPastLastRow extends SkipMode
+  /** AFTER MATCH SKIP TO NEXT ROW — resume one row after the match
+    * START; overlapping matches are reported. */
+  case object SkipToNextRow extends SkipMode
 
   /** A pattern element: a quantified step, a context-aware step, or an
     * alternation of sub-patterns. */
@@ -237,7 +250,8 @@ object MatchRecognize {
     * the output of [[graft.streaming.StatefulV2.eventTimeGapFlush]]) to
     * get MATCH_RECOGNIZE over unbounded input, which is exactly Beam's
     * per-key-and-window NFA execution model. */
-  def matchRows[K, T, O](key: K, rows: IndexedSeq[T], steps: Seq[Elem[T]])(
+  def matchRows[K, T, O](key: K, rows: IndexedSeq[T], steps: Seq[Elem[T]],
+      skip: SkipMode = SkipPastLastRow)(
       measure: Match[K, T] => O): Seq[O] = {
     val out = scala.collection.mutable.ArrayBuffer[O]()
     var pos = 0
@@ -247,7 +261,10 @@ object MatchRecognize {
         case Some((end, captured)) if end > pos =>
           out += measure(Match(key, matchSeq, captured))
           matchSeq += 1
-          pos = end // AFTER MATCH SKIP PAST LAST ROW
+          pos = skip match {
+            case SkipPastLastRow => end // resume after the match
+            case SkipToNextRow => pos + 1 // overlap allowed
+          }
         case _ =>
           pos += 1
       }
@@ -266,10 +283,11 @@ object MatchRecognize {
   def matchRecognize[K: Encoder, T: Encoder, O: Encoder](
       ds: Dataset[T], key: T => K,
       sortCols: Seq[org.apache.spark.sql.Column],
-      steps: Seq[Elem[T]])(measure: Match[K, T] => O): Dataset[O] = {
+      steps: Seq[Elem[T]],
+      skip: SkipMode = SkipPastLastRow)(measure: Match[K, T] => O): Dataset[O] = {
     ds.groupByKey(key).flatMapSortedGroups(sortCols: _*) {
       (k: K, it: Iterator[T]) =>
-        matchRows(k, it.toIndexedSeq, steps)(measure).iterator
+        matchRows(k, it.toIndexedSeq, steps, skip)(measure).iterator
     }
   }
 }

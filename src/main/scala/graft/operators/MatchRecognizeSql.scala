@@ -249,14 +249,16 @@ object MatchRecognizeSql {
 
   /** Run a `MATCH_RECOGNIZE (...)` clause BODY over `df`. Sections
     * PARTITION BY / ORDER BY / PATTERN / DEFINE are required; MEASURES
-    * is required (it defines the output); ONE ROW PER MATCH and
-    * AFTER MATCH SKIP PAST LAST ROW are accepted and are the only
-    * (default) modes. Output columns: partition cols then measures. */
+    * is required (it defines the output); ONE ROW PER MATCH is the only
+    * rows-per-match mode; AFTER MATCH SKIP PAST LAST ROW (default) and
+    * AFTER MATCH SKIP TO NEXT ROW (overlapping matches) both parse.
+    * Output columns: partition cols then measures. */
   def apply(df: DataFrame, clause: String): DataFrame = {
     val body = clause.trim
     // section slicing: each keyword found at depth 0, in order
     val keywords = Seq("PARTITION BY", "ORDER BY", "MEASURES",
-      "ONE ROW PER MATCH", "AFTER MATCH SKIP PAST LAST ROW", "PATTERN",
+      "ONE ROW PER MATCH", "AFTER MATCH SKIP PAST LAST ROW",
+      "AFTER MATCH SKIP TO NEXT ROW", "PATTERN",
       "DEFINE")
     val found = keywords.flatMap { kw =>
       val idx = findKeyword(body, kw)
@@ -300,6 +302,11 @@ object MatchRecognizeSql {
         }.toMap
       }.getOrElse(Map.empty)
 
+    val skip =
+      if (found.exists(_._1 == "AFTER MATCH SKIP TO NEXT ROW"))
+        MatchRecognize.SkipToNextRow
+      else MatchRecognize.SkipPastLastRow
+
     val steps = MatchRecognize.parsePattern[Row](patternText, defines)
 
     // output schema: partition cols (source dtypes) ++ measures
@@ -316,7 +323,7 @@ object MatchRecognizeSql {
     val partIdx = partCols.map(inSchema.fieldIndex)
     val matched = MatchRecognize.matchRecognize[String, Row, Row](
       df, r => partIdx.map(i => String.valueOf(r.get(i))).mkString("\u001f"),
-      sortSpecs, steps) { m =>
+      sortSpecs, steps, skip) { m =>
       val anyRow = m.captured.valuesIterator.flatten.next()
       val partVals = partIdx.map(anyRow.get)
       val mVals = measures.map {

@@ -19,6 +19,10 @@ final case class DrEvent(user_id: Long, event_id: Long, ts_us: Long,
 /** Output row: one per maximal strictly-descending value run. */
 final case class DrMatch(user_id: Long, match_seq: Long, run_len: Long,
     peak: Double, trough: Double)
+/** Output row for the SKIP TO NEXT ROW demo: one per (overlapping)
+  * adjacent descending pair. */
+final case class SnMatch(user_id: Long, match_seq: Long,
+    a_val: Double, b_val: Double)
 
 /** Training-data-pipeline coverage: count-min sketch frequencies,
   * batched model inference, multimodal binary plumbing, RAG chunking,
@@ -466,6 +470,50 @@ object PipelineQueries {
             AS BIGINT) AS match_seq,
           CAST(run_len AS BIGINT) AS run_len, peak, trough
         FROM runs""")),
+
+    // ===== AFTER MATCH SKIP TO NEXT ROW (SQL:2016's other
+    // deterministic skip mode; Calcite SqlMatchRecognize.AfterOption):
+    // PATTERN (A B) DEFINE B AS B.value < PREV(B.value) with the scan
+    // resuming one row after each match START — every adjacent
+    // descending pair is reported, OVERLAPPING (a 3-row descent yields
+    // 2 matches where SKIP PAST LAST ROW would yield 1). The oracle is
+    // the lag() formulation, which by construction enumerates all
+    // adjacent pairs.
+    Q("pattern_skip_next",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .as[DrEvent]
+        MatchRecognize.matchRecognize[Long, DrEvent, SnMatch](
+          events, _.user_id, Seq(col("ts_us"), col("event_id")),
+          Seq(
+            MatchRecognize.Step[DrEvent]("A", _ => true),
+            MatchRecognize.CtxStep[DrEvent]("B",
+              (t, ctx) => ctx.prev().exists(p => t.value < p.value))),
+          skip = MatchRecognize.SkipToNextRow
+        ) { m =>
+          SnMatch(m.key, m.matchSeq,
+            m.captured("A").head.value,
+            m.captured("B").head.value)
+        }.toDF()
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), pairs AS (
+          SELECT user_id, rn,
+            lag(value) OVER (PARTITION BY user_id ORDER BY rn) AS a_val,
+            value AS b_val
+          FROM ordered)
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
+            AS BIGINT) AS match_seq,
+          a_val, b_val
+        FROM pairs WHERE b_val < a_val""")),
 
     // ===== Corpus-level duplicated-n-gram fraction (the Gopher/
     // RefinedWeb dedup SIGNAL, complementing the pairwise dedup_ngram_

@@ -110,5 +110,52 @@ object VectorQueries {
         emb(s, d).filter(col("vec_id") % 100 === 0), emb(s, d),
         "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4),
       None),
+
+    // ===== INT8 embedding quantization — the storage/bandwidth path a
+    // 100 TB embedding corpus ships on (4x smaller, SIMD-friendly):
+    // symmetric per-vector scheme, scale = max|x|/127, q = clamp(round
+    // (x/scale)). Emits the scale, the L2 reconstruction error, and the
+    // first 4 codes (joined — the checker can't hash arrays), so the
+    // oracle verifies the actual quantized codes, not just a summary.
+    // All work is per-row codegen'd HOFs over projected columns (each
+    // lambda references only attributes — no recompute trap), zero
+    // shuffles. Both engines fold the error sum sequentially in double
+    // (aggregate ≡ list_reduce), so values hash-match bit-for-bit.
+    Q("vec_quantize_int8",
+      (s, d) => emb(s, d)
+        .withColumn("xd", transform(col("embedding"), v => v.cast("double")))
+        .withColumn("scale",
+          array_max(transform(col("xd"), v => abs(v))) / lit(127.0))
+        .withColumn("q", transform(col("xd"), v =>
+          least(greatest(floor(v / col("scale") + 0.5), lit(-127.0)),
+            lit(127.0)).cast("int")))
+        // err_l2 gets its OWN projection: aliasing round(scale) to the
+        // name "scale" in the same select would rebind the sibling
+        // lambda's col("scale") to the ROUNDED value (projection
+        // collapse resolves same-name refs against the output), which
+        // shifts the reconstruction error in the 4th decimal.
+        .withColumn("err_l2", round(sqrt(aggregate(
+          zip_with(col("xd"), col("q"), (a, b) =>
+            (a - b.cast("double") * col("scale")) *
+            (a - b.cast("double") * col("scale"))),
+          lit(0.0), (acc, v) => acc + v)), 6))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          col("err_l2"),
+          array_join(slice(col("q"), 1, 4), ",").as("q_head")),
+      Some(s"""WITH x AS (SELECT vec_id,
+            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+          FROM embeddings),
+        m AS (SELECT vec_id, xd,
+            list_max(list_transform(xd, v -> abs(v))) / 127.0 AS scale
+          FROM x),
+        qz AS (SELECT vec_id, xd, scale,
+            list_transform(xd, v -> CAST(least(greatest(
+              floor(v / scale + 0.5), -127.0), 127.0) AS INT)) AS qv
+          FROM m)
+        SELECT vec_id, round(scale, 6) AS scale,
+          round(sqrt(${foldSum("list_transform(list_zip(xd, qv), z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale))")}), 6) AS err_l2,
+          array_to_string(qv[1:4], ',') AS q_head
+        FROM qz""")),
   )
 }

@@ -155,6 +155,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L, 5.0, 3.0), (1L, 2L, 1L, 9.0, 8.0)))
   }
 
+  test("MatchRecognizeSql: AFTER MATCH SKIP TO NEXT ROW reports overlapping matches") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq( // one 4-step descent: 9, 7, 6, 5
+      (1L, 1L, 9.0), (1L, 2L, 7.0), (1L, 3L, 6.0), (1L, 4L, 5.0))
+      .toDF("user_id", "seq", "value")
+    def run(skipClause: String) = MatchRecognizeSql(df, s"""
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES MATCH_NUMBER() AS m, FIRST(A.value) AS a_val, LAST(B.value) AS b_val
+      ONE ROW PER MATCH
+      $skipClause
+      PATTERN (A B)
+      DEFINE B AS B.value < PREV(B.value)""")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    // past-last: (9,7) then (6,5) — the (7,6) pair is consumed
+    assert(run("AFTER MATCH SKIP PAST LAST ROW") ==
+      Set((1L, 9.0, 7.0), (2L, 6.0, 5.0)))
+    // to-next: all three overlapping adjacent pairs
+    assert(run("AFTER MATCH SKIP TO NEXT ROW") ==
+      Set((1L, 9.0, 7.0), (2L, 7.0, 6.0), (3L, 6.0, 5.0)))
+  }
+
   test("MatchRecognizeSql: alternation, string literals, AND/OR in DEFINE") {
     import graft.operators.MatchRecognizeSql
     val df = Seq(
