@@ -34,7 +34,8 @@ object Bench {
     "text_normalize_entropy", "sample_weighted", "pipeline_seq_packing",
     "pivot_wide", "unpivot_long", "udtf_stack", "udtf_posexplode_outer",
     "text_pii_redact", "text_gopher_filters", "pattern_skip_next",
-    "vec_quantize_int8",
+    "vec_quantize_int8", "anomaly_robust_zscore", "anomaly_iqr",
+    "anomaly_sliding",
     // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
     // published SMOKE suite's 100k-event scale)
     "win_hot_items", "win_highest_value", "win_new_users",

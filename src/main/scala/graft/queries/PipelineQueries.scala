@@ -310,6 +310,99 @@ object PipelineQueries {
         FROM events e JOIN stats USING (event_type)
         WHERE abs(round((value - mean_v) / sd_v, 6)) > 2.5""")),
 
+    // ===== Robust z-score anomaly detector (ml/anomaly/detectors/
+    // robust_zscore.py — median/MAD instead of mean/stddev, outlier-
+    // insensitive): two fit passes (median, then median absolute
+    // deviation around it), fits broadcast back, flag |x-med| /
+    // (1.4826·MAD) > 3. Same two-partial-agg + broadcast scale shape
+    // as the plain z-score.
+    Q("anomaly_robust_zscore",
+      (s, d) => {
+        val med = ev(s, d).groupBy("event_type")
+          .agg(percentile(col("value"), lit(0.5)).as("med_v"))
+        val mad = ev(s, d).join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(percentile(abs(col("value") - col("med_v")), lit(0.5)).as("mad_v"))
+        ev(s, d).join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
+          .withColumn("rz", round(
+            abs(col("value") - col("med_v")) / (lit(1.4826) * col("mad_v")), 6))
+          .filter(col("rz") > 3.0)
+          .select(col("event_id"), col("event_type"), col("rz"))
+      },
+      Some("""WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med_v
+          FROM events GROUP BY 1),
+        mad AS (
+          SELECT event_type, quantile_cont(abs(value - med_v), 0.5) AS mad_v
+          FROM events e JOIN med USING (event_type) GROUP BY 1)
+        SELECT event_id, e.event_type,
+          round(abs(value - med_v) / (1.4826 * mad_v), 6) AS rz
+        FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        WHERE round(abs(value - med_v) / (1.4826 * mad_v), 6) > 3.0""")),
+
+    // ===== IQR anomaly detector (ml/anomaly/detectors/iqr.py): Tukey
+    // fences — flag points outside [q1 - 1.5·IQR, q3 + 1.5·IQR], with
+    // the violated side reported. One fit agg (both quantiles in one
+    // pass), broadcast back.
+    Q("anomaly_iqr",
+      (s, d) => {
+        val fit = ev(s, d).groupBy("event_type").agg(
+          percentile(col("value"), lit(0.25)).as("q1"),
+          percentile(col("value"), lit(0.75)).as("q3"))
+        ev(s, d).join(broadcast(fit), "event_type")
+          .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+          .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+          .filter(col("value") < col("lo") || col("value") > col("hi"))
+          .select(col("event_id"), col("event_type"),
+            when(col("value") < col("lo"), "low").otherwise("high").as("side"),
+            round(col("value"), 6).as("value"))
+      },
+      Some("""WITH fit AS (
+          SELECT event_type,
+            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+          FROM events GROUP BY 1)
+        SELECT event_id, e.event_type,
+          CASE WHEN value < q1 - (q3 - q1) * 1.5 THEN 'low' ELSE 'high' END AS side,
+          round(value, 6) AS value
+        FROM events e JOIN fit USING (event_type)
+        WHERE value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5""")),
+
+    // ===== Sliding-window anomaly tracker (ml/anomaly/univariate/
+    // mean.py SimpleSlidingMeanTracker + stdev.py): each event scored
+    // against the mean/stddev of its key's PREVIOUS 20 events (the
+    // landmark-free sliding tracker); needs >= 5 prior events. One
+    // exchange on the key; the trailing frame never materializes more
+    // than the window.
+    Q("anomaly_sliding",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        ev(s, d)
+          .withColumn("n_prev", count(lit(1)).over(w))
+          .withColumn("m", avg("value").over(w))
+          .withColumn("sd", stddev_samp(col("value")).over(w))
+          .filter(col("n_prev") >= 5 && col("sd") > 0)
+          .withColumn("z", round((col("value") - col("m")) / col("sd"), 4))
+          .filter(abs(col("z")) > 3.0)
+          .select(col("event_id"), col("user_id"), col("z"))
+      },
+      Some("""WITH scored AS (
+          SELECT event_id, user_id, value,
+            count(*) OVER w AS n_prev,
+            avg(value) OVER w AS m,
+            stddev_samp(value) OVER w AS sd
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+            ORDER BY make_timestamp(epoch_us(ts)), event_id
+            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, round((value - m) / sd, 4) AS z
+        FROM scored
+        WHERE n_prev >= 5 AND sd > 0
+          AND abs(round((value - m) / sd, 4)) > 3.0""")),
+
     // ===== Enrichment lookup join (transforms/enrichment.py:103): per-
     // partition client lifecycle, per-row point lookup — no shuffle of
     // the main input. Client wraps the (tiny) nation dim; the oracle is
