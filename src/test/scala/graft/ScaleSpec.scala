@@ -248,6 +248,20 @@ class ScaleSpec extends SparkSpec {
     assert(q2.contains("Window"), "q2 lost the min-cost window")
     assert("Scan parquet".r.findAllIn(q2).size <= 5,
       "q2 re-scans inputs: candidate subtree evaluated more than once")
+    // anomaly detectors: fit artifacts must come back via broadcast,
+    // never a shuffle of the events fact table against tiny fit rows
+    val rz = plan("anomaly_robust_zscore")
+    assert(rz.contains("BroadcastHashJoin"), "robust_zscore fit not broadcast")
+    assert(!rz.contains("SortMergeJoin"), "robust_zscore shuffles the fact side")
+    // int8 quantization is a pure per-row projection: no exchange at all
+    assert(!plan("vec_quantize_int8").contains("Exchange"),
+      "vec_quantize_int8 gained a shuffle")
+    // pivot with pinned values: Spark's two-phase shape — partial-agg
+    // on (key, pivot-col) then pivot-agg on key; both exchanges carry
+    // only aggregated rows, never the raw fact table
+    val piv = plan("pivot_wide")
+    assert(piv.contains("HashAggregate"), "pivot lost hash aggregation")
+    assert("Exchange".r.findAllIn(piv).size <= 2, "pivot gained extra shuffles")
   }
 
   test("GraftExtensions injects native functions at session build") {
