@@ -591,6 +591,30 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("mixed triggers: retractions re-emit the prior pane before each wall-clock firing") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.mixedTriggerWindows(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 3600000L, earlyDelayMs = 300L, lateDelayMs = 300L,
+        accumulating = true, retractions = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"))
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "EARLY", false, Seq("a"))))
+      // second pane: RETRACT pane 0's contents, then the accumulated pane
+      mem.addData((1L, t(2), "b"))
+      awaitSink(table) {
+        val got = spark.table(table).as[MixedPane].collect()
+          .filter(_._1 == 1L).sortBy(p => (p._3, p._4)).map(p => (p._3, p._4, p._6)).toSeq
+        got == Seq((0L, "EARLY", Seq("a")), (0L, "RETRACT", Seq("a")),
+          (1L, "EARLY", Seq("a", "b")))
+      }
+      q.stop()
+    }
+  }
+
   test("mixed triggers: window close flushes the unfired remainder as a final pane; beyond-lateness rows drop") {
     withRocksDb {
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
