@@ -36,6 +36,8 @@ object Bench {
     "text_pii_redact", "text_gopher_filters", "pattern_skip_next",
     "vec_quantize_int8", "anomaly_robust_zscore", "anomaly_iqr",
     "anomaly_sliding",
+    "join_skew_salted", "join_fuzzy_editdist", "global_row_index",
+    "profile_columns", "profile_histogram", "text_bm25_search",
     // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
     // published SMOKE suite's 100k-event scale)
     "win_hot_items", "win_highest_value", "win_new_users",

@@ -105,6 +105,62 @@ object Joins {
         valueCols.map(c => col(s"__match.$c").as(s"r_$c")): _*)
   }
 
+  /** Skew-safe (salted) equi-join: the fact side salts each row into
+    * `fanout` sub-keys by a deterministic hash of `saltBy` (a unique
+    * row identity — determinism keeps stage retries and speculative
+    * tasks consistent), the dim side replicates every row across all
+    * `fanout` salt values, and the join runs on (key, salt). A hot fact
+    * key is spread over `fanout` reducers instead of landing on one —
+    * the join-shaped sibling of `Combine.withFanout`
+    * (transforms/Combine.java withHotKeyFanout) and the manual form of
+    * AQE's skew-join splitting, for dims too large to broadcast joined
+    * to facts whose key histogram is pathological. Cost model: the dim
+    * shuffle grows ×`fanout` (it is the SMALL side by precondition);
+    * the fact side's per-reducer load drops ×`fanout` on hot keys. At
+    * 100 TB pick fanout ≈ (hottest-key rows) / (rows a reducer can
+    * hold); AQE handles everything milder for free. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      fanout: Int, saltBy: Seq[Column]): DataFrame = {
+    require(fanout > 0, "fanout must be positive")
+    val sf = fact.withColumn("__salt",
+      pmod(xxhash64(saltBy: _*), lit(fanout)).cast("int"))
+    val sd = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(fanout - 1))))
+    sf.join(sd, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Fuzzy (edit-distance) equi-candidate join over a string column:
+    * all unordered pairs of DISTINCT values of `strCol` within
+    * Levenshtein distance `maxDist`. Candidate generation is the
+    * length-band pigeonhole (|len(a)−len(b)| ≤ maxDist is necessary):
+    * each value emits its own length, the probe side additionally
+    * explodes to every length in [len−maxDist, len+maxDist], and
+    * candidates meet on an equi-join over that band key — never an
+    * all-pairs cross. Exact `levenshtein` then verifies.
+    *
+    * The 100 TB story is the DISTINCT projection: fuzzy matching runs
+    * on the value vocabulary (≪ corpus — here 64 names for 2k parts),
+    * which one partial-agg shuffle produces; results broadcast back to
+    * the corpus if row-level pairing is needed. For vocabularies where
+    * a length band is still too wide, layer q-gram / PassJoin segment
+    * pruning on the same verify (the inverted-index shape
+    * `ngramJaccardPairs` already demonstrates). */
+  def fuzzyJoinEditDistance(df: DataFrame, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val names = df.select(col(strCol).as("name")).distinct()
+    val a = names.select(col("name").as("name_a"),
+      length(col("name")).as("__band"))
+    val b = names.select(col("name").as("name_b"),
+      explode(sequence(length(col("name")) - maxDist,
+        length(col("name")) + maxDist)).as("__band"))
+    a.join(b, Seq("__band"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+
   /** Theta/range join helper — Spark-native arbitrary-condition join,
     * which Beam SQL rejects (BeamJoinRel only supports conjunctions of
     * equalities); exposed for parity documentation. */

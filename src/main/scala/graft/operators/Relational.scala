@@ -107,4 +107,31 @@ object Relational {
       .groupBy(keys: _*)
       .agg(stage2Aggs.head, stage2Aggs.tail: _*)
   }
+
+  /** Contiguous global row index 0..n−1 in `order` — the scalable form
+    * of zipWithIndex / a pandas RangeIndex. The naive
+    * `row_number() OVER (ORDER BY …)` with no PARTITION BY funnels
+    * every row through ONE task (the global-window anti-pattern this
+    * library bans); this instead range-partitions on the order keys,
+    * sorts within partitions, and assigns per-partition offsets from a
+    * lightweight count-per-partition job (the two-action zipWithIndex
+    * contract) — index assignment is a narrow map, no bottleneck.
+    * `order` must be a TOTAL order (include a unique tie-break) for
+    * determinism; the range boundaries themselves may vary with
+    * sampling, but the assigned index equals the global sort position
+    * regardless of where the cuts land. */
+  def globalRowIndex(df: DataFrame, idxCol: String,
+      order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idxCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
 }

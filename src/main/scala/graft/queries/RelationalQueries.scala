@@ -442,6 +442,51 @@ object RelationalQueries {
         ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
         GROUP BY s_suppkey""")),
 
+    // Skew-safe salted join: lineitem (fact, hot l_orderkey histogram
+    // at scale) × orders projected to 2 columns (dim too big to
+    // broadcast in the 100 TB scenario). Salt spreads each fact key
+    // over 8 reducers; the result is identical to the plain join.
+    Q("join_skew_salted",
+      (s, d) => Joins.saltedJoin(
+          li(s, d).select("l_orderkey", "l_extendedprice", "l_discount",
+            "l_linenumber"),
+          ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "l_orderkey", fanout = 8,
+          saltBy = Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""")),
+
+    // Fuzzy self-join: all distinct part names within Levenshtein
+    // distance 2, candidates via the length-band pigeonhole (complete),
+    // run over the DISTINCT-name vocabulary, never the corpus.
+    Q("join_fuzzy_editdist",
+      (s, d) => Joins.fuzzyJoinEditDistance(prt(s, d), "p_name", maxDist = 2),
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+          CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM n a JOIN n b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2""")),
+
+    // Contiguous global row index without the single-task global
+    // window: range partition + within-partition sort + per-partition
+    // offsets (zipWithIndex contract). Total order via unique key.
+    Q("global_row_index",
+      (s, d) => Relational.globalRowIndex(
+          ord(s, d).select("o_orderkey", "o_orderdate"),
+          "row_idx", col("o_orderdate").asc, col("o_orderkey").asc)
+        .select("o_orderkey", "row_idx"),
+      Some("""SELECT o_orderkey,
+        CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT)
+          AS row_idx
+        FROM orders""")),
+
     Q("cogroup_by_key",
       (s, d) => Joins.coGroupByKey(
           ord(s, d).select(col("o_custkey").as("key"), col("o_orderkey")),

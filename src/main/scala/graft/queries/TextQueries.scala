@@ -482,5 +482,59 @@ object TextQueries {
            AND mean_word_len BETWEEN 3.0 AND 10.0
            AND stop_frac >= 0.03 AND uniq_frac >= 0.5) AS keep
         FROM m""")),
+
+    // ===== BM25 full-text retrieval (Okapi k1=1.2, b=0.75): score every
+    // document against a fixed term query. Corpus statistics (N, avgdl,
+    // per-term df) are ONE single-row aggregate broadcast back — at
+    // 100 TB that is one partial-agg shuffle of a constant-size row,
+    // then a zero-shuffle scoring scan; no per-term join against an
+    // inverted index is needed when the query is a handful of terms.
+    Q("text_bm25_search", (s, d) => {
+      val terms = Seq("data", "query", "spark")
+      val k1 = 1.2
+      val base = docs(s, d)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+        df.withColumn(s"tf$i",
+          size(filter(col("toks"), x => x === lit(t))).cast("double"))
+      }.drop("toks", "text", "lang", "source", "n_chars")
+      val fitAggs = count(lit(1)).cast("double").as("n") +:
+        avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+      val fit = withTf.agg(fitAggs.head, fitAggs.tail: _*)
+      val score = terms.indices.map { i =>
+        val idf = log((col("n") - col(s"df$i") + lit(0.5)) /
+          (col(s"df$i") + lit(0.5)) + lit(1.0))
+        idf * col(s"tf$i") * lit(k1 + 1) /
+          (col(s"tf$i") + lit(k1) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      withTf.crossJoin(broadcast(fit))
+        .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+        .select(col("doc_id"), round(score, 4).as("bm25"))
+    },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        dd AS (SELECT doc_id,
+          CAST(len(toks) AS DOUBLE) AS dl,
+          CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) AS tf0,
+          CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf1,
+          CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf2
+          FROM t),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+          sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+          sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+          sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+          FROM dd)
+        SELECT doc_id, round(
+            ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+              / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+          + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+              / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+          + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+              / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS bm25
+        FROM dd, g
+        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""")),
   )
 }

@@ -40,6 +40,46 @@ class JoinsSpec extends SparkSpec {
     assert(got.count() == 2) // a join-back on (sym, ts) would yield 4
   }
 
+  test("saltedJoin equals the plain join and spreads a hot key") {
+    import spark.implicits._
+    // Pathological skew: one key carries 90% of the fact.
+    val fact = ((1 to 90).map(i => (1L, i)) ++ (1 to 10).map(i => (2L, i)))
+      .toDF("k", "seq")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "unmatched"))
+      .toDF("k", "label")
+    val got = Joins.saltedJoin(fact, dim, "k", fanout = 4,
+      saltBy = Seq(col("k"), col("seq")))
+    val want = fact.join(dim, Seq("k"))
+    assert(got.count() == 100)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // The hot key's fact rows really occupy multiple salt sub-keys.
+    val salts = fact.filter(col("k") === 1)
+      .select(pmod(xxhash64(col("k"), col("seq")), lit(4)).as("s"))
+      .distinct().count()
+    assert(salts > 1)
+  }
+
+  test("fuzzyJoinEditDistance matches the brute-force pair set") {
+    import spark.implicits._
+    val df = Seq("kitten", "sitten", "sittin", "sitting", "apple",
+      "apples", "banana", "kitten").toDF("w")
+    val got = Joins.fuzzyJoinEditDistance(df, "w", maxDist = 2)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    val names = df.select("w").distinct().as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("broadcastJoin produces a BroadcastHashJoin plan") {
     val big = spark.range(1000).toDF("id")
     val small = Seq((1L, "one"), (2L, "two")).toDF("id", "name")

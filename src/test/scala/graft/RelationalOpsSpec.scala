@@ -102,4 +102,20 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Set(("a", 0L, 12L, 2L), ("a", 20L, 25L, 1L),
       ("b", 3L, 4L, 1L)))
   }
+
+  test("globalRowIndex assigns the global sort position, no global window") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("k", pmod(col("id") * 7919, lit(1000))) // scrambled order
+    val got = Relational.globalRowIndex(df, "row_idx", col("k").asc)
+      .select("k", "row_idx").as[(Long, Long)].collect().sortBy(_._1)
+    // k is a permutation of 0..999, so index must equal k itself.
+    assert(got.forall { case (k, i) => k == i })
+    // Contiguity: 0..n-1 exactly once.
+    assert(got.map(_._2).sorted.toSeq == (0L until 1000L))
+    // The plan must not contain a Window operator (the single-task
+    // row_number() OVER () anti-pattern this op exists to avoid).
+    val plan = Relational.globalRowIndex(df, "row_idx", col("k").asc)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
 }
