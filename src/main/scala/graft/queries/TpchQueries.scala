@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -413,15 +414,25 @@ object TpchQueries {
             col("l_orderkey") === col("o_orderkey") &&
               col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .select(col("l_orderkey"), col("l_suppkey"))
+        // ">1 distinct supplier" ⇔ min≠max: a plain min/max partial agg
+        // (one exchange) instead of countDistinct's expand + two
+        // exchanges.
         val multiSupp = li(s, d).groupBy(col("l_orderkey").as("ms_okey"))
-          .agg(countDistinct("l_suppkey").as("nsupp"))
-          .filter(col("nsupp") > 1)
-        val soleLate = lateLines.groupBy(col("l_orderkey").as("sl_okey"))
-          .agg(countDistinct("l_suppkey").as("nlate"))
-          .filter(col("nlate") === 1)
-        lateLines
+          .agg(min("l_suppkey").as("mn"), max("l_suppkey").as("mx"))
+          .filter(col("mn") =!= col("mx"))
+        // NOT EXISTS (another late supplier on the same order) folds
+        // into a window over lateLines' own l_orderkey exchange —
+        // evaluating lateLines ONCE ("exactly one late supplier" ⇔
+        // window min==max); the old groupBy+semi-join form re-executed
+        // the whole lineitem⋈orders subtree a second time (Spark does
+        // not CSE common subplans across join branches).
+        val w = Window.partitionBy(col("l_orderkey"))
+        val soleLateLines = lateLines
+          .withColumn("ln_mn", min(col("l_suppkey")).over(w))
+          .withColumn("ln_mx", max(col("l_suppkey")).over(w))
+          .filter(col("ln_mn") === col("ln_mx"))
+        soleLateLines
           .join(multiSupp, col("l_orderkey") === col("ms_okey"), "left_semi")
-          .join(soleLate, col("l_orderkey") === col("sl_okey"), "left_semi")
           .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
           .agg(count(lit(1)).as("numwait"))
