@@ -162,6 +162,167 @@ object StatefulV2 {
       new ProcessingTimePaneProcessor[K, V](delayMs, accumulating),
       TimeMode.ProcessingTime(), OutputMode.Append())
 
+  /** Beam's COMPOSITE trigger language (windowing/AfterFirst.java:41,
+    * AfterAll.java:40, AfterPane.java:33, AfterProcessingTime.java:39)
+    * as a serializable spec tree, implicitly wrapped in
+    * `Repeatedly.forever` (Repeatedly.java:38): every firing resets
+    * the WHOLE tree, exactly like Beam's repeated composite.
+    *
+    *  - `AfterCount(n)`  — AfterPane.elementCountAtLeast(n)
+    *  - `AfterDelay(d)`  — AfterProcessingTime.pastFirstElementInPane()
+    *                       .plusDelayOf(d): anchored at the first
+    *                       element since the previous firing
+    *  - `AfterFirst(…)`  — ready when ANY child is ready
+    *  - `AfterAll(…)`    — ready when EVERY child is ready
+    */
+  sealed trait TriggerSpec extends Serializable
+  object TriggerSpec {
+    final case class AfterCount(n: Int) extends TriggerSpec {
+      require(n > 0, "AfterCount needs n > 0")
+    }
+    final case class AfterDelay(delayMs: Long) extends TriggerSpec {
+      require(delayMs > 0, "AfterDelay needs delayMs > 0")
+    }
+    final case class AfterFirst(subs: TriggerSpec*) extends TriggerSpec {
+      require(subs.nonEmpty, "AfterFirst needs children")
+    }
+    final case class AfterAll(subs: TriggerSpec*) extends TriggerSpec {
+      require(subs.nonEmpty, "AfterAll needs children")
+    }
+
+    /** Earliest wall-clock instant at which `t` is (or becomes) ready,
+      * holding the element count fixed: `Some(ts)` with ts ≤ now means
+      * ready NOW; `None` means no amount of waiting alone satisfies it
+      * (an unsatisfied count condition). All children share the pane's
+      * single anchor — equivalent to Beam's per-subtrigger anchors
+      * because the whole tree resets together on every firing. */
+    def readyAt(t: TriggerSpec, cnt: Long, anchorMs: Long): Option[Long] =
+      t match {
+        case AfterCount(n) => if (cnt >= n) Some(0L) else None
+        case AfterDelay(d) => if (cnt > 0) Some(anchorMs + d) else None
+        case AfterFirst(subs @ _*) =>
+          subs.flatMap(s => readyAt(s, cnt, anchorMs)) match {
+            case ts if ts.nonEmpty => Some(ts.min)
+            case _ => None
+          }
+        case AfterAll(subs @ _*) =>
+          val ts = subs.map(s => readyAt(s, cnt, anchorMs))
+          if (ts.forall(_.isDefined)) Some(ts.map(_.get).max) else None
+      }
+  }
+
+  /** Composite-trigger panes in the global window: per key, buffer
+    * elements and fire a pane whenever the [[TriggerSpec]] tree is
+    * ready — on the element path (count conditions trip immediately)
+    * or on a wall-clock timer armed at the tree's earliest future
+    * ready-instant (re-armed as the tree's shape demands: AfterAll
+    * waits for its slowest child, AfterFirst for its fastest). This is
+    * the `ReduceFnRunner`+`TriggerStateMachine` pair of the reference
+    * (runners/core-java/.../TriggerStateMachineRunner.java) reduced to
+    * the repeatable processing-time/count sub-language; watermark
+    * (event-time) conditions live in [[TriggeredWindowProcessor]] /
+    * [[MixedTriggerProcessor]]. Output: (key, paneIndex, values). */
+  class CompositeTriggerProcessor[K, V](spec: TriggerSpec,
+      accumulating: Boolean)(implicit vEnc: Encoder[V])
+      extends StatefulProcessor[K, (K, V), (K, Long, Seq[V])] {
+
+    @transient private var buf: ListState[V] = _       // pane contents
+    @transient private var since: ValueState[Long] = _ // count since fire
+    @transient private var anchor: ValueState[Long] = _ // first-elem ts
+    @transient private var pane: ValueState[Long] = _  // next pane index
+    @transient private var armed: ValueState[Long] = _ // timer instant
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
+      since = getHandle.getValueState[Long]("since", Encoders.scalaLong,
+        TTLConfig.NONE)
+      anchor = getHandle.getValueState[Long]("anchor", Encoders.scalaLong,
+        TTLConfig.NONE)
+      pane = getHandle.getValueState[Long]("pane", Encoders.scalaLong,
+        TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    private def fire(key: K): (K, Long, Seq[V]) = {
+      val p = if (pane.exists()) pane.get() else 0L
+      val contents = buf.get().toSeq
+      if (!accumulating) buf.clear()
+      since.update(0L)
+      anchor.clear()
+      pane.update(p + 1)
+      (key, p, contents)
+    }
+
+    /** Sync the armed timer to the tree's earliest future ready-instant
+      * (or drop it when the tree can only advance via elements). */
+    private def rearm(now: Long): Unit = {
+      val cnt = if (since.exists()) since.get() else 0L
+      val anc = if (anchor.exists()) anchor.get() else now
+      val want = TriggerSpec.readyAt(spec, cnt, anc).filter(_ > now)
+      val have = if (armed.exists()) Some(armed.get()) else None
+      if (want != have) {
+        have.foreach(ts => getHandle.deleteTimer(ts))
+        want.foreach(ts => getHandle.registerTimer(ts))
+        want match {
+          case Some(ts) => armed.update(ts)
+          case None => armed.clear()
+        }
+      }
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, V)],
+        timers: TimerValues): Iterator[(K, Long, Seq[V])] = {
+      val now = timers.getCurrentProcessingTimeInMs()
+      var cnt = if (since.exists()) since.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer[(K, Long, Seq[V])]()
+      rows.foreach { case (_, v) =>
+        if (cnt == 0) anchor.update(now) // first element of this pane
+        buf.appendValue(v)
+        cnt += 1
+        since.update(cnt)
+        // Count conditions trip on the element path, mid-batch — a
+        // second AfterCount pane can fire within one input batch.
+        val anc = anchor.get()
+        if (TriggerSpec.readyAt(spec, cnt, anc).exists(_ <= now)) {
+          out += fire(key)
+          cnt = 0
+        }
+      }
+      rearm(now)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Long, Seq[V])] = {
+      val now = timers.getCurrentProcessingTimeInMs()
+      armed.clear()
+      val cnt = if (since.exists()) since.get() else 0L
+      val anc = if (anchor.exists()) anchor.get() else now
+      val ready = cnt > 0 &&
+        TriggerSpec.readyAt(spec, cnt, anc).exists(_ <= now)
+      val out = if (ready) Iterator(fire(key)) else Iterator.empty
+      rearm(now)
+      out
+    }
+  }
+
+  /** [[CompositeTriggerProcessor]] over a keyed stream. Example —
+    * Beam's "every 100 elements or at most every 10 s, whichever comes
+    * first":
+    * {{{
+    * compositeTriggerPanes(ds,
+    *   TriggerSpec.AfterFirst(TriggerSpec.AfterCount(100),
+    *                          TriggerSpec.AfterDelay(10000L)))
+    * }}} */
+  def compositeTriggerPanes[K: Encoder, V: Encoder](
+      ds: Dataset[(K, V)], spec: TriggerSpec,
+      accumulating: Boolean = false)(
+      implicit outEnc: Encoder[(K, Long, Seq[V])]): Dataset[(K, Long, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new CompositeTriggerProcessor[K, V](spec, accumulating),
+      TimeMode.ProcessingTime(), OutputMode.Append())
+
   /** Beam Deduplicate (transforms/Deduplicate.java:70) as explicit
     * MapState + TTL: ids expire after `ttl`, so re-arrivals beyond the
     * horizon pass through again — bounded state, Beam's exact TTL-timer
