@@ -38,12 +38,15 @@ object Bench {
     "anomaly_sliding",
     "join_skew_salted", "join_fuzzy_editdist", "global_row_index",
     "profile_columns", "profile_histogram", "text_bm25_search",
+    "ml_zscore_scale", "ml_buckets_interp", "ml_ngrams_bow",
+    "ml_dedupe_row_tokens",
     // Nexmark analogs (BASELINE.md comparison: events at sf0.1 ≈ the
     // published SMOKE suite's 100k-event scale)
     "win_hot_items", "win_highest_value", "win_new_users",
     "nexmark_q3_join", "nexmark_q9_winning_bid", "nexmark_q4_avg_price",
     "nexmark_q1_convert", "nexmark_q2_filter",
-    "nexmark_q0_passthrough", "nexmark_q6_avg_last10")
+    "nexmark_q0_passthrough", "nexmark_q6_avg_last10",
+    "nexmark_q10_shard")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -349,6 +349,34 @@ object EventTimeQueries {
           round(sum(price), 2) AS total_price, count(*) AS n_auctions
         FROM winners GROUP BY 1""")),
 
+    // Nexmark Q10 "log to sharded files" (queries/Query10.java — window
+    // the stream, route each element to one of N shard files per
+    // window, name the file by (window, shard)): the file-routing
+    // manifest — per (10-minute window, shard) the row count and
+    // event-id span that would land in that file. Shard assignment by
+    // portable hash (Query10 shards by a hash of the key too) so the
+    // oracle reproduces it bit-for-bit. The actual partitioned write
+    // (partitionBy(win, shard)) is exercised in IoSpec; here we verify
+    // the routing logic. One shuffle on the (already tiny) group keys.
+    Q("nexmark_q10_shard",
+      (s, d) => ev(s, d)
+        .withColumn("win_start",
+          (floor(unix_seconds(col("ts")) / 600) * 600).cast("long"))
+        .withColumn("shard",
+          pmod(graft.functions.PortableHash.md5Long(col("event_id")),
+            lit(8)))
+        .groupBy("win_start", "shard")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_event"),
+          max("event_id").as("max_event")),
+      Some(s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)
+            AS win_start,
+          ${graft.functions.PortableHash.md5LongSql("event_id")} % 8
+            AS shard,
+          count(*) AS n, min(event_id) AS min_event,
+          max(event_id) AS max_event
+        FROM events GROUP BY 1, 2""")),
+
     // CUSTOM MERGING WindowFn (windowing/WindowFn.java mergeWindows /
     // MergeOverlappingIntervalWindows — the general contract behind
     // Sessions): each event carries a DATA-DEPENDENT interval

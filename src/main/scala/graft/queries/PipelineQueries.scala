@@ -810,5 +810,114 @@ object PipelineQueries {
           round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per),
             6) AS token_share
         FROM per""")),
+
+    // ===== MLTransform ScaleToZScore (ml/transforms/tft.py:216):
+    // normalize to mean 0 / variance 1, emitting the fit artifacts
+    // (mean, var) alongside — the reference stores them as
+    // <col>_mean / <col>_var columns. One tiny fit agg broadcast back
+    // over the table: two narrow scans, zero wide shuffles of orders.
+    Q("ml_zscore_scale",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val fit = o.agg(avg("o_totalprice").as("mu"),
+          var_pop("o_totalprice").as("vr"))
+        o.crossJoin(broadcast(fit))
+          .select(col("o_orderkey"),
+            round((col("o_totalprice") - col("mu")) / sqrt(col("vr")), 6)
+              .as("z"),
+            round(col("mu"), 4).as("price_mean"),
+            round(col("vr"), 2).as("price_var"))
+      },
+      Some("""SELECT o_orderkey,
+          round((o_totalprice - avg(o_totalprice) OVER ())
+            / sqrt(var_pop(o_totalprice) OVER ()), 6) AS z,
+          round(avg(o_totalprice) OVER (), 4) AS price_mean,
+          round(var_pop(o_totalprice) OVER (), 2) AS price_var
+        FROM orders""")),
+
+    // ===== MLTransform ApplyBucketsWithInterpolation (ml/transforms/
+    // tft.py:369): bucketize against pinned ascending boundaries, then
+    // linearly interpolate WITHIN the bucket and normalize the whole
+    // range to [0,1] (below first boundary -> 0, at/above last -> 1).
+    // Pure codegen'd CASE arithmetic — zero shuffles, embarrassingly
+    // parallel at any scale. Boundaries are compile-time literals (the
+    // fit artifact of a prior quantile pass).
+    Q("ml_buckets_interp",
+      (s, d) => {
+        val bs = Seq(25000.0, 100000.0, 250000.0, 400000.0)
+        val x = col("o_totalprice")
+        val k = bs.size - 1 // number of interior intervals
+        val interp = (0 until k).foldLeft(
+          when(x < bs.head, 0.0).when(x >= bs.last, 1.0)) { (acc, i) =>
+            val (lo, hi) = (bs(i), bs(i + 1))
+            acc.when(x >= lo && x < hi,
+              (lit(i) + (x - lit(lo)) / lit(hi - lo)) / lit(k))
+          }
+        Tables.orders(s, d).select(col("o_orderkey"),
+          round(interp, 6).as("pos"))
+      },
+      Some("""SELECT o_orderkey, round(CASE
+          WHEN o_totalprice < 25000 THEN 0.0
+          WHEN o_totalprice >= 400000 THEN 1.0
+          WHEN o_totalprice < 100000
+            THEN ((o_totalprice - 25000) / 75000.0) / 3
+          WHEN o_totalprice < 250000
+            THEN (1 + (o_totalprice - 100000) / 150000.0) / 3
+          ELSE (2 + (o_totalprice - 250000) / 150000.0) / 3
+        END, 6) AS pos
+        FROM orders""")),
+
+    // ===== MLTransform NGrams + BagOfWords (ml/transforms/tft.py:564,
+    // :609 with compute_word_count): unigram+bigram vocabulary over the
+    // corpus with document frequency (count over per-doc bags — the
+    // BagOfWords dedup-per-row semantics) and raw term frequency.
+    // Shape for scale: explode once, reduce to (doc, term) partials
+    // first (map-side combinable), THEN collapse to per-term stats —
+    // the two-level aggregation avoids a corpus-wide count-distinct.
+    // Bigrams ride the compiled WordShingles expression, not the
+    // O(tokens²) HOF form.
+    Q("ml_ngrams_bow",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val toks = graft.operators.TextAnalysis.tokens(lower(col("text")))
+        docs(s, d)
+          .select(col("doc_id"), explode(concat(toks,
+            call_function("shingles", toks, lit(2)))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+          .groupBy("term").agg(count(lit(1)).as("df"),
+            sum("c").as("tf"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (SELECT doc_id, unnest(toks ||
+            list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1])) AS term
+          FROM t),
+        pd AS (SELECT doc_id, term, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS tf
+        FROM pd GROUP BY 1""")),
+
+    // ===== MLTransform DeduplicateTensorPerRow (ml/transforms/tft.py:
+    // 728): per-row token dedup. Emitted as (count, distinct-count,
+    // sorted distinct tokens) so the comparison is order-insensitive on
+    // both engines. Pure per-row array ops — zero shuffles.
+    Q("ml_dedupe_row_tokens",
+      (s, d) => {
+        val toks = graft.operators.TextAnalysis.tokens(lower(col("text")))
+        docs(s, d).select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          substring(array_join(array_sort(array_distinct(toks)), " "),
+            1, 120).as("bag_prefix"))
+      },
+      Some("""SELECT doc_id,
+          len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+          len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+            AS n_distinct,
+          substr(array_to_string(list_sort(list_distinct(
+            string_split_regex(trim(lower(text)), '\s+'))), ' '), 1, 120)
+            AS bag_prefix
+        FROM documents""")),
   )
 }
