@@ -85,25 +85,31 @@ object Bench {
     // Each query is timed `reps` times and the BEST run reported:
     // single-shot timings on this shared-host VM swing 2x+ with
     // neighbor noise, and the minimum is the standard steady-state
-    // estimator under one-sided noise. A query that throws on every
-    // rep reports -1.0 so failures stay detectable in BENCH_r{N}.json.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val results = names.map { name =>
-      var best = Double.MaxValue
-      (1 to reps).foreach { _ =>
+    // estimator under one-sided noise. Reps are INTERLEAVED as full
+    // passes over the query list (pass 1 all queries, then pass 2, …)
+    // rather than back-to-back per query: noise arrives in multi-second
+    // BURSTS that would cover every back-to-back rep of several
+    // consecutive queries, while under interleaving a burst lands on
+    // different queries in each pass and the per-query minimum shakes
+    // it off. A query that throws on every rep reports -1.0 so
+    // failures stay detectable in BENCH_r{N}.json.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    (1 to reps).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
         val ok = try { all(name)(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) best = math.min(best, dt)
+        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
         // Release this query's cached/localCheckpointed blocks so
-        // storage never accumulates across the 60+ query session — at
+        // storage never accumulates across the 100+ query session — at
         // a fixed heap that accumulation evicts into GC thrash and
         // taxes every later shuffle join. Cleanup is untimed.
         dropCaches(spark)
       }
-      name -> (if (best == Double.MaxValue) -1.0 else best)
     }
+    val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -262,6 +262,22 @@ class ScaleSpec extends SparkSpec {
     val piv = plan("pivot_wide")
     assert(piv.contains("HashAggregate"), "pivot lost hash aggregation")
     assert("Exchange".r.findAllIn(piv).size <= 2, "pivot gained extra shuffles")
+    // MLTransform fits come back via broadcast (BroadcastNestedLoopJoin
+    // for the single-row cross join), never a shuffle of orders
+    val zs = plan("ml_zscore_scale")
+    assert(zs.contains("Broadcast"), "zscore fit not broadcast")
+    assert(!zs.contains("SortMergeJoin"), "zscore shuffles the fact side")
+    // interpolated buckets are a pure codegen projection: no exchange
+    assert(!plan("ml_buckets_interp").contains("Exchange"),
+      "ml_buckets_interp gained a shuffle")
+    // bag-of-words: two-level aggregation — partial aggs before BOTH
+    // exchanges, and no count-distinct expand
+    val bow = plan("ml_ngrams_bow")
+    assert("Exchange".r.findAllIn(bow).size <= 2, "bow gained extra shuffles")
+    assert(!bow.contains("Expand"), "bow regressed to count-distinct expand")
+    // per-row token dedup: zero shuffles
+    assert(!plan("ml_dedupe_row_tokens").contains("Exchange"),
+      "ml_dedupe_row_tokens gained a shuffle")
   }
 
   test("GraftExtensions injects native functions at session build") {
