@@ -90,4 +90,115 @@ class RandomizedSpec extends SparkSpec {
       assert(got == want, s"trial $trial saltedAgg mismatch")
     }
   }
+
+  // ===== MATCH_RECOGNIZE NFA vs java.util.regex ==========================
+  // For UNCORRELATED step predicates the NFA is exactly a backtracking
+  // regex engine over the row sequence: single-row predicates are
+  // character classes, quantifiers map 1:1 (both greedy-with-backtrack,
+  // longest run first), alternation is leftmost-preferred in both, and
+  // the scan loop (anchored attempt at pos; on match emit + resume at
+  // end [SKIP PAST LAST ROW] or pos+1 [SKIP TO NEXT ROW]; on failure or
+  // empty match slide one row) is replicated with Matcher.region +
+  // lookingAt. Random patterns × random inputs × both skip modes must
+  // then produce IDENTICAL match spans. Correlated (PREV/FIRST/LAST)
+  // conditions are outside regex reach and covered by PipelineOpsSpec.
+  test("matchRows spans == java.util.regex on random uncorrelated patterns") {
+    import graft.operators.MatchRecognize
+    import MatchRecognize.{Alt, Elem, SkipMode, SkipPastLastRow, SkipToNextRow, Step}
+
+    val alphabet = "abcd"
+    val rnd = new scala.util.Random(41)
+
+    final case class GenStep(chars: Set[Char], min: Int, max: Int)
+    def genStep(): GenStep = {
+      val nc = 1 + rnd.nextInt(2)
+      val chars = Set.fill(nc)(alphabet(rnd.nextInt(alphabet.length)))
+      val (mn, mx) = rnd.nextInt(7) match {
+        case 0 => (1, 1)
+        case 1 => (0, 1)
+        case 2 => (1, Int.MaxValue)
+        case 3 => (0, Int.MaxValue)
+        case 4 => (2, 3)
+        case 5 => (2, 2)
+        case 6 => (1, 3)
+      }
+      GenStep(chars, mn, mx)
+    }
+    def stepRegex(g: GenStep): String = {
+      val cls = s"[${g.chars.mkString}]"
+      val q = (g.min, g.max) match {
+        case (1, 1) => ""
+        case (0, 1) => "?"
+        case (1, Int.MaxValue) => "+"
+        case (0, Int.MaxValue) => "*"
+        case (m, Int.MaxValue) => s"{$m,}"
+        case (m, n) => s"{$m,$n}"
+      }
+      cls + q
+    }
+    var nameSeq = 0
+    def toElem(g: GenStep): Elem[(Int, Char)] = {
+      nameSeq += 1
+      Step(s"V$nameSeq", (t: (Int, Char)) => g.chars.contains(t._2),
+        g.min, g.max)
+    }
+
+    def oracleSpans(s: String, rx: java.util.regex.Pattern,
+        skip: SkipMode): Seq[(Int, Int)] = {
+      val m = rx.matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var pos = 0
+      while (pos < s.length) {
+        m.region(pos, s.length)
+        if (m.lookingAt() && m.end > m.start) {
+          out += ((m.start, m.end))
+          pos = skip match {
+            case SkipPastLastRow => m.end
+            case SkipToNextRow => pos + 1
+          }
+        } else pos += 1
+      }
+      out.toSeq
+    }
+
+    (1 to 300).foreach { trial =>
+      // random pattern: 1-4 elements, ~1/4 of them 2-branch alternations
+      val (elems, regex) = {
+        val parts = (1 to 1 + rnd.nextInt(3)).map { _ =>
+          if (rnd.nextInt(4) == 0) {
+            val br1 = Seq.fill(1 + rnd.nextInt(2))(genStep())
+            val br2 = Seq.fill(1 + rnd.nextInt(2))(genStep())
+            val elem: Elem[(Int, Char)] =
+              Alt(br1.map(toElem), br2.map(toElem))
+            val rx = "(?:" + br1.map(stepRegex).mkString +
+              "|" + br2.map(stepRegex).mkString + ")"
+            (elem, rx)
+          } else {
+            val g = genStep()
+            (toElem(g), stepRegex(g))
+          }
+        }
+        (parts.map(_._1), parts.map(_._2).mkString)
+      }
+      val s = (0 until rnd.nextInt(41)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val rows: IndexedSeq[(Int, Char)] = s.zipWithIndex.map(_.swap).toIndexedSeq
+      val rx = java.util.regex.Pattern.compile(regex)
+
+      Seq(SkipPastLastRow, SkipToNextRow).foreach { skip =>
+        val got = MatchRecognize.matchRows(0, rows, elems, skip) { m =>
+          val idxs = m.captured.values.flatten.map(_._1).toSeq.sorted
+          // invariant: captured rows tile the span exactly once
+          assert(idxs == (idxs.head to idxs.last).toSeq,
+            s"trial $trial: captured rows not contiguous ($idxs) " +
+              s"pattern=$regex input=$s")
+          (idxs.head, idxs.last + 1)
+        }
+        val want = oracleSpans(s, rx, skip)
+        assert(got == want,
+          s"trial $trial skip=$skip pattern=$regex input=$s: " +
+            s"nfa=$got regex=$want")
+      }
+    }
+  }
 }
