@@ -218,6 +218,37 @@ object CoverageQueries {
         CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS tier
         FROM orders""")),
 
+    // ===== SchemaOps facade end-to-end (schemas/transforms/
+    // RenameFields.java:64, AddFields.java:65, Cast.java:60,
+    // Select.java:121 flattenedSchema): build a 3-level nested row,
+    // rename a nested field, add a computed nested field, narrow-cast
+    // it, then flatten every struct leaf to `_`-joined top-level
+    // columns. All pure projections — one codegen'd stage, no shuffle.
+    // Spark double→long cast TRUNCATES toward zero while DuckDB CAST
+    // rounds half-away, so the oracle spells trunc() explicitly.
+    Q("schema_flatten_rename",
+      (s, d) => {
+        import graft.operators.SchemaOps
+        val nested = ord(s, d).select(col("o_orderkey").as("id"),
+          struct(col("o_totalprice").as("amt"),
+            col("o_orderstatus").as("st"),
+            struct(col("o_orderpriority").as("pr")).as("meta")).as("fin"))
+        val renamed = SchemaOps.renameFields(nested, "fin.amt" -> "amount")
+        val added = SchemaOps.addFields(renamed,
+          "fin.tier" -> when(col("fin.amount") > 200000, "big")
+            .otherwise("small"))
+        val narrowed = SchemaOps.castFields(added,
+          "fin.amount" -> org.apache.spark.sql.types.LongType)
+        SchemaOps.flattenSchema(narrowed)
+          .select("id", "fin_st", "fin_meta_pr", "fin_amount", "fin_tier")
+      },
+      Some("""SELECT o_orderkey AS id, o_orderstatus AS fin_st,
+          o_orderpriority AS fin_meta_pr,
+          CAST(trunc(o_totalprice) AS BIGINT) AS fin_amount,
+          CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END
+            AS fin_tier
+        FROM orders""")),
+
     // ===== As-of join (SURVEY §2.4 capability bonus; absent in Beam):
     // each purchase matched to the user's latest click at-or-before it.
     // Single-shuffle union trick — no range join, no BNLJ; verified

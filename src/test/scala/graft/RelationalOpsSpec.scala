@@ -118,4 +118,42 @@ class RelationalOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"))
   }
+
+  test("SchemaOps rename/add/drop/cast/flatten over nested rows") {
+    import graft.operators.SchemaOps
+    val df = Seq((1L, 10.7, "x", "HI"), (2L, 250000.2, "y", "LO"))
+      .toDF("id", "amt", "st", "pr")
+      .select(col("id"), struct(col("amt"), col("st"),
+        struct(col("pr")).as("meta")).as("fin"))
+
+    // top-level + nested rename
+    val ren = SchemaOps.renameFields(df, "fin.amt" -> "amount", "id" -> "key")
+    assert(ren.columns.contains("key"))
+    assert(ren.select("fin.amount").as[Double].collect().sorted
+      .sameElements(Array(10.7, 250000.2)))
+    assert(!ren.select("fin.*").columns.contains("amt"))
+
+    // nested add + cast narrows double -> long (truncation)
+    val add = SchemaOps.castFields(
+      SchemaOps.addFields(ren, "fin.flag" -> lit(true)),
+      "fin.amount" -> org.apache.spark.sql.types.LongType)
+    assert(add.select("fin.flag").as[Boolean].collect().forall(identity))
+    assert(add.select("fin.amount").as[Long].collect().sorted
+      .sameElements(Array(10L, 250000L)))
+
+    // nested drop removes exactly the one leaf
+    val drp = SchemaOps.dropFields(add, "fin.st")
+    assert(!drp.select("fin.*").columns.contains("st"))
+    assert(drp.select("fin.*").columns.contains("amount"))
+
+    // flatten lifts every leaf to a _-joined top-level column
+    val flat = SchemaOps.flattenSchema(drp)
+    assert(flat.columns.toSet ==
+      Set("key", "fin_amount", "fin_meta_pr", "fin_flag"))
+    assert(flat.filter(col("key") === 2L).select("fin_meta_pr")
+      .as[String].head() == "LO")
+
+    // the whole chain is one shuffle-free projection
+    assert(!flat.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
