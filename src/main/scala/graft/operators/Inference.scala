@@ -49,6 +49,37 @@ object Inference {
   def weights(dim: Int): Seq[Double] =
     (0 until dim).map(i => ((((i + 1).toLong * 0x9E3779B97F4A7C15L) >>> 40) % 1000L) / 1000.0 - 0.5)
 
+  /** Model HOT-SWAP for streaming inference — Beam's RunInference
+    * auto-update contract (reference: ml/inference/base.py:1383
+    * `model_metadata_pcoll` + ml/inference/utils.py WatchFilePattern):
+    * a side channel names the current model version and the running
+    * pipeline swaps to it WITHOUT a restart.
+    *
+    * Spark mapping: the micro-batch is the natural swap boundary.
+    * `foreachBatch` calls `resolve()` on the driver at the start of
+    * every batch — typically reading a tiny version/manifest file (the
+    * WatchFilePattern analog) — and the returned handler ships to
+    * executors with that batch's tasks, loading once per partition as
+    * in batch inference. Rows inside one micro-batch therefore always
+    * score under ONE model version (Beam gives the same guarantee
+    * per-bundle), and a version bump takes effect on the next batch.
+    * At scale the resolve is O(1) driver work per batch; weights load
+    * per executor, not per row.
+    *
+    * @param resolve driver-side model resolution, invoked once per
+    *                micro-batch (read version file → build handler)
+    * @param sink    where each scored micro-batch lands (idempotent
+    *                writes keyed on batchId give exactly-once)
+    */
+  def runInferenceStreamWithReload[M](stream: DataFrame, vecCol: String,
+      scoreCol: String, resolve: () => ModelHandler[M],
+      sink: (DataFrame, Long) => Unit, batchSize: Int = 128)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(runInference(batch, vecCol, scoreCol, resolve(), batchSize),
+        batchId)
+    }
+
   /** Score `vecCol` (array<float>) into `scoreCol` (double) via batched
     * inference. */
   def runInference[M](df: DataFrame, vecCol: String, scoreCol: String,

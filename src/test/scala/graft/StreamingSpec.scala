@@ -7,6 +7,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming.{Stateful, StreamOps}
 
 /** An event in the Nexmark-ish shape of the `events` table. */
+/** Reloadable demo model for the hot-swap spec: score = w · Σ(vec) —
+  * top-level so the serialized handler carries no spec-class outer. */
+final case class ScaleModel(w: Double)
+    extends graft.operators.Inference.ModelHandler[Double] {
+  override def loadModel(): Double = w
+  override def runInference(model: Double,
+      batch: Seq[Array[Float]]): Seq[Double] =
+    batch.map(v => v.map(_.toDouble).sum * model)
+}
+
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
@@ -276,5 +286,41 @@ class StreamingSpec extends SparkSpec {
     val batch = batchDf.groupBy("event_type").count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(streamed == batch)
+  }
+
+  test("runInference hot-swaps the model between micro-batches (model_metadata_pcoll analog)") {
+    import graft.operators.Inference
+    // "model registry": a version file the resolver reads per batch —
+    // the WatchFilePattern side channel reduced to its essence
+    val registry = java.nio.file.Files.createTempFile("graft-model", ".txt")
+    def publish(w: Double): Unit =
+      java.nio.file.Files.writeString(registry, w.toString)
+    val resolve: () => Inference.ModelHandler[Double] =
+      () => ScaleModel(java.nio.file.Files.readString(registry).trim.toDouble)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = Inference.runInferenceStreamWithReload(
+        mem.toDF().toDF("id", "vec"), "vec", "score", resolve,
+        sink = (scored, batchId) =>
+          out ++= scored.select(col("id"), col("score"))
+            .collect().map(r => (batchId, r.getLong(0), r.getDouble(1))))
+      .start()
+
+    publish(1.0)
+    mem.addData((1L, Array(1f, 2f)), (2L, Array(3f, 0f)))
+    q.processAllAvailable()
+    publish(10.0) // version bump: visible from the NEXT micro-batch on
+    mem.addData((3L, Array(1f, 2f)))
+    q.processAllAvailable()
+    q.stop()
+
+    // pre-bump rows scored under w=1, post-bump under w=10 — and the
+    // two pre-bump rows shared one micro-batch, hence one version
+    val byId = out.map(t => t._2 -> t._3).toMap
+    assert(byId == Map(1L -> 3.0, 2L -> 3.0, 3L -> 30.0),
+      s"hot-swap scores wrong: $out")
+    assert(out.filter(t => Set(1L, 2L)(t._2)).map(_._1).distinct.size == 1,
+      s"rows 1,2 split across micro-batches: $out")
   }
 }

@@ -172,6 +172,39 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents DataFrame path == union-find on random string-id graphs") {
+    // same property as the RDD path, but ids are strings so the
+    // DataFrame fixpoint runs; zero-padded ids keep lexicographic min
+    // == numeric min so the reference is shared
+    val rnd = new scala.util.Random(43)
+    (1 to 2).foreach { trial =>
+      val n = 25 + trial * 15
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a == b) (a, b + 1) else (a, b)
+      }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      def s(x: Long) = f"n$x%03d"
+      val expected = parent.keys.map { x =>
+        val root = find(x)
+        s(x) -> s(parent.keys.filter(find(_) == root).min)
+      }.toMap
+      val got = Dedup.connectedComponents(
+        edges.map { case (a, b) => (s(a), s(b)) }.toDF("id_a", "id_b"),
+        "id_a", "id_b")
+        .as[(String, String)].collect().toMap
+      assert(got == expected, s"trial $trial string-id CC mismatch")
+    }
+  }
+
   test("connectedComponents string-id fallback (DataFrame loop) labels components") {
     // non-integral ids take the DataFrame fixpoint; min-label is
     // lexicographic there ("doc1" < "doc2"; "doc10" heads its own pair)
