@@ -421,6 +421,19 @@ object StatefulV2 {
     * of scope (a transformWithState processor runs in ONE time mode). */
   sealed trait CountTrigger {
     def shouldFire(sinceLastFire: Long): Boolean
+    /** Stateless shapes (evaluable from `sinceLastFire` alone) — the
+      * stateful composites below may only nest these, so one Long can
+      * encode the whole per-window trigger state. */
+    def isPure: Boolean = true
+    /** Stateful contract: given the opaque per-window trigger state
+      * (0 at window open and after the on-time reset) and the count
+      * since the last firing, decide (fire?, nextState). Pure shapes
+      * ignore the state. */
+    def onElement(state: Long, since: Long): (Boolean, Long) =
+      (shouldFire(since), state)
+    /** A finished composite never fires again in this window (the
+      * on-time / close panes are AfterWatermark's and still fire). */
+    def finished(state: Long): Boolean = false
   }
   /** AfterPane.elementCountAtLeast(n). */
   final case class AfterCount(n: Int) extends CountTrigger {
@@ -429,16 +442,58 @@ object StatefulV2 {
   }
   /** Fires when ANY sub-trigger would (Beam AfterFirst). */
   final case class AfterFirstOf(ts: CountTrigger*) extends CountTrigger {
+    require(ts.forall(_.isPure), "AfterFirstOf nests pure triggers only")
     def shouldFire(since: Long): Boolean = ts.exists(_.shouldFire(since))
   }
   /** Fires when ALL sub-triggers would (Beam AfterAll). */
   final case class AfterAllOf(ts: CountTrigger*) extends CountTrigger {
+    require(ts.forall(_.isPure), "AfterAllOf nests pure triggers only")
     def shouldFire(since: Long): Boolean = ts.forall(_.shouldFire(since))
   }
   /** Never fires on elements — only the watermark pane (Beam Never /
     * the pure default trigger). */
   case object NeverCount extends CountTrigger {
     def shouldFire(since: Long): Boolean = false
+  }
+  /** Beam AfterEach.inOrder (AfterEach.java:43): run the children in
+    * SEQUENCE — child i must fire before child i+1 starts being
+    * evaluated; after the last child fires the composite is finished
+    * for the window. Each child sees the element count since the
+    * composite's previous firing (its own fresh pane). State = index
+    * of the active child. */
+  final case class AfterEachOf(children: CountTrigger*) extends CountTrigger {
+    require(children.nonEmpty && children.forall(_.isPure),
+      "AfterEachOf needs >= 1 pure children")
+    override def isPure: Boolean = false
+    def shouldFire(since: Long): Boolean = children.head.shouldFire(since)
+    override def onElement(state: Long, since: Long): (Boolean, Long) =
+      if (state >= children.size) (false, state)
+      else if (children(state.toInt).shouldFire(since)) (true, state + 1)
+      else (false, state)
+    override def finished(state: Long): Boolean = state >= children.size
+  }
+  /** Beam OrFinallyTrigger (OrFinallyTrigger.java:31;
+    * `Repeatedly.forever(main).orFinally(until)`): behaves as `main`,
+    * but when `until` fires the composite fires ONE last pane and is
+    * finished for the window. Beam resets only the repeated `main` on
+    * each firing while `until` keeps its state — mirrored here by
+    * evaluating `until` against the element count since WINDOW start
+    * (carried in the trigger state), while `main` sees the pane-local
+    * count. State = (untilCount << 1) | finishedBit. */
+  final case class OrFinallyOf(main: CountTrigger, until: CountTrigger)
+      extends CountTrigger {
+    require(main.isPure && until.isPure,
+      "OrFinallyOf nests pure triggers only")
+    override def isPure: Boolean = false
+    def shouldFire(since: Long): Boolean = main.shouldFire(since)
+    override def onElement(state: Long, since: Long): (Boolean, Long) =
+      if ((state & 1L) == 1L) (false, state)
+      else {
+        val untilCount = (state >> 1) + 1
+        if (until.shouldFire(untilCount)) (true, 1L) // fire, then finish
+        else (main.shouldFire(since), untilCount << 1)
+      }
+    override def finished(state: Long): Boolean = (state & 1L) == 1L
   }
 
   /** One fired pane of [[TriggeredWindowProcessor]]:
@@ -502,7 +557,7 @@ object StatefulV2 {
   class TriggeredWindowProcessor[K, V](windowMs: Long, allowedLatenessMs: Long,
       earlyTrigger: CountTrigger, lateTrigger: CountTrigger,
       accumulating: Boolean, retractions: Boolean = false)(
-      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)])
+      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean, Long)])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
     require(windowMs > 0 && allowedLatenessMs >= 0)
     require(allowedLatenessMs < windowMs,
@@ -513,12 +568,15 @@ object StatefulV2 {
       "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
     // per-window pane state: (buffer, countSinceLastFire, paneIndex,
-    // onTimeFired) — buffer holds the whole window when accumulating,
-    // else only values since the previous pane
-    @transient private var windows: MapState[Long, (Seq[V], Long, Long, Boolean)] = _
+    // onTimeFired, triggerState) — buffer holds the whole window when
+    // accumulating, else only values since the previous pane;
+    // triggerState is the active trigger's opaque composite state
+    // (AfterEachOf child index / OrFinallyOf finished+count), reset to
+    // 0 at the on-time transition so the late trigger starts fresh
+    @transient private var windows: MapState[Long, (Seq[V], Long, Long, Boolean, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      windows = getHandle.getMapState[Long, (Seq[V], Long, Long, Boolean)](
+      windows = getHandle.getMapState[Long, (Seq[V], Long, Long, Boolean, Long)](
         "windows", Encoders.scalaLong, stEnc, TTLConfig.NONE)
 
     override def handleInputRows(key: K,
@@ -534,12 +592,13 @@ object StatefulV2 {
           if (allowedLatenessMs > 0)
             getHandle.registerTimer(w + windowMs) // GC / window close
         }
-        var (buf, since, pane, fired) =
-          if (opening) (Seq.empty[V], 0L, 0L, false) else windows.getValue(w)
+        var (buf, since, pane, fired, trigSt) =
+          if (opening) (Seq.empty[V], 0L, 0L, false, 0L) else windows.getValue(w)
         buf :+= v
         since += 1
-        val fire = if (fired) lateTrigger.shouldFire(since)
-                   else earlyTrigger.shouldFire(since)
+        val trig = if (fired) lateTrigger else earlyTrigger
+        val (fire, nextSt) = trig.onElement(trigSt, since)
+        trigSt = nextSt
         if (fire) {
           if (retractions && pane > 0) {
             val prevPane = buf.take(buf.size - since.toInt)
@@ -550,7 +609,7 @@ object StatefulV2 {
           pane += 1; since = 0
           if (!accumulating) buf = Seq.empty
         }
-        windows.updateValue(w, (buf, since, pane, fired))
+        windows.updateValue(w, (buf, since, pane, fired, trigSt))
       }
       out.iterator
     }
@@ -569,7 +628,7 @@ object StatefulV2 {
       openWindows.foreach { w =>
         // on-time firing: conceptual watermark passed the window end
         if (w + windowMs - allowedLatenessMs == expiry) {
-          val (buf, since, pane, fired) = windows.getValue(w)
+          val (buf, since, pane, fired, _) = windows.getValue(w)
           if (!fired) {
             if (retractions && pane > 0) {
               val prevPane = buf.take(buf.size - since.toInt)
@@ -577,14 +636,15 @@ object StatefulV2 {
                 out += ((key, w, pane - 1, "RETRACT", false, prevPane))
             }
             val closing = allowedLatenessMs == 0
+            // trigger state resets to 0: the late trigger starts fresh
             out += ((key, w, pane, "ON_TIME", closing, buf))
             windows.updateValue(w,
-              (if (accumulating) buf else Seq.empty, 0L, pane + 1, true))
+              (if (accumulating) buf else Seq.empty, 0L, pane + 1, true, 0L))
           }
         }
         // window close + GC: lateness horizon passed
         if (w + windowMs == expiry) {
-          val (buf, since, pane, fired) = windows.getValue(w)
+          val (buf, since, pane, fired, _) = windows.getValue(w)
           if (allowedLatenessMs == 0 && !fired) {
             // single-timer case already handled above as closing ON_TIME
           } else if (since > 0) {
@@ -765,7 +825,7 @@ object StatefulV2 {
       allowedLatenessMs: Long = 0L, earlyFireEvery: Int = 0,
       lateFireEvery: Int = 1, accumulating: Boolean = false,
       retractions: Boolean = false)(
-      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)],
+      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean, Long)],
       outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     triggeredWindowsWith(ds, windowMs, allowedLatenessMs,
       earlyTrigger = if (earlyFireEvery > 0) AfterCount(earlyFireEvery)
@@ -782,7 +842,7 @@ object StatefulV2 {
       lateTrigger: CountTrigger = AfterCount(1),
       accumulating: Boolean = false,
       retractions: Boolean = false)(
-      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean)],
+      implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean, Long)],
       outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     ds.groupByKey(_._1).transformWithState(
       new TriggeredWindowProcessor[K, V](windowMs, allowedLatenessMs,

@@ -326,6 +326,76 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("triggered windows: AfterEachOf runs children in sequence then finishes") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // AfterEach(count>=1, count>=3): pane after the 1st element, the
+      // next after 3 MORE, then the sequence is exhausted — the 5th..7th
+      // elements fire nothing; the watermark pane still closes the window
+      val panes = StatefulV2.triggeredWindowsWith(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 10000L, accumulating = true,
+        earlyTrigger = StatefulV2.AfterEachOf(
+          StatefulV2.AfterCount(1), StatefulV2.AfterCount(3)))
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "c"),
+        (1L, t(4), "d"), (1L, t(5), "e"), (1L, t(6), "f"), (1L, t(7), "g"))
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 3)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._3, p._4, p._6)).toSeq
+      assert(got == Seq(
+        (0L, "EARLY", Seq("a")),                 // child 1: count>=1
+        (1L, "EARLY", Seq("a", "b", "c", "d")),  // child 2: 3 more
+        (2L, "ON_TIME", Seq("a", "b", "c", "d", "e", "f", "g"))),
+        s"got $got")
+      q.stop()
+    }
+  }
+
+  test("triggered windows: OrFinallyOf fires as main until the until-condition, then stops") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // Repeatedly(count>=2).orFinally(count>=5): panes at elements 2
+      // and 4 from the main trigger; the until-counter runs from window
+      // start, so element 5 fires the FINAL early pane and finishes the
+      // composite — elements 6..7 fire nothing before the watermark
+      val panes = StatefulV2.triggeredWindowsWith(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        windowMs = 10000L, accumulating = true,
+        earlyTrigger = StatefulV2.OrFinallyOf(
+          StatefulV2.AfterCount(2), StatefulV2.AfterCount(5)))
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "c"),
+        (1L, t(4), "d"), (1L, t(5), "e"), (1L, t(6), "f"), (1L, t(7), "g"))
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 4)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._3, p._4, p._6)).toSeq
+      assert(got == Seq(
+        (0L, "EARLY", Seq("a", "b")),                       // main at 2
+        (1L, "EARLY", Seq("a", "b", "c", "d")),             // main at 4
+        (2L, "EARLY", Seq("a", "b", "c", "d", "e")),        // finally at 5
+        (3L, "ON_TIME", Seq("a", "b", "c", "d", "e", "f", "g"))),
+        s"got $got")
+      q.stop()
+    }
+  }
+
   test("triggered windows: two open windows fire independently") {
     withRocksDb {
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
