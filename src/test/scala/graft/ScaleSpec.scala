@@ -321,4 +321,46 @@ class ScaleSpec extends SparkSpec {
         s"expected AQE shuffle coalescing:\n$finalPlan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("AQE splits the skewed partition of a shuffle join at runtime") {
+    // The OTHER half of the skew story (SCALE.md §2): Joins.saltedJoin
+    // handles planned-for hot keys; AQE's skew-join split is the
+    // runtime safety net when skew is discovered mid-query. Evidence
+    // that the net exists: a 95%-hot-key fact shuffle-joined to a dim
+    // must show skew handling in the final adaptive plan.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // payload = md5 hex: INCOMPRESSIBLE, so the hot partition's shuffle
+    // bytes reflect its row count (200k near-identical longs alone
+    // would lz4-compress to under the skew threshold and hide the skew)
+    val fact = s.range(200000).select(
+      when(col("id") % 20 =!= 0, 0L).otherwise(col("id")).as("k"),
+      md5(col("id").cast("string")).as("payload"))
+    val dim = s.range(10000).select(col("id").as("k"),
+      concat(lit("payload-"), col("id")).as("p"))
+    // global agg only — and it must CONSUME the payload bytes (max, not
+    // count: count(non-nullable) rewrites to count(1) and pruning drops
+    // the column from the shuffle). A groupBy("k") downstream would
+    // REUSE the join's hash partitioning, and AQE (correctly) refuses
+    // to skew-split a join whose output partitioning a later stage
+    // depends on — that case is saltedJoin's territory. Partial
+    // aggregation has no partitioning requirement, so the split is
+    // legal here.
+    val joined = fact.join(dim, "k").agg(max(col("payload")))
+    joined.collect()
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan.toString
+      case p => p.toString
+    }
+    assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+      s"expected a skew-split join in the adaptive plan:\n$finalPlan")
+  }
 }
