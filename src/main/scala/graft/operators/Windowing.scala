@@ -47,6 +47,24 @@ object Windowing {
   def windowEndSec(windowCol: Column): Column =
     unix_timestamp(windowCol.getField("end"))
 
+  /** Beam TimestampCombiner (windowing/TimestampCombiner.java): the
+    * OUTPUT timestamp of a windowed aggregate. `END_OF_WINDOW` (Beam's
+    * default) is the window-struct end; `EARLIEST`/`LATEST` are the
+    * min/max input event time, computed as one extra agg column in the
+    * same pass (zero additional shuffles). Usage:
+    * `tumbling(df, "ts", "1 hour").agg(outputTimestamp(Latest, "ts")
+    * +: aggs: _*)`. */
+  sealed trait TimestampCombiner
+  case object EndOfWindow extends TimestampCombiner
+  case object Earliest extends TimestampCombiner
+  case object Latest extends TimestampCombiner
+  def outputTimestamp(mode: TimestampCombiner, tsCol: String,
+      windowCol: Column = col("window")): Column = (mode match {
+    case EndOfWindow => windowCol.getField("end")
+    case Earliest => min(col(tsCol))
+    case Latest => max(col(tsCol))
+  }).as("output_ts")
+
   /** CUSTOM MERGING WindowFn (windowing/WindowFn.java `mergeWindows` /
     * `MergeOverlappingIntervalWindows` — the general contract behind
     * Sessions): each row carries its OWN interval [startCol, endCol)

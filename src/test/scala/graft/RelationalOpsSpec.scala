@@ -119,6 +119,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("TimestampCombiner: windowed agg output timestamp = end-of-window / earliest / latest") {
+    import graft.operators.Windowing
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:40:00"), 2.0))
+      .toDF("k", "ts", "v")
+    def run(mode: Windowing.TimestampCombiner): java.sql.Timestamp =
+      Windowing.tumbling(df, "ts", "1 hour", col("k"))
+        .agg(Windowing.outputTimestamp(mode, "ts"), sum("v").as("sv"))
+        .select("output_ts").as[java.sql.Timestamp].head()
+    assert(run(Windowing.EndOfWindow) ==
+      java.sql.Timestamp.valueOf("2026-01-01 01:00:00"))
+    assert(run(Windowing.Earliest) ==
+      java.sql.Timestamp.valueOf("2026-01-01 00:10:00"))
+    assert(run(Windowing.Latest) ==
+      java.sql.Timestamp.valueOf("2026-01-01 00:40:00"))
+  }
+
   test("SchemaOps rename/add/drop/cast/flatten over nested rows") {
     import graft.operators.SchemaOps
     val df = Seq((1L, 10.7, "x", "HI"), (2L, 250000.2, "y", "LO"))
