@@ -80,6 +80,39 @@ class JoinsSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("fuzzyJoinEditDistance == brute force on random strings (band completeness)") {
+    import spark.implicits._
+    // random low-alphabet strings of clustered lengths maximize both
+    // near-miss pairs and cross-band pairs — the case the length-band
+    // pigeonhole has to keep complete
+    val rnd = new scala.util.Random(17)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    (1 to 2).foreach { trial =>
+      val words = Seq.fill(80)(
+        (0 until 3 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString)
+      val maxDist = 1 + rnd.nextInt(2)
+      val got = Joins.fuzzyJoinEditDistance(words.toDF("w"), "w", maxDist)
+        .select("name_a", "name_b", "dist")
+        .as[(String, String, Int)].collect().toSet
+      val names = words.distinct
+      val want = (for {
+        a <- names; b <- names
+        if a < b && lev(a, b) <= maxDist
+      } yield (a, b, lev(a, b))).toSet
+      assert(got == want && want.nonEmpty,
+        s"trial $trial maxDist=$maxDist mismatch: " +
+          s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("broadcastJoin produces a BroadcastHashJoin plan") {
     val big = spark.range(1000).toDF("id")
     val small = Seq((1L, "one"), (2L, "two")).toDF("id", "name")
