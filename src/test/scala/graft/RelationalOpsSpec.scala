@@ -3,6 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Relational
 
+/** Typed rows for the Convert round-trip spec (top-level so product
+  * encoders carry no outer pointer). */
+final case class CvInner(amt: BigDecimal, tags: Seq[String],
+    props: Map[String, Long])
+final case class CvRec(id: Long, ts: java.sql.Timestamp, fin: CvInner)
+
 /** Specs for graft.operators.Relational (Beam Top/Latest/Partition/
   * WithFailures/SortValues analogs — SURVEY §2.2/§2.3/§2.6). */
 class RelationalOpsSpec extends SparkSpec {
@@ -117,6 +123,30 @@ class RelationalOpsSpec extends SparkSpec {
     val plan = Relational.globalRowIndex(df, "row_idx", col("k").asc)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"))
+  }
+
+  test("Convert: typed Dataset <-> Row round-trip keeps nested/array/map/logical types") {
+    // Beam Convert.toRows/fromRows (schemas/transforms/Convert.java):
+    // typed <-> schema'd rows with inferred schemas. Spark analog is
+    // exactly Encoders: case class -> toDF (toRows), .as[T] (fromRows).
+    val rows = Seq(
+      CvRec(1L, java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456"),
+        CvInner(BigDecimal("12.50"), Seq("a", "b"), Map("x" -> 1L))),
+      CvRec(2L, java.sql.Timestamp.valueOf("2026-06-07 08:09:10"),
+        CvInner(BigDecimal("-3.75"), Seq.empty, Map.empty)))
+    val df = rows.toDS().toDF() // Convert.toRows
+    // schema'd as nested struct + array + map + DECIMAL(38,18) + micros
+    assert(df.schema("fin").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 18))
+    val back = df.as[CvRec].collect().sortBy(_.id) // Convert.fromRows
+    rows.zip(back).foreach { case (a, b) =>
+      assert(a.id == b.id && a.ts == b.ts)
+      assert(a.fin.amt.compare(b.fin.amt) == 0) // scale-insensitive
+      assert(a.fin.tags == b.fin.tags && a.fin.props == b.fin.props)
+    }
+    // and the schema'd form joins the relational surface directly
+    assert(df.filter(col("fin.amt") > 0).count() == 1)
   }
 
   test("TimestampCombiner: windowed agg output timestamp = end-of-window / earliest / latest") {
