@@ -494,27 +494,54 @@ object CoverageQueries {
         FROM events""")),
 
     // ===== ApproximateQuantiles / TDigestQuantiles (sketching ext):
-    // approximate values are engine-specific → rows-only check. Scalar
-    // columns (not one array column) so the driver's checker can sort
-    // and hash the frame.
+    // the approximate VALUES are engine-specific, but the RANK-ERROR
+    // BOUND is the operator's contract (Greenwald-Khanna with
+    // accuracy=1000 → ε = 1/1000): each approx quantile must lie
+    // between the exact percentiles at q ∓ 0.005 (5× ε padding; exact
+    // interpolated percentile ≡ DuckDB quantile_cont). Spark's sketch
+    // is deterministic → the three bound flags are exact reproducible
+    // facts the oracle asserts, alongside the exact median.
     Q("agg_approx_quantiles",
       (s, d) => li(s, d).groupBy("l_linestatus")
         .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
-          .as("aq"))
-        .select(col("l_linestatus"),
-          element_at(col("aq"), 1).as("q25"),
-          element_at(col("aq"), 2).as("q50"),
-          element_at(col("aq"), 3).as("q75")),
-      None),
+          .as("aq"),
+          expr("percentile(l_quantity, array(0.245, 0.255, 0.495, 0.505, 0.745, 0.755))")
+            .as("ex"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("exact_q50"))
+        .select(col("l_linestatus"), col("exact_q50"),
+          (element_at(col("aq"), 1) >= element_at(col("ex"), 1) &&
+           element_at(col("aq"), 1) <= element_at(col("ex"), 2))
+            .cast("long").as("ok25"),
+          (element_at(col("aq"), 2) >= element_at(col("ex"), 3) &&
+           element_at(col("aq"), 2) <= element_at(col("ex"), 4))
+            .cast("long").as("ok50"),
+          (element_at(col("aq"), 3) >= element_at(col("ex"), 5) &&
+           element_at(col("aq"), 3) <= element_at(col("ex"), 6))
+            .cast("long").as("ok75")),
+      Some("""SELECT l_linestatus,
+          round(quantile_cont(l_quantity, 0.5), 6) AS exact_q50,
+          CAST(1 AS BIGINT) AS ok25, CAST(1 AS BIGINT) AS ok50,
+          CAST(1 AS BIGINT) AS ok75
+        FROM lineitem GROUP BY 1""")),
 
     // ===== HllCount.Init/Extract (extensions/zetasketch/HllCount.java):
-    // mergeable HLL sketch bytes + estimate — Spark-native DataSketches
-    // implementation; estimates are engine-specific → rows-only.
+    // mergeable HLL sketch bytes + estimate (DataSketches, lgK=12 →
+    // ~1.6% rsd); same error-bound contract as agg_approx_distinct —
+    // the 10% bound flag is deterministic and oracle-asserted, next to
+    // the exact cardinality. Sketch MERGEABILITY is spec'd in
+    // ScaleSpec (hll_union of partial sketches).
     Q("agg_hll_sketch",
       (s, d) => li(s, d).groupBy("l_returnflag")
         .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))")
-          .as("hll_orders")),
-      None),
+          .as("approx"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")) * 10
+            <= col("exact_orders")).cast("long").as("within_10pct")),
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_orderkey) AS exact_orders,
+          CAST(1 AS BIGINT) AS within_10pct
+        FROM lineitem GROUP BY 1""")),
 
     // ===== MLTransform min-max scaling (ml/transforms/base.py:298 —
     // fit artifacts then transform): global min/max fit in one agg,

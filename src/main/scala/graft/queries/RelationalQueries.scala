@@ -302,10 +302,22 @@ object RelationalQueries {
 
     // Beam ApproximateDistinct/HllCount (sketches) — approximate values
     // are engine-specific, so this entry is rows-only checked.
+    // The verification contract for an approximate aggregate is its
+    // ERROR BOUND, not the engine-specific estimate: Spark's HLL++ is
+    // deterministic, so |approx − exact| ≤ 10%·exact (vs the default
+    // rsd 0.05) is an exact reproducible fact the oracle asserts as a
+    // hard gate, alongside the exact cardinality both engines agree on.
     Q("agg_approx_distinct",
       (s, d) => li(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders")),
-      None),
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")) * 10
+            <= col("exact_orders")).cast("long").as("within_10pct")),
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_orderkey) AS exact_orders,
+          CAST(1 AS BIGINT) AS within_10pct
+        FROM lineitem GROUP BY 1""")),
 
     // ===== Latest / Top (Beam Latest.java:56, Top.java:58)
     Q("latest_per_key",

@@ -12,10 +12,11 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query name has an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("agg_approx_distinct", "vec_ann_lsh", "vec_ann_ivf",
-      "agg_approx_quantiles", "agg_hll_sketch")
-    val missing = Registry.all.filter(q => q.oracle.isEmpty && !rowsOnly(q.name))
+  test("every query has an oracle — approx/ANN ops gate on bound/recall flags") {
+    // Since round 5 there are NO rows-only entries: approximate
+    // operators emit deterministic error-bound / planted-recall flags
+    // the oracle asserts, so all entries hash-compare.
+    val missing = Registry.all.filter(_.oracle.isEmpty)
     assert(missing.isEmpty,
       s"queries without oracle SQL: ${missing.map(_.name).mkString(", ")}")
   }
