@@ -19,7 +19,8 @@ object Bench {
     "dedup_minhash_pairs", "dedup_exact_docs", "dedup_simhash_pairs", "text_token_bpe",
     "dedup_clusters", "pipeline_curation",
     "vec_cosine_topk", "vec_centroids", "dedup_embedding_cosine",
-    "vec_ann_lsh", "explode_word_counts", "json_extract",
+    "vec_ann_lsh", "vec_ann_ivf", "explode_word_counts", "json_extract",
+    "agg_approx_distinct", "agg_hll_sketch", "agg_approx_quantiles",
     "countmin_freq", "ml_inference", "anomaly_zscore", "pattern_match",
     "rag_chunking", "multimodal_meta", "sortvalues_secondary",
     "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale",
