@@ -49,6 +49,94 @@ object Inference {
   def weights(dim: Int): Seq[Double] =
     (0 until dim).map(i => ((((i + 1).toLong * 0x9E3779B97F4A7C15L) >>> 40) % 1000L) / 1000.0 - 0.5)
 
+  /** Per-key variant of the demo scorer: the shared weight vector
+    * scaled by a key-derived factor, so every key owns a DISTINCT model
+    * object whose scores the SQL oracle can still replay bit-for-bit
+    * (`x * (w * scale)` in both engines). */
+  final class ScaledLinearScorer(dim: Int, scale: Double)
+      extends ModelHandler[Array[Double]] {
+    override def loadModel(): Array[Double] =
+      weights(dim).map(_ * scale).toArray
+    override def runInference(model: Array[Double],
+        batch: Seq[Array[Float]]): Seq[Double] =
+      batch.map { v =>
+        var z = 0.0
+        var i = 0
+        val n = math.min(v.length, model.length)
+        while (i < n) { z += v(i).toDouble * model(i); i += 1 }
+        1.0 / (1.0 + math.exp(-z))
+      }
+  }
+
+  /** Per-key model routing — Beam's KeyedModelHandler
+    * (ml/inference/base.py:677 `KeyedModelHandler`, with
+    * base.py:750 `max_models_per_worker_hint`): examples are (key,
+    * value) pairs, each key scores under ITS OWN model, and a worker
+    * holds at most `maxModelsPerWorker` models in memory at once,
+    * evicting least-recently-used ones (Beam's multi_process_shared
+    * slot eviction).
+    *
+    * Spark mapping: `mapPartitions` with a per-partition LRU
+    * (access-ordered LinkedHashMap, capped) from key to loaded model.
+    * Rows are processed in fixed-size batches; within a batch rows are
+    * sub-grouped by key so each key's model scores one contiguous
+    * sub-batch (Beam batches per key the same way), and outputs are
+    * re-emitted in input order. Eviction + lazy reload keeps executor
+    * memory bounded by `maxModelsPerWorker` × model size regardless of
+    * key cardinality — the 100 TB story for thousands of per-tenant
+    * models.
+    */
+  def runInferencePerKey[M](df: DataFrame, keyCol: String, vecCol: String,
+      scoreCol: String, handlerFor: Any => ModelHandler[M],
+      batchSize: Int = 128, maxModelsPerWorker: Int = 8): DataFrame = {
+    require(maxModelsPerWorker > 0, "maxModelsPerWorker must be positive")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(scoreCol, DoubleType, nullable = true))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // Access-ordered LRU: get() refreshes recency; insertion past the
+      // cap evicts the least-recently-used model (Beam's worker hint).
+      val cache = new java.util.LinkedHashMap[Any, M](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Any, M]): Boolean =
+          size() > maxModelsPerWorker
+      }
+      def modelFor(key: Any): M = {
+        val hit = cache.get(key)
+        if (hit != null || cache.containsKey(key)) hit
+        else {
+          val m = handlerFor(key).loadModel()
+          cache.put(key, m)
+          m
+        }
+      }
+      rows.grouped(batchSize).flatMap { batch =>
+        val scores = new Array[Double](batch.length)
+        batch.zipWithIndex.groupBy(_._1.get(keyIdx)).foreach {
+          case (key, group) =>
+            val vecs = group.map { case (r, _) =>
+              r.get(vecIdx) match {
+                case s: scala.collection.Seq[_] =>
+                  s.map(_.asInstanceOf[Float]).toArray
+                case a: Array[Float] => a
+                case null => Array.empty[Float]
+              }
+            }
+            val out = handlerFor(key)
+              .runInference(modelFor(key), vecs)
+            group.lazyZip(out).foreach { case ((_, i), sc) =>
+              scores(i) = sc
+            }
+        }
+        batch.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ scores(i))
+        }
+      }
+    }(enc)
+  }
+
   /** Model HOT-SWAP for streaming inference — Beam's RunInference
     * auto-update contract (reference: ml/inference/base.py:1383
     * `model_metadata_pcoll` + ml/inference/utils.py WatchFilePattern):

@@ -100,6 +100,28 @@ object PipelineQueries {
             (acc, x) -> acc + x)))), 6) AS score
         FROM embeddings""")),
 
+    // ===== KeyedModelHandler (ml/inference/base.py:677): per-key model
+    // routing — every `label` scores under ITS OWN model (the shared
+    // weights scaled by a label-derived factor), with a capped
+    // per-worker LRU model cache (max_models_per_worker_hint). The
+    // oracle replays each key's model exactly: x * (w * scale), scale
+    // = 1 + label/10.
+    Q("ml_inference_per_key",
+      (s, d) => Inference.runInferencePerKey(emb(s, d), "label",
+          "embedding", "score",
+          k => new Inference.ScaledLinearScorer(64,
+            1.0 + k.asInstanceOf[Int] * 0.1),
+          batchSize = 64, maxModelsPerWorker = 4)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          round(col("score"), 6).as("score")),
+      Some(s"""SELECT vec_id, CAST(label AS BIGINT) AS label, round(
+          1.0 / (1.0 + exp(-(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_zip(embedding, [${
+              Inference.weights(64).mkString(", ")}]),
+            z -> CAST(z[1] AS DOUBLE) * (z[2] * (1.0 + label * 0.1)))),
+            (acc, x) -> acc + x)))), 6) AS score
+        FROM embeddings""")),
+
     // ===== Multimodal binary columns (ml/transforms/base.py:666-813):
     // text → opaque binary payload → batched stub decode (real decode
     // libs absent in this container; see Multimodal.StubCodec) → typed

@@ -343,6 +343,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("per-key inference: each key scores under its own model") {
+    val vecs = Seq((1L, 0, Array(1.0f, 0.5f)), (2L, 1, Array(1.0f, 0.5f)),
+      (3L, 2, Array(-0.5f, 1.0f)), (4L, 0, Array(-0.5f, 1.0f)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val got = Inference.runInferencePerKey(df, "label", "embedding",
+        "score", k => new Inference.ScaledLinearScorer(2,
+          1.0 + k.asInstanceOf[Int] * 0.1), batchSize = 3,
+        maxModelsPerWorker = 2)
+      .select("vec_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = Inference.weights(2)
+    vecs.foreach { case (id, label, v) =>
+      val scale = 1.0 + label * 0.1
+      val z = v.zip(w).map { case (x, wi) => x.toDouble * (wi * scale) }.sum
+      assert(math.abs(got(id) - 1.0 / (1.0 + math.exp(-z))) < 1e-12,
+        s"vec $id (label $label)")
+    }
+    // same embedding, different label ⇒ different model ⇒ different score
+    assert(got(1L) != got(2L))
+  }
+
+  test("per-key inference: LRU model cache stays within the worker cap") {
+    PipelineOpsSpec.loads.set(0)
+    val n = 60
+    // labels interleave 0,1,2,0,1,2,… so a cap of 1 must thrash while a
+    // cap of 3 loads each model exactly once per partition
+    val df = (1 to n).map(i => (i.toLong, i % 3, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "label", "embedding").coalesce(1)
+    def run(cap: Int): Int = {
+      PipelineOpsSpec.loads.set(0)
+      Inference.runInferencePerKey(df, "label", "embedding", "score",
+        k => new PipelineOpsSpec.CountingScorer(
+          1.0 + k.asInstanceOf[Int] * 0.1), batchSize = 7,
+        maxModelsPerWorker = cap).count()
+      PipelineOpsSpec.loads.get()
+    }
+    assert(run(3) == 3)   // one load per distinct key, then cache hits
+    assert(run(1) > 3)    // cap of 1 ⇒ eviction + reload on interleave
+  }
+
   // ---- Similarity kernel parity ----
 
   test("cosinePairsAboveKernel == declarative cosinePairsAbove") {
@@ -400,5 +440,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("srp_bucket") ||
       ex.getCause != null && ex.getCause.getMessage.contains("srp_bucket"))
+  }
+}
+
+/** Shared JVM-wide load counter for the per-key inference cache spec
+  * (valid under local[*]: all tasks share this JVM). */
+object PipelineOpsSpec {
+  val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  final class CountingScorer(scale: Double)
+      extends graft.operators.Inference.ModelHandler[Array[Double]] {
+    private val inner =
+      new graft.operators.Inference.ScaledLinearScorer(2, scale)
+    override def loadModel(): Array[Double] = {
+      loads.incrementAndGet(); inner.loadModel()
+    }
+    override def runInference(model: Array[Double],
+        batch: Seq[Array[Float]]): Seq[Double] =
+      inner.runInference(model, batch)
   }
 }
