@@ -21,7 +21,8 @@ object Bench {
     "vec_cosine_topk", "vec_centroids", "dedup_embedding_cosine",
     "vec_ann_lsh", "vec_ann_ivf", "explode_word_counts", "json_extract",
     "agg_approx_distinct", "agg_hll_sketch", "agg_approx_quantiles",
-    "countmin_freq", "ml_inference", "anomaly_zscore", "pattern_match",
+    "countmin_freq", "ml_inference", "ml_inference_per_key",
+    "win_tumbling_offset", "anomaly_zscore", "pattern_match",
     "rag_chunking", "multimodal_meta", "sortvalues_secondary",
     "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale",
     "pattern_down_run", "pattern_sql_clause", "cogroup_3way", "sql_udaf_geomean",

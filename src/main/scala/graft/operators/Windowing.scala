@@ -23,6 +23,16 @@ object Windowing {
       keys: Column*): RelationalGroupedDataset =
     df.groupBy(window(col(tsCol), duration) +: keys: _*)
 
+  /** Tumbling windows with a shifted origin — Beam's
+    * `FixedWindows.withOffset` (windowing/FixedWindows.java:60) /
+    * `SlidingWindows.withOffset` (windowing/SlidingWindows.java:82):
+    * boundaries land at epoch-multiples of `duration` PLUS `offset`
+    * (e.g. hourly windows starting at :15). Spark's `window()` takes
+    * the same origin shift as its 4th `startTime` argument. */
+  def tumblingOffset(df: DataFrame, tsCol: String, duration: String,
+      offset: String, keys: Column*): RelationalGroupedDataset =
+    df.groupBy(window(col(tsCol), duration, duration, offset) +: keys: _*)
+
   /** Hopping (sliding) windows: each element lands in size/slide windows. */
   def sliding(df: DataFrame, tsCol: String, size: String, slide: String,
       keys: Column*): RelationalGroupedDataset =

@@ -32,6 +32,19 @@ object EventTimeQueries {
         event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2""")),
 
+    // Beam FixedWindows.withOffset (windowing/FixedWindows.java:60):
+    // hourly windows anchored at :15 past the hour. Oracle shifts the
+    // epoch by the offset before flooring, then shifts back.
+    Q("win_tumbling_offset",
+      (s, d) => Windowing.tumblingOffset(ev(s, d), "ts", "1 hour",
+          "15 minutes", col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(Windowing.windowStartSec(col("window")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""SELECT CAST(floor((epoch(ts) - 900) / 3600) * 3600 + 900 AS BIGINT) AS win_start,
+        event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
     // Beam SlidingWindows (windowing/SlidingWindows.java:42): each event
     // belongs to size/slide = 2 windows.
     Q("win_sliding",
