@@ -201,6 +201,10 @@ object GraftFunctions {
       CountMinSketchAgg(e(0), litInt(e(1)), litInt(e(2)))),
     "countmin_est" -> ((e: Seq[Expression]) =>
       CountMinEstimate(e(0), e(1), litInt(e(2)), litInt(e(3)))),
+    "tdigest_agg" -> ((e: Seq[Expression]) =>
+      TDigestAgg(e(0), litInt(e(1)))),
+    "tdigest_quantile" -> ((e: Seq[Expression]) =>
+      TDigestQuantile(e(0), e(1))),
     "srp_buckets" -> ((e: Seq[Expression]) =>
       SrpBuckets(e(0), litInt(e(1)), litInt(e(2)), litInt(e(3)), litInt(e(4)))),
     "text_normalize" -> ((e: Seq[Expression]) => NormalizeText(e(0))),

@@ -524,6 +524,38 @@ object CoverageQueries {
           CAST(1 AS BIGINT) AS ok75
         FROM lineitem GROUP BY 1""")),
 
+    // ===== TDigestQuantiles (extensions/sketching/TDigestQuantiles
+    // .java:139): OUR OWN mergeable t-digest as a TypedImperativeAggregate
+    // (functions/TDigest.scala) — per-key digests built per partition,
+    // merged in the exchange (O(compression) centroids cross, O(1) in
+    // data), quantiles read back out of the sketch. Same deterministic
+    // contract gate as agg_approx_quantiles: each estimate must land
+    // within the exact ±2%-rank value bounds the oracle recomputes.
+    Q("agg_tdigest_quantiles",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        li(s, d).groupBy("l_linestatus")
+          .agg(expr("tdigest_agg(l_extendedprice, 200)").as("sk"),
+            expr("percentile(l_extendedprice, array(0.23, 0.27, 0.48, 0.52, 0.73, 0.77))")
+              .as("ex"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_q50"))
+          .select(col("l_linestatus"), col("exact_q50"),
+            (expr("tdigest_quantile(sk, 0.25d)")
+              .between(element_at(col("ex"), 1), element_at(col("ex"), 2)))
+              .cast("long").as("ok25"),
+            (expr("tdigest_quantile(sk, 0.5d)")
+              .between(element_at(col("ex"), 3), element_at(col("ex"), 4)))
+              .cast("long").as("ok50"),
+            (expr("tdigest_quantile(sk, 0.75d)")
+              .between(element_at(col("ex"), 5), element_at(col("ex"), 6)))
+              .cast("long").as("ok75"))
+      },
+      Some("""SELECT l_linestatus,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_q50,
+          CAST(1 AS BIGINT) AS ok25, CAST(1 AS BIGINT) AS ok50,
+          CAST(1 AS BIGINT) AS ok75
+        FROM lineitem GROUP BY 1""")),
+
     // ===== HllCount.Init/Extract (extensions/zetasketch/HllCount.java):
     // mergeable HLL sketch bytes + estimate (DataSketches, lgK=12 →
     // ~1.6% rsd); same error-bound contract as agg_approx_distinct —

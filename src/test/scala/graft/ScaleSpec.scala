@@ -128,6 +128,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("t-digest quantiles within rank bound; sketch size O(compression) not O(n)") {
+    graft.functions.GraftFunctions.register(spark)
+    // log-normal-ish skewed data, 100k values over 32 partitions: the
+    // digest must survive partial-aggregate MERGING across partitions
+    val df = spark.range(100000).repartition(32)
+      .select(exp((col("id") % 9973).cast("double") / 2000.0).as("x"))
+    val row = df.agg(
+      expr("tdigest_agg(x, 200)").as("sk"),
+      expr("percentile(x, array(0.09,0.11, 0.49,0.51, 0.89,0.91, 0.985,0.995))").as("ex"))
+      .select(expr("tdigest_quantile(sk, 0.1d)"), expr("tdigest_quantile(sk, 0.5d)"),
+        expr("tdigest_quantile(sk, 0.9d)"), expr("tdigest_quantile(sk, 0.99d)"),
+        size(col("sk")), col("ex"))
+      .collect().head
+    val ex = row.getSeq[Double](5)
+    assert(row.getDouble(0) >= ex(0) && row.getDouble(0) <= ex(1), "q10")
+    assert(row.getDouble(1) >= ex(2) && row.getDouble(1) <= ex(3), "q50")
+    assert(row.getDouble(2) >= ex(4) && row.getDouble(2) <= ex(5), "q90")
+    // tails are t-digest's strength: ±0.5% rank at q99
+    assert(row.getDouble(3) >= ex(6) && row.getDouble(3) <= ex(7), "q99")
+    // centroid bound: ~O(compression·log n), nowhere near n
+    assert(row.getInt(4) < 4000, s"sketch too large: ${row.getInt(4)}")
+  }
+
   test("approx_count_distinct within rsd bound of exact distinct count") {
     // value-tests the agg_approx_distinct registry entry
     val li = graft.sources.Tables.lineitem(spark, sfDir)
