@@ -55,7 +55,11 @@ object TDigest {
       val m = means(idx(i))
       val w = weights(idx(i))
       val q = (wBefore + (curW + w) / 2.0) / total // merged mid-quantile
-      if (curW + w <= 4.0 * total * q * (1.0 - q) / compression) {
+      // equal means always merge (lossless — interpolation between
+      // identical means is exact): duplicate-heavy/discrete columns
+      // collapse to one centroid per distinct value instead of
+      // spending the centroid budget on copies
+      if (m == curM || curW + w <= 4.0 * total * q * (1.0 - q) / compression) {
         curM = (curM * curW + m * w) / (curW + w)
         curW += w
       } else {
@@ -69,9 +73,20 @@ object TDigest {
     (outM.take(k), outW.take(k))
   }
 
-  /** Quantile estimate from a compressed digest: piecewise-linear
-    * interpolation between centroid means at their cumulative-weight
-    * midpoints (each centroid is assumed to straddle half its weight). */
+  /** Quantile estimate from a compressed digest. Each centroid's
+    * interior mass — all but a half-unit at each edge — is treated as
+    * SOLID at its mean; ranks landing in the one-unit gap between
+    * adjacent centroids interpolate linearly between their means.
+    *
+    * Why solid interiors (vs. the naive midpoint interpolation): heavy
+    * centroids only arise from duplicate values (the compression bound
+    * caps every mixed centroid at `4·W·q(1-q)/compression`, but
+    * equal-mean merging is unbounded), and a duplicate mass point IS
+    * its mean — interpolating across it from a distant neighbour can
+    * be arbitrarily wrong (a 99.9%-constant column would report q10
+    * nowhere near the constant). For continuous data the cost is at
+    * most half a centroid's weight of rank error, which is exactly the
+    * t-digest accuracy bound anyway. */
   def quantile(means: Array[Double], weights: Array[Double],
       q: Double): Double = {
     val n = means.length
@@ -81,17 +96,18 @@ object TDigest {
     while (i < n) { total += weights(i); i += 1 }
     val target = q * total
     var cum = 0.0
-    var prevMid = 0.0
     i = 0
     while (i < n) {
-      val mid = cum + weights(i) / 2.0
-      if (target <= mid) {
+      val w = weights(i)
+      if (target <= cum + 0.5) {
         if (i == 0) return means(0)
-        val frac = (target - prevMid) / (mid - prevMid)
+        // one-unit gap: (prev solid end, this solid start]
+        val gapStart = cum - 0.5 // == prevCum + prevW - 0.5
+        val frac = math.max(0.0, math.min(1.0, target - gapStart))
         return means(i - 1) + frac * (means(i) - means(i - 1))
       }
-      cum += weights(i)
-      prevMid = mid
+      if (target <= cum + w - 0.5) return means(i)
+      cum += w
       i += 1
     }
     means(n - 1)

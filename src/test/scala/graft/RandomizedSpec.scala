@@ -102,6 +102,67 @@ class RandomizedSpec extends SparkSpec {
   // lookingAt. Random patterns × random inputs × both skip modes must
   // then produce IDENTICAL match spans. Correlated (PREV/FIRST/LAST)
   // conditions are outside regex reach and covered by PipelineOpsSpec.
+  test("t-digest rank error stays bounded across random distributions") {
+    // Pure-function trials (no Spark): build the digest exactly as the
+    // aggregate does — per-chunk buffers, cross-chunk merge, compress —
+    // and check every estimated quantile's TRUE RANK against its target
+    // on adversarial shapes: uniform, heavy-tail, bimodal, near-constant,
+    // and discrete. 2% rank tolerance (gate uses the same).
+    import graft.functions.TDigest
+    val rnd = new scala.util.Random(20260813L)
+    val dists: Seq[(String, Int => Double)] = Seq(
+      ("uniform", _ => rnd.nextDouble()),
+      ("heavy-tail", _ => math.exp(6.0 * rnd.nextDouble())),
+      ("bimodal", _ => if (rnd.nextBoolean()) rnd.nextGaussian()
+                       else 100.0 + rnd.nextGaussian()),
+      ("near-constant", i => if (i % 1000 == 0) rnd.nextDouble() else 42.0),
+      ("discrete", _ => rnd.nextInt(7).toDouble))
+    for ((label, gen) <- dists) {
+      val n = 50000
+      val xs = Array.tabulate(n)(gen)
+      // simulate partial aggregation: 16 shards, each its own buffer,
+      // merged pairwise like the exchange does
+      val shards = xs.grouped(n / 16).map { chunk =>
+        val b = new TDigest.Buf(100.0)
+        chunk.foreach(b.add(_, 1.0))
+        b
+      }.toSeq
+      val merged = shards.reduce { (a, b) =>
+        var i = 0
+        while (i < b.n) { a.add(b.means(i), b.weights(i)); i += 1 }
+        a
+      }
+      merged.compact()
+      val sorted = xs.sorted
+      for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+        val est = TDigest.quantile(merged.means.take(merged.n),
+          merged.weights.take(merged.n), q)
+        // true rank of the estimate (fraction of values <= est)
+        val lo = sorted.count(_ < est).toDouble / n
+        val hi = sorted.count(_ <= est).toDouble / n
+        // est's rank interval must intersect [q ± 2%]
+        assert(lo <= q + 0.02 && hi >= q - 0.02,
+          s"$label q=$q: est=$est rank=[$lo,$hi]")
+      }
+    }
+  }
+
+  test("t-digest degenerate inputs: empty, singleton, all-equal") {
+    import graft.functions.TDigest
+    val b1 = new TDigest.Buf(100.0)
+    b1.add(7.5, 1.0); b1.compact()
+    assert(TDigest.quantile(b1.means.take(b1.n), b1.weights.take(b1.n), 0.5) == 7.5)
+    val b2 = new TDigest.Buf(100.0)
+    (1 to 10000).foreach(_ => b2.add(3.0, 1.0))
+    b2.compact()
+    assert(b2.n >= 1 && b2.n < 100, s"all-equal should collapse, n=${b2.n}")
+    for (q <- Seq(0.0, 0.01, 0.5, 0.99, 1.0))
+      assert(TDigest.quantile(b2.means.take(b2.n), b2.weights.take(b2.n), q) == 3.0)
+    intercept[IllegalArgumentException] {
+      TDigest.quantile(Array.empty, Array.empty, 0.5)
+    }
+  }
+
   test("matchRows spans == java.util.regex on random uncorrelated patterns") {
     import graft.operators.MatchRecognize
     import MatchRecognize.{Alt, Elem, SkipMode, SkipPastLastRow, SkipToNextRow, Step}
