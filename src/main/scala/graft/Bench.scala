@@ -25,6 +25,7 @@ object Bench {
     "countmin_freq", "ml_inference", "ml_inference_per_key",
     "win_tumbling_offset", "anomaly_zscore", "pattern_match",
     "rag_chunking", "multimodal_meta", "sortvalues_secondary",
+    "sortvalues_streamed",
     "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale",
     "pattern_down_run", "pattern_sql_clause", "cogroup_3way", "sql_udaf_geomean",
     "agg_tpch_q2", "agg_tpch_q3", "agg_tpch_q4", "agg_tpch_q5", "agg_tpch_q6",

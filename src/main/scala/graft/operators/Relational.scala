@@ -21,6 +21,19 @@ object Relational {
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** SPILL-SAFE secondary sort — Beam's sorter extension
+    * (extensions/sorter/.../SortValues.java:53 backed by
+    * BufferedExternalSorter.java:33, which exists precisely because a
+    * key's values may not fit in memory). The `sort_array(collect_list)`
+    * form materializes each group on the heap; this one hands `f` a
+    * LAZY iterator in `sortCols` order straight off the exchange's
+    * external (disk-spilling) sort — a billion-value key streams, never
+    * materializes. One shuffle on the key, sort piggybacked on it. */
+  def sortValuesStreamed[K: Encoder, T, U: Encoder](ds: Dataset[T],
+      key: T => K, sortCols: Seq[Column])(
+      f: (K, Iterator[T]) => IterableOnce[U]): Dataset[U] =
+    ds.groupByKey(key).flatMapSortedGroups(sortCols: _*)(f)
+
   /** Per-key top-k via ranked window (Beam: Top.perKey). One shuffle on
     * the key; rank prunes before any further stage. */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],

@@ -12,6 +12,11 @@ import graft.operators.{Joins, Relational}
   * SortValues secondary sort, ROLLUP+GROUPING, array/map complex types,
   * nested-struct schema transforms, and the as-of join.
   */
+/** Input row for the spill-safe secondary-sort demo (top-level so the
+  * product encoder has no outer pointer). */
+final case class SvRow(l_suppkey: Long, l_shipdate: java.sql.Timestamp,
+    l_orderkey: Long, l_linenumber: Int)
+
 object CoverageQueries {
 
   private def ord(s: org.apache.spark.sql.SparkSession, d: String) = Tables.orders(s, d)
@@ -148,6 +153,29 @@ object CoverageQueries {
               col("l_shipdate").as("s1"), col("l_orderkey").as("s2"),
               col("l_linenumber").as("v")))),
             x => x.getField("v").cast("string"))).as("lines_in_ship_order")),
+      Some("""SELECT l_suppkey,
+        string_agg(CAST(l_linenumber AS VARCHAR), ','
+          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS lines_in_ship_order
+        FROM lineitem GROUP BY l_suppkey""")),
+
+    // Same secondary sort through the SPILL-SAFE path — Beam's sorter
+    // extension (BufferedExternalSorter): flatMapSortedGroups hands a
+    // lazy sorted iterator off the exchange's external sort, so a
+    // giant key streams instead of materializing like collect_list.
+    // Identical oracle to sortvalues_secondary ⇒ both forms proven
+    // equivalent.
+    Q("sortvalues_streamed",
+      (s, d) => {
+        import s.implicits._
+        val ds = li(s, d).select(col("l_suppkey"), col("l_shipdate"),
+          col("l_orderkey"), col("l_linenumber")).as[SvRow]
+        Relational.sortValuesStreamed[Long, SvRow, (Long, String)](
+          ds, _.l_suppkey,
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))) {
+          (k, it) => Iterator.single(
+            (k, it.map(_.l_linenumber.toString).mkString(",")))
+        }.toDF("l_suppkey", "lines_in_ship_order")
+      },
       Some("""SELECT l_suppkey,
         string_agg(CAST(l_linenumber AS VARCHAR), ','
           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS lines_in_ship_order
