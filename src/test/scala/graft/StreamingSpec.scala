@@ -323,4 +323,70 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(t => Set(1L, 2L)(t._2)).map(_._1).distinct.size == 1,
       s"rows 1,2 split across micro-batches: $out")
   }
+
+  test("composed streaming curation: filter -> dedup -> inference -> windowed agg") {
+    // The unified-model capstone: the BATCH curation operators (quality
+    // score, lang-ID, fingerprint, batched inference) compose UNCHANGED
+    // on a stream, chained through two stateful operators
+    // (dropDuplicatesWithinWatermark, then a windowed agg) in one
+    // query. The assertion is Beam's promise itself: streaming result
+    // == the identical builder run in batch.
+    import graft.operators.{Inference, TextAnalysis}
+    import org.apache.spark.sql.DataFrame
+    val good1 = "the quick brown fox jumps over the lazy dog and runs home today"
+    val good2 = "a different sentence with the usual english words and some more of them"
+    val docs = Seq(
+      (1L, ts(1), good1),
+      (2L, ts(2), "zzzz"),        // junk: fails quality/lang gate
+      (3L, ts(3), good2),
+      (4L, ts(5), good1),         // exact dup of doc 1 within watermark
+      (99L, ts(50), good2 + " closing sentinel for both windows"))
+
+    def curate(df: DataFrame): DataFrame = {
+      val base = df
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang") === "en")
+        .withColumn("emb", array((length(col("text")) % lit(10)).cast("float"),
+          lit(1.0f)))
+      Inference.runInference(base, "emb", "score",
+        new Inference.LinearScorer(2), batchSize = 16)
+    }
+    def windowed(df: DataFrame): DataFrame =
+      df.groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_docs"), round(avg("score"), 6).as("avg_score"))
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    // watermark is tagged AFTER the inference mapPartitions: an
+    // arbitrary-code transform mints new attributes, so the event-time
+    // tag (like any column-level metadata) must be re-declared
+    // downstream of it
+    val streamed = windowed(
+      curate(mem.toDF().toDF("doc_id", "ts", "text"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("fp"))
+    val table = freshTable()
+    val q = streamed.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(docs.take(3): _*)   // micro-batch 1
+    q.processAllAvailable()
+    mem.addData(docs.drop(3): _*)   // micro-batch 2: dup + sentinel
+    runToCompletion(q)
+
+    val got = spark.table(table)
+      .select(col("window.start").cast("string"), col("n_docs"),
+        col("avg_score"))
+      .collect().map(_.toSeq).toSet
+    val batch = windowed(
+      curate(docs.toDF("doc_id", "ts", "text")).dropDuplicates("fp"))
+      .filter(col("window.start") < ts(50))
+      .select(col("window.start").cast("string"), col("n_docs"),
+        col("avg_score"))
+      .collect().map(_.toSeq).toSet
+    assert(got == batch && got.nonEmpty, s"got=$got batch=$batch")
+    // the dup (doc 4) and the junk (doc 2) are both gone: one window,
+    // two surviving docs
+    assert(got.map(_(1).asInstanceOf[Long]).sum == 2, s"got=$got")
+  }
 }
