@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.{AccumulatorV2, LongAccumulator}
+
+/** User-facing pipeline metrics — Beam's `Metrics` API
+  * (sdks/java/core/.../metrics/Metrics.java:146-187: `counter`,
+  * `distribution`, `gauge`, each updatable from INSIDE user processing
+  * code and aggregated across workers by the runner).
+  *
+  * Spark mapping: accumulators ARE that contract — executor-side
+  * `add`s merge into a driver-visible value, with task-failure
+  * re-execution handled by the scheduler (counts from failed task
+  * attempts of RESULT stages are discarded; speculative duplicates of
+  * successful attempts are merged once). `Counter` is Spark's stock
+  * `LongAccumulator`; `Distribution` (metrics/Distribution.java:21-25:
+  * sum/count/min/max of observed longs) is the custom [[DistributionAcc]]
+  * below; `Gauge` (latest-value, e.g. "current model version") is
+  * last-writer-wins, which across unordered workers is only meaningful
+  * for values that are equal within a batch — modeled as a counter
+  * holding max. Declarative per-batch metrics (`df.observe`) remain the
+  * better fit for column aggregates (ScaleSpec); this facade is for
+  * imperative instrumentation inside `mapPartitions` bodies —
+  * Enrichment clients, inference handlers, decode loops.
+  */
+object Metrics {
+
+  /** Beam `Distribution`: sum/count/min/max of updates. */
+  final class DistributionAcc
+      extends AccumulatorV2[Long, (Long, Long, Long, Long)] {
+    private var sum = 0L
+    private var n = 0L
+    private var mn = Long.MaxValue
+    private var mx = Long.MinValue
+
+    override def isZero: Boolean = n == 0L
+    override def copy(): DistributionAcc = {
+      val c = new DistributionAcc
+      c.sum = sum; c.n = n; c.mn = mn; c.mx = mx
+      c
+    }
+    override def reset(): Unit = { sum = 0L; n = 0L; mn = Long.MaxValue; mx = Long.MinValue }
+    override def add(v: Long): Unit = {
+      sum += v; n += 1
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+    }
+    override def merge(other: AccumulatorV2[Long, (Long, Long, Long, Long)]): Unit =
+      other match {
+        case d: DistributionAcc if d.n > 0 =>
+          sum += d.sum; n += d.n
+          if (d.mn < mn) mn = d.mn
+          if (d.mx > mx) mx = d.mx
+        case _ => ()
+      }
+    /** (sum, count, min, max) — min/max are 0 when empty (Beam reports
+      * an empty DistributionResult similarly). */
+    override def value: (Long, Long, Long, Long) =
+      if (n == 0) (0L, 0L, 0L, 0L) else (sum, n, mn, mx)
+    def mean: Double = { val (s, c, _, _) = value; if (c == 0) 0.0 else s.toDouble / c }
+  }
+
+  /** `Metrics.counter(namespace, name)` — register on the driver, `add`
+    * from executors. */
+  def counter(spark: SparkSession, namespace: String, name: String): LongAccumulator =
+    spark.sparkContext.longAccumulator(s"$namespace.$name")
+
+  /** `Metrics.distribution(namespace, name)`. */
+  def distribution(spark: SparkSession, namespace: String,
+      name: String): DistributionAcc = {
+    val acc = new DistributionAcc
+    spark.sparkContext.register(acc, s"$namespace.$name")
+    acc
+  }
+}

@@ -70,6 +70,22 @@ class ScaleSpec extends SparkSpec {
     assert(m("total_qty").asInstanceOf[Double] > 0)
   }
 
+  test("Metrics counter/distribution update from inside user code (Beam Metrics API)") {
+    // the imperative half of Beam's metrics story: counters updated
+    // from INSIDE a mapPartitions body, merged across 8 partitions
+    import graft.operators.Metrics
+    val rows = Metrics.counter(spark, "graft", "rows_processed")
+    val dist = Metrics.distribution(spark, "graft", "id_dist")
+    val n = spark.range(1000).repartition(8).as[Long]
+      .mapPartitions { it => it.map { v => rows.add(1); dist.add(v); v } }
+      .count()
+    assert(n == 1000 && rows.value == 1000)
+    assert(dist.value == (499500L, 1000L, 0L, 999L), s"dist=${dist.value}")
+    assert(math.abs(dist.mean - 499.5) < 1e-9)
+    // empty distribution reports Beam's empty result, not MaxValue noise
+    assert(new Metrics.DistributionAcc().value == (0L, 0L, 0L, 0L))
+  }
+
   test("session_window supports per-row dynamic gaps (Sessions.withGap analog)") {
     import java.sql.Timestamp
     def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
