@@ -267,6 +267,23 @@ object RelationalQueries {
         array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         count(*) AS n FROM orders GROUP BY o_orderpriority""")),
 
+    // Beam ToDict (transforms/combiners.py ToDictCombineFn): per-group
+    // key→value map built as an aggregate — two-level agg (count per
+    // (prio, status), then entries collected in sorted order so the
+    // JSON rendering is deterministic in both engines).
+    Q("agg_to_dict",
+      (s, d) => ord(s, d).groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("o_orderpriority")
+        .agg(to_json(map_from_entries(sort_array(collect_list(
+          struct(col("o_orderstatus"), col("n")))))).as("status_counts")),
+      Some("""SELECT o_orderpriority,
+        '{' || string_agg('"' || o_orderstatus || '":' || n, ','
+                          ORDER BY o_orderstatus) || '}' AS status_counts
+        FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+              FROM orders GROUP BY 1, 2)
+        GROUP BY o_orderpriority""")),
+
     Q("agg_percentiles",
       (s, d) => li(s, d).groupBy("l_linestatus").agg(
         round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
