@@ -102,6 +102,27 @@ class RandomizedSpec extends SparkSpec {
   // lookingAt. Random patterns × random inputs × both skip modes must
   // then produce IDENTICAL match spans. Correlated (PREV/FIRST/LAST)
   // conditions are outside regex reach and covered by PipelineOpsSpec.
+  test("sortValuesStreamed == collect_list secondary sort on random instances") {
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(400 + trial)((rnd.nextInt(15).toLong,
+        rnd.nextInt(50), rnd.nextInt(50), rnd.nextInt(1000)))
+      val df = rows.toDF("k", "a", "b", "v")
+      val streamed = Relational.sortValuesStreamed[Long, (Long, Int, Int, Int),
+          (Long, String)](
+          df.as[(Long, Int, Int, Int)], _._1,
+          Seq(col("a"), col("b"), col("v"))) { (k, it) =>
+          Iterator.single((k, it.map(_._4).mkString(",")))
+        }.collect().toMap
+      val collected = df.groupBy("k")
+        .agg(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("a"), col("b"), col("v")))),
+          x => x.getField("v").cast("string"))).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == collected, s"trial $trial")
+    }
+  }
+
   test("t-digest rank error stays bounded across random distributions") {
     // Pure-function trials (no Spark): build the digest exactly as the
     // aggregate does — per-chunk buffers, cross-chunk merge, compress —

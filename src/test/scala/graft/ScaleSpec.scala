@@ -345,6 +345,20 @@ class ScaleSpec extends SparkSpec {
     // per-row token dedup: zero shuffles
     assert(!plan("ml_dedupe_row_tokens").contains("Exchange"),
       "ml_dedupe_row_tokens gained a shuffle")
+    // per-key inference is a pure mapPartitions pass: no exchange
+    assert(!plan("ml_inference_per_key").contains("Exchange"),
+      "ml_inference_per_key gained a shuffle")
+    // t-digest: imperative-sketch aggregate runs partial+final (only
+    // centroids cross the exchange), via ObjectHashAggregate
+    val td = plan("agg_tdigest_quantiles")
+    assert(td.contains("ObjectHashAggregate"),
+      "tdigest lost the imperative-aggregate path")
+    assert("Exchange".r.findAllIn(td).size <= 1, "tdigest gained shuffles")
+    // spill-safe secondary sort: ONE exchange, sort rides it
+    val svs = plan("sortvalues_streamed")
+    assert("Exchange".r.findAllIn(svs).size == 1,
+      "sortvalues_streamed should shuffle exactly once")
+    assert(svs.contains("Sort "), "sortvalues_streamed lost its sort")
   }
 
   test("GraftExtensions injects native functions at session build") {
