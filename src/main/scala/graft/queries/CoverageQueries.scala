@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Joins, Relational}
+import graft.functions.PortableHash
 
 /** Second-wave relational coverage (SURVEY §2.2-§2.9 entries that had
   * operators but no oracle-backed registry queries, plus capability
@@ -140,6 +141,35 @@ object CoverageQueries {
                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
               FROM orders) t
         GROUP BY o_custkey, (rn - 1) // 5""")),
+
+    // Beam GroupIntoBatches.withShardedKey (transforms/GroupIntoBatches
+    // .java:270): a HOT key's batches are built per (key, shard) so
+    // they form on MANY reducers in parallel instead of serializing
+    // through one — the batching analog of salted aggregation. Shard =
+    // portable hash of row identity (deterministic across engines and
+    // retries); batches never span shards, stay ≤ size, and per-shard
+    // ordering is preserved.
+    Q("batch_per_key_sharded",
+      (s, d) => {
+        val shard = pmod(PortableHash.md5Long(col("o_orderkey")), lit(4))
+          .cast("long")
+        val w = Window.partitionBy(col("o_custkey"), col("shard"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        ord(s, d).withColumn("shard", shard)
+          .withColumn("batch_id", ((row_number().over(w) - 1) / 5).cast("long"))
+          .groupBy("o_custkey", "shard", "batch_id")
+          .agg(count(lit(1)).as("n"), min("o_orderkey").as("first_ok"),
+            max("o_orderkey").as("last_ok"))
+      },
+      Some(s"""SELECT o_custkey, shard, CAST((rn - 1) // 5 AS BIGINT) AS batch_id,
+        count(*) AS n, min(o_orderkey) AS first_ok, max(o_orderkey) AS last_ok
+        FROM (SELECT o_custkey, o_orderkey,
+              ${PortableHash.md5LongSql("o_orderkey")} % 4 AS shard,
+              row_number() OVER (PARTITION BY o_custkey,
+                ${PortableHash.md5LongSql("o_orderkey")} % 4
+                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+              FROM orders) t
+        GROUP BY o_custkey, shard, (rn - 1) // 5""")),
 
     // ===== Beam SortValues (extensions/sorter/.../SortValues.java):
     // secondary sort — values ordered within each key group without a

@@ -324,6 +324,37 @@ class StreamingSpec extends SparkSpec {
       s"rows 1,2 split across micro-batches: $out")
   }
 
+  test("t-digest sketch aggregates inside a streaming window (state-store buffer)") {
+    // a USER TypedImperativeAggregate must work under streaming
+    // aggregation too: the digest buffer serializes into the state
+    // store between micro-batches and merges with later updates —
+    // Beam's CombineFn-in-streaming contract
+    graft.functions.GraftFunctions.register(spark)
+    val mem = MemoryStream[Ev]
+    val streamed = mem.toDF().withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(expr("tdigest_quantile(tdigest_agg(value, 100), 0.5d)").as("q50"),
+        count(lit(1)).as("n"))
+    val table = freshTable()
+    val q = streamed.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    // one window [10:00,10:10): values 1..40 split across two
+    // micro-batches, so the batch-2 digest must merge with batch-1's
+    // state-store buffer; sentinel closes the window
+    mem.addData((1 to 20).map(i => Ev(i, ts(1, i), 1, "e", i.toDouble)): _*)
+    q.processAllAvailable()
+    mem.addData((21 to 40).map(i => Ev(i, ts(2, i), 1, "e", i.toDouble)): _*)
+    q.processAllAvailable()
+    mem.addData(Ev(99, ts(50), 9, "eof", 0.0))
+    runToCompletion(q)
+    val rows = spark.table(table).filter(col("n") === 40)
+      .select("q50").collect()
+    assert(rows.length == 1, s"expected one closed 40-row window")
+    val q50 = rows.head.getDouble(0)
+    // exact median of 1..40 is 20.5; digest of 40 values is near-exact
+    assert(math.abs(q50 - 20.5) <= 1.0, s"q50=$q50")
+  }
+
   test("composed streaming curation: filter -> dedup -> inference -> windowed agg") {
     // The unified-model capstone: the BATCH curation operators (quality
     // score, lang-ID, fingerprint, batched inference) compose UNCHANGED
