@@ -66,17 +66,21 @@ object StreamOps {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
-  /** Stream-stream inner join bounded by an event-time range: the Spark
+  /** Stream-stream join bounded by an event-time range: the Spark
     * equivalent of Beam's windowed CoGBK join. Both sides carry
-    * watermarks; the range condition lets the state store GC rows. */
+    * watermarks; the range condition lets the state store GC rows.
+    * Outer variants carry Beam's windowed-CoGBK close-out semantics:
+    * an unmatched row emits (with nulls for the other side) only once
+    * the watermark proves no in-range partner can still arrive. */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String, lateness: String,
-      keyCond: Column, maxDelta: String): DataFrame = {
+      keyCond: Column, maxDelta: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r, keyCond &&
       col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelta") &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelta"))
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelta"), joinType)
   }
 
   /** Stream × static (side-input) join — Beam's broadcast side input for

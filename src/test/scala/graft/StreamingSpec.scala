@@ -178,6 +178,37 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L)), pairs.toString)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows at watermark close-out") {
+    // Beam's windowed-CoGBK outer semantics: the unmatched click emits
+    // with a null view only after the watermark proves no in-range
+    // view can still arrive (state-store close-out, not a timeout)
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val joined = StreamOps.streamStreamJoin(
+      clicks.toDF().select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id").as("cu")),
+      views.toDF().select(col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("user_id").as("vu")),
+      "click_ts", "view_ts", "1 minute",
+      col("cu") === col("vu"), "10 minutes", joinType = "left_outer")
+    val table = freshTable()
+    val q = joined.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    clicks.addData(Ev(1, ts(5), 1, "c", 0),   // has a matching view
+      Ev(2, ts(6), 2, "c", 0))                // user 2 never views
+    views.addData(Ev(10, ts(3), 1, "v", 0))
+    q.processAllAvailable()
+    // watermarks advance far past click 2's join range on BOTH sides
+    clicks.addData(Ev(98, ts(59), 8, "c", 0))
+    views.addData(Ev(99, ts(59), 9, "v", 0))
+    runToCompletion(q)
+    val got = spark.table(table).filter(col("click_id") < 90)
+      .select(col("click_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, -1L)), got.toString)
+  }
+
   test("stream-static broadcast join enriches events") {
     val mem = MemoryStream[Ev]
     val sdf = mem.toDF()
