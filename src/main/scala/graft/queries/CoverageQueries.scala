@@ -582,6 +582,31 @@ object CoverageQueries {
           CAST(1 AS BIGINT) AS ok75
         FROM lineitem GROUP BY 1""")),
 
+    // HLL sketch REUSE — the pre-aggregate rollup pattern
+    // (HllCount.MergePartial, extensions/zetasketch/HllCount.java): fine
+    // -grained sketches (per returnflag×linestatus) merge UPWARD into
+    // coarser distinct counts without rescanning raw data — at 100 TB
+    // the fine sketches live in a pre-agg table and every rollup is
+    // O(groups), not O(rows). Gate: merged estimate within 10% of the
+    // exact distinct, which the oracle recomputes.
+    Q("agg_hll_rollup",
+      (s, d) => {
+        val fine = li(s, d).groupBy("l_returnflag", "l_linestatus")
+          .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+        val rolled = fine.groupBy("l_returnflag")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+        val exact = li(s, d).groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+        rolled.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("approx") - col("exact_orders")) * 10
+              <= col("exact_orders")).cast("long").as("within_10pct"))
+      },
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_orderkey) AS exact_orders,
+          CAST(1 AS BIGINT) AS within_10pct
+        FROM lineitem GROUP BY 1""")),
+
     // ===== TDigestQuantiles (extensions/sketching/TDigestQuantiles
     // .java:139): OUR OWN mergeable t-digest as a TypedImperativeAggregate
     // (functions/TDigest.scala) — per-key digests built per partition,
