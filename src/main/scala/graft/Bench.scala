@@ -22,7 +22,7 @@ object Bench {
     "vec_cosine_topk", "vec_centroids", "dedup_embedding_cosine",
     "vec_ann_lsh", "vec_ann_ivf", "explode_word_counts", "json_extract",
     "agg_approx_distinct", "agg_hll_sketch", "agg_hll_rollup", "agg_approx_quantiles",
-    "agg_tdigest_quantiles",
+    "agg_tdigest_quantiles", "agg_tdigest_rollup",
     "countmin_freq", "ml_inference", "ml_inference_per_key",
     "win_tumbling_offset", "anomaly_zscore", "pattern_match",
     "rag_chunking", "multimodal_meta", "sortvalues_secondary",

@@ -219,6 +219,90 @@ case class TDigestAgg(
     copy(child = newChildren.head)
 }
 
+/** `tdigest_merge_agg(sketch, compression)` — merges `tdigest_agg`
+  * sketch arrays into one digest: the pre-aggregate ROLLUP path
+  * (Beam: TDigestQuantiles' MergingDigest add(other) — fine-grained
+  * per-group digests stored once, rolled up to any coarser grouping in
+  * O(groups·compression) without rescanning raw values). */
+case class TDigestMergeAgg(
+    child: Expression,
+    compression: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TDigest.Buf] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "tdigest_merge_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tdigest_merge_agg requires array<double> sketches, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): TDigest.Buf =
+    new TDigest.Buf(compression.toDouble)
+
+  override def update(buf: TDigest.Buf, input: InternalRow): TDigest.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements() / 2
+      var i = 0
+      while (i < n) {
+        buf.add(arr.getDouble(2 * i), arr.getDouble(2 * i + 1)); i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: TDigest.Buf, other: TDigest.Buf): TDigest.Buf = {
+    var i = 0
+    while (i < other.n) { buf.add(other.means(i), other.weights(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TDigest.Buf): Any = {
+    buf.compact()
+    val out = new Array[Double](buf.n * 2)
+    var i = 0
+    while (i < buf.n) {
+      out(2 * i) = buf.means(i); out(2 * i + 1) = buf.weights(i); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TDigest.Buf): Array[Byte] = {
+    buf.compact()
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.n * 16)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.means(i)); bb.putDouble(buf.weights(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TDigest.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TDigest.Buf(compression.toDouble)
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble, bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TDigestMergeAgg =
+    copy(child = newChildren.head)
+}
+
 /** `tdigest_quantile(sketch, q)` — quantile estimate read back out of a
   * `tdigest_agg` sketch array. */
 case class TDigestQuantile(left: Expression, right: Expression)

@@ -203,6 +203,8 @@ object GraftFunctions {
       CountMinEstimate(e(0), e(1), litInt(e(2)), litInt(e(3)))),
     "tdigest_agg" -> ((e: Seq[Expression]) =>
       TDigestAgg(e(0), litInt(e(1)))),
+    "tdigest_merge_agg" -> ((e: Seq[Expression]) =>
+      TDigestMergeAgg(e(0), litInt(e(1)))),
     "tdigest_quantile" -> ((e: Seq[Expression]) =>
       TDigestQuantile(e(0), e(1))),
     "srp_buckets" -> ((e: Seq[Expression]) =>

@@ -639,6 +639,33 @@ object CoverageQueries {
           CAST(1 AS BIGINT) AS ok75
         FROM lineitem GROUP BY 1""")),
 
+    // T-digest ROLLUP — the same pre-aggregate reuse for QUANTILES:
+    // per-(returnflag, linestatus) digests merge upward via
+    // tdigest_merge_agg into per-returnflag quantiles without touching
+    // raw values again; gate = merged estimate inside exact ±2%-rank
+    // bounds (merging loses a little accuracy vs a direct digest, well
+    // inside the bound).
+    Q("agg_tdigest_rollup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val fine = li(s, d).groupBy("l_returnflag", "l_linestatus")
+          .agg(expr("tdigest_agg(l_extendedprice, 200)").as("sk"))
+        val rolled = fine.groupBy("l_returnflag")
+          .agg(expr("tdigest_quantile(tdigest_merge_agg(sk, 200), 0.5d)")
+            .as("approx_q50"))
+        val exact = li(s, d).groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, array(0.48, 0.52))").as("ex"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_q50"))
+        rolled.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_q50"),
+            col("approx_q50").between(element_at(col("ex"), 1),
+              element_at(col("ex"), 2)).cast("long").as("ok50"))
+      },
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_q50,
+          CAST(1 AS BIGINT) AS ok50
+        FROM lineitem GROUP BY 1""")),
+
     // ===== HllCount.Init/Extract (extensions/zetasketch/HllCount.java):
     // mergeable HLL sketch bytes + estimate (DataSketches, lgK=12 →
     // ~1.6% rsd); same error-bound contract as agg_approx_distinct —
