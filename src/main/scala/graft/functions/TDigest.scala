@@ -155,6 +155,10 @@ case class TDigestAgg(
   override def prettyName: String = "tdigest_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if compression < 10 => TypeCheckResult.TypeCheckFailure(
+      s"tdigest_agg compression must be >= 10 (got $compression) — " +
+      "below that the merge bound stops compressing and the sketch " +
+      "grows O(n)")
     case _: NumericType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"tdigest_agg requires numeric, got ${other.sql}")
@@ -237,6 +241,8 @@ case class TDigestMergeAgg(
   override def prettyName: String = "tdigest_merge_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if compression < 10 => TypeCheckResult.TypeCheckFailure(
+      s"tdigest_merge_agg compression must be >= 10 (got $compression)")
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"tdigest_merge_agg requires array<double> sketches, got ${other.sql}")
@@ -319,6 +325,10 @@ case class TDigestQuantile(left: Expression, right: Expression)
   override def prettyName: String = "tdigest_quantile"
 
   override protected def nullSafeEval(sk: Any, qv: Any): Any = {
+    val q = qv.asInstanceOf[Double]
+    if (q < 0.0 || q > 1.0)
+      throw new IllegalArgumentException(
+        s"tdigest_quantile: q must be in [0, 1], got $q")
     val arr = sk.asInstanceOf[ArrayData]
     val n = arr.numElements() / 2
     if (n == 0) return null
@@ -329,7 +339,7 @@ case class TDigestQuantile(left: Expression, right: Expression)
       means(i) = arr.getDouble(2 * i); weights(i) = arr.getDouble(2 * i + 1)
       i += 1
     }
-    TDigest.quantile(means, weights, qv.asInstanceOf[Double])
+    TDigest.quantile(means, weights, q)
   }
 
   override protected def withNewChildrenInternal(
