@@ -41,7 +41,7 @@ object Bench {
     "text_pii_redact", "text_gopher_filters", "pattern_skip_next",
     "vec_quantize_int8", "anomaly_robust_zscore", "anomaly_iqr",
     "anomaly_sliding",
-    "join_skew_salted", "join_fuzzy_editdist", "global_row_index",
+    "join_skew_salted", "join_skew_hybrid", "join_fuzzy_editdist", "global_row_index",
     "profile_columns", "profile_histogram", "text_bm25_search",
     "ml_zscore_scale", "ml_buckets_interp", "ml_ngrams_bow",
     "ml_dedupe_row_tokens",

@@ -129,6 +129,36 @@ object Joins {
     sf.join(sd, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** HYBRID skew join: salt only the keys that are actually hot.
+    * `saltedJoin` replicates the ENTIRE dim ×fanout — at 100 TB that
+    * tax is paid on every key when typically only a handful are
+    * pathological. Here one partial-agg pass over the fact (O(distinct
+    * keys) crosses the exchange) finds keys with more than
+    * `hotThreshold` rows; that key set is small by construction (each
+    * hot key exceeds the threshold, so there are at most
+    * |fact|/threshold of them) and broadcasts to tag both sides. Hot
+    * rows take the salted path (dim replicated ×fanout for THOSE keys
+    * only), cold rows take the plain shuffle join, results union —
+    * result-identical to the plain join at any threshold (the split is
+    * an execution detail). This is the classic two-tier skew plan
+    * (Spark AQE's skew splitting is the runtime form; this is the
+    * declarative form for when downstream partitioning reuse disables
+    * AQE's). */
+  def hybridSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
+      fanout: Int, saltBy: Seq[Column], hotThreshold: Long): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    val hot = fact.groupBy(key).count()
+      .filter(col("count") > hotThreshold)
+      .select(col(key), lit(true).as("__hot"))
+    val f = fact.join(broadcast(hot), Seq(key), "left")
+    val d = dim.join(broadcast(hot), Seq(key), "left")
+    saltedJoin(f.filter(col("__hot")).drop("__hot"),
+        d.filter(col("__hot")).drop("__hot"), key, fanout, saltBy)
+      .unionByName(
+        f.filter(col("__hot").isNull).drop("__hot")
+          .join(d.filter(col("__hot").isNull).drop("__hot"), Seq(key)))
+  }
+
   /** Fuzzy (edit-distance) equi-candidate join over a string column:
     * all unordered pairs of DISTINCT values of `strCol` within
     * Levenshtein distance `maxDist`. Candidate generation is the

@@ -492,6 +492,29 @@ object RelationalQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1""")),
 
+    // HYBRID skew join: one count pass finds the keys with >4 lineitem
+    // rows; only THOSE take the salted path (dim replicated ×fanout for
+    // hot keys alone), the rest join plainly — identical result to the
+    // plain join (same oracle as join_skew_salted), dim replication
+    // paid only where skew exists.
+    Q("join_skew_hybrid",
+      (s, d) => Joins.hybridSkewJoin(
+          li(s, d).select("l_orderkey", "l_extendedprice", "l_discount",
+            "l_linenumber"),
+          ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "l_orderkey", fanout = 8,
+          saltBy = Seq(col("l_orderkey"), col("l_linenumber")),
+          hotThreshold = 4L)
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""")),
+
     // Fuzzy self-join: all distinct part names within Levenshtein
     // distance 2, candidates via the length-band pigeonhole (complete),
     // run over the DISTINCT-name vocabulary, never the corpus.

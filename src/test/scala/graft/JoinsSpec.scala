@@ -59,6 +59,28 @@ class JoinsSpec extends SparkSpec {
     assert(salts > 1)
   }
 
+  test("hybridSkewJoin == plain join at any threshold; only hot keys salt") {
+    import spark.implicits._
+    // key 1 is hot (90 rows), keys 2..6 are cold (4 each)
+    val fact = ((1 to 90).map(i => (1L, i)) ++
+      (for (k <- 2L to 6L; i <- 1 to 4) yield (k, i * 100 + k.toInt)))
+      .toDF("k", "seq")
+    val dim = ((1L to 6L).map(k => (k, s"d$k")) :+ (9L, "unmatched"))
+      .toDF("k", "label")
+    val want = fact.join(dim, Seq("k"))
+    for (threshold <- Seq(1L, 10L, 1000L)) {
+      val got = Joins.hybridSkewJoin(fact, dim, "k", fanout = 4,
+        saltBy = Seq(col("k"), col("seq")), hotThreshold = threshold)
+      assert(got.count() == 110, s"threshold=$threshold")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"threshold=$threshold")
+    }
+    // at threshold 10 exactly one key is classified hot
+    val hot = fact.groupBy("k").count().filter(col("count") > 10)
+      .select("k").as[Long].collect().toSet
+    assert(hot == Set(1L))
+  }
+
   test("fuzzyJoinEditDistance matches the brute-force pair set") {
     import spark.implicits._
     val df = Seq("kitten", "sitten", "sittin", "sitting", "apple",
