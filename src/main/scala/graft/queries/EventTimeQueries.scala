@@ -472,5 +472,43 @@ object EventTimeQueries {
           coalesce(h.n, 0) AS n
         FROM allh a LEFT JOIN hrs h
           ON a.user_id = h.user_id AND a.hr = h.hr""")),
+
+    // FillGaps fill-with-PREVIOUS (LOCF) — the timeseries extension's
+    // other fill mode (extensions/timeseries; Python fill_gaps): empty
+    // hours inherit the key's last observed hourly mean. One
+    // ignore-nulls running window over the gap-filled frame; the span
+    // starts at each key's first observed hour, so no leading nulls.
+    Q("gap_fill_locf",
+      (s, d) => {
+        val hrs = ev(s, d)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(round(avg("value"), 6).as("v"))
+        val span = hrs.groupBy("user_id")
+          .agg(min("hr").as("h0"), max("hr").as("h1"))
+        val all = span.select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Long.MinValue, 0)
+        all.join(hrs, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), unix_timestamp(col("hr")).as("hr_start"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+            col("v").isNull.cast("long").as("was_gap"))
+      },
+      Some("""WITH hrs AS (
+          SELECT user_id, date_trunc('hour', ts) AS hr,
+            round(avg(value), 6) AS v
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hrs GROUP BY 1
+        ), allh AS (
+          SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+          FROM span)
+        SELECT a.user_id, CAST(floor(epoch(a.hr)) AS BIGINT) AS hr_start,
+          last_value(h.v IGNORE NULLS) OVER (PARTITION BY a.user_id
+            ORDER BY a.hr ROWS UNBOUNDED PRECEDING) AS v_filled,
+          CAST(h.v IS NULL AS BIGINT) AS was_gap
+        FROM allh a LEFT JOIN hrs h
+          ON a.user_id = h.user_id AND a.hr = h.hr""")),
   )
 }
