@@ -510,5 +510,74 @@ object EventTimeQueries {
           CAST(h.v IS NULL AS BIGINT) AS was_gap
         FROM allh a LEFT JOIN hrs h
           ON a.user_id = h.user_id AND a.hr = h.hr""")),
+
+    // Linear INTERPOLATION across gaps — the pandas facade's
+    // df.interpolate (sdks/python/apache_beam/dataframe/frames.py):
+    // each empty hour gets the distance-weighted blend of the previous
+    // and next observed values. Both neighbours come from ignore-nulls
+    // windows (backward + forward) over the same gap-filled frame —
+    // still one exchange; trailing edges fall back to the observed side.
+    Q("gap_fill_interpolate",
+      (s, d) => {
+        val hrs = ev(s, d)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(round(avg("value"), 6).as("v"))
+        val span = hrs.groupBy("user_id")
+          .agg(min("hr").as("h0"), max("hr").as("h1"))
+        val all = span.select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("hr")
+        val back = W.rowsBetween(Long.MinValue, 0)
+        val fwd = W.rowsBetween(0, Long.MaxValue)
+        val obsHr = when(col("v").isNotNull, col("hr"))
+        val joined = all.join(hrs, Seq("user_id", "hr"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("pt", last(obsHr, ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("nt", first(obsHr, ignoreNulls = true).over(fwd))
+        val frac = (unix_timestamp(col("hr")) - unix_timestamp(col("pt")))
+          .cast("double") /
+          (unix_timestamp(col("nt")) - unix_timestamp(col("pt"))).cast("double")
+        // floor-based quantization, not round(): Spark rounds HALF_UP,
+        // DuckDB HALF_EVEN, and interpolation at rational fracs lands
+        // on exact .xxxxxx5 halves often enough to flip the last digit
+        val vi = when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + frac * (col("nv") - col("pv")))
+        joined.select(col("user_id"),
+          unix_timestamp(col("hr")).as("hr_start"),
+          (floor(vi * lit(1e6) + lit(0.5)) / lit(1e6)).as("v_interp"))
+      },
+      Some("""WITH hrs AS (
+          SELECT user_id, date_trunc('hour', ts) AS hr,
+            round(avg(value), 6) AS v
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hrs GROUP BY 1
+        ), allh AS (
+          SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+          FROM span), j AS (
+          SELECT a.user_id, a.hr, h.v,
+            last_value(h.v IGNORE NULLS) OVER w AS pv,
+            last_value(CASE WHEN h.v IS NOT NULL THEN a.hr END IGNORE NULLS)
+              OVER w AS pt,
+            first_value(h.v IGNORE NULLS) OVER wf AS nv,
+            first_value(CASE WHEN h.v IS NOT NULL THEN a.hr END IGNORE NULLS)
+              OVER wf AS nt
+          FROM allh a LEFT JOIN hrs h
+            ON a.user_id = h.user_id AND a.hr = h.hr
+          WINDOW w AS (PARTITION BY a.user_id ORDER BY a.hr
+                       ROWS UNBOUNDED PRECEDING),
+                 wf AS (PARTITION BY a.user_id ORDER BY a.hr
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, CAST(floor(epoch(hr)) AS BIGINT) AS hr_start,
+          floor((CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (epoch(hr) - epoch(pt)) / (epoch(nt) - epoch(pt))
+                     * (nv - pv) END) * 1e6 + 0.5) / 1e6 AS v_interp
+        FROM j""")),
   )
 }
