@@ -99,6 +99,25 @@ class IoSpec extends SparkSpec {
       s"expected partition filter in scan:\n$scan")
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet drops") {
+    // the 100 TB reality: a corpus accumulates drops over months and a
+    // NEW column appears mid-stream. mergeSchema reads old + new files
+    // as one table — old rows surface the added column as null, and a
+    // filter on the new column still prunes
+    val dir = tmp("graft-evolve")
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+      .write.parquet(s"$dir/drop=1")
+    Seq((3L, "gamma", "en"), (4L, "delta", "fr")).toDF("id", "text", "lang")
+      .write.parquet(s"$dir/drop=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.sorted.toSeq == Seq("drop", "id", "lang", "text"))
+    val rows = df.select("id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> None, 2L -> None,
+      3L -> Some("en"), 4L -> Some("fr")))
+    assert(df.filter(col("lang") === "en").count() == 1)
+  }
+
   test("parquet scan pushes filters and prunes columns on the testdata") {
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_quantity") > 49.0).select("l_orderkey")
