@@ -184,6 +184,41 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("correlated down-run NFA == naive maximal-descent scanner on random series") {
+    // PATTERN (A B+) DEFINE B AS B.value < PREV(B.value), SKIP PAST
+    // LAST ROW — the correlated-condition path the uncorrelated
+    // regex-equivalence trials can't reach. Naive reference: walk the
+    // series left to right; at each position not yet consumed, a match
+    // is the maximal strictly-descending run of length >= 2 starting
+    // there; consume it wholly (skip-past-last-row) and continue after.
+    import graft.operators.MatchRecognize
+    val steps = Seq(
+      MatchRecognize.Step[Double]("A", _ => true),
+      MatchRecognize.CtxStep[Double]("B",
+        (t, ctx) => ctx.prev().exists(p => t < p), 1, Int.MaxValue))
+    def naive(xs: IndexedSeq[Double]): Seq[(Double, Double, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Double, Double, Int)]()
+      var i = 0
+      while (i < xs.length) {
+        var j = i
+        while (j + 1 < xs.length && xs(j + 1) < xs(j)) j += 1
+        if (j > i) { out += ((xs(i), xs(j), j - i)); i = j + 1 }
+        else i += 1
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 200) {
+      // small value alphabet forces ties and immediate-restart shapes
+      val n = 1 + rnd.nextInt(24)
+      val xs = IndexedSeq.fill(n)(rnd.nextInt(6).toDouble)
+      val got = MatchRecognize.matchRows(1L, xs, steps) { m =>
+        (m.captured("A").head, m.captured("B").last, m.captured("B").size)
+      }
+      assert(got == naive(xs), s"trial $trial xs=$xs got=$got want=${naive(xs)}")
+    }
+  }
+
   test("matchRows spans == java.util.regex on random uncorrelated patterns") {
     import graft.operators.MatchRecognize
     import MatchRecognize.{Alt, Elem, SkipMode, SkipPastLastRow, SkipToNextRow, Step}
