@@ -386,6 +386,36 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(q50 - 20.5) <= 1.0, s"q50=$q50")
   }
 
+  test("per-key model inference runs inside streaming micro-batches") {
+    // KeyedModelHandler under streaming: each micro-batch routes rows
+    // to per-tenant models through the same capped-LRU worker cache —
+    // no restart, no model mixing across keys
+    import graft.operators.Inference
+    val mem = MemoryStream[(Long, Int, Array[Float])]
+    val scored = Inference.runInferencePerKey(
+      mem.toDF().toDF("id", "tenant", "vec"), "tenant", "vec", "score",
+      k => new Inference.ScaledLinearScorer(2,
+        1.0 + k.asInstanceOf[Int] * 0.1),
+      batchSize = 4, maxModelsPerWorker = 2)
+    val table = freshTable()
+    val q = scored.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData((1L, 0, Array(1f, 0.5f)), (2L, 1, Array(1f, 0.5f)))
+    q.processAllAvailable()
+    mem.addData((3L, 2, Array(1f, 0.5f)))   // third tenant: evicts LRU
+    runToCompletion(q)
+    val got = spark.table(table).select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = Inference.weights(2)
+    for ((id, tenant) <- Seq((1L, 0), (2L, 1), (3L, 2))) {
+      val scale = 1.0 + tenant * 0.1
+      val z = Seq(1f, 0.5f).zip(w).map { case (x, wi) => x * (wi * scale) }.sum
+      assert(math.abs(got(id) - 1.0 / (1.0 + math.exp(-z))) < 1e-12, s"id $id")
+    }
+    // same vector, three tenants ⇒ three distinct scores
+    assert(got.values.toSet.size == 3)
+  }
+
   test("composed streaming curation: filter -> dedup -> inference -> windowed agg") {
     // The unified-model capstone: the BATCH curation operators (quality
     // score, lang-ID, fingerprint, batched inference) compose UNCHANGED
