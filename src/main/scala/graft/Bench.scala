@@ -25,7 +25,7 @@ object Bench {
     "agg_tdigest_quantiles", "agg_tdigest_rollup",
     "countmin_freq", "ml_inference", "ml_inference_per_key",
     "win_tumbling_offset", "anomaly_zscore", "pattern_match",
-    "rag_chunking", "multimodal_meta", "sortvalues_secondary",
+    "rag_chunking", "rag_chunk_sentences", "multimodal_meta", "sortvalues_secondary",
     "sortvalues_streamed",
     "agg_salted_fanout", "sql_front_door", "text_tfidf", "ml_minmax_scale",
     "pattern_down_run", "pattern_sql_clause", "cogroup_3way", "sql_udaf_geomean",

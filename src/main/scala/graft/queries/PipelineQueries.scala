@@ -182,6 +182,39 @@ object PipelineQueries {
         FROM n CROSS JOIN LATERAL
           (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g""")),
 
+    // SENTENCE-boundary segmentation — the RAG chunker family's other
+    // split mode (ml/rag/chunking/langchain.py wraps splitters that
+    // respect sentence boundaries rather than fixed char windows).
+    // RE2-safe pattern (the oracle engine has no lookbehind): split on
+    // terminal punctuation + whitespace, drop empties, index by
+    // original position. Narrow explode, zero shuffles (the
+    // row_number is per-doc over the exploded positions).
+    Q("rag_chunk_sentences",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        docs(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), "[.!?]+\\s+")).as(Seq("pos", "sent")))
+          .filter(length(trim(col("sent"))) > 0)
+          .withColumn("sent_idx", (row_number().over(w) - 1).cast("long"))
+          .select(col("doc_id"), col("sent_idx"),
+            md5(trim(col("sent"))).as("sent_md5"),
+            length(trim(col("sent"))).cast("long").as("sent_len"))
+      },
+      Some("""WITH sp AS (
+          SELECT doc_id, regexp_split_to_array(text, '[.!?]+\s+') AS sents
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, g.i, trim(sents[g.i]) AS sent
+          FROM sp CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, len(sents))) AS i) g)
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS sent_idx,
+          md5(sent) AS sent_md5,
+          CAST(length(sent) AS BIGINT) AS sent_len
+        FROM ex WHERE length(sent) > 0""")),
+
     // ===== BPE-ish regex tokenization (SURVEY: token counting beyond
     // whitespace): letter runs / digit runs / single punctuation.
     Q("text_token_bpe",
