@@ -15,7 +15,7 @@ object Bench {
     "join_multiway", "join_inner_broadcast", "cogroup_by_key", "join_asof",
     "topk_per_key", "window_running", "distinct_rows", "batch_per_key",
     "batch_per_key_sharded",
-    "win_tumbling", "win_sliding", "win_session", "gap_fill_hours", "gap_fill_locf", "gap_fill_interpolate",
+    "win_tumbling", "win_sliding", "win_session", "win_session_dynamic_gap", "gap_fill_hours", "gap_fill_locf", "gap_fill_interpolate",
     "dedup_events_first", "text_stats", "text_quality", "text_simhash",
     "dedup_minhash_pairs", "dedup_exact_docs", "dedup_simhash_pairs", "text_token_bpe",
     "dedup_clusters", "pipeline_curation",

@@ -85,6 +85,46 @@ object EventTimeQueries {
           count(*) AS n, round(sum(value), 4) AS sum_value
         FROM se GROUP BY user_id, sid""")),
 
+    // Beam Sessions.withGapAttribute — DYNAMIC per-row gap (the data
+    // decides how long a session stays open: clicks hold it 30 min,
+    // everything else 10). session_window takes the gap as an
+    // EXPRESSION; the oracle rebuilds the merge with a running max of
+    // per-row window ends (a session break happens when a row starts
+    // at-or-after every previous row's reach).
+    Q("win_session_dynamic_gap",
+      (s, d) => {
+        val gap = when(col("event_type") === "click", "30 minutes")
+          .otherwise("10 minutes")
+        ev(s, d).groupBy(session_window(col("ts"), gap), col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .select(col("user_id"),
+            unix_timestamp(col("session_window.start")).as("sess_start"),
+            col("n"), col("sum_value"))
+      },
+      Some("""WITH g AS (
+          SELECT user_id, ts, value,
+            epoch(ts) + CASE WHEN event_type = 'click'
+                             THEN 1800 ELSE 600 END AS reach,
+            CASE WHEN max(epoch(ts) + CASE WHEN event_type = 'click'
+                        THEN 1800 ELSE 600 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                 OR epoch(ts) >= max(epoch(ts) + CASE WHEN event_type = 'click'
+                        THEN 1800 ELSE 600 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+        ), se AS (
+          SELECT user_id, ts, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+        SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+          count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM se GROUP BY user_id, sid""")),
+
     // Beam CalendarWindows.months (variable-length units — the case
     // window() cannot express at all).
     Q("win_calendar_month",
