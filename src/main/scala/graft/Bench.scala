@@ -11,7 +11,7 @@ object Bench {
   // intentionally-quadratic small-data oracles (ngram pairwise jaccard)
   // that are not the scale path.
   private val headline = Seq(
-    "agg_tpch_q1", "agg_stats", "agg_cube", "agg_rollup",
+    "agg_tpch_q1", "agg_stats", "agg_shape_stats", "agg_to_dict", "agg_cube", "agg_rollup",
     "join_multiway", "join_inner_broadcast", "cogroup_by_key", "join_asof",
     "topk_per_key", "window_running", "distinct_rows", "batch_per_key",
     "batch_per_key_sharded",

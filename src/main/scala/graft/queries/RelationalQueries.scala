@@ -267,6 +267,23 @@ object RelationalQueries {
         array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         count(*) AS n FROM orders GROUP BY o_orderpriority""")),
 
+    // Distribution-shape aggregates (the stats.py/combiners surface
+    // beyond mean/var): skewness + excess kurtosis — same estimator in
+    // both engines; rounded to 4 places because grouped
+    // accumulation order perturbs the 6th decimal across engines.
+    Q("agg_shape_stats",
+      (s, d) => li(s, d).groupBy("l_linestatus").agg(
+        round(skewness(col("l_quantity")), 4).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"),
+        round(skewness(col("l_extendedprice")), 4).as("skew_price"),
+        round(kurtosis(col("l_extendedprice")), 4).as("kurt_price")),
+      Some("""SELECT l_linestatus,
+        round(skewness(l_quantity), 4) AS skew_qty,
+        round(kurtosis(l_quantity), 4) AS kurt_qty,
+        round(skewness(l_extendedprice), 4) AS skew_price,
+        round(kurtosis(l_extendedprice), 4) AS kurt_price
+        FROM lineitem GROUP BY 1""")),
+
     // Beam ToDict (transforms/combiners.py ToDictCombineFn): per-group
     // key→value map built as an aggregate — two-level agg (count per
     // (prio, status), then entries collected in sorted order so the
