@@ -359,6 +359,11 @@ class ScaleSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(svs).size == 1,
       "sortvalues_streamed should shuffle exactly once")
     assert(svs.contains("Sort "), "sortvalues_streamed lost its sort")
+    // hybrid skew join: hot-key tags arrive via BROADCAST on both
+    // sides, and the two tiers recombine in a Union
+    val hyb = plan("join_skew_hybrid")
+    assert(hyb.contains("BroadcastHashJoin"), "hybrid hot-tag not broadcast")
+    assert(hyb.contains("Union"), "hybrid lost its two-tier union")
   }
 
   test("GraftExtensions injects native functions at session build") {
