@@ -115,10 +115,43 @@ object Bench {
       }
     }
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a FILE: the bench driver captures
+    // only the tail of stdout (observed: last ~2000 chars), so a
+    // 127-entry JSON line gets front-truncated and fails to parse —
+    // which is exactly what happened to BENCH_r01..r05 (parsed:null).
+    val full = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$full,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_details.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    // The ONE stdout JSON line carries the total plus as many per-query
+    // entries as fit under the tail window, highest-signal first:
+    // BASELINE.md Nexmark anchors, then the TPC-H suite, then the
+    // dedup/vector north-star ops, then everything else.
+    val anchorsFirst: Seq[String] = {
+      val anchors = names.filter(n => n.startsWith("nexmark_")) ++
+        Seq("win_hot_items", "win_highest_value", "win_new_users",
+          "win_session").filter(names.contains) ++
+        names.filter(_.startsWith("agg_tpch_")) ++
+        names.filter(n => n.startsWith("dedup_") || n.startsWith("vec_"))
+      (anchors ++ names).distinct
+    }
+    val byName = results.toMap
+    val capChars = 1500 // map budget; full line stays < ~1700 chars
+    val sb = new StringBuilder
+    var taken = 0
+    anchorsFirst.foreach { n =>
+      val entry = "\"" + n + "\":" + f"${byName(n)}%.2f"
+      if (sb.length + entry.length + 1 <= capChars) {
+        if (taken > 0) sb.append(',')
+        sb.append(entry); taken += 1
+      }
+    }
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"n_queries":${names.size},"detail":"bench_details.json","queries":{${sb.toString}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

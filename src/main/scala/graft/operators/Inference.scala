@@ -97,37 +97,48 @@ object Inference {
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       // Access-ordered LRU: get() refreshes recency; insertion past the
-      // cap evicts the least-recently-used model (Beam's worker hint).
-      val cache = new java.util.LinkedHashMap[Any, M](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[Any, M]): Boolean =
-          size() > maxModelsPerWorker
-      }
-      def modelFor(key: Any): M = {
+      // cap evicts the least-recently-used entry (Beam's worker hint).
+      // The HANDLER is cached alongside its loaded model — handlerFor
+      // may itself be expensive (registry lookup, config parse), and the
+      // max_models_per_worker contract it mirrors amortizes both.
+      val cache =
+        new java.util.LinkedHashMap[Any, (ModelHandler[M], M)](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[Any, (ModelHandler[M], M)]): Boolean =
+            size() > maxModelsPerWorker
+        }
+      def handlerModelFor(key: Any): (ModelHandler[M], M) = {
         val hit = cache.get(key)
-        if (hit != null || cache.containsKey(key)) hit
+        if (hit != null) hit
         else {
-          val m = handlerFor(key).loadModel()
-          cache.put(key, m)
-          m
+          val h = handlerFor(key)
+          val entry = (h, h.loadModel())
+          cache.put(key, entry)
+          entry
         }
       }
       rows.grouped(batchSize).flatMap { batch =>
-        val scores = new Array[Double](batch.length)
+        // null until scored: a null input vector stays a NULL score (a
+        // 0.5 sigmoid would mask missing data as a plausible result).
+        val scores = new Array[java.lang.Double](batch.length)
         batch.zipWithIndex.groupBy(_._1.get(keyIdx)).foreach {
           case (key, group) =>
-            val vecs = group.map { case (r, _) =>
+            val present = group.flatMap { case (r, i) =>
               r.get(vecIdx) match {
+                case null => None
                 case s: scala.collection.Seq[_] =>
-                  s.map(_.asInstanceOf[Float]).toArray
-                case a: Array[Float] => a
-                case null => Array.empty[Float]
+                  Some((s.map(_.asInstanceOf[Float]).toArray, i))
+                case a: Array[Float] => Some((a, i))
               }
             }
-            val out = handlerFor(key)
-              .runInference(modelFor(key), vecs)
-            group.lazyZip(out).foreach { case ((_, i), sc) =>
-              scores(i) = sc
+            if (present.nonEmpty) {
+              val (handler, model) = handlerModelFor(key)
+              val out = handler.runInference(model, present.map(_._1))
+              require(out.size == present.size,
+                s"ModelHandler returned ${out.size} scores for ${present.size} inputs (key=$key)")
+              present.lazyZip(out).foreach { case ((_, i), sc) =>
+                scores(i) = sc
+              }
             }
         }
         batch.zipWithIndex.map { case (r, i) =>
@@ -179,16 +190,27 @@ object Inference {
     df.mapPartitions { rows =>
       val model = handler.loadModel() // once per partition (per-bundle)
       rows.grouped(batchSize).flatMap { batch =>
-        val vecs = batch.map { r =>
+        // null vectors keep a NULL score (not sigmoid(0)); a handler
+        // returning a short batch fails fast instead of leaving
+        // defaults in place.
+        val scores = new Array[java.lang.Double](batch.length)
+        val present = batch.zipWithIndex.flatMap { case (r, i) =>
           r.get(vecIdx) match {
+            case null => None
             case s: scala.collection.Seq[_] =>
-              s.map(_.asInstanceOf[Float]).toArray
-            case a: Array[Float] => a
-            case null => Array.empty[Float]
+              Some((s.map(_.asInstanceOf[Float]).toArray, i))
+            case a: Array[Float] => Some((a, i))
           }
         }
-        val scores = handler.runInference(model, vecs)
-        batch.lazyZip(scores).map { case (r, sc) => Row.fromSeq(r.toSeq :+ sc) }
+        if (present.nonEmpty) {
+          val out = handler.runInference(model, present.map(_._1))
+          require(out.size == present.size,
+            s"ModelHandler returned ${out.size} scores for ${present.size} inputs")
+          present.lazyZip(out).foreach { case ((_, i), sc) => scores(i) = sc }
+        }
+        batch.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ scores(i))
+        }
       }
     }(enc)
   }

@@ -147,16 +147,26 @@ object Joins {
   def hybridSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
       fanout: Int, saltBy: Seq[Column], hotThreshold: Long): DataFrame = {
     require(hotThreshold > 0, "hotThreshold must be positive")
+    // Tag column must not collide with user columns: derive a name that
+    // exists in neither input (deterministic, unlike a UUID, so plans
+    // stay stable across retries).
+    val taken = (fact.columns ++ dim.columns).toSet
+    val tag = Iterator.from(0).map(i => if (i == 0) "__hot" else s"__hot$i")
+      .find(!taken.contains(_)).get
+    // The hot-key set is tiny by construction (≤ |fact|/threshold keys)
+    // but referenced four times below — persist it so the fact-side
+    // count pass runs ONCE, not once per reference.
     val hot = fact.groupBy(key).count()
       .filter(col("count") > hotThreshold)
-      .select(col(key), lit(true).as("__hot"))
+      .select(col(key), lit(true).as(tag))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val f = fact.join(broadcast(hot), Seq(key), "left")
     val d = dim.join(broadcast(hot), Seq(key), "left")
-    saltedJoin(f.filter(col("__hot")).drop("__hot"),
-        d.filter(col("__hot")).drop("__hot"), key, fanout, saltBy)
+    saltedJoin(f.filter(col(tag)).drop(tag),
+        d.filter(col(tag)).drop(tag), key, fanout, saltBy)
       .unionByName(
-        f.filter(col("__hot").isNull).drop("__hot")
-          .join(d.filter(col("__hot").isNull).drop("__hot"), Seq(key)))
+        f.filter(col(tag).isNull).drop(tag)
+          .join(d.filter(col(tag).isNull).drop(tag), Seq(key)))
   }
 
   /** Fuzzy (edit-distance) equi-candidate join over a string column:

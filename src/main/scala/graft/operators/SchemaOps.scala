@@ -38,6 +38,20 @@ object SchemaOps {
         val segs = path.split('.')
         val top = segs.head
         val rel = segs.tail // path inside the top-level struct column
+        // withField-then-dropFields is only a rename when the target
+        // name is genuinely new: renaming a field onto ITSELF would
+        // write then delete it (field vanishes), and renaming onto an
+        // existing sibling would silently clobber the sibling's value.
+        // Beam's RenameFields errors on both — resolve the parent
+        // struct's schema and do the same.
+        require(newName != rel.last,
+          s"rename target equals current name: $path -> $newName")
+        val parent = rel.dropRight(1).foldLeft(
+          d.schema(top).dataType.asInstanceOf[StructType]) { (s, seg) =>
+          s(seg).dataType.asInstanceOf[StructType]
+        }
+        require(!parent.fieldNames.contains(newName),
+          s"rename target '$newName' already exists among siblings of $path")
         val newRel = (rel.dropRight(1) :+ newName).mkString(".")
         d.withColumn(top,
           col(top).withField(newRel, col(path)).dropFields(rel.mkString(".")))
