@@ -51,7 +51,10 @@ object Bench {
     "nexmark_q3_join", "nexmark_q9_winning_bid", "nexmark_q4_avg_price",
     "nexmark_q1_convert", "nexmark_q2_filter",
     "nexmark_q0_passthrough", "nexmark_q6_avg_last10",
-    "nexmark_q10_shard")
+    "nexmark_q10_shard",
+    "bloom_prune", "distinct_representative", "agg_median_mode",
+    "scalar_hof_arrays", "sql_session_tvf",
+    "pipeline_decontaminate_fuzzy", "pipeline_token_quantiles")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

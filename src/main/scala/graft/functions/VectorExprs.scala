@@ -210,7 +210,19 @@ object GraftFunctions {
     "srp_buckets" -> ((e: Seq[Expression]) =>
       SrpBuckets(e(0), litInt(e(1)), litInt(e(2)), litInt(e(3)), litInt(e(4)))),
     "text_normalize" -> ((e: Seq[Expression]) => NormalizeText(e(0))),
-    "char_entropy" -> ((e: Seq[Expression]) => CharEntropy(e(0))))
+    "char_entropy" -> ((e: Seq[Expression]) => CharEntropy(e(0))),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // internal runtime row-filtering but does not register them as SQL
+    // functions; exposing them makes the scan-pruning sketch a
+    // user-level primitive (build once over the small side, prune the
+    // 100 TB scan with a codegen'd membership test — no join, no
+    // shuffle of the big side).
+    "bloom_agg" -> ((e: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(e(0), e(1), e(2))),
+    "bloom_contains" -> ((e: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(e(0), e(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

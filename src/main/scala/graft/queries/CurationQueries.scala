@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-6 additions: scan-pruning membership sketches, the remaining
+  * Beam Distinct variant, median/mode aggregate surface, the
+  * higher-order array-function surface, the SQL-text session-window TVF
+  * front door, and two curation ops (fuzzy eval-set decontamination via
+  * MinHash bands, per-source token-length distributions via t-digest).
+  *
+  * Reference anchors:
+  *  - Distinct.withRepresentativeValueFn:
+  *    sdks/java/core/.../transforms/Distinct.java:120
+  *  - eval-set decontamination is the fuzzy sibling of
+  *    `pipeline_decontaminate` (exact shingle semi-join) — same contract
+  *    the reference expresses as a CoGBK over shingle keys.
+  */
+object CurationQueries {
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.documents(s, d)
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.events(s, d)
+  private def li(s: org.apache.spark.sql.SparkSession, d: String) = Tables.lineitem(s, d)
+
+  def queries: Seq[Q] = Seq(
+
+    // ===== Bloom-filter scan pruning — the 100 TB shape of "filter a
+    // huge fact by membership in a small key set" when even a broadcast
+    // semi-join is unwanted (e.g. the filter must survive into a
+    // streaming stage or a non-join operator). The sketch is a fit
+    // artifact: one distributed aggregate over the key side (O(1) rows
+    // cross the exchange), collected once, and the fact scan applies a
+    // codegen'd membership test — no shuffle, no join. Approximate
+    // structure ⇒ the oracle gates the CONTRACT: zero false negatives
+    // (bloom guarantee) and a false-positive rate under the configured
+    // bound, alongside the exact member count both engines agree on.
+    Q("bloom_prune",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val keys = Tables.customer(s, d).filter(col("c_nationkey") < 5)
+          .select(col("c_custkey").cast("long").as("k"))
+        val bf = keys.agg(call_function("bloom_agg", col("k"),
+          lit(100000L), lit(800000L)).as("bf")).head().getAs[Array[Byte]]("bf")
+        val o = Tables.orders(s, d)
+        o.join(broadcast(keys), o("o_custkey") === keys("k"), "left")
+          .withColumn("passes", call_function("bloom_contains",
+            lit(bf), col("o_custkey").cast("long")))
+          .agg(
+            sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_member"),
+            sum(when(col("k").isNotNull && !col("passes"), 1L).otherwise(0L)).as("fn"),
+            sum(when(col("k").isNull && col("passes"), 1L).otherwise(0L)).as("fp"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_nonmember"))
+          .select(col("n_member"),
+            (col("fn") === 0).cast("long").as("no_false_negatives"),
+            (col("fp") * 20 <= col("n_nonmember")).cast("long").as("fp_under_5pct"))
+      },
+      Some("""SELECT count(*) AS n_member,
+          CAST(1 AS BIGINT) AS no_false_negatives,
+          CAST(1 AS BIGINT) AS fp_under_5pct
+        FROM orders WHERE o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_nationkey < 5)""")),
+
+    // ===== Beam Distinct.withRepresentativeValueFn (Distinct.java:120):
+    // dedupe by a DERIVED representative, keep one deterministic full
+    // element per representative. Same partial-agg-shuffle shape as
+    // exact dedup — one exchange on the representative key.
+    Q("distinct_representative",
+      (s, d) => Dedup.exactByKey(ev(s, d), Seq("user_id", "event_type"),
+          col("ts").asc, col("event_id").asc)
+        .select("event_id", "user_id", "event_type"),
+      Some("""SELECT event_id, user_id, event_type FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) = 1""")),
+
+    // ===== Median + deterministic mode — the remaining central-tendency
+    // aggregate surface. Spark's native mode() breaks ties arbitrarily
+    // (engine-specific), so the modal value is computed with an explicit
+    // min-value tie-break: a two-level aggregate (per-(flag, qty) counts
+    // are the first partial-agg exchange, then a top-1 over ≤50 rows per
+    // flag) — the same deterministic-mode shape both engines replay.
+    Q("agg_median_mode",
+      (s, d) => {
+        val rows = li(s, d)
+        val modal = rows.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("l_returnflag")
+              .orderBy(col("n").desc, col("l_quantity").asc)))
+          .filter(col("rk") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("modal_qty"),
+            col("n").as("modal_n"))
+        rows.groupBy("l_returnflag")
+          .agg(round(median(col("l_extendedprice")), 4).as("median_price"),
+            count(lit(1)).as("n_rows"))
+          .join(modal, Seq("l_returnflag"))
+      },
+      Some("""WITH m AS (
+          SELECT l_returnflag, l_quantity AS modal_qty, count(*) AS modal_n
+          FROM lineitem GROUP BY 1, 2
+          QUALIFY row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY count(*) DESC, l_quantity) = 1)
+        SELECT a.l_returnflag,
+          round(quantile_cont(a.l_extendedprice, 0.5), 4) AS median_price,
+          count(*) AS n_rows, any_value(m.modal_qty) AS modal_qty,
+          any_value(m.modal_n) AS modal_n
+        FROM lineitem a JOIN m USING (l_returnflag)
+        GROUP BY a.l_returnflag""")),
+
+    // ===== Higher-order array functions — transform/filter/aggregate/
+    // sort/slice over token arrays, all codegen-friendly column algebra
+    // (zero shuffles; the scalar surface §2.9 extended to collections).
+    Q("scalar_hof_arrays",
+      (s, d) => {
+        val t = TextAnalysis.tokens(col("text"))
+        docs(s, d).filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            size(t).cast("long").as("n_tokens"),
+            size(filter(t, x => length(x) > 4)).cast("long").as("n_long"),
+            aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
+              .as("tok_chars"),
+            array_join(slice(array_sort(t), 1, 3), "|").as("first3"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+          FROM documents WHERE length(trim(text)) > 0)
+        SELECT doc_id, len(tk) AS n_tokens,
+          len(list_filter(tk, x -> length(x) > 4)) AS n_long,
+          CAST(length(array_to_string(tk, '')) AS BIGINT) AS tok_chars,
+          array_to_string(list_sort(tk)[1:3], '|') AS first3
+        FROM t""")),
+
+    // ===== SQL-text SESSION TVF front door — `GROUP BY
+    // session_window(ts, gap)` in SQL text (the tumbling form is
+    // sql_front_door_windowed; this closes the session TVF member of
+    // §2.8's windowing-TVF row in SQL text, not just the DSL).
+    Q("sql_session_tvf",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("events_sess_sql")
+        s.sql("""SELECT user_id,
+            CAST(unix_timestamp(session_window.start) AS BIGINT) AS sess_start,
+            CAST(unix_timestamp(session_window.end) AS BIGINT) AS sess_end,
+            count(1) AS n, round(sum(value), 4) AS sum_value
+          FROM events_sess_sql
+          GROUP BY session_window(ts, '30 minutes'), user_id""")
+      },
+      Some("""WITH g AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), se AS (
+          SELECT user_id, ts, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+        SELECT user_id,
+          CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+          CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS sess_end,
+          count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM se GROUP BY user_id, sid""")),
+
+    // ===== FUZZY eval-set decontamination — `pipeline_decontaminate`
+    // catches verbatim shingle overlap; near-duplicate contamination
+    // (reworded benchmark items) needs the MinHash-band form: a corpus
+    // doc is suspect iff ANY of its LSH band buckets collides with a
+    // benchmark doc's. The benchmark bucket set is tiny (|bench| ×
+    // bands rows) and broadcasts; the corpus side is one signature
+    // projection + equi-join — never an all-pairs comparison. Shares
+    // the affine hash family with dedup_minhash_pairs, so the DuckDB
+    // oracle rebuilds identical buckets.
+    Q("pipeline_decontaminate_fuzzy",
+      (s, d) => {
+        val base = docs(s, d).filter(length(trim(col("text"))) > 0)
+        val sig = Dedup.minHashSignatures(base, "doc_id", "text", numHashes = 16)
+        val buckets = Dedup.minHashBuckets(sig, "doc_id", 16, 4)
+        val bench = buckets.filter(col("doc_id") % 10 === 0)
+          .select("band", "bucket").distinct()
+        buckets.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(bench), Seq("band", "bucket"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("band")).as("n_hit_bands"))
+      },
+      Some(s"""WITH ${TextQueries.minhashPairCtes}
+        SELECT a.doc_id, count(DISTINCT a.band) AS n_hit_bands
+        FROM band a
+        WHERE a.doc_id % 10 <> 0 AND EXISTS (
+          SELECT 1 FROM band b
+          WHERE b.doc_id % 10 = 0
+            AND b.band = a.band AND b.bucket = a.bucket)
+        GROUP BY 1""")),
+
+    // ===== Per-source token-length distributions — the curation
+    // dashboard for a new corpus drop: how long are documents from each
+    // source? Exact quantiles of a 100 TB column per source need a full
+    // sort per group; the t-digest sketch gets there in one partial-agg
+    // pass with O(compression) state per group. Gate: digest medians /
+    // p90s inside exact ±5%-rank bounds (the same error-bound contract
+    // as agg_tdigest_quantiles), plus exact per-source doc counts.
+    Q("pipeline_token_quantiles",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, d).filter(length(trim(col("text"))) > 0)
+          .select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("double").as("ntok"))
+          .groupBy("source")
+          .agg(expr("tdigest_agg(ntok, 200)").as("sk"),
+            count(lit(1)).as("n_docs"),
+            expr("percentile(ntok, array(0.45, 0.55, 0.85, 0.95))").as("ex"))
+          .select(col("source"), col("n_docs"),
+            expr("tdigest_quantile(sk, 0.5d)")
+              .between(element_at(col("ex"), 1), element_at(col("ex"), 2))
+              .cast("long").as("ok50"),
+            expr("tdigest_quantile(sk, 0.9d)")
+              .between(element_at(col("ex"), 3), element_at(col("ex"), 4))
+              .cast("long").as("ok90"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+          CAST(1 AS BIGINT) AS ok50, CAST(1 AS BIGINT) AS ok90
+        FROM documents WHERE length(trim(text)) > 0 GROUP BY 1""")))
+}

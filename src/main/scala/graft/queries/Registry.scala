@@ -16,5 +16,6 @@ object Registry {
     RelationalQueries.queries ++ TpchQueries.queries ++
       EventTimeQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
-      CoverageQueries.queries ++ PipelineQueries.queries
+      CoverageQueries.queries ++ PipelineQueries.queries ++
+      CurationQueries.queries
 }

@@ -56,7 +56,7 @@ object TextQueries {
   /** DuckDB CTE chain rebuilding the MinHash-LSH candidate pairs
     * (tok → shingles → affine signatures → band buckets → pair), shared
     * by dedup_minhash_pairs and dedup_clusters. */
-  private val minhashPairCtes: String = s"""tok AS (
+  private[queries] val minhashPairCtes: String = s"""tok AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
           FROM documents WHERE length(trim(text)) > 0
         ), sh AS (

@@ -142,4 +142,17 @@ class JoinsSpec extends SparkSpec {
     assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     assert(joined.count() == 2)
   }
+
+  test("hybridSkewJoin tolerates inputs that already carry a __hot column") {
+    import spark.implicits._
+    val fact = Seq((1L, 10, "yes"), (1L, 11, "yes"), (2L, 20, "no"))
+      .toDF("k", "seq", "__hot")
+    val dim = Seq((1L, "d1"), (2L, "d2")).toDF("k", "label")
+    val got = Joins.hybridSkewJoin(fact, dim, "k", fanout = 2,
+      saltBy = Seq(col("k"), col("seq")), hotThreshold = 1L)
+    assert(got.count() == 3)
+    // the user's __hot column survives untouched
+    assert(got.columns.count(_ == "__hot") == 1)
+    assert(got.filter(col("__hot") === "yes").count() == 2)
+  }
 }

@@ -441,6 +441,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("srp_bucket") ||
       ex.getCause != null && ex.getCause.getMessage.contains("srp_bucket"))
   }
+
+  test("inference: null vectors score NULL; short handler batches fail fast") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(1.0f, 0.0f)), Row(2L, null), Row(3L, Seq(0.5f, 0.5f))),
+      schema)
+    val got = Inference.runInference(df, "embedding", "score",
+        new Inference.LinearScorer(2), batchSize = 2)
+      .select("vec_id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(got(2L) == null, "null vector must stay NULL, not sigmoid(0)")
+    assert(got(1L) != null && got(3L) != null)
+
+    // a handler that silently drops an input must be rejected
+    val shortHandler = new Inference.ModelHandler[Unit] {
+      override def loadModel(): Unit = ()
+      override def runInference(m: Unit,
+          batch: Seq[Array[Float]]): Seq[Double] = batch.drop(1).map(_ => 0.5)
+    }
+    val err = intercept[org.apache.spark.SparkException] {
+      Inference.runInference(df, "embedding", "score", shortHandler).count()
+    }
+    assert(err.getMessage.contains("scores") ||
+      Option(err.getCause).exists(_.getMessage.contains("scores")))
+  }
 }
 
 /** Shared JVM-wide load counter for the per-key inference cache spec

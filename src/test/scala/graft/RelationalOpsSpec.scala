@@ -204,4 +204,24 @@ class RelationalOpsSpec extends SparkSpec {
     // the whole chain is one shuffle-free projection
     assert(!flat.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("renameFields rejects self-renames and sibling clobbers (nested)") {
+    import graft.operators.SchemaOps
+    val df = Seq((1L, 10.0, "x")).toDF("id", "amt", "st")
+      .select(col("id"), struct(col("amt"), col("st")).as("fin"))
+    // renaming a nested field onto its own name would write-then-delete
+    // it (field vanishes) — must error instead
+    val selfErr = intercept[IllegalArgumentException] {
+      SchemaOps.renameFields(df, "fin.amt" -> "amt")
+    }
+    assert(selfErr.getMessage.contains("equals current name"))
+    // renaming onto an existing sibling would silently clobber its value
+    val sibErr = intercept[IllegalArgumentException] {
+      SchemaOps.renameFields(df, "fin.amt" -> "st")
+    }
+    assert(sibErr.getMessage.contains("already exists"))
+    // a genuinely-new name still works
+    assert(SchemaOps.renameFields(df, "fin.amt" -> "amount")
+      .select("fin.amount").as[Double].head() == 10.0)
+  }
 }

@@ -449,4 +449,27 @@ class ScaleSpec extends SparkSpec {
     assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
       s"expected a skew-split join in the adaptive plan:\n$finalPlan")
   }
+
+  test("bloom_agg/bloom_contains: zero false negatives, bounded false positives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1k members out of a 20k universe; sketch sized for ~1% fpp
+    val members = spark.range(0, 20000, 20).select(col("id"))
+    val bf = members
+      .agg(call_function("bloom_agg", col("id"), lit(10000L), lit(100000L)))
+      .head().getAs[Array[Byte]](0)
+    val tagged = spark.range(20000).select(col("id"),
+      call_function("bloom_contains", lit(bf), col("id")).as("passes"),
+      (col("id") % 20 === 0).as("member"))
+    // bloom guarantee: every member passes
+    assert(tagged.filter(col("member") && !col("passes")).count() == 0)
+    // false positives stay under 5% of non-members at this sizing
+    val fp = tagged.filter(!col("member") && col("passes")).count()
+    assert(fp <= 19000 * 0.05, s"fp=$fp")
+    // and the prune is a scan-side filter: no join/exchange in the plan
+    val pruned = spark.range(20000)
+      .filter(call_function("bloom_contains", lit(bf), col("id")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
 }
