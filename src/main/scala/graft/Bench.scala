@@ -10,7 +10,7 @@ object Bench {
   // Headline set: one representative per operator family; excludes the
   // intentionally-quadratic small-data oracles (ngram pairwise jaccard)
   // that are not the scale path.
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "agg_tpch_q1", "agg_stats", "agg_shape_stats", "agg_to_dict", "agg_cube", "agg_rollup",
     "join_multiway", "join_inner_broadcast", "cogroup_by_key", "join_asof",
     "topk_per_key", "window_running", "distinct_rows", "batch_per_key",
@@ -54,7 +54,8 @@ object Bench {
     "nexmark_q10_shard",
     "bloom_prune", "distinct_representative", "agg_median_mode",
     "scalar_hof_arrays", "sql_session_tvf",
-    "pipeline_decontaminate_fuzzy", "pipeline_token_quantiles")
+    "pipeline_decontaminate_fuzzy", "pipeline_token_quantiles",
+    "layout_zorder", "dedup_semantic_keep")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for multi-dimensional scan pruning.
+  *
+  * At 100 TB the cheapest rows are the ones never read: parquet
+  * min/max footer stats skip whole files, but only if the write
+  * ordering made per-file value ranges narrow. A single-column sort
+  * gives perfect skipping on that column and none on any other;
+  * Z-ORDERING interleaves the bits of several columns so every file's
+  * bounding box is narrow in ALL of them — range predicates on any
+  * clustered dimension skip most files (the technique behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`; Morton curves, public
+  * literature).
+  *
+  * The z-value is pure column algebra (normalize each dimension to a
+  * `bits`-bit integer against its fit min/max, then interleave bits) —
+  * codegen'd arithmetic, zero shuffles to compute; the clustering
+  * itself is ONE range-repartition exchange on the z-value, the same
+  * cost as any global sort-before-write.
+  */
+object Layout {
+
+  /** Morton/Z-value of two integer dimensions: each is min/max
+    * normalized to `bits` bits, then bit-interleaved (a gets the odd
+    * bit positions, b the even). All arithmetic in longs: exact and
+    * replayable in any engine with bit operators. */
+  def zValue2(a: Column, aMin: Column, aMax: Column,
+      b: Column, bMin: Column, bMax: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val top = (1L << bits) - 1
+    // exact long division (Spark's `/` on longs produces a DOUBLE;
+    // floor of a correctly-rounded double quotient can land one off at
+    // representability boundaries, so correct it explicitly)
+    def idiv(x: Column, y: Column): Column = {
+      val q = floor(x.cast("double") / y.cast("double")).cast("long")
+      when(q * y > x, q - 1).otherwise(q)
+    }
+    def norm(x: Column, lo: Column, hi: Column): Column =
+      when(hi <= lo, lit(0L)).otherwise(
+        idiv((x.cast("long") - lo.cast("long")) * top,
+          hi.cast("long") - lo.cast("long")))
+    val na = norm(a, aMin, aMax)
+    val nb = norm(b, bMin, bMax)
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftrightunsigned(na, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      val bbit = shiftleft(shiftrightunsigned(nb, i).bitwiseAND(lit(1L)), 2 * i)
+      abit.bitwiseOR(bbit)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The DuckDB/ANSI replay of [[zValue2]] — one source of truth for
+    * the interleave formula, used by the `layout_zorder` oracle. */
+  def zValue2Sql(a: String, aMin: String, aMax: String,
+      b: String, bMin: String, bMax: String, bits: Int = 16): String = {
+    val top = (1L << bits) - 1
+    def norm(x: String, lo: String, hi: String): String =
+      s"(CASE WHEN $hi <= $lo THEN 0 ELSE ((CAST($x AS BIGINT) - $lo) * $top) // ($hi - $lo) END)"
+    val na = norm(a, aMin, aMax)
+    val nb = norm(b, bMin, bMax)
+    (0 until bits).map { i =>
+      s"(((($na >> $i) & 1) << ${2 * i + 1}) | ((($nb >> $i) & 1) << ${2 * i}))"
+    }.mkString("(", " | ", ")")
+  }
+
+  /** Cluster `df` for writing: range-repartition + sort by the z-value
+    * of two dimensions (fit min/max computed in one tiny agg pass).
+    * Downstream `.write.parquet` produces files whose footer min/max
+    * are narrow in BOTH dimensions. */
+  def clusterByZ2(df: DataFrame, a: String, b: String, numFiles: Int,
+      bits: Int = 16): DataFrame = {
+    val fit = df.agg(min(col(a)).as("a_min"), max(col(a)).as("a_max"),
+      min(col(b)).as("b_min"), max(col(b)).as("b_max")).head()
+    val z = zValue2(col(a), lit(fit.get(0)), lit(fit.get(1)),
+      col(b), lit(fit.get(2)), lit(fit.get(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

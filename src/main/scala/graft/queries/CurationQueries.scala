@@ -219,5 +219,36 @@ object CurationQueries {
       },
       Some("""SELECT source, count(*) AS n_docs,
           CAST(1 AS BIGINT) AS ok50, CAST(1 AS BIGINT) AS ok90
-        FROM documents WHERE length(trim(text)) > 0 GROUP BY 1""")))
+        FROM documents WHERE length(trim(text)) > 0 GROUP BY 1""")),
+
+    // ===== Z-ORDER clustering values — multi-dimensional file skipping
+    // (Delta/Iceberg OPTIMIZE ZORDER BY; Morton curves). The z-value is
+    // pure codegen'd bit algebra over a broadcast min/max fit; writing
+    // range-partitioned by it gives parquet files whose footer min/max
+    // are narrow in BOTH dimensions, so range predicates on EITHER
+    // column skip most files (ScaleSpec quantifies the skip rate vs a
+    // single-column sort). Spark and DuckDB replay the identical
+    // interleave formula from one source of truth (Layout.zValue2Sql).
+    Q("layout_zorder",
+      (s, d) => {
+        val rows = li(s, d)
+        val fit = rows.agg(min(col("l_partkey")).as("a_min"),
+          max(col("l_partkey")).as("a_max"),
+          min(col("l_suppkey")).as("b_min"),
+          max(col("l_suppkey")).as("b_max"))
+        rows.crossJoin(broadcast(fit))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            graft.operators.Layout.zValue2(
+              col("l_partkey"), col("a_min"), col("a_max"),
+              col("l_suppkey"), col("b_min"), col("b_max")).as("zval"))
+      },
+      Some(s"""WITH fit AS (
+          SELECT min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+            min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          ${graft.operators.Layout.zValue2Sql("l_partkey", "a_min", "a_max",
+            "l_suppkey", "b_min", "b_max")} AS zval
+        FROM lineitem, fit""")))
 }

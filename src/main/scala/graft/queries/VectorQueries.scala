@@ -89,6 +89,39 @@ object VectorQueries {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.35""")),
 
+    // SEMANTIC dedup (the SemDeDup recipe, public literature): embed →
+    // cluster → drop near-duplicates WITHIN each cluster only. The
+    // pairwise work is confined to cluster cells (bounded by the
+    // k-means k the pipeline picks — `Similarity.kmeansSeeds` is the
+    // scale path; the label column stands in for the assignment here so
+    // the oracle is exact), so the join is a label equi-join, never a
+    // corpus cross-product. Keep rule: a vector is dropped iff ANY
+    // lower-id cluster-mate sits at cosine ≥ τ — the deterministic
+    // one-pass variant both engines replay identically (sim rounded to
+    // 6dp before the threshold so engine arithmetic agrees at the
+    // boundary).
+    Q("dedup_semantic_keep",
+      (s, d) => {
+        val e = emb(s, d)
+        val a = e.select(col("label"), col("vec_id").as("id_a"),
+          col("embedding").as("va"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"),
+          col("embedding").as("vb"))
+        val dropped = a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= 0.3)
+          .select(col("id_b").as("vec_id")).distinct()
+        e.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+      },
+      Some(s"""SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+        FROM embeddings e
+        WHERE e.vec_id NOT IN (
+          SELECT b.vec_id
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3)""")),
+
     // Banded multi-table SRP-LSH approximate top-k: candidate
     // generation is an equi-join on (table, bucket) — never O(n²).
     // 8 bits × 8 tables here (bucket count sized to this corpus's

@@ -21,6 +21,17 @@ class RegistrySpec extends SparkSpec {
       s"queries without oracle SQL: ${missing.map(_.name).mkString(", ")}")
   }
 
+  test("every bench headline name resolves to a registry query") {
+    // Bench silently filters unknown names (headline.filter(all.contains))
+    // — a typo would drop a query from BENCH_r{N}.json without any
+    // error. Fail loudly here instead.
+    val known = Registry.all.map(_.name).toSet
+    val unknown = Bench.headline.filterNot(known)
+    assert(unknown.isEmpty, s"headline names not in registry: $unknown")
+    val dupes = Bench.headline.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate headline names: $dupes")
+  }
+
   Registry.all.foreach { q =>
     test(s"query ${q.name} runs at sf0.001") {
       val df = q.fn(spark, sfDir)

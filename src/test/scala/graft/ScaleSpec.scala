@@ -472,4 +472,37 @@ class ScaleSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
+
+  test("z-order layout: files stay skippable on BOTH dimensions (vs 1-col sort)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Layout
+    // a 128x128 grid of (a, b) points, "written" as 64 files of 256
+    // rows each under two orderings; a file can be skipped by footer
+    // stats iff its [min,max] range misses the predicate
+    val grid = (for (a <- 0 until 128; b <- 0 until 128) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    def filesTouched(ordered: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val chunked = ordered
+        .withColumn("file", floor(monotonically_increasing_id() / 256))
+        .groupBy("file")
+        .agg(min("a").as("a_lo"), max("a").as("a_hi"),
+          min("b").as("b_lo"), max("b").as("b_hi"))
+      // thin range predicate on each dimension: a in [0,15] / b in [0,15]
+      val byA = chunked.filter(col("a_lo") <= 15 && col("a_hi") >= 0).count()
+      val byB = chunked.filter(col("b_lo") <= 15 && col("b_hi") >= 0).count()
+      (byA, byB)
+    }
+    val zOrdered = grid.coalesce(1).withColumn("z",
+        Layout.zValue2(col("a"), lit(0L), lit(127L),
+          col("b"), lit(0L), lit(127L), bits = 7))
+      .sortWithinPartitions("z").drop("z")
+    val aOrdered = grid.coalesce(1).sortWithinPartitions("a", "b")
+    val (zByA, zByB) = filesTouched(zOrdered)
+    val (aByA, aByB) = filesTouched(aOrdered)
+    // single-column sort: perfect on a (8/64 files), useless on b (all 64)
+    assert(aByA == 8 && aByB == 64, s"a-sort touched ($aByA, $aByB)")
+    // z-order: an eighth of the curve on EITHER dimension's slice
+    assert(zByA <= 16 && zByB <= 16, s"z-order touched ($zByA, $zByB)")
+  }
 }
