@@ -102,14 +102,21 @@ object VectorQueries {
     // boundary).
     Q("dedup_semantic_keep",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = emb(s, d)
+        // norms are projected ONCE per row before the pair join (the
+        // codegen'd vec_norm), so each of the O(Σ cell²) pairs costs
+        // one vec_dot — not a dot plus two recomputed norms
         val a = e.select(col("label"), col("vec_id").as("id_a"),
-          col("embedding").as("va"))
+          col("embedding").as("va"),
+          call_function("vec_norm", col("embedding")).as("na"))
         val b = e.select(col("label"), col("vec_id").as("id_b"),
-          col("embedding").as("vb"))
+          col("embedding").as("vb"),
+          call_function("vec_norm", col("embedding")).as("nb"))
         val dropped = a.join(b, Seq("label"))
           .filter(col("id_a") < col("id_b"))
-          .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= 0.3)
+          .filter(round(call_function("vec_dot", col("va"), col("vb")) /
+            (col("na") * col("nb")), 6) >= 0.3)
           .select(col("id_b").as("vec_id")).distinct()
         e.join(dropped, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("label").cast("long").as("label"))

@@ -505,4 +505,27 @@ class ScaleSpec extends SparkSpec {
     // z-order: an eighth of the curve on EITHER dimension's slice
     assert(zByA <= 16 && zByB <= 16, s"z-order touched ($zByA, $zByB)")
   }
+
+  test("clusterByZ2 preserves rows and sorts each output partition by z-value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Layout
+    val df = (for (a <- 0 until 40; b <- 0 until 40)
+      yield (a.toLong, b.toLong, s"$a-$b")).toDF("a", "b", "payload")
+    val clustered = Layout.clusterByZ2(df, "a", "b", numFiles = 8, bits = 6)
+    // lossless: same rows, no z column leaked into the schema
+    assert(clustered.columns.toSeq == Seq("a", "b", "payload"))
+    assert(clustered.count() == 1600)
+    assert(clustered.exceptAll(df).isEmpty && df.exceptAll(clustered).isEmpty)
+    // each output partition is non-decreasing in the z-value it was
+    // clustered by (what makes parquet footer ranges narrow)
+    val zOf = Layout.zValue2(col("a"), lit(0L), lit(39L),
+      col("b"), lit(0L), lit(39L), bits = 6)
+    val ok = clustered.withColumn("z", zOf).select("z")
+      .mapPartitions { it =>
+        val zs = it.map(_.getLong(0)).toSeq
+        Iterator(zs.isEmpty || zs.sliding(2).forall(p => p.size < 2 || p(0) <= p(1)))
+      }.collect()
+    assert(ok.forall(identity))
+  }
 }
