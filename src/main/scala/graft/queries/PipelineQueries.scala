@@ -423,6 +423,65 @@ object PipelineQueries {
         FROM events e JOIN fit USING (event_type)
         WHERE value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5""")),
 
+    // ===== Detector ENSEMBLE voting (ml/anomaly/aggregations.py:195
+    // MajorityVote / :267 AnyVote): the three fitted detectors above
+    // (z-score, robust z-score, IQR fences) vote per event; AnyVote =
+    // ≥1 flag (the reported set), MajorityVote = ≥2 of 3. All fits
+    // collapse into TWO partial-agg passes (mean/sd/median/quartiles in
+    // one, MAD needs the median first) broadcast back over ONE scoring
+    // scan — the ensemble costs no more exchanges than its slowest
+    // member. Each verdict uses its detector's exact rounded formula,
+    // so engines agree at thresholds.
+    Q("anomaly_ensemble_vote",
+      (s, d) => {
+        val e = ev(s, d)
+        val fit = e.groupBy("event_type").agg(
+          avg("value").as("mean_v"), stddev_samp(col("value")).as("sd_v"),
+          percentile(col("value"), lit(0.5)).as("med_v"),
+          percentile(col("value"), lit(0.25)).as("q1"),
+          percentile(col("value"), lit(0.75)).as("q3"))
+        val mad = e.join(broadcast(fit.select("event_type", "med_v")), "event_type")
+          .groupBy("event_type")
+          .agg(percentile(abs(col("value") - col("med_v")), lit(0.5)).as("mad_v"))
+        e.join(broadcast(fit), "event_type")
+          .join(broadcast(mad), "event_type")
+          .withColumn("v_z",
+            (abs(round((col("value") - col("mean_v")) / col("sd_v"), 6)) > 2.5)
+              .cast("int"))
+          .withColumn("v_rz",
+            (round(abs(col("value") - col("med_v")) /
+              (lit(1.4826) * col("mad_v")), 6) > 3.0).cast("int"))
+          .withColumn("v_iqr",
+            (col("value") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+             col("value") > col("q3") + (col("q3") - col("q1")) * 1.5)
+              .cast("int"))
+          .withColumn("n_votes",
+            (col("v_z") + col("v_rz") + col("v_iqr")).cast("long"))
+          .filter(col("n_votes") >= 1)
+          .select(col("event_id"), col("event_type"), col("n_votes"),
+            (col("n_votes") >= 2).cast("long").as("majority"))
+      },
+      Some("""WITH fit AS (
+          SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS sd_v,
+            quantile_cont(value, 0.5) AS med_v,
+            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+          FROM events GROUP BY 1),
+        mad AS (
+          SELECT event_type, quantile_cont(abs(value - med_v), 0.5) AS mad_v
+          FROM events e JOIN fit USING (event_type) GROUP BY 1),
+        votes AS (
+          SELECT event_id, e.event_type,
+            CASE WHEN abs(round((value - mean_v) / sd_v, 6)) > 2.5
+                 THEN 1 ELSE 0 END
+            + CASE WHEN round(abs(value - med_v) / (1.4826 * mad_v), 6) > 3.0
+                   THEN 1 ELSE 0 END
+            + CASE WHEN value < q1 - (q3 - q1) * 1.5
+                     OR value > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END AS n_votes
+          FROM events e JOIN fit USING (event_type) JOIN mad USING (event_type))
+        SELECT event_id, event_type, CAST(n_votes AS BIGINT) AS n_votes,
+          CAST(CASE WHEN n_votes >= 2 THEN 1 ELSE 0 END AS BIGINT) AS majority
+        FROM votes WHERE n_votes >= 1""")),
+
     // ===== Sliding-window anomaly tracker (ml/anomaly/univariate/
     // mean.py SimpleSlidingMeanTracker + stdev.py): each event scored
     // against the mean/stddev of its key's PREVIOUS 20 events (the
