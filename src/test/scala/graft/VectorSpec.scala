@@ -155,4 +155,15 @@ class VectorSpec extends SparkSpec {
     val hits = (0 until 20).count(i => got.get(1000L + i).contains(i.toLong))
     assert(hits >= 16, s"recall@1 = $hits/20 — LSH parameterization lost recall")
   }
+
+  test("semantic dedup pair join stays a label equi-join (never a BNLJ)") {
+    // the SemDeDup plan contract: pairwise cosine work is confined to
+    // cluster cells by a hash-joinable equality on the label — a
+    // BroadcastNestedLoopJoin/CartesianProduct here would be corpus²
+    val df = graft.queries.Registry.all.find(_.name == "dedup_semantic_keep")
+      .get.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
