@@ -55,7 +55,8 @@ object Bench {
     "bloom_prune", "distinct_representative", "agg_median_mode",
     "scalar_hof_arrays", "sql_session_tvf",
     "pipeline_decontaminate_fuzzy", "pipeline_token_quantiles",
-    "layout_zorder", "dedup_semantic_keep", "anomaly_ensemble_vote")
+    "layout_zorder", "dedup_semantic_keep", "anomaly_ensemble_vote",
+    "anomaly_sliding_quantile")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -517,6 +517,39 @@ object PipelineQueries {
         WHERE n_prev >= 5 AND sd > 0
           AND abs(round((value - m) / sd, 4)) > 3.0""")),
 
+    // ===== Sliding QUANTILE tracker (ml/anomaly/univariate/quantile.py
+    // SlidingQuantileTracker) — the remaining univariate tracker shape:
+    // each event scored against a trailing-window QUANTILE of its key's
+    // previous 20 values (quantiles resist the outliers that drag a
+    // sliding mean). Same one-exchange trailing-frame plan as the
+    // sliding mean tracker; percentile runs as a window aggregate over
+    // the frame.
+    Q("anomaly_sliding_quantile",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        ev(s, d)
+          .withColumn("n_prev", count(lit(1)).over(w))
+          .withColumn("p90", percentile(col("value"), lit(0.9)).over(w))
+          .filter(col("n_prev") >= 5)
+          .filter(col("value") > col("p90") * 1.5)
+          .select(col("event_id"), col("user_id"),
+            round(col("value"), 6).as("value"), round(col("p90"), 4).as("p90"))
+      },
+      Some("""WITH scored AS (
+          SELECT event_id, user_id, value,
+            count(*) OVER w AS n_prev,
+            quantile_cont(value, 0.9) OVER w AS p90
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+            ORDER BY make_timestamp(epoch_us(ts)), event_id
+            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, round(value, 6) AS value,
+          round(p90, 4) AS p90
+        FROM scored WHERE n_prev >= 5 AND value > p90 * 1.5""")),
+
     // ===== Enrichment lookup join (transforms/enrichment.py:103): per-
     // partition client lifecycle, per-row point lookup — no shuffle of
     // the main input. Client wraps the (tiny) nation dim; the oracle is
