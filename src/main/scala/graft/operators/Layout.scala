@@ -65,19 +65,58 @@ object Layout {
     }.mkString("(", " | ", ")")
   }
 
+  /** N-dimensional Morton/Z-value: each dimension is min/max normalized
+    * to `bits` bits, then bits interleave round-robin (bit i of
+    * dimension j lands at position i·N + j). Requires bits·N ≤ 63.
+    * Dimensions are (column, min, max) triples. */
+  def zValueN(dims: Seq[(Column, Column, Column)], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, "zValueN needs at least 2 dimensions")
+    require(bits > 0 && bits * n <= 63,
+      s"bits ($bits) × dims ($n) must fit a signed long")
+    def idiv(x: Column, y: Column): Column = {
+      val q = floor(x.cast("double") / y.cast("double")).cast("long")
+      when(q * y > x, q - 1).otherwise(q)
+    }
+    val top = (1L << bits) - 1
+    def norm(x: Column, lo: Column, hi: Column): Column =
+      when(hi <= lo, lit(0L)).otherwise(
+        idiv((x.cast("long") - lo.cast("long")) * top,
+          hi.cast("long") - lo.cast("long")))
+    dims.zipWithIndex.flatMap { case ((c, lo, hi), j) =>
+      val nc = norm(c, lo, hi)
+      (0 until bits).map { i =>
+        shiftleft(shiftrightunsigned(nc, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Cluster `df` for writing: range-repartition + sort by the z-value
-    * of two dimensions (fit min/max computed in one tiny agg pass).
-    * Downstream `.write.parquet` produces files whose footer min/max
-    * are narrow in BOTH dimensions. */
-  def clusterByZ2(df: DataFrame, a: String, b: String, numFiles: Int,
+    * of the given dimensions (fit min/max computed in one tiny agg
+    * pass). Downstream `.write.parquet` produces files whose footer
+    * min/max are narrow in ALL clustered dimensions. */
+  def clusterByZ(df: DataFrame, dims: Seq[String], numFiles: Int,
       bits: Int = 16): DataFrame = {
-    val fit = df.agg(min(col(a)).as("a_min"), max(col(a)).as("a_max"),
-      min(col(b)).as("b_min"), max(col(b)).as("b_max")).head()
-    val z = zValue2(col(a), lit(fit.get(0)), lit(fit.get(1)),
-      col(b), lit(fit.get(2)), lit(fit.get(3)), bits)
+    val aggCols = dims.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
+    }
+    val fit = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val z =
+      if (dims.size == 2)
+        zValue2(col(dims(0)), lit(fit.get(0)), lit(fit.get(1)),
+          col(dims(1)), lit(fit.get(2)), lit(fit.get(3)), bits)
+      else
+        zValueN(dims.zipWithIndex.map { case (c, i) =>
+          (col(c), lit(fit.get(2 * i)), lit(fit.get(2 * i + 1)))
+        }, bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Two-column convenience form of [[clusterByZ]]. */
+  def clusterByZ2(df: DataFrame, a: String, b: String, numFiles: Int,
+      bits: Int = 16): DataFrame =
+    clusterByZ(df, Seq(a, b), numFiles, bits)
 }

@@ -38,15 +38,14 @@ object CurationQueries {
     // bound, alongside the exact member count both engines agree on.
     Q("bloom_prune",
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
         val keys = Tables.customer(s, d).filter(col("c_nationkey") < 5)
           .select(col("c_custkey").cast("long").as("k"))
-        val bf = keys.agg(call_function("bloom_agg", col("k"),
-          lit(100000L), lit(800000L)).as("bf")).head().getAs[Array[Byte]]("bf")
+        val bf = graft.operators.Pruning.bloomFit(keys, "k",
+          expectedItems = 100000L, fpp = 0.01)
         val o = Tables.orders(s, d)
         o.join(broadcast(keys), o("o_custkey") === keys("k"), "left")
-          .withColumn("passes", call_function("bloom_contains",
-            lit(bf), col("o_custkey").cast("long")))
+          .withColumn("passes",
+            graft.operators.Pruning.bloomContains(bf, col("o_custkey")))
           .agg(
             sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_member"),
             sum(when(col("k").isNotNull && !col("passes"), 1L).otherwise(0L)).as("fn"),

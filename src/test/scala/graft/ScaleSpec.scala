@@ -506,6 +506,43 @@ class ScaleSpec extends SparkSpec {
     assert(zByA <= 16 && zByB <= 16, s"z-order touched ($zByA, $zByB)")
   }
 
+  test("zValueN round-robin interleave: 3-D clustering keeps every dimension skippable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Layout
+    // 16x16x16 grid in 64 chunks of 64 rows: under z-order every
+    // dimension's thin slice skips most chunks; under a 1-col sort
+    // only the sorted column does
+    val grid = (for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+    val z = Layout.zValueN(Seq(
+      (col("a"), lit(0L), lit(15L)),
+      (col("b"), lit(0L), lit(15L)),
+      (col("c"), lit(0L), lit(15L))), bits = 4)
+    val chunks = grid.coalesce(1).withColumn("z", z)
+      .sortWithinPartitions("z")
+      .withColumn("file", floor(monotonically_increasing_id() / 64))
+      .groupBy("file")
+      .agg(min("a").as("a_lo"), max("a").as("a_hi"),
+        min("b").as("b_lo"), max("b").as("b_hi"),
+        min("c").as("c_lo"), max("c").as("c_hi"))
+    def touched(lo: String, hi: String): Long =
+      chunks.filter(col(lo) <= 1 && col(hi) >= 0).count()
+    // slice [0,1] on each dimension: 1/8 of the range → at most a
+    // quarter of the 64 chunks under a balanced 3-D curve
+    assert(touched("a_lo", "a_hi") <= 16)
+    assert(touched("b_lo", "b_hi") <= 16)
+    assert(touched("c_lo", "c_hi") <= 16)
+  }
+
+  test("bloom sizing: optimalNumBits hits the classic m = -n ln(p)/ln2^2") {
+    import graft.operators.Pruning
+    assert(Pruning.optimalNumBits(1000, 0.01) == 9586)
+    assert(Pruning.optimalNumBits(1000000, 0.001) > 14000000)
+    intercept[IllegalArgumentException](Pruning.optimalNumBits(0, 0.01))
+    intercept[IllegalArgumentException](Pruning.optimalNumBits(10, 1.5))
+  }
+
   test("clusterByZ2 preserves rows and sorts each output partition by z-value") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
