@@ -133,4 +133,30 @@ class IoSpec extends SparkSpec {
     val got = spark.range(0, 10, 3).as[Long].collect()
     assert(got.toSeq == Seq(0L, 3L, 6L, 9L))
   }
+
+  test("z-order clustered parquet write: real file footers stay narrow in both dims") {
+    import org.apache.spark.sql.functions._
+    val grid = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val dir = Files.createTempDirectory("graft-zorder").resolve("out").toString
+    graft.operators.Layout.clusterByZ2(grid, "a", "b", numFiles = 16, bits = 6)
+      .write.parquet(dir)
+    // read back PER FILE via the input_file_name of each row group —
+    // the min/max spread per physical file is what parquet footer
+    // stats expose to scan pruning
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a_lo"), max("a").as("a_hi"),
+        min("b").as("b_lo"), max("b").as("b_hi"))
+      .withColumn("a_span", col("a_hi") - col("a_lo"))
+      .withColumn("b_span", col("b_hi") - col("b_lo"))
+      .select("a_span", "b_span").collect()
+    assert(spans.length == 16)
+    // 4096 rows in 16 files: a balanced 2-D curve keeps each file's
+    // bounding box near a 16x16 quadrant — far under the global 0..63
+    // span a 1-col sort leaves on its unsorted dimension
+    val avgA = spans.map(_.getLong(0)).sum.toDouble / spans.length
+    val avgB = spans.map(_.getLong(1)).sum.toDouble / spans.length
+    assert(avgA <= 32 && avgB <= 32, s"avg spans ($avgA, $avgB)")
+  }
 }

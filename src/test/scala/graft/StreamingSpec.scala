@@ -507,4 +507,26 @@ class StreamingSpec extends SparkSpec {
     // two surviving docs
     assert(got.map(_(1).asInstanceOf[Long]).sum == 2, s"got=$got")
   }
+
+  test("bloom prune applies inside a streaming query (cross-boundary sketch)") {
+    import graft.operators.Pruning
+    // the sketch is built in a BATCH job (e.g. nightly from a dim
+    // table) and applied as a stateless codegen'd filter inside a
+    // later STREAMING query — the cross-boundary property Spark's
+    // internal runtime bloom rule cannot offer
+    val members = spark.range(0, 1000, 10).toDF("id")
+    val bf = Pruning.bloomFit(members, "id", expectedItems = 1000, fpp = 0.001)
+    val mem = MemoryStream[Long]
+    val pruned = Pruning.bloomPrune(mem.toDF().toDF("id"), "id", bf)
+    val table = freshTable()
+    val q = pruned.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(0L until 1000L: _*)
+    runToCompletion(q)
+    val kept = spark.table(table).as[Long].collect().toSet
+    // zero false negatives: every member survives the stream filter
+    assert((0L until 1000L by 10).forall(kept.contains))
+    // and the 0.1%-fpp sketch keeps few non-members
+    assert(kept.size <= 100 + 20, s"kept ${kept.size}")
+  }
 }
