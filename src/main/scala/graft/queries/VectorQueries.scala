@@ -129,6 +129,47 @@ object VectorQueries {
             ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3)""")),
 
+    // ±1 RANDOM PROJECTION (Achlioptas/JL family): project dim-64
+    // embeddings to 8 dimensions through the same md5-parity ±1 weight
+    // family as SRP-LSH — deterministic, so DuckDB rebuilds the weight
+    // matrix bit-for-bit and verifies the projections themselves (not
+    // just a distance-preservation bound). Shape here is the relational
+    // form (posexplode + broadcast weight table + partial-agg sum —
+    // one (vec_id, j) exchange); at 100 TB the projection compiles
+    // into a single-dispatch expression exactly like `srp_buckets`
+    // (same weights, float sums instead of sign bits). 8x fewer floats
+    // per vector is the bandwidth story for ANN pre-filtering.
+    Q("vec_random_projection",
+      (s, d) => {
+        val outDim = 8; val dim = 64; val seed = 7
+        val w = Similarity.srpWeights(outDim, dim, seed)
+        import s.implicits._
+        val wt = broadcast((for (j <- 0 until outDim; k <- 0 until dim)
+          yield (j.toLong, k.toLong, w(j)(k))).toDF("j", "k", "wt"))
+        emb(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+          .join(wt, Seq("k"))
+          .groupBy("vec_id", "j")
+          .agg(round(sum(col("x").cast("double") * col("wt")), 4).as("p"))
+      },
+      Some("""WITH dims AS (
+          SELECT j.j, k.k FROM
+            (SELECT unnest(generate_series(0, 7)) AS j) j
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) k
+        ), w AS (
+          SELECT j, k,
+            CASE WHEN CAST('0x' || substr(md5('7:' || j || ':' || k), 32, 1)
+                      AS INT) % 2 = 1
+                 THEN 1.0 ELSE -1.0 END AS wt
+          FROM dims
+        ), ex AS (
+          SELECT vec_id, g.k - 1 AS k, CAST(embedding[g.k] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, len(embedding))) AS k) g)
+        SELECT ex.vec_id, w.j, round(sum(ex.x * w.wt), 4) AS p
+        FROM ex JOIN w ON ex.k = w.k
+        GROUP BY 1, 2""")),
+
     // Banded multi-table SRP-LSH approximate top-k: candidate
     // generation is an equi-join on (table, bucket) — never O(n²).
     // 8 bits × 8 tables here (bucket count sized to this corpus's
