@@ -129,9 +129,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$full,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
+    // best-effort: never let a read-only/foreign cwd kill the stdout
+    // line the driver parses
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     // The ONE stdout JSON line carries the total plus as many per-query
     // entries as fit under the tail window, highest-signal first:
     // BASELINE.md Nexmark anchors, then the TPC-H suite, then the
