@@ -56,7 +56,8 @@ object Bench {
     "scalar_hof_arrays", "sql_session_tvf",
     "pipeline_decontaminate_fuzzy", "pipeline_token_quantiles",
     "layout_zorder", "dedup_semantic_keep", "anomaly_ensemble_vote",
-    "anomaly_sliding_quantile", "vec_random_projection")
+    "anomaly_sliding_quantile", "vec_random_projection",
+    "io_tfrecord_roundtrip")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -249,5 +249,31 @@ object CurationQueries {
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
           ${graft.operators.Layout.zValue2Sql("l_partkey", "a_min", "a_max",
             "l_suppkey", "b_min", "b_max")} AS zval
-        FROM lineitem, fit""")))
+        FROM lineitem, fit""")),
+
+    // ===== TFRecord round trip — the training-data container format
+    // (Beam TFRecordIO; Spark has no native source). Documents' text
+    // bytes go out as framed+CRC'd records (one file per partition)
+    // and come back through the lazy streaming decoder; the gate
+    // compares content-complete md5 aggregates against the source
+    // table, so a dropped/duplicated/corrupted record fails the hash.
+    Q("io_tfrecord_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-tfr").resolve("docs").toString
+        Tables.documents(s, d)
+          .select(encode(col("text"), "UTF-8").as("payload"))
+          .createOrReplaceTempView("tfr_src")
+        graft.sources.TFRecordIO.write(
+          s.table("tfr_src"), "payload", dir)
+        graft.sources.TFRecordIO.read(s, dir)
+          .select(md5(col("record")).as("m"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("m")).as("n_distinct"),
+            min(col("m")).as("first_md5"), max(col("m")).as("last_md5"))
+      },
+      Some("""SELECT count(*) AS n,
+          count(DISTINCT md5(text)) AS n_distinct,
+          min(md5(text)) AS first_md5, max(md5(text)) AS last_md5
+        FROM documents""")))
 }

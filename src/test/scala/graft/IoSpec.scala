@@ -134,6 +134,40 @@ class IoSpec extends SparkSpec {
     assert(got.toSeq == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("TFRecord framing matches the public format (golden bytes) and round-trips") {
+    import graft.sources.TFRecordIO
+    // golden record for b"abc", generated by an INDEPENDENT software
+    // CRC32C implementation (table-driven Castagnoli): length header,
+    // masked length-CRC, data, masked data-CRC — the TensorFlow wire
+    // format byte-for-byte
+    val golden = "0300000000000000b099490e6162636e57f121"
+    val enc = TFRecordIO.encodeRecord("abc".getBytes("UTF-8"))
+    assert(enc.map("%02x".format(_)).mkString == golden)
+
+    // round trip through real files: varied sizes including empty
+    val payloads = (0 until 100).map(i => Array.fill(i * 7 % 251)(i.toByte))
+    val df = spark.createDataset(payloads)(
+      org.apache.spark.sql.Encoders.BINARY).toDF("payload").repartition(3)
+    val dir = Files.createTempDirectory("graft-tfrecord").resolve("out").toString
+    TFRecordIO.write(df, "payload", dir)
+    val back = TFRecordIO.read(spark, dir)
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(back.length == 100)
+    assert(back.toSet == payloads.map(_.toSeq).toSet)
+
+    // corruption fails fast: flip one data byte in a written file
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).maxBy(_.length)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(bytes.length - 5) = (bytes(bytes.length - 5) ^ 0x1).toByte
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val err = intercept[IllegalArgumentException] {
+      TFRecordIO.decodeStream(in).toList
+    }
+    assert(err.getMessage.contains("CRC mismatch"))
+  }
+
   test("z-order clustered parquet write: real file footers stay narrow in both dims") {
     import org.apache.spark.sql.functions._
     val grid = (for (a <- 0 until 64; b <- 0 until 64)
