@@ -275,5 +275,31 @@ object CurationQueries {
       Some("""SELECT count(*) AS n,
           count(DISTINCT md5(text)) AS n_distinct,
           min(md5(text)) AS first_md5, max(md5(text)) AS last_md5
-        FROM documents""")))
+        FROM documents""")),
+
+    // ===== Avro container round trip — the self-describing interchange
+    // format (Beam AvroIO; the spark-avro DataSource connector is not
+    // in this container, so `sources/AvroIO` drives the Avro Java
+    // library directly: schema-embedding files, one per partition out,
+    // lazy streaming decode back, schema recovered from the file
+    // header). Gate: numeric + string aggregates over the read-back
+    // equal the SQL aggregates over the source rows.
+    Q("io_avro_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-avr").resolve("orders").toString
+        graft.sources.AvroIO.write(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderstatus")), dir)
+        graft.sources.AvroIO.read(s, dir)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_key"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"),
+            countDistinct(col("o_orderstatus")).as("n_status"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          round(sum(o_totalprice), 2) AS sum_price,
+          count(DISTINCT o_orderstatus) AS n_status
+        FROM orders""")))
 }

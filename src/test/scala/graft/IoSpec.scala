@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -166,6 +167,36 @@ class IoSpec extends SparkSpec {
       TFRecordIO.decodeStream(in).toList
     }
     assert(err.getMessage.contains("CRC mismatch"))
+  }
+
+  test("Avro container files round-trip with nulls and schema recovery") {
+    import graft.sources.AvroIO
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("blob", BinaryType, nullable = true)))
+    val rows = (0 until 50).map { i =>
+      Row(i.toLong,
+        if (i % 7 == 0) null else s"n$i",
+        if (i % 5 == 0) null else i * 1.5,
+        i % 2 == 0,
+        if (i % 3 == 0) null else Array.fill(i % 11)(i.toByte))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(3)
+    val dir = Files.createTempDirectory("graft-avro").resolve("out").toString
+    AvroIO.write(df, dir)
+    val back = AvroIO.read(spark, dir)
+    // schema recovered from the file's embedded writer schema
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val norm = (r: Row) => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+      r.getBoolean(3),
+      Option(r.getAs[Array[Byte]](4)).map(_.toSeq))
+    assert(back.collect().map(norm).toSet == rows.map(norm).toSet)
   }
 
   test("z-order clustered parquet write: real file footers stay narrow in both dims") {
