@@ -55,8 +55,10 @@ object AvroIO {
   }
 
   /** Write one Avro container file per partition under `dir`
-    * (deterministic part names — retry/speculation safe). */
-  def write(df: DataFrame, dir: String): Unit = {
+    * (deterministic part names — retry/speculation safe).
+    * `codec` is any Avro codec name ("snappy", "deflate", "null" —
+    * snappy-java ships in Spark's jars). */
+  def write(df: DataFrame, dir: String, codec: String = "snappy"): Unit = {
     val sparkSchema = df.schema
     val schemaJson = avroSchemaFor(sparkSchema).toString
     df.foreachPartition { (it: Iterator[Row]) =>
@@ -67,6 +69,7 @@ object AvroIO {
       val out = fs.create(path, true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
+      writer.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
       writer.create(schema, out)
       try it.foreach { row =>
         val rec = new GenericData.Record(schema)

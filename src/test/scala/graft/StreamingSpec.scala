@@ -529,4 +529,33 @@ class StreamingSpec extends SparkSpec {
     // and the 0.1%-fpp sketch keeps few non-members
     assert(kept.size <= 100 + 20, s"kept ${kept.size}")
   }
+
+  test("streaming TFRecord export: each micro-batch lands as its own shard set") {
+    import graft.sources.TFRecordIO
+    import org.apache.spark.sql.DataFrame
+    // continuous training-data export: foreachBatch writes every
+    // micro-batch under a batchId-named directory (idempotent replay —
+    // a restarted batch overwrites its own shards, never another's)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tfr-stream").toString
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("s")
+      .select(encode(col("s"), "UTF-8").as("payload"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TFRecordIO.write(batch.coalesce(1), "payload", s"$root/batch=$batchId")
+      }
+      .start()
+    mem.addData("alpha", "beta")
+    q.processAllAvailable()
+    mem.addData("gamma")
+    q.processAllAvailable()
+    q.stop()
+    val back = TFRecordIO.read(spark, s"$root/batch=*")
+      .collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
+    assert(back == Set("alpha", "beta", "gamma"))
+    // two micro-batches → two shard directories
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=0", "batch=1"), dirs.toString)
+  }
 }
