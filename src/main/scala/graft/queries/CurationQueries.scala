@@ -301,5 +301,35 @@ object CurationQueries {
           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
           round(sum(o_totalprice), 2) AS sum_price,
           count(DISTINCT o_orderstatus) AS n_status
+        FROM orders""")),
+
+    // ===== JDBC round trip — Beam JdbcIO over Spark's built-in JDBC
+    // source, run for REAL against the embedded Derby that ships in
+    // Spark's jars (swap the URL for postgres/mysql in prod; nothing
+    // else changes). The read is PARTITIONED on the key range — four
+    // parallel scans, JdbcIO.readWithPartitions' shape — and the gate
+    // compares aggregates against the source table. Derby surfaces
+    // DOUBLE sums as DECIMAL, hence the explicit double cast.
+    Q("io_jdbc_roundtrip",
+      (s, d) => {
+        System.setProperty("derby.system.home",
+          java.nio.file.Files.createTempDirectory("graft-derby-home").toString)
+        val db = java.nio.file.Files
+          .createTempDirectory("graft-derby").resolve("db").toString
+        val url = s"jdbc:derby:$db;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        val src = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        src.write.mode("overwrite").jdbc(url, "t_orders", props)
+        val maxKey = src.agg(max(col("o_orderkey"))).head().getLong(0)
+        s.read.jdbc(url, "t_orders", "o_orderkey", 0L, maxKey + 1, 4, props)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"),
+            round(sum(col("o_totalprice")).cast("double"), 2).as("sum_price"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          round(sum(o_totalprice), 2) AS sum_price
         FROM orders""")))
 }

@@ -169,6 +169,33 @@ class IoSpec extends SparkSpec {
     assert(err.getMessage.contains("CRC mismatch"))
   }
 
+  test("JDBC round-trip against embedded Derby with partitioned parallel read") {
+    // Beam JdbcIO analog over Spark's built-in JDBC source; Derby ships
+    // in Spark's jars, so the full write → partitioned-read → pushdown
+    // path runs for real (swap the URL for postgres/mysql in prod)
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft-derby-home").toString)
+    val db = Files.createTempDirectory("graft-derby").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = spark.range(1000).selectExpr("id", "id * 2.5 AS v",
+      "concat('name-', id % 7) AS name")
+    df.write.mode("overwrite").jdbc(url, "t_events", props)
+    // partitioned read: 4 parallel JDBC scans split on the id range —
+    // JdbcIO.readWithPartitions' shape
+    val back = spark.read.jdbc(url, "t_events", "id", 0L, 1000L, 4, props)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 1000)
+    assert(back.agg(sum(col("v")).cast("double")).head().getDouble(0) ==
+      (0 until 1000).map(_ * 2.5).sum)
+    // predicate pushdown reaches the JDBC scan
+    val filtered = back.filter(col("id") < 10)
+    assert(filtered.count() == 10)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("LessThan"), scan)
+  }
+
   test("Avro container files round-trip with nulls and schema recovery") {
     import graft.sources.AvroIO
     import org.apache.spark.sql.Row
