@@ -169,6 +169,17 @@ class IoSpec extends SparkSpec {
     assert(err.getMessage.contains("CRC mismatch"))
   }
 
+  test("xml round-trip with nested structs (XmlIO analog, native in Spark 4)") {
+    val dir = Files.createTempDirectory("graft-xml").resolve("out").toString
+    val df = spark.range(5).selectExpr("id",
+      "named_struct('a', id * 2, 'b', concat('x', id)) AS nested")
+    df.write.format("xml").option("rowTag", "row").mode("overwrite").save(dir)
+    val back = spark.read.format("xml").option("rowTag", "row").load(dir)
+    assert(back.count() == 5)
+    assert(back.selectExpr("sum(nested.a)").head().getLong(0) == 20)
+    assert(back.columns.toSet == Set("id", "nested"))
+  }
+
   test("JDBC round-trip against embedded Derby with partitioned parallel read") {
     // Beam JdbcIO analog over Spark's built-in JDBC source; Derby ships
     // in Spark's jars, so the full write → partitioned-read → pushdown
