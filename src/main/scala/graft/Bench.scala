@@ -57,7 +57,8 @@ object Bench {
     "pipeline_decontaminate_fuzzy", "pipeline_token_quantiles",
     "layout_zorder", "dedup_semantic_keep", "anomaly_ensemble_vote",
     "anomaly_sliding_quantile", "vec_random_projection",
-    "io_tfrecord_roundtrip", "io_avro_roundtrip", "io_jdbc_roundtrip")
+    "io_tfrecord_roundtrip", "io_avro_roundtrip", "io_jdbc_roundtrip",
+    "pipeline_cdc_apply")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

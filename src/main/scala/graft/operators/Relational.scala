@@ -147,4 +147,24 @@ object Relational {
     }
     spark.createDataFrame(indexed, schema)
   }
+
+  /** CDC/changelog APPLY — incremental snapshot maintenance: merge a
+    * (much smaller) change set into a snapshot by key. `changes`
+    * carries the snapshot's columns plus `opCol` ∈ {"I","U","D"}:
+    * D removes the key, I/U upsert it (non-null change values override
+    * the snapshot's; an I/U for an absent key inserts). The whole
+    * apply is ONE full-outer equi-join on the key — at 100 TB,
+    * co-partition/bucket both sides on the key and the nightly apply
+    * is a zero-extra-exchange merge (the relational form of Delta/
+    * Iceberg MERGE INTO, no table format required). */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    val valCols = snapshot.columns.filterNot(_ == key)
+    require(changes.columns.contains(opCol),
+      s"changes must carry the op column '$opCol'")
+    snapshot.as("s").join(changes.as("c"), Seq(key), "full_outer")
+      .filter(coalesce(col(s"c.$opCol"), lit("")) =!= "D")
+      .select(col(key) +: valCols.map(v =>
+        coalesce(col(s"c.$v"), col(s"s.$v")).as(v)): _*)
+  }
 }

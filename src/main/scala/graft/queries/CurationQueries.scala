@@ -331,5 +331,42 @@ object CurationQueries {
       Some("""SELECT count(*) AS n,
           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
           round(sum(o_totalprice), 2) AS sum_price
-        FROM orders""")))
+        FROM orders""")),
+
+    // ===== CDC changelog apply — nightly incremental snapshot
+    // maintenance as ONE full-outer key join (the relational MERGE
+    // INTO; see Relational.applyChangelog). Deterministic change set:
+    // keys ≡0 mod 9 delete, other ≡0 mod 3 double the price (exact in binary — no
+    // HALF_UP-vs-HALF_EVEN rounding divergence),
+    // keys ≡0 mod 7 that the snapshot lacks insert.
+    Q("pipeline_cdc_apply",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val snapshot = o.filter(col("o_orderkey") % 7 =!= 0)
+        val changes = o.filter(col("o_orderkey") % 3 === 0 ||
+            col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 9 === 0, col("o_totalprice"))
+              .otherwise(col("o_totalprice") * 2)
+              .as("o_totalprice"),
+            when(col("o_orderkey") % 9 === 0, "D").otherwise("U").as("op"))
+        graft.operators.Relational
+          .applyChangelog(snapshot, changes, "o_orderkey")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      },
+      Some("""WITH o AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+        ), snap AS (
+          SELECT * FROM o WHERE o_orderkey % 7 <> 0
+        ), ch AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice
+                 ELSE o_totalprice * 2 END AS o_totalprice,
+            CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM o WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 = 0)
+        SELECT COALESCE(ch.o_orderkey, snap.o_orderkey) AS o_orderkey,
+          round(COALESCE(ch.o_totalprice, snap.o_totalprice), 2) AS price
+        FROM snap FULL OUTER JOIN ch ON snap.o_orderkey = ch.o_orderkey
+        WHERE COALESCE(ch.op, '') <> 'D'""")))
 }
