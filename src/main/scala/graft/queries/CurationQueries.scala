@@ -333,6 +333,34 @@ object CurationQueries {
           round(sum(o_totalprice), 2) AS sum_price
         FROM orders""")),
 
+    // ===== Approximate HEAVY HITTERS (Beam SketchFrequencies' top-k
+    // read-out; Spark 4's approx_top_k sketch aggregate): the top words
+    // of the corpus from ONE sketch pass — O(capacity) state per
+    // partition instead of a full (token, count) shuffle. Contract
+    // gate: with capacity ≥ distinct vocabulary the sketch counts are
+    // exact, so each of the oracle's deterministic top-5 tokens must
+    // appear in the approx top-50 with its exact count.
+    Q("agg_approx_topk",
+      (s, d) => {
+        val toks = docs(s, d).filter(length(trim(col("text"))) > 0)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val approx = toks
+          .agg(expr("approx_top_k(tok, 50, 20000)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("tok"), col("e.count").as("approx_n"))
+        toks.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc).limit(5)
+          .join(approx, Seq("tok"), "left")
+          .select(col("tok"), col("n"),
+            (col("approx_n") === col("n")).cast("long").as("count_exact"))
+      },
+      Some("""WITH tok AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ), c AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1)
+        SELECT tok, n, CAST(1 AS BIGINT) AS count_exact
+        FROM c ORDER BY n DESC, tok LIMIT 5""")),
+
     // ===== CDC changelog apply — nightly incremental snapshot
     // maintenance as ONE full-outer key join (the relational MERGE
     // INTO; see Relational.applyChangelog). Deterministic change set:
