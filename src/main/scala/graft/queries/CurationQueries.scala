@@ -396,5 +396,151 @@ object CurationQueries {
         SELECT COALESCE(ch.o_orderkey, snap.o_orderkey) AS o_orderkey,
           round(COALESCE(ch.o_totalprice, snap.o_totalprice), 2) AS price
         FROM snap FULL OUTER JOIN ch ON snap.o_orderkey = ch.o_orderkey
-        WHERE COALESCE(ch.op, '') <> 'D'""")))
+        WHERE COALESCE(ch.op, '') <> 'D'""")),
+
+    // ===== Deterministic train/val/test split assignment — the step
+    // between curation and training: every doc lands in exactly one
+    // split, reproducibly across runs/engines, with no coordination
+    // (the portable-hash bucket IS the assignment; no sampling state,
+    // no shuffle beyond the final per-split rollup). 98/1/1 by
+    // md5-bucket of doc_id, like the reference's hash-valued
+    // Partition/Sample idioms (transforms/Partition.java:77).
+    Q("pipeline_split_assign",
+      (s, d) => {
+        val bucket = pmod(graft.functions.PortableHash
+          .md5Long(col("doc_id")), lit(100))
+        docs(s, d)
+          .withColumn("split",
+            when(bucket < 98, "train").when(bucket === 98, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      Some(s"""WITH a AS (
+          SELECT CASE
+            WHEN ${graft.functions.PortableHash.md5LongSql("doc_id")} % 100 < 98
+              THEN 'train'
+            WHEN ${graft.functions.PortableHash.md5LongSql("doc_id")} % 100 = 98
+              THEN 'val'
+            ELSE 'test' END AS split, n_chars
+          FROM documents)
+        SELECT split, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM a GROUP BY split""")),
+
+    // ===== DSIR importance weights (Xie et al. 2023, "Data Selection
+    // for LMs via Importance Resampling"): score every raw doc by how
+    // target-like its hashed-unigram distribution is —
+    // w(doc) = Σ_tok log( p_target(h(tok)) / p_raw(h(tok)) ) with
+    // add-1 smoothing over B=64 buckets. Target stand-in: sources
+    // src0/src1. Scale shape: bucket counts are ONE partial-agg pass
+    // (≤B rows cross the exchange), the B-row log-ratio table
+    // broadcasts back, and scoring is a zero-extra-shuffle projection
+    // + per-doc rollup — the corpus is scanned twice, never joined to
+    // itself. Same hashed-feature trick as ml_feature_hash.
+    Q("pipeline_dsir_weights",
+      (s, d) => {
+        val B = 64
+        val toks = docs(s, d).filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .withColumn("b",
+            pmod(graft.functions.PortableHash.md5Long(col("tok")), lit(B)))
+        val counts = toks.groupBy("b").agg(
+          sum(when(col("source").isin("src0", "src1"), 1L).otherwise(0L))
+            .as("tgt_n"),
+          count(lit(1)).as("all_n"))
+        val tots = counts.agg(sum("tgt_n").as("tgt_tot"),
+          sum("all_n").as("all_tot"))
+        val lw = counts.crossJoin(broadcast(tots))
+          .select(col("b"),
+            (log((col("tgt_n") + 1).cast("double") /
+                 (col("tgt_tot") + B).cast("double")) -
+             log((col("all_n") + 1).cast("double") /
+                 (col("all_tot") + B).cast("double"))).as("lw"))
+        toks.join(broadcast(lw), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), round(sum("lw"), 6).as("dsir_w"))
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ), tb AS (
+          SELECT doc_id, source,
+            ${graft.functions.PortableHash.md5LongSql("tok")} % 64 AS b
+          FROM tok
+        ), counts AS (
+          SELECT b,
+            sum(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS tgt_n,
+            count(*) AS all_n
+          FROM tb GROUP BY b
+        ), tots AS (
+          SELECT sum(tgt_n) AS tgt_tot, sum(all_n) AS all_tot FROM counts
+        ), lw AS (
+          SELECT b,
+            ln(CAST(tgt_n + 1 AS DOUBLE) / CAST(tgt_tot + 64 AS DOUBLE)) -
+            ln(CAST(all_n + 1 AS DOUBLE) / CAST(all_tot + 64 AS DOUBLE)) AS lw
+          FROM counts CROSS JOIN tots)
+        SELECT doc_id, count(*) AS n_tok, round(sum(lw), 6) AS dsir_w
+        FROM tb JOIN lw USING (b)
+        GROUP BY doc_id""")),
+
+    // ===== Longest cross-doc duplicated SPAN (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better" —
+    // substring-level dedup): per doc, the longest run of CONSECUTIVE
+    // 3-gram shingle positions whose shingle also appears in some
+    // other document. Complements text_dup_ngram_fraction (which
+    // counts duplicated shingles without contiguity): a 200-token
+    // verbatim quote and 200 scattered common trigrams score the same
+    // fraction but very different max spans. Scale shape: positional
+    // explode → df over the distinct-(doc,shingle) inverted index →
+    // one join back on the shingle key → per-doc gaps-and-islands
+    // window; never a doc-to-doc pairwise join.
+    Q("text_dup_span_max",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val sh = docs(s, d).filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), posexplode(call_function("shingles",
+            TextAnalysis.tokens(col("text")), lit(3))))
+          .toDF("doc_id", "pos", "sh")
+        val dfreq = sh.select("doc_id", "sh").distinct()
+          .groupBy("sh").agg(count(lit(1)).as("ndocs"))
+        val flagged = sh.join(dfreq, Seq("sh"))
+          .withColumn("dup", col("ndocs") > 1)
+        val islands = flagged.filter(col("dup"))
+          .withColumn("island", col("pos") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+        val runs = islands.groupBy("doc_id", "island")
+          .agg(count(lit(1)).as("run"))
+          .groupBy("doc_id").agg(max("run").as("max_dup_run"))
+        flagged.groupBy("doc_id").agg(count(lit(1)).as("n_pos"))
+          .join(runs, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_pos"),
+            coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), sh AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+2], ' ') AS sh
+          FROM tok CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+        ), dfreq AS (
+          SELECT sh, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY 1
+        ), flagged AS (
+          SELECT doc_id, pos, ndocs > 1 AS dup FROM sh JOIN dfreq USING (sh)
+        ), islands AS (
+          SELECT doc_id,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM flagged WHERE dup
+        ), runs AS (
+          SELECT doc_id, max(run) AS max_dup_run FROM (
+            SELECT doc_id, island, count(*) AS run
+            FROM islands GROUP BY doc_id, island)
+          GROUP BY doc_id)
+        SELECT f.doc_id, count(*) AS n_pos,
+          COALESCE(any_value(r.max_dup_run), 0) AS max_dup_run
+        FROM flagged f LEFT JOIN runs r ON f.doc_id = r.doc_id
+        GROUP BY f.doc_id""")))
 }
