@@ -262,4 +262,91 @@ class IoSpec extends SparkSpec {
     val avgB = spans.map(_.getLong(1)).sum.toDouble / spans.length
     assert(avgA <= 32 && avgB <= 32, s"avg spans ($avgA, $avgB)")
   }
+
+  test("end-to-end training-shard export: curate → ids → pack → TFRecord shards round-trip") {
+    // The capstone composition a training-data pipeline actually ships:
+    // quality filter + exact dedup → vocab token ids (top-K broadcast,
+    // OOV=0) → per-shard sequence packing under a token budget →
+    // binary serialization → TFRecord shard files → read-back with
+    // token conservation. Every stage is the operator verified on its
+    // own elsewhere; this proves the handoffs (schema, determinism,
+    // bytes) compose.
+    import graft.sources.{Tables, TFRecordIO}
+    import graft.operators.TextAnalysis
+    import graft.functions.PortableHash
+    import org.apache.spark.sql.expressions.Window
+
+    val docsDf = Tables.documents(spark, SparkSpec.sfDir)
+    val base = docsDf.select(col("doc_id"), col("text"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val curated = base
+      .withColumn("k", min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("k") && col("q") >= 0.4)
+
+    // vocab: TakeOrdered top-K (never a global un-partitioned rank
+    // over all terms), broadcast back; OOV maps to id 0
+    val toks = curated.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text")))).toDF("doc_id", "pos", "tok")
+    val topK = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(64).collect()
+    val vocab = spark.createDataFrame(
+      topK.zipWithIndex.map { case (r, i) => (r.getString(0), i + 1) }.toSeq)
+      .toDF("tok", "id")
+    val ids = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, id))), x -> x.id)")
+        .as("ids"))
+
+    // pack: hash-shard, fill bins to a 512-token budget in (len desc,
+    // doc_id) order — same shape as pipeline_seq_packing
+    val budget = 512
+    val nShards = 3
+    val packedDocs = ids.withColumn("n", size(col("ids")).cast("long"))
+      .withColumn("shard", pmod(PortableHash.md5Long(col("doc_id")), lit(nShards)))
+      .withColumn("cum", coalesce(sum("n").over(
+        Window.partitionBy("shard").orderBy(col("n").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", floor(col("cum") / budget))
+    val packed = packedDocs.groupBy("shard", "bin")
+      .agg(flatten(expr(
+        "transform(sort_array(collect_list(struct(doc_id, ids))), x -> x.ids)"))
+        .as("seq"))
+
+    // serialize each packed sequence: 4-byte big-endian ints
+    val toBytes = udf { (seq: Seq[Int]) =>
+      val bb = java.nio.ByteBuffer.allocate(4 * seq.length)
+      seq.foreach(bb.putInt); bb.array()
+    }
+    val dir = Files.createTempDirectory("graft-shards").toString
+    val withBytes = packed.withColumn("payload", toBytes(col("seq")))
+      .persist()
+    val nTokensIn = curated
+      .agg(sum(size(TextAnalysis.tokens(col("text"))))).head.getLong(0)
+    for (sh <- 0 until nShards)
+      TFRecordIO.write(
+        withBytes.filter(col("shard") === sh).select("payload"),
+        "payload", s"$dir/shard=$sh")
+
+    // read back: every token id survives, bins respect the budget
+    // (a bin exceeds it only via its single largest doc)
+    val maxDoc = packedDocs.agg(max("n")).head.getLong(0)
+    val binSizes = withBytes.select(size(col("seq")).cast("long")).collect().map(_.getLong(0))
+    assert(binSizes.forall(_ <= budget + maxDoc))
+    val back = (0 until nShards).map { sh =>
+      TFRecordIO.read(spark, s"$dir/shard=$sh").collect()
+        .map(_.getAs[Array[Byte]](0))
+    }
+    val nTokensOut = back.flatten.map(_.length / 4).map(_.toLong).sum
+    assert(nTokensOut == nTokensIn,
+      s"token conservation: packed $nTokensOut vs curated $nTokensIn")
+    // byte-level determinism: ids decode back to valid vocab range
+    val decoded = back.flatten.flatMap { b =>
+      val bb = java.nio.ByteBuffer.wrap(b)
+      Array.fill(b.length / 4)(bb.getInt)
+    }
+    assert(decoded.forall(id => id >= 0 && id <= 64))
+    withBytes.unpersist()
+  }
 }
