@@ -718,6 +718,122 @@ object StatefulV2 {
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
       OutputMode.Append())
 
+  /** Streaming TEMPORAL (as-of) join — enrich each left event with the
+    * right-side version in effect at the event's timestamp (greatest
+    * version ts <= event ts): the streaming form of `Joins.asofJoin`,
+    * Flink's temporal-table join, and the keyed state+timers pattern
+    * Beam users hand-build over CoGBK for CDC-dimension enrichment.
+    *
+    * Correctness under out-of-order arrival: event e can only resolve
+    * once no version with ts' <= e.ts can still arrive — i.e. once the
+    * event-time WATERMARK (Spark takes the min across both unioned
+    * inputs) has passed e.ts. Events buffer per key and resolve inside
+    * an event-time timer armed at the earliest pending event ts; a
+    * version arriving before the watermark passes an already-buffered
+    * event is therefore SEEN by that event, which a naive lookup-join
+    * against "current" state would miss. Rows older than the watermark
+    * are dropped by the engine's late-row filter before reaching the
+    * processor (allowed lateness 0 — tune via the watermark delay).
+    *
+    * GC: after each flush, every version strictly older than the newest
+    * version <= watermark is superseded for all future events and
+    * drops; state per key stays O(unresolved events + live versions).
+    *
+    * Input rows carry exactly one side: (k, ts, Some(v), None) = event,
+    * (k, ts, None, Some(r)) = version. Output: (k, ts, v, Option[r]) —
+    * left-outer as-of (None when no version predates the event). */
+  class TemporalJoinProcessor[K, V, R](
+      implicit vEnc: Encoder[V], rEnc: Encoder[R])
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, Option[V], Option[R]),
+        (K, java.sql.Timestamp, V, Option[R])] {
+
+    @transient private var versions: MapState[Long, R] = _
+    @transient private var pending: ListState[(Long, V)] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      versions = getHandle.getMapState[Long, R]("versions",
+        Encoders.scalaLong, rEnc, TTLConfig.NONE)
+      pending = getHandle.getListState[(Long, V)]("pending",
+        Encoders.tuple(Encoders.scalaLong, vEnc), TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    private def rearm(): Unit = {
+      var minTs = Long.MaxValue
+      pending.get().foreach(p => if (p._1 < minTs) minTs = p._1)
+      if (minTs == Long.MaxValue) {
+        if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
+      } else if (!armed.exists() || armed.get() != minTs) {
+        if (armed.exists()) getHandle.deleteTimer(armed.get())
+        getHandle.registerTimer(minTs)
+        armed.update(minTs)
+      }
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, Option[V], Option[R])],
+        timers: TimerValues): Iterator[(K, java.sql.Timestamp, V, Option[R])] = {
+      rows.foreach {
+        case (_, ts, Some(v), _) => pending.appendValue((ts.getTime, v))
+        case (_, ts, _, Some(r)) => versions.updateValue(ts.getTime, r)
+        case _ => // (None, None): ignore
+      }
+      rearm()
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, java.sql.Timestamp, V, Option[R])] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      // ts == wm could still gain a version at exactly wm → only < wm
+      // is safe to resolve; the rest re-arm.
+      val (ready, rest) = pending.get().toSeq.partition(_._1 < wm)
+      if (ready.isEmpty) { rearm(); return Iterator.empty }
+      val vers = versions.iterator().map(p => (p._1, p._2)).toArray.sortBy(_._1)
+      val out = ready.sortBy(_._1).map { case (ts, v) =>
+        // floor lookup: newest version at-or-before the event
+        var floor: Option[R] = None
+        var i = 0
+        while (i < vers.length && vers(i)._1 <= ts) { floor = Some(vers(i)._2); i += 1 }
+        (key, new java.sql.Timestamp(ts), v, floor)
+      }
+      pending.clear()
+      rest.foreach(pending.appendValue)
+      armed.clear()
+      rearm()
+      // GC: the newest version <= wm stays (floor candidate for every
+      // future on-time event); all strictly older ones are unreachable
+      val live = vers.filter(_._1 <= wm)
+      if (live.length > 1) live.iterator.take(live.length - 1)
+        .foreach(p => versions.removeKey(p._1))
+      out.iterator
+    }
+  }
+
+  /** Streaming as-of join — see [[TemporalJoinProcessor]]. Tags, unions
+    * and watermarks the two inputs (`delay` on both sides; the engine
+    * runs on the min watermark), then resolves per key at watermark
+    * passage. */
+  def temporalJoin[K: Encoder, V: Encoder, R: Encoder](
+      events: Dataset[(K, java.sql.Timestamp, V)],
+      versions: Dataset[(K, java.sql.Timestamp, R)],
+      delay: String = "0 seconds")(
+      implicit unionEnc: Encoder[(K, java.sql.Timestamp, Option[V], Option[R])],
+      outEnc: Encoder[(K, java.sql.Timestamp, V, Option[R])])
+      : Dataset[(K, java.sql.Timestamp, V, Option[R])] = {
+    val l = events
+      .map { case (k, ts, v) => (k, ts, Option(v), Option.empty[R]) }
+      .withWatermark("_2", delay)
+    val r = versions
+      .map { case (k, ts, rr) => (k, ts, Option.empty[V], Option(rr)) }
+      .withWatermark("_2", delay)
+    l.union(r).groupByKey(_._1).transformWithState(
+      new TemporalJoinProcessor[K, V, R](),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Nexmark Q9 "winning bids" (nexmark/.../queries/Query9.java): per
     * key, an auction row opens a window of `durationMs`; bid rows
     * compete by (price desc, time asc, id asc); when the WATERMARK

@@ -713,4 +713,71 @@ class StatefulV2Spec extends SparkSpec {
       q.stop()
     }
   }
+
+  test("temporalJoin resolves events against the version in effect at event time") {
+    withRocksDb {
+      val events = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val versions = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val joined = StatefulV2.temporalJoin(events.toDS(), versions.toDS(), "1 second")
+      val table = freshTable()
+      val q = startMemorySink(joined, table)
+      def ts(m: Long) = new java.sql.Timestamp(m)
+
+      // batch 1: version v1@1000; events e1@1500 and e2@500 (e2's
+      // version hasn't arrived yet)
+      versions.addData((1L, ts(1000), "v1"))
+      events.addData((1L, ts(1500), "e1"), (1L, ts(500), "e2"))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 0,
+        "nothing resolves before the watermark passes the events")
+
+      // batch 2: v0@400 arrives AFTER e2 but BEFORE the watermark
+      // passes 500 — buffering means e2 still sees it (the case a
+      // naive current-state lookup join gets wrong)
+      versions.addData((1L, ts(400), "v0"))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 0)
+
+      // advance BOTH watermarks past the events; timers fire
+      versions.addData((2L, ts(100000), "zz"))
+      events.addData((2L, ts(100000), "adv"))
+      q.processAllAvailable()
+      awaitSink(table) {
+        spark.table(table).count() >= 2
+      }
+      val got = spark.table(table)
+        .as[(Long, java.sql.Timestamp, String, Option[String])]
+        .collect().filter(_._1 == 1L)
+        .map { case (k, t, v, r) => (k, t.getTime, v, r) }.sortBy(_._2).toSeq
+      assert(got == Seq(
+        (1L, 500L, "e2", Some("v0")),   // floor(500) = v0@400
+        (1L, 1500L, "e1", Some("v1")))) // floor(1500) = v1@1000
+      q.stop()
+    }
+  }
+
+  test("temporalJoin emits None when no version predates the event (left outer)") {
+    withRocksDb {
+      val events = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val versions = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val joined = StatefulV2.temporalJoin(events.toDS(), versions.toDS(), "1 second")
+      val table = freshTable()
+      val q = startMemorySink(joined, table)
+      def ts(m: Long) = new java.sql.Timestamp(m)
+
+      versions.addData((1L, ts(2000), "late-version"))
+      events.addData((1L, ts(500), "early")) // only a LATER version exists
+      q.processAllAvailable()
+      versions.addData((2L, ts(50000), "zz"))
+      events.addData((2L, ts(50000), "adv"))
+      q.processAllAvailable()
+      awaitSink(table) { spark.table(table).count() >= 1 }
+      val got = spark.table(table)
+        .as[(Long, java.sql.Timestamp, String, Option[String])]
+        .collect().filter(_._1 == 1L).toSeq
+      assert(got.map(r => (r._1, r._2.getTime, r._3, r._4)) ==
+        Seq((1L, 500L, "early", None)))
+      q.stop()
+    }
+  }
 }
