@@ -471,6 +471,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("scores") ||
       Option(err.getCause).exists(_.getMessage.contains("scores")))
   }
+
+  test("AdaptiveThrottler: healthy traffic passes, overload rejects client-side, window recovery") {
+    import graft.operators.AdaptiveThrottler
+    val t = new AdaptiveThrottler(samplePeriodMs = 10000L, bucketMs = 1000L,
+      overloadRatio = 2.0, rng = new java.util.Random(42))
+    var now = 1000000L
+    // healthy: every request accepted → probability pinned at 0
+    (1 to 100).foreach { _ =>
+      assert(!t.throttleRequest(now))
+      t.successfulRequest(now)
+      now += 50
+    }
+    assert(t.throttlingProbability(now) == 0.0)
+    // brownout: the backend stops accepting → probability climbs to
+    // (all - 0) / (all + 1) over the window and most attempts reject
+    (1 to 200).foreach { _ => t.throttleRequest(now); now += 50 }
+    assert(t.throttlingProbability(now) > 0.8,
+      s"p=${t.throttlingProbability(now)}")
+    val rejected = (1 to 100).count { _ => val r = t.throttleRequest(now); now += 10; r }
+    assert(rejected > 70, s"only $rejected/100 throttled under full overload")
+    // recovery: the failure window slides out → probability back to 0
+    now += 20000L
+    assert(t.throttlingProbability(now) == 0.0)
+    assert(!t.throttleRequest(now))
+  }
+
+  test("Throttle.call backs off while overloaded, then completes when the window clears") {
+    import graft.operators.{AdaptiveThrottler, Throttle}
+    val t = new AdaptiveThrottler(samplePeriodMs = 5000L, bucketMs = 1000L,
+      overloadRatio = 2.0, rng = new java.util.Random(7))
+    var now = 1000000L
+    // drive it into full overload: requests sent, none accepted
+    (1 to 100).foreach { _ => t.throttleRequest(now); now += 10 }
+    assert(t.throttlingProbability(now) > 0.8)
+    // a wrapped call on a now-healthy backend: backoff advances the
+    // clock (the test's sleep), so the reject window self-heals and
+    // the call eventually goes through with success fed back
+    var backoffs = 0
+    val clock = () => now
+    val backoff = () => { backoffs += 1; now += 1000L }
+    val result = Throttle.call(t, clock, backoff)((x: Int) => x * 2)(21)
+    assert(result == 42)
+    assert(backoffs > 0, "overloaded throttler must delay before sending")
+    assert(t.throttlingProbability(now) < 0.8,
+      "success must feed back and pull the reject probability down")
+  }
 }
 
 /** Shared JVM-wide load counter for the per-key inference cache spec
