@@ -284,7 +284,9 @@ object Similarity {
       .withColumn("h", graft.functions.PortableHash.md5Long(col("id")))
       .orderBy("h").limit(nCells)
       .select("v").as[Seq[Float]].collect().toSeq
-    for (_ <- 0 until iters) {
+    // empty corpus → no seeds; skip refinement (cellsRankedFor over
+    // zero seeds is not a well-typed expression)
+    for (_ <- 0 until (if (seeds.isEmpty) 0 else iters)) {
       val cents = corpus
         .select(col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__n"))
         .withColumn("cell",
@@ -318,6 +320,11 @@ object Similarity {
       kmeansIters: Int = 0): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     val seeds = kmeansSeeds(corpus, idCol, vecCol, nCells, kmeansIters)
+    if (seeds.isEmpty)
+      // empty corpus (or all-empty partitions at fit time): no cells,
+      // no candidates — emit zero rows with the output schema intact
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("match_id"), lit(0.0).as("sim")).limit(0)
     def cellsRanked(vec: Column, norm: Column): Column =
       cellsRankedFor(seeds)(vec, norm)
     val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),

@@ -322,7 +322,10 @@ object CurationQueries {
         val src = Tables.orders(s, d).select(col("o_orderkey"),
           col("o_custkey"), col("o_totalprice"))
         src.write.mode("overwrite").jdbc(url, "t_orders", props)
-        val maxKey = src.agg(max(col("o_orderkey"))).head().getLong(0)
+        // coalesce: an empty source leaves max() NULL — bound the
+        // partitioned read at 0 instead of NPE-ing
+        val maxKey = src.agg(coalesce(max(col("o_orderkey")), lit(0L)))
+          .head().getLong(0)
         s.read.jdbc(url, "t_orders", "o_orderkey", 0L, maxKey + 1, 4, props)
           .agg(count(lit(1)).as("n"),
             sum(col("o_orderkey")).cast("long").as("sum_key"),

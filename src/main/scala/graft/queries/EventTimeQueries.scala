@@ -247,7 +247,12 @@ object EventTimeQueries {
               .partitionBy(col("user_id"))
               .orderBy(col("ts").desc, col("event_id").desc)))
           .filter(col("rn") === 1)
-          .select(col("user_id"), round(col("avg10"), 4).as("avg_last10"))
+          // round to SIX decimals, not four: frames of 4 or 8 rows give
+          // averages k/400, k/800 — exact 5-decimal values that land ON
+          // the half boundary at 4 decimals, where Spark's HALF_UP and
+          // DuckDB's HALF_EVEN disagree (caught at sf0.1). No possible
+          // count (1..10) terminates at a 6-decimal half.
+          .select(col("user_id"), round(col("avg10"), 6).as("avg_last10"))
       },
       Some("""WITH c AS (
           SELECT user_id, ts, event_id,
@@ -255,7 +260,7 @@ object EventTimeQueries {
               ORDER BY ts ASC, event_id ASC
               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS avg10
           FROM events WHERE event_type = 'click')
-        SELECT user_id, round(avg10, 4) AS avg_last10 FROM c
+        SELECT user_id, round(avg10, 6) AS avg_last10 FROM c
         QUALIFY row_number() OVER (PARTITION BY user_id
           ORDER BY ts DESC, event_id DESC) = 1""")),
 

@@ -39,4 +39,26 @@ class RegistrySpec extends SparkSpec {
       assert(df.count() >= 0)
     }
   }
+
+  test("every query tolerates fully-EMPTY inputs (empty-partition robustness)") {
+    // At 100 TB some split/partition/source is always empty; a fit
+    // step that NPEs on a null max() or builds a zero-seed expression
+    // takes the whole job down. Schema-identical empty copies of every
+    // table, all queries must plan AND execute.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val failures = Registry.all.flatMap { q =>
+      try { q.fn(spark, dir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"${q.name}: ${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
