@@ -78,10 +78,16 @@ object Multimodal {
     df.mapPartitions { rows =>
       val codec = codecFactory() // per-partition setup
       rows.grouped(batchSize).flatMap { batch =>
-        val metas = codec.decodeBatch(
-          batch.map(_.get(payloadIdx).asInstanceOf[Array[Byte]]))
-        batch.lazyZip(metas).map { case (r, (n, f, w, h, nf)) =>
-          Row.fromSeq(r.toSeq :+ Row(n, f, w, h, nf))
+        // null payloads (dirty corpus rows) never reach the codec —
+        // they carry a null meta; decode only the non-null slice
+        val payloads = batch.map(_.get(payloadIdx).asInstanceOf[Array[Byte]])
+        val metas = codec.decodeBatch(payloads.filter(_ != null)).iterator
+        batch.lazyZip(payloads).map { case (r, p) =>
+          val meta = if (p == null) null else {
+            val (n, f, w, h, nf) = metas.next()
+            Row(n, f, w, h, nf)
+          }
+          Row.fromSeq(r.toSeq :+ meta)
         }
       }
     }(enc)

@@ -695,12 +695,18 @@ object CoverageQueries {
           max("o_totalprice").as("mx"))
         ord(s, d).crossJoin(broadcast(fit))
           .select(col("o_orderkey"),
-            round((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")), 6)
+            // degenerate range (constant column / single row): scaled
+            // value undefined → NULL, never a divide-by-zero crash
+            when(col("mx") > col("mn"),
+              round((col("o_totalprice") - col("mn"))
+                / (col("mx") - col("mn")), 6))
               .as("scaled"))
       },
       Some("""SELECT o_orderkey,
-        round((o_totalprice - min(o_totalprice) OVER ())
-          / (max(o_totalprice) OVER () - min(o_totalprice) OVER ()), 6) AS scaled
+        CASE WHEN max(o_totalprice) OVER () > min(o_totalprice) OVER () THEN
+          round((o_totalprice - min(o_totalprice) OVER ())
+            / (max(o_totalprice) OVER () - min(o_totalprice) OVER ()), 6)
+        END AS scaled
         FROM orders""")),
 
     // ===== PIVOT (long → wide rotation): Beam reaches this through the

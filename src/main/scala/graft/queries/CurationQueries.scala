@@ -262,6 +262,9 @@ object CurationQueries {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-tfr").resolve("docs").toString
         Tables.documents(s, d)
+          // a record container has no null payload encoding — the
+          // pipeline author drops them (rule mirrored in the oracle)
+          .filter(col("text").isNotNull)
           .select(encode(col("text"), "UTF-8").as("payload"))
           .createOrReplaceTempView("tfr_src")
         graft.sources.TFRecordIO.write(
@@ -275,7 +278,7 @@ object CurationQueries {
       Some("""SELECT count(*) AS n,
           count(DISTINCT md5(text)) AS n_distinct,
           min(md5(text)) AS first_md5, max(md5(text)) AS last_md5
-        FROM documents""")),
+        FROM documents WHERE text IS NOT NULL""")),
 
     // ===== Avro container round trip — the self-describing interchange
     // format (Beam AvroIO; the spark-avro DataSource connector is not

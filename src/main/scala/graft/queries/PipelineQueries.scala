@@ -380,8 +380,10 @@ object PipelineQueries {
           .agg(percentile(abs(col("value") - col("med_v")), lit(0.5)).as("mad_v"))
         ev(s, d).join(broadcast(med), "event_type")
           .join(broadcast(mad), "event_type")
-          .withColumn("rz", round(
-            abs(col("value") - col("med_v")) / (lit(1.4826) * col("mad_v")), 6))
+          // mad_v = 0 (constant group, e.g. n=1) ⇒ robust z undefined:
+          // no anomaly, not a crash (when→null filters out)
+          .withColumn("rz", when(col("mad_v") > 0, round(
+            abs(col("value") - col("med_v")) / (lit(1.4826) * col("mad_v")), 6)))
           .filter(col("rz") > 3.0)
           .select(col("event_id"), col("event_type"), col("rz"))
       },
@@ -394,7 +396,8 @@ object PipelineQueries {
         SELECT event_id, e.event_type,
           round(abs(value - med_v) / (1.4826 * mad_v), 6) AS rz
         FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
-        WHERE round(abs(value - med_v) / (1.4826 * mad_v), 6) > 3.0""")),
+        WHERE mad_v > 0
+          AND round(abs(value - med_v) / (1.4826 * mad_v), 6) > 3.0""")),
 
     // ===== IQR anomaly detector (ml/anomaly/detectors/iqr.py): Tukey
     // fences — flag points outside [q1 - 1.5·IQR, q3 + 1.5·IQR], with
@@ -970,14 +973,18 @@ object PipelineQueries {
           var_pop("o_totalprice").as("vr"))
         o.crossJoin(broadcast(fit))
           .select(col("o_orderkey"),
-            round((col("o_totalprice") - col("mu")) / sqrt(col("vr")), 6)
+            // zero variance (constant column / single row): z undefined
+            // → NULL, matching tft's guarded divide — never a crash
+            when(col("vr") > 0,
+              round((col("o_totalprice") - col("mu")) / sqrt(col("vr")), 6))
               .as("z"),
             round(col("mu"), 4).as("price_mean"),
             round(col("vr"), 2).as("price_var"))
       },
       Some("""SELECT o_orderkey,
-          round((o_totalprice - avg(o_totalprice) OVER ())
-            / sqrt(var_pop(o_totalprice) OVER ()), 6) AS z,
+          CASE WHEN var_pop(o_totalprice) OVER () > 0 THEN
+            round((o_totalprice - avg(o_totalprice) OVER ())
+              / sqrt(var_pop(o_totalprice) OVER ()), 6) END AS z,
           round(avg(o_totalprice) OVER (), 4) AS price_mean,
           round(var_pop(o_totalprice) OVER (), 2) AS price_var
         FROM orders""")),

@@ -289,7 +289,10 @@ object RelationalQueries {
     // (prio, status), then entries collected in sorted order so the
     // JSON rendering is deterministic in both engines).
     Q("agg_to_dict",
-      (s, d) => ord(s, d).groupBy("o_orderpriority", "o_orderstatus")
+      // null status rows can't become JSON map keys — drop them up
+      // front (dirty-data rule mirrored in the oracle)
+      (s, d) => ord(s, d).filter(col("o_orderstatus").isNotNull)
+        .groupBy("o_orderpriority", "o_orderstatus")
         .agg(count(lit(1)).as("n"))
         .groupBy("o_orderpriority")
         .agg(to_json(map_from_entries(sort_array(collect_list(
@@ -298,7 +301,7 @@ object RelationalQueries {
         '{' || string_agg('"' || o_orderstatus || '":' || n, ','
                           ORDER BY o_orderstatus) || '}' AS status_counts
         FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
-              FROM orders GROUP BY 1, 2)
+              FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2)
         GROUP BY o_orderpriority""")),
 
     Q("agg_percentiles",

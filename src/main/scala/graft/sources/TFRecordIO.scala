@@ -45,6 +45,9 @@ object TFRecordIO {
   /** Frame one record: header (length + masked length-CRC), data,
     * footer (masked data-CRC). */
   def encodeRecord(data: Array[Byte]): Array[Byte] = {
+    // a deep NPE from a dirty null row is undebuggable at scale —
+    // name the contract instead (filter nulls before writing)
+    require(data != null, "TFRecord payload must not be null")
     val buf = ByteBuffer.allocate(12 + data.length + 4)
       .order(ByteOrder.LITTLE_ENDIAN)
     val lenBytes = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)

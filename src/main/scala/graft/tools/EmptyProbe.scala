@@ -23,17 +23,45 @@ object EmptyProbe {
       spark.read.parquet(s"$src/$t.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    var bad = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, dir).collect(); () }
-      catch { case e: Throwable =>
-        bad += 1
-        println(s"FAIL $name: ${e.getClass.getSimpleName}: " +
-          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+    def sweep(label: String, d: String): Unit = {
+      var bad = 0
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try { fn(spark, d).collect(); () }
+        catch { case e: Throwable =>
+          bad += 1
+          println(s"FAIL[$label] $name: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+        }
       }
+      println(s"$label sweep: ${graft.SparkEntry.queries.size - bad}/" +
+        s"${graft.SparkEntry.queries.size} ok, $bad failed")
     }
-    println(s"empty-input sweep: ${graft.SparkEntry.queries.size - bad}/" +
-      s"${graft.SparkEntry.queries.size} ok, $bad failed")
+    sweep("empty", dir)
+
+    // single-row tables (n=1 aggregates: stddev/corr/median edge paths)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-one").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      spark.read.parquet(s"$src/$t.parquet").limit(1)
+        .write.mode("overwrite").parquet(s"$dir1/$t.parquet")
+    }
+    sweep("single-row", dir1)
+
+    // null-injected: every nullable-typed string column nulled on ~1/3
+    // of rows (dirty-corpus robustness; numeric keys stay intact)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StringType
+    val dirN = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      var df = spark.read.parquet(s"$src/$t.parquet")
+      for (f <- df.schema.fields if f.dataType == StringType)
+        df = df.withColumn(f.name,
+          when(abs(hash(col(f.name))) % 3 === 0, lit(null: String))
+            .otherwise(col(f.name)))
+      df.write.mode("overwrite").parquet(s"$dirN/$t.parquet")
+    }
+    sweep("null-injected", dirN)
     spark.stop()
   }
 }

@@ -61,4 +61,33 @@ class RegistrySpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("degenerate-stat and null-payload queries survive single-row and dirty-null tables") {
+    // Regression guard for the graft.tools.EmptyProbe findings (the
+    // full 3-variant × 201-query sweep lives there, run per round):
+    // n=1 fits must not divide by a zero stddev/MAD/range, and null
+    // strings must not reach map keys, codecs, or record framers.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StringType
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val one = java.nio.file.Files.createTempDirectory("graft-one").toString
+    val nul = java.nio.file.Files.createTempDirectory("graft-nul").toString
+    for (t <- tables) {
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      df.limit(1).write.mode("overwrite").parquet(s"$one/$t.parquet")
+      var d2 = df
+      for (f <- d2.schema.fields if f.dataType == StringType)
+        d2 = d2.withColumn(f.name,
+          when(abs(hash(col(f.name))) % 3 === 0, lit(null: String))
+            .otherwise(col(f.name)))
+      d2.write.mode("overwrite").parquet(s"$nul/$t.parquet")
+    }
+    val byName = Registry.all.map(q => q.name -> q).toMap
+    for (n <- Seq("anomaly_robust_zscore", "ml_minmax_scale", "ml_zscore_scale"))
+      byName(n).fn(spark, one).collect()
+    for (n <- Seq("agg_to_dict", "io_tfrecord_roundtrip", "multimodal_meta"))
+      byName(n).fn(spark, nul).collect()
+  }
 }
