@@ -756,6 +756,59 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("temporalJoin agrees with the batch as-of join on identical inputs (unified model)") {
+    // Beam's core promise: one semantics, two execution modes. The
+    // same (key, ts) data through Joins.asOfJoin (batch, union-trick
+    // window) and StatefulV2.temporalJoin (streaming, state+timers)
+    // must land on identical results.
+    withRocksDb {
+      val evData = Seq(
+        (1L, 500L, "e1"), (1L, 1500L, "e2"), (1L, 999L, "e3"),
+        (2L, 100L, "e4"), // before any key-2 version → no match
+        (2L, 2000L, "e5"), (3L, 700L, "e6"))
+      val verData = Seq(
+        (1L, 400L, "v1a"), (1L, 1000L, "v1b"),
+        (2L, 150L, "v2a"), (3L, 700L, "v3a")) // equal ts: version wins
+
+      // batch
+      val left = spark.createDataFrame(evData).toDF("k", "ts", "v")
+      val right = spark.createDataFrame(verData).toDF("k", "ts", "rv")
+      val batch = graft.operators.Joins
+        .asOfJoin(left, right, "k", "ts", Seq("v"), Seq("rv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+
+      // streaming: out-of-order delivery across two micro-batches
+      val events = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val versions = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val joined = StatefulV2.temporalJoin(events.toDS(), versions.toDS(), "1 second")
+      val table = freshTable()
+      val q = startMemorySink(joined, table)
+      def ts(m: Long) = new java.sql.Timestamp(m)
+      versions.addData(verData.drop(2).map { case (k, t, r) => (k, ts(t), r) }: _*)
+      events.addData(evData.take(3).map { case (k, t, v) => (k, ts(t), v) }: _*)
+      q.processAllAvailable()
+      versions.addData(verData.take(2).map { case (k, t, r) => (k, ts(t), r) }: _*)
+      events.addData(evData.drop(3).map { case (k, t, v) => (k, ts(t), v) }: _*)
+      q.processAllAvailable()
+      versions.addData((99L, ts(1000000L), "wm"))
+      events.addData((99L, ts(1000000L), "wm"))
+      q.processAllAvailable()
+      awaitSink(table) {
+        spark.table(table).count() >= evData.size
+      }
+      val stream = spark.table(table)
+        .as[(Long, java.sql.Timestamp, String, Option[String])]
+        .collect().filter(_._1 != 99L)
+        .map { case (k, t, v, r) => (k, t.getTime, v, r) }.toSet
+      assert(stream == batch,
+        s"stream ${stream.toSeq.sortBy(x => (x._1, x._2))} vs " +
+          s"batch ${batch.toSeq.sortBy(x => (x._1, x._2))}")
+      q.stop()
+    }
+  }
+
   test("temporalJoin emits None when no version predates the event (left outer)") {
     withRocksDb {
       val events = MemoryStream[(Long, java.sql.Timestamp, String)]
