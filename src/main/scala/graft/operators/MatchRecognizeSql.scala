@@ -25,8 +25,9 @@ import org.apache.spark.sql.types._
   *    0) is NULL → false, the SQL three-valued outcome;
   *  - MEASURES support `FIRST(V.col)`, `LAST(V.col)`, `V.col`
   *    (≡ LAST in ONE ROW PER MATCH), `COUNT(V.*)`, `COUNT(*)`,
-  *    `MATCH_NUMBER()`; an unmatched optional variable yields NULL
-  *    (COUNT yields 0).
+  *    `MATCH_NUMBER()`, and numeric aggregates `SUM/AVG/MIN/MAX(V.col)`
+  *    (DOUBLE result, null-skipping); an unmatched optional variable
+  *    yields NULL (COUNT yields 0, aggregates yield NULL).
   *
   * Scale: identical to the DSL path — one shuffle on the partition
   * key, sort-merged groups, tight JVM matcher per group.
@@ -179,6 +180,10 @@ object MatchRecognizeSql {
   private final case class MNav(name: String, kind: String, varName: String,
       colName: String) extends Measure // kind ∈ first | last
   private final case class MMatchNum(name: String) extends Measure
+  // SQL:2016 running aggregates over one variable's matched rows
+  // (ONE ROW PER MATCH ⇒ final semantics); numeric columns, DOUBLE out
+  private final case class MAgg(name: String, kind: String, varName: String,
+      colName: String) extends Measure // kind ∈ sum | avg | min | max
 
   private def parseMeasures(text: String): Seq[Measure] =
     splitTopLevel(text, ',').map(_.trim).filter(_.nonEmpty).map { m =>
@@ -202,6 +207,11 @@ object MatchRecognizeSql {
         val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
         val Array(v, c) = inner.split("\\.", 2)
         MNav(name, kind, v, c)
+      } else if (Seq("SUM(", "AVG(", "MIN(", "MAX(").exists(up.startsWith)) {
+        val kind = up.substring(0, 3).toLowerCase
+        val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
+        val Array(v, c) = inner.split("\\.", 2)
+        MAgg(name, kind, v, c)
       } else {
         require(expr.contains("."), s"unsupported MEASURES expression: $expr")
         val Array(v, c) = expr.split("\\.", 2)
@@ -317,6 +327,7 @@ object MatchRecognizeSql {
         case MCount(n, _) => StructField(n, LongType, nullable = false)
         case MMatchNum(n) => StructField(n, LongType, nullable = false)
         case MNav(n, _, _, c) => StructField(n, colType(c), nullable = true)
+        case MAgg(n, _, _, _) => StructField(n, DoubleType, nullable = true)
       }
     val outSchema = StructType(outFields.toArray)
 
@@ -337,6 +348,19 @@ object MatchRecognizeSql {
               val i = r.fieldIndex(c)
               if (r.isNullAt(i)) null else r.get(i)
             case None => null
+          }
+        case MAgg(_, kind, v, c) =>
+          val xs = m.captured.get(v).getOrElse(Seq.empty).flatMap { r =>
+            val i = r.fieldIndex(c)
+            if (r.isNullAt(i)) None
+            else Some(r.get(i).asInstanceOf[Number].doubleValue())
+          }
+          if (xs.isEmpty) null // SQL aggregates ignore nulls; empty → NULL
+          else kind match {
+            case "sum" => xs.sum
+            case "avg" => xs.sum / xs.size
+            case "min" => xs.min
+            case "max" => xs.max
           }
       }
       Row.fromSeq(partVals ++ mVals)

@@ -714,6 +714,59 @@ object PipelineQueries {
           CAST(run_len AS BIGINT) AS run_len, peak, trough
         FROM runs""")),
 
+    // ===== MEASURES aggregates (SQL:2016 SUM/AVG/MIN/MAX over a
+    // pattern variable's matched rows — Calcite exposes these through
+    // BeamMatchRel's measure expressions): the total/mean/extremes of
+    // the descending leg of each down-run, computed inside the match.
+    Q("pattern_measures_agg",
+      (s, d) => {
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.operators.MatchRecognizeSql(events, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES MATCH_NUMBER() AS match_seq, SUM(B.value) AS sum_down,
+                   AVG(B.value) AS avg_down, MIN(B.value) AS min_down,
+                   MAX(B.value) AS max_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS B.value < PREV(B.value)""")
+          .select(col("user_id"), col("match_seq"),
+            round(col("sum_down"), 6).as("sum_down"),
+            round(col("avg_down"), 6).as("avg_down"),
+            col("min_down"), col("max_down"))
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN value < lag(value) OVER
+              (PARTITION BY user_id ORDER BY rn)
+            THEN 0 ELSE 1 END AS brk
+          FROM ordered
+        ), grp AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS g
+          FROM marked
+        ), grp2 AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, g
+            ORDER BY rn) AS rn2
+          FROM grp
+        ), runs AS (
+          SELECT user_id, g, count(*) AS n_rows, min(rn) AS head_rn,
+            round(sum(value) FILTER (rn2 > 1), 6) AS sum_down,
+            round(avg(value) FILTER (rn2 > 1), 6) AS avg_down,
+            min(value) FILTER (rn2 > 1) AS min_down,
+            max(value) FILTER (rn2 > 1) AS max_down
+          FROM grp2 GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY head_rn)
+            AS BIGINT) AS match_seq,
+          sum_down, avg_down, min_down, max_down
+        FROM runs""")),
+
     // ===== AFTER MATCH SKIP TO NEXT ROW (SQL:2016's other
     // deterministic skip mode; Calcite SqlMatchRecognize.AfterOption):
     // PATTERN (A B) DEFINE B AS B.value < PREV(B.value) with the scan
