@@ -110,10 +110,13 @@ object MatchRecognize {
     def count(name: String): Int = assigned.count(_._1 == name)
   }
 
-  /** One complete match: the per-key ordinal (1-based, in row order) and
-    * the rows captured by each step, in order. */
+  /** One complete match: the per-key ordinal (1-based, in row order),
+    * the rows captured by each step (in order), and the full match in
+    * ROW order with each row's variable — the CLASSIFIER() stream that
+    * ALL ROWS PER MATCH emits. */
   final case class Match[K, T](key: K, matchSeq: Long,
-      captured: Map[String, Seq[T]])
+      captured: Map[String, Seq[T]],
+      ordered: Seq[(String, T)] = Seq.empty)
 
   /** Parse a SQL `PATTERN (...)` clause body into pattern elements —
     * the front-door syntax of `MATCH_RECOGNIZE` (Beam parses it via
@@ -196,7 +199,8 @@ object MatchRecognize {
     * so context predicates see the match-so-far. Returns end-exclusive
     * index on success. */
   private def tryMatch[T](rows: IndexedSeq[T], start: Int,
-      elems: Seq[Elem[T]]): Option[(Int, Map[String, Seq[T]])] = {
+      elems: Seq[Elem[T]])
+      : Option[(Int, Map[String, Seq[T]], Seq[(String, T)])] = {
 
     def go(pos: Int, rest: List[Elem[T]],
         assigned: List[(String, Int)]): Option[(Int, List[(String, Int)])] =
@@ -239,9 +243,10 @@ object MatchRecognize {
     }
 
     go(start, elems.toList, Nil).map { case (end, assigned) =>
-      val ordered = assigned.reverse
+      val ordered = assigned.reverse // row-index order (consumption is monotone)
       (end, ordered.groupBy(_._1)
-        .map { case (n, xs) => n -> xs.map(x => rows(x._2)) })
+        .map { case (n, xs) => n -> xs.map(x => rows(x._2)) },
+        ordered.map { case (n, i) => (n, rows(i)) })
     }
   }
 
@@ -258,8 +263,8 @@ object MatchRecognize {
     var matchSeq = 1L
     while (pos < rows.length) {
       tryMatch(rows, pos, steps) match {
-        case Some((end, captured)) if end > pos =>
-          out += measure(Match(key, matchSeq, captured))
+        case Some((end, captured, ordered)) if end > pos =>
+          out += measure(Match(key, matchSeq, captured, ordered))
           matchSeq += 1
           pos = skip match {
             case SkipPastLastRow => end // resume after the match
@@ -288,6 +293,20 @@ object MatchRecognize {
     ds.groupByKey(key).flatMapSortedGroups(sortCols: _*) {
       (k: K, it: Iterator[T]) =>
         matchRows(k, it.toIndexedSeq, steps, skip)(measure).iterator
+    }
+  }
+
+  /** [[matchRecognize]] with a multi-row measure — the ALL ROWS PER
+    * MATCH execution shape (one output row per matched input row). */
+  def matchRecognizeFlat[K: Encoder, T: Encoder, O: Encoder](
+      ds: Dataset[T], key: T => K,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      steps: Seq[Elem[T]],
+      skip: SkipMode = SkipPastLastRow)(
+      measure: Match[K, T] => Seq[O]): Dataset[O] = {
+    ds.groupByKey(key).flatMapSortedGroups(sortCols: _*) {
+      (k: K, it: Iterator[T]) =>
+        matchRows(k, it.toIndexedSeq, steps, skip)(measure).flatten.iterator
     }
   }
 }

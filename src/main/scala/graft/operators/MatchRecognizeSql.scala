@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
   * completing the path Beam takes through Calcite
   * (extensions/sql/.../rel/BeamMatchRel.java:76 + the impl/cep/
   * CEPOperation compiler): PARTITION BY, ORDER BY, MEASURES,
-  * ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW, PATTERN
+  * ONE/ALL ROWS PER MATCH, AFTER MATCH SKIP PAST LAST ROW, PATTERN
   * (via [[MatchRecognize.parsePattern]]: quantifiers + one level of
   * alternation), and DEFINE with a real predicate grammar —
   * comparisons over `V.col`, `PREV/NEXT(V.col[, k])`,
@@ -25,9 +25,14 @@ import org.apache.spark.sql.types._
   *    0) is NULL → false, the SQL three-valued outcome;
   *  - MEASURES support `FIRST(V.col)`, `LAST(V.col)`, `V.col`
   *    (≡ LAST in ONE ROW PER MATCH), `COUNT(V.*)`, `COUNT(*)`,
-  *    `MATCH_NUMBER()`, and numeric aggregates `SUM/AVG/MIN/MAX(V.col)`
-  *    (DOUBLE result, null-skipping); an unmatched optional variable
-  *    yields NULL (COUNT yields 0, aggregates yield NULL).
+  *    `MATCH_NUMBER()`, `CLASSIFIER()`, and numeric aggregates
+  *    `SUM/AVG/MIN/MAX(V.col)` (DOUBLE result, null-skipping); an
+  *    unmatched optional variable yields NULL (COUNT yields 0,
+  *    aggregates yield NULL);
+  *  - ALL ROWS PER MATCH emits one output row per matched input row
+  *    (all source columns + measures, FINAL measure semantics,
+  *    CLASSIFIER() per row) — ONE ROW PER MATCH emits partition cols
+  *    + measures.
   *
   * Scale: identical to the DSL path — one shuffle on the partition
   * key, sort-merged groups, tight JVM matcher per group.
@@ -184,6 +189,9 @@ object MatchRecognizeSql {
   // (ONE ROW PER MATCH ⇒ final semantics); numeric columns, DOUBLE out
   private final case class MAgg(name: String, kind: String, varName: String,
       colName: String) extends Measure // kind ∈ sum | avg | min | max
+  // CLASSIFIER(): the row's pattern variable in ALL ROWS PER MATCH
+  // (the LAST row's variable in ONE ROW PER MATCH)
+  private final case class MClassifier(name: String) extends Measure
 
   private def parseMeasures(text: String): Seq[Measure] =
     splitTopLevel(text, ',').map(_.trim).filter(_.nonEmpty).map { m =>
@@ -195,6 +203,7 @@ object MatchRecognizeSql {
         s"bad measure name '$name'")
       val up = expr.toUpperCase
       if (up == "MATCH_NUMBER()") MMatchNum(name)
+      else if (up == "CLASSIFIER()") MClassifier(name)
       else if (up.startsWith("COUNT(")) {
         val inner = expr.substring(6, expr.length - 1).trim
         if (inner == "*") MCount(name, "")
@@ -267,7 +276,8 @@ object MatchRecognizeSql {
     val body = clause.trim
     // section slicing: each keyword found at depth 0, in order
     val keywords = Seq("PARTITION BY", "ORDER BY", "MEASURES",
-      "ONE ROW PER MATCH", "AFTER MATCH SKIP PAST LAST ROW",
+      "ONE ROW PER MATCH", "ALL ROWS PER MATCH",
+      "AFTER MATCH SKIP PAST LAST ROW",
       "AFTER MATCH SKIP TO NEXT ROW", "PATTERN",
       "DEFINE")
     val found = keywords.flatMap { kw =>
@@ -319,52 +329,74 @@ object MatchRecognizeSql {
 
     val steps = MatchRecognize.parsePattern[Row](patternText, defines)
 
-    // output schema: partition cols (source dtypes) ++ measures
+    val allRows = found.exists(_._1 == "ALL ROWS PER MATCH")
+
+    // output schema: ALL ROWS = every input column + measures;
+    // ONE ROW = partition cols + measures
     val inSchema = df.schema
     def colType(name: String): DataType = inSchema(name).dataType
-    val outFields = partCols.map(c => StructField(c, colType(c))) ++
-      measures.map {
-        case MCount(n, _) => StructField(n, LongType, nullable = false)
-        case MMatchNum(n) => StructField(n, LongType, nullable = false)
-        case MNav(n, _, _, c) => StructField(n, colType(c), nullable = true)
-        case MAgg(n, _, _, _) => StructField(n, DoubleType, nullable = true)
-      }
+    val measureFields = measures.map {
+      case MCount(n, _) => StructField(n, LongType, nullable = false)
+      case MMatchNum(n) => StructField(n, LongType, nullable = false)
+      case MClassifier(n) => StructField(n, StringType, nullable = false)
+      case MNav(n, _, _, c) => StructField(n, colType(c), nullable = true)
+      case MAgg(n, _, _, _) => StructField(n, DoubleType, nullable = true)
+    }
+    val outFields =
+      (if (allRows) inSchema.fields.toSeq
+       else partCols.map(c => StructField(c, colType(c)))) ++ measureFields
     val outSchema = StructType(outFields.toArray)
 
     val partIdx = partCols.map(inSchema.fieldIndex)
-    val matched = MatchRecognize.matchRecognize[String, Row, Row](
-      df, r => partIdx.map(i => String.valueOf(r.get(i))).mkString("\u001f"),
-      sortSpecs, steps, skip) { m =>
-      val anyRow = m.captured.valuesIterator.flatten.next()
-      val partVals = partIdx.map(anyRow.get)
-      val mVals = measures.map {
-        case MCount(_, "") => m.captured.valuesIterator.map(_.size).sum.toLong
-        case MCount(_, v) => m.captured.get(v).map(_.size).getOrElse(0).toLong
-        case MMatchNum(_) => m.matchSeq
-        case MNav(_, kind, v, c) =>
-          m.captured.get(v).filter(_.nonEmpty) match {
-            case Some(rows) =>
-              val r = if (kind == "first") rows.head else rows.last
-              val i = r.fieldIndex(c)
-              if (r.isNullAt(i)) null else r.get(i)
-            case None => null
-          }
-        case MAgg(_, kind, v, c) =>
-          val xs = m.captured.get(v).getOrElse(Seq.empty).flatMap { r =>
+    val keyFn = (r: Row) =>
+      partIdx.map(i => String.valueOf(r.get(i))).mkString("\u001f")
+
+    // match-level (FINAL-semantics) measure values; CLASSIFIER is
+    // per-row in ALL ROWS mode, the last row's variable in ONE ROW
+    def finalVals(m: MatchRecognize.Match[String, Row],
+        classifier: => String): Seq[Any] = measures.map {
+      case MCount(_, "") => m.captured.valuesIterator.map(_.size).sum.toLong
+      case MCount(_, v) => m.captured.get(v).map(_.size).getOrElse(0).toLong
+      case MMatchNum(_) => m.matchSeq
+      case MClassifier(_) => classifier
+      case MNav(_, kind, v, c) =>
+        m.captured.get(v).filter(_.nonEmpty) match {
+          case Some(rows) =>
+            val r = if (kind == "first") rows.head else rows.last
             val i = r.fieldIndex(c)
-            if (r.isNullAt(i)) None
-            else Some(r.get(i).asInstanceOf[Number].doubleValue())
-          }
-          if (xs.isEmpty) null // SQL aggregates ignore nulls; empty → NULL
-          else kind match {
-            case "sum" => xs.sum
-            case "avg" => xs.sum / xs.size
-            case "min" => xs.min
-            case "max" => xs.max
-          }
-      }
-      Row.fromSeq(partVals ++ mVals)
-    }(Encoders.STRING, Encoders.row(inSchema), Encoders.row(outSchema))
-    matched
+            if (r.isNullAt(i)) null else r.get(i)
+          case None => null
+        }
+      case MAgg(_, kind, v, c) =>
+        val xs = m.captured.get(v).getOrElse(Seq.empty).flatMap { r =>
+          val i = r.fieldIndex(c)
+          if (r.isNullAt(i)) None
+          else Some(r.get(i).asInstanceOf[Number].doubleValue())
+        }
+        if (xs.isEmpty) null // SQL aggregates ignore nulls; empty -> NULL
+        else kind match {
+          case "sum" => xs.sum
+          case "avg" => xs.sum / xs.size
+          case "min" => xs.min
+          case "max" => xs.max
+        }
+    }
+
+    if (allRows)
+      // one output row per matched input row: the full source row plus
+      // the match's FINAL measures, CLASSIFIER() varying per row
+      MatchRecognize.matchRecognizeFlat[String, Row, Row](
+        df, keyFn, sortSpecs, steps, skip) { m =>
+        m.ordered.map { case (varName, r) =>
+          Row.fromSeq(r.toSeq ++ finalVals(m, varName))
+        }
+      }(Encoders.STRING, Encoders.row(inSchema), Encoders.row(outSchema))
+    else
+      MatchRecognize.matchRecognize[String, Row, Row](
+        df, keyFn, sortSpecs, steps, skip) { m =>
+        val anyRow = m.captured.valuesIterator.flatten.next()
+        val partVals = partIdx.map(anyRow.get)
+        Row.fromSeq(partVals ++ finalVals(m, m.ordered.last._1))
+      }(Encoders.STRING, Encoders.row(inSchema), Encoders.row(outSchema))
   }
 }

@@ -767,6 +767,58 @@ object PipelineQueries {
           sum_down, avg_down, min_down, max_down
         FROM runs""")),
 
+    // ===== ALL ROWS PER MATCH + CLASSIFIER() (SQL:2016's per-row
+    // output mode — Calcite SqlMatchRecognize rowsPerMatch): every
+    // matched row emits with its pattern variable and the match's
+    // FINAL measures. The down-run unrolled: each A/B row tagged.
+    Q("pattern_all_rows",
+      (s, d) => {
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.operators.MatchRecognizeSql(events, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES MATCH_NUMBER() AS match_seq, CLASSIFIER() AS var_name,
+                   SUM(B.value) AS sum_down
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS B.value < PREV(B.value)""")
+          .select(col("user_id"), col("event_id"), col("match_seq"),
+            col("var_name"), round(col("sum_down"), 6).as("sum_down"))
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN value < lag(value) OVER
+              (PARTITION BY user_id ORDER BY rn)
+            THEN 0 ELSE 1 END AS brk
+          FROM ordered
+        ), grp AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS g
+          FROM marked
+        ), grp2 AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, g
+            ORDER BY rn) AS rn2
+          FROM grp
+        ), runs AS (
+          SELECT user_id, g, min(rn) AS head_rn,
+            round(sum(value) FILTER (rn2 > 1), 6) AS sum_down
+          FROM grp2 GROUP BY 1, 2 HAVING count(*) >= 2
+        ), seq AS (
+          SELECT user_id, g, sum_down,
+            row_number() OVER (PARTITION BY user_id ORDER BY head_rn)
+              AS match_seq
+          FROM runs)
+        SELECT g2.user_id, g2.event_id,
+          CAST(seq.match_seq AS BIGINT) AS match_seq,
+          CASE WHEN g2.rn2 = 1 THEN 'A' ELSE 'B' END AS var_name,
+          seq.sum_down
+        FROM grp2 g2 JOIN seq ON g2.user_id = seq.user_id AND g2.g = seq.g""")),
+
     // ===== AFTER MATCH SKIP TO NEXT ROW (SQL:2016's other
     // deterministic skip mode; Calcite SqlMatchRecognize.AfterOption):
     // PATTERN (A B) DEFINE B AS B.value < PREV(B.value) with the scan
