@@ -201,6 +201,10 @@ object GraftFunctions {
       CountMinSketchAgg(e(0), litInt(e(1)), litInt(e(2)))),
     "countmin_est" -> ((e: Seq[Expression]) =>
       CountMinEstimate(e(0), e(1), litInt(e(2)), litInt(e(3)))),
+    "theta_sketch_agg" -> ((e: Seq[Expression]) =>
+      ThetaSketchAgg(e(0), litInt(e(1)))),
+    "theta_merge_agg" -> ((e: Seq[Expression]) =>
+      ThetaMergeAgg(e(0), litInt(e(1)))),
     "tdigest_agg" -> ((e: Seq[Expression]) =>
       TDigestAgg(e(0), litInt(e(1)))),
     "tdigest_merge_agg" -> ((e: Seq[Expression]) =>

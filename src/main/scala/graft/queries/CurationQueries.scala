@@ -404,6 +404,67 @@ object CurationQueries {
         FROM snap FULL OUTER JOIN ch ON snap.o_orderkey = ch.o_orderkey
         WHERE COALESCE(ch.op, '') <> 'D'""")),
 
+    // ===== THETA (KMV) sketch set algebra — the distinct-count sketch
+    // with closed-form UNION / INTERSECTION over merged sketches (what
+    // HLL can't do): audience-overlap questions across segments answered
+    // from stored sketches, no join, no rescan. Exactness gate: with
+    // k ≥ distinct users the KMV holds every hash, so size(sketch),
+    // size(array_union), size(array_intersect) must equal the exact
+    // distinct/union/overlap counts the oracle computes (the truncated
+    // k<n estimate regime is bound-checked in ScaleSpec).
+    Q("agg_theta_overlap",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val k = 8192
+        val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"), col("user_id").cast("string").as("u"))
+        val sk = e.groupBy("event_type")
+          .agg(call_function("theta_sketch_agg", col("u"), lit(k)).as("sk"),
+            count_distinct(col("u")).as("n_exact"))
+        val wide = sk.agg(
+          first(when(col("event_type") === "click", col("sk")),
+            ignoreNulls = true).as("sa"),
+          first(when(col("event_type") === "view", col("sk")),
+            ignoreNulls = true).as("sb"),
+          first(when(col("event_type") === "click", col("n_exact")),
+            ignoreNulls = true).as("n_click"),
+          first(when(col("event_type") === "view", col("n_exact")),
+            ignoreNulls = true).as("n_view"))
+        val exact = e.groupBy("u").agg(
+            max(when(col("event_type") === "click", 1).otherwise(0)).as("a"),
+            max(when(col("event_type") === "view", 1).otherwise(0)).as("b"))
+          .agg(count(lit(1)).as("n_union"),
+            sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+              .as("n_overlap"))
+        wide.crossJoin(exact).select(
+          col("n_click"), col("n_view"), col("n_union"), col("n_overlap"),
+          (size(col("sa")) === col("n_click")).cast("long").as("est_click_exact"),
+          (size(col("sb")) === col("n_view")).cast("long").as("est_view_exact"),
+          (size(array_union(col("sa"), col("sb"))) === col("n_union"))
+            .cast("long").as("est_union_exact"),
+          (size(array_intersect(col("sa"), col("sb"))) === col("n_overlap"))
+            .cast("long").as("est_overlap_exact"))
+      },
+      Some("""WITH e AS (
+          SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+          WHERE event_type IN ('click', 'view')
+        ), per AS (
+          SELECT u,
+            max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+            max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+          FROM e GROUP BY u)
+        SELECT
+          (SELECT count(*) FROM per WHERE a = 1) AS n_click,
+          (SELECT count(*) FROM per WHERE b = 1) AS n_view,
+          count(*) AS n_union,
+          CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_overlap,
+          CAST(1 AS BIGINT) AS est_click_exact,
+          CAST(1 AS BIGINT) AS est_view_exact,
+          CAST(1 AS BIGINT) AS est_union_exact,
+          CAST(1 AS BIGINT) AS est_overlap_exact
+        FROM per""")),
+
     // ===== Deterministic train/val/test split assignment — the step
     // between curation and training: every doc lands in exactly one
     // split, reproducibly across runs/engines, with no coordination

@@ -565,4 +565,42 @@ class ScaleSpec extends SparkSpec {
       }.collect()
     assert(ok.forall(identity))
   }
+
+  test("theta sketch: truncated KMV estimates distinct/union/intersection within bound; merge ≡ single pass") {
+    // The k < n regime the oracle query (agg_theta_overlap) can't
+    // check: 80k-element sets with 40k overlap sketched at k=1024.
+    // KMV rank error ~ 1/sqrt(k) ≈ 3.1%.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 1024
+    val MAXH = math.pow(2.0, 60)
+    val a = (0 until 80000).map(i => ("a", s"v$i"))
+    val b = (40000 until 120000).map(i => ("b", s"v$i"))
+    val df = (a ++ b).toDF("tag", "u")
+    graft.functions.GraftFunctions.register(spark)
+    val sk = df.groupBy("tag")
+      .agg(call_function("theta_sketch_agg", col("u"), lit(k)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def est(s: Seq[Long]): Double =
+      if (s.size < k) s.size.toDouble else (k - 1) / (s(k - 1) / MAXH)
+    assert(math.abs(est(sk("a")) - 80000) < 80000 * 0.10, s"estA=${est(sk("a"))}")
+    assert(math.abs(est(sk("b")) - 80000) < 80000 * 0.10, s"estB=${est(sk("b"))}")
+    // union: k smallest of the concatenation
+    val union = (sk("a") ++ sk("b")).distinct.sorted.take(k)
+    assert(math.abs(est(union) - 120000) < 120000 * 0.10, s"estU=${est(union)}")
+    // intersection: common hashes below theta = min(theta_a, theta_b)
+    val theta = math.min(sk("a")(k - 1), sk("b")(k - 1))
+    val common = sk("a").toSet.intersect(sk("b").toSet).count(_ < theta)
+    val estI = common / (theta / MAXH)
+    assert(math.abs(estI - 40000) < 40000 * 0.25, s"estI=$estI")
+    // rollup: 16 sub-sketches merged with theta_merge_agg must equal
+    // the single-pass sketch BIT FOR BIT (KMV merge is exact)
+    val merged = df.filter(col("tag") === "a")
+      .withColumn("sub", abs(hash(col("u"))) % 16)
+      .groupBy("sub")
+      .agg(call_function("theta_sketch_agg", col("u"), lit(k)).as("s"))
+      .agg(call_function("theta_merge_agg", col("s"), lit(k)).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(merged == sk("a"), "merge-of-partials must equal single-pass KMV")
+  }
 }
