@@ -263,6 +263,32 @@ class IoSpec extends SparkSpec {
     assert(avgA <= 32 && avgB <= 32, s"avg spans ($avgA, $avgB)")
   }
 
+  test("publish manifest pins a snapshot: verify passes intact, catches loss/tamper/strays") {
+    import graft.sources.Manifest
+    val dir = tmp("graft-manifest")
+    spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+      .repartition(4).write.parquet(dir)
+    val snap = Manifest.publish(spark, dir)
+    assert(snap.nFiles == 4 && snap.totalRows == 10000)
+    assert(Manifest.verify(spark, dir, recount = true).isEmpty)
+
+    // losing a committed file is detected from the listing alone
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val victim = files.minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    assert(victim.delete())
+    val missing = Manifest.verify(spark, dir)
+    assert(missing.exists(_.startsWith("missing file")), missing.toString)
+
+    // restoring it heals; a stray extra data file is flagged
+    java.nio.file.Files.write(victim.toPath, bytes)
+    assert(Manifest.verify(spark, dir).isEmpty)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-stray.parquet"), Array[Byte](1, 2, 3))
+    assert(Manifest.verify(spark, dir).exists(_.startsWith("unmanifested")))
+  }
+
   test("end-to-end training-shard export: curate → ids → pack → TFRecord shards round-trip") {
     // The capstone composition a training-data pipeline actually ships:
     // quality filter + exact dedup → vocab token ids (top-K broadcast,
