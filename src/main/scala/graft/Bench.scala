@@ -60,7 +60,8 @@ object Bench {
     "io_tfrecord_roundtrip", "io_avro_roundtrip", "io_jdbc_roundtrip",
     "pipeline_cdc_apply", "agg_approx_topk",
     "pipeline_split_assign", "pipeline_dsir_weights", "text_dup_span_max",
-    "pattern_measures_agg", "pattern_all_rows", "agg_theta_overlap")
+    "pattern_measures_agg", "pattern_all_rows", "agg_theta_overlap",
+    "window_ewma")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -34,6 +34,27 @@ object Relational {
       f: (K, Iterator[T]) => IterableOnce[U]): Dataset[U] =
     ds.groupByKey(key).flatMapSortedGroups(sortCols: _*)(f)
 
+  /** Per-key exponentially weighted moving average in event order —
+    * the pandas `ewm(alpha).mean()` recurrence (adjust=False):
+    * e_1 = v_1; e_i = α·v_i + (1−α)·e_{i−1}. The sequential-scan
+    * shape (@RequiresTimeSortedInput): one shuffle on the key, the
+    * sort rides the exchange's spill-safe group sort, each key streams
+    * through O(1) state. A window-function formulation is either
+    * O(n²) per key (re-sum each frame) or numerically explosive
+    * (closed form needs (1−α)^(−j) factors), so the recurrence is the
+    * 100 TB path. */
+  def ewmaPerKey[K: Encoder, T, U: Encoder](ds: Dataset[T], key: T => K,
+      sortCols: Seq[Column], value: T => Double, alpha: Double)(
+      out: (T, Double) => U): Dataset[U] =
+    ds.groupByKey(key).flatMapSortedGroups(sortCols: _*) { (_, it) =>
+      var e = Double.NaN
+      it.map { t =>
+        val v = value(t)
+        e = if (e.isNaN) v else alpha * v + (1 - alpha) * e
+        out(t, e)
+      }
+    }
+
   /** Per-key top-k via ranked window (Beam: Top.perKey). One shuffle on
     * the key; rank prunes before any further stage. */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],

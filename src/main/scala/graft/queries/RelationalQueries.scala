@@ -686,6 +686,45 @@ object RelationalQueries {
           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
         FROM orders""")),
 
+    // ===== EWMA per key (pandas ewm(alpha).mean(), adjust=False) —
+    // the recurrence e_i = α·v_i + (1−α)·e_{i−1} has no O(n) window
+    // formulation, so it runs as a time-sorted per-key scan
+    // (Relational.ewmaPerKey over flatMapSortedGroups: one shuffle,
+    // spill-safe sort, O(1) state per key). The oracle replays the
+    // identical recurrence with a recursive CTE; (1 - 0.2) is written
+    // the same way in both engines so the IEEE sequences match.
+    Q("window_ewma",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d).select(
+            col("user_id").cast("long"), unix_micros(col("ts")),
+            col("event_id").cast("long"), col("value").cast("double"))
+          .toDF("_1", "_2", "_3", "_4")
+          .as[(Long, Long, Long, Double)]
+        graft.operators.Relational.ewmaPerKey(
+            e, (t: (Long, Long, Long, Double)) => t._1,
+            Seq(col("_2"), col("_3")),
+            (t: (Long, Long, Long, Double)) => t._4, alpha = 0.2) {
+            (t, ew) => (t._1, t._3, ew)
+          }
+          .toDF("user_id", "event_id", "ewma_raw")
+          .select(col("user_id"), col("event_id"),
+            round(col("ewma_raw"), 6).as("ewma"))
+      },
+      Some("""WITH RECURSIVE ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), rec(user_id, event_id, rn, e) AS (
+          SELECT user_id, event_id, rn, value FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.user_id, o.event_id, o.rn,
+            0.2 * o.value + (1 - 0.2) * rec.e
+          FROM ordered o
+          JOIN rec ON o.user_id = rec.user_id AND o.rn = rec.rn + 1)
+        SELECT user_id, event_id, round(e, 6) AS ewma FROM rec""")),
+
     Q("window_ntile_cume",
       (s, d) => {
         val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
