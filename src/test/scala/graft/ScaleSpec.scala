@@ -364,6 +364,13 @@ class ScaleSpec extends SparkSpec {
     val hyb = plan("join_skew_hybrid")
     assert(hyb.contains("BroadcastHashJoin"), "hybrid hot-tag not broadcast")
     assert(hyb.contains("Union"), "hybrid lost its two-tier union")
+    // EWMA: a sorted per-key SCAN (one shuffle, spill-safe sort) — a
+    // Window formulation would be the O(n²)-or-explosive shape
+    val ewma = plan("window_ewma")
+    assert(!ewma.contains("Window "), "ewma regained a window operator")
+    assert("Exchange".r.findAllIn(ewma).size == 1,
+      "ewma should shuffle exactly once")
+    assert(ewma.contains("Sort "), "ewma lost its group sort")
   }
 
   test("GraftExtensions injects native functions at session build") {
