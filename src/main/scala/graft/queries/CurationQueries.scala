@@ -465,6 +465,53 @@ object CurationQueries {
           CAST(1 AS BIGINT) AS est_overlap_exact
         FROM per""")),
 
+    // ===== TEMPERATURE-based source mixing — the multilingual /
+    // multi-source sampling scheme (p_s ∝ share_s^(1/T), the
+    // mBERT/XLM-R exponent-smoothed mix; DoReMi's fixed-weight cousin):
+    // low-resource sources are up-weighted, dominant ones down-
+    // weighted. Per-doc selection is DETERMINISTIC — keep doc iff
+    // portable-hash(doc_id)/2^60 < rate(source) — so the exact kept
+    // set is reproducible across runs AND engines (no RNG state), the
+    // property that makes a 100 TB mix auditable. Rates derive from
+    // one tiny per-source aggregate broadcast back; selection is a
+    // zero-shuffle scan.
+    Q("pipeline_temperature_mix",
+      (s, d) => {
+        val alpha = 0.5 // temperature 1/T = 0.5: square-root smoothing
+        val target = 250.0 // target docs in the mix
+        val perSrc = docs(s, d).groupBy("source")
+          .agg(count(lit(1)).cast("double").as("n_docs"))
+        val tot = perSrc.agg(
+          sum(pow(col("n_docs"), alpha)).as("z"))
+        val rates = perSrc.crossJoin(broadcast(tot))
+          .select(col("source"),
+            least(lit(1.0),
+              lit(target) * pow(col("n_docs"), alpha) / col("z")
+                / col("n_docs")).as("rate"))
+        val u = graft.functions.PortableHash.md5Long(col("doc_id"))
+          .cast("double") / lit(math.pow(2.0, 60))
+        docs(s, d).join(broadcast(rates), Seq("source"))
+          .filter(u < col("rate"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("doc_id")).as("first_kept"),
+            max(col("doc_id")).as("last_kept"))
+      },
+      Some(s"""WITH per AS (
+          SELECT source, CAST(count(*) AS DOUBLE) AS n_docs
+          FROM documents GROUP BY source
+        ), z AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM per
+        ), rates AS (
+          SELECT source,
+            least(1.0, 250.0 * pow(n_docs, 0.5) / z.z / n_docs) AS rate
+          FROM per CROSS JOIN z)
+        SELECT source, count(*) AS n_kept,
+          min(doc_id) AS first_kept, max(doc_id) AS last_kept
+        FROM documents JOIN rates USING (source)
+        WHERE CAST(${graft.functions.PortableHash.md5LongSql("doc_id")}
+            AS DOUBLE) / pow(2.0, 60) < rate
+        GROUP BY source""")),
+
     // ===== Deterministic train/val/test split assignment — the step
     // between curation and training: every doc lands in exactly one
     // split, reproducibly across runs/engines, with no coordination
