@@ -32,43 +32,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * cross-segment overlap questions (union/intersection of audiences)
   * need no re-scan and NO join: they are array expressions over the
   * stored sketches.
-  */
-case class ThetaSketchAgg(
-    child: Expression,
-    k: Int,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
+  *
+  * [[KmvAggBase]] holds the one KMV implementation (capped sorted-set
+  * insert, merge, eval ordering, wire format); [[ThetaSketchAgg]]
+  * (build from raw values) and [[ThetaMergeAgg]] (roll up stored
+  * sketches) differ only in their input row handling — a one-sided
+  * edit to the shared core is impossible by construction, which is
+  * what keeps the ScaleSpec "merge ≡ single pass bit-for-bit" contract
+  * safe. */
+abstract class KmvAggBase
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  def k: Int
 
-  override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "theta_sketch_agg"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"theta_sketch_agg requires string, got ${other.sql}")
-  }
-
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+  /** Capped sorted-set insert: keep the k smallest distinct hashes. */
+  protected final def add(buf: java.util.TreeSet[java.lang.Long],
+      h: Long): Unit = {
     if (buf.size < k) { buf.add(h); () }
     else if (h < buf.last()) {
       if (buf.add(h)) { buf.remove(buf.last()); () }
     }
-  }
-
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
-    val v = child.eval(input)
-    if (v != null)
-      add(buf, TextHash.md5Long60(md, v.asInstanceOf[UTF8String].getBytes))
-    buf
   }
 
   override def merge(buf: java.util.TreeSet[java.lang.Long],
@@ -99,6 +87,34 @@ case class ThetaSketchAgg(
     while (bb.remaining() >= 8) buf.add(bb.getLong())
     buf
   }
+}
+
+/** `theta_sketch_agg(value, k)` — build a KMV sketch from raw values. */
+case class ThetaSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends KmvAggBase {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "theta_sketch_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"theta_sketch_agg requires string, got ${other.sql}")
+  }
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      add(buf, TextHash.md5Long60(md, v.asInstanceOf[UTF8String].getBytes))
+    buf
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -117,27 +133,15 @@ case class ThetaMergeAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    extends KmvAggBase {
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "theta_merge_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"theta_merge_agg requires array<long>, got ${other.sql}")
-  }
-
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
-
-  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last()) {
-      if (buf.add(h)) { buf.remove(buf.last()); () }
-    }
   }
 
   override def update(buf: java.util.TreeSet[java.lang.Long],
@@ -148,35 +152,6 @@ case class ThetaMergeAgg(
       var i = 0
       while (i < arr.numElements()) { add(buf, arr.getLong(i)); i += 1 }
     }
-    buf
-  }
-
-  override def merge(buf: java.util.TreeSet[java.lang.Long],
-      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) add(buf, it.next())
-    buf
-  }
-
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val out = new Array[Any](buf.size)
-    var i = 0
-    val it = buf.iterator()
-    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
-    new GenericArrayData(out)
-  }
-
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next().longValue())
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val buf = new java.util.TreeSet[java.lang.Long]()
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    while (bb.remaining() >= 8) buf.add(bb.getLong())
     buf
   }
 

@@ -24,7 +24,9 @@ final class AdaptiveThrottler(
     overloadRatio: Double = 2.0,
     rng: java.util.Random = new java.util.Random()) extends Serializable {
   require(overloadRatio > 1.0, "overloadRatio must exceed 1.0")
-  require(samplePeriodMs >= bucketMs && bucketMs > 0)
+  require(bucketMs > 0 && samplePeriodMs % bucketMs == 0,
+    s"samplePeriodMs ($samplePeriodMs) must be a positive multiple of " +
+      s"bucketMs ($bucketMs) — truncation would silently shrink the window")
 
   private val nBuckets = (samplePeriodMs / bucketMs).toInt
   private val reqs = new Array[Long](nBuckets)

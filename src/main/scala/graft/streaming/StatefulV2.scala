@@ -760,15 +760,38 @@ object StatefulV2 {
         TTLConfig.NONE)
     }
 
-    private def rearm(): Unit = {
+    /** Re-register the wake-up timer. `firedTs`: the timestamp of a
+      * timer currently mid-expiry — the engine rejects re-registering
+      * that exact ts during the callback (it still exists) and then
+      * deletes it afterwards, so aim one ms past it (resolution needs
+      * the watermark strictly beyond the event anyway). */
+    private def rearm(firedTs: Long = Long.MinValue): Unit = {
       var minTs = Long.MaxValue
       pending.get().foreach(p => if (p._1 < minTs) minTs = p._1)
-      if (minTs == Long.MaxValue) {
+      val targetRaw =
+        if (minTs != Long.MaxValue) minTs
+        else {
+          // versions-only key (no pending events): arm at the SECOND-
+          // smallest version ts, so the superseded older version GCs
+          // when the watermark passes it — without this, a dimension
+          // key that updates but is never probed accumulates state
+          // forever (the #1 long-running-stream failure mode).
+          var lo = Long.MaxValue
+          var lo2 = Long.MaxValue
+          versions.keys().foreach { t =>
+            if (t < lo) { lo2 = lo; lo = t } else if (t < lo2) lo2 = t
+          }
+          lo2
+        }
+      val target =
+        if (targetRaw != Long.MaxValue && targetRaw <= firedTs) firedTs + 1
+        else targetRaw
+      if (target == Long.MaxValue) {
         if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
-      } else if (!armed.exists() || armed.get() != minTs) {
+      } else if (!armed.exists() || armed.get() != target) {
         if (armed.exists()) getHandle.deleteTimer(armed.get())
-        getHandle.registerTimer(minTs)
-        armed.update(minTs)
+        getHandle.registerTimer(target)
+        armed.update(target)
       }
     }
 
@@ -790,7 +813,6 @@ object StatefulV2 {
       // ts == wm could still gain a version at exactly wm → only < wm
       // is safe to resolve; the rest re-arm.
       val (ready, rest) = pending.get().toSeq.partition(_._1 < wm)
-      if (ready.isEmpty) { rearm(); return Iterator.empty }
       val vers = versions.iterator().map(p => (p._1, p._2)).toArray.sortBy(_._1)
       val out = ready.sortBy(_._1).map { case (ts, v) =>
         // floor lookup: newest version at-or-before the event
@@ -799,15 +821,22 @@ object StatefulV2 {
         while (i < vers.length && vers(i)._1 <= ts) { floor = Some(vers(i)._2); i += 1 }
         (key, new java.sql.Timestamp(ts), v, floor)
       }
-      pending.clear()
-      rest.foreach(pending.appendValue)
-      armed.clear()
-      rearm()
+      if (ready.nonEmpty) {
+        pending.clear()
+        rest.foreach(pending.appendValue)
+      }
       // GC: the newest version <= wm stays (floor candidate for every
       // future on-time event); all strictly older ones are unreachable
       val live = vers.filter(_._1 <= wm)
       if (live.length > 1) live.iterator.take(live.length - 1)
         .foreach(p => versions.removeKey(p._1))
+      // the engine DELETES the fired timer after this callback (and
+      // rejects re-registering its exact ts during it) — clear `armed`
+      // unconditionally and aim past the fired ts, or the key stalls
+      // permanently when the watermark lands exactly on the earliest
+      // pending event.
+      armed.clear()
+      rearm(firedTs = timer.getExpiryTimeInMs())
       out.iterator
     }
   }

@@ -45,13 +45,9 @@ class RegistrySpec extends SparkSpec {
     // step that NPEs on a null max() or builds a zero-seed expression
     // takes the whole job down. Schema-identical empty copies of every
     // table, all queries must plan AND execute.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.tools.DegenerateTables.enableNanos(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")) {
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
+    graft.tools.DegenerateTables.writeEmpty(spark, sfDir, dir)
     val failures = Registry.all.flatMap { q =>
       try { q.fn(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -64,26 +60,14 @@ class RegistrySpec extends SparkSpec {
 
   test("degenerate-stat and null-payload queries survive single-row and dirty-null tables") {
     // Regression guard for the graft.tools.EmptyProbe findings (the
-    // full 3-variant × 201-query sweep lives there, run per round):
+    // full 3-variant × all-query sweep lives there, run per round):
     // n=1 fits must not divide by a zero stddev/MAD/range, and null
     // strings must not reach map keys, codecs, or record framers.
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.StringType
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+    graft.tools.DegenerateTables.enableNanos(spark)
     val one = java.nio.file.Files.createTempDirectory("graft-one").toString
     val nul = java.nio.file.Files.createTempDirectory("graft-nul").toString
-    for (t <- tables) {
-      val df = spark.read.parquet(s"$sfDir/$t.parquet")
-      df.limit(1).write.mode("overwrite").parquet(s"$one/$t.parquet")
-      var d2 = df
-      for (f <- d2.schema.fields if f.dataType == StringType)
-        d2 = d2.withColumn(f.name,
-          when(abs(hash(col(f.name))) % 3 === 0, lit(null: String))
-            .otherwise(col(f.name)))
-      d2.write.mode("overwrite").parquet(s"$nul/$t.parquet")
-    }
+    graft.tools.DegenerateTables.writeSingleRow(spark, sfDir, one)
+    graft.tools.DegenerateTables.writeNullInjected(spark, sfDir, nul)
     val byName = Registry.all.map(q => q.name -> q).toMap
     for (n <- Seq("anomaly_robust_zscore", "ml_minmax_scale", "ml_zscore_scale"))
       byName(n).fn(spark, one).collect()

@@ -809,6 +809,46 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("temporalJoin survives the watermark landing exactly on the pending event ts") {
+    // The engine deletes a fired timer after handleExpiredTimer; if the
+    // watermark stops exactly AT the earliest pending ts (fires the
+    // timer but resolves nothing — ts == wm could still gain a version
+    // at wm), the processor must register a FRESH timer or the key
+    // stalls forever. Regression guard for exactly that bug.
+    withRocksDb {
+      val events = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val versions = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val joined = StatefulV2.temporalJoin(events.toDS(), versions.toDS(), "1 second")
+      val table = freshTable()
+      val q = startMemorySink(joined, table)
+      def ts(m: Long) = new java.sql.Timestamp(m)
+      versions.addData((1L, ts(1500), "v"))
+      events.addData((1L, ts(2000), "e"))
+      q.processAllAvailable()
+      // watermark lands EXACTLY on 2000 (3000 - 1s delay): timer fires,
+      // nothing resolves, timer must re-arm
+      versions.addData((9L, ts(3000), "wm"))
+      events.addData((9L, ts(3000), "wm"))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 0)
+      // now push past it — the event must come out
+      versions.addData((9L, ts(5000), "wm2"))
+      events.addData((9L, ts(5000), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table) {
+        spark.table(table)
+          .as[(Long, java.sql.Timestamp, String, Option[String])]
+          .collect().exists(_._1 == 1L)
+      }
+      val got = spark.table(table)
+        .as[(Long, java.sql.Timestamp, String, Option[String])]
+        .collect().filter(_._1 == 1L).toSeq
+      assert(got.map(r => (r._1, r._2.getTime, r._3, r._4)) ==
+        Seq((1L, 2000L, "e", Some("v"))))
+      q.stop()
+    }
+  }
+
   test("temporalJoin emits None when no version predates the event (left outer)") {
     withRocksDb {
       val events = MemoryStream[(Long, java.sql.Timestamp, String)]
