@@ -61,7 +61,7 @@ object Bench {
     "pipeline_cdc_apply", "agg_approx_topk",
     "pipeline_split_assign", "pipeline_dsir_weights", "text_dup_span_max",
     "pattern_measures_agg", "pattern_all_rows", "agg_theta_overlap",
-    "window_ewma", "pipeline_temperature_mix")
+    "window_ewma", "pipeline_temperature_mix", "text_perplexity_unigram")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

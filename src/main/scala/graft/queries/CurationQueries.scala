@@ -512,6 +512,58 @@ object CurationQueries {
             AS DOUBLE) / pow(2.0, 60) < rate
         GROUP BY source""")),
 
+    // ===== Unigram-LM PERPLEXITY scoring — the CCNet/Wikipedia-LM
+    // filtering step (Wenzek et al. 2020): score each doc by the
+    // perplexity of a language model trained on the corpus itself;
+    // degenerate/boilerplate text scores low, noise scores high. Model
+    // = top-K unigrams + a single OOV symbol (the 100 TB shape: the
+    // LM table is a TakeOrdered top-K broadcast, never a full-vocab
+    // shuffle join). ppl = exp(−mean ln p(sym(tok))), p from corpus
+    // counts — deterministic, so the oracle replays it exactly.
+    Q("text_perplexity_unigram",
+      (s, d) => {
+        val K = 16 // the synthetic vocab is ~31 tokens; keep real OOV mass
+        val toks = docs(s, d).filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+            .as("tok"))
+        val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        val top = counts.orderBy(col("n").desc, col("tok").asc).limit(K)
+        val tots = counts.agg(sum("n").as("n_total"))
+          .crossJoin(top.agg(sum("n").as("n_top")))
+        val lm = top.crossJoin(broadcast(tots))
+          .select(col("tok"),
+            log(col("n").cast("double") / col("n_total")).as("lp"))
+        val oov = tots.select(
+          log((col("n_total") - col("n_top")).cast("double") / col("n_total"))
+            .as("lp_oov"))
+        toks.join(broadcast(lm), Seq("tok"), "left")
+          .crossJoin(broadcast(oov))
+          .select(col("doc_id"), coalesce(col("lp"), col("lp_oov")).as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            round(exp(-avg(col("lp"))), 6).as("ppl"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ), counts AS (
+          SELECT tok, count(*) AS n FROM tok GROUP BY tok
+        ), top AS (
+          SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 16
+        ), tots AS (
+          SELECT (SELECT sum(n) FROM counts) AS n_total,
+                 (SELECT sum(n) FROM top) AS n_top
+        ), lm AS (
+          SELECT tok, ln(CAST(n AS DOUBLE) / n_total) AS lp
+          FROM top CROSS JOIN tots
+        ), oov AS (
+          SELECT ln(CAST(n_total - n_top AS DOUBLE) / n_total) AS lp_oov
+          FROM tots)
+        SELECT doc_id, count(*) AS n_tok,
+          round(exp(-avg(COALESCE(lm.lp, oov.lp_oov))), 6) AS ppl
+        FROM tok LEFT JOIN lm USING (tok) CROSS JOIN oov
+        GROUP BY doc_id""")),
+
     // ===== Deterministic train/val/test split assignment — the step
     // between curation and training: every doc lands in exactly one
     // split, reproducibly across runs/engines, with no coordination
