@@ -150,7 +150,15 @@ case class ThetaMergeAgg(
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       var i = 0
-      while (i < arr.numElements()) { add(buf, arr.getLong(i)); i += 1 }
+      while (i < arr.numElements()) {
+        // getLong on a null slot silently reads 0 — which would inject
+        // a bogus minimum hash into the merged KMV sketch and skew
+        // every downstream estimate. A null element is corrupt input:
+        // fail fast, by name.
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          "theta_merge_agg: null element in sketch array — not a valid KMV sketch")
+        add(buf, arr.getLong(i)); i += 1
+      }
     }
     buf
   }

@@ -27,10 +27,34 @@ object Dedup {
   /** Exact dedup keeping the smallest tie-break value per key group.
     * Deterministic (unlike `dropDuplicates`, whose survivor depends on
     * partition order — fine for semantics, wrong for golden tests).
+    *
+    * WINDOW form: the whole row payload crosses ONE exchange and there
+    * is no map-side combine — fine when the payload is narrow or most
+    * keys are unique anyway. At 100 TB with heavy duplication prefer
+    * [[exactByKeyAgg]], which partial-aggregates (each map task ships
+    * one candidate row per key).
     */
   def exactByKey(df: DataFrame, keys: Seq[String], tieBreak: Column*): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** [[exactByKey]] as a partial-aggregating plan: `min_by(struct(*),
+    * struct(tieBreak…))` per key. Each map task folds its rows down to
+    * ONE surviving candidate per key BEFORE the exchange, so only
+    * |keys| × partials rows cross the wire — the scale form SCALE.md §2
+    * describes. Same keep-smallest contract as the window form with
+    * ascending sort orders; `tieBreak` here takes plain VALUE columns
+    * (struct ordering is ascending — use the window form for
+    * descending/null-ordering variants). Among exact tie-break TIES the
+    * survivor is arbitrary in both forms (row_number's order among
+    * equal sort keys is partition-dependent, min_by picks either), so
+    * pass a total-order tieBreak when golden stability matters. */
+  def exactByKeyAgg(df: DataFrame, keys: Seq[String], tieBreak: Column*): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(cols.map(col): _*), struct(tieBreak: _*)).as("__keep"))
+      .select(cols.map(c => col("__keep").getField(c).as(c)): _*)
   }
 
   /** 2^61 - 1: modulus of the affine MinHash family (fits DuckDB's

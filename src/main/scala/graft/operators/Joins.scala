@@ -153,13 +153,22 @@ object Joins {
     val taken = (fact.columns ++ dim.columns).toSet
     val tag = Iterator.from(0).map(i => if (i == 0) "__hot" else s"__hot$i")
       .find(!taken.contains(_)).get
-    // The hot-key set is tiny by construction (≤ |fact|/threshold keys)
-    // but referenced four times below — persist it so the fact-side
-    // count pass runs ONCE, not once per reference.
-    val hot = fact.groupBy(key).count()
+    // The hot-key set is tiny by construction (≤ |fact|/threshold keys
+    // — the same size bound that makes it broadcastable) but referenced
+    // four times below. Materialize it ONCE as a local relation: the
+    // count pass runs exactly once, and unlike a persist() there are no
+    // cached blocks to leak for the lifetime of the session (the old
+    // form relied on the caller to unpersist and nobody did).
+    val spark = fact.sparkSession
+    val hotKeys = fact.groupBy(key).count()
       .filter(col("count") > hotThreshold)
-      .select(col(key), lit(true).as(tag))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(key).collect().map(_.get(0))
+    val hot = spark.createDataFrame(
+        java.util.Arrays.asList(
+          hotKeys.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(
+          Seq(fact.schema(key).copy(name = key))))
+      .withColumn(tag, lit(true))
     val f = fact.join(broadcast(hot), Seq(key), "left")
     val d = dim.join(broadcast(hot), Seq(key), "left")
     saltedJoin(f.filter(col(tag)).drop(tag),

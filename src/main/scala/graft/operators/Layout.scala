@@ -23,21 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Exact long division via Spark's integral `div` operator (the
+    * FunctionRegistry name for IntegralDivide). Never goes through
+    * doubles: a long→double cast loses precision past 2^53, which can
+    * land the quotient one off in EITHER direction — an
+    * overestimation-only correction is not enough, and any divergence
+    * breaks the one-source-of-truth contract with zValue2Sql's exact
+    * `//` replay. Truncating = floor here because both operands are
+    * non-negative on the z-value domain (x ≥ lo, hi > lo). */
+  private def idiv(x: Column, y: Column): Column = call_function("div", x, y)
+
   /** Morton/Z-value of two integer dimensions: each is min/max
     * normalized to `bits` bits, then bit-interleaved (a gets the odd
     * bit positions, b the even). All arithmetic in longs: exact and
-    * replayable in any engine with bit operators. */
+    * replayable in any engine with bit operators.
+    *
+    * Domain contract (enforced by [[clusterByZ]] on its fit, documented
+    * here for direct callers): values must lie in [min, max], and
+    * (max − min) · (2^bits − 1) must fit a signed long — e.g. bits=16
+    * allows dimension ranges up to ~2^47 (epoch-MICROS ranges over
+    * decades need fewer bits or a pre-scale). */
   def zValue2(a: Column, aMin: Column, aMax: Column,
       b: Column, bMin: Column, bMax: Column, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1,31]: $bits")
     val top = (1L << bits) - 1
-    // exact long division (Spark's `/` on longs produces a DOUBLE;
-    // floor of a correctly-rounded double quotient can land one off at
-    // representability boundaries, so correct it explicitly)
-    def idiv(x: Column, y: Column): Column = {
-      val q = floor(x.cast("double") / y.cast("double")).cast("long")
-      when(q * y > x, q - 1).otherwise(q)
-    }
     def norm(x: Column, lo: Column, hi: Column): Column =
       when(hi <= lo, lit(0L)).otherwise(
         idiv((x.cast("long") - lo.cast("long")) * top,
@@ -74,10 +83,6 @@ object Layout {
     require(n >= 2, "zValueN needs at least 2 dimensions")
     require(bits > 0 && bits * n <= 63,
       s"bits ($bits) × dims ($n) must fit a signed long")
-    def idiv(x: Column, y: Column): Column = {
-      val q = floor(x.cast("double") / y.cast("double")).cast("long")
-      when(q * y > x, q - 1).otherwise(q)
-    }
     val top = (1L << bits) - 1
     def norm(x: Column, lo: Column, hi: Column): Column =
       when(hi <= lo, lit(0L)).otherwise(
@@ -101,6 +106,20 @@ object Layout {
       Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
     }
     val fit = df.agg(aggCols.head, aggCols.tail: _*).head()
+    // zValue* domain contract: (hi-lo)·(2^bits-1) must fit a signed
+    // long or the normalization itself overflows (silently wrong
+    // z-values → wrong clustering). Fail at fit time, not per row.
+    val top = (1L << bits) - 1
+    dims.indices.foreach { i =>
+      (fit.get(2 * i), fit.get(2 * i + 1)) match {
+        case (lo: Number, hi: Number) =>
+          val range = hi.longValue - lo.longValue
+          require(range <= Long.MaxValue / top,
+            s"clusterByZ: dimension '${dims(i)}' range $range × top $top " +
+              "overflows a signed long — reduce bits or pre-scale the column")
+        case _ => // non-numeric fit (null on empty input): nothing to check
+      }
+    }
     val z =
       if (dims.size == 2)
         zValue2(col(dims(0)), lit(fit.get(0)), lit(fit.get(1)),

@@ -93,11 +93,20 @@ object Similarity {
     * only to near-threshold candidates. Same O(n²) semantics — the
     * exact baseline; LSH remains the scale path. */
   def cosinePairsAboveKernel(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 200000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
+    // ENFORCED contract, not advisory: this kernel collects the corpus
+    // to the driver (broadcast-sized exact baseline only). A 100 TB
+    // input must fail fast here, not OOM the driver.
+    val n = rows.count()
+    require(n <= maxRows,
+      s"cosinePairsAboveKernel: corpus has $n rows > maxRows=$maxRows; " +
+        "this kernel collects the corpus to the driver — use " +
+        "cosinePairsAboveBlocked (distributed block kernel) or the LSH " +
+        "path for large inputs")
     val corpus = rows.collect().sortBy(_._1)
     def norm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
@@ -336,12 +345,21 @@ object Similarity {
       .withColumn("cell", explode(transform(
         slice(cellsRanked(col("qv"), col("qn")), 1, nProbe),
         x => x.getField("cell"))))
-    val scored = q.join(c, Seq("cell"))
+    // A pair can surface via several probed cells: dedup the bare
+    // (query_id, match_id) ids BEFORE joining vectors back in, so each
+    // surviving candidate pays exactly ONE vec_dot — the same
+    // candidates-then-score order as [[lshCosineTopK]]. Scoring first
+    // and distinct-ing after would multiply the dominant cost by nProbe.
+    val cand = q.select("query_id", "cell")
+      .join(c.select("match_id", "cell"), Seq("cell"))
       .filter(col("query_id") =!= col("match_id"))
+      .select("query_id", "match_id").distinct()
+    val qVecs = broadcast(q.select("query_id", "qv", "qn").distinct())
+    val scored = cand.join(qVecs, "query_id")
+      .join(c.select("match_id", "cv", "cn"), "match_id")
       .select(col("query_id"), col("match_id"),
         round(call_function("vec_dot", col("qv"), col("cv"))
           / (col("qn") * col("cn")), 6).as("sim"))
-      .distinct() // a pair can surface via several probed cells
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("match_id").asc)
     scored.withColumn("rk", row_number().over(w))

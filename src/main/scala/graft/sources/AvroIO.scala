@@ -6,11 +6,9 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.util.Utf8
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.types._
 
 /** Avro object-container-file IO — Beam's AvroIO (reference:
@@ -61,11 +59,16 @@ object AvroIO {
   def write(df: DataFrame, dir: String, codec: String = "snappy"): Unit = {
     val sparkSchema = df.schema
     val schemaJson = avroSchemaFor(sparkSchema).toString
+    // the SESSION's Hadoop conf rides into the closure: spark.hadoop.*
+    // settings (object-store credentials, defaultFS) must reach the
+    // executor-side filesystem resolution, same as Manifest does
+    val conf = new SerializableHadoopConf(
+      df.sparkSession.sessionState.newHadoopConf())
     df.foreachPartition { (it: Iterator[Row]) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val pid = TaskContext.getPartitionId()
       val path = new Path(dir, f"part-$pid%05d.avro")
-      val fs = path.getFileSystem(new Configuration())
+      val fs = path.getFileSystem(conf.value)
       val out = fs.create(path, true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
@@ -93,26 +96,31 @@ object AvroIO {
     * lazily per file. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val files = spark.sparkContext.binaryFiles(s"$dir/*.avro")
-    // driver-side: one file header read to recover the schema
+    // driver-side: one file header read to recover the schema; an
+    // empty/missing directory fails with a NAMED error, not first()'s
+    // opaque "empty collection"
+    val head = files.take(1)
+    require(head.nonEmpty,
+      s"AvroIO.read: no .avro files under '$dir' — wrong path, or the " +
+        "write produced nothing")
     val headSchemaJson = {
-      val (_, pds) = files.first()
+      val (_, pds) = head(0)
       val in = new DataFileStream[GenericRecord](pds.open(),
         new GenericDatumReader[GenericRecord]())
       try in.getSchema.toString finally in.close()
     }
     val sparkSchema = sparkSchemaFor(
       new Schema.Parser().parse(headSchemaJson))
-    val enc = RowEncoder.encoderFor(sparkSchema)
     val rows = files.flatMap { case (_, pds) =>
       val reader = new DataFileStream[GenericRecord](pds.open(),
         new GenericDatumReader[GenericRecord]())
+      // partial consumption (limit/take/task failure) must not leak the
+      // stream — close at task end, not only on full drain
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.close()))
       val fields = sparkSchema.fields
       new Iterator[Row] {
-        override def hasNext: Boolean = {
-          val h = reader.hasNext
-          if (!h) reader.close()
-          h
-        }
+        override def hasNext: Boolean = reader.hasNext
         override def next(): Row = {
           val rec = reader.next()
           Row.fromSeq(fields.map { f =>

@@ -3,8 +3,7 @@ package graft.sources
 import java.io.{DataInputStream, EOFException}
 import java.nio.{ByteBuffer, ByteOrder}
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -108,12 +107,17 @@ object TFRecordIO {
     * speculative attempts idempotent (last writer wins with identical
     * bytes). */
   def write(df: DataFrame, binCol: String, dir: String): Unit = {
+    // the SESSION's Hadoop conf rides into the closure: spark.hadoop.*
+    // settings (object-store credentials, defaultFS) must reach the
+    // executor-side filesystem resolution, same as Manifest does
+    val conf = new SerializableHadoopConf(
+      df.sparkSession.sessionState.newHadoopConf())
     val ds = df.select(col(binCol)).map(r =>
       r.getAs[Array[Byte]](0))(Encoders.BINARY)
     ds.foreachPartition { (it: Iterator[Array[Byte]]) =>
       val pid = TaskContext.getPartitionId()
       val path = new Path(dir, f"part-$pid%05d.tfrecord")
-      val fs = path.getFileSystem(new Configuration())
+      val fs = path.getFileSystem(conf.value)
       val out = fs.create(path, true)
       try it.foreach(rec => out.write(encodeRecord(rec)))
       finally out.close()
@@ -127,7 +131,12 @@ object TFRecordIO {
     spark.sparkContext
       .binaryFiles(s"$dir/*.tfrecord")
       .flatMap { case (_, pds) =>
-        decodeStream(new DataInputStream(pds.open()))
+        val in = new DataInputStream(pds.open())
+        // partial consumption (limit/take/task failure) must not leak
+        // the stream — close at task end, not only on full drain
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        decodeStream(in)
       }
       .toDF("record")
   }

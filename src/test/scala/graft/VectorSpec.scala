@@ -78,6 +78,24 @@ class VectorSpec extends SparkSpec {
     assert(perQuery.forall(_ <= 5))
   }
 
+  test("ivfCosineTopK dedups candidate pairs BEFORE the vector join") {
+    // contract: a pair surfacing via several probed cells pays ONE
+    // vec_dot — the distinct runs on bare (query_id, match_id) ids
+    // below the scoring join (same order as lshCosineTopK), never on
+    // scored rows (which would multiply the dominant cost by nProbe)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val df = Similarity.ivfCosineTopK(q, emb, "vec_id", "embedding", k = 5)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a.output.map(_.name).toSet
+    }
+    assert(aggs.contains(Set("query_id", "match_id")),
+      s"no bare-pair distinct below the scoring join: $aggs")
+    assert(!aggs.exists(_.contains("sim")),
+      s"distinct runs over scored rows — pairs pay nProbe dots: $aggs")
+  }
+
   test("kmeansSeeds Lloyd rounds improve the quantizer objective") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     def objective(seeds: Seq[Seq[Float]]): Double = {
