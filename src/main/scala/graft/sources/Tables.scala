@@ -15,7 +15,26 @@ import org.apache.spark.sql.types._
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Parquet files written without the UTC-adjusted flag (pandas/arrow
+    * default) surface as TIMESTAMP_NTZ on Spark ≥3.4 when
+    * `spark.sql.parquet.inferTimestampNTZ.enabled` is on (the default).
+    * Event-time ops (`unix_micros`, `withWatermark`, `window`) require
+    * TIMESTAMP_LTZ, so normalize every NTZ column to TimestampType —
+    * with the UTC session this engine pins everywhere, the cast is
+    * value-preserving (wall-clock == epoch), and the DuckDB oracle
+    * reads the same naive micros. Defensive even though our own
+    * sessions also disable the inference conf: the driver's smoke-check
+    * session is not ours to configure. */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val hasNtz = df.schema.fields.exists(_.dataType == TimestampNTZType)
+    if (!hasNtz) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType) col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")

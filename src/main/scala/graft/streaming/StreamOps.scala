@@ -119,7 +119,10 @@ object StreamOps {
       // `div`, not `/`: double division loses the final microsecond at
       // epoch-nanos magnitude (see Tables.events).
       stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    else
+      // micros-written files surface as TIMESTAMP_NTZ; normalize to
+      // LTZ like the batch reader (value-preserving under UTC session)
+      graft.sources.Tables.normalizeNtz(stream)
   }
 
   /** Beam PeriodicImpulse / GenerateSequence (unbounded) — rate source. */
