@@ -46,23 +46,34 @@ object MatchRecognize {
   /** AFTER MATCH SKIP TO NEXT ROW — resume one row after the match
     * START; overlapping matches are reported. */
   case object SkipToNextRow extends SkipMode
+  /** AFTER MATCH SKIP TO FIRST `variable` — resume AT the first row the
+    * variable matched. SQL:2016 makes a resume point that does not
+    * advance past the match start a runtime error (infinite loop), and
+    * a match where the variable matched nothing likewise; both throw. */
+  final case class SkipToFirst(variable: String) extends SkipMode
+  /** AFTER MATCH SKIP TO LAST `variable` — resume AT the last row the
+    * variable matched (same error conditions as [[SkipToFirst]]). */
+  final case class SkipToLast(variable: String) extends SkipMode
 
   /** A pattern element: a quantified step, a context-aware step, or an
     * alternation of sub-patterns. */
   sealed trait Elem[T]
 
   /** One quantified pattern step: matches `pred`-satisfying rows
-    * between `min` and `max` times (greedy). `Step("A", p)` ≡ `A`,
+    * between `min` and `max` times. `Step("A", p)` ≡ `A`,
     * `Step("A", p, 1, Int.MaxValue)` ≡ `A+`, `(0, MaxValue)` ≡ `A*`,
-    * `(0, 1)` ≡ `A?`. */
+    * `(0, 1)` ≡ `A?`. Greedy by default (longest run that still lets
+    * the remainder match); `reluctant = true` is SQL:2016's `+?`/`*?`/
+    * `??`/`{m,n}?` — shortest run first, extending only when the
+    * remainder cannot match. */
   final case class Step[T](name: String, pred: T => Boolean,
-      min: Int = 1, max: Int = 1) extends Elem[T]
+      min: Int = 1, max: Int = 1, reluctant: Boolean = false) extends Elem[T]
 
   /** A quantified step whose DEFINE condition sees the match-so-far —
     * SQL conditions like `B.value < PREV(B.value)` become
     * `CtxStep("B", (t, ctx) => ctx.prev().exists(p => t.value < p.value))`. */
   final case class CtxStep[T](name: String, pred: (T, MatchCtx[T]) => Boolean,
-      min: Int = 1, max: Int = 1) extends Elem[T]
+      min: Int = 1, max: Int = 1, reluctant: Boolean = false) extends Elem[T]
 
   /** Alternation `(branch₁ | branch₂ | …)`: each branch is a full
     * sub-pattern; branches try in declared order (leftmost preferred). */
@@ -116,7 +127,21 @@ object MatchRecognize {
     * ALL ROWS PER MATCH emits. */
   final case class Match[K, T](key: K, matchSeq: Long,
       captured: Map[String, Seq[T]],
-      ordered: Seq[(String, T)] = Seq.empty)
+      ordered: Seq[(String, T)] = Seq.empty) {
+
+    /** RUNNING-semantics view at the (0-based) `uptoIdx`-th row of the
+      * match: `captured`/`ordered` truncated to rows up to AND
+      * including it — SQL:2016's RUNNING measure evaluation point in
+      * ALL ROWS PER MATCH (a RUNNING SUM/COUNT/LAST at output row j
+      * sees only rows 0..j of the match; FINAL sees the whole match,
+      * which is this object unchanged). */
+    def running(uptoIdx: Int): Match[K, T] = {
+      val prefix = ordered.take(uptoIdx + 1)
+      Match(key, matchSeq,
+        prefix.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) },
+        prefix)
+    }
+  }
 
   /** Parse a SQL `PATTERN (...)` clause body into pattern elements —
     * the front-door syntax of `MATCH_RECOGNIZE` (Beam parses it via
@@ -127,24 +152,50 @@ object MatchRecognize {
     * undefined-variable rule).
     *
     * `parsePattern("A B+ (C|D) E{2,5}", Map("B" -> pred, ...))` ≡
-    * `Seq(CtxStep(A), CtxStep(B,1,∞), Alt(Seq(C),Seq(D)), CtxStep(E,2,5))`. */
-  def parsePattern[T](pattern: String,
+    * `Seq(CtxStep(A), CtxStep(B,1,∞), Alt(Seq(C),Seq(D)), CtxStep(E,2,5))`.
+    *
+    * Reluctant quantifiers (SQL:2016 / java.util.regex syntax): a
+    * trailing `?` on any quantifier (`B+?`, `B*?`, `B??`, `B{2,5}?`)
+    * matches the SHORTEST run first. `PERMUTE(A, B, …)` expands to the
+    * alternation of all orderings in lexical order — exactly Calcite's
+    * expansion — so `PERMUTE(A, B)` ≡ `(A B|B A)`. */
+  def parsePattern[T](pattern0: String,
       define: Map[String, (T, MatchCtx[T]) => Boolean]): Seq[Elem[T]] = {
-    val Tok = """([A-Za-z_][A-Za-z_0-9]*)(\+|\*|\?|\{\d+(?:,\d*)?\})?|(\()|(\))|(\|)""".r
+    // PERMUTE(A, B, C) → (A B C|A C B|…): Calcite's own rewrite
+    // (SqlMatchRecognize PERMUTE is syntax sugar for the alternation)
+    val Permute = """(?i)PERMUTE\s*\(([^()|]*)\)""".r
+    val pattern = Permute.replaceAllIn(pattern0, m => {
+      val vars = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(vars.nonEmpty, s"empty PERMUTE in pattern: $pattern0")
+      require(vars.size <= 6,
+        s"PERMUTE of ${vars.size} variables expands to ${vars.size}! " +
+          s"branches — cap is 6 (720): $pattern0")
+      scala.util.matching.Regex.quoteReplacement(
+        vars.permutations.map(_.mkString(" ")).mkString("(", "|", ")"))
+    })
+    val Tok = """([A-Za-z_][A-Za-z_0-9]*)(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?|(\()|(\))|(\|)""".r
     def predOf(name: String): (T, MatchCtx[T]) => Boolean =
       define.getOrElse(name, (_: T, _: MatchCtx[T]) => true)
-    def mkStep(name: String, quant: String): CtxStep[T] = quant match {
-      case null | ""  => CtxStep(name, predOf(name))
-      case "+"        => CtxStep(name, predOf(name), 1, Int.MaxValue)
-      case "*"        => CtxStep(name, predOf(name), 0, Int.MaxValue)
-      case "?"        => CtxStep(name, predOf(name), 0, 1)
-      case b =>
-        val body = b.stripPrefix("{").stripSuffix("}")
-        body.split(",", -1) match {
-          case Array(m)     => CtxStep(name, predOf(name), m.toInt, m.toInt)
-          case Array(m, "") => CtxStep(name, predOf(name), m.toInt, Int.MaxValue)
-          case Array(m, n)  => CtxStep(name, predOf(name), m.toInt, n.toInt)
-        }
+    def mkStep(name: String, quant0: String): CtxStep[T] = {
+      // a trailing '?' on a MULTI-char quantifier marks it reluctant
+      // (bare "?" is the greedy optional; "??" is the reluctant one)
+      val (quant, rel) =
+        if (quant0 != null && quant0.length > 1 && quant0.endsWith("?"))
+          (quant0.dropRight(1), true)
+        else (quant0, false)
+      quant match {
+        case null | ""  => CtxStep(name, predOf(name))
+        case "+"        => CtxStep(name, predOf(name), 1, Int.MaxValue, rel)
+        case "*"        => CtxStep(name, predOf(name), 0, Int.MaxValue, rel)
+        case "?"        => CtxStep(name, predOf(name), 0, 1, rel)
+        case b =>
+          val body = b.stripPrefix("{").stripSuffix("}")
+          body.split(",", -1) match {
+            case Array(m)     => CtxStep(name, predOf(name), m.toInt, m.toInt, rel)
+            case Array(m, "") => CtxStep(name, predOf(name), m.toInt, Int.MaxValue, rel)
+            case Array(m, n)  => CtxStep(name, predOf(name), m.toInt, n.toInt, rel)
+          }
+      }
     }
     // single-pass with one level of (…|…) grouping
     val top = scala.collection.mutable.ArrayBuffer[Elem[T]]()
@@ -192,24 +243,29 @@ object MatchRecognize {
     top.toSeq
   }
 
-  /** Backtracking matcher over one key's sorted rows. Greedy: each
-    * quantifier tries its longest feasible run first, backing off until
-    * the remaining pattern matches; alternation tries branches leftmost
-    * first. Variable→row assignments thread through as a prepend list
-    * so context predicates see the match-so-far. Returns end-exclusive
-    * index on success. */
+  /** Backtracking matcher over one key's sorted rows. Greedy
+    * quantifiers try their longest feasible run first, backing off
+    * until the remaining pattern matches; reluctant quantifiers try the
+    * shortest run first, extending only when the remainder fails (the
+    * prefix-feasibility precompute is shared — a row's condition only
+    * sees what precedes it, so run feasibility is monotone in length
+    * and both orders walk the same candidate set). Alternation tries
+    * branches leftmost first. Variable→row assignments thread through
+    * as a prepend list so context predicates see the match-so-far.
+    * Returns (end-exclusive index, assignments in row order). */
   private def tryMatch[T](rows: IndexedSeq[T], start: Int,
-      elems: Seq[Elem[T]])
-      : Option[(Int, Map[String, Seq[T]], Seq[(String, T)])] = {
+      elems: Seq[Elem[T]]): Option[(Int, Seq[(String, Int)])] = {
 
     def go(pos: Int, rest: List[Elem[T]],
         assigned: List[(String, Int)]): Option[(Int, List[(String, Int)])] =
       rest match {
         case Nil => Some((pos, assigned))
         case (st: Step[T @unchecked]) :: tail =>
-          quant(pos, st.name, (t, _) => st.pred(t), st.min, st.max, tail, assigned)
+          quant(pos, st.name, (t, _) => st.pred(t), st.min, st.max,
+            st.reluctant, tail, assigned)
         case (cs: CtxStep[T @unchecked]) :: tail =>
-          quant(pos, cs.name, cs.pred, cs.min, cs.max, tail, assigned)
+          quant(pos, cs.name, cs.pred, cs.min, cs.max,
+            cs.reluctant, tail, assigned)
         case (alt: Alt[T @unchecked]) :: tail =>
           alt.branches.iterator
             .map(branch => go(pos, branch.toList ::: tail, assigned))
@@ -217,12 +273,12 @@ object MatchRecognize {
       }
 
     def quant(pos: Int, name: String, pred: (T, MatchCtx[T]) => Boolean,
-        min: Int, max: Int, tail: List[Elem[T]],
+        min: Int, max: Int, reluctant: Boolean, tail: List[Elem[T]],
         assigned: List[(String, Int)]): Option[(Int, List[(String, Int)])] = {
-      // longest feasible greedy run; each extension sees assignments
-      // including the run's own earlier rows (a row's condition only
-      // depends on what precedes it, so truncating the run on backtrack
-      // cannot invalidate the kept prefix)
+      // longest feasible run; each extension sees assignments including
+      // the run's own earlier rows (a row's condition only depends on
+      // what precedes it, so truncating the run on backtrack cannot
+      // invalidate the kept prefix)
       var runAssigned = assigned
       var hi = pos
       while (hi < rows.length && (hi - pos) < max &&
@@ -230,23 +286,24 @@ object MatchRecognize {
         runAssigned = (name, hi) :: runAssigned
         hi += 1
       }
-      var take = hi - pos
+      val feasible = hi - pos
       var res: Option[(Int, List[(String, Int)])] = None
-      while (res.isEmpty && take >= min) {
+      // greedy walks take from feasible down to min; reluctant from min
+      // up to feasible
+      var take = if (reluctant) min else feasible
+      while (res.isEmpty &&
+          (if (reluctant) take <= feasible else take >= min)) {
         var acc = assigned
         var i = 0
         while (i < take) { acc = (name, pos + i) :: acc; i += 1 }
         res = go(pos + take, tail, acc)
-        take -= 1
+        take += (if (reluctant) 1 else -1)
       }
       res
     }
 
     go(start, elems.toList, Nil).map { case (end, assigned) =>
-      val ordered = assigned.reverse // row-index order (consumption is monotone)
-      (end, ordered.groupBy(_._1)
-        .map { case (n, xs) => n -> xs.map(x => rows(x._2)) },
-        ordered.map { case (n, i) => (n, rows(i)) })
+      (end, assigned.reverse) // row-index order (consumption is monotone)
     }
   }
 
@@ -263,18 +320,42 @@ object MatchRecognize {
     var matchSeq = 1L
     while (pos < rows.length) {
       tryMatch(rows, pos, steps) match {
-        case Some((end, captured, ordered)) if end > pos =>
+        case Some((end, assignedIdx)) if end > pos =>
+          val ordered = assignedIdx.map { case (n, i) => (n, rows(i)) }
+          val captured = assignedIdx.groupBy(_._1)
+            .map { case (n, xs) => n -> xs.map(x => rows(x._2)) }
           out += measure(Match(key, matchSeq, captured, ordered))
           matchSeq += 1
           pos = skip match {
             case SkipPastLastRow => end // resume after the match
             case SkipToNextRow => pos + 1 // overlap allowed
+            case SkipToFirst(v) => skipTarget(v, assignedIdx, pos, first = true)
+            case SkipToLast(v) => skipTarget(v, assignedIdx, pos, first = false)
           }
         case _ =>
           pos += 1
       }
     }
     out.toSeq
+  }
+
+  /** Resume index for SKIP TO FIRST/LAST `v` — SQL:2016's error cases
+    * enforced: the variable must have matched rows, and the resume
+    * point must advance past the match start (otherwise every rescan
+    * would rediscover the same match: an infinite loop, which the
+    * standard makes a runtime error rather than silently skipping). */
+  private def skipTarget(v: String, assignedIdx: Seq[(String, Int)],
+      matchStart: Int, first: Boolean): Int = {
+    val hits = assignedIdx.collect { case (n, i) if n == v => i }
+    require(hits.nonEmpty,
+      s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} $v: " +
+        s"variable '$v' matched no rows in this match (SQL:2016 error)")
+    val target = if (first) hits.min else hits.max
+    require(target > matchStart,
+      s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} $v: resume " +
+        s"point $target does not advance past the match start $matchStart " +
+        "— infinite loop (SQL:2016 error)")
+    target
   }
 
   /** Run the pattern over every key group of `ds`, sorted by `sortCols`

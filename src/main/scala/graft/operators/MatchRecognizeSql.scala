@@ -30,9 +30,19 @@ import org.apache.spark.sql.types._
   *    unmatched optional variable yields NULL (COUNT yields 0,
   *    aggregates yield NULL);
   *  - ALL ROWS PER MATCH emits one output row per matched input row
-  *    (all source columns + measures, FINAL measure semantics,
-  *    CLASSIFIER() per row) — ONE ROW PER MATCH emits partition cols
-  *    + measures.
+  *    (all source columns + measures, CLASSIFIER() per row) — ONE ROW
+  *    PER MATCH emits partition cols + measures. Measures accept a
+  *    RUNNING or FINAL prefix: RUNNING evaluates over the match prefix
+  *    up to the output row (SQL:2016 §7.2), FINAL over the whole
+  *    match. DEFAULT IS FINAL (deviation: the standard defaults to
+  *    RUNNING in ALL ROWS mode) — write RUNNING explicitly;
+  *  - PATTERN supports reluctant quantifiers (`B+?` `B*?` `B??`
+  *    `B{m,n}?` — shortest run first) and `PERMUTE(A, B, …)` (expands
+  *    to the alternation of all orderings, Calcite's own rewrite);
+  *  - SUBSET U = (A, B) declares union variables usable in MEASURES
+  *    (COUNT/FIRST/LAST/aggregates over the union's rows in row order);
+  *  - AFTER MATCH SKIP TO FIRST/LAST `var` resume modes, with
+  *    SQL:2016's no-advance and unmatched-variable runtime errors.
   *
   * Scale: identical to the DSL path — one shuffle on the partition
   * key, sort-merged groups, tight JVM matcher per group.
@@ -193,8 +203,24 @@ object MatchRecognizeSql {
   // (the LAST row's variable in ONE ROW PER MATCH)
   private final case class MClassifier(name: String) extends Measure
 
-  private def parseMeasures(text: String): Seq[Measure] =
-    splitTopLevel(text, ',').map(_.trim).filter(_.nonEmpty).map { m =>
+  /** Measure + its evaluation semantics: `running = true` ⇔ the SQL
+    * RUNNING prefix — in ALL ROWS PER MATCH the measure at output row j
+    * sees only match rows 0..j (FINAL, the default here, sees the whole
+    * match; in ONE ROW PER MATCH the two coincide).
+    *
+    * NOTE a deliberate deviation: SQL:2016 defaults to RUNNING in ALL
+    * ROWS PER MATCH — this engine defaults to FINAL (the more common
+    * analytical want, and the pre-existing contract of `pattern_all_
+    * rows`); write RUNNING explicitly to get prefix semantics. */
+  private final case class MSpec(measure: Measure, running: Boolean)
+
+  private def parseMeasures(text: String): Seq[MSpec] =
+    splitTopLevel(text, ',').map(_.trim).filter(_.nonEmpty).map { m0 =>
+      val up0 = m0.toUpperCase
+      val (m, running) =
+        if (up0.startsWith("RUNNING ")) (m0.substring(8).trim, true)
+        else if (up0.startsWith("FINAL ")) (m0.substring(6).trim, false)
+        else (m0, false)
       val asIdx = findKeyword(m, "AS")
       require(asIdx >= 0, s"MEASURES entry needs AS: $m")
       val expr = m.substring(0, asIdx).trim
@@ -202,6 +228,7 @@ object MatchRecognizeSql {
       require(name.matches("""[A-Za-z_][A-Za-z_0-9]*"""),
         s"bad measure name '$name'")
       val up = expr.toUpperCase
+      val meas: Measure =
       if (up == "MATCH_NUMBER()") MMatchNum(name)
       else if (up == "CLASSIFIER()") MClassifier(name)
       else if (up.startsWith("COUNT(")) {
@@ -226,6 +253,7 @@ object MatchRecognizeSql {
         val Array(v, c) = expr.split("\\.", 2)
         MNav(name, "last", v, c) // ONE ROW PER MATCH: V.col ≡ LAST(V.col)
       }
+      MSpec(meas, running)
     }
 
   /** Split on `sep` at paren depth 0 (so COUNT(a, b) survives). */
@@ -278,8 +306,9 @@ object MatchRecognizeSql {
     val keywords = Seq("PARTITION BY", "ORDER BY", "MEASURES",
       "ONE ROW PER MATCH", "ALL ROWS PER MATCH",
       "AFTER MATCH SKIP PAST LAST ROW",
-      "AFTER MATCH SKIP TO NEXT ROW", "PATTERN",
-      "DEFINE")
+      "AFTER MATCH SKIP TO NEXT ROW",
+      "AFTER MATCH SKIP TO FIRST", "AFTER MATCH SKIP TO LAST",
+      "PATTERN", "SUBSET", "DEFINE")
     val found = keywords.flatMap { kw =>
       val idx = findKeyword(body, kw)
       if (idx >= 0) Some((kw, idx)) else None
@@ -311,6 +340,24 @@ object MatchRecognizeSql {
       require(p.startsWith("(") && p.endsWith(")"), s"PATTERN needs (...): $p")
       p.substring(1, p.length - 1)
     }
+    // SUBSET U = (A, B), W = (C, D): union variables — measure
+    // references to U aggregate over the union of A- and B-rows in row
+    // order (SQL:2016 7.2; Calcite SqlMatchRecognize subsetList).
+    // Supported in MEASURES; DEFINE predicates over subsets are not.
+    val subsets: Map[String, Set[String]] =
+      section("SUBSET").map { s =>
+        splitTopLevel(s, ',').map(_.trim).filter(_.nonEmpty).map { entry =>
+          val eq = entry.indexOf('=')
+          require(eq > 0, s"SUBSET entry needs '=': $entry")
+          val u = entry.substring(0, eq).trim
+          val body = entry.substring(eq + 1).trim
+          require(body.startsWith("(") && body.endsWith(")"),
+            s"SUBSET needs U = (A, B): $entry")
+          u -> body.substring(1, body.length - 1).split(",")
+            .map(_.trim).filter(_.nonEmpty).toSet
+        }.toMap
+      }.getOrElse(Map.empty)
+
     val defines: Map[String, (Row, MatchRecognize.MatchCtx[Row]) => Boolean] =
       section("DEFINE").map { d =>
         splitTopLevel(d, ',').map(_.trim).filter(_.nonEmpty).map { entry =>
@@ -322,9 +369,13 @@ object MatchRecognizeSql {
         }.toMap
       }.getOrElse(Map.empty)
 
-    val skip =
+    val skip: MatchRecognize.SkipMode =
       if (found.exists(_._1 == "AFTER MATCH SKIP TO NEXT ROW"))
         MatchRecognize.SkipToNextRow
+      else if (found.exists(_._1 == "AFTER MATCH SKIP TO FIRST"))
+        MatchRecognize.SkipToFirst(section("AFTER MATCH SKIP TO FIRST").get)
+      else if (found.exists(_._1 == "AFTER MATCH SKIP TO LAST"))
+        MatchRecognize.SkipToLast(section("AFTER MATCH SKIP TO LAST").get)
       else MatchRecognize.SkipPastLastRow
 
     val steps = MatchRecognize.parsePattern[Row](patternText, defines)
@@ -335,7 +386,7 @@ object MatchRecognizeSql {
     // ONE ROW = partition cols + measures
     val inSchema = df.schema
     def colType(name: String): DataType = inSchema(name).dataType
-    val measureFields = measures.map {
+    val measureFields = measures.map(_.measure).map {
       case MCount(n, _) => StructField(n, LongType, nullable = false)
       case MMatchNum(n) => StructField(n, LongType, nullable = false)
       case MClassifier(n) => StructField(n, StringType, nullable = false)
@@ -351,52 +402,74 @@ object MatchRecognizeSql {
     val keyFn = (r: Row) =>
       partIdx.map(i => String.valueOf(r.get(i))).mkString("\u001f")
 
-    // match-level (FINAL-semantics) measure values; CLASSIFIER is
-    // per-row in ALL ROWS mode, the last row's variable in ONE ROW
-    def finalVals(m: MatchRecognize.Match[String, Row],
-        classifier: => String): Seq[Any] = measures.map {
-      case MCount(_, "") => m.captured.valuesIterator.map(_.size).sum.toLong
-      case MCount(_, v) => m.captured.get(v).map(_.size).getOrElse(0).toLong
-      case MMatchNum(_) => m.matchSeq
-      case MClassifier(_) => classifier
-      case MNav(_, kind, v, c) =>
-        m.captured.get(v).filter(_.nonEmpty) match {
-          case Some(rows) =>
-            val r = if (kind == "first") rows.head else rows.last
+    // SUBSET expansion: add each union variable's rows (row order) to
+    // the captured map, so measure resolution is uniform
+    def withSubsets(m: MatchRecognize.Match[String, Row])
+        : MatchRecognize.Match[String, Row] =
+      if (subsets.isEmpty) m
+      else m.copy(captured = m.captured ++ subsets.map { case (u, vs) =>
+        u -> m.ordered.collect { case (n, r) if vs.contains(n) => r }
+      })
+
+    // measure values: each measure reads from its semantics' view —
+    // `fin` = the whole match (FINAL), `run` = the prefix up to the
+    // current output row (RUNNING; identical to fin in ONE ROW mode).
+    // CLASSIFIER is per-row in ALL ROWS mode, the last row's variable
+    // in ONE ROW.
+    def measureVals(fin: MatchRecognize.Match[String, Row],
+        run: MatchRecognize.Match[String, Row],
+        classifier: => String): Seq[Any] = measures.map { spec =>
+      val m = if (spec.running) run else fin
+      spec.measure match {
+        case MCount(_, "") => m.captured.valuesIterator.map(_.size).sum.toLong
+        case MCount(_, v) => m.captured.get(v).map(_.size).getOrElse(0).toLong
+        case MMatchNum(_) => m.matchSeq
+        case MClassifier(_) => classifier
+        case MNav(_, kind, v, c) =>
+          m.captured.get(v).filter(_.nonEmpty) match {
+            case Some(rows) =>
+              val r = if (kind == "first") rows.head else rows.last
+              val i = r.fieldIndex(c)
+              if (r.isNullAt(i)) null else r.get(i)
+            case None => null
+          }
+        case MAgg(_, kind, v, c) =>
+          val xs = m.captured.get(v).getOrElse(Seq.empty).flatMap { r =>
             val i = r.fieldIndex(c)
-            if (r.isNullAt(i)) null else r.get(i)
-          case None => null
-        }
-      case MAgg(_, kind, v, c) =>
-        val xs = m.captured.get(v).getOrElse(Seq.empty).flatMap { r =>
-          val i = r.fieldIndex(c)
-          if (r.isNullAt(i)) None
-          else Some(r.get(i).asInstanceOf[Number].doubleValue())
-        }
-        if (xs.isEmpty) null // SQL aggregates ignore nulls; empty -> NULL
-        else kind match {
-          case "sum" => xs.sum
-          case "avg" => xs.sum / xs.size
-          case "min" => xs.min
-          case "max" => xs.max
-        }
+            if (r.isNullAt(i)) None
+            else Some(r.get(i).asInstanceOf[Number].doubleValue())
+          }
+          if (xs.isEmpty) null // SQL aggregates ignore nulls; empty -> NULL
+          else kind match {
+            case "sum" => xs.sum
+            case "avg" => xs.sum / xs.size
+            case "min" => xs.min
+            case "max" => xs.max
+          }
+      }
     }
+
+    val anyRunning = measures.exists(_.running)
 
     if (allRows)
       // one output row per matched input row: the full source row plus
-      // the match's FINAL measures, CLASSIFIER() varying per row
+      // the measures (FINAL over the whole match, RUNNING over the
+      // prefix), CLASSIFIER() varying per row
       MatchRecognize.matchRecognizeFlat[String, Row, Row](
-        df, keyFn, sortSpecs, steps, skip) { m =>
-        m.ordered.map { case (varName, r) =>
-          Row.fromSeq(r.toSeq ++ finalVals(m, varName))
+        df, keyFn, sortSpecs, steps, skip) { m0 =>
+        val fin = withSubsets(m0)
+        m0.ordered.zipWithIndex.map { case ((varName, r), j) =>
+          val run = if (anyRunning) withSubsets(m0.running(j)) else fin
+          Row.fromSeq(r.toSeq ++ measureVals(fin, run, varName))
         }
       }(Encoders.STRING, Encoders.row(inSchema), Encoders.row(outSchema))
     else
       MatchRecognize.matchRecognize[String, Row, Row](
-        df, keyFn, sortSpecs, steps, skip) { m =>
-        val anyRow = m.captured.valuesIterator.flatten.next()
+        df, keyFn, sortSpecs, steps, skip) { m0 =>
+        val fin = withSubsets(m0)
+        val anyRow = fin.captured.valuesIterator.flatten.next()
         val partVals = partIdx.map(anyRow.get)
-        Row.fromSeq(partVals ++ finalVals(m, m.ordered.last._1))
+        Row.fromSeq(partVals ++ measureVals(fin, fin, fin.ordered.last._1))
       }(Encoders.STRING, Encoders.row(inSchema), Encoders.row(outSchema))
   }
 }

@@ -72,4 +72,39 @@ object Metrics {
     spark.sparkContext.register(acc, s"$namespace.$name")
     acc
   }
+
+  /** Beam `Gauge` (metrics/Metrics.java `gauge`: latest reported
+    * value): last-writer-wins by report time. Each `add` stamps the
+    * value with `System.nanoTime`; merge keeps the later stamp — the
+    * same "latest across workers" contract Beam's GaugeResult carries
+    * (and the same caveat: cross-worker clock comparison is only
+    * meaningful for values that converge, e.g. "current model
+    * version"; an unmerged empty gauge reads 0, Beam's empty result). */
+  final class GaugeAcc extends AccumulatorV2[Long, Long] {
+    private var stamp = Long.MinValue
+    private var v = 0L
+    override def isZero: Boolean = stamp == Long.MinValue
+    override def copy(): GaugeAcc = {
+      val c = new GaugeAcc
+      c.stamp = stamp; c.v = v
+      c
+    }
+    override def reset(): Unit = { stamp = Long.MinValue; v = 0L }
+    override def add(x: Long): Unit = { stamp = System.nanoTime(); v = x }
+    /** Beam's `Gauge.set` spelling. */
+    def set(x: Long): Unit = add(x)
+    override def merge(other: AccumulatorV2[Long, Long]): Unit = other match {
+      case g: GaugeAcc if g.stamp > stamp => stamp = g.stamp; v = g.v
+      case _ => ()
+    }
+    override def value: Long = v
+  }
+
+  /** `Metrics.gauge(namespace, name)` — completes the counter /
+    * distribution / gauge trio. */
+  def gauge(spark: SparkSession, namespace: String, name: String): GaugeAcc = {
+    val acc = new GaugeAcc
+    spark.sparkContext.register(acc, s"$namespace.$name")
+    acc
+  }
 }

@@ -18,11 +18,19 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing here is real and tested: binary columns,
   * struct metadata schema, batched `mapPartitions` with per-partition
-  * codec lifecycle, explode-based frame sampling. The DECODE ITSELF IS A
-  * STUB (this container has no image/audio libraries): `StubCodec`
-  * derives deterministic pseudo-metadata from the bytes. A real
-  * deployment swaps `StubCodec` for e.g. a javacv/ImageIO codec — the
-  * operator shape (schema, batching, partitioning) does not change.
+  * codec lifecycle, explode-based frame sampling. Codecs:
+  *
+  *  - [[BmpCodec]] is a REAL decoder — it parses BMP (BITMAPINFOHEADER,
+  *    24bpp) headers for true width/height, with [[encodeBmp]] as the
+  *    matching stdlib-only writer, so the decode path is exercised
+  *    end-to-end against real image bytes (oracle-gated:
+  *    `multimodal_decode_bmp` checks decoded dimensions against the
+  *    closed-form BMP size law).
+  *  - `StubCodec` stands in for formats whose libraries are absent from
+  *    this container (jpeg/png/mp4): deterministic pseudo-metadata from
+  *    the byte length. A real deployment swaps it for a javacv/ImageIO
+  *    codec — the operator shape (schema, batching, partitioning) does
+  *    not change.
   */
 object Multimodal {
 
@@ -63,6 +71,73 @@ object Multimodal {
     * testdata has no binary columns. */
   def withPayload(df: DataFrame, textCol: String, payloadCol: String): DataFrame =
     df.withColumn(payloadCol, encode(col(textCol), "UTF-8"))
+
+  /** A REAL (if minimal) image writer: BMP, BITMAPINFOHEADER, 24bpp,
+    * bottom-up, with deterministic xorshift pixel noise from `seed`.
+    * File size obeys the BMP law: 54 + rowSize·height where rowSize =
+    * ⌈3·width/4⌉·4 (rows pad to 4 bytes) — which is what lets a SQL
+    * oracle verify [[BmpCodec]]'s decode in closed form. */
+  def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad BMP dims: ${width}x$height")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54) // size, reserved, pixel offset
+      .putInt(40).putInt(width).putInt(height)    // DIB size, dims
+      .putShort(1).putShort(24)                   // planes, bpp
+      .putInt(0).putInt(dataSize)                 // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette
+    var s = seed | 1L // xorshift64 must not start at 0
+    var i = 0
+    while (i < dataSize) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      buf.put((s & 0xFF).toByte)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL BMP decode: parses the BITMAPINFOHEADER for true dimensions.
+    * Not a stub — corrupt framing fails by name instead of producing
+    * pseudo-metadata. */
+  final class BmpCodec extends MediaCodec {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Long, String, Int, Int, Int)] =
+      payloads.map { b =>
+        require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+          s"not a BMP payload (${b.length} bytes)")
+        val bb = java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val w = bb.getInt(18)
+        val h = bb.getInt(22) // negative ⇔ top-down; |h| is the height
+        val bpp = bb.getShort(28)
+        require(bb.getShort(26) == 1 && bpp == 24,
+          s"unsupported BMP variant: planes=${bb.getShort(26)} bpp=$bpp")
+        (b.length.toLong, "bmp", w, math.abs(h), 1)
+      }
+    override def close(): Unit = ()
+  }
+
+  /** Fabricate a BMP payload column from per-row (width, height, seed)
+    * int columns — the testdata has no binary media, so the REAL decode
+    * path is fed by the REAL encoder. One mapPartitions pass, no
+    * shuffle. */
+  def withBmpPayload(df: DataFrame, widthCol: String, heightCol: String,
+      seedCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType, nullable = true))
+    val wi = df.schema.fieldIndex(widthCol)
+    val hi = df.schema.fieldIndex(heightCol)
+    val si = df.schema.fieldIndex(seedCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+
+          encodeBmp(r.getInt(wi), r.getInt(hi), r.getLong(si)))
+      }
+    }(enc)
+  }
 
   /** Batched decode: payload binary → `metaCol` struct (MediaMetaType).
     * Batches of `batchSize` rows amortize codec invocation — the

@@ -154,6 +154,35 @@ object PipelineQueries {
           CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx
         FROM meta""")),
 
+    // ===== REAL image decode (not the stub): per-doc dimensions drive
+    // a real BMP24 writer (Multimodal.encodeBmp), the payload rides as
+    // an opaque binary column, and Multimodal.BmpCodec parses the
+    // BITMAPINFOHEADER back. The oracle verifies the decoded dims AND
+    // the byte count against the closed-form BMP size law
+    // (54 + ⌈3w/4⌉·4·h) — so a header-framing bug on either side
+    // hash-mismatches. Zero shuffle: two mapPartitions over documents.
+    Q("multimodal_decode_bmp",
+      (s, d) => {
+        val dims = docs(s, d).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(31)) + 1).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(17)) + 1).cast("int").as("h"),
+          col("doc_id").cast("long").as("seed"))
+        val withBytes = Multimodal.withBmpPayload(dims, "w", "h", "seed", "payload")
+        Multimodal.decodeMeta(withBytes, "payload", "meta",
+            () => new Multimodal.BmpCodec)
+          .select(col("doc_id"),
+            col("meta.format").as("format"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            col("meta.n_bytes").as("n_bytes"))
+      },
+      Some("""SELECT doc_id, 'bmp' AS format,
+          CAST(doc_id % 31 + 1 AS BIGINT) AS width,
+          CAST(doc_id % 17 + 1 AS BIGINT) AS height,
+          CAST(54 + ((3 * (doc_id % 31 + 1) + 3) // 4) * 4
+            * (doc_id % 17 + 1) AS BIGINT) AS n_bytes
+        FROM documents""")),
+
     // ===== RAG chunking (ml/rag/chunking/base.py): fixed-size
     // overlapping character chunks (size 120, stride 90) with stable
     // ids — a narrow explode, no shuffle.
@@ -862,6 +891,66 @@ object PipelineQueries {
             AS BIGINT) AS match_seq,
           a_val, b_val
         FROM pairs WHERE b_val < a_val""")),
+
+    // ===== RUNNING measure semantics in ALL ROWS PER MATCH (SQL:2016
+    // §7.2 — a RUNNING aggregate at output row j sees only match rows
+    // 0..j; Beam/Calcite surface this through BeamMatchRel's measure
+    // expressions): the down-run unrolled with a per-row running count
+    // and running sum of the descending leg. The oracle replays the
+    // prefix semantics with cumulative window frames inside each island.
+    Q("pattern_all_rows_running",
+      (s, d) => {
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.operators.MatchRecognizeSql(events, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES MATCH_NUMBER() AS match_seq, CLASSIFIER() AS var_name,
+                   RUNNING COUNT(B.*) AS n_down_so_far,
+                   RUNNING SUM(B.value) AS sum_down_so_far
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS B.value < PREV(B.value)""")
+          .select(col("user_id"), col("event_id"), col("match_seq"),
+            col("var_name"), col("n_down_so_far"),
+            round(col("sum_down_so_far"), 6).as("sum_down_so_far"))
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN value < lag(value) OVER
+              (PARTITION BY user_id ORDER BY rn)
+            THEN 0 ELSE 1 END AS brk
+          FROM ordered
+        ), grp AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS g
+          FROM marked
+        ), grp2 AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, g
+            ORDER BY rn) AS rn2
+          FROM grp
+        ), runs AS (
+          SELECT user_id, g, min(rn) AS head_rn
+          FROM grp2 GROUP BY 1, 2 HAVING count(*) >= 2
+        ), seq AS (
+          SELECT user_id, g,
+            row_number() OVER (PARTITION BY user_id ORDER BY head_rn)
+              AS match_seq
+          FROM runs)
+        SELECT g2.user_id, g2.event_id,
+          CAST(seq.match_seq AS BIGINT) AS match_seq,
+          CASE WHEN g2.rn2 = 1 THEN 'A' ELSE 'B' END AS var_name,
+          CAST(count(CASE WHEN g2.rn2 > 1 THEN 1 END) OVER w AS BIGINT)
+            AS n_down_so_far,
+          round(sum(CASE WHEN g2.rn2 > 1 THEN g2.value END) OVER w, 6)
+            AS sum_down_so_far
+        FROM grp2 g2 JOIN seq ON g2.user_id = seq.user_id AND g2.g = seq.g
+        WINDOW w AS (PARTITION BY g2.user_id, g2.g ORDER BY g2.rn2
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
 
     // ===== Corpus-level duplicated-n-gram fraction (the Gopher/
     // RefinedWeb dedup SIGNAL, complementing the pairwise dedup_ngram_

@@ -375,4 +375,30 @@ class IoSpec extends SparkSpec {
     assert(decoded.forall(id => id >= 0 && id <= 64))
     withBytes.unpersist()
   }
+
+  test("FileIO.writeDynamic routes records to per-destination files with custom naming") {
+    import graft.sources.FileIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-dyn").toString
+    val df = Seq(
+      ("en", "hello"), ("en", "world"), ("fr", "bonjour"), ("de", "hallo")
+    ).toDF("lang", "line")
+    val written = FileIO.writeDynamic(df, "lang", "line", dir,
+      naming = (dest, shard) => f"corpus_$dest-part$shard%03d.text",
+      numShards = 4)
+    // every record lands in a file of ITS destination, names follow the
+    // custom scheme, and the returned inventory matches the filesystem
+    assert(written.map(_._1).toSet == Set("en", "fr", "de"))
+    assert(written.forall { case (dest, name, _) =>
+      name.startsWith(s"corpus_$dest-part") && name.endsWith(".text")
+    })
+    assert(written.map(_._3).sum == 4L)
+    val back = written.flatMap { case (dest, name, _) =>
+      scala.io.Source.fromFile(s"$dir/$name").getLines().map(dest -> _).toSeq
+    }.toSet
+    assert(back == Set("en" -> "hello", "en" -> "world",
+      "fr" -> "bonjour", "de" -> "hallo"))
+    // same destination never splits WITHIN a task: one file per
+    // (dest, shard) pair
+    assert(written.map(e => (e._1, e._2)).distinct.size == written.size)
+  }
 }

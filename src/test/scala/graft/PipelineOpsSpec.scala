@@ -249,7 +249,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((2, false, true), (1, true, false)))
     // quantifier forms parse to the right bounds
     val q = MatchRecognize.parsePattern[Double]("X{2,5} Y* Z?", Map.empty)
-    val bounds = q.collect { case MatchRecognize.CtxStep(n, _, mn, mx) => (n, mn, mx) }
+    val bounds = q.collect { case MatchRecognize.CtxStep(n, _, mn, mx, _) => (n, mn, mx) }
     assert(bounds == Seq(("X", 2, 5), ("Y", 0, Int.MaxValue), ("Z", 0, 1)))
   }
 
@@ -265,6 +265,172 @@ class PipelineOpsSpec extends SparkSpec {
     }
     // whitespace between tokens is still fine
     assert(MatchRecognize.parsePattern[Double]("  A   B+  ", Map.empty).size == 2)
+  }
+
+  test("reluctant quantifiers match java.util.regex lazy semantics (property)") {
+    // rows are chars. A{1,3}? B with A = any, B = 'b'  ≡  regex
+    // .{1,3}?b (lazy); the greedy forms must equal .{1,3}b. matchRows
+    // under SKIP PAST LAST ROW ≡ Matcher.find() resuming at match end,
+    // so the per-string match TEXT sequences must agree exactly.
+    val rnd = new scala.util.Random(20260813)
+    def spans(steps: Seq[MatchRecognize.Elem[Char]], s: String): Seq[String] =
+      MatchRecognize.matchRows(0L, s.toIndexedSeq, steps)(
+        _.ordered.map(_._2).mkString)
+    def reSpans(p: java.util.regex.Pattern, s: String): Seq[String] = {
+      val m = p.matcher(s)
+      val out = Seq.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+    val lazySteps = Seq(
+      MatchRecognize.Step[Char]("A", _ => true, 1, 3, reluctant = true),
+      MatchRecognize.Step[Char]("B", _ == 'b'))
+    val greedySteps = Seq(
+      MatchRecognize.Step[Char]("A", _ => true, 1, 3),
+      MatchRecognize.Step[Char]("B", _ == 'b'))
+    val lazyRe = java.util.regex.Pattern.compile(".{1,3}?b")
+    val greedyRe = java.util.regex.Pattern.compile(".{1,3}b")
+    var diverged = false
+    for (_ <- 1 to 300) {
+      val s = Seq.fill(rnd.nextInt(12) + 1)(
+        if (rnd.nextBoolean()) 'a' else 'b').mkString
+      assert(spans(lazySteps, s) == reSpans(lazyRe, s), s"lazy on '$s'")
+      assert(spans(greedySteps, s) == reSpans(greedyRe, s), s"greedy on '$s'")
+      if (spans(lazySteps, s) != spans(greedySteps, s)) diverged = true
+    }
+    assert(diverged, "property test never exercised a lazy≠greedy case")
+    // the SQL-text spellings parse to the reluctant flag
+    val parsed = MatchRecognize.parsePattern[Char]("A+? B*? C?? D{1,3}?",
+      Map.empty)
+    assert(parsed.collect {
+      case MatchRecognize.CtxStep(n, _, mn, mx, rel) => (n, mn, mx, rel)
+    } == Seq(("A", 1, Int.MaxValue, true), ("B", 0, Int.MaxValue, true),
+      ("C", 0, 1, true), ("D", 1, 3, true)))
+  }
+
+  test("PERMUTE expands to the alternation of all orderings (Calcite rewrite)") {
+    val q = MatchRecognize.parsePattern[String]("PERMUTE(V, C) P",
+      Map("V" -> ((t, _) => t == "view"),
+        "C" -> ((t, _) => t == "click"),
+        "P" -> ((t, _) => t == "purchase")))
+    // both orderings must match; a missing permutation branch would
+    // drop one of these sequences
+    def matches(rows: String*): Int =
+      MatchRecognize.matchRows(0L, rows.toIndexedSeq, q)(_ => 1).size
+    assert(matches("view", "click", "purchase") == 1)
+    assert(matches("click", "view", "purchase") == 1)
+    assert(matches("view", "view", "purchase") == 0)
+    // factorial blowup is capped, by name
+    val err = intercept[IllegalArgumentException] {
+      MatchRecognize.parsePattern[String]("PERMUTE(A,B,C,D,E,F,G)", Map.empty)
+    }
+    assert(err.getMessage.contains("PERMUTE"))
+  }
+
+  test("AFTER MATCH SKIP TO FIRST/LAST: resume points and SQL:2016 error cases") {
+    // strictly rising run: A B+ greedy over [1..5] consumes everything;
+    // SKIP TO LAST B resumes AT row 4 (value 5) — a 1-row tail can't
+    // re-match, so exactly one match. SKIP TO FIRST B resumes at row 1:
+    // the next match starts where the first B row was (chained matches).
+    val steps = Seq(
+      MatchRecognize.Step[Int]("A", _ => true),
+      MatchRecognize.CtxStep[Int]("B",
+        (t, ctx) => ctx.prev().exists(p => t > p), 1, Int.MaxValue))
+    val rows = IndexedSeq(1, 2, 3, 4, 5)
+    val toFirst = MatchRecognize.matchRows(0L, rows, steps,
+      MatchRecognize.SkipToFirst("B"))(m => m.ordered.map(_._2))
+    // match 1 = [1,2,3,4,5], resumes at index of first B (value 2)
+    assert(toFirst == Seq(Seq(1, 2, 3, 4, 5), Seq(2, 3, 4, 5),
+      Seq(3, 4, 5), Seq(4, 5)))
+    val toLast = MatchRecognize.matchRows(0L, rows, steps,
+      MatchRecognize.SkipToLast("B"))(m => m.ordered.map(_._2))
+    assert(toLast == Seq(Seq(1, 2, 3, 4, 5)))
+    // SKIP TO FIRST A = resume at the match start: the standard's
+    // infinite-loop runtime error, thrown by name
+    val loop = intercept[IllegalArgumentException] {
+      MatchRecognize.matchRows(0L, rows, steps,
+        MatchRecognize.SkipToFirst("A"))(identity)
+    }
+    assert(loop.getMessage.contains("infinite loop"))
+    // skip target variable matched nothing → error, not a silent skip
+    val optSteps = Seq(
+      MatchRecognize.Step[Int]("A", _ => true),
+      MatchRecognize.Step[Int]("Z", _ => false, 0, 1))
+    val unmatched = intercept[IllegalArgumentException] {
+      MatchRecognize.matchRows(0L, rows, optSteps,
+        MatchRecognize.SkipToLast("Z"))(identity)
+    }
+    assert(unmatched.getMessage.contains("matched no rows"))
+  }
+
+  test("MatchRecognizeSql: RUNNING vs FINAL measures in ALL ROWS PER MATCH") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 5.0), (1L, 4L, 9.0)
+    ).toDF("user_id", "seq", "value")
+    val got = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES MATCH_NUMBER() AS ms, CLASSIFIER() AS v,
+               RUNNING COUNT(B.*) AS nb_run,
+               RUNNING SUM(B.value) AS sum_run,
+               RUNNING LAST(B.value) AS last_run,
+               FINAL SUM(B.value) AS sum_fin
+      ALL ROWS PER MATCH
+      PATTERN (A B+)
+      DEFINE B AS B.value < PREV(B.value)""")
+      .orderBy("seq")
+      .collect().map(r => (r.getAs[String]("v"), r.getAs[Long]("nb_run"),
+        Option(r.getAs[java.lang.Double]("sum_run")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("last_run")).map(_.toDouble),
+        r.getAs[Double]("sum_fin"))).toSeq
+    // one match: A=10, B=[8,5]; row 4 (9.0) not matched.
+    // RUNNING at the A row sees no B yet (count 0, sums NULL);
+    // FINAL is 13.0 on every row of the match.
+    assert(got == Seq(
+      ("A", 0L, None, None, 13.0),
+      ("B", 1L, Some(8.0), Some(8.0), 13.0),
+      ("B", 2L, Some(13.0), Some(5.0), 13.0)))
+  }
+
+  test("MatchRecognizeSql: SUBSET union variables resolve in MEASURES") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq(
+      (1L, 1L, "view", 2.0), (1L, 2L, "click", 3.0), (1L, 3L, "purchase", 7.0)
+    ).toDF("user_id", "seq", "etype", "value")
+    val got = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES COUNT(E.*) AS n_engage, SUM(E.value) AS v_engage,
+               FIRST(E.etype) AS first_e, LAST(E.etype) AS last_e
+      PATTERN (V C P)
+      SUBSET E = (V, C)
+      DEFINE V AS V.etype = 'view',
+             C AS C.etype = 'click',
+             P AS P.etype = 'purchase'""").collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_engage") == 2L)
+    assert(r.getAs[Double]("v_engage") == 5.0)
+    assert(r.getAs[String]("first_e") == "view")
+    assert(r.getAs[String]("last_e") == "click")
+  }
+
+  test("MatchRecognizeSql: AFTER MATCH SKIP TO LAST var via SQL text") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0)
+    ).toDF("user_id", "seq", "value")
+    // A B (any rows): matches (1,2); SKIP TO LAST B resumes AT row 2 →
+    // (2,3) also matches: the overlapping chain
+    val got = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES FIRST(A.value) AS a_v, LAST(B.value) AS b_v
+      AFTER MATCH SKIP TO LAST B
+      PATTERN (A B)""").collect()
+      .map(r => (r.getAs[Double]("a_v"), r.getAs[Double]("b_v"))).toSeq
+    assert(got == Seq((1.0, 2.0), (2.0, 3.0)))
   }
 
   // ---- Count-min sketch ----
@@ -325,6 +491,32 @@ class PipelineOpsSpec extends SparkSpec {
     val got = meta.select(col("doc_id"), col("meta.n_bytes")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 150 && (1 to 150).forall(i => got(i.toLong) == i.toLong))
+  }
+
+  test("multimodal: REAL BMP codec round-trips dimensions and size law") {
+    // encode with the real writer, decode with the real parser — and
+    // the byte count must obey 54 + ceil(3w/4)*4*h exactly
+    val bytes = Multimodal.encodeBmp(5, 3, seed = 42L)
+    assert(bytes.length == 54 + ((5 * 3 + 3) / 4) * 4 * 3)
+    val codec = new Multimodal.BmpCodec
+    assert(codec.decodeBatch(Seq(bytes)) == Seq((bytes.length.toLong, "bmp", 5, 3, 1)))
+    // determinism: same (dims, seed) → identical bytes
+    assert(java.util.Arrays.equals(bytes, Multimodal.encodeBmp(5, 3, 42L)))
+    // corrupt framing fails by name — a real parser, not a stub
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    val err = intercept[IllegalArgumentException] {
+      codec.decodeBatch(Seq(bad))
+    }
+    assert(err.getMessage.contains("not a BMP"))
+    // distributed path: per-row payloads through the batched decoder
+    val df = Seq((1L, 4, 2), (2L, 10, 7)).toDF("doc_id", "w", "h")
+      .withColumn("seed", col("doc_id"))
+    val meta = Multimodal.decodeMeta(
+      Multimodal.withBmpPayload(df, "w", "h", "seed", "payload"),
+      "payload", "meta", () => new Multimodal.BmpCodec)
+    val got = meta.select(col("doc_id"), col("meta.width"), col("meta.height"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 4, 2), (2L, 10, 7)))
   }
 
   // ---- Inference ----
@@ -419,6 +611,37 @@ class PipelineOpsSpec extends SparkSpec {
     val got = Similarity.cosinePairsAboveBlocked(ok, "vec_id", "embedding",
       0.99, nBlocks = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
+  }
+
+  test("cosinePairsAboveKernel enforces the broadcast-size contract") {
+    // the collect-to-driver kernel must fail FAST on a too-large
+    // corpus, pointing at the distributed block kernel
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsAboveKernel(emb, "vec_id", "embedding", 0.3,
+        maxRows = 10)
+    }
+    assert(e.getMessage.contains("cosinePairsAboveBlocked"))
+  }
+
+  test("exactByKeyAgg == exactByKey on the keep-smallest contract") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val win = graft.operators.Dedup.exactByKey(ev,
+        Seq("user_id", "event_type"), col("ts").asc, col("event_id").asc)
+      .collect().map(_.toSeq).toSet
+    val agg = graft.operators.Dedup.exactByKeyAgg(ev,
+      Seq("user_id", "event_type"), col("ts"), col("event_id"))
+    assert(agg.collect().map(_.toSeq).toSet == win)
+    // the point of the agg form: map-side combine before ONE exchange,
+    // no Window operator shipping full payloads. After execution the
+    // AQE plan string prints BOTH "== Final Plan ==" and "== Initial
+    // Plan ==" sections — count nodes in the final section only.
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert("Aggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregate nodes:\n$plan")
   }
 
   test("operators handle empty inputs without failure") {

@@ -84,6 +84,21 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(dist.mean - 499.5) < 1e-9)
     // empty distribution reports Beam's empty result, not MaxValue noise
     assert(new Metrics.DistributionAcc().value == (0L, 0L, 0L, 0L))
+    // gauge: last-writer-wins across executor merges — every partition
+    // reports, the driver reads ONE of the reported values (not a sum),
+    // and a local merge of two gauges keeps the later stamp
+    val ver = Metrics.gauge(spark, "graft", "model_version")
+    spark.range(100).repartition(8).as[Long]
+      .mapPartitions { it => ver.set(7L); it }
+      .count()
+    assert(ver.value == 7L, s"gauge=${ver.value}")
+    val a = new Metrics.GaugeAcc
+    a.set(1L)
+    val b = new Metrics.GaugeAcc
+    b.set(2L)
+    a.merge(b)
+    assert(a.value == 2L) // b stamped later
+    assert(new Metrics.GaugeAcc().value == 0L) // empty reads 0 (Beam empty)
   }
 
   test("session_window supports per-row dynamic gaps (Sessions.withGap analog)") {
