@@ -133,8 +133,12 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        Row.fromSeq(r.toSeq :+
-          encodeBmp(r.getInt(wi), r.getInt(hi), r.getLong(si)))
+        // dirty rows (null dims/seed) carry a null payload — the same
+        // null-propagation contract decodeMeta applies downstream
+        val payload =
+          if (r.isNullAt(wi) || r.isNullAt(hi) || r.isNullAt(si)) null
+          else encodeBmp(r.getInt(wi), r.getInt(hi), r.getLong(si))
+        Row.fromSeq(r.toSeq :+ payload)
       }
     }(enc)
   }
