@@ -61,7 +61,9 @@ object Bench {
     "pipeline_cdc_apply", "agg_approx_topk",
     "pipeline_split_assign", "pipeline_dsir_weights", "text_dup_span_max",
     "pattern_measures_agg", "pattern_all_rows", "agg_theta_overlap",
-    "window_ewma", "pipeline_temperature_mix", "text_perplexity_unigram")
+    "window_ewma", "pipeline_temperature_mix", "text_perplexity_unigram",
+    "pattern_all_rows_running", "multimodal_decode_bmp",
+    "text_c4_span_dedup")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -57,6 +57,45 @@ object Dedup {
       .select(cols.map(c => col("__keep").getField(c).as(c)): _*)
   }
 
+  /** C4's repeated-span removal (Raffel et al. 2020 §2.2, built as a
+    * Beam pipeline in TFDS `c4.py`'s `remove_duplicate_text`): across
+    * the WHOLE corpus, keep only the FIRST occurrence of every line /
+    * span, then reassemble each document from its surviving lines in
+    * original order. A line that occurs once keeps its only occurrence;
+    * a duplicated line survives solely at the smallest (doc, position).
+    *
+    * Input: `linesCol` is an `array<string>` of the document's spans in
+    * order (the caller frames them — newline split, sentence split, or
+    * fixed word windows). Output: one row per doc that kept ≥1 line,
+    * with `n_kept` and the reassembled `clean_text`.
+    *
+    * Scale: one posexplode (no shuffle), ONE exchange on the line value
+    * (window min — the same GroupByKey-on-span C4's Beam job performs),
+    * one exchange on the doc key to reassemble. First-occurrence order
+    * is encoded as docId·2^20 + pos, so docs are capped at 2^20 lines
+    * (enforced) and doc ids at ~2^43 — a 100 TB corpus keyed by
+    * sequential ids fits; re-key larger id spaces first. */
+  def removeRepeatedLines(df: DataFrame, docIdCol: String, linesCol: String,
+      sep: String = "\n"): DataFrame = {
+    val MaxLines = 1 << 20
+    val exploded = df
+      .select(col(docIdCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
+      .withColumn("pos", when(col("pos") < MaxLines, col("pos"))
+        .otherwise(raise_error(concat(lit(
+          s"removeRepeatedLines: document exceeds $MaxLines lines: doc "),
+          col(docIdCol).cast("string")))))
+    val w = Window.partitionBy("line")
+    val occ = col(docIdCol).cast("long") * MaxLines + col("pos")
+    exploded
+      .withColumn("first_occ", min(occ).over(w))
+      .filter(occ === col("first_occ"))
+      .groupBy(col(docIdCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), sep).as("clean_text"))
+  }
+
   /** 2^61 - 1: modulus of the affine MinHash family (fits DuckDB's
     * overflow-checked BIGINT arithmetic: a·h31 + b < 2^62). */
   val MinHashPrime: Long = 2305843009213693951L

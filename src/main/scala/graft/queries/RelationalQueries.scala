@@ -268,9 +268,14 @@ object RelationalQueries {
         count(*) AS n FROM orders GROUP BY o_orderpriority""")),
 
     // Distribution-shape aggregates (the stats.py/combiners surface
-    // beyond mean/var): skewness + excess kurtosis — same estimator in
-    // both engines; rounded to 4 places because grouped
-    // accumulation order perturbs the 6th decimal across engines.
+    // beyond mean/var): skewness + excess kurtosis. ESTIMATOR NOTE:
+    // Spark computes the POPULATION forms (g1, g2); DuckDB's
+    // skewness/kurtosis are the SAMPLE bias-corrected forms (G1, G2) —
+    // the ~O(1/n) gap hid below 4 decimals until a regenerated sf0.001
+    // landed kurtosis exactly on a rounding boundary. The oracle now
+    // matches semantics EXACTLY: kurtosis_pop natively, and skewness
+    // de-corrected via g1 = G1·(n−2)/√(n(n−1)); rounded to 4 places
+    // because grouped accumulation order perturbs the 6th decimal.
     Q("agg_shape_stats",
       (s, d) => li(s, d).groupBy("l_linestatus").agg(
         round(skewness(col("l_quantity")), 4).as("skew_qty"),
@@ -278,10 +283,12 @@ object RelationalQueries {
         round(skewness(col("l_extendedprice")), 4).as("skew_price"),
         round(kurtosis(col("l_extendedprice")), 4).as("kurt_price")),
       Some("""SELECT l_linestatus,
-        round(skewness(l_quantity), 4) AS skew_qty,
-        round(kurtosis(l_quantity), 4) AS kurt_qty,
-        round(skewness(l_extendedprice), 4) AS skew_price,
-        round(kurtosis(l_extendedprice), 4) AS kurt_price
+        round(skewness(l_quantity) * (count(*) - 2)
+          / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_qty,
+        round(kurtosis_pop(l_quantity), 4) AS kurt_qty,
+        round(skewness(l_extendedprice) * (count(*) - 2)
+          / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_price,
+        round(kurtosis_pop(l_extendedprice), 4) AS kurt_price
         FROM lineitem GROUP BY 1""")),
 
     // Beam ToDict (transforms/combiners.py ToDictCombineFn): per-group

@@ -536,5 +536,51 @@ object TextQueries {
               / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS bm25
         FROM dd, g
         WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""")),
+
+    // ===== C4 repeated-span removal (Raffel et al. 2020 §2.2; the
+    // reference ecosystem's flagship public pipeline — C4 itself was
+    // built as a Beam job, TFDS c4.py remove_duplicate_text): keep
+    // only the FIRST corpus-wide occurrence of every span, reassemble
+    // docs in order. Spans here are fixed 10-word windows (the
+    // synthetic corpus has no newlines); the word-soup corpus makes
+    // collisions real. Inverted-index shape: one exchange on the span
+    // value + one on the doc key — never pairwise.
+    Q("text_c4_span_dedup",
+      (s, d) => {
+        val toks = graft.operators.TextAnalysis.tokens(col("text"))
+        val nLines = ceil(size(col("ln")).cast("double") / 10.0).cast("int")
+        val framed = docs(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .withColumn("ln", toks)
+          .withColumn("lines", transform(
+            sequence(lit(0), nLines - 1),
+            i => array_join(slice(col("ln"), i * 10 + 1, lit(10)), " ")))
+        Dedup.removeRepeatedLines(framed, "doc_id", "lines", sep = "\n")
+          .select(col("doc_id"), col("n_kept"),
+            md5(col("clean_text")).as("clean_md5"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), pl AS (
+          SELECT doc_id, t,
+            unnest(generate_series(0,
+              CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS pos
+          FROM tok
+        ), lines AS (
+          SELECT doc_id, pos,
+            array_to_string(list_slice(t, pos * 10 + 1, pos * 10 + 10), ' ')
+              AS line
+          FROM pl
+        ), occ AS (
+          SELECT doc_id, pos, line,
+            min(doc_id * 1048576 + pos) OVER (PARTITION BY line)
+              AS first_occ
+          FROM lines)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        FROM occ
+        WHERE doc_id * 1048576 + pos = first_occ
+        GROUP BY doc_id""")),
   )
 }

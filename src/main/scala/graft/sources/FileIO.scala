@@ -77,6 +77,9 @@ object FileIO {
       val base = new Path(dir)
       for (r <- rows) {
         val dest = r.getString(0)
+        require(dest != null,
+          "writeDynamic: null destination — derive a non-null routing " +
+            "value (coalesce a default) before writing")
         if (dest != curDest) {
           closeCurrent()
           curDest = dest
@@ -86,7 +89,10 @@ object FileIO {
             fs.create(new Path(base, curName), true),
             java.nio.charset.StandardCharsets.UTF_8))
         }
-        out.write(r.getString(1)); out.newLine(); n += 1
+        // a null payload writes an empty line (the record is still
+        // routed and counted) rather than NPE-ing the task
+        out.write(if (r.isNullAt(1)) "" else r.getString(1))
+        out.newLine(); n += 1
       }
       closeCurrent()
       written.result().iterator

@@ -239,4 +239,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("removeRepeatedLines keeps FIRST corpus occurrence, reassembles in order") {
+    // C4 semantics: "dup" appears in docs 1 (pos 1) and 2 (pos 0) —
+    // only doc 1's copy survives; unique lines all survive in order
+    val df = Seq(
+      (1L, Seq("alpha", "dup", "beta")),
+      (2L, Seq("dup", "gamma")),
+      (3L, Seq("dup"))
+    ).toDF("doc_id", "lines")
+    val got = Dedup.removeRepeatedLines(df, "doc_id", "lines")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 3L, "alpha\ndup\nbeta"),
+      (2L, 1L, "gamma")))
+    // doc 3 lost its only line → absent from the output entirely
+    assert(!got.exists(_._1 == 3L))
+    // within-doc repeats: the SECOND copy in the same doc is also a
+    // non-first occurrence and is removed
+    val within = Seq((7L, Seq("x", "x", "y"))).toDF("doc_id", "lines")
+    val w = Dedup.removeRepeatedLines(within, "doc_id", "lines")
+      .collect().map(r => (r.getLong(1), r.getString(2))).head
+    assert(w == (2L, "x\ny"))
+  }
 }
