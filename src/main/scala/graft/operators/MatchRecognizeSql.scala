@@ -451,16 +451,89 @@ object MatchRecognizeSql {
 
     val anyRunning = measures.exists(_.running)
 
+    // Incremental RUNNING evaluation: one forward pass per match with
+    // O(1) state per measure — NOT a prefix-Match per output row (that
+    // re-aggregates every prefix: O(len²) per match, which a
+    // session-sized match at 100 TB cannot afford). Returns per-row
+    // update functions for the RUNNING measures (null slot = measure
+    // is FINAL / per-row and resolved at emit).
+    def mkRunningFns(): Seq[(String, Row) => Any] = measures.map { spec =>
+      if (!spec.running) null
+      else {
+        def mem(v: String): String => Boolean =
+          subsets.getOrElse(v, Set(v)).contains _
+        def cell(r: Row, c: String): Any = {
+          val i = r.fieldIndex(c)
+          if (r.isNullAt(i)) null else r.get(i)
+        }
+        spec.measure match {
+          case MCount(_, "") =>
+            var n = 0L
+            (_, _) => { n += 1; n }
+          case MCount(_, v) =>
+            val m = mem(v); var n = 0L
+            (vn, _) => { if (m(vn)) n += 1; n }
+          case MNav(_, "first", v, c) =>
+            val m = mem(v); var seen = false; var value: Any = null
+            (vn, r) => {
+              if (!seen && m(vn)) { seen = true; value = cell(r, c) }
+              value
+            }
+          case MNav(_, _, v, c) => // last
+            val m = mem(v); var value: Any = null
+            (vn, r) => { if (m(vn)) value = cell(r, c); value }
+          case MAgg(_, kind, v, c) =>
+            val m = mem(v)
+            var sum = 0.0; var n = 0L
+            var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+            (vn, r) => {
+              if (m(vn)) cell(r, c) match {
+                case null => ()
+                case x: Number =>
+                  val d = x.doubleValue()
+                  sum += d; n += 1
+                  if (d < mn) mn = d
+                  if (d > mx) mx = d
+                case other => throw new IllegalArgumentException(
+                  s"RUNNING $kind over non-numeric value: $other")
+              }
+              if (n == 0) null
+              else kind match {
+                case "sum" => sum
+                case "avg" => sum / n
+                case "min" => mn
+                case "max" => mx
+              }
+            }
+          // MATCH_NUMBER / CLASSIFIER: running ≡ final / per-row —
+          // resolved at emit
+          case _ => null
+        }
+      }
+    }
+
     if (allRows)
       // one output row per matched input row: the full source row plus
-      // the measures (FINAL over the whole match, RUNNING over the
-      // prefix), CLASSIFIER() varying per row
+      // the measures (FINAL over the whole match, RUNNING via the
+      // incremental pass), CLASSIFIER() varying per row
       MatchRecognize.matchRecognizeFlat[String, Row, Row](
         df, keyFn, sortSpecs, steps, skip) { m0 =>
         val fin = withSubsets(m0)
-        m0.ordered.zipWithIndex.map { case ((varName, r), j) =>
-          val run = if (anyRunning) withSubsets(m0.running(j)) else fin
-          Row.fromSeq(r.toSeq ++ measureVals(fin, run, varName))
+        // FINAL values once per match (classifier slot overridden per
+        // row at emit)
+        val finTemplate = measureVals(fin, fin,
+          if (fin.ordered.nonEmpty) fin.ordered.last._1 else "")
+        val runFns = if (anyRunning) mkRunningFns() else null
+        m0.ordered.map { case (varName, r) =>
+          val vals = measures.zipWithIndex.map { case (spec, k) =>
+            spec.measure match {
+              case MClassifier(_) => varName
+              case MMatchNum(_) => m0.matchSeq
+              case _ if spec.running => runFns(k)(varName, r)
+              case _ => finTemplate(k)
+            }
+          }
+          Row.fromSeq(r.toSeq ++ vals)
         }
       }(Encoders.STRING, Encoders.row(inSchema), Encoders.row(outSchema))
     else

@@ -226,7 +226,8 @@ class RandomizedSpec extends SparkSpec {
     val alphabet = "abcd"
     val rnd = new scala.util.Random(41)
 
-    final case class GenStep(chars: Set[Char], min: Int, max: Int)
+    final case class GenStep(chars: Set[Char], min: Int, max: Int,
+        reluctant: Boolean)
     def genStep(): GenStep = {
       val nc = 1 + rnd.nextInt(2)
       val chars = Set.fill(nc)(alphabet(rnd.nextInt(alphabet.length)))
@@ -239,7 +240,10 @@ class RandomizedSpec extends SparkSpec {
         case 5 => (2, 2)
         case 6 => (1, 3)
       }
-      GenStep(chars, mn, mx)
+      // ~1/3 of non-exact quantifiers go reluctant — java.util.regex's
+      // lazy `?` suffix is the oracle for the shortest-first order
+      val rel = (mn, mx) != (1, 1) && mx != mn && rnd.nextInt(3) == 0
+      GenStep(chars, mn, mx, rel)
     }
     def stepRegex(g: GenStep): String = {
       val cls = s"[${g.chars.mkString}]"
@@ -251,13 +255,13 @@ class RandomizedSpec extends SparkSpec {
         case (m, Int.MaxValue) => s"{$m,}"
         case (m, n) => s"{$m,$n}"
       }
-      cls + q
+      cls + q + (if (g.reluctant) "?" else "")
     }
     var nameSeq = 0
     def toElem(g: GenStep): Elem[(Int, Char)] = {
       nameSeq += 1
       Step(s"V$nameSeq", (t: (Int, Char)) => g.chars.contains(t._2),
-        g.min, g.max)
+        g.min, g.max, g.reluctant)
     }
 
     def oracleSpans(s: String, rx: java.util.regex.Pattern,

@@ -363,6 +363,16 @@ class ScaleSpec extends SparkSpec {
     // per-key inference is a pure mapPartitions pass: no exchange
     assert(!plan("ml_inference_per_key").contains("Exchange"),
       "ml_inference_per_key gained a shuffle")
+    // C4 span dedup: exactly the documented inverted-index shape — one
+    // exchange on the span value (window min) + one on the doc key
+    // (reassembly agg); anything more means the span frequency started
+    // materializing pairwise or the reassembly gained a sort
+    val c4 = plan("text_c4_span_dedup")
+    assert("Exchange".r.findAllIn(c4).size <= 2, s"c4 gained shuffles:\n$c4")
+    assert(c4.contains("Window"), "c4 lost the first-occurrence window")
+    // BMP decode is mapPartitions-only: no exchange at all
+    assert(!plan("multimodal_decode_bmp").contains("Exchange"),
+      "multimodal_decode_bmp gained a shuffle")
     // t-digest: imperative-sketch aggregate runs partial+final (only
     // centroids cross the exchange), via ObjectHashAggregate
     val td = plan("agg_tdigest_quantiles")
