@@ -154,21 +154,17 @@ object Joins {
     val tag = Iterator.from(0).map(i => if (i == 0) "__hot" else s"__hot$i")
       .find(!taken.contains(_)).get
     // The hot-key set is tiny by construction (≤ |fact|/threshold keys
-    // — the same size bound that makes it broadcastable) but referenced
-    // four times below. Materialize it ONCE as a local relation: the
-    // count pass runs exactly once, and unlike a persist() there are no
-    // cached blocks to leak for the lifetime of the session (the old
-    // form relied on the caller to unpersist and nobody did).
-    val spark = fact.sparkSession
-    val hotKeys = fact.groupBy(key).count()
+    // — the same size bound that makes it broadcastable) and referenced
+    // twice below (fact tag + dim tag). NO persist (a session-lifetime
+    // cache-block leak unless the caller unpersists — nobody does) and
+    // NO driver collect (an eager synchronous job that can't pipeline
+    // with the main query): the two broadcast references share one
+    // compute via Spark's exchange reuse — identical canonical subplans
+    // dedupe to a single shuffle + broadcast (ReusedExchange, asserted
+    // in JoinsSpec), so the count pass runs once IN-PLAN.
+    val hot = fact.groupBy(key).count()
       .filter(col("count") > hotThreshold)
-      .select(key).collect().map(_.get(0))
-    val hot = spark.createDataFrame(
-        java.util.Arrays.asList(
-          hotKeys.map(org.apache.spark.sql.Row(_)): _*),
-        org.apache.spark.sql.types.StructType(
-          Seq(fact.schema(key).copy(name = key))))
-      .withColumn(tag, lit(true))
+      .select(col(key), lit(true).as(tag))
     val f = fact.join(broadcast(hot), Seq(key), "left")
     val d = dim.join(broadcast(hot), Seq(key), "left")
     saltedJoin(f.filter(col(tag)).drop(tag),

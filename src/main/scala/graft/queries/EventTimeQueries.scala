@@ -149,6 +149,31 @@ object EventTimeQueries {
         count(*) AS n, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1""")),
 
+    // CalendarWindows.weeks / .years (windowing/CalendarWindows.java:47
+    // exposes days/weeks/months/years as first-class factories):
+    // date_trunc handles the variable-length units; both engines use
+    // Monday-start ISO weeks.
+    Q("win_calendar_week",
+      (s, d) => Windowing.calendar(ev(s, d), "ts", "week")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .select(unix_timestamp(col("window_start")).as("week_start"),
+          col("n"), col("avg_value")),
+      Some("""SELECT CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT)
+          AS week_start,
+        count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1""")),
+
+    Q("win_calendar_year",
+      (s, d) => Windowing.calendar(ev(s, d), "ts", "year")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_timestamp(col("window_start")).as("year_start"),
+          col("n"), col("n_users")),
+      Some("""SELECT CAST(floor(epoch(date_trunc('year', ts))) AS BIGINT)
+          AS year_start,
+        count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1""")),
+
     // Nexmark Q5 "hot items" (reference: sdks/java/testing/nexmark/
     // .../queries/Query5.java — highest-count auction per sliding
     // window): the per-window argmax over a sliding-window count.

@@ -79,6 +79,16 @@ class JoinsSpec extends SparkSpec {
     val hot = fact.groupBy("k").count().filter(col("count") > 10)
       .select("k").as[Long].collect().toSet
     assert(hot == Set(1L))
+    // the hot-key count pass must run ONCE in-plan: the two broadcast
+    // references (fact tag + dim tag) dedupe via exchange reuse — no
+    // persist (leaks), no collect (eager synchronous job)
+    val g = Joins.hybridSkewJoin(fact, dim, "k", fanout = 4,
+      saltBy = Seq(col("k"), col("seq")), hotThreshold = 10L)
+    g.collect() // execute THIS QueryExecution (count() builds its own)
+    val plan = g.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Reused"), // ReusedExchange / reused stage
+      s"hot-key subplan computed twice — exchange reuse lost:\n$plan")
   }
 
   test("fuzzyJoinEditDistance matches the brute-force pair set") {
