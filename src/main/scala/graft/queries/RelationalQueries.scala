@@ -732,23 +732,27 @@ object RelationalQueries {
           JOIN rec ON o.user_id = rec.user_id AND o.rn = rec.rn + 1)
         SELECT user_id, event_id, round(e, 6) AS ewma FROM rec""")),
 
+    // ntile/cume_dist PARTITIONED BY nation — the scale-correct form
+    // (an empty PARTITION BY funnels every row through ONE task; the
+    // ScaleLintSpec sweep rejects that shape engine-wide. A truly
+    // global quantile assignment at 100 TB is approx_percentile /
+    // t-digest territory, not a window).
     Q("window_ntile_cume",
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
         cust(s, d).select(col("c_custkey"),
           ntile(4).over(w).cast("long").as("quartile"),
           round(cume_dist().over(w), 6).as("cd"),
-          first(col("c_custkey")).over(
-            Window.partitionBy(col("c_nationkey"))
-              .orderBy(col("c_acctbal").asc, col("c_custkey").asc)).as("first_in_nation"))
+          first(col("c_custkey")).over(w).as("first_in_nation"))
       },
       Some("""SELECT c_custkey,
         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         round(cume_dist() OVER w, 6) AS cd,
-        first_value(c_custkey) OVER (PARTITION BY c_nationkey
-          ORDER BY c_acctbal ASC, c_custkey ASC) AS first_in_nation
+        first_value(c_custkey) OVER w AS first_in_nation
         FROM customer
-        WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)""")),
+        WINDOW w AS (PARTITION BY c_nationkey
+          ORDER BY c_acctbal ASC, c_custkey ASC)""")),
 
     // ===== Element-wise & scalar functions (SURVEY §2.2, §2.9)
     Q("scalar_string",
