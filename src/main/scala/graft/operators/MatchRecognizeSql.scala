@@ -294,13 +294,13 @@ object MatchRecognizeSql {
     -1
   }
 
-  /** Run a `MATCH_RECOGNIZE (...)` clause BODY over `df`. Sections
-    * PARTITION BY / ORDER BY / PATTERN / DEFINE are required; MEASURES
-    * is required (it defines the output); ONE ROW PER MATCH is the only
-    * rows-per-match mode; AFTER MATCH SKIP PAST LAST ROW (default) and
-    * AFTER MATCH SKIP TO NEXT ROW (overlapping matches) both parse.
-    * Output columns: partition cols then measures. */
-  def apply(df: DataFrame, clause: String): DataFrame = {
+  /** Parse + compile a `MATCH_RECOGNIZE (...)` clause BODY against
+    * `df`'s schema. Sections PARTITION BY / ORDER BY / PATTERN / DEFINE
+    * are required; MEASURES is required (it defines the output); ONE or
+    * ALL ROWS PER MATCH; all AFTER MATCH SKIP modes parse. Output
+    * columns: partition cols (ONE ROW) / all source cols (ALL ROWS),
+    * then measures. Shared by [[apply]] (batch) and [[stream]]. */
+  private def compile(df: DataFrame, clause: String): CompiledClause = {
     val body = clause.trim
     // section slicing: each keyword found at depth 0, in order
     val keywords = Seq("PARTITION BY", "ORDER BY", "MEASURES",
@@ -512,37 +512,117 @@ object MatchRecognizeSql {
       }
     }
 
-    if (allRows)
+    // per-match emitters, shared by the batch and streaming paths
+    def emitAllRows(m0: MatchRecognize.Match[String, Row]): Seq[Row] = {
       // one output row per matched input row: the full source row plus
       // the measures (FINAL over the whole match, RUNNING via the
       // incremental pass), CLASSIFIER() varying per row
-      MatchRecognize.matchRecognizeFlat[String, Row, Row](
-        df, keyFn, sortSpecs, steps, skip) { m0 =>
-        val fin = withSubsets(m0)
-        // FINAL values once per match (classifier slot overridden per
-        // row at emit)
-        val finTemplate = measureVals(fin, fin,
-          if (fin.ordered.nonEmpty) fin.ordered.last._1 else "")
-        val runFns = if (anyRunning) mkRunningFns() else null
-        m0.ordered.map { case (varName, r) =>
-          val vals = measures.zipWithIndex.map { case (spec, k) =>
-            spec.measure match {
-              case MClassifier(_) => varName
-              case MMatchNum(_) => m0.matchSeq
-              case _ if spec.running => runFns(k)(varName, r)
-              case _ => finTemplate(k)
-            }
+      val fin = withSubsets(m0)
+      // FINAL values once per match (classifier slot overridden per
+      // row at emit)
+      val finTemplate = measureVals(fin, fin,
+        if (fin.ordered.nonEmpty) fin.ordered.last._1 else "")
+      val runFns = if (anyRunning) mkRunningFns() else null
+      m0.ordered.map { case (varName, r) =>
+        val vals = measures.zipWithIndex.map { case (spec, k) =>
+          spec.measure match {
+            case MClassifier(_) => varName
+            case MMatchNum(_) => m0.matchSeq
+            case _ if spec.running => runFns(k)(varName, r)
+            case _ => finTemplate(k)
           }
-          Row.fromSeq(r.toSeq ++ vals)
         }
-      }(Encoders.STRING, Encoders.row(inSchema), Encoders.row(outSchema))
-    else
-      MatchRecognize.matchRecognize[String, Row, Row](
-        df, keyFn, sortSpecs, steps, skip) { m0 =>
-        val fin = withSubsets(m0)
-        val anyRow = fin.captured.valuesIterator.flatten.next()
-        val partVals = partIdx.map(anyRow.get)
-        Row.fromSeq(partVals ++ measureVals(fin, fin, fin.ordered.last._1))
-      }(Encoders.STRING, Encoders.row(inSchema), Encoders.row(outSchema))
+        Row.fromSeq(r.toSeq ++ vals)
+      }
+    }
+    def emitOneRow(m0: MatchRecognize.Match[String, Row]): Row = {
+      val fin = withSubsets(m0)
+      val anyRow = fin.captured.valuesIterator.flatten.next()
+      val partVals = partIdx.map(anyRow.get)
+      Row.fromSeq(partVals ++ measureVals(fin, fin, fin.ordered.last._1))
+    }
+    val groupRunner: (String, IndexedSeq[Row]) => Seq[Row] =
+      if (allRows)
+        (k, rows) =>
+          MatchRecognize.matchRows(k, rows, steps, skip)(emitAllRows).flatten
+      else
+        (k, rows) =>
+          MatchRecognize.matchRows(k, rows, steps, skip)(emitOneRow)
+
+    val sortKeys = splitTopLevel(section("ORDER BY").get, ',')
+      .map(_.trim).filter(_.nonEmpty).map { sp =>
+        val parts = sp.split("\\s+")
+        (parts(0), parts.length > 1 && parts(1).equalsIgnoreCase("DESC"))
+      }
+    CompiledClause(keyFn, sortSpecs, sortKeys, inSchema, outSchema,
+      groupRunner)
+  }
+
+  /** The compiled form of a clause: key/sort extraction plus a
+    * serializable per-group runner — reusable by batch (sorted groups
+    * from the shuffle) and streaming (watermark-closed sessions sorted
+    * in memory). */
+  private final case class CompiledClause(
+      keyFn: Row => String,
+      sortSpecs: Seq[Column],
+      sortKeys: Seq[(String, Boolean)],
+      inSchema: StructType,
+      outSchema: StructType,
+      groupRunner: (String, IndexedSeq[Row]) => Seq[Row])
+
+  /** Run a `MATCH_RECOGNIZE (...)` clause BODY over a batch DataFrame.
+    * One shuffle on the partition key; the group sort rides the
+    * exchange's spill-safe machinery. */
+  def apply(df: DataFrame, clause: String): DataFrame = {
+    val plan = compile(df, clause)
+    df.groupByKey(plan.keyFn)(Encoders.STRING)
+      .flatMapSortedGroups(plan.sortSpecs: _*) {
+        (k: String, it: Iterator[Row]) =>
+          plan.groupRunner(k, it.toIndexedSeq).iterator
+      }(Encoders.row(plan.inSchema), Encoders.row(plan.outSchema))
+  }
+
+  /** STREAMING MATCH_RECOGNIZE through the SQL front door: sessions
+    * close when the event-time watermark passes `gapMs` beyond a key's
+    * last row, and the identical clause/NFA machinery runs on each
+    * closed session — Beam's per-key-and-window BeamMatchRel execution
+    * model (and Flink CEP's session-scoped matching) on
+    * `transformWithState`. Matches never span a session gap: the
+    * session IS the window (use the batch form for unwindowed
+    * retrospective matching). Per-key state is the open session's
+    * buffered rows, GC'd at flush.
+    *
+    * @param tsCol TIMESTAMP column carrying event time (also name it in
+    *              ORDER BY); `delay` is the watermark delay string
+    *              (allowed lateness), e.g. "10 seconds". */
+  def stream(df: DataFrame, clause: String, tsCol: String,
+      delay: String, gapMs: Long): DataFrame = {
+    val plan = compile(df, clause)
+    val tsIdx = plan.inSchema.fieldIndex(tsCol)
+    val rowEnc = Encoders.row(plan.inSchema)
+    val tupEnc = Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, rowEnc)
+    val keyFn = plan.keyFn
+    val keyed = df.withWatermark(tsCol, delay)
+      .map(r => (keyFn(r), r.getTimestamp(tsIdx), r))(tupEnc)
+    // in-memory per-session sort by the clause's ORDER BY (sessions are
+    // bounded by per-key activity within one gap — the batch group's
+    // contract, minus the shuffle's spill path)
+    val keys = plan.sortKeys.map { case (n, desc) =>
+      (plan.inSchema.fieldIndex(n), desc)
+    }
+    val ord: Ordering[Row] = new Ordering[Row] {
+      override def compare(a: Row, b: Row): Int = {
+        keys.foreach { case (i, desc) =>
+          val c = compareVals(a.get(i), b.get(i))
+          if (c != 0) return if (desc) -c else c
+        }
+        0
+      }
+    }
+    val runner = plan.groupRunner
+    graft.streaming.StatefulV2.eventTimeGapApply[String, Row, Row](
+      keyed, gapMs) { (k, rows) =>
+      runner(k, rows.sorted(ord).toIndexedSeq).iterator
+    }(Encoders.STRING, rowEnc, Encoders.row(plan.outSchema))
   }
 }
