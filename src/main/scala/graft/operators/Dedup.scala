@@ -78,11 +78,29 @@ object Dedup {
   def removeRepeatedLines(df: DataFrame, docIdCol: String, linesCol: String,
       sep: String = "\n"): DataFrame = {
     val MaxLines = 1 << 20
+    // the first-occurrence key is docId·2^20 + pos: a non-integral id
+    // would cast to null (silently emptying the output) and an id past
+    // Long.MaxValue/2^20 would overflow — fail fast on both
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(docIdCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"removeRepeatedLines: $docIdCol must be an integral type " +
+          s"(the doc id is packed into a Long first-occurrence key), " +
+          s"got $other — re-key the corpus first")
+    }
+    val MaxDocId = Long.MaxValue / MaxLines // ~2^43
     val exploded = df
       .select(col(docIdCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
       .withColumn("pos", when(col("pos") < MaxLines, col("pos"))
         .otherwise(raise_error(concat(lit(
           s"removeRepeatedLines: document exceeds $MaxLines lines: doc "),
+          col(docIdCol).cast("string")))))
+      .withColumn("pos", when(
+        col(docIdCol) >= 0 && col(docIdCol) <= MaxDocId, col("pos"))
+        .otherwise(raise_error(concat(lit(
+          s"removeRepeatedLines: doc id outside [0, $MaxDocId] would " +
+            "overflow the packed occurrence key: "),
           col(docIdCol).cast("string")))))
     val w = Window.partitionBy("line")
     val occ = col(docIdCol).cast("long") * MaxLines + col("pos")

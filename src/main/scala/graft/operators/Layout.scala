@@ -105,7 +105,7 @@ object Layout {
     val aggCols = dims.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
     }
-    val fit = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val fit = df.agg(aggCols.head, aggCols.tail: _*).head() // bounded: 1-row global agg
     // zValue* domain contract: (hi-lo)·(2^bits-1) must fit a signed
     // long or the normalization itself overflows (silently wrong
     // z-values → wrong clustering). Fail at fit time, not per row.

@@ -575,11 +575,14 @@ object MatchRecognizeSql {
     * exchange's spill-safe machinery. */
   def apply(df: DataFrame, clause: String): DataFrame = {
     val plan = compile(df, clause)
+    // capture ONLY the serializable pieces — the CompiledClause holds
+    // Columns (sortSpecs), which must stay on the driver
+    val runner = plan.groupRunner
     df.groupByKey(plan.keyFn)(Encoders.STRING)
       .flatMapSortedGroups(plan.sortSpecs: _*) {
         (k: String, it: Iterator[Row]) =>
-          plan.groupRunner(k, it.toIndexedSeq).iterator
-      }(Encoders.row(plan.inSchema), Encoders.row(plan.outSchema))
+          runner(k, it.toIndexedSeq).iterator
+      }(Encoders.row(plan.outSchema))
   }
 
   /** STREAMING MATCH_RECOGNIZE through the SQL front door: sessions
@@ -602,8 +605,12 @@ object MatchRecognizeSql {
     val rowEnc = Encoders.row(plan.inSchema)
     val tupEnc = Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, rowEnc)
     val keyFn = plan.keyFn
-    val keyed = df.withWatermark(tsCol, delay)
+    // watermark is tagged AFTER the keying map: a typed map mints new
+    // attributes, so an upstream event-time tag would not survive it
+    // (EventTime transformWithState requires the tag on its input)
+    val keyed = df
       .map(r => (keyFn(r), r.getTimestamp(tsIdx), r))(tupEnc)
+      .withWatermark("_2", delay)
     // in-memory per-session sort by the clause's ORDER BY (sessions are
     // bounded by per-key activity within one gap — the batch group's
     // contract, minus the shuffle's spill path)

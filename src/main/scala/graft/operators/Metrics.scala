@@ -90,11 +90,16 @@ object Metrics {
       c
     }
     override def reset(): Unit = { stamp = Long.MinValue; v = 0L }
-    override def add(x: Long): Unit = { stamp = System.nanoTime(); v = x }
+    // wall clock, as Beam's Gauge (Instant.now): nanoTime origins are
+    // arbitrary per JVM, so cross-executor "latest" needs epoch time
+    override def add(x: Long): Unit = { stamp = System.currentTimeMillis(); v = x }
     /** Beam's `Gauge.set` spelling. */
     def set(x: Long): Unit = add(x)
+    // >= : wall-clock millis tie (two sets in the same ms) resolves to
+    // the incoming side — last-writer-wins must not silently keep the
+    // older value on a granularity collision
     override def merge(other: AccumulatorV2[Long, Long]): Unit = other match {
-      case g: GaugeAcc if g.stamp > stamp => stamp = g.stamp; v = g.v
+      case g: GaugeAcc if !g.isZero && g.stamp >= stamp => stamp = g.stamp; v = g.v
       case _ => ()
     }
     override def value: Long = v

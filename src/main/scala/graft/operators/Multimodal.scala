@@ -26,11 +26,20 @@ import org.apache.spark.sql.types._
   *    end-to-end against real image bytes (oracle-gated:
   *    `multimodal_decode_bmp` checks decoded dimensions against the
   *    closed-form BMP size law).
-  *  - `StubCodec` stands in for formats whose libraries are absent from
-  *    this container (jpeg/png/mp4): deterministic pseudo-metadata from
-  *    the byte length. A real deployment swaps it for a javacv/ImageIO
-  *    codec — the operator shape (schema, batching, partitioning) does
-  *    not change.
+  *  - [[ImageIoCodec]] is a REAL decoder for every format the JDK's
+  *    `javax.imageio` registry reads (png/jpeg/gif/bmp/wbmp/tiff on
+  *    JDK 17): it resolves the reader from the byte stream's magic and
+  *    reads dimensions from the HEADER ONLY (`ImageReader.getWidth`
+  *    never inflates pixel data) — the shape that survives 100 TB of
+  *    image payloads. [[encodePng]] / [[encodeJpeg]] are matching
+  *    stdlib writers, so the decode path is exercised end-to-end
+  *    against real compressed image bytes (oracle-gated:
+  *    `multimodal_decode_image` round-trips deterministic dimensions).
+  *  - `StubCodec` stands in for formats with no JDK codec (video —
+  *    mp4 frame sampling needs javacv or ffmpeg, absent here):
+  *    deterministic pseudo-metadata from the byte length. A real
+  *    deployment swaps in a javacv codec — the operator shape (schema,
+  *    batching, partitioning) does not change.
   */
 object Multimodal {
 
@@ -117,6 +126,110 @@ object Multimodal {
         (b.length.toLong, "bmp", w, math.abs(h), 1)
       }
     override def close(): Unit = ()
+  }
+
+  /** Deterministic RGB test image: xorshift64 pixel noise from `seed`
+    * (the same generator [[encodeBmp]] uses), as a BufferedImage for
+    * the stdlib encoders below. */
+  private def noiseImage(width: Int, height: Int,
+      seed: Long): java.awt.image.BufferedImage = {
+    require(width > 0 && height > 0, s"bad image dims: ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var s = seed | 1L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        img.setRGB(x, y, (s & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def imageBytes(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, out)
+    require(ok, s"no javax.imageio writer for format $format")
+    out.toByteArray
+  }
+
+  /** REAL PNG bytes (javax.imageio, JDK stdlib — no external libs):
+    * deterministic noise pixels from `seed`. Byte size is not
+    * closed-form (deflate), so oracles verify the decoded DIMENSIONS
+    * round-trip instead of a size law. */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] =
+    imageBytes(noiseImage(width, height, seed), "png")
+
+  /** REAL JPEG bytes (javax.imageio). Lossy — pixel values shift, but
+    * the header dimensions [[ImageIoCodec]] reads are exact. */
+  def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] =
+    imageBytes(noiseImage(width, height, seed), "jpg")
+
+  /** REAL image decode over the JDK's whole `javax.imageio` registry
+    * (png/jpeg/gif/bmp/wbmp/tiff on JDK 17): the reader is resolved
+    * from the stream's magic bytes and dimensions come from the HEADER
+    * ONLY — `ImageReader.getWidth(0)` does not decompress pixel data,
+    * so metadata extraction over 100 TB of payloads does O(header) work
+    * per image, not O(pixels). `n_frames` counts the container's images
+    * (animated GIF frames; 1 for png/jpeg). Unknown magic fails by
+    * name, like [[BmpCodec]] — never pseudo-metadata. */
+  final class ImageIoCodec extends MediaCodec {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Long, String, Int, Int, Int)] =
+      payloads.map { b =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext,
+            s"no javax.imageio reader recognizes this payload (${b.length} bytes)")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, /*seekForwardOnly=*/ false)
+            val fmt = reader.getFormatName.toLowerCase match {
+              case "jpg" => "jpeg"
+              case f => f
+            }
+            // allowSearch=true walks the container index (GIF frame
+            // count); png/jpeg answer without scanning pixel data
+            val frames = reader.getNumImages(/*allowSearch=*/ true)
+            (b.length.toLong, fmt, reader.getWidth(0), reader.getHeight(0),
+              math.max(frames, 1))
+          } finally reader.dispose()
+        } finally iis.close()
+      }
+    override def close(): Unit = ()
+  }
+
+  /** Fabricate real PNG/JPEG payloads from per-row (width, height,
+    * seed) columns — even docs get PNG, odd docs JPEG, so one pass
+    * exercises both codecs and the magic-byte reader dispatch. Null
+    * dims/seed propagate a null payload (the [[withBmpPayload]]
+    * contract). One mapPartitions, no shuffle. */
+  def withImagePayload(df: DataFrame, widthCol: String, heightCol: String,
+      seedCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType, nullable = true))
+    val wi = df.schema.fieldIndex(widthCol)
+    val hi = df.schema.fieldIndex(heightCol)
+    val si = df.schema.fieldIndex(seedCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(wi) || r.isNullAt(hi) || r.isNullAt(si)) null
+          else {
+            val seed = r.getLong(si)
+            if (seed % 2 == 0) encodePng(r.getInt(wi), r.getInt(hi), seed)
+            else encodeJpeg(r.getInt(wi), r.getInt(hi), seed)
+          }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
   }
 
   /** Fabricate a BMP payload column from per-row (width, height, seed)

@@ -32,7 +32,7 @@ object Pruning {
     graft.functions.GraftFunctions.register(keys.sparkSession)
     keys.agg(call_function("bloom_agg", col(keyCol).cast("long"),
         lit(expectedItems), lit(optimalNumBits(expectedItems, fpp)))
-      .as("bf")).head().getAs[Array[Byte]]("bf")
+      .as("bf")).head().getAs[Array[Byte]]("bf") // bounded: 1-row sketch agg
   }
 
   /** Membership predicate over a fitted sketch — a plain codegen'd

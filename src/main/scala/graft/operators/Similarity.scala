@@ -107,7 +107,7 @@ object Similarity {
         "this kernel collects the corpus to the driver — use " +
         "cosinePairsAboveBlocked (distributed block kernel) or the LSH " +
         "path for large inputs")
-    val corpus = rows.collect().sortBy(_._1)
+    val corpus = rows.collect().sortBy(_._1) // bounded: maxRows-guarded kernel (require above)
     def norm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
@@ -292,7 +292,7 @@ object Similarity {
       .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
       .withColumn("h", graft.functions.PortableHash.md5Long(col("id")))
       .orderBy("h").limit(nCells)
-      .select("v").as[Seq[Float]].collect().toSeq
+      .select("v").as[Seq[Float]].collect().toSeq // bounded: limit(nCells) fit artifact
     // empty corpus → no seeds; skip refinement (cellsRankedFor over
     // zero seeds is not a well-typed expression)
     for (_ <- 0 until (if (seeds.isEmpty) 0 else iters)) {
@@ -304,7 +304,7 @@ object Similarity {
         .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(avg(col("x").cast("double")).as("m"))
-        .as[(Int, Int, Double)].collect()
+        .as[(Int, Int, Double)].collect() // bounded: nCells x dim centroid agg
         .groupBy(_._1)
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_._2).map(_._3.toFloat).toSeq

@@ -328,7 +328,7 @@ object CurationQueries {
         // coalesce: an empty source leaves max() NULL — bound the
         // partitioned read at 0 instead of NPE-ing
         val maxKey = src.agg(coalesce(max(col("o_orderkey")), lit(0L)))
-          .head().getLong(0)
+          .head().getLong(0) // bounded: 1-row global agg
         s.read.jdbc(url, "t_orders", "o_orderkey", 0L, maxKey + 1, 4, props)
           .agg(count(lit(1)).as("n"),
             sum(col("o_orderkey")).cast("long").as("sum_key"),

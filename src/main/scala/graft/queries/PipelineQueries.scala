@@ -183,6 +183,37 @@ object PipelineQueries {
             * (doc_id % 17 + 1) AS BIGINT) AS n_bytes
         FROM documents""")),
 
+    // ===== REAL compressed-image decode (javax.imageio, JDK stdlib):
+    // per-doc dims drive real PNG (even ids) / JPEG (odd ids) encoders,
+    // the bytes ride as an opaque binary column, and ImageIoCodec
+    // resolves the reader from the magic bytes and reads dimensions
+    // from the header alone (no pixel inflation — the O(header) shape
+    // 100 TB of payloads needs). Compressed sizes aren't closed-form,
+    // so the oracle verifies the dimension ROUND-TRIP and the
+    // magic-dispatched format; a framing/codec bug on either side
+    // hash-mismatches. Zero shuffle: two mapPartitions over documents.
+    Q("multimodal_decode_image",
+      (s, d) => {
+        val dims = docs(s, d).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(29)) + 1).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(13)) + 1).cast("int").as("h"),
+          col("doc_id").cast("long").as("seed"))
+        val withBytes = Multimodal.withImagePayload(dims, "w", "h", "seed", "payload")
+        Multimodal.decodeMeta(withBytes, "payload", "meta",
+            () => new Multimodal.ImageIoCodec)
+          .select(col("doc_id"),
+            col("meta.format").as("format"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            col("meta.n_frames").cast("long").as("n_frames"))
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+          CAST(doc_id % 29 + 1 AS BIGINT) AS width,
+          CAST(doc_id % 13 + 1 AS BIGINT) AS height,
+          CAST(1 AS BIGINT) AS n_frames
+        FROM documents""")),
+
     // ===== RAG chunking (ml/rag/chunking/base.py): fixed-size
     // overlapping character chunks (size 120, stride 90) with stable
     // ids — a narrow explode, no shuffle.
@@ -307,7 +338,7 @@ object PipelineQueries {
         // artifact and broadcast back.
         val topK = terms.groupBy("term").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("term").asc).limit(20)
-          .select("term").as[String].collect()
+          .select("term").as[String].collect() // bounded: limit(20) vocab fit
         val vocab = broadcast(
           topK.zipWithIndex.map { case (t, i) => (t, i.toLong) }
             .toSeq.toDF("term", "vocab_id"))
@@ -588,7 +619,7 @@ object PipelineQueries {
     // the equivalent relational join.
     Q("enrich_lookup",
       (s, d) => {
-        val nations = Tables.nation(s, d).collect()
+        val nations = Tables.nation(s, d).collect() // bounded: 25-row nation dim
           .map(r => (r.getAs[Int]("n_nationkey").toLong, r.getAs[String]("n_name")))
           .toMap
         val client = () => new Enrichment.MapClient(

@@ -96,6 +96,6 @@ object FileIO {
       }
       closeCurrent()
       written.result().iterator
-    }.collect().toSeq.sortBy(e => (e._1, e._2)) // O(files) driver result
+    }.collect().toSeq.sortBy(e => (e._1, e._2)) // bounded: O(files) driver result
   }
 }

@@ -62,9 +62,11 @@ object KafkaIO {
       /** records per micro-batch (rate limit; see scaladoc re
         * withMaxNumRecords). */
       maxOffsetsPerTrigger: Option[Long] = None,
-      /** tolerate deleted topics/compacted offsets (Spark default true;
-        * Beam surfaces these as read errors — default false here). */
-      failOnDataLoss: Boolean = false,
+      /** fail the query on deleted topics / compacted-away offsets.
+        * Default true — both Spark's own default and Beam KafkaIO's
+        * behavior (data loss surfaces as a read error); set false to
+        * explicitly opt into skipping lost ranges. */
+      failOnDataLoss: Boolean = true,
       /** raw consumer properties (KafkaIO.withConsumerConfigUpdates) —
         * passed through with the `kafka.` prefix Spark requires. */
       consumerConfig: Map[String, String] = Map.empty) {

@@ -45,7 +45,7 @@ object Manifest {
     import org.apache.spark.sql.functions._
     spark.read.format(format).load(dir)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect()
+      .collect() // bounded: O(files) per-file counts
       .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
   }
 

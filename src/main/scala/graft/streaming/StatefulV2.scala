@@ -361,53 +361,104 @@ object StatefulV2 {
     * on transformWithState — a custom session-ish window with the
     * default (AfterWatermark.pastEndOfWindow) trigger.
     *
-    * Input (key, eventTime, value); output (key, flushedValues). */
-  class EventTimeGapFlushProcessor[K, V](gapMs: Long)(
-      implicit vEnc: Encoder[V])
-      extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Seq[V])] {
+    * Input (key, eventTime, value); output = `flushFn(key, values)` per
+    * flushed session, values in event-time order ((key, values)
+    * identity for the plain flush).
+    *
+    * Sessions are EVENT-TIME clusters, not arrival-time ones: rows
+    * sorted by event time split wherever the next row starts more than
+    * `gapMs` past the cluster's max — so an event arriving (in
+    * processing time) before an older session's timer fires, but
+    * carrying an event time a full gap later, opens a NEW session
+    * instead of silently extending the old one. One timer is armed per
+    * cluster end; a timer whose cluster merged away (a late
+    * within-watermark row bridged two clusters) fires as a no-op. */
+  class EventTimeGapProcessor[K, V, O](gapMs: Long,
+      flushFn: (K, Seq[V]) => Iterator[O])(implicit vEnc: Encoder[V])
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, V), O] {
 
-    @transient private var buf: ListState[V] = _
-    @transient private var armed: ValueState[Long] = _
+    @transient private var buf: ListState[(Long, V)] = _
+    @transient private var armed: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
-      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+      buf = getHandle.getListState[(Long, V)]("buf",
+        Encoders.tuple(Encoders.scalaLong, vEnc), TTLConfig.NONE)
+      armed = getHandle.getListState[Long]("armed", Encoders.scalaLong,
         TTLConfig.NONE)
+    }
+
+    /** Event-time clusters of the buffered rows, each as
+      * (end = maxTs + gap, rows sorted by ts — stable, so equal
+      * timestamps keep arrival order). */
+    private def clusters(rows: Seq[(Long, V)]): Seq[(Long, Seq[(Long, V)])] = {
+      val sorted = rows.sortBy(_._1)
+      val out = Seq.newBuilder[(Long, Seq[(Long, V)])]
+      var cur = List.newBuilder[(Long, V)]
+      var curMax = Long.MinValue
+      var nonEmpty = false
+      sorted.foreach { r =>
+        if (nonEmpty && r._1 > curMax + gapMs) {
+          out += ((curMax + gapMs, cur.result()))
+          cur = List.newBuilder[(Long, V)]
+        }
+        cur += r
+        if (r._1 > curMax) curMax = r._1
+        nonEmpty = true
+      }
+      if (nonEmpty) out += ((curMax + gapMs, cur.result()))
+      out.result()
     }
 
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, V)],
-        timers: TimerValues): Iterator[(K, Seq[V])] = {
-      var maxTs = if (armed.exists()) armed.get() - gapMs else Long.MinValue
-      rows.foreach { case (_, ts, v) =>
-        buf.appendValue(v)
-        if (ts.getTime > maxTs) maxTs = ts.getTime
+        timers: TimerValues): Iterator[O] = {
+      rows.foreach { case (_, ts, v) => buf.appendValue((ts.getTime, v)) }
+      val ends = clusters(buf.get().toSeq).map(_._1).toSet
+      val already = armed.get().toSet
+      (ends -- already).foreach { e =>
+        getHandle.registerTimer(e)
+        armed.appendValue(e)
       }
-      // re-arm: drop the previous event-time timer, set end-of-gap
-      if (armed.exists()) getHandle.deleteTimer(armed.get())
-      val fireAt = maxTs + gapMs
-      getHandle.registerTimer(fireAt)
-      armed.update(fireAt)
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: K, timers: TimerValues,
-        timer: ExpiredTimerInfo): Iterator[(K, Seq[V])] = {
-      val pending = buf.get().toSeq
-      buf.clear(); armed.clear()
-      if (pending.nonEmpty) Iterator((key, pending)) else Iterator.empty
+        timer: ExpiredTimerInfo): Iterator[O] = {
+      val expiry = timer.getExpiryTimeInMs()
+      val (due, pending) = clusters(buf.get().toSeq).partition(_._1 <= expiry)
+      buf.clear()
+      pending.flatMap(_._2).foreach(buf.appendValue)
+      val remaining = armed.get().toSeq.filter(_ != expiry)
+      armed.clear()
+      remaining.foreach(armed.appendValue)
+      due.iterator.flatMap { case (_, rs) => flushFn(key, rs.map(_._2)) }
     }
   }
 
-  /** Gap-flush on the event-time watermark: values buffer per key and
-    * emit as one batch when the watermark passes last-event + gap.
+  /** Gap-flush on the event-time watermark: values buffer per key into
+    * event-time session clusters, each emitted as one batch (in
+    * event-time order) when the watermark passes its last-event + gap.
     * `ds` must carry a watermark on its timestamp column
     * (`.withWatermark("_2", …)` upstream — EventTime mode requires it). */
   def eventTimeGapFlush[K: Encoder, V: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, V)], gapMs: Long)(
       implicit outEnc: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
     ds.groupByKey(_._1).transformWithState(
-      new EventTimeGapFlushProcessor[K, V](gapMs),
+      new EventTimeGapProcessor[K, V, (K, Seq[V])](gapMs,
+        (k, vs) => Iterator((k, vs))),
+      TimeMode.EventTime(), OutputMode.Append())
+
+  /** [[eventTimeGapFlush]] with the group transform applied INSIDE the
+    * stateful processor at flush time — avoids materializing a
+    * `(K, Seq[V])` dataset (and its Seq encoder) when the caller only
+    * wants the per-session result, e.g. the streaming MATCH_RECOGNIZE
+    * front door running its NFA on each watermark-closed session. */
+  def eventTimeGapApply[K: Encoder, V: Encoder, O](
+      ds: Dataset[(K, java.sql.Timestamp, V)], gapMs: Long)(
+      f: (K, Seq[V]) => Iterator[O])(
+      implicit outEnc: Encoder[O]): Dataset[O] =
+    ds.groupByKey(_._1).transformWithState(
+      new EventTimeGapProcessor[K, V, O](gapMs, f),
       TimeMode.EventTime(), OutputMode.Append())
 
   /** Compositional element-count trigger language — the combinator

@@ -9,13 +9,18 @@ import graft.sources.KafkaIO
   * option TRANSLATION (the semantic mapping), not broker IO. */
 class KafkaIoSpec extends AnyFunSuite {
 
-  test("read: topics → subscribe, defaults match KafkaIO (latest, tolerant)") {
+  test("read: topics → subscribe, defaults match KafkaIO (latest, strict)") {
     val o = KafkaIO.Read("b1:9092,b2:9092",
       topics = Seq("clicks", "views")).options
     assert(o("kafka.bootstrap.servers") == "b1:9092,b2:9092")
     assert(o("subscribe") == "clicks,views")
     assert(o("startingOffsets") == "latest")
-    assert(o("failOnDataLoss") == "false")
+    // data loss is an error by default (Spark's and Beam KafkaIO's
+    // shared behavior); tolerance is an explicit opt-in
+    assert(o("failOnDataLoss") == "true")
+    val tolerant = KafkaIO.Read("b1:9092", topics = Seq("t"),
+      failOnDataLoss = false).options
+    assert(tolerant("failOnDataLoss") == "false")
     assert(!o.contains("assign") && !o.contains("subscribePattern"))
   }
 

@@ -519,6 +519,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Set((1L, 4, 2), (2L, 10, 7)))
   }
 
+  test("multimodal: REAL PNG/JPEG decode via javax.imageio (header-only dims)") {
+    val codec = new Multimodal.ImageIoCodec
+    // real compressed bytes round-trip their dimensions exactly
+    val png = Multimodal.encodePng(7, 4, seed = 9L)
+    val jpg = Multimodal.encodeJpeg(12, 5, seed = 10L)
+    val Seq(pMeta, jMeta) = codec.decodeBatch(Seq(png, jpg))
+    assert(pMeta == (png.length.toLong, "png", 7, 4, 1))
+    assert(jMeta == (jpg.length.toLong, "jpeg", 12, 5, 1))
+    // PNG magic really is PNG; JPEG magic really is JFIF/SOI
+    assert((png(1), png(2), png(3)) == ('P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert((jpg(0) & 0xFF, jpg(1) & 0xFF) == (0xFF, 0xD8))
+    // the codec also reads the BMP our own writer emits (one registry,
+    // dispatched on magic bytes)
+    assert(codec.decodeBatch(Seq(Multimodal.encodeBmp(5, 3, 1L))) ==
+      Seq((Multimodal.encodeBmp(5, 3, 1L).length.toLong, "bmp", 5, 3, 1)))
+    // unknown magic fails by name — never pseudo-metadata
+    val err = intercept[IllegalArgumentException] {
+      codec.decodeBatch(Seq(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+    }
+    assert(err.getMessage.contains("no javax.imageio reader"))
+    // distributed path: parity-dispatched payloads through decodeMeta
+    val df = Seq((2L, 4, 2), (3L, 10, 7)).toDF("doc_id", "w", "h")
+      .withColumn("seed", col("doc_id"))
+    val meta = Multimodal.decodeMeta(
+      Multimodal.withImagePayload(df, "w", "h", "seed", "payload"),
+      "payload", "meta", () => new Multimodal.ImageIoCodec)
+    val got = meta.select(col("doc_id"), col("meta.format"),
+        col("meta.width"), col("meta.height"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3))).toSet
+    assert(got == Set((2L, "png", 4, 2), (3L, "jpeg", 10, 7)))
+  }
+
   // ---- Inference ----
 
   test("batched inference scores match a driver-side reference") {

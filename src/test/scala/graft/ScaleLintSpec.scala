@@ -80,4 +80,36 @@ class ScaleLintSpec extends SparkSpec {
     assert(allow.keySet.subsetOf(known),
       s"stale allowlist entries: ${allow.keySet -- known}")
   }
+
+  test("every driver-side collect in main sources declares its bound") {
+    // 4th job-killer: .collect()/.head()/.first() materializes to the
+    // driver — fine ONLY for provably bounded fit artifacts (a 1-row
+    // agg, a limit(K) vocab, a dim table). The lint is mechanical:
+    // every such call in src/main must carry a `bounded:` comment on
+    // the same or one of the 3 preceding lines stating the bound, so a
+    // new unbounded collect cannot land silently. tools/ (dev probes,
+    // never on a query path) is excluded.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"lint must run from the repo root; cwd=${System.getProperty("user.dir")}")
+    val call = java.util.regex.Pattern.compile(
+      """\.(collect\(\)|head\(\)|first\(\)|collectAsList\(\))""")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(_.toString.contains("/tools/"))
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala.toIndexedSeq
+        lines.zipWithIndex.collect {
+          case (line, i)
+              if call.matcher(line).find() &&
+                !(i - 3 to i).exists(j =>
+                  j >= 0 && lines(j).contains("bounded:")) =>
+            s"$p:${i + 1}: ${line.trim.take(80)}"
+        }
+      }.toSeq
+    assert(offenders.isEmpty,
+      "driver-side collect without a `bounded:` justification (state the " +
+        s"bound or distribute the work):\n${offenders.mkString("\n")}")
+  }
 }

@@ -873,4 +873,115 @@ class StatefulV2Spec extends SparkSpec {
       q.stop()
     }
   }
+
+  // ---- streaming MATCH_RECOGNIZE through the SQL front door ----
+  // Beam runs BeamMatchRel's NFA per key AND window on unbounded input
+  // (extensions/sql/.../rel/BeamMatchRel.java:76); here the session IS
+  // the window: MatchRecognizeSql.stream buffers per key, the watermark
+  // closes the session at last-event+gap, and the identical compiled
+  // clause runs on the closed session.
+
+  private val FunnelClause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES MATCH_NUMBER() AS m, COUNT(C.*) AS n_clicks,
+               LAST(P.value) AS amount
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (C+ P)
+      DEFINE C AS C.etype = 'click', P AS P.etype = 'purchase'"""
+
+  test("streaming MATCH_RECOGNIZE SQL: full clause on watermark-closed sessions") {
+    withRocksDb {
+      import graft.operators.MatchRecognizeSql
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "etype", "value")
+      val out = MatchRecognizeSql.stream(df, FunnelClause,
+        tsCol = "ts", delay = "0 seconds", gapMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(out, table)
+      mem.addData((1L, t(1), "click", 0.0), (1L, t(2), "click", 0.0),
+        (1L, t(3), "purchase", 42.0))
+      q.processAllAvailable()
+      // session still open (watermark at 00:03, timer armed for 00:13)
+      assert(spark.table(table).count() == 0,
+        "match emitted before the session closed")
+      mem.addData((9L, t(50), "noise", 0.0)) // watermark past 00:13
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "noise", 0.0)) // deliver the firing
+      q.processAllAvailable()
+      val got = spark.table(table)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 1L, 2L, 42.0)), s"got $got")
+      q.stop()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE SQL: matches never span a session gap") {
+    withRocksDb {
+      import graft.operators.MatchRecognizeSql
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "etype", "value")
+      val out = MatchRecognizeSql.stream(df, FunnelClause,
+        tsCol = "ts", delay = "0 seconds", gapMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(out, table)
+      // click at 00:01, purchase at 00:20 — 19 s apart, gap is 10 s:
+      // two sessions, each missing half the pattern. Batch over the
+      // same rows WOULD match; the stream's session scoping must not.
+      mem.addData((1L, t(1), "click", 0.0))
+      q.processAllAvailable()
+      mem.addData((1L, t(20), "purchase", 9.0)) // also closes session 1
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "noise", 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "noise", 0.0))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 0,
+        "a match illegally spanned the session gap")
+      // sanity: batch over the union DOES match — proves the stream's
+      // emptiness above is session scoping, not a broken matcher
+      val batch = MatchRecognizeSql(
+        Seq((1L, t(1), "click", 0.0), (1L, t(20), "purchase", 9.0))
+          .toDF("user_id", "ts", "etype", "value"), FunnelClause)
+      assert(batch.count() == 1)
+      q.stop()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE SQL == batch clause per session (unification)") {
+    withRocksDb {
+      import graft.operators.MatchRecognizeSql
+      // every user's events fit inside one gap → one session per user,
+      // so the batch run over the same rows must produce the identical
+      // result set (the as-of join unification argument, for the NFA)
+      val rows = Seq(
+        (1L, t(1), "click", 0.0), (1L, t(2), "click", 0.0),
+        (1L, t(3), "purchase", 10.0), (1L, t(5), "click", 0.0),
+        (1L, t(7), "purchase", 20.0), // second match, same session
+        (2L, t(2), "click", 0.0), (2L, t(4), "purchase", 7.0),
+        (3L, t(1), "purchase", 5.0), // no click first → no match
+        (4L, t(3), "click", 0.0)) // no purchase → no match
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "etype", "value")
+      val out = MatchRecognizeSql.stream(df, FunnelClause,
+        tsCol = "ts", delay = "0 seconds", gapMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(out, table)
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "noise", 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "noise", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table(table)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = MatchRecognizeSql(
+        rows.toDF("user_id", "ts", "etype", "value"), FunnelClause)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch.nonEmpty)
+      q.stop()
+    }
+  }
 }

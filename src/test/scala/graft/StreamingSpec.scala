@@ -508,6 +508,73 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_(1).asInstanceOf[Long]).sum == 2, s"got=$got")
   }
 
+  test("streaming curation: temperature mix + C4 span dedup compose on a stream") {
+    // Closes the batch/stream parity story for the curation suite's two
+    // newest members. Shape: the per-source temperature RATES are a
+    // batch-fit artifact (nightly profile job) applied inside the
+    // stream as a stream-static broadcast join + the deterministic
+    // hash filter (stateless, so kept-set == batch by construction);
+    // C4 repeated-span removal needs a window over the line value, so
+    // it runs per MICRO-BATCH via foreachBatch — the continuous-export
+    // scope (dedup within each delivered batch; cross-batch dedup is
+    // the separate fingerprint/dropDuplicatesWithinWatermark path).
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    def mkDoc(i: Long): (Long, String, Seq[String]) =
+      (i, if (i % 9 == 0) "rare" else "web",
+        Seq(s"unique line of doc $i", "shared boilerplate footer"))
+    val allDocs = (0L until 90L).map(mkDoc)
+
+    // batch profile job → per-source rates (α=0.5 temperature mix)
+    val profile = allDocs.toDF("doc_id", "source", "lines")
+    val perSrc = profile.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val zDf = perSrc.agg(sum(pow(col("n_docs"), 0.5)).as("z"))
+    val rates = perSrc.crossJoin(broadcast(zDf))
+      .select(col("source"),
+        least(lit(1.0), lit(30.0) * pow(col("n_docs"), 0.5) / col("z")
+          / col("n_docs")).as("rate"))
+
+    def temperatureKeep(df: DataFrame): DataFrame = {
+      val u = graft.functions.PortableHash.md5Long(col("doc_id"))
+        .cast("double") / lit(math.pow(2.0, 60))
+      df.join(broadcast(rates), Seq("source")).filter(u < col("rate"))
+        .select("doc_id", "source", "lines")
+    }
+    def c4(df: DataFrame): DataFrame =
+      Dedup.removeRepeatedLines(df, "doc_id", "lines")
+
+    val sink = collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val mem = MemoryStream[(Long, String, Seq[String])]
+    val q = temperatureKeep(mem.toDF().toDF("doc_id", "source", "lines"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = c4(batch).collect() // bounded: test sink
+        sink.synchronized {
+          sink ++= rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        }
+        ()
+      }.start()
+    val (slice1, slice2) = allDocs.splitAt(45)
+    mem.addData(slice1: _*)
+    q.processAllAvailable()
+    mem.addData(slice2: _*)
+    runToCompletion(q)
+
+    // oracle: the identical batch composition per delivered slice
+    val expect = Seq(slice1, slice2).flatMap { slice =>
+      c4(temperatureKeep(slice.toDF("doc_id", "source", "lines")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }.toSet
+    val got = sink.synchronized(sink.toSet)
+    assert(got == expect && got.nonEmpty, s"stream $got != batch $expect")
+    // the composition really curated: some docs dropped by the mix,
+    // and in each slice exactly one surviving doc kept the shared
+    // footer (n_kept == 2), everyone else had it span-deduped away
+    assert(got.size < 90)
+    assert(got.count(_._2 == 2) == 2, s"footer dedup off: $got")
+  }
+
   test("bloom prune applies inside a streaming query (cross-boundary sketch)") {
     import graft.operators.Pruning
     // the sketch is built in a BATCH job (e.g. nightly from a dim

@@ -262,4 +262,31 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getString(2))).head
     assert(w == (2L, "x\ny"))
   }
+
+  test("removeRepeatedLines fail-fasts on unusable doc ids (packed-key domain)") {
+    // a string id would cast to null and silently drop the whole
+    // corpus — must be rejected up front instead
+    val strId = Seq(("a", Seq("x"))).toDF("doc_id", "lines")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.removeRepeatedLines(strId, "doc_id", "lines")
+    }
+    assert(e1.getMessage.contains("integral"))
+    // an id past Long.MaxValue/2^20 would overflow docId*2^20+pos —
+    // raise by name at runtime, never a silently wrong first-occurrence
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val big = Seq((Long.MaxValue / (1 << 20) + 1, Seq("x")))
+      .toDF("doc_id", "lines")
+    val e2 = intercept[Exception] {
+      Dedup.removeRepeatedLines(big, "doc_id", "lines").collect()
+    }
+    assert(chainMsg(e2).contains("overflow"), chainMsg(e2))
+    // ... and a negative id breaks min-packing order the same way
+    val neg = Seq((-1L, Seq("x"))).toDF("doc_id", "lines")
+    val e3 = intercept[Exception] {
+      Dedup.removeRepeatedLines(neg, "doc_id", "lines").collect()
+    }
+    assert(chainMsg(e3).contains("overflow"), chainMsg(e3))
+  }
 }
