@@ -741,14 +741,18 @@ object RelationalQueries {
       (s, d) => {
         val w = Window.partitionBy(col("c_nationkey"))
           .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        // cd as floor(micros): k/n can land EXACTLY on a .5 at the 6th
+        // decimal (e.g. 333/640 at sf0.1), where Spark's HALF_UP and
+        // DuckDB's HALF_EVEN round() disagree — floor over the same
+        // IEEE double is deterministic on both engines
         cust(s, d).select(col("c_custkey"),
           ntile(4).over(w).cast("long").as("quartile"),
-          round(cume_dist().over(w), 6).as("cd"),
+          floor(cume_dist().over(w) * lit(1e6)).cast("long").as("cd_micros"),
           first(col("c_custkey")).over(w).as("first_in_nation"))
       },
       Some("""SELECT c_custkey,
         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        round(cume_dist() OVER w, 6) AS cd,
+        CAST(floor(cume_dist() OVER w * 1e6) AS BIGINT) AS cd_micros,
         first_value(c_custkey) OVER w AS first_in_nation
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey
