@@ -170,6 +170,136 @@ object Multimodal {
   def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] =
     imageBytes(noiseImage(width, height, seed), "jpg")
 
+  /** Deterministic per-frame solid color for the animated-GIF writer
+    * and its closed-form oracle: each channel a mod-256 affine of
+    * (seed, frame). */
+  def frameColor(seed: Long, frame: Int): (Int, Int, Int) = (
+    math.floorMod(seed * 31 + frame * 17, 256).toInt,
+    math.floorMod(seed * 13 + frame * 29, 256).toInt,
+    math.floorMod(seed * 7 + frame * 41, 256).toInt)
+
+  /** REAL multi-frame container: animated GIF via the JDK ImageIO
+    * sequence writer — closes the "video" column shape with a format
+    * the stdlib can both write and frame-decode. Every frame is one
+    * solid [[frameColor]]; GIF's palette encoding is LOSSLESS for
+    * single-color frames, so sampled-frame pixels round-trip EXACTLY
+    * (what lets a SQL oracle verify real pixel decode in closed form).
+    * True video codecs (mp4/h264) need javacv/ffmpeg — absent here;
+    * the pipeline shape (count frames from the container index, sample
+    * indices, decode only the sampled frames) is identical. */
+  def encodeAnimatedGif(width: Int, height: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0,
+      s"bad GIF dims: ${width}x$height x$nFrames frames")
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { i =>
+        val (r, g, b) = frameColor(seed, i)
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gph = img.createGraphics()
+        gph.setColor(new java.awt.Color(r, g, b))
+        gph.fillRect(0, 0, width, height)
+        gph.dispose()
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** REAL pixel decode of ONE frame of a multi-frame payload, reduced
+    * to the frame's mean RGB — the feature pass that runs AFTER frame
+    * sampling, so only sampled frames are ever decompressed (decode
+    * work scales with samples, not footage length). */
+  def frameMeanRgb(payload: Array[Byte], frameIdx: Int): (Double, Double, Double) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no javax.imageio reader for frame decode")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, /*seekForwardOnly=*/ false)
+        val img = reader.read(frameIdx)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toDouble * img.getHeight
+        (sr / n, sg / n, sb / n)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Fabricate animated-GIF payloads from per-row (width, height,
+    * nFrames, seed) columns — one mapPartitions, no shuffle. */
+  def withGifPayload(df: DataFrame, widthCol: String, heightCol: String,
+      framesCol: String, seedCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType, nullable = true))
+    val wi = df.schema.fieldIndex(widthCol)
+    val hi = df.schema.fieldIndex(heightCol)
+    val fi = df.schema.fieldIndex(framesCol)
+    val si = df.schema.fieldIndex(seedCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(wi) || r.isNullAt(hi) || r.isNullAt(fi) ||
+            r.isNullAt(si)) null
+          else encodeAnimatedGif(r.getInt(wi), r.getInt(hi), r.getInt(fi),
+            r.getLong(si))
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
+  /** Per-sampled-frame feature extraction: decode `frameIdxCol` of
+    * `payloadCol` and append mean RGB columns (avg_r/avg_g/avg_b,
+    * DOUBLE). Null payload/index propagate null features. */
+  def withFrameFeatures(df: DataFrame, payloadCol: String,
+      frameIdxCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("avg_r", DoubleType, nullable = true),
+      StructField("avg_g", DoubleType, nullable = true),
+      StructField("avg_b", DoubleType, nullable = true)))
+    val pi = df.schema.fieldIndex(payloadCol)
+    val fi = df.schema.fieldIndex(frameIdxCol)
+    val frameIdxIsInt =
+      df.schema(frameIdxCol).dataType == IntegerType
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val extra: Seq[Any] =
+          if (r.isNullAt(pi) || r.isNullAt(fi)) Seq(null, null, null)
+          else {
+            val idx = if (frameIdxIsInt) r.getInt(fi) else r.getLong(fi).toInt
+            val (ar, ag, ab) =
+              frameMeanRgb(r.get(pi).asInstanceOf[Array[Byte]], idx)
+            Seq(ar, ag, ab)
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
   /** REAL image decode over the JDK's whole `javax.imageio` registry
     * (png/jpeg/gif/bmp/wbmp/tiff on JDK 17): the reader is resolved
     * from the stream's magic bytes and dimensions come from the HEADER

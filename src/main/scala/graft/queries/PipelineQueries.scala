@@ -214,6 +214,46 @@ object PipelineQueries {
           CAST(1 AS BIGINT) AS n_frames
         FROM documents""")),
 
+    // ===== REAL multi-frame ("video") decode: per-doc animated GIFs
+    // from the stdlib ImageIO sequence writer ride as binary payloads;
+    // the frame COUNT is read from the real container index, frame
+    // indices are sampled (stride 2), and ONLY the sampled frames are
+    // pixel-decoded into mean-RGB features — decode work scales with
+    // samples, not footage. GIF palettes are lossless for solid-color
+    // frames, so the oracle verifies the decoded pixels EXACTLY in
+    // closed form. True video codecs (mp4) need ffmpeg — absent; the
+    // operator chain is the one a real codec would slot into. Zero
+    // shuffle: three mapPartitions + one explode over documents.
+    Q("multimodal_video_frames",
+      (s, d) => {
+        val dims = docs(s, d).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(7)) + 1).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int").as("h"),
+          (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"),
+          col("doc_id").cast("long").as("seed"))
+        val withP = Multimodal.withGifPayload(dims, "w", "h", "nf", "seed",
+          "payload")
+        val meta = Multimodal.decodeMeta(withP, "payload", "meta",
+          () => new Multimodal.ImageIoCodec)
+        val sampled = Multimodal.sampleFrames(meta, "meta", stride = 2)
+        Multimodal.withFrameFeatures(sampled, "payload", "frame_idx")
+          .select(col("doc_id"),
+            col("meta.n_frames").cast("long").as("n_frames"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("avg_r").cast("long").as("mean_r"),
+            col("avg_g").cast("long").as("mean_g"),
+            col("avg_b").cast("long").as("mean_b"))
+      },
+      Some("""WITH v AS (
+          SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents)
+        SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+          CAST(gs.i AS BIGINT) AS frame_idx,
+          CAST((doc_id * 31 + gs.i * 17) % 256 AS BIGINT) AS mean_r,
+          CAST((doc_id * 13 + gs.i * 29) % 256 AS BIGINT) AS mean_g,
+          CAST((doc_id * 7 + gs.i * 41) % 256 AS BIGINT) AS mean_b
+        FROM v CROSS JOIN LATERAL
+          (SELECT unnest(generate_series(0, nf - 1, 2)) AS i) gs""")),
+
     // ===== RAG chunking (ml/rag/chunking/base.py): fixed-size
     // overlapping character chunks (size 120, stride 90) with stable
     // ids — a narrow explode, no shuffle.

@@ -552,6 +552,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Set((2L, "png", 4, 2), (3L, "jpeg", 10, 7)))
   }
 
+  test("multimodal: REAL animated GIF — container frame count + exact sampled-frame pixels") {
+    val gif = Multimodal.encodeAnimatedGif(6, 4, nFrames = 3, seed = 5L)
+    assert(new String(gif.take(4), "US-ASCII") == "GIF8")
+    val codec = new Multimodal.ImageIoCodec
+    // n_frames comes from the real container index (getNumImages)
+    assert(codec.decodeBatch(Seq(gif)) ==
+      Seq((gif.length.toLong, "gif", 6, 4, 3)))
+    // palette-lossless: every decoded frame is EXACTLY its solid color
+    (0 until 3).foreach { i =>
+      val (r, g, b) = Multimodal.frameColor(5L, i)
+      assert(Multimodal.frameMeanRgb(gif, i) ==
+        ((r.toDouble, g.toDouble, b.toDouble)), s"frame $i")
+    }
+    // distributed pipeline: payload -> header meta -> frame sampling ->
+    // pixel decode of ONLY the sampled frames
+    val df = Seq((1L, 3, 2, 4), (2L, 2, 3, 3)).toDF("doc_id", "w", "h", "nf")
+      .withColumn("seed", col("doc_id"))
+    val withP = Multimodal.withGifPayload(df, "w", "h", "nf", "seed", "payload")
+    val meta2 = Multimodal.decodeMeta(withP, "payload", "meta",
+      () => new Multimodal.ImageIoCodec)
+    val feat = Multimodal.withFrameFeatures(
+      Multimodal.sampleFrames(meta2, "meta", stride = 2),
+      "payload", "frame_idx")
+    val got = feat.select(col("doc_id"), col("frame_idx"),
+        col("avg_r"), col("avg_g"), col("avg_b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val expect = (for {
+      (id, nf) <- Seq((1L, 4), (2L, 3)); i <- 0 until nf by 2
+    } yield {
+      val (r, g, b) = Multimodal.frameColor(id, i)
+      (id, i, r.toDouble, g.toDouble, b.toDouble)
+    }).toSet
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   // ---- Inference ----
 
   test("batched inference scores match a driver-side reference") {
