@@ -254,6 +254,67 @@ object PipelineQueries {
         FROM v CROSS JOIN LATERAL
           (SELECT unnest(generate_series(0, nf - 1, 2)) AS i) gs""")),
 
+    // ===== REAL audio decode: per-doc WAV/RIFF payloads (16-bit PCM,
+    // amplitude-A square wave — RMS is exactly A for any length) parsed
+    // back by a real chunk-walking RIFF reader; metadata AND the PCM
+    // energy feature verified in closed form (the size law 44+2n, the
+    // duration arithmetic, and rms == amp exactly). The audio leg of
+    // the multimodal column family (ml/transforms/base.py handlers are
+    // modality-agnostic bytes-in-features-out). Zero shuffle.
+    Q("multimodal_audio_meta",
+      (s, d) => {
+        val dims = docs(s, d).select(col("doc_id"),
+          ((pmod(col("doc_id"), lit(3)) + 1) * 8000).cast("int").as("rate"),
+          ((pmod(col("doc_id"), lit(50)) + 10) * 4).cast("int").as("n"),
+          pmod(col("doc_id"), lit(1000)).cast("int").as("amp"))
+        Multimodal.withWavMeta(dims, "rate", "n", "amp", "meta")
+          .select(col("doc_id"),
+            col("meta.n_bytes").as("n_bytes"),
+            col("meta.sample_rate").cast("long").as("sample_rate"),
+            col("meta.channels").cast("long").as("channels"),
+            col("meta.n_samples").as("n_samples"),
+            col("meta.duration_ms").as("duration_ms"),
+            col("meta.rms").as("rms"))
+      },
+      Some("""SELECT doc_id,
+          CAST(44 + 2 * ((doc_id % 50 + 10) * 4) AS BIGINT) AS n_bytes,
+          CAST((doc_id % 3 + 1) * 8000 AS BIGINT) AS sample_rate,
+          CAST(1 AS BIGINT) AS channels,
+          CAST((doc_id % 50 + 10) * 4 AS BIGINT) AS n_samples,
+          CAST(((doc_id % 50 + 10) * 4) * 1000
+            // ((doc_id % 3 + 1) * 8000) AS BIGINT) AS duration_ms,
+          CAST(doc_id % 1000 AS DOUBLE) AS rms
+        FROM documents""")),
+
+    // ===== REAL image resize: real PNG in, bilinear rescale, real PNG
+    // out — the resolution-normalize pass before batched vision
+    // inference; the resized payload's HEADER must round-trip the
+    // target dims through the same magic-dispatched decode. Zero
+    // shuffle: three mapPartitions over documents.
+    Q("multimodal_resize",
+      (s, d) => {
+        val dims = docs(s, d).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(19)) + 2).cast("int").as("w0"),
+          (pmod(col("doc_id"), lit(23)) + 2).cast("int").as("h0"),
+          col("doc_id").cast("long").as("seed"),
+          (pmod(col("doc_id"), lit(9)) + 1).cast("int").as("tw"),
+          (pmod(col("doc_id"), lit(11)) + 1).cast("int").as("th"))
+        val withBytes = Multimodal.withImagePayload(dims, "w0", "h0", "seed",
+          "payload")
+        val resized = Multimodal.withResizedPayload(withBytes, "payload",
+          "tw", "th", "resized")
+        Multimodal.decodeMeta(resized, "resized", "meta",
+            () => new Multimodal.ImageIoCodec)
+          .select(col("doc_id"),
+            col("meta.format").as("format"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"))
+      },
+      Some("""SELECT doc_id, 'png' AS format,
+          CAST(doc_id % 9 + 1 AS BIGINT) AS width,
+          CAST(doc_id % 11 + 1 AS BIGINT) AS height
+        FROM documents""")),
+
     // ===== RAG chunking (ml/rag/chunking/base.py): fixed-size
     // overlapping character chunks (size 120, stride 90) with stable
     // ids — a narrow explode, no shuffle.

@@ -588,6 +588,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("multimodal: REAL WAV codec — RIFF chunk walk, size law, exact RMS") {
+    val wav = Multimodal.encodeWav(sampleRate = 8000, nSamples = 6, amp = 100)
+    assert(wav.length == 44 + 12) // RIFF law: 44 + 2n
+    val codec = new Multimodal.WavCodec
+    // square wave: RMS == amp EXACTLY (every sample is ±amp)
+    assert(codec.decodeBatch(Seq(wav)) ==
+      Seq((56L, 8000, 1, 16, 6L, 0L, 100.0)))
+    // silence: amp 0 → rms 0
+    assert(codec.decodeBatch(Seq(Multimodal.encodeWav(16000, 4, 0))).head._7 == 0.0)
+    // corrupt framing fails by name
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    val err = intercept[IllegalArgumentException] {
+      codec.decodeBatch(Seq(bad))
+    }
+    assert(err.getMessage.contains("not a WAV"))
+    // truncated data chunk fails the chunk-walk bound check
+    val cut = java.util.Arrays.copyOf(wav, wav.length - 4)
+    intercept[IllegalArgumentException] { codec.decodeBatch(Seq(cut)) }
+    // distributed: per-row synth + decode through withWavMeta
+    val df = Seq((1L, 8000, 8, 50), (2L, 16000, 16, 200))
+      .toDF("doc_id", "rate", "n", "amp")
+    val got = Multimodal.withWavMeta(df, "rate", "n", "amp", "meta")
+      .select(col("doc_id"), col("meta.n_samples"), col("meta.rms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 8L, 50.0), (2L, 16L, 200.0)))
+  }
+
+  test("multimodal: REAL image resize — real PNG in, target dims out") {
+    val src = Multimodal.encodePng(10, 6, seed = 3L)
+    val out = Multimodal.resizeImage(src, 4, 3)
+    val codec = new Multimodal.ImageIoCodec
+    val Seq((_, fmt, w, h, _)) = codec.decodeBatch(Seq(out))
+    assert((fmt, w, h) == (("png", 4, 3)))
+    // works across input formats (jpeg in, png out)
+    val fromJpeg = Multimodal.resizeImage(Multimodal.encodeJpeg(9, 9, 4L), 2, 5)
+    assert(codec.decodeBatch(Seq(fromJpeg)).head match {
+      case (_, "png", 2, 5, _) => true; case _ => false
+    })
+    // distributed: per-row targets through withResizedPayload
+    val df = Seq((2L, 8, 6, 3, 2), (3L, 5, 7, 6, 4))
+      .toDF("doc_id", "w0", "h0", "tw", "th")
+      .withColumn("seed", col("doc_id"))
+    val withP = Multimodal.withImagePayload(df, "w0", "h0", "seed", "payload")
+    val resized = Multimodal.withResizedPayload(withP, "payload", "tw", "th",
+      "resized")
+    val got = Multimodal.decodeMeta(resized, "resized", "meta",
+        () => new Multimodal.ImageIoCodec)
+      .select(col("doc_id"), col("meta.width"), col("meta.height"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((2L, 3, 2), (3L, 6, 4)))
+  }
+
   // ---- Inference ----
 
   test("batched inference scores match a driver-side reference") {
