@@ -28,7 +28,12 @@ import org.apache.spark.sql.types._
   *    `MATCH_NUMBER()`, `CLASSIFIER()`, and numeric aggregates
   *    `SUM/AVG/MIN/MAX(V.col)` (DOUBLE result, null-skipping); an
   *    unmatched optional variable yields NULL (COUNT yields 0,
-  *    aggregates yield NULL);
+  *    aggregates yield NULL); measures compose under ARITHMETIC
+  *    (+ - * / with parens, unary minus, numeric literals — e.g.
+  *    `FIRST(A.v) - LAST(B.v)`, `100 * COUNT(B.*) / COUNT(*)`):
+  *    DOUBLE result, NULL-propagating, division by zero → NULL
+  *    (documented deviation from ANSI's error); CLASSIFIER() is
+  *    excluded from arithmetic (non-numeric);
   *  - ALL ROWS PER MATCH emits one output row per matched input row
   *    (all source columns + measures, CLASSIFIER() per row) — ONE ROW
   *    PER MATCH emits partition cols + measures. Measures accept a
@@ -202,6 +207,17 @@ object MatchRecognizeSql {
   // CLASSIFIER(): the row's pattern variable in ALL ROWS PER MATCH
   // (the LAST row's variable in ONE ROW PER MATCH)
   private final case class MClassifier(name: String) extends Measure
+  // Arithmetic over primitive measures and numeric literals (SQL:2016
+  // measures are full value expressions; this covers + - * / with
+  // parens and unary minus, e.g. FIRST(A.v) - LAST(B.v), numeric
+  // output, NULL-propagating, DOUBLE result). CLASSIFIER() is the one
+  // primitive excluded (non-numeric).
+  private final case class MExpr(name: String, node: MNode) extends Measure
+  private sealed trait MNode
+  private final case class MNLit(v: Double) extends MNode
+  private final case class MNPrim(m: Measure) extends MNode
+  private final case class MNNeg(x: MNode) extends MNode
+  private final case class MNBin(op: Char, l: MNode, r: MNode) extends MNode
 
   /** Measure + its evaluation semantics: `running = true` ⇔ the SQL
     * RUNNING prefix — in ALL ROWS PER MATCH the measure at output row j
@@ -227,34 +243,175 @@ object MatchRecognizeSql {
       val name = m.substring(asIdx + 2).trim
       require(name.matches("""[A-Za-z_][A-Za-z_0-9]*"""),
         s"bad measure name '$name'")
-      val up = expr.toUpperCase
-      val meas: Measure =
-      if (up == "MATCH_NUMBER()") MMatchNum(name)
-      else if (up == "CLASSIFIER()") MClassifier(name)
-      else if (up.startsWith("COUNT(")) {
-        val inner = expr.substring(6, expr.length - 1).trim
-        if (inner == "*") MCount(name, "")
-        else {
-          require(inner.endsWith(".*"), s"COUNT takes V.* or *: $expr")
-          MCount(name, inner.dropRight(2))
-        }
-      } else if (up.startsWith("FIRST(") || up.startsWith("LAST(")) {
-        val kind = if (up.startsWith("FIRST(")) "first" else "last"
-        val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
-        val Array(v, c) = inner.split("\\.", 2)
-        MNav(name, kind, v, c)
-      } else if (Seq("SUM(", "AVG(", "MIN(", "MAX(").exists(up.startsWith)) {
-        val kind = up.substring(0, 3).toLowerCase
-        val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
-        val Array(v, c) = inner.split("\\.", 2)
-        MAgg(name, kind, v, c)
-      } else {
-        require(expr.contains("."), s"unsupported MEASURES expression: $expr")
-        val Array(v, c) = expr.split("\\.", 2)
-        MNav(name, "last", v, c) // ONE ROW PER MATCH: V.col ≡ LAST(V.col)
-      }
-      MSpec(meas, running)
+      MSpec(parseMeasureExpr(expr, name), running)
     }
+
+  /** True iff the first '(' in `s` closes exactly at the final char —
+    * i.e. the WHOLE string is one call, not `F(..) - G(..)`. */
+  private def oneCall(s: String): Boolean = {
+    val open = s.indexOf('(')
+    if (open < 0 || !s.endsWith(")")) return false
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      if (s.charAt(i) == '(') depth += 1
+      else if (s.charAt(i) == ')') {
+        depth -= 1
+        if (depth == 0) return i == s.length - 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** A single primitive measure form, or None if `expr` is not one. */
+  private def parsePrimMeasure(expr: String, name: String): Option[Measure] = {
+    val up = expr.toUpperCase
+    if (!up.contains("(")) {
+      return if (expr.matches("""[A-Za-z_][A-Za-z_0-9]*\.[A-Za-z_][A-Za-z_0-9]*"""))
+        Some(MNav(name, "last", expr.split("\\.", 2)(0),
+          expr.split("\\.", 2)(1))) // ONE ROW PER MATCH: V.col ≡ LAST(V.col)
+      else None
+    }
+    if (!oneCall(expr)) return None
+    if (up == "MATCH_NUMBER()") Some(MMatchNum(name))
+    else if (up == "CLASSIFIER()") Some(MClassifier(name))
+    else if (up.startsWith("COUNT(") && expr.endsWith(")")) {
+      val inner = expr.substring(6, expr.length - 1).trim
+      if (inner == "*") Some(MCount(name, ""))
+      else {
+        require(inner.endsWith(".*"), s"COUNT takes V.* or *: $expr")
+        Some(MCount(name, inner.dropRight(2)))
+      }
+    } else if ((up.startsWith("FIRST(") || up.startsWith("LAST(")) &&
+        expr.endsWith(")")) {
+      val kind = if (up.startsWith("FIRST(")) "first" else "last"
+      val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
+      val Array(v, c) = inner.split("\\.", 2)
+      Some(MNav(name, kind, v, c))
+    } else if (Seq("SUM(", "AVG(", "MIN(", "MAX(").exists(up.startsWith) &&
+        expr.endsWith(")")) {
+      val kind = up.substring(0, 3).toLowerCase
+      val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
+      val Array(v, c) = inner.split("\\.", 2)
+      Some(MAgg(name, kind, v, c))
+    } else if (expr.matches("""[A-Za-z_][A-Za-z_0-9]*\.[A-Za-z_][A-Za-z_0-9]*"""))
+      Some(MNav(name, "last", expr.split("\\.", 2)(0),
+        expr.split("\\.", 2)(1))) // ONE ROW PER MATCH: V.col ≡ LAST(V.col)
+    else None
+  }
+
+  /** Primitive measure, or an arithmetic [[MExpr]] over primitives and
+    * numeric literals. */
+  private def parseMeasureExpr(expr: String, name: String): Measure =
+    parsePrimMeasure(expr, name).getOrElse {
+      val toks = lexMeasure(expr)
+      val (node, rest) = parseSum(toks)
+      require(rest.isEmpty, s"unsupported MEASURES expression: $expr")
+      require(!collectPrims(node).exists(_.isInstanceOf[MClassifier]),
+        s"CLASSIFIER() is not numeric — cannot appear in arithmetic: $expr")
+      MExpr(name, node)
+    }
+
+  // -- measure arithmetic: lexer + precedence-climbing parser --
+  private sealed trait MTok
+  private final case class TNum(v: Double) extends MTok
+  private final case class TPrim(m: Measure) extends MTok
+  private final case class TOp(c: Char) extends MTok
+  private case object TLpar extends MTok
+  private case object TRpar extends MTok
+
+  private def lexMeasure(s: String): List[MTok] = {
+    val out = List.newBuilder[MTok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if ("+-*/".indexOf(c) >= 0) { out += TOp(c); i += 1 }
+      else if (c == '(') { out += TLpar; i += 1 }
+      else if (c == ')') { out += TRpar; i += 1 }
+      else if (c.isDigit || c == '.') {
+        val j0 = i
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.'))
+          i += 1
+        out += TNum(s.substring(j0, i).toDouble)
+      } else {
+        // identifier, optionally a call with balanced args, optionally
+        // a dotted column ref — the whole span is ONE primitive
+        val j0 = i
+        while (i < s.length &&
+            (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        if (i < s.length && s.charAt(i) == '(') {
+          var depth = 1
+          i += 1
+          while (i < s.length && depth > 0) {
+            if (s.charAt(i) == '(') depth += 1
+            else if (s.charAt(i) == ')') depth -= 1
+            i += 1
+          }
+          require(depth == 0, s"unbalanced parens in measure term: $s")
+        } else if (i < s.length && s.charAt(i) == '.') {
+          i += 1
+          while (i < s.length &&
+              (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+                s.charAt(i) == '*')) i += 1
+        }
+        val span = s.substring(j0, i)
+        val prim = parsePrimMeasure(span, "")
+        require(prim.isDefined, s"unsupported term in MEASURES arithmetic: '$span'")
+        out += TPrim(prim.get)
+      }
+    }
+    out.result()
+  }
+
+  private def parseSum(ts: List[MTok]): (MNode, List[MTok]) = {
+    var (l, rest) = parseProduct(ts)
+    var done = false
+    while (!done) rest match {
+      case TOp(op) :: tail if op == '+' || op == '-' =>
+        val (r, rest2) = parseProduct(tail)
+        l = MNBin(op, l, r); rest = rest2
+      case _ => done = true
+    }
+    (l, rest)
+  }
+
+  private def parseProduct(ts: List[MTok]): (MNode, List[MTok]) = {
+    var (l, rest) = parseFactor(ts)
+    var done = false
+    while (!done) rest match {
+      case TOp(op) :: tail if op == '*' || op == '/' =>
+        val (r, rest2) = parseFactor(tail)
+        l = MNBin(op, l, r); rest = rest2
+      case _ => done = true
+    }
+    (l, rest)
+  }
+
+  private def parseFactor(ts: List[MTok]): (MNode, List[MTok]) = ts match {
+    case TOp('-') :: tail =>
+      val (x, rest) = parseFactor(tail); (MNNeg(x), rest)
+    case TOp('+') :: tail => parseFactor(tail)
+    case TNum(v) :: tail => (MNLit(v), tail)
+    case TPrim(m) :: tail => (MNPrim(m), tail)
+    case TLpar :: tail =>
+      val (x, rest) = parseSum(tail)
+      rest match {
+        case TRpar :: t2 => (x, t2)
+        case _ => throw new IllegalArgumentException(
+          "unbalanced parens in MEASURES arithmetic")
+      }
+    case other => throw new IllegalArgumentException(
+      s"unsupported MEASURES arithmetic at: $other")
+  }
+
+  private def collectPrims(n: MNode): Seq[Measure] = n match {
+    case MNPrim(m) => Seq(m)
+    case MNNeg(x) => collectPrims(x)
+    case MNBin(_, l, r) => collectPrims(l) ++ collectPrims(r)
+    case _ => Seq.empty
+  }
 
   /** Split on `sep` at paren depth 0 (so COUNT(a, b) survives). */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
@@ -392,6 +549,7 @@ object MatchRecognizeSql {
       case MClassifier(n) => StructField(n, StringType, nullable = false)
       case MNav(n, _, _, c) => StructField(n, colType(c), nullable = true)
       case MAgg(n, _, _, _) => StructField(n, DoubleType, nullable = true)
+      case MExpr(n, _) => StructField(n, DoubleType, nullable = true)
     }
     val outFields =
       (if (allRows) inSchema.fields.toSeq
@@ -416,36 +574,70 @@ object MatchRecognizeSql {
     // current output row (RUNNING; identical to fin in ONE ROW mode).
     // CLASSIFIER is per-row in ALL ROWS mode, the last row's variable
     // in ONE ROW.
+    def evalPrim(meas: Measure, m: MatchRecognize.Match[String, Row],
+        classifier: => String): Any = meas match {
+      case MCount(_, "") => m.captured.valuesIterator.map(_.size).sum.toLong
+      case MCount(_, v) => m.captured.get(v).map(_.size).getOrElse(0).toLong
+      case MMatchNum(_) => m.matchSeq
+      case MClassifier(_) => classifier
+      case MNav(_, kind, v, c) =>
+        m.captured.get(v).filter(_.nonEmpty) match {
+          case Some(rows) =>
+            val r = if (kind == "first") rows.head else rows.last
+            val i = r.fieldIndex(c)
+            if (r.isNullAt(i)) null else r.get(i)
+          case None => null
+        }
+      case MAgg(_, kind, v, c) =>
+        val xs = m.captured.get(v).getOrElse(Seq.empty).flatMap { r =>
+          val i = r.fieldIndex(c)
+          if (r.isNullAt(i)) None
+          else Some(r.get(i).asInstanceOf[Number].doubleValue())
+        }
+        if (xs.isEmpty) null // SQL aggregates ignore nulls; empty -> NULL
+        else kind match {
+          case "sum" => xs.sum
+          case "avg" => xs.sum / xs.size
+          case "min" => xs.min
+          case "max" => xs.max
+        }
+      case e: MExpr => throw new IllegalStateException(
+        s"nested MExpr: ${e.name}") // parser never nests MExpr in MExpr
+    }
+    // NULL-propagating numeric coercion + tree eval for MExpr
+    // (division by zero → NULL, the tolerant analytical convention —
+    // documented deviation from ANSI's error)
+    def toD(a: Any): java.lang.Double = a match {
+      case null => null
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"non-numeric value in MEASURES arithmetic: $other")
+    }
+    def evalNode(node: MNode, m: MatchRecognize.Match[String, Row],
+        classifier: => String): java.lang.Double = node match {
+      case MNLit(v) => v
+      case MNPrim(p) => toD(evalPrim(p, m, classifier))
+      case MNNeg(x) =>
+        val a = evalNode(x, m, classifier)
+        if (a == null) null else -a
+      case MNBin(op, l, r) =>
+        val a = evalNode(l, m, classifier)
+        val b = evalNode(r, m, classifier)
+        if (a == null || b == null) null
+        else op match {
+          case '+' => a + b
+          case '-' => a - b
+          case '*' => a * b
+          case '/' => if (b == 0.0) null else a / b
+        }
+    }
     def measureVals(fin: MatchRecognize.Match[String, Row],
         run: MatchRecognize.Match[String, Row],
         classifier: => String): Seq[Any] = measures.map { spec =>
       val m = if (spec.running) run else fin
       spec.measure match {
-        case MCount(_, "") => m.captured.valuesIterator.map(_.size).sum.toLong
-        case MCount(_, v) => m.captured.get(v).map(_.size).getOrElse(0).toLong
-        case MMatchNum(_) => m.matchSeq
-        case MClassifier(_) => classifier
-        case MNav(_, kind, v, c) =>
-          m.captured.get(v).filter(_.nonEmpty) match {
-            case Some(rows) =>
-              val r = if (kind == "first") rows.head else rows.last
-              val i = r.fieldIndex(c)
-              if (r.isNullAt(i)) null else r.get(i)
-            case None => null
-          }
-        case MAgg(_, kind, v, c) =>
-          val xs = m.captured.get(v).getOrElse(Seq.empty).flatMap { r =>
-            val i = r.fieldIndex(c)
-            if (r.isNullAt(i)) None
-            else Some(r.get(i).asInstanceOf[Number].doubleValue())
-          }
-          if (xs.isEmpty) null // SQL aggregates ignore nulls; empty -> NULL
-          else kind match {
-            case "sum" => xs.sum
-            case "avg" => xs.sum / xs.size
-            case "min" => xs.min
-            case "max" => xs.max
-          }
+        case MExpr(_, node) => evalNode(node, m, classifier)
+        case prim => evalPrim(prim, m, classifier)
       }
     }
 
@@ -457,57 +649,94 @@ object MatchRecognizeSql {
     // session-sized match at 100 TB cannot afford). Returns per-row
     // update functions for the RUNNING measures (null slot = measure
     // is FINAL / per-row and resolved at emit).
-    def mkRunningFns(): Seq[(String, Row) => Any] = measures.map { spec =>
-      if (!spec.running) null
-      else {
-        def mem(v: String): String => Boolean =
-          subsets.getOrElse(v, Set(v)).contains _
-        def cell(r: Row, c: String): Any = {
-          val i = r.fieldIndex(c)
-          if (r.isNullAt(i)) null else r.get(i)
-        }
-        spec.measure match {
-          case MCount(_, "") =>
-            var n = 0L
-            (_, _) => { n += 1; n }
-          case MCount(_, v) =>
-            val m = mem(v); var n = 0L
-            (vn, _) => { if (m(vn)) n += 1; n }
-          case MNav(_, "first", v, c) =>
-            val m = mem(v); var seen = false; var value: Any = null
-            (vn, r) => {
-              if (!seen && m(vn)) { seen = true; value = cell(r, c) }
-              value
+    def mkRunningFns(matchSeq: Long): Seq[(String, Row) => Any] = {
+      def mem(v: String): String => Boolean =
+        subsets.getOrElse(v, Set(v)).contains _
+      def cell(r: Row, c: String): Any = {
+        val i = r.fieldIndex(c)
+        if (r.isNullAt(i)) null else r.get(i)
+      }
+      // one stateful incremental evaluator per PRIMITIVE occurrence
+      // (each arithmetic leaf owns its own state closure; the combined
+      // fn updates every leaf exactly once per row)
+      def primFn(meas: Measure): (String, Row) => Any = meas match {
+        case MCount(_, "") =>
+          var n = 0L
+          (_, _) => { n += 1; n }
+        case MCount(_, v) =>
+          val m = mem(v); var n = 0L
+          (vn, _) => { if (m(vn)) n += 1; n }
+        case MNav(_, "first", v, c) =>
+          val m = mem(v); var seen = false; var value: Any = null
+          (vn, r) => {
+            if (!seen && m(vn)) { seen = true; value = cell(r, c) }
+            value
+          }
+        case MNav(_, _, v, c) => // last
+          val m = mem(v); var value: Any = null
+          (vn, r) => { if (m(vn)) value = cell(r, c); value }
+        case MAgg(_, kind, v, c) =>
+          val m = mem(v)
+          var sum = 0.0; var n = 0L
+          var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+          (vn, r) => {
+            if (m(vn)) cell(r, c) match {
+              case null => ()
+              case x: Number =>
+                val d = x.doubleValue()
+                sum += d; n += 1
+                if (d < mn) mn = d
+                if (d > mx) mx = d
+              case other => throw new IllegalArgumentException(
+                s"RUNNING $kind over non-numeric value: $other")
             }
-          case MNav(_, _, v, c) => // last
-            val m = mem(v); var value: Any = null
-            (vn, r) => { if (m(vn)) value = cell(r, c); value }
-          case MAgg(_, kind, v, c) =>
-            val m = mem(v)
-            var sum = 0.0; var n = 0L
-            var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
-            (vn, r) => {
-              if (m(vn)) cell(r, c) match {
-                case null => ()
-                case x: Number =>
-                  val d = x.doubleValue()
-                  sum += d; n += 1
-                  if (d < mn) mn = d
-                  if (d > mx) mx = d
-                case other => throw new IllegalArgumentException(
-                  s"RUNNING $kind over non-numeric value: $other")
-              }
-              if (n == 0) null
-              else kind match {
-                case "sum" => sum
-                case "avg" => sum / n
-                case "min" => mn
-                case "max" => mx
-              }
+            if (n == 0) null
+            else kind match {
+              case "sum" => sum
+              case "avg" => sum / n
+              case "min" => mn
+              case "max" => mx
             }
+          }
+        case MMatchNum(_) => (_, _) => matchSeq
+        case other => throw new IllegalStateException(
+          s"no incremental form for $other")
+      }
+      def toD(a: Any): java.lang.Double = a match {
+        case null => null
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"non-numeric value in MEASURES arithmetic: $other")
+      }
+      def nodeFn(node: MNode): (String, Row) => java.lang.Double = node match {
+        case MNLit(v) => (_, _) => v
+        case MNPrim(p) =>
+          val f = primFn(p)
+          (vn, r) => toD(f(vn, r))
+        case MNNeg(x) =>
+          val f = nodeFn(x)
+          (vn, r) => { val a = f(vn, r); if (a == null) null else -a }
+        case MNBin(op, l, r0) =>
+          val fl = nodeFn(l); val fr = nodeFn(r0)
+          (vn, r) => {
+            val a = fl(vn, r); val b = fr(vn, r)
+            if (a == null || b == null) null
+            else op match {
+              case '+' => a + b
+              case '-' => a - b
+              case '*' => a * b
+              case '/' => if (b == 0.0) null else a / b
+            }
+          }
+      }
+      measures.map { spec =>
+        if (!spec.running) null
+        else spec.measure match {
+          case MExpr(_, node) => nodeFn(node)
           // MATCH_NUMBER / CLASSIFIER: running ≡ final / per-row —
           // resolved at emit
-          case _ => null
+          case MMatchNum(_) | MClassifier(_) => null
+          case prim => primFn(prim)
         }
       }
     }
@@ -522,7 +751,7 @@ object MatchRecognizeSql {
       // row at emit)
       val finTemplate = measureVals(fin, fin,
         if (fin.ordered.nonEmpty) fin.ordered.last._1 else "")
-      val runFns = if (anyRunning) mkRunningFns() else null
+      val runFns = if (anyRunning) mkRunningFns(m0.matchSeq) else null
       m0.ordered.map { case (varName, r) =>
         val vals = measures.zipWithIndex.map { case (spec, k) =>
           spec.measure match {

@@ -779,6 +779,60 @@ object PipelineQueries {
         FROM runs
         WHERE event_type = 'purchase' AND prior_views >= 1""")),
 
+    // ===== MATCH_RECOGNIZE arithmetic MEASURES (SQL:2016 value
+    // expressions over navigations/aggregates — Calcite compiles the
+    // same through BeamMatchRel's measure expressions): the down-run
+    // clause reporting derived quantities computed INSIDE the matcher:
+    // drop depth, percent-descending, midpoint. Oracle replays the
+    // gaps-and-islands rewrite and applies identical IEEE arithmetic.
+    Q("pattern_measure_arith",
+      (s, d) => {
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.operators.MatchRecognizeSql(events, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES MATCH_NUMBER() AS match_seq,
+                   FIRST(A.value) - LAST(B.value) AS drop_amt,
+                   100 * COUNT(B.*) / COUNT(*) AS pct_down,
+                   (FIRST(A.value) + LAST(B.value)) / 2 AS midpoint
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS B.value < PREV(B.value)""")
+          // no in-query round: both engines build the SAME IEEE doubles
+          // from the same runs, and the checker's uniform 6-decimal
+          // normalization compares them — in-query round() would
+          // reintroduce the HALF_UP vs HALF_EVEN tie divergence
+          .select(col("user_id"), col("match_seq"), col("drop_amt"),
+            col("pct_down"), col("midpoint"))
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN value < lag(value) OVER
+              (PARTITION BY user_id ORDER BY rn)
+            THEN 0 ELSE 1 END AS brk
+          FROM ordered
+        ), grp AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS g
+          FROM marked
+        ), runs AS (
+          SELECT user_id, g, count(*) AS run_len, min(rn) AS head_rn,
+            arg_min(value, rn) AS peak, arg_max(value, rn) AS trough
+          FROM grp GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY head_rn)
+            AS BIGINT) AS match_seq,
+          peak - trough AS drop_amt,
+          100 * CAST(run_len - 1 AS DOUBLE) / CAST(run_len AS DOUBLE)
+            AS pct_down,
+          (peak + trough) / 2 AS midpoint
+        FROM runs""")),
+
     // ===== MATCH_RECOGNIZE with a CORRELATED DEFINE condition (the
     // impl/cep/ CEPOperation surface): down-run detection
     //   PATTERN (A B+)  DEFINE B AS B.value < PREV(B.value)

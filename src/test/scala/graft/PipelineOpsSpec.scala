@@ -207,6 +207,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(alt == Set(2L)) // click+purchase and view+purchase, both n=2
   }
 
+  test("MatchRecognizeSql: arithmetic MEASURES — FINAL, RUNNING, null/zero edges") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 5.0), (1L, 4L, 9.0))
+      .toDF("user_id", "seq", "value")
+    val clause = """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES FIRST(A.value) - LAST(B.value) AS drop_amt,
+               100 * COUNT(B.*) / COUNT(*) AS pct_down,
+               (FIRST(A.value) + LAST(B.value)) / 2 AS midpoint,
+               -COUNT(*) AS neg_n,
+               SUM(B.value) / COUNT(B.*) AS alt_avg,
+               2 * MATCH_NUMBER() AS twice_m
+      ONE ROW PER MATCH
+      PATTERN (A B+)
+      DEFINE B AS B.value < PREV(B.value)"""
+    val r = MatchRecognizeSql(df, clause).collect()
+    assert(r.length == 1) // one down-run: 10, 8, 5
+    val row = r.head
+    assert(row.getDouble(row.fieldIndex("drop_amt")) == 5.0)
+    assert(math.abs(row.getDouble(row.fieldIndex("pct_down")) - 200.0 / 3) < 1e-12)
+    assert(row.getDouble(row.fieldIndex("midpoint")) == 7.5)
+    assert(row.getDouble(row.fieldIndex("neg_n")) == -3.0)
+    assert(row.getDouble(row.fieldIndex("alt_avg")) == 6.5)
+    assert(row.getDouble(row.fieldIndex("twice_m")) == 2.0)
+    // RUNNING arithmetic in ALL ROWS: prefix semantics per output row,
+    // NULL-propagating while B hasn't matched yet
+    val all = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES RUNNING FIRST(A.value) - LAST(B.value) AS run_drop
+      ALL ROWS PER MATCH
+      PATTERN (A B+)
+      DEFINE B AS B.value < PREV(B.value)""")
+      .select("seq", "run_drop").collect()
+      .map(r0 => (r0.getLong(0),
+        if (r0.isNullAt(1)) null else r0.getDouble(1))).toSeq
+    assert(all == Seq((1L, null), (2L, 2.0), (3L, 5.0)), all.toString)
+    // division by zero -> NULL (COUNT of an unmatched optional var)
+    val z = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES COUNT(*) / COUNT(C.*) AS div0
+      ONE ROW PER MATCH
+      PATTERN (A B+ C?)
+      DEFINE B AS B.value < PREV(B.value), C AS C.value > 100""")
+      .collect()
+    assert(z.length == 1 && z.head.isNullAt(z.head.fieldIndex("div0")))
+    // CLASSIFIER() is non-numeric: arithmetic over it must fail by name
+    val err = intercept[IllegalArgumentException] {
+      MatchRecognizeSql(df, """
+        PARTITION BY user_id
+        ORDER BY seq
+        MEASURES CLASSIFIER() + 1 AS bad
+        PATTERN (A B+)
+        DEFINE B AS B.value < PREV(B.value)""")
+    }
+    assert(err.getMessage.contains("CLASSIFIER"))
+  }
+
   test("MatchRecognizeSql: unsupported syntax errors, missing sections error") {
     import graft.operators.MatchRecognizeSql
     val df = Seq((1L, 1L, 1.0)).toDF("user_id", "seq", "value")
