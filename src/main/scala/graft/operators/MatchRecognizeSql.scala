@@ -861,4 +861,40 @@ object MatchRecognizeSql {
       runner(k, rows.sorted(ord).toIndexedSeq).iterator
     }(Encoders.STRING, rowEnc, Encoders.row(plan.outSchema))
   }
+
+  /** STREAMING MATCH_RECOGNIZE over FIXED (tumbling) event-time
+    * windows — Beam's literal per-key-AND-window BeamMatchRel model
+    * under the default AfterWatermark trigger: the clause runs on each
+    * (partition key, window) group when the watermark passes the
+    * window end; matches never cross a window boundary. The sibling of
+    * [[stream]]'s session windows — pick the window model, the
+    * clause/NFA machinery is identical. */
+  def streamWindowed(df: DataFrame, clause: String, tsCol: String,
+      delay: String, windowMs: Long): DataFrame = {
+    val plan = compile(df, clause)
+    val tsIdx = plan.inSchema.fieldIndex(tsCol)
+    val rowEnc = Encoders.row(plan.inSchema)
+    val tupEnc = Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, rowEnc)
+    val keyFn = plan.keyFn
+    val keyed = df
+      .map(r => (keyFn(r), r.getTimestamp(tsIdx), r))(tupEnc)
+      .withWatermark("_2", delay)
+    val keys = plan.sortKeys.map { case (n, desc) =>
+      (plan.inSchema.fieldIndex(n), desc)
+    }
+    val ord: Ordering[Row] = new Ordering[Row] {
+      override def compare(a: Row, b: Row): Int = {
+        keys.foreach { case (i, desc) =>
+          val c = compareVals(a.get(i), b.get(i))
+          if (c != 0) return if (desc) -c else c
+        }
+        0
+      }
+    }
+    val runner = plan.groupRunner
+    graft.streaming.StatefulV2.eventTimeWindowApply[String, Row, Row](
+      keyed, windowMs) { (k, _, rows) =>
+      runner(k, rows.sorted(ord).toIndexedSeq).iterator
+    }(Encoders.STRING, rowEnc, Encoders.row(plan.outSchema))
+  }
 }

@@ -461,6 +461,60 @@ object StatefulV2 {
       new EventTimeGapProcessor[K, V, O](gapMs, f),
       TimeMode.EventTime(), OutputMode.Append())
 
+  /** FIXED (tumbling) event-time windows with an apply at close —
+    * Beam's per-key-AND-window grouping under the default
+    * AfterWatermark trigger: rows buffer per (key, windowStart), ONE
+    * timer arms at window end, and `f(key, windowStart, rows)` runs
+    * when the watermark passes it (rows in event-time order). The
+    * fixed-window sibling of [[eventTimeGapApply]]'s sessions. */
+  def eventTimeWindowApply[K: Encoder, V: Encoder, O](
+      ds: Dataset[(K, java.sql.Timestamp, V)], windowMs: Long)(
+      f: (K, Long, Seq[V]) => Iterator[O])(
+      implicit outEnc: Encoder[O]): Dataset[O] = {
+    implicit val keyEnc: Encoder[(K, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong)
+    ds.groupByKey { case (k, ts, _) =>
+      (k, Math.floorDiv(ts.getTime, windowMs) * windowMs)
+    }.transformWithState(
+      new EventTimeWindowProcessor[K, V, O](windowMs, f),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Processor behind [[eventTimeWindowApply]]: key = (user key,
+    * windowStart); buffer + one end-of-window event-time timer. */
+  class EventTimeWindowProcessor[K, V, O](windowMs: Long,
+      flushFn: (K, Long, Seq[V]) => Iterator[O])(implicit vEnc: Encoder[V])
+      extends StatefulProcessor[(K, Long), (K, java.sql.Timestamp, V), O] {
+
+    @transient private var buf: ListState[(Long, V)] = _
+    @transient private var armed: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, V)]("buf",
+        Encoders.tuple(Encoders.scalaLong, vEnc), TTLConfig.NONE)
+      armed = getHandle.getValueState[Boolean]("armed",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (K, Long),
+        rows: Iterator[(K, java.sql.Timestamp, V)],
+        timers: TimerValues): Iterator[O] = {
+      rows.foreach { case (_, ts, v) => buf.appendValue((ts.getTime, v)) }
+      if (!armed.exists()) {
+        getHandle.registerTimer(key._2 + windowMs)
+        armed.update(true)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (K, Long), timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[O] = {
+      val rows = buf.get().toSeq.sortBy(_._1).map(_._2)
+      buf.clear(); armed.clear()
+      if (rows.nonEmpty) flushFn(key._1, key._2, rows) else Iterator.empty
+    }
+  }
+
   /** Compositional element-count trigger language — the combinator
     * shapes of Beam's trigger API (`Repeatedly.java:38`,
     * `AfterFirst.java:31`, `AfterAll.java:30`) over the

@@ -949,6 +949,69 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("session clustering: a late within-delay row BRIDGES two armed clusters") {
+    withRocksDb {
+      // events at 00:01 and 00:25 open two distinct sessions (gap 10 s,
+      // cluster ends 00:11 and 00:35, one timer armed for each); late
+      // but within-delay rows at 00:09 and 00:18 then CHAIN the two
+      // clusters into one (1→9→18→25, every hop ≤ 10 s) — the flush
+      // must emit ONE merged session, with the 00:11 timer firing as a
+      // stale no-op
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val flushed = StatefulV2.eventTimeGapFlush(
+        mem.toDS().withWatermark("_2", "2 minutes"), gapMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(flushed, table)
+      mem.addData((1L, t(1), "a"), (1L, t(25), "c"))
+      q.processAllAvailable() // two clusters armed: ends 11 and 35
+      mem.addData((1L, t(9), "b1"), (1L, t(18), "b2")) // bridge chain
+      q.processAllAvailable()
+      // watermark (delay 2 min) still behind — nothing flushed yet
+      assert(spark.table(table).count() == 0)
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2"))
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Seq[String])].collect()
+        .filter(_._1 == 1L).toSet
+      // ONE merged session in event-time order — not the two the
+      // original timers were armed for (stale timers fired as no-ops)
+      assert(got == Set((1L, Seq("a", "b1", "b2", "c"))), s"got $got")
+      q.stop()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE SQL over FIXED windows: matches confined per window") {
+    withRocksDb {
+      import graft.operators.MatchRecognizeSql
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "etype", "value")
+      // 30-second tumbling windows
+      val out = MatchRecognizeSql.streamWindowed(df, FunnelClause,
+        tsCol = "ts", delay = "0 seconds", windowMs = 30000L)
+      val table = freshTable()
+      val q = startMemorySink(out, table)
+      // window [10:00:00, 10:00:30): click+click+purchase → match;
+      // boundary straddle: click at :29, purchase at :31 → NO match
+      // (different windows); window [10:00:30, 10:01:00): click at :31?
+      // no — purchase alone in w2 can't match C+ P
+      mem.addData(
+        (1L, t(1), "click", 0.0), (1L, t(2), "click", 0.0),
+        (1L, t(3), "purchase", 11.0),
+        (2L, t(29), "click", 0.0), (2L, t(31), "purchase", 99.0))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm", 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2", 0.0))
+      q.processAllAvailable()
+      val got = spark.table(table)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // only user 1's within-window funnel; user 2's straddle is dead
+      assert(got == Set((1L, 1L, 2L, 11.0)), s"got $got")
+      q.stop()
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE SQL == batch clause per session (unification)") {
     withRocksDb {
       import graft.operators.MatchRecognizeSql
