@@ -108,4 +108,37 @@ object TextAnalysis {
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  // ---- URL canonicalization (web-corpus curation: per-URL dedup and
+  // host-level grouping need one canonical form per page — CommonCrawl
+  // tooling's normalize+SURT pass). All native parse_url / HOF
+  // expressions: whole-stage codegen, zero shuffle. ----
+
+  /** Lowercased host of a URL (parse_url HOST). */
+  def urlHost(u: Column): Column = lower(parse_url(u, lit("HOST")))
+
+  /** SURT-style reversed host — `www.a.example.com` →
+    * `com,example,a,www` — the key web archives sort/group on so one
+    * site's pages cluster in ONE range at 100 TB (host-hash grouping
+    * scatters them). */
+  def urlSurtHost(u: Column): Column =
+    array_join(reverse(split(urlHost(u), "\\.")), ",")
+
+  /** Query string with tracking params (utm_*, fbclid, gclid) dropped;
+    * NULL when nothing survives. Param order is preserved. */
+  def urlCleanQuery(u: Column): Column = {
+    val kept = filter(split(parse_url(u, lit("QUERY")), "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=")))
+    when(parse_url(u, lit("QUERY")).isNull || size(kept) === 0, lit(null))
+      .otherwise(array_join(kept, "&"))
+  }
+
+  /** Canonical page identity: lowercase host + path + surviving query,
+    * fragment dropped — the string to exact-dedup on. */
+  def urlCanonical(u: Column): Column = {
+    val q = urlCleanQuery(u)
+    concat(urlHost(u), parse_url(u, lit("PATH")),
+      when(q.isNull, lit("")).otherwise(concat(lit("?"), q)))
+  }
 }

@@ -142,6 +142,33 @@ object TextQueries {
         CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15) AS BIGINT) AS fp64
         FROM documents""")),
 
+    // ===== URL canonicalization — the web-corpus curation pass before
+    // per-URL dedup and host grouping (CommonCrawl-style normalize +
+    // SURT): lowercase host, drop fragment + tracking params
+    // (utm_*/fbclid/gclid), reversed SURT host so one site's pages
+    // cluster in one sort range at 100 TB. Synthetic URLs derive
+    // deterministically from (source, doc_id) — mixed-case host and
+    // interleaved utm params prove the normalization is real. All
+    // native parse_url/HOF codegen, zero shuffle.
+    Q("text_url_canonicalize",
+      (s, d) => {
+        val url = concat(lit("https://WWW."), upper(col("source")),
+          lit(".Example.COM/docs/"), col("doc_id"),
+          lit("?utm_source=feed&page="), pmod(col("doc_id"), lit(5)),
+          lit("&utm_campaign=x&q="), pmod(col("doc_id"), lit(3)),
+          lit("#sec"))
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.urlHost(url).as("host"),
+          TextAnalysis.urlSurtHost(url).as("surt_host"),
+          TextAnalysis.urlCanonical(url).as("canonical"))
+      },
+      Some("""SELECT doc_id,
+          'www.' || source || '.example.com' AS host,
+          'com,example,' || source || ',www' AS surt_host,
+          'www.' || source || '.example.com/docs/' || doc_id
+            || '?page=' || doc_id % 5 || '&q=' || doc_id % 3 AS canonical
+        FROM documents""")),
+
     // Language-ID n-gram heuristic (argmax of marker-token hits).
     Q("text_lang_id",
       (s, d) => docs(s, d).select(col("doc_id"),

@@ -263,6 +263,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w == (2L, "x\ny"))
   }
 
+  test("URL canonicalization: lowercase host, SURT, tracking-param and fragment drop") {
+    import graft.operators.TextAnalysis
+    val urls = Seq(
+      "https://WWW.News.Example.COM/a/b?utm_source=x&id=7&fbclid=zz&q=2#frag",
+      "https://example.com/plain",                 // no query, no www
+      "http://Host.ORG/p?utm_campaign=only&gclid=1" // ONLY tracking params
+    ).toDF("u")
+    val got = urls.select(
+      TextAnalysis.urlHost(col("u")).as("host"),
+      TextAnalysis.urlSurtHost(col("u")).as("surt"),
+      TextAnalysis.urlCanonical(col("u")).as("canon"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("www.news.example.com", "com,example,news,www",
+        "www.news.example.com/a/b?id=7&q=2"),
+      ("example.com", "com,example", "example.com/plain"),
+      // every param was tracking → no '?' survives
+      ("host.org", "org,host", "host.org/p")))
+  }
+
   test("removeRepeatedLines fail-fasts on unusable doc ids (packed-key domain)") {
     // a string id would cast to null and silently drop the whole
     // corpus — must be rejected up front instead
