@@ -138,4 +138,23 @@ object Layout {
   def clusterByZ2(df: DataFrame, a: String, b: String, numFiles: Int,
       bits: Int = 16): DataFrame =
     clusterByZ(df, Seq(a, b), numFiles, bits)
+
+  /** SMALL-FILES compaction: repartition so each output file lands
+    * near `targetBytes` of estimated data. The file-count estimate
+    * comes from Catalyst's plan statistics (for file sources, the sum
+    * of input file sizes after partition pruning) — a heuristic, not a
+    * contract; parquet re-compression shifts real sizes by the codec
+    * ratio, so pass an effective target. Why it matters at 100 TB:
+    * a 10k-task job writing a 20-file-sized result creates 10k tiny
+    * files, and every later scan pays 10k opens + footer reads; the
+    * NameNode/manifest pays 10k entries. One round-robin exchange
+    * fixes the layout. Ceiling division + a floor of 1 keep the edge
+    * cases (empty input, target larger than data) at one file. */
+  def compactTo(df: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((est + targetBytes - 1) / targetBytes)
+      .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+    df.repartition(parts)
+  }
 }

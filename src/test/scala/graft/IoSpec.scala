@@ -263,6 +263,35 @@ class IoSpec extends SparkSpec {
     assert(avgA <= 32 && avgB <= 32, s"avg spans ($avgA, $avgB)")
   }
 
+  test("compactTo sizes the output file count from plan statistics") {
+    import org.apache.spark.sql.functions._
+    // a deliberately over-sharded parquet source (the 10k-tiny-files
+    // shape a wide job leaves behind)
+    val src = Files.createTempDirectory("graft-compact").resolve("src").toString
+    spark.range(20000).toDF("id")
+      .withColumn("pad", concat_ws("", array((0 until 20).map(_ => md5(col("id").cast("string"))): _*)))
+      .repartition(64).write.parquet(src)
+    val df = spark.read.parquet(src)
+    val srcBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(srcBytes > 0)
+    // target ≈ a quarter of the data → ~4 partitions
+    val quarter = (srcBytes / 4).toLong.max(1L)
+    val out1 = Files.createTempDirectory("graft-compact").resolve("o1").toString
+    graft.operators.Layout.compactTo(df, quarter).write.parquet(out1)
+    val n1 = new java.io.File(out1).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(n1 >= 3 && n1 <= 6, s"expected ~4 files, got $n1")
+    // target larger than everything → exactly one file
+    val out2 = Files.createTempDirectory("graft-compact").resolve("o2").toString
+    graft.operators.Layout.compactTo(df, Long.MaxValue).write.parquet(out2)
+    val n2 = new java.io.File(out2).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(n2 == 1, s"expected 1 file, got $n2")
+    // nothing lost either way
+    assert(spark.read.parquet(out1).count() == 20000)
+    assert(spark.read.parquet(out2).count() == 20000)
+  }
+
   test("publish manifest pins a snapshot: verify passes intact, catches loss/tamper/strays") {
     import graft.sources.Manifest
     val dir = tmp("graft-manifest")

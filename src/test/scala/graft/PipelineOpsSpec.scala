@@ -267,6 +267,89 @@ class PipelineOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("CLASSIFIER"))
   }
 
+  test("MEASURES arithmetic property: 100 random trees + chains match a reference evaluator") {
+    import graft.operators.MatchRecognizeSql
+    // one deterministic match: A=10 then B=4, B=6 (C? never matches)
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 4.0), (1L, 3L, 6.0))
+      .toDF("user_id", "seq", "value")
+    // leaves: rendered form -> value under that match (None = SQL NULL)
+    val leaves: Vector[(String, Option[Double])] = Vector(
+      "FIRST(A.value)" -> Some(10.0), "LAST(B.value)" -> Some(6.0),
+      "SUM(B.value)" -> Some(10.0), "AVG(B.value)" -> Some(5.0),
+      "MIN(B.value)" -> Some(4.0), "MAX(B.value)" -> Some(6.0),
+      "COUNT(*)" -> Some(3.0), "COUNT(B.*)" -> Some(2.0),
+      "COUNT(C.*)" -> Some(0.0), "SUM(C.value)" -> None,
+      "MATCH_NUMBER()" -> Some(1.0),
+      "7" -> Some(7.0), "2.5" -> Some(2.5), "0" -> Some(0.0))
+    val rnd = new scala.util.Random(42)
+    def binOp(c: Char)(a: Double, b: Double): Option[Double] = c match {
+      case '+' => Some(a + b)
+      case '-' => Some(a - b)
+      case '*' => Some(a * b)
+      case '/' => if (b == 0.0) None else Some(a / b)
+    }
+    def lift(c: Char)(a: Option[Double], b: Option[Double]): Option[Double] =
+      (a, b) match { case (Some(x), Some(y)) => binOp(c)(x, y); case _ => None }
+    // random fully-parenthesized tree: (rendered, expected)
+    def tree(depth: Int): (String, Option[Double]) =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaves(rnd.nextInt(leaves.size))
+      else rnd.nextInt(5) match {
+        case 4 =>
+          val (s, v) = tree(depth - 1); (s"-($s)", v.map(-_))
+        case k =>
+          val op = "+-*/".charAt(k)
+          val (ls, lv) = tree(depth - 1); val (rs, rv) = tree(depth - 1)
+          (s"($ls $op $rs)", lift(op)(lv, rv))
+      }
+    // flat chain without parens: precedence computed by an INDEPENDENT
+    // two-pass reference (products first, then left-assoc sums)
+    def chain(n: Int): (String, Option[Double]) = {
+      val ls = Vector.fill(n)(leaves(rnd.nextInt(leaves.size)))
+      val ops = Vector.fill(n - 1)("+-*/".charAt(rnd.nextInt(4)))
+      val rendered = ls.head._1 + ops.zip(ls.tail).map {
+        case (o, (s, _)) => s" $o $s"
+      }.mkString
+      // pass 1: fold * and / runs into single terms
+      var terms = Vector(ls.head._2)
+      var termOps = Vector.empty[Char]
+      ops.zip(ls.tail).foreach { case (o, (_, v)) =>
+        if (o == '*' || o == '/') terms = terms.init :+ lift(o)(terms.last, v)
+        else { termOps :+= o; terms :+= v }
+      }
+      // pass 2: left-assoc + and -
+      val value = termOps.zip(terms.tail)
+        .foldLeft(terms.head) { case (acc, (o, v)) => lift(o)(acc, v) }
+      (rendered, value)
+    }
+    val cases = (0 until 60).map(_ => tree(3)) ++
+      (0 until 40).map(_ => chain(2 + rnd.nextInt(4)))
+    val measureLines = cases.zipWithIndex
+      .map { case ((s, _), i) => s"$s AS m$i" }.mkString(",\n               ")
+    val out = MatchRecognizeSql(df, s"""
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES $measureLines
+      ONE ROW PER MATCH
+      PATTERN (A B B C?)
+      DEFINE B AS B.value > 0, C AS C.value > 100""").collect()
+    assert(out.length == 1)
+    val row = out.head
+    cases.zipWithIndex.foreach { case ((s, expect), i) =>
+      val idx = row.fieldIndex(s"m$i")
+      // a bare-leaf case parses as the PRIMITIVE measure (possibly
+      // LongType) rather than an arithmetic DOUBLE — read numerically
+      val got = if (row.isNullAt(idx)) None
+        else Some(row.get(idx).asInstanceOf[Number].doubleValue())
+      (got, expect) match {
+        case (None, None) => ()
+        case (Some(g), Some(e)) =>
+          assert(g == e || math.abs(g - e) < 1e-9,
+            s"case $i: '$s' -> $g, expected $e")
+        case _ => fail(s"case $i: '$s' -> $got, expected $expect")
+      }
+    }
+  }
+
   test("MatchRecognizeSql: unsupported syntax errors, missing sections error") {
     import graft.operators.MatchRecognizeSql
     val df = Seq((1L, 1L, 1.0)).toDF("user_id", "seq", "value")
