@@ -63,7 +63,12 @@ object Bench {
     "pattern_measures_agg", "pattern_all_rows", "agg_theta_overlap",
     "window_ewma", "pipeline_temperature_mix", "text_perplexity_unigram",
     "pattern_all_rows_running", "multimodal_decode_bmp",
-    "text_c4_span_dedup")
+    "text_c4_span_dedup",
+    // round 8 additions: real-codec multimodal family + URL
+    // canonicalization + arithmetic measures
+    "multimodal_decode_image", "multimodal_video_frames",
+    "multimodal_audio_meta", "multimodal_resize",
+    "text_url_canonicalize", "pattern_measure_arith")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {
