@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * (via [[MatchRecognize.parsePattern]]: quantifiers + one level of
   * alternation), and DEFINE with a real predicate grammar —
   * comparisons over `V.col`, `PREV/NEXT(V.col[, k])`,
-  * `FIRST/LAST(V.col)`, numeric/string/boolean literals, AND/OR and
-  * parentheses.
+  * `FIRST/LAST(V.col)`, numeric/string/boolean literals, AND/OR,
+  * parentheses, and ARITHMETIC value expressions on either side of a
+  * comparison (`B.value < PREV(B.value) * 0.9`, `+ - * /`, unary
+  * minus, NULL-propagating, /0 → NULL → comparison false).
   *
   * Semantics notes (SQL:2016 row-pattern matching):
   *  - in DEFINE of variable V, `V.col` is the CURRENT row; another
@@ -99,6 +101,39 @@ object MatchRecognizeSql {
     def value(t: Row, c: MatchRecognize.MatchCtx[Row], s: String): Any =
       java.lang.Double.valueOf(v)
   }
+  /** Arithmetic over operands inside DEFINE comparisons (SQL:2016
+    * allows full value expressions — `B.value < PREV(B.value) * 0.9`
+    * is the canonical CEP percentage-drop condition). NULL-propagating;
+    * /0 → NULL (→ comparison false, the SQL outcome). */
+  private final case class Arith(op: Char, l: Operand, r: Operand)
+      extends Operand {
+    def value(t: Row, ctx: MatchRecognize.MatchCtx[Row], s: String): Any = {
+      def num(a: Any): java.lang.Double = a match {
+        case null => null
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"non-numeric value in DEFINE arithmetic: $other")
+      }
+      val a = num(l.value(t, ctx, s))
+      val b = num(r.value(t, ctx, s))
+      if (a == null || b == null) null
+      else op match {
+        case '+' => a + b
+        case '-' => a - b
+        case '*' => a * b
+        case '/' => if (b == 0.0) null else a / b
+      }
+    }
+  }
+  private final case class NegOp(x: Operand) extends Operand {
+    def value(t: Row, ctx: MatchRecognize.MatchCtx[Row], s: String): Any =
+      x.value(t, ctx, s) match {
+        case null => null
+        case n: Number => -n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"non-numeric value under unary minus: $other")
+      }
+  }
   private final case class StrLit(v: String) extends Operand {
     def value(t: Row, c: MatchRecognize.MatchCtx[Row], s: String): Any = v
   }
@@ -126,9 +161,11 @@ object MatchRecognizeSql {
   // ---- predicate tokenizer/parser (recursive descent) ----
   private final class PredParser(input: String, selfVar: String) {
     private val toks: Vector[String] = {
+      // note: numbers carry no sign — '-' lexes as an operator and
+      // negative literals parse via unary minus in factor()
       val pat = ("""\s*(<=|>=|<>|!=|<|>|=|\(|\)|,|'[^']*'|""" +
         """[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?|""" +
-        """-?\d+(?:\.\d+)?)""").r
+        """\d+(?:\.\d+)?|[-+*/])""").r
       var pos = 0
       val out = Vector.newBuilder[String]
       while (pos < input.length) {
@@ -167,12 +204,40 @@ object MatchRecognizeSql {
       l
     }
     private def cmpExpr(): Pred = {
-      if (peek == "(") { take(); val p = orExpr(); expect(")"); return p }
-      val l = operand()
+      if (peek == "(") {
+        // '(' is ambiguous: boolean group `(x < 1 OR y < 2)` vs
+        // arithmetic group `(x + 1) < 2`. Try boolean first; on parse
+        // failure rewind the token index and re-read as arithmetic —
+        // the recursive descent's only state IS the index.
+        val save = i
+        try { take(); val p = orExpr(); expect(")"); return p }
+        catch { case _: IllegalArgumentException => i = save }
+      }
+      val l = arith()
       val op = take()
       require(Set("<", "<=", ">", ">=", "=", "<>", "!=").contains(op),
         s"expected comparison operator, got '$op' in: $input")
-      Cmp(l, op, operand(), selfVar)
+      Cmp(l, op, arith(), selfVar)
+    }
+    private def arith(): Operand = {
+      var l = term()
+      while (peek == "+" || peek == "-") {
+        val o = take(); l = Arith(o.charAt(0), l, term())
+      }
+      l
+    }
+    private def term(): Operand = {
+      var l = factor()
+      while (peek == "*" || peek == "/") {
+        val o = take(); l = Arith(o.charAt(0), l, factor())
+      }
+      l
+    }
+    private def factor(): Operand = {
+      if (peek == "-") { take(); return NegOp(factor()) }
+      if (peek == "+") { take(); return factor() }
+      if (peek == "(") { take(); val x = arith(); expect(")"); return x }
+      operand()
     }
     private def operand(): Operand = {
       val t = take()

@@ -779,6 +779,39 @@ object PipelineQueries {
         FROM runs
         WHERE event_type = 'purchase' AND prior_views >= 1""")),
 
+    // ===== MATCH_RECOGNIZE arithmetic in DEFINE — the CEP
+    // percentage-drop condition (`B.value < PREV(B.value) * 0.95`):
+    // SQL:2016 value expressions inside the pattern predicate, not
+    // just the measures. SKIP TO NEXT ROW reports every qualifying
+    // adjacent pair; the oracle is the lag() rewrite with identical
+    // IEEE arithmetic.
+    Q("pattern_pct_drop",
+      (s, d) => {
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.operators.MatchRecognizeSql(events, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES LAST(A.value) AS prev_value, LAST(B.value) AS drop_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          DEFINE B AS B.value < PREV(B.value) * 0.95""")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_drops"),
+            min(col("drop_value")).as("worst_drop"))
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, value,
+            lag(value) OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS prev_v
+          FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_drops,
+          min(value) AS worst_drop
+        FROM ordered
+        WHERE prev_v IS NOT NULL AND value < prev_v * 0.95
+        GROUP BY user_id""")),
+
     // ===== MATCH_RECOGNIZE arithmetic MEASURES (SQL:2016 value
     // expressions over navigations/aggregates — Calcite compiles the
     // same through BeamMatchRel's measure expressions): the down-run

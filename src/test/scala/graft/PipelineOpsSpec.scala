@@ -267,6 +267,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("CLASSIFIER"))
   }
 
+  test("MatchRecognizeSql: arithmetic in DEFINE — percentage drop, grouping, negatives") {
+    import graft.operators.MatchRecognizeSql
+    // values 100, 95, 80, 78: strict drop runs everywhere, but >10%
+    // drops only at 95→80 — the CEP condition needs PREV * 0.9
+    val df = Seq((1L, 1L, 100.0), (1L, 2L, 95.0), (1L, 3L, 80.0),
+      (1L, 4L, 78.0)).toDF("user_id", "seq", "value")
+    def run(define: String) = MatchRecognizeSql(df, s"""
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES LAST(B.value) AS b_val
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B)
+      DEFINE $define""").collect()
+      .map(r => r.getDouble(r.fieldIndex("b_val"))).toSet
+    // plain drop: all three adjacent descents match
+    assert(run("B AS B.value < PREV(B.value)") == Set(95.0, 80.0, 78.0))
+    // >10% drop: only 95 -> 80
+    assert(run("B AS B.value < PREV(B.value) * 0.9") == Set(80.0))
+    // arithmetic grouping on the left side + AND with a second clause
+    assert(run("B AS (B.value + 10) < PREV(B.value) AND B.value > 0") ==
+      Set(80.0))
+    // unary minus / negative literal: -(PREV - cur) < -10 ⇔ drop > 10
+    assert(run("B AS -(PREV(B.value) - B.value) < -10") == Set(80.0))
+    // boolean group with '(' still parses (the backtrack path)
+    assert(run("B AS (B.value < PREV(B.value) AND B.value > 79)") ==
+      Set(95.0, 80.0))
+    // division: ratio form of the same condition; PREV at row 0 is
+    // NULL -> NULL ratio -> false (three-valued logic preserved)
+    assert(run("B AS B.value / PREV(B.value) < 0.9") == Set(80.0))
+  }
+
   test("MEASURES arithmetic property: 100 random trees + chains match a reference evaluator") {
     import graft.operators.MatchRecognizeSql
     // one deterministic match: A=10 then B=4, B=6 (C? never matches)
