@@ -962,4 +962,40 @@ object MatchRecognizeSql {
       runner(k, rows.sorted(ord).toIndexedSeq).iterator
     }(Encoders.STRING, rowEnc, Encoders.row(plan.outSchema))
   }
+
+  /** STREAMING MATCH_RECOGNIZE over SLIDING event-time windows —
+    * Beam's SlidingWindows assignment: every row joins each covering
+    * window, the clause runs independently per (key, window) at that
+    * window's watermark close, so one physical event sequence can
+    * match in several overlapping windows (Beam's semantics, by
+    * design). Completes the window-model trio with [[stream]]
+    * (sessions) and [[streamWindowed]] (fixed). */
+  def streamSliding(df: DataFrame, clause: String, tsCol: String,
+      delay: String, windowMs: Long, slideMs: Long): DataFrame = {
+    val plan = compile(df, clause)
+    val tsIdx = plan.inSchema.fieldIndex(tsCol)
+    val rowEnc = Encoders.row(plan.inSchema)
+    val tupEnc = Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, rowEnc)
+    val keyFn = plan.keyFn
+    val keyed = df
+      .map(r => (keyFn(r), r.getTimestamp(tsIdx), r))(tupEnc)
+      .withWatermark("_2", delay)
+    val keys = plan.sortKeys.map { case (n, desc) =>
+      (plan.inSchema.fieldIndex(n), desc)
+    }
+    val ord: Ordering[Row] = new Ordering[Row] {
+      override def compare(a: Row, b: Row): Int = {
+        keys.foreach { case (i, desc) =>
+          val c = compareVals(a.get(i), b.get(i))
+          if (c != 0) return if (desc) -c else c
+        }
+        0
+      }
+    }
+    val runner = plan.groupRunner
+    graft.streaming.StatefulV2.eventTimeSlidingApply[String, Row, Row](
+      keyed, windowMs, slideMs) { (k, _, rows) =>
+      runner(k, rows.sorted(ord).toIndexedSeq).iterator
+    }(Encoders.STRING, rowEnc, Encoders.row(plan.outSchema))
+  }
 }

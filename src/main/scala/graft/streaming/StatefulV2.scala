@@ -476,15 +476,46 @@ object StatefulV2 {
     ds.groupByKey { case (k, ts, _) =>
       (k, Math.floorDiv(ts.getTime, windowMs) * windowMs)
     }.transformWithState(
-      new EventTimeWindowProcessor[K, V, O](windowMs, f),
+      new EventTimeWindowProcessor[K, K, V, O](windowMs, f),
       TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** Processor behind [[eventTimeWindowApply]]: key = (user key,
-    * windowStart); buffer + one end-of-window event-time timer. */
-  class EventTimeWindowProcessor[K, V, O](windowMs: Long,
+  /** SLIDING event-time windows with an apply at close — rows are
+    * replicated to every covering window (one per `slideMs` step, the
+    * Beam SlidingWindows assignment), each (key, windowStart) group
+    * buffers independently and flushes via `f` when the watermark
+    * passes ITS window end. windowMs must be a multiple of slideMs'
+    * granularity in spirit; any positive pair works (assignment is
+    * start ∈ {…, floor(t/slide)·slide} with start > t − window). */
+  def eventTimeSlidingApply[K: Encoder, V: Encoder, O](
+      ds: Dataset[(K, java.sql.Timestamp, V)], windowMs: Long,
+      slideMs: Long)(f: (K, Long, Seq[V]) => Iterator[O])(
+      implicit outEnc: Encoder[O]): Dataset[O] = {
+    require(windowMs > 0 && slideMs > 0 && slideMs <= windowMs,
+      s"bad sliding windows: window=$windowMs slide=$slideMs")
+    implicit val keyEnc: Encoder[(K, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong)
+    implicit val expEnc: Encoder[((K, Long), java.sql.Timestamp, V)] =
+      Encoders.tuple(keyEnc, Encoders.TIMESTAMP, implicitly[Encoder[V]])
+    val exploded = ds.flatMap { case (k, ts, v) =>
+      val t = ts.getTime
+      Iterator.iterate(Math.floorDiv(t, slideMs) * slideMs)(_ - slideMs)
+        .takeWhile(s => s > t - windowMs)
+        .map(s => ((k, s), ts, v))
+    }
+    exploded.groupByKey(_._1).transformWithState(
+      new EventTimeWindowProcessor[(K, Long), K, V, O](windowMs, f),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Processor behind [[eventTimeWindowApply]] / [[eventTimeSlidingApply]]:
+    * key = (user key, windowStart); buffer + one end-of-window
+    * event-time timer. `A` is the input row's first slot (the bare key
+    * for fixed windows, the composite for pre-exploded sliding ones) —
+    * only the timestamp and value slots are read. */
+  class EventTimeWindowProcessor[A, K, V, O](windowMs: Long,
       flushFn: (K, Long, Seq[V]) => Iterator[O])(implicit vEnc: Encoder[V])
-      extends StatefulProcessor[(K, Long), (K, java.sql.Timestamp, V), O] {
+      extends StatefulProcessor[(K, Long), (A, java.sql.Timestamp, V), O] {
 
     @transient private var buf: ListState[(Long, V)] = _
     @transient private var armed: ValueState[Boolean] = _
@@ -497,7 +528,7 @@ object StatefulV2 {
     }
 
     override def handleInputRows(key: (K, Long),
-        rows: Iterator[(K, java.sql.Timestamp, V)],
+        rows: Iterator[(A, java.sql.Timestamp, V)],
         timers: TimerValues): Iterator[O] = {
       rows.foreach { case (_, ts, v) => buf.appendValue((ts.getTime, v)) }
       if (!armed.exists()) {

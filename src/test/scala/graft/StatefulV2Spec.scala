@@ -1012,6 +1012,34 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("streaming MATCH_RECOGNIZE SQL over SLIDING windows: one match per covering window") {
+    withRocksDb {
+      import graft.operators.MatchRecognizeSql
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "etype", "value")
+      // 30 s windows sliding every 10 s: a funnel at 00:21..00:23 is
+      // covered by windows starting 00:00, 00:10, 00:20 → Beam's
+      // SlidingWindows semantics report it in EACH (3 matches)
+      val out = MatchRecognizeSql.streamSliding(df, FunnelClause,
+        tsCol = "ts", delay = "0 seconds", windowMs = 30000L,
+        slideMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(out, table)
+      mem.addData((1L, t(21), "click", 0.0), (1L, t(22), "click", 0.0),
+        (1L, t(23), "purchase", 5.0))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm", 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(table)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(rows.count(_ == ((1L, 1L, 2L, 5.0))) == 3, s"got $rows")
+      assert(rows.size == 3)
+      q.stop()
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE SQL == batch clause per session (unification)") {
     withRocksDb {
       import graft.operators.MatchRecognizeSql
