@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
   *  - MEASURES support `FIRST(V.col)`, `LAST(V.col)`, `V.col`
   *    (≡ LAST in ONE ROW PER MATCH), `COUNT(V.*)`, `COUNT(*)`,
   *    `MATCH_NUMBER()`, `CLASSIFIER()`, and numeric aggregates
-  *    `SUM/AVG/MIN/MAX(V.col)` (DOUBLE result, null-skipping); an
+  *    `SUM/AVG/MIN/MAX(V.col)` — and over per-row EXPRESSIONS of one
+  *    variable's columns, `SUM(B.price * B.qty + 1)` (DOUBLE result,
+  *    null-skipping); an
   *    unmatched optional variable yields NULL (COUNT yields 0,
   *    aggregates yield NULL); measures compose under ARITHMETIC
   *    (+ - * / with parens, unary minus, numeric literals — e.g.
@@ -266,9 +268,113 @@ object MatchRecognizeSql {
       colName: String) extends Measure // kind ∈ first | last
   private final case class MMatchNum(name: String) extends Measure
   // SQL:2016 running aggregates over one variable's matched rows
-  // (ONE ROW PER MATCH ⇒ final semantics); numeric columns, DOUBLE out
+  // (ONE ROW PER MATCH ⇒ final semantics); DOUBLE out. The aggregated
+  // quantity is a per-ROW expression over that variable's columns —
+  // `SUM(B.value)` or `SUM(B.price * B.qty + 1)` alike.
   private final case class MAgg(name: String, kind: String, varName: String,
-      colName: String) extends Measure // kind ∈ sum | avg | min | max
+      rowExpr: RExpr) extends Measure // kind ∈ sum | avg | min | max
+
+  // per-row numeric expression inside an aggregate: columns of ONE
+  // pattern variable, literals, + - * /, unary minus; NULL-propagating
+  private sealed trait RExpr { def eval(r: Row): Any }
+  private final case class RCol(c: String) extends RExpr {
+    def eval(r: Row): Any = {
+      val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) null else r.get(i)
+    }
+  }
+  private final case class RLit(v: Double) extends RExpr {
+    def eval(r: Row): Any = java.lang.Double.valueOf(v)
+  }
+  private final case class RNeg(x: RExpr) extends RExpr {
+    def eval(r: Row): Any = x.eval(r) match {
+      case null => null
+      case n: Number => -n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"non-numeric value under unary minus in aggregate: $other")
+    }
+  }
+  private final case class RBin(op: Char, l: RExpr, r0: RExpr) extends RExpr {
+    def eval(r: Row): Any = {
+      def num(a: Any): java.lang.Double = a match {
+        case null => null
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"non-numeric value in aggregate expression: $other")
+      }
+      val a = num(l.eval(r)); val b = num(r0.eval(r))
+      if (a == null || b == null) null
+      else op match {
+        case '+' => a + b
+        case '-' => a - b
+        case '*' => a * b
+        case '/' => if (b == 0.0) null else a / b
+      }
+    }
+  }
+
+  /** Parse the inside of `SUM(...)`: a per-row expression whose column
+    * refs (`V.col`) must all name ONE variable — returns (V, expr). */
+  private def parseAggInner(inner: String): (String, RExpr) = {
+    val pat = ("""\s*(\(|\)|[A-Za-z_][A-Za-z_0-9]*\.[A-Za-z_][A-Za-z_0-9]*|""" +
+      """\d+(?:\.\d+)?|[-+*/])""").r
+    val toks = {
+      var pos = 0
+      val out = Vector.newBuilder[String]
+      while (pos < inner.length) {
+        pat.findPrefixMatchOf(inner.subSequence(pos, inner.length)) match {
+          case Some(m) if m.group(1) != null => out += m.group(1); pos += m.end
+          case _ =>
+            if (inner.substring(pos).trim.isEmpty) pos = inner.length
+            else throw new IllegalArgumentException(
+              s"aggregate expression parse error at '${inner.substring(pos).take(20)}'")
+        }
+      }
+      out.result()
+    }
+    var i = 0
+    var varName: String = null
+    def peek = if (i < toks.length) toks(i) else ""
+    def take() = { val t = peek; i += 1; t }
+    def factor(): RExpr = peek match {
+      case "-" => take(); RNeg(factor())
+      case "+" => take(); factor()
+      case "(" =>
+        take(); val x = sum()
+        require(take() == ")", s"unbalanced parens in aggregate: $inner")
+        x
+      case t if t.matches("""\d+(\.\d+)?""") => take(); RLit(t.toDouble)
+      case t if t.contains(".") =>
+        take()
+        val Array(v, c) = t.split("\\.", 2)
+        require(varName == null || varName == v,
+          s"aggregate mixes variables '$varName' and '$v' — aggregate " +
+            s"over ONE pattern variable's rows: $inner")
+        varName = v
+        RCol(c)
+      case other => throw new IllegalArgumentException(
+        s"unsupported aggregate term '$other' in: $inner")
+    }
+    def term(): RExpr = {
+      var l = factor()
+      while (peek == "*" || peek == "/") {
+        val o = take(); l = RBin(o.charAt(0), l, factor())
+      }
+      l
+    }
+    def sum(): RExpr = {
+      var l = term()
+      while (peek == "+" || peek == "-") {
+        val o = take(); l = RBin(o.charAt(0), l, term())
+      }
+      l
+    }
+    val e = sum()
+    require(i == toks.length, s"trailing tokens in aggregate: $inner")
+    require(varName != null,
+      s"aggregate needs at least one V.col reference: $inner")
+    (varName, e)
+  }
   // CLASSIFIER(): the row's pattern variable in ALL ROWS PER MATCH
   // (the LAST row's variable in ONE ROW PER MATCH)
   private final case class MClassifier(name: String) extends Measure
@@ -358,8 +464,8 @@ object MatchRecognizeSql {
         expr.endsWith(")")) {
       val kind = up.substring(0, 3).toLowerCase
       val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
-      val Array(v, c) = inner.split("\\.", 2)
-      Some(MAgg(name, kind, v, c))
+      val (v, rowExpr) = parseAggInner(inner)
+      Some(MAgg(name, kind, v, rowExpr))
     } else if (expr.matches("""[A-Za-z_][A-Za-z_0-9]*\.[A-Za-z_][A-Za-z_0-9]*"""))
       Some(MNav(name, "last", expr.split("\\.", 2)(0),
         expr.split("\\.", 2)(1))) // ONE ROW PER MATCH: V.col ≡ LAST(V.col)
@@ -653,11 +759,14 @@ object MatchRecognizeSql {
             if (r.isNullAt(i)) null else r.get(i)
           case None => null
         }
-      case MAgg(_, kind, v, c) =>
+      case MAgg(_, kind, v, rowExpr) =>
         val xs = m.captured.get(v).getOrElse(Seq.empty).flatMap { r =>
-          val i = r.fieldIndex(c)
-          if (r.isNullAt(i)) None
-          else Some(r.get(i).asInstanceOf[Number].doubleValue())
+          rowExpr.eval(r) match {
+            case null => None
+            case n: Number => Some(n.doubleValue())
+            case other => throw new IllegalArgumentException(
+              s"$kind over non-numeric value: $other")
+          }
         }
         if (xs.isEmpty) null // SQL aggregates ignore nulls; empty -> NULL
         else kind match {
@@ -740,12 +849,12 @@ object MatchRecognizeSql {
         case MNav(_, _, v, c) => // last
           val m = mem(v); var value: Any = null
           (vn, r) => { if (m(vn)) value = cell(r, c); value }
-        case MAgg(_, kind, v, c) =>
+        case MAgg(_, kind, v, rowExpr) =>
           val m = mem(v)
           var sum = 0.0; var n = 0L
           var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
           (vn, r) => {
-            if (m(vn)) cell(r, c) match {
+            if (m(vn)) rowExpr.eval(r) match {
               case null => ()
               case x: Number =>
                 val d = x.doubleValue()

@@ -299,6 +299,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run("B AS B.value / PREV(B.value) < 0.9") == Set(80.0))
   }
 
+  test("MatchRecognizeSql: aggregates over row expressions — SUM(B.price * B.qty)") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq(
+      (1L, 1L, "a", 10.0, 2.0), (1L, 2L, "b", 3.0, 4.0),
+      (1L, 3L, "b", 5.0, 6.0))
+      .toDF("user_id", "seq", "etype", "price", "qty")
+    val got = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES SUM(B.price * B.qty) AS revenue,
+               AVG(B.price * B.qty + 1) AS avg_rev1,
+               MAX(B.qty - B.price) AS max_margin,
+               SUM(B.price * B.qty) / COUNT(B.*) AS rev_per_item
+      ONE ROW PER MATCH
+      PATTERN (A B+)
+      DEFINE A AS A.etype = 'a', B AS B.etype = 'b'""").collect()
+    assert(got.length == 1)
+    val r = got.head
+    // B rows: 3*4=12, 5*6=30
+    assert(r.getDouble(r.fieldIndex("revenue")) == 42.0)
+    assert(r.getDouble(r.fieldIndex("avg_rev1")) == 22.0)
+    assert(r.getDouble(r.fieldIndex("max_margin")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("rev_per_item")) == 21.0)
+    // RUNNING form stays one incremental pass in ALL ROWS
+    val all = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES RUNNING SUM(B.price * B.qty) AS run_rev
+      ALL ROWS PER MATCH
+      PATTERN (A B+)
+      DEFINE A AS A.etype = 'a', B AS B.etype = 'b'""")
+      .select("seq", "run_rev").collect()
+      .map(r0 => (r0.getLong(0),
+        if (r0.isNullAt(1)) null else r0.getDouble(1))).toSeq
+    assert(all == Seq((1L, null), (2L, 12.0), (3L, 42.0)), all.toString)
+    // an aggregate cannot mix pattern variables
+    val err = intercept[IllegalArgumentException] {
+      MatchRecognizeSql(df, """
+        PARTITION BY user_id
+        ORDER BY seq
+        MEASURES SUM(A.price * B.qty) AS bad
+        PATTERN (A B+)
+        DEFINE A AS A.etype = 'a', B AS B.etype = 'b'""")
+    }
+    assert(err.getMessage.contains("mixes variables"))
+  }
+
   test("MEASURES arithmetic property: 100 random trees + chains match a reference evaluator") {
     import graft.operators.MatchRecognizeSql
     // one deterministic match: A=10 then B=4, B=6 (C? never matches)
