@@ -68,7 +68,8 @@ object Bench {
     // canonicalization + arithmetic measures
     "multimodal_decode_image", "multimodal_video_frames",
     "multimodal_audio_meta", "multimodal_resize",
-    "text_url_canonicalize", "pattern_measure_arith")
+    "text_url_canonicalize", "pattern_measure_arith",
+    "pattern_nav_offsets")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -101,21 +101,35 @@ object MatchRecognize {
       if (i < part.length && n >= 1) Some(part(i)) else None
     }
 
-    /** SQL FIRST(X.col): the earliest row matched to variable `name`
-      * so far in this match attempt. */
-    def first(name: String): Option[T] = {
-      var res: Option[T] = None
+    /** SQL FIRST(X.col, off): the row `off` rows AFTER the earliest row
+      * matched to variable `name` so far in this match attempt — among
+      * `name`'s matched rows (SQL:2016 logical offset; default 0 = the
+      * earliest). None when fewer than off+1 rows are mapped. */
+    def first(name: String, off: Int = 0): Option[T] = {
+      require(off >= 0, s"FIRST offset must be >= 0, got $off")
+      // `assigned` is most-recent-first: the (off+1)-th-from-earliest is
+      // the (count-1-off)-th from the head
+      var n = 0
       var it = assigned
-      while (it.nonEmpty) {
-        if (it.head._1 == name) res = Some(part(it.head._2))
-        it = it.tail
-      }
-      res
+      while (it.nonEmpty) { if (it.head._1 == name) n += 1; it = it.tail }
+      if (n <= off) None else last(name, n - 1 - off)
     }
 
-    /** SQL LAST(X.col): the most recent row matched to `name`. */
-    def last(name: String): Option[T] =
-      assigned.collectFirst { case (n, i) if n == name => part(i) }
+    /** SQL LAST(X.col, off): the row `off` rows BEFORE the most recent
+      * row matched to `name` (default 0 = the most recent). */
+    def last(name: String, off: Int = 0): Option[T] = {
+      require(off >= 0, s"LAST offset must be >= 0, got $off")
+      var skip = off
+      var it = assigned
+      while (it.nonEmpty) {
+        if (it.head._1 == name) {
+          if (skip == 0) return Some(part(it.head._2))
+          skip -= 1
+        }
+        it = it.tail
+      }
+      None
+    }
 
     /** SQL COUNT(X.*) over the match so far. */
     def count(name: String): Int = assigned.count(_._1 == name)

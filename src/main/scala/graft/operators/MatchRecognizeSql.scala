@@ -25,7 +25,9 @@ import org.apache.spark.sql.types._
   *    start), FIRST/LAST navigate a variable's matched rows;
   *  - a comparison with a missing navigation target (e.g. PREV at row
   *    0) is NULL → false, the SQL three-valued outcome;
-  *  - MEASURES support `FIRST(V.col)`, `LAST(V.col)`, `V.col`
+  *  - MEASURES support `FIRST(V.col[, k])`, `LAST(V.col[, k])` (SQL:2016
+  *    logical offsets within V's matched rows; out of range → NULL;
+  *    DEFINE honors the same offsets), `V.col`
   *    (≡ LAST in ONE ROW PER MATCH), `COUNT(V.*)`, `COUNT(*)`,
   *    `MATCH_NUMBER()`, `CLASSIFIER()`, and numeric aggregates
   *    `SUM/AVG/MIN/MAX(V.col)` — and over per-row EXPRESSIONS of one
@@ -148,8 +150,8 @@ object MatchRecognizeSql {
           if (varName == selfVar) Some(t) else ctx.last(varName)
         case "prev" => ctx.prev(k)
         case "next" => ctx.next(k)
-        case "first" => ctx.first(varName)
-        case "last" => ctx.last(varName)
+        case "first" => ctx.first(varName, k)
+        case "last" => ctx.last(varName, k)
       }
       row match {
         case Some(r) =>
@@ -251,7 +253,10 @@ object MatchRecognizeSql {
         val ref = take()
         require(ref.contains("."), s"$up() needs VAR.col, got '$ref'")
         val Array(v, c) = ref.split("\\.", 2)
-        val k = if (peek == ",") { take(); take().toInt } else 1
+        // SQL:2016 defaults: PREV/NEXT step 1 physical row; FIRST/LAST
+        // offset 0 (the earliest / most recent mapped row itself)
+        val dflt = if (up == "PREV" || up == "NEXT") 1 else 0
+        val k = if (peek == ",") { take(); take().toInt } else dflt
         expect(")")
         return Nav(up.toLowerCase, v, c, k)
       }
@@ -264,8 +269,11 @@ object MatchRecognizeSql {
   // ---- measure spec ----
   private sealed trait Measure { def name: String }
   private final case class MCount(name: String, varName: String) extends Measure // "" = *
+  // kind ∈ first | last; off = SQL:2016 logical offset WITHIN the
+  // variable's matched rows (FIRST(V.c, 1) = V's second row, LAST(V.c,
+  // 1) = second-to-last; out of range → NULL)
   private final case class MNav(name: String, kind: String, varName: String,
-      colName: String) extends Measure // kind ∈ first | last
+      colName: String, off: Int = 0) extends Measure
   private final case class MMatchNum(name: String) extends Measure
   // SQL:2016 running aggregates over one variable's matched rows
   // (ONE ROW PER MATCH ⇒ final semantics); DOUBLE out. The aggregated
@@ -458,8 +466,17 @@ object MatchRecognizeSql {
         expr.endsWith(")")) {
       val kind = if (up.startsWith("FIRST(")) "first" else "last"
       val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
-      val Array(v, c) = inner.split("\\.", 2)
-      Some(MNav(name, kind, v, c))
+      // optional logical offset: FIRST(V.col, k) / LAST(V.col, k)
+      val (ref, off) = inner.split(",", 2) match {
+        case Array(r, k) =>
+          val kk = k.trim
+          require(kk.matches("""\d+"""),
+            s"$kind offset must be a non-negative integer literal: $expr")
+          (r.trim, kk.toInt)
+        case Array(r) => (r.trim, 0)
+      }
+      val Array(v, c) = ref.split("\\.", 2)
+      Some(MNav(name, kind, v, c, off))
     } else if (Seq("SUM(", "AVG(", "MIN(", "MAX(").exists(up.startsWith) &&
         expr.endsWith(")")) {
       val kind = up.substring(0, 3).toLowerCase
@@ -718,7 +735,7 @@ object MatchRecognizeSql {
       case MCount(n, _) => StructField(n, LongType, nullable = false)
       case MMatchNum(n) => StructField(n, LongType, nullable = false)
       case MClassifier(n) => StructField(n, StringType, nullable = false)
-      case MNav(n, _, _, c) => StructField(n, colType(c), nullable = true)
+      case MNav(n, _, _, c, _) => StructField(n, colType(c), nullable = true)
       case MAgg(n, _, _, _) => StructField(n, DoubleType, nullable = true)
       case MExpr(n, _) => StructField(n, DoubleType, nullable = true)
     }
@@ -751,13 +768,16 @@ object MatchRecognizeSql {
       case MCount(_, v) => m.captured.get(v).map(_.size).getOrElse(0).toLong
       case MMatchNum(_) => m.matchSeq
       case MClassifier(_) => classifier
-      case MNav(_, kind, v, c) =>
-        m.captured.get(v).filter(_.nonEmpty) match {
-          case Some(rows) =>
-            val r = if (kind == "first") rows.head else rows.last
+      case MNav(_, kind, v, c, off) =>
+        val rows = m.captured.getOrElse(v, Seq.empty)
+        val rOpt =
+          if (kind == "first") rows.lift(off)
+          else rows.lift(rows.size - 1 - off) // last: off back from the end
+        rOpt match {
+          case Some(r) =>
             val i = r.fieldIndex(c)
             if (r.isNullAt(i)) null else r.get(i)
-          case None => null
+          case None => null // fewer than off+1 mapped rows
         }
       case MAgg(_, kind, v, rowExpr) =>
         val xs = m.captured.get(v).getOrElse(Seq.empty).flatMap { r =>
@@ -840,15 +860,27 @@ object MatchRecognizeSql {
         case MCount(_, v) =>
           val m = mem(v); var n = 0L
           (vn, _) => { if (m(vn)) n += 1; n }
-        case MNav(_, "first", v, c) =>
-          val m = mem(v); var seen = false; var value: Any = null
+        case MNav(_, "first", v, c, off) =>
+          // capture the (off+1)-th mapped row's value once it arrives;
+          // null until then (RUNNING: navigation beyond rows-so-far)
+          val m = mem(v); var seen = 0; var value: Any = null
           (vn, r) => {
-            if (!seen && m(vn)) { seen = true; value = cell(r, c) }
+            if (seen <= off && m(vn)) {
+              if (seen == off) value = cell(r, c)
+              seen += 1
+            }
             value
           }
-        case MNav(_, _, v, c) => // last
-          val m = mem(v); var value: Any = null
-          (vn, r) => { if (m(vn)) value = cell(r, c); value }
+        case MNav(_, _, v, c, off) => // last: ring of the off+1 newest
+          val m = mem(v)
+          val ring = new Array[Any](off + 1)
+          var n = 0L
+          (vn, r) => {
+            if (m(vn)) { ring((n % (off + 1)).toInt) = cell(r, c); n += 1 }
+            // off back from the newest = the ring's oldest slot, valid
+            // only once off+1 values have been seen
+            if (n <= off) null else ring((n % (off + 1)).toInt)
+          }
         case MAgg(_, kind, v, rowExpr) =>
           val m = mem(v)
           var sum = 0.0; var n = 0L

@@ -1171,6 +1171,59 @@ object PipelineQueries {
         WINDOW w AS (PARTITION BY g2.user_id, g2.g ORDER BY g2.rn2
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
 
+    // ===== SQL:2016 logical-offset navigation (FIRST/LAST(V.col, k) —
+    // the (k+1)-th / k-back row AMONG the variable's matched rows;
+    // out of range → NULL; Calcite parses these as SqlMatchRecognize
+    // nav calls and Beam evaluates them in the NFA's CEPOperation):
+    // per down-run, the first/second descent value, the
+    // second-to-last, the last, and arithmetic composed over two
+    // offset navigations. Oracle: the islands' value lists indexed
+    // 1-based (DuckDB yields NULL out of range, matching the engine).
+    Q("pattern_nav_offsets",
+      (s, d) => {
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.operators.MatchRecognizeSql(events, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES MATCH_NUMBER() AS match_seq,
+                   FIRST(B.value) AS b0, FIRST(B.value, 1) AS b1,
+                   LAST(B.value, 1) AS pen, LAST(B.value) AS bn,
+                   LAST(B.value, 1) - FIRST(B.value, 1) AS span
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS B.value < PREV(B.value)""")
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN value < lag(value) OVER
+              (PARTITION BY user_id ORDER BY rn)
+            THEN 0 ELSE 1 END AS brk
+          FROM ordered
+        ), grp AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS g
+          FROM marked
+        ), grp2 AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, g
+            ORDER BY rn) AS rn2
+          FROM grp
+        ), runs AS (
+          SELECT user_id, g, min(rn) AS head_rn,
+            list(value ORDER BY rn) FILTER (rn2 > 1) AS bv
+          FROM grp2 GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY head_rn)
+            AS BIGINT) AS match_seq,
+          bv[1] AS b0, bv[2] AS b1,
+          bv[len(bv) - 1] AS pen, bv[len(bv)] AS bn,
+          bv[len(bv) - 1] - bv[2] AS span
+        FROM runs""")),
+
     // ===== Corpus-level duplicated-n-gram fraction (the Gopher/
     // RefinedWeb dedup SIGNAL, complementing the pairwise dedup_ngram_
     // jaccard): per doc, the fraction of its distinct 3-gram shingles

@@ -299,6 +299,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run("B AS B.value / PREV(B.value) < 0.9") == Set(80.0))
   }
 
+  test("MatchRecognizeSql: FIRST/LAST logical offsets in MEASURES and DEFINE") {
+    import graft.operators.MatchRecognizeSql
+    // one partition, one down-run: A=100 then B = 95, 80, 78
+    val df = Seq((1L, 1L, 100.0), (1L, 2L, 95.0), (1L, 3L, 80.0),
+      (1L, 4L, 78.0)).toDF("user_id", "seq", "value")
+    val r = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES FIRST(B.value) AS b0, FIRST(B.value, 1) AS b1,
+               LAST(B.value, 1) AS pen, LAST(B.value) AS bn,
+               FIRST(B.value, 3) AS beyond,
+               LAST(B.value, 1) - FIRST(B.value, 1) AS diff
+      ONE ROW PER MATCH
+      PATTERN (A B+)
+      DEFINE B AS B.value < PREV(B.value)""").collect().head
+    def d(n: String): Any =
+      if (r.isNullAt(r.fieldIndex(n))) null else r.getDouble(r.fieldIndex(n))
+    assert(d("b0") == 95.0); assert(d("b1") == 80.0)
+    assert(d("pen") == 80.0); assert(d("bn") == 78.0)
+    assert(d("beyond") == null)  // only 3 B rows: offset 3 out of range
+    assert(d("diff") == 0.0)     // arithmetic composes over offset navs
+    // RUNNING semantics: LAST(B.value, 1) at each output row sees only
+    // rows so far (null until two B rows have arrived)
+    val all = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES RUNNING LAST(B.value, 1) AS pen_so_far,
+               RUNNING FIRST(B.value, 1) AS b1_so_far
+      ALL ROWS PER MATCH
+      PATTERN (A B+)
+      DEFINE B AS B.value < PREV(B.value)""")
+      .select("seq", "pen_so_far", "b1_so_far").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) null else x.getDouble(1),
+        if (x.isNullAt(2)) null else x.getDouble(2))).toSeq
+    assert(all == Seq((1L, null, null), (2L, null, null),
+      (3L, 95.0, 80.0), (4L, 80.0, 80.0)), all.toString)
+    // DEFINE honors offsets too — offset 0 vs 1 changes the match:
+    // B rows are [95, 96]; C=95.5
+    val df2 = Seq((1L, 1L, 100.0), (1L, 2L, 95.0), (1L, 3L, 96.0),
+      (1L, 4L, 95.5)).toDF("user_id", "seq", "value")
+    def n(defineC: String): Long = MatchRecognizeSql(df2, s"""
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES COUNT(*) AS n
+      ONE ROW PER MATCH
+      PATTERN (A B B C)
+      DEFINE A AS A.value > 99, B AS B.value < 99, C AS $defineC""").count()
+    assert(n("C.value > FIRST(B.value, 0)") == 1) // 95.5 > 95
+    assert(n("C.value > FIRST(B.value, 1)") == 0) // 95.5 > 96 fails
+    assert(n("C.value < LAST(B.value, 0)") == 1)  // 95.5 < 96
+    assert(n("C.value < LAST(B.value, 1)") == 0)  // 95.5 < 95 fails
+  }
+
   test("MatchRecognizeSql: aggregates over row expressions — SUM(B.price * B.qty)") {
     import graft.operators.MatchRecognizeSql
     val df = Seq(
