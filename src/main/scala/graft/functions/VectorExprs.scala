@@ -177,6 +177,179 @@ case class SrpBuckets(child: Expression, bits: Int, dim: Int, tables: Int,
     copy(child = newChild)
 }
 
+/** `pq_encode(vec, books)` → array<int>: the product-quantization code
+  * assignment — for each of the m codebook subspaces, the index of the
+  * L2-nearest centroid to the vector's subvector (ties → lowest index).
+  *
+  * The codebooks are a plan-time literal turned into a flat
+  * `float[][][]` reference object; the whole m × kCodes × (dim/m)
+  * argmin runs as three tight primitive loops inside whole-stage
+  * codegen. The equivalent Catalyst HOF tree (m · kCodes struct
+  * expressions + array_sort per row) generates hundreds of janino
+  * methods and falls off the codegen fast path — encoding a corpus is
+  * the PQ hot loop, so it gets a native expression (same rationale as
+  * [[VectorDot]]).
+  */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  private val m = books.length
+  private val sd = if (m == 0) 0 else books(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if m > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float> and non-empty codebooks, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    require(x.numElements() >= m * sd,
+      s"pq_encode: vector has ${x.numElements()} dims, codebooks need ${m * sd}")
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cents = books(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var d = 0.0
+        var p = 0
+        while (p < sd) {
+          val diff = x.getFloat(s * sd + p).toDouble - c(p)
+          d += diff * diff
+          p += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val bestD = ctx.freshName("bestD")
+      val best = ctx.freshName("best")
+      val diff = ctx.freshName("diff")
+      s"""
+         |if ($a.numElements() < ${m * sd}) {
+         |  throw new IllegalArgumentException("pq_encode: vector has " +
+         |    $a.numElements() + " dims, codebooks need ${m * sd}");
+         |}
+         |int[] $out = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $b[$s].length; $j++) {
+         |    double $d = 0.0;
+         |    for (int $p = 0; $p < $sd; $p++) {
+         |      double $diff = (double) $a.getFloat($s * $sd + $p)
+         |        - (double) $b[$s][$j][$p];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |  }
+         |  $out[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+}
+
+/** `pq_lut(vec, books)` → array<array<double>>: the per-query ADC
+  * lookup table — lut(s)(j) = dot(vec's subspace-s slice, centroid
+  * c_{s,j}). Computed ONCE per query row (m·kCodes·(dim/m) = dim·kCodes
+  * multiplies), then every candidate costs m array lookups. Native for
+  * the same expression-tree-size reason as [[PqEncode]]. */
+case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  private val m = books.length
+  private val sd = if (m == 0) 0 else books(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if m > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut requires array<float> and non-empty codebooks, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    require(x.numElements() >= m * sd,
+      s"pq_lut: vector has ${x.numElements()} dims, codebooks need ${m * sd}")
+    val rows = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cents = books(s)
+      val lut = new Array[Double](cents.length)
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var acc = 0.0
+        var p = 0
+        while (p < sd) {
+          acc += x.getFloat(s * sd + p).toDouble * c(p)
+          p += 1
+        }
+        lut(j) = acc
+        j += 1
+      }
+      rows(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+      val rows = ctx.freshName("rows")
+      val lut = ctx.freshName("lut")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() < ${m * sd}) {
+         |  throw new IllegalArgumentException("pq_lut: vector has " +
+         |    $a.numElements() + " dims, codebooks need ${m * sd}");
+         |}
+         |Object[] $rows = new Object[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  double[] $lut = new double[$b[$s].length];
+         |  for (int $j = 0; $j < $b[$s].length; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $p = 0; $p < $sd; $p++) {
+         |      $acc += (double) $a.getFloat($s * $sd + $p)
+         |        * (double) $b[$s][$j][$p];
+         |    }
+         |    $lut[$j] = $acc;
+         |  }
+         |  $rows[$s] = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+       """.stripMargin
+    })
+}
+
 /** Session-scoped registration of graft's native expressions; call once
   * per session (idempotent), then use via
   * `functions.call_function("vec_dot", a, b)`.
@@ -190,8 +363,20 @@ object GraftFunctions {
 
   /** name → expression builder, shared by the imperative
     * [[register]] path and the [[graft.GraftExtensions]] injection. */
+  /** Evaluate a plan-time array<array<array<float>>> literal into the
+    * flat codebook reference object the PQ expressions loop over. */
+  private def litBooks(e: Expression): Array[Array[Array[Float]]] = {
+    val ad = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { s =>
+      val sub = ad.getArray(s)
+      Array.tabulate(sub.numElements())(j => sub.getArray(j).toFloatArray())
+    }
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((e: Seq[Expression]) => VectorDot(e(0), e(1))),
+    "pq_encode" -> ((e: Seq[Expression]) => PqEncode(e(0), litBooks(e(1)))),
+    "pq_lut" -> ((e: Seq[Expression]) => PqLut(e(0), litBooks(e(1)))),
     "vec_norm" -> ((e: Seq[Expression]) => VectorNorm(e(0))),
     "minhash_sig" -> ((e: Seq[Expression]) =>
       MinHashSignature(e(0), litInt(e(1)), litInt(e(2)))),

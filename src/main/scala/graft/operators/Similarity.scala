@@ -411,6 +411,165 @@ object Similarity {
       .drop("rk")
   }
 
+  // ---- product quantization (PQ) ----
+
+  private def normSqD(v: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.size) { s += v(i).toDouble * v(i); i += 1 }
+    s
+  }
+
+  /** Per-subspace nearest-code assignment: for each of the `m`
+    * subspaces, the index of the codebook centroid L2-nearest to the
+    * row's subvector (ties → lowest code). One native
+    * [[graft.functions.PqEncode]] expression — the codebooks ride as a
+    * plan-time literal; the equivalent m·kCodes-node Catalyst tree
+    * generates hundreds of janino methods and dominates the runtime at
+    * encode scale. Returns array<int>, length m. */
+  private[graft] def pqCodesExpr(vec: Column,
+      books: Seq[Seq[Seq[Float]]]): Column =
+    call_function("pq_encode", vec, typedLit(books))
+
+  /** Train PQ codebooks: the vector space is split into `m` disjoint
+    * subspaces of dim/m coordinates; each gets `kCodes` centroids via
+    * k-means over the corpus's subvectors. ALL subspaces train in the
+    * same distributed pass per iteration — one narrow scan assigns
+    * every row its m codes, one posexplode + partial-agg shuffle
+    * averages coordinates per (position, code) (≤ dim·kCodes groups),
+    * and the collected fit artifact is dim·kCodes floats (bounded,
+    * broadcast back as plan-time literals). Empty cells keep their
+    * previous centroid. Deterministic: portable-hash seed order.
+    *
+    * Returns books(s)(j) = centroid j of subspace s (length dim/m),
+    * or empty when the corpus has fewer than 1 row. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCodes: Int, iters: Int = 1): Seq[Seq[Seq[Float]]] = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedRows: Seq[Seq[Float]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .withColumn("h", graft.functions.PortableHash.md5Long(col("id")))
+      .orderBy("h").limit(kCodes)
+      .select("v").as[Seq[Float]].collect().toSeq // bounded: limit(kCodes) fit artifact
+    if (seedRows.isEmpty) return Seq.empty
+    val dim = seedRows.head.size
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m subspaces")
+    val sd = dim / m
+    // fewer corpus rows than kCodes: every row is its own centroid
+    var books: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(s => seedRows.map(_.slice(s * sd, s * sd + sd)))
+    for (_ <- 0 until iters) {
+      val cents = corpus
+        .select(col(vecCol).as("__v"))
+        .withColumn("__codes", pqCodesExpr(col("__v"), books))
+        .select(col("__codes"), posexplode(col("__v")).as(Seq("pos", "x")))
+        // pos determines the subspace; group by (pos, that subspace's
+        // assigned code) — ≤ dim·kCodes groups cross the exchange
+        .withColumn("code", element_at(col("__codes"),
+          floor(col("pos") / lit(sd)).cast("int") + 1))
+        .groupBy("pos", "code")
+        .agg(avg(col("x").cast("double")).as("mu"))
+        .as[(Int, Int, Double)].collect() // bounded: dim x kCodes centroid agg
+        .groupBy { case (pos, code, _) => (pos / sd, code) }
+      books = books.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (old, j) =>
+          cents.get((s, j)) match {
+            case Some(rows) =>
+              val byPos = rows.map(r => (r._1 % sd) -> r._3.toFloat).toMap
+              // a position can only be absent if the cell is empty —
+              // byPos is either complete or the cell kept `old`
+              (0 until sd).map(p => byPos.getOrElse(p, old(p)))
+            case None => old
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** IVF-PQ ANN top-k — the memory-bound scale path: the coarse
+    * quantizer ([[kmeansSeeds]]) prunes the corpus to `nProbe` probed
+    * cells per query (an equi-join, never O(n²)), and candidates are
+    * ranked by ADC (asymmetric distance computation) over `m`-byte PQ
+    * codes instead of the raw vectors — each query precomputes ONE
+    * m×kCodes lookup table of subspace dot products, so a candidate
+    * costs m array lookups, and a 100 TB float corpus scans as an
+    * (m·n)-byte code table (dim·4/m × compression; 64-dim float → 16
+    * codes is 16×). The top `rerank·k` ADC survivors are re-ranked by
+    * exact cosine (the standard FAISS-style refine stage; only that
+    * bounded candidate set ever touches the raw vectors again).
+    *
+    * Approximate cosine under ADC: q·x̂ / (|q|·|x̂|) with x̂ the PQ
+    * reconstruction — subspaces are disjoint coordinates, so
+    * |x̂|² = Σ_s |c_{s,code_s}|² exactly. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 16, kCodes: Int = 32, pqIters: Int = 1,
+      rerank: Int = 4): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val seeds = kmeansSeeds(corpus, idCol, vecCol, nCells)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, kCodes, pqIters)
+    if (seeds.isEmpty || books.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("match_id"), lit(0.0).as("sim")).limit(0)
+    val sd = books.head.head.size
+    // reconstruction norms |c_{s,j}|² as one plan-time literal
+    val normSqLit = typedLit(books.map(_.map(normSqD)))
+    def cellsRanked(vec: Column, norm: Column): Column =
+      cellsRankedFor(seeds)(vec, norm)
+    // corpus scanned ONCE: cell + m codes + reconstruction norm; the
+    // raw vector is carried only into the bounded re-rank join below
+    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
+        l2Norm(col(vecCol)).as("cn"))
+      .withColumn("cell", element_at(cellsRanked(col("cv"), col("cn")), 1)
+        .getField("cell"))
+      .withColumn("codes", pqCodesExpr(col("cv"), books))
+      .withColumn("cn_hat", sqrt(
+        (0 until m).map(s => element_at(element_at(normSqLit, s + 1),
+          element_at(col("codes"), s + 1) + 1)).reduce(_ + _)))
+    // per-query ADC lookup table: lut(s)(j) = q_s · c_{s,j} — one
+    // native PqLut expression (dim·kCodes multiplies, once per query)
+    val lutCol = call_function("pq_lut", col("qv"), typedLit(books))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2Norm(col(vecCol)).as("qn"))
+      .withColumn("lut", lutCol)
+      .withColumn("cell", explode(transform(
+        slice(cellsRanked(col("qv"), col("qn")), 1, nProbe),
+        x => x.getField("cell"))))
+    // candidate codes ride along through the dedup (identical per
+    // match_id, so distinct() collapses multi-cell duplicates without
+    // a join back to the corpus)
+    val cand = q.select("query_id", "cell")
+      .join(c.select("match_id", "cell", "codes", "cn_hat"), Seq("cell"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select("query_id", "match_id", "codes", "cn_hat").distinct()
+    val qLut = broadcast(q.select("query_id", "lut", "qn").distinct())
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val approx = cand.join(qLut, "query_id")
+      .select(col("query_id"), col("match_id"),
+        (adc / (col("qn") * col("cn_hat"))).as("sim_hat"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("sim_hat").desc, col("match_id").asc)
+    val shortlist = approx.withColumn("rk", row_number().over(wa))
+      .filter(col("rk") <= k * rerank)
+      .select("query_id", "match_id")
+    // refine: exact cosine on the bounded shortlist only
+    val qVecs = broadcast(q.select("query_id", "qv", "qn").distinct())
+    val scored = shortlist.join(qVecs, "query_id")
+      .join(c.select("match_id", "cv", "cn"), "match_id")
+      .select(col("query_id"), col("match_id"),
+        round(call_function("vec_dot", col("qv"), col("cv"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("match_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Recall of an ANN result against the exact top-k: how many of the
     * brute-force (query, match) pairs the ANN search recovered. Both
     * inputs are deterministic (portable hashing, (sim desc, id) tie

@@ -227,6 +227,31 @@ object VectorQueries {
           AS recall_ok
         FROM embeddings WHERE vec_id % 25 = 0""")),
 
+    // IVF-PQ ANN: coarse cells prune, m-byte PQ codes rank via ADC
+    // (per-query lookup table, m array hits per candidate — the
+    // memory-bound path a 100 TB float corpus actually scans on), and
+    // a bounded exact re-rank refines the shortlist (FAISS IndexIVFPQ
+    // + refine shape). Same planted-recall contract as vec_ann_lsh.
+    Q("vec_ann_ivfpq",
+      (s, d) => {
+        val qs = emb(s, d).filter(col("vec_id") % 25 === 0)
+          .select((-col("vec_id") - 1).as("vec_id"),
+            transform(col("embedding"),
+              v => (v * 1.02d + 0.01d).cast("float")).as("embedding"))
+        val ann = Similarity.ivfPqTopK(qs, emb(s, d),
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
+          m = 16, kCodes = 32, pqIters = 1, rerank = 4)
+        val planted = ann.filter(col("match_id") === -col("query_id") - 1)
+        qs.agg(count(lit(1)).as("n_queries"))
+          .crossJoin(planted.agg(count(lit(1)).as("hits")))
+          .select(lit(5L).as("k"), col("n_queries"),
+            (col("hits") * 10 >= col("n_queries") * 8).cast("long")
+              .as("recall_ok"))
+      },
+      Some("""SELECT 5 AS k, count(*) AS n_queries, CAST(1 AS BIGINT)
+          AS recall_ok
+        FROM embeddings WHERE vec_id % 25 = 0""")),
+
     // ===== INT8 embedding quantization — the storage/bandwidth path a
     // 100 TB embedding corpus ships on (4x smaller, SIMD-friendly):
     // symmetric per-vector scheme, scale = max|x|/127, q = clamp(round

@@ -174,6 +174,68 @@ class VectorSpec extends SparkSpec {
     assert(hits >= 16, s"recall@1 = $hits/20 — LSH parameterization lost recall")
   }
 
+  test("pqCodebooks: training iterations reduce reconstruction error") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val rows = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def rmse(books: Seq[Seq[Seq[Float]]]): Double = {
+      val m = books.size; val sd = books.head.head.size
+      val errs = rows.map { v =>
+        (0 until m).map { s =>
+          val sub = v.slice(s * sd, s * sd + sd)
+          books(s).map(c => c.zip(sub).map { case (a, b) =>
+            (a - b).toDouble * (a - b) }.sum).min
+        }.sum
+      }
+      math.sqrt(errs.sum / errs.length)
+    }
+    val init = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 16, kCodes = 32, iters = 0)
+    val trained = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 16, kCodes = 32, iters = 2)
+    assert(init.size == 16 && init.head.size == 32 &&
+      init.head.head.size == 4)
+    assert(rmse(trained) < rmse(init),
+      s"training failed to improve: ${rmse(trained)} !< ${rmse(init)}")
+  }
+
+  test("pqCodesExpr assigns every subvector its L2-nearest code") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(200)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, kCodes = 16, iters = 1)
+    val got = emb.select(col("embedding"),
+        Similarity.pqCodesExpr(col("embedding"), books).as("codes"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](0); val codes = r.getSeq[Int](1)
+      assert(codes.size == 8)
+      codes.zipWithIndex.foreach { case (code, s) =>
+        val sub = v.slice(s * 8, s * 8 + 8)
+        val dists = books(s).map(c => c.zip(sub).map { case (a, b) =>
+          (a - b).toDouble * (a - b) }.sum)
+        // argmin with code-asc tie-break
+        assert(dists(code) == dists.min, s"sub $s: $code not argmin")
+      }
+    }
+  }
+
+  test("ivfPqTopK: planted neighbors recovered through the ADC path") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+      .select((-col("vec_id") - 1).as("vec_id"),
+        transform(col("embedding"),
+          v => (v * 1.02d + 0.01d).cast("float")).as("embedding"))
+    val ann = Similarity.ivfPqTopK(qs, emb, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4, m = 16, kCodes = 32, rerank = 4)
+    val n = qs.count()
+    val hits = ann.filter(col("match_id") === -col("query_id") - 1).count()
+    assert(hits * 10 >= n * 8, s"IVF-PQ planted recall $hits/$n < 80%")
+    // the candidate generator stays an equi-join: no quadratic plans
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("semantic dedup pair join stays a label equi-join (never a BNLJ)") {
     // the SemDeDup plan contract: pairwise cosine work is confined to
     // cluster cells by a hash-joinable equality on the label — a
