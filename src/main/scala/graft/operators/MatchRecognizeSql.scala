@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
@@ -606,7 +606,10 @@ object MatchRecognizeSql {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
+    var inStr = false // parens/separators inside '…' literals are text
     s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case c if inStr => cur += c
       case '(' => depth += 1; cur += '('
       case ')' => depth -= 1; cur += ')'
       case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
@@ -616,20 +619,22 @@ object MatchRecognizeSql {
     out.result()
   }
 
-  /** Index of a whole-word, case-insensitive keyword at paren depth 0;
-    * -1 if absent. */
+  /** Index of a whole-word, case-insensitive keyword at paren depth 0
+    * and outside '…' string literals; -1 if absent. */
   private def findKeyword(s: String, kw: String): Int = {
     val up = s.toUpperCase
     val kwu = kw.toUpperCase
     var depth = 0
+    var inStr = false
     var i = 0
     while (i <= up.length - kwu.length) {
       up.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
         case _ =>
       }
-      if (depth == 0 && up.regionMatches(i, kwu, 0, kwu.length) &&
+      if (!inStr && depth == 0 && up.regionMatches(i, kwu, 0, kwu.length) &&
           (i == 0 || !up.charAt(i - 1).isLetterOrDigit) &&
           (i + kwu.length == up.length ||
             !up.charAt(i + kwu.length).isLetterOrDigit))
@@ -1018,6 +1023,64 @@ object MatchRecognizeSql {
         (k: String, it: Iterator[Row]) =>
           runner(k, it.toIndexedSeq).iterator
       }(Encoders.row(plan.outSchema))
+  }
+
+  /** Full-STATEMENT front door: `SELECT … FROM <table> MATCH_RECOGNIZE
+    * ( <clause> ) [AS alias] [WHERE …] [GROUP BY …] [ORDER BY …]`.
+    *
+    * Beam SQL accepts MATCH_RECOGNIZE inside a complete query (Calcite
+    * parses it as a relational operand — `rel/BeamMatchRel.java:76`);
+    * Spark's parser does not, so this extracts the clause, runs it on
+    * the catalog-resolved table via [[apply]], registers the result as
+    * a temp view, and hands the REWRITTEN statement (table + clause
+    * replaced by the view, alias and trailing clauses untouched) to
+    * `spark.sql` — the outer projection/filter/aggregate/sort all
+    * plan and optimize in Catalyst as usual. */
+  def sql(spark: SparkSession, statement: String): DataFrame = {
+    val up = statement.toUpperCase
+    val mrIdx = up.indexOf("MATCH_RECOGNIZE")
+    require(mrIdx >= 0, "statement has no MATCH_RECOGNIZE clause")
+    require(up.indexOf("MATCH_RECOGNIZE", mrIdx + 1) < 0,
+      "only one MATCH_RECOGNIZE per statement is supported")
+    val open = statement.indexOf('(', mrIdx)
+    require(open > 0 && statement.substring(mrIdx + 15, open).trim.isEmpty,
+      "MATCH_RECOGNIZE must be followed by a parenthesized clause")
+    // find the clause's closing paren (string literals may hold parens)
+    var depth = 0; var close = -1; var i = open; var inStr = false
+    while (i < statement.length && close < 0) {
+      val ch = statement.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(close > open, "unbalanced parens in MATCH_RECOGNIZE clause")
+    val clause = statement.substring(open + 1, close)
+    // the table reference is the word-bounded FROM nearest before the
+    // keyword; subqueries as the MATCH_RECOGNIZE input are not
+    // supported (materialize a temp view first)
+    val fromIdx = {
+      val re = """(?i)\bFROM\b""".r
+      val hits = re.findAllMatchIn(statement.substring(0, mrIdx))
+        .map(_.start).toSeq
+      require(hits.nonEmpty, "no FROM before MATCH_RECOGNIZE")
+      hits.last
+    }
+    val table = statement.substring(fromIdx + 4, mrIdx).trim
+    require(table.matches("""[A-Za-z_][A-Za-z_0-9]*(\.[A-Za-z_][A-Za-z_0-9]*)*"""),
+      s"MATCH_RECOGNIZE input must be a (qualified) table/view name, " +
+        s"got '$table' — materialize subqueries as a temp view first")
+    val out = apply(spark.table(table), clause)
+    val view = "graft_mr_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // the view must outlive the returned (lazy) plan — not dropped here
+    out.createOrReplaceTempView(view)
+    spark.sql(statement.substring(0, fromIdx) + "FROM " + view +
+      statement.substring(close + 1))
   }
 
   /** STREAMING MATCH_RECOGNIZE through the SQL front door: sessions

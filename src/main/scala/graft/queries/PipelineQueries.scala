@@ -1224,6 +1224,54 @@ object PipelineQueries {
           bv[len(bv) - 1] - bv[2] AS span
         FROM runs""")),
 
+    // ===== Full-STATEMENT MATCH_RECOGNIZE (Beam SQL runs the clause
+    // inside a complete query — Calcite plans BeamMatchRel as a
+    // relational operand under projections/filters/aggregates;
+    // `MatchRecognizeSql.sql` re-expresses that: clause extracted and
+    // run on the NFA, the rewritten statement planned by Catalyst):
+    // down-run drops per user, outer WHERE on a measure + outer
+    // GROUP BY aggregation.
+    Q("pattern_sql_statement",
+      (s, d) => {
+        ev(s, d).select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .createOrReplaceTempView("graft_stmt_events")
+        graft.operators.MatchRecognizeSql.sql(s, """
+          SELECT user_id, COUNT(*) AS n_matches,
+                 ROUND(SUM(drop_total), 6) AS sum_drop
+          FROM graft_stmt_events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES FIRST(A.value) - LAST(B.value) AS drop_total
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+)
+            DEFINE B AS B.value < PREV(B.value)
+          )
+          WHERE drop_total > 5
+          GROUP BY user_id""")
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN value < lag(value) OVER
+              (PARTITION BY user_id ORDER BY rn)
+            THEN 0 ELSE 1 END AS brk
+          FROM ordered
+        ), grp AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS g
+          FROM marked
+        ), runs AS (
+          SELECT user_id, g, list(value ORDER BY rn) AS vs
+          FROM grp GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+          round(sum(vs[1] - vs[len(vs)]), 6) AS sum_drop
+        FROM runs WHERE vs[1] - vs[len(vs)] > 5
+        GROUP BY user_id""")),
+
     // ===== Corpus-level duplicated-n-gram fraction (the Gopher/
     // RefinedWeb dedup SIGNAL, complementing the pairwise dedup_ngram_
     // jaccard): per doc, the fraction of its distinct 3-gram shingles

@@ -299,6 +299,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run("B AS B.value / PREV(B.value) < 0.9") == Set(80.0))
   }
 
+  test("MatchRecognizeSql.sql: full statement with outer projection/filter/sort") {
+    import graft.operators.MatchRecognizeSql
+    Seq((1L, 1L, 100.0), (1L, 2L, 95.0), (1L, 3L, 80.0), (1L, 4L, 90.0),
+      (2L, 1L, 50.0), (2L, 2L, 40.0))
+      .toDF("user_id", "seq", "value")
+      .createOrReplaceTempView("mr_stmt_events")
+    // ') inside a string literal' in DEFINE must not confuse the
+    // clause-extent scan; alias + WHERE + ORDER BY run in spark.sql
+    val got = MatchRecognizeSql.sql(spark, """
+      SELECT m.user_id, m.drop_total * 2 AS dbl
+      FROM mr_stmt_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY seq
+        MEASURES FIRST(A.value) - LAST(B.value) AS drop_total
+        ONE ROW PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS A.value > 0 AND ')' = ')', B AS B.value < PREV(B.value)
+      ) AS m
+      WHERE m.drop_total > 15
+      ORDER BY m.user_id""").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // user 1: 100-80 = 20 (>15, kept, doubled); user 2: 50-40 = 10 (dropped)
+    assert(got == Seq((1L, 40.0)), got.toString)
+    // statement-shape errors fail by name
+    val e1 = intercept[IllegalArgumentException] {
+      MatchRecognizeSql.sql(spark, "SELECT * FROM t")
+    }
+    assert(e1.getMessage.contains("no MATCH_RECOGNIZE"))
+    val e2 = intercept[IllegalArgumentException] {
+      MatchRecognizeSql.sql(spark,
+        "SELECT * FROM (SELECT 1) MATCH_RECOGNIZE (X)")
+    }
+    assert(e2.getMessage.contains("temp view"))
+  }
+
   test("MatchRecognizeSql: FIRST/LAST logical offsets in MEASURES and DEFINE") {
     import graft.operators.MatchRecognizeSql
     // one partition, one down-run: A=100 then B = 95, 80, 78
