@@ -69,7 +69,8 @@ object Bench {
     "multimodal_decode_image", "multimodal_video_frames",
     "multimodal_audio_meta", "multimodal_resize",
     "text_url_canonicalize", "pattern_measure_arith",
-    "pattern_nav_offsets", "vec_ann_ivfpq", "pattern_sql_statement")
+    "pattern_nav_offsets", "vec_ann_ivfpq", "pattern_sql_statement",
+    "text_bpe_tokens")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

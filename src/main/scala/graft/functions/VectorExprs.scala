@@ -377,6 +377,14 @@ object GraftFunctions {
     "vec_dot" -> ((e: Seq[Expression]) => VectorDot(e(0), e(1))),
     "pq_encode" -> ((e: Seq[Expression]) => PqEncode(e(0), litBooks(e(1)))),
     "pq_lut" -> ((e: Seq[Expression]) => PqLut(e(0), litBooks(e(1)))),
+    "bpe_encode" -> ((e: Seq[Expression]) => BpeEncode(e(0), {
+      // plan-time array<array<string>> literal → merge pairs
+      val ad = e(1).eval().asInstanceOf[ArrayData]
+      (0 until ad.numElements()).map { i =>
+        val p = ad.getArray(i)
+        (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+      }
+    })),
     "vec_norm" -> ((e: Seq[Expression]) => VectorNorm(e(0))),
     "minhash_sig" -> ((e: Seq[Expression]) =>
       MinHashSignature(e(0), litInt(e(1)), litInt(e(2)))),

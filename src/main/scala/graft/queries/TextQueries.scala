@@ -609,5 +609,47 @@ object TextQueries {
         FROM occ
         WHERE doc_id * 1048576 + pos = first_occ
         GROUP BY doc_id""")),
+
+    // ===== REAL BPE tokenization (Sennrich 2016; the GPT-2 tokenizer
+    // family): 200 merges trained from ONE distributed word-histogram
+    // aggregation (top-2^14 TakeOrdered fit artifact, driver merge
+    // loop), applied corpus-wide through the native bpe_encode
+    // expression (merge table as a plan-time reference object — the
+    // broadcast-fit pattern every MLTransform op here uses). The
+    // oracle can't re-learn merges in SQL, so the gate checks the
+    // operator's CONTRACT: per-doc word counts match DuckDB exactly,
+    // every word round-trips losslessly from its pieces (code-point
+    // symbols), and subword counts respect the structural bounds
+    // n_words ≤ n_subwords ≤ n_chars — engine-computed, oracle-pinned.
+    Q("text_bpe_tokens",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val merges = graft.functions.Bpe.fitMerges(
+          docs(s, d).filter(length(trim(col("text"))) > 0),
+          "text", nMerges = 200)
+        val mergesLit = typedLit(merges.map(p => Seq(p._1, p._2)))
+        docs(s, d)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .withColumn("pieces", transform(col("toks"),
+            t => call_function("bpe_encode", t, mergesLit)))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            forall(zip_with(col("toks"), col("pieces"),
+              (t, ps) => array_join(ps, "") === t), x => x)
+              .cast("long").as("roundtrip_ok"),
+            aggregate(col("pieces"), lit(0L),
+              (acc, ps) => acc + size(ps)).as("n_subwords_internal"),
+            aggregate(col("toks"), lit(0L),
+              (acc, t) => acc + length(t)).as("n_chars_internal"))
+          .select(col("doc_id"), col("n_words"), col("roundtrip_ok"),
+            (col("n_words") <= col("n_subwords_internal") &&
+              col("n_subwords_internal") <= col("n_chars_internal"))
+              .cast("long").as("bounds_ok"))
+      },
+      Some(s"""SELECT doc_id,
+          CAST(len($toksSql) AS BIGINT) AS n_words,
+          CAST(1 AS BIGINT) AS roundtrip_ok,
+          CAST(1 AS BIGINT) AS bounds_ok
+        FROM documents""")),
   )
 }

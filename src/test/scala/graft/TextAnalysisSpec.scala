@@ -309,4 +309,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(chainMsg(e3).contains("overflow"), chainMsg(e3))
   }
+
+  test("Bpe.train learns the textbook merges; encode applies them in rank order") {
+    import graft.functions.Bpe
+    // Sennrich's classic corpus shape: 'lo' dominates, then 'low'
+    val hist = Seq(("low", 5L), ("lower", 2L), ("lowest", 6L), ("newer", 3L))
+    val merges = Bpe.train(hist, 3)
+    // pair counts round 1: (l,o)=13, (o,w)=13, (w,e)=11, (e,r)=5, ...
+    // tie (l,o) vs (o,w) breaks lexicographically → ("l","o") first,
+    // after which ("lo","w")=13 dominates
+    assert(merges.take(2) == Seq(("l", "o"), ("lo", "w")), merges.toString)
+    val ranks = Bpe.ranksOf(merges)
+    assert(Bpe.encode("low", ranks).toSeq == Seq("low") ||
+      Bpe.encode("low", ranks).mkString("") == "low")
+    // an unseen word still round-trips from pieces
+    assert(Bpe.encode("slowly", ranks).mkString("") == "slowly")
+    // surrogate pairs never split: emoji stay whole symbols
+    val emoji = "a😀b"
+    assert(Bpe.encode(emoji, Bpe.ranksOf(Seq.empty)).toSeq ==
+      Seq("a", "😀", "b"))
+  }
+
+  test("Bpe: more merges never increase the corpus subword count; fit is deterministic") {
+    import graft.functions.Bpe
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0 && col("doc_id") % 3 === 0)
+    val m50 = Bpe.fitMerges(docs, "text", nMerges = 50)
+    val m200 = Bpe.fitMerges(docs, "text", nMerges = 200)
+    assert(m200.take(m50.size) == m50) // prefix-stable: same greedy path
+    assert(m200 == Bpe.fitMerges(docs, "text", nMerges = 200)) // deterministic
+    def subwords(merges: Seq[(String, String)]): Long = {
+      val ranks = Bpe.ranksOf(merges)
+      docs.select(graft.operators.TextAnalysis.tokens(col("text")).as("t"))
+        .collect().map(_.getSeq[String](0))
+        .map(_.map(w => Bpe.encode(w, ranks).length.toLong).sum).sum
+    }
+    val s0 = subwords(Seq.empty)
+    val s50 = subwords(m50)
+    val s200 = subwords(m200)
+    assert(s50 < s0, s"50 merges should compress: $s50 !< $s0")
+    assert(s200 <= s50, s"$s200 !<= $s50")
+  }
 }
