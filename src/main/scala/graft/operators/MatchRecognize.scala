@@ -133,6 +133,26 @@ object MatchRecognize {
 
     /** SQL COUNT(X.*) over the match so far. */
     def count(name: String): Int = assigned.count(_._1 == name)
+
+    /** Rows matched to `name` so far, in MATCH order (earliest first) —
+      * the running-aggregate view SQL:2016 DEFINE aggregates read. */
+    def rowsOf(name: String): List[T] = {
+      var out: List[T] = Nil
+      var it = assigned
+      while (it.nonEmpty) { // assigned is most-recent-first: prepend
+        if (it.head._1 == name) out = part(it.head._2) :: out
+        it = it.tail
+      }
+      out
+    }
+
+    /** ALL rows of the match so far in match order (COUNT(*) etc.). */
+    def allRows: List[T] = {
+      var out: List[T] = Nil
+      var it = assigned
+      while (it.nonEmpty) { out = part(it.head._2) :: out; it = it.tail }
+      out
+    }
   }
 
   /** One complete match: the per-key ordinal (1-based, in row order),

@@ -13,10 +13,14 @@ import org.apache.spark.sql.types._
   * (via [[MatchRecognize.parsePattern]]: quantifiers + one level of
   * alternation), and DEFINE with a real predicate grammar —
   * comparisons over `V.col`, `PREV/NEXT(V.col[, k])`,
-  * `FIRST/LAST(V.col)`, numeric/string/boolean literals, AND/OR,
-  * parentheses, and ARITHMETIC value expressions on either side of a
-  * comparison (`B.value < PREV(B.value) * 0.9`, `+ - * /`, unary
-  * minus, NULL-propagating, /0 → NULL → comparison false).
+  * `FIRST/LAST(V.col[, k])`, RUNNING aggregates
+  * `SUM/AVG/MIN/MAX(V.col)` / `COUNT(V.col | V.* | *)` over the rows
+  * matched so far (including the row under test when mapped to the
+  * referenced variable — the cumulative-cap family
+  * `B AS SUM(B.amount) <= 100`), numeric/string/boolean literals,
+  * AND/OR, parentheses, and ARITHMETIC value expressions on either
+  * side of a comparison (`B.value < PREV(B.value) * 0.9`, `+ - * /`,
+  * unary minus, NULL-propagating, /0 → NULL → comparison false).
   *
   * Semantics notes (SQL:2016 row-pattern matching):
   *  - in DEFINE of variable V, `V.col` is the CURRENT row; another
@@ -141,6 +145,44 @@ object MatchRecognizeSql {
   private final case class StrLit(v: String) extends Operand {
     def value(t: Row, c: MatchRecognize.MatchCtx[Row], s: String): Any = v
   }
+  /** SQL:2016 RUNNING aggregate in DEFINE: `SUM/AVG/MIN/MAX(V.col)`,
+    * `COUNT(V.col)`, `COUNT(V.*)`, `COUNT(*)` over the rows matched SO
+    * FAR in this attempt — including the row under test when it is
+    * (tentatively) mapped to the referenced variable (`varName ==
+    * selfVar`) or when counting all rows (`varName == ""`). The
+    * cumulative-cap predicate family (`B AS SUM(B.amount) <= 100`)
+    * hangs off this. Null cells are skipped (empty → SQL NULL →
+    * comparison false). */
+  private final case class AggOp(kind: String, varName: String,
+      colName: String) extends Operand {
+    def value(t: Row, ctx: MatchRecognize.MatchCtx[Row], selfVar: String): Any = {
+      val base = if (varName == "") ctx.allRows else ctx.rowsOf(varName)
+      val rows = if (varName == "" || varName == selfVar) base :+ t else base
+      if (kind == "count") {
+        if (colName == "*") return java.lang.Long.valueOf(rows.size.toLong)
+        return java.lang.Long.valueOf(rows.count { r =>
+          !r.isNullAt(r.fieldIndex(colName))
+        }.toLong)
+      }
+      val xs = rows.flatMap { r =>
+        val i = r.fieldIndex(colName)
+        if (r.isNullAt(i)) None
+        else r.get(i) match {
+          case n: Number => Some(n.doubleValue())
+          case other => throw new IllegalArgumentException(
+            s"$kind($varName.$colName) over non-numeric value: $other")
+        }
+      }
+      if (xs.isEmpty) null
+      else kind match {
+        case "sum" => xs.sum
+        case "avg" => xs.sum / xs.size
+        case "min" => xs.min
+        case "max" => xs.max
+      }
+    }
+  }
+
   /** kind ∈ cur | prev | next | first | last */
   private final case class Nav(kind: String, varName: String, colName: String,
       k: Int) extends Operand {
@@ -168,7 +210,7 @@ object MatchRecognizeSql {
       // note: numbers carry no sign — '-' lexes as an operator and
       // negative literals parse via unary minus in factor()
       val pat = ("""\s*(<=|>=|<>|!=|<|>|=|\(|\)|,|'[^']*'|""" +
-        """[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?|""" +
+        """[A-Za-z_][A-Za-z_0-9]*(?:\.(?:[A-Za-z_][A-Za-z_0-9]*|\*))?|""" +
         """\d+(?:\.\d+)?|[-+*/])""").r
       var pos = 0
       val out = Vector.newBuilder[String]
@@ -248,6 +290,22 @@ object MatchRecognizeSql {
       if (t.startsWith("'")) return StrLit(t.substring(1, t.length - 1))
       if (t.matches("""-?\d+(\.\d+)?""")) return NumLit(t.toDouble)
       val up = t.toUpperCase
+      if (Set("SUM", "AVG", "MIN", "MAX", "COUNT").contains(up)) {
+        expect("(")
+        val ref = take()
+        val (v, c) =
+          if (ref == "*") ("", "*")
+          else {
+            require(ref.contains("."),
+              s"$up() in DEFINE needs VAR.col${if (up == "COUNT") ", VAR.* or *" else ""}, got '$ref'")
+            val Array(v0, c0) = ref.split("\\.", 2)
+            (v0, c0)
+          }
+        require(c != "*" || up == "COUNT",
+          s"only COUNT aggregates V.* or *: $input")
+        expect(")")
+        return AggOp(up.toLowerCase, v, c)
+      }
       if (Set("PREV", "NEXT", "FIRST", "LAST").contains(up)) {
         expect("(")
         val ref = take()

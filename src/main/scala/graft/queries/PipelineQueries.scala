@@ -1272,6 +1272,57 @@ object PipelineQueries {
         FROM runs WHERE vs[1] - vs[len(vs)] > 5
         GROUP BY user_id""")),
 
+    // ===== RUNNING aggregates in DEFINE (SQL:2016 — the aggregate
+    // sees the rows matched SO FAR including the row under test;
+    // Beam compiles these as CEPCall aggregations inside the NFA's
+    // condition evaluation): the cumulative-cap segmentation
+    // `B AS SUM(B.value) <= 120` — each per-user run of consecutive
+    // events greedily accumulates until the next row would exceed the
+    // cap; an over-cap single row matches nothing. The oracle replays
+    // the greedy reset with a recursive CTE (values are positive, so
+    // an over-cap row is always its own excluded singleton).
+    Q("pattern_define_agg",
+      (s, d) => {
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.operators.MatchRecognizeSql(events, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES MATCH_NUMBER() AS match_seq, COUNT(B.*) AS n_rows,
+                   SUM(B.value) AS total
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (B+)
+          DEFINE B AS SUM(B.value) <= 120""")
+          .select(col("user_id"), col("match_seq"), col("n_rows"),
+            round(col("total"), 6).as("total"))
+      },
+      Some("""WITH RECURSIVE ordered AS (
+          SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), seg AS (
+          SELECT user_id, rn, value, value AS acc, CAST(1 AS BIGINT) AS grp
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.user_id, o.rn, o.value,
+            CASE WHEN s.acc + o.value <= 120
+              THEN s.acc + o.value ELSE o.value END AS acc,
+            CASE WHEN s.acc + o.value <= 120
+              THEN s.grp ELSE s.grp + 1 END AS grp
+          FROM seg s JOIN ordered o
+            ON o.user_id = s.user_id AND o.rn = s.rn + 1
+        ), runs AS (
+          SELECT user_id, grp, min(rn) AS head_rn,
+            CAST(count(*) AS BIGINT) AS n_rows, sum(value) AS total
+          FROM seg GROUP BY 1, 2 HAVING sum(value) <= 120)
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY head_rn)
+            AS BIGINT) AS match_seq,
+          n_rows, round(total, 6) AS total
+        FROM runs""")),
+
     // ===== Corpus-level duplicated-n-gram fraction (the Gopher/
     // RefinedWeb dedup SIGNAL, complementing the pairwise dedup_ngram_
     // jaccard): per doc, the fraction of its distinct 3-gram shingles

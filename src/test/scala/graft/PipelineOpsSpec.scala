@@ -299,6 +299,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run("B AS B.value / PREV(B.value) < 0.9") == Set(80.0))
   }
 
+  test("MatchRecognizeSql: RUNNING aggregates in DEFINE — cumulative caps") {
+    import graft.operators.MatchRecognizeSql
+    // cumulative cap: B rows accumulate while SUM(B.value) <= 100
+    // (candidate row INCLUDED — SQL:2016 running semantics in DEFINE)
+    val df = Seq((1L, 1L, 40.0), (1L, 2L, 30.0), (1L, 3L, 40.0),
+      (1L, 4L, 10.0), (1L, 5L, 200.0), (1L, 6L, 60.0))
+      .toDF("user_id", "seq", "value")
+    val got = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES MATCH_NUMBER() AS m, COUNT(B.*) AS n, SUM(B.value) AS total
+      ONE ROW PER MATCH
+      PATTERN (B+)
+      DEFINE B AS SUM(B.value) <= 100""").collect()
+      .map(r => (r.getLong(r.fieldIndex("m")), r.getLong(r.fieldIndex("n")),
+        r.getDouble(r.fieldIndex("total")))).toSeq.sortBy(_._1)
+    // 40+30 = 70 (next 40 would hit 110) | 40+10 = 50 (200 breaks) |
+    // 200 alone exceeds the cap -> no match | 60
+    assert(got == Seq((1L, 2L, 70.0), (2L, 2L, 50.0), (3L, 1L, 60.0)),
+      got.toString)
+    // COUNT cap (quantifier-independent), aggregate over ANOTHER var,
+    // and COUNT(*) over the whole match-so-far
+    val df2 = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 12.0),
+      (1L, 4L, 18.0), (1L, 5L, 100.0)).toDF("user_id", "seq", "value")
+    val r2 = MatchRecognizeSql(df2, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb
+      ONE ROW PER MATCH
+      PATTERN (A+ B+)
+      DEFINE A AS COUNT(A.*) <= 2,
+        B AS B.value > AVG(A.value) AND COUNT(*) <= 4""").collect()
+    // A greedy to 2 rows (10, 20); B: 12 < avg(10,20)=15? no -> B must
+    // be > 15: 12 fails as B... but A can't take it (count cap) ->
+    // backtrack: A = (10), then B: 20 > 10 ok, 12 > 10 ok, 18 > 10 ok,
+    // COUNT(*) cap 4 stops at 4 total rows
+    assert(r2.length == 1)
+    assert(r2.head.getLong(r2.head.fieldIndex("na")) == 1L)
+    assert(r2.head.getLong(r2.head.fieldIndex("nb")) == 3L)
+    // only COUNT takes V.* / *
+    val err = intercept[IllegalArgumentException] {
+      MatchRecognizeSql(df2, """
+        PARTITION BY user_id
+        ORDER BY seq
+        MEASURES COUNT(*) AS n
+        PATTERN (B+)
+        DEFINE B AS SUM(B.*) <= 2""")
+    }
+    assert(err.getMessage.contains("only COUNT"))
+  }
+
   test("MatchRecognizeSql.sql: full statement with outer projection/filter/sort") {
     import graft.operators.MatchRecognizeSql
     Seq((1L, 1L, 100.0), (1L, 2L, 95.0), (1L, 3L, 80.0), (1L, 4L, 90.0),
