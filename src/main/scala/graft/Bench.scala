@@ -70,7 +70,7 @@ object Bench {
     "multimodal_audio_meta", "multimodal_resize",
     "text_url_canonicalize", "pattern_measure_arith",
     "pattern_nav_offsets", "vec_ann_ivfpq", "pattern_sql_statement",
-    "text_bpe_tokens", "pattern_define_agg")
+    "text_bpe_tokens", "pattern_define_agg", "pattern_exclusion")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

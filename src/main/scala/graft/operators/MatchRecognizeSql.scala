@@ -743,10 +743,34 @@ object MatchRecognizeSql {
       }
     val measures = parseMeasures(section("MEASURES")
       .getOrElse(throw new IllegalArgumentException("MEASURES required")))
-    val patternText = {
+    val patternText0 = {
       val p = section("PATTERN").get.trim
       require(p.startsWith("(") && p.endsWith(")"), s"PATTERN needs (...): $p")
       p.substring(1, p.length - 1)
+    }
+    // SQL:2016 pattern EXCLUSION `{- X -}`: rows matched inside the
+    // markers still MATCH (and still feed RUNNING/FINAL measures) but
+    // are omitted from ALL ROWS PER MATCH output — the standard's way
+    // to emit, say, only a down-run's rows without its anchor. This
+    // engine scopes exclusion to whole variables: an excluded variable
+    // may not also appear outside an exclusion (positional exclusion
+    // of one occurrence among several is not supported — rename the
+    // variable instead).
+    val Excl = """\{-(.*?)-\}""".r
+    val exclVars: Set[String] = Excl.findAllMatchIn(patternText0)
+      .flatMap(m => """[A-Za-z_][A-Za-z_0-9]*""".r.findAllIn(m.group(1)))
+      .filterNot(_.equalsIgnoreCase("PERMUTE"))
+      .toSet
+    val patternText = Excl.replaceAllIn(patternText0,
+      m => " " + scala.util.matching.Regex.quoteReplacement(m.group(1)) + " ")
+    if (exclVars.nonEmpty) {
+      val outside = Excl.replaceAllIn(patternText0, " ")
+      val outsideVars =
+        """[A-Za-z_][A-Za-z_0-9]*""".r.findAllIn(outside).toSet
+      val both = exclVars.intersect(outsideVars)
+      require(both.isEmpty,
+        s"excluded variable(s) ${both.mkString(", ")} also appear outside " +
+          s"the {- -} exclusion — rename the excluded occurrence: $patternText0")
     }
     // SUBSET U = (A, B), W = (C, D): union variables — measure
     // references to U aggregate over the union of A- and B-rows in row
@@ -789,6 +813,10 @@ object MatchRecognizeSql {
     val steps = MatchRecognize.parsePattern[Row](patternText, defines)
 
     val allRows = found.exists(_._1 == "ALL ROWS PER MATCH")
+    require(exclVars.isEmpty || allRows,
+      "pattern exclusion {- X -} requires ALL ROWS PER MATCH " +
+        "(SQL:2016 — with ONE ROW PER MATCH there is no per-row output " +
+        "to exclude from)")
 
     // output schema: ALL ROWS = every input column + measures;
     // ONE ROW = partition cols + measures
@@ -1021,7 +1049,9 @@ object MatchRecognizeSql {
       val finTemplate = measureVals(fin, fin,
         if (fin.ordered.nonEmpty) fin.ordered.last._1 else "")
       val runFns = if (anyRunning) mkRunningFns(m0.matchSeq) else null
-      m0.ordered.map { case (varName, r) =>
+      m0.ordered.flatMap { case (varName, r) =>
+        // RUNNING state must advance on EVERY match row — excluded
+        // rows ({- X -}) update it but emit nothing
         val vals = measures.zipWithIndex.map { case (spec, k) =>
           spec.measure match {
             case MClassifier(_) => varName
@@ -1030,7 +1060,8 @@ object MatchRecognizeSql {
             case _ => finTemplate(k)
           }
         }
-        Row.fromSeq(r.toSeq ++ vals)
+        if (exclVars.contains(varName)) None
+        else Some(Row.fromSeq(r.toSeq ++ vals))
       }
     }
     def emitOneRow(m0: MatchRecognize.Match[String, Row]): Row = {

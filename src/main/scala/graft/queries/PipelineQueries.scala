@@ -1272,6 +1272,59 @@ object PipelineQueries {
         FROM runs WHERE vs[1] - vs[len(vs)] > 5
         GROUP BY user_id""")),
 
+    // ===== Pattern EXCLUSION {- A -} (SQL:2016 row-pattern feature —
+    // Calcite SqlMatchRecognize parses it as PATTERN_EXCLUDED): the
+    // anchor row still anchors the match and still advances RUNNING
+    // state, but ALL ROWS PER MATCH emits only the down-run's B rows.
+    // Oracle: the islands' rows with in-island position > 1; the
+    // running count is the in-run ordinal.
+    Q("pattern_exclusion",
+      (s, d) => {
+        val events = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.operators.MatchRecognizeSql(events, """
+          PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          MEASURES MATCH_NUMBER() AS match_seq,
+                   RUNNING COUNT(B.*) AS n_down
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ({- A -} B+)
+          DEFINE B AS B.value < PREV(B.value)""")
+          .select(col("user_id"), col("event_id"), col("match_seq"),
+            col("n_down"))
+      },
+      Some("""WITH ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY make_timestamp(epoch_us(ts)), event_id) AS rn
+          FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN value < lag(value) OVER
+              (PARTITION BY user_id ORDER BY rn)
+            THEN 0 ELSE 1 END AS brk
+          FROM ordered
+        ), grp AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS g
+          FROM marked
+        ), grp2 AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, g
+            ORDER BY rn) AS rn2
+          FROM grp
+        ), runs AS (
+          SELECT user_id, g, min(rn) AS head_rn
+          FROM grp2 GROUP BY 1, 2 HAVING count(*) >= 2
+        ), seq AS (
+          SELECT user_id, g,
+            row_number() OVER (PARTITION BY user_id ORDER BY head_rn)
+              AS match_seq
+          FROM runs)
+        SELECT g2.user_id, g2.event_id,
+          CAST(seq.match_seq AS BIGINT) AS match_seq,
+          CAST(g2.rn2 - 1 AS BIGINT) AS n_down
+        FROM grp2 g2 JOIN seq ON g2.user_id = seq.user_id AND g2.g = seq.g
+        WHERE g2.rn2 > 1""")),
+
     // ===== RUNNING aggregates in DEFINE (SQL:2016 — the aggregate
     // sees the rows matched SO FAR including the row under test;
     // Beam compiles these as CEPCall aggregations inside the NFA's

@@ -299,6 +299,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run("B AS B.value / PREV(B.value) < 0.9") == Set(80.0))
   }
 
+  test("MatchRecognizeSql: pattern exclusion {- A -} omits rows, keeps state") {
+    import graft.operators.MatchRecognizeSql
+    val df = Seq((1L, 1L, 100.0), (1L, 2L, 95.0), (1L, 3L, 80.0))
+      .toDF("user_id", "seq", "value")
+    val rows = MatchRecognizeSql(df, """
+      PARTITION BY user_id
+      ORDER BY seq
+      MEASURES CLASSIFIER() AS v, RUNNING COUNT(*) AS n_so_far
+      ALL ROWS PER MATCH
+      PATTERN ({- A -} B+)
+      DEFINE B AS B.value < PREV(B.value)""")
+      .select("seq", "v", "n_so_far").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // the A row (seq 1) matched but is not emitted; RUNNING COUNT(*)
+    // at the first emitted row is 2 — the excluded row advanced state
+    assert(rows == Seq((2L, "B", 2L), (3L, "B", 3L)), rows.toString)
+    // exclusion is an ALL ROWS feature
+    val e1 = intercept[IllegalArgumentException] {
+      MatchRecognizeSql(df, """
+        PARTITION BY user_id
+        ORDER BY seq
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN ({- A -} B+)
+        DEFINE B AS B.value < PREV(B.value)""")
+    }
+    assert(e1.getMessage.contains("ALL ROWS"), e1.getMessage)
+    // an excluded variable may not reappear outside the exclusion
+    val e2 = intercept[IllegalArgumentException] {
+      MatchRecognizeSql(df, """
+        PARTITION BY user_id
+        ORDER BY seq
+        MEASURES COUNT(*) AS n
+        ALL ROWS PER MATCH
+        PATTERN (B {- B -})
+        DEFINE B AS B.value > 0""")
+    }
+    assert(e2.getMessage.contains("also appear outside"), e2.getMessage)
+  }
+
   test("MatchRecognizeSql: RUNNING aggregates in DEFINE — cumulative caps") {
     import graft.operators.MatchRecognizeSql
     // cumulative cap: B rows accumulate while SUM(B.value) <= 100
