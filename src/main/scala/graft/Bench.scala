@@ -70,7 +70,8 @@ object Bench {
     "multimodal_audio_meta", "multimodal_resize",
     "text_url_canonicalize", "pattern_measure_arith",
     "pattern_nav_offsets", "vec_ann_ivfpq", "pattern_sql_statement",
-    "text_bpe_tokens", "pattern_define_agg", "pattern_exclusion")
+    "text_bpe_tokens", "pattern_define_agg", "pattern_exclusion",
+    "join_interval")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -206,6 +206,42 @@ object Joins {
       .select(col("name_a"), col("name_b"), col("dist"))
   }
 
+  /** Banded INTERVAL join (Flink's interval join; Beam users hand-roll
+    * it with CoGBK + windows): pairs rows sharing `key` where
+    * `right.ts ∈ [left.ts + lowerUs, left.ts + upperUs]` (timestamps
+    * as LONG epoch units, bounds inclusive).
+    *
+    * Scale shape: a naive non-equi time join is a per-key cross
+    * product (exactly what ScaleLint bans). Instead both sides band
+    * into fixed time buckets of width = the interval span: the right
+    * side bucketizes ONCE, the left side explodes to the ≤2 buckets
+    * its window can touch, the join is a plain hash EQUI-join on
+    * (key, bucket), and the exact bounds filter runs post-join. Work
+    * is O(pairs-within-2-buckets), never O(per-key²); the explode
+    * factor is a constant 2.
+    *
+    * Column name collisions: both inputs' columns survive with `_l` /
+    * `_r` suffixes. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTsCol: String, rightTsCol: String, lowerUs: Long,
+      upperUs: Long): DataFrame = {
+    require(upperUs >= lowerUs,
+      s"interval upper bound $upperUs < lower bound $lowerUs")
+    val w = math.max(1L, upperUs - lowerUs + 1) // bucket width = span
+    val l = left.columns.foldLeft(left) { (df, c) =>
+      if (c == key) df else df.withColumnRenamed(c, c + "_l")
+    }.withColumn("__b", explode(sequence(
+      floor((col(leftTsCol + "_l") + lowerUs) / w).cast("long"),
+      floor((col(leftTsCol + "_l") + upperUs) / w).cast("long"))))
+    val r = right.columns.foldLeft(right) { (df, c) =>
+      if (c == key) df else df.withColumnRenamed(c, c + "_r")
+    }.withColumn("__b", floor(col(rightTsCol + "_r") / w).cast("long"))
+    l.join(r, Seq(key, "__b"))
+      .filter(col(rightTsCol + "_r") >= col(leftTsCol + "_l") + lowerUs &&
+        col(rightTsCol + "_r") <= col(leftTsCol + "_l") + upperUs)
+      .drop("__b")
+  }
+
   /** Theta/range join helper — Spark-native arbitrary-condition join,
     * which Beam SQL rejects (BeamJoinRel only supports conjunctions of
     * equalities); exposed for parity documentation. */

@@ -337,6 +337,30 @@ object CoverageQueries {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.tsu >= c.tsu""")),
 
+    // ===== Banded INTERVAL join (Flink's interval join; Beam users
+    // hand-roll it with CoGBK + windows): same-user event pairs where
+    // the right event falls in (0, 6h] after the left. The naive form
+    // is a per-key non-equi cross product; [[Joins.intervalJoin]]
+    // banding turns it into a hash EQUI-join on (key, time-bucket)
+    // with a constant ≤2 bucket explode — the shape that survives
+    // 100 TB. Oracle: DuckDB's native range-condition join.
+    Q("join_interval",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        Joins.intervalJoin(e, e, "user_id", "ts_us", "ts_us",
+            lowerUs = 1L, upperUs = 21600000000L)
+          .select(col("user_id"),
+            col("event_id_l"), col("event_id_r"),
+            (col("ts_us_r") - col("ts_us_l")).as("gap_us"))
+      },
+      Some("""SELECT l.user_id, l.event_id AS event_id_l,
+          r.event_id AS event_id_r,
+          epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+        FROM events l JOIN events r ON l.user_id = r.user_id
+          AND epoch_us(r.ts) >= epoch_us(l.ts) + 1
+          AND epoch_us(r.ts) <= epoch_us(l.ts) + 21600000000""")),
+
     // ===== WithKeys / Keys / Values / KvSwap / MapKeys / MapValues
     // (transforms/WithKeys.java:58 etc.): KV-shape manipulation as
     // column projections.

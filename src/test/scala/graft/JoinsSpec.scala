@@ -165,4 +165,36 @@ class JoinsSpec extends SparkSpec {
     assert(got.columns.count(_ == "__hot") == 1)
     assert(got.filter(col("__hot") === "yes").count() == 2)
   }
+
+  test("intervalJoin: inclusive bounds, bucket boundaries, equi-join plan") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 11L, 200L), (2L, 20L, 100L))
+      .toDF("k", "lid", "lts")
+    val r = Seq((1L, 30L, 100L), (1L, 31L, 105L), (1L, 32L, 110L),
+      (1L, 33L, 111L), (2L, 40L, 111L)).toDF("k", "rid", "rts")
+    // window [lts+5, lts+10]: boundary hits at exactly +5 and +10 must
+    // both survive (inclusive), +11 must not; keys never cross
+    val got = Joins.intervalJoin(l, r, "k", "lts", "rts", 5L, 10L)
+      .select("lid_l", "rid_r").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 31L), (10L, 32L)), got.toString)
+    // agrees with the naive theta join on random data (incl. rows
+    // straddling bucket boundaries: width = span = 6)
+    val rnd = new scala.util.Random(7)
+    val la = (1 to 200).map(i => (rnd.nextInt(5).toLong, i.toLong,
+      rnd.nextInt(100).toLong)).toDF("k", "lid", "lts")
+    val ra = (1 to 200).map(i => (rnd.nextInt(5).toLong, i.toLong + 1000,
+      rnd.nextInt(100).toLong)).toDF("k", "rid", "rts")
+    val banded = Joins.intervalJoin(la, ra, "k", "lts", "rts", 3L, 8L)
+      .select("lid_l", "rid_r").as[(Long, Long)].collect().toSet
+    val naive = la.join(ra, la("k") === ra("k") &&
+        ra("rts") >= la("lts") + 3 && ra("rts") <= la("lts") + 8)
+      .select(la("lid"), ra("rid")).as[(Long, Long)].collect().toSet
+    assert(banded == naive,
+      s"missing=${(naive -- banded).take(5)} extra=${(banded -- naive).take(5)}")
+    // the plan is a hash equi-join — never a BNLJ / cartesian product
+    val plan = Joins.intervalJoin(la, ra, "k", "lts", "rts", 3L, 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
