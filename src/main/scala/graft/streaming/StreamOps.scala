@@ -83,6 +83,25 @@ object StreamOps {
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelta"), joinType)
   }
 
+  /** Streaming INTERVAL join (Flink's interval join; the asymmetric
+    * generalization of [[streamStreamJoin]]): same-key pairs where
+    * `right.ts ∈ [left.ts + lower, left.ts + upper]` — lower/upper are
+    * INTERVAL strings, either may be negative-by-shape (e.g. lower
+    * "0 seconds", upper "6 hours" = strictly-after window). Native
+    * Spark stream-stream join: the range condition bounds state, the
+    * watermark GCs it — the streaming twin of
+    * [[graft.operators.Joins.intervalJoin]] (batch ≡ stream spec'd). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, lateness: String,
+      keyCond: Column, lower: String, upper: String,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, keyCond &&
+      col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lower") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"), joinType)
+  }
+
   /** Stream × static (side-input) join — Beam's broadcast side input for
     * unbounded mains. The static side is re-read per micro-batch by
     * Spark; broadcast keeps it off the shuffle path. */

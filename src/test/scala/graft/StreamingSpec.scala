@@ -204,6 +204,48 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L)), pairs.toString)
   }
 
+  test("interval join: streaming (asymmetric bounds) == batch banded form") {
+    // the same same-key time-window pairing computed two ways: the
+    // native stream-stream range join (intervalJoinStream) and the
+    // batch banded equi-join (Joins.intervalJoin) — window strictly
+    // asymmetric: views 2..7 minutes AFTER the click
+    val rnd = new scala.util.Random(11)
+    val clickRows = (1 to 40).map(i =>
+      Ev(i.toLong, ts(rnd.nextInt(40), rnd.nextInt(60)),
+        rnd.nextInt(4).toLong, "c", 0))
+    val viewRows = (1 to 40).map(i =>
+      Ev(i.toLong + 1000, ts(rnd.nextInt(40), rnd.nextInt(60)),
+        rnd.nextInt(4).toLong, "v", 0))
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoinStream(
+      clicks.toDF().select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id").as("cu")),
+      views.toDF().select(col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("user_id").as("vu")),
+      "click_ts", "view_ts", "1 minute",
+      col("cu") === col("vu"), "2 minutes", "7 minutes")
+    val table = freshTable()
+    val q = joined.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    clicks.addData(clickRows: _*)
+    views.addData(viewRows: _*)
+    runToCompletion(q)
+    val streamed = spark.table(table).select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Joins.intervalJoin(
+        clickRows.toDF().select(col("user_id"), col("event_id").as("cid"),
+          unix_micros(col("ts")).as("cts")),
+        viewRows.toDF().select(col("user_id"), col("event_id").as("vid"),
+          unix_micros(col("ts")).as("vts")),
+        "user_id", "cts", "vts", 120000000L, 420000000L)
+      .select("cid_l", "vid_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream=${streamed.size} batch=${batch.size} " +
+        s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows at watermark close-out") {
     // Beam's windowed-CoGBK outer semantics: the unmatched click emits
     // with a null view only after the watermark proves no in-range
