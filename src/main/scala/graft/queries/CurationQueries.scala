@@ -564,6 +564,93 @@ object CurationQueries {
         FROM tok LEFT JOIN lm USING (tok) CROSS JOIN oov
         GROUP BY doc_id""")),
 
+    // ===== Bigram stupid-backoff PERPLEXITY — one LM order up from
+    // text_perplexity_unigram, the web-scale recipe (Brants et al.
+    // 2007, "Large Language Models in Machine Translation": no
+    // discounting, score = count ratio, backoff × 0.4 — THE form that
+    // trains on trillions of tokens because every statistic is one
+    // counting pass). Scale shape: tokens map to a top-K + <oov>
+    // SYMBOL alphabet first, so the bigram table is ≤ (K+1)² rows by
+    // construction — broadcastable at any corpus size; the scorer is
+    // two broadcast joins, never a vocab-sized shuffle.
+    //   lp(s_i | s_{i-1}) = ln(n(s_{i-1} s_i) / n_ctx(s_{i-1}))   seen
+    //                     = ln 0.4 + ln p_uni(s_i)                unseen
+    //   doc-initial token scores p_uni; ppl = exp(−mean lp).
+    Q("text_perplexity_bigram",
+      (s, d) => {
+        val K = 16
+        val toks = docs(s, d).filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc).limit(K)
+        val symed = toks
+          .join(broadcast(top.select(col("tok"), lit(true).as("__in"))),
+            Seq("tok"), "left")
+          .select(col("doc_id"), col("pos"),
+            when(col("__in"), col("tok")).otherwise(lit("<oov>")).as("sym"))
+        // one exchange on doc_id orders each doc's symbol stream
+        val seq0 = symed.withColumn("prev", lag("sym", 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        // symbol unigram LM (≤ K+1 rows) and bigram counts (≤ (K+1)²)
+        val uni = symed.groupBy("sym").agg(count(lit(1)).as("nu"))
+          .crossJoin(broadcast(symed.agg(count(lit(1)).as("nt"))))
+          .select(col("sym"),
+            log(col("nu").cast("double") / col("nt")).as("lp_uni"))
+        val big = seq0.filter(col("prev").isNotNull)
+          .groupBy("prev", "sym").agg(count(lit(1)).as("nb"))
+        val ctx = big.groupBy("prev").agg(sum("nb").as("nc"))
+        seq0.join(broadcast(uni), Seq("sym"))
+          .join(broadcast(big), Seq("prev", "sym"), "left")
+          .join(broadcast(ctx), Seq("prev"), "left")
+          .select(col("doc_id"),
+            when(col("prev").isNull, col("lp_uni"))
+              .when(col("nb").isNotNull,
+                log(col("nb").cast("double") / col("nc")))
+              .otherwise(log(lit(0.4)) + col("lp_uni")).as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            round(exp(-avg(col("lp"))), 6).as("ppl_bi"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, i - 1 AS pos, t[i] AS tok
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0)
+          CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, len(t))) AS i) g
+        ), top AS (
+          SELECT tok FROM (SELECT tok, count(*) AS n FROM tok GROUP BY tok)
+          ORDER BY n DESC, tok LIMIT 16
+        ), symed AS (
+          SELECT doc_id, pos,
+            CASE WHEN top.tok IS NOT NULL THEN tok.tok ELSE '<oov>' END AS sym
+          FROM tok LEFT JOIN top ON tok.tok = top.tok
+        ), seq0 AS (
+          SELECT doc_id, pos, sym,
+            lag(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM symed
+        ), uni AS (
+          SELECT sym, ln(CAST(count(*) AS DOUBLE) /
+            (SELECT count(*) FROM symed)) AS lp_uni
+          FROM symed GROUP BY sym
+        ), big AS (
+          SELECT prev, sym, count(*) AS nb FROM seq0
+          WHERE prev IS NOT NULL GROUP BY prev, sym
+        ), ctx AS (
+          SELECT prev, sum(nb) AS nc FROM big GROUP BY prev
+        ), scored AS (
+          SELECT s.doc_id,
+            CASE WHEN s.prev IS NULL THEN u.lp_uni
+                 WHEN b.nb IS NOT NULL THEN ln(CAST(b.nb AS DOUBLE) / c.nc)
+                 ELSE ln(0.4) + u.lp_uni END AS lp
+          FROM seq0 s
+          JOIN uni u USING (sym)
+          LEFT JOIN big b ON s.prev = b.prev AND s.sym = b.sym
+          LEFT JOIN ctx c ON s.prev = c.prev)
+        SELECT doc_id, count(*) AS n_tok,
+          round(exp(-avg(lp)), 6) AS ppl_bi
+        FROM scored GROUP BY doc_id""")),
+
     // ===== Deterministic train/val/test split assignment — the step
     // between curation and training: every doc lands in exactly one
     // split, reproducibly across runs/engines, with no coordination
