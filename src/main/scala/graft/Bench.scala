@@ -71,7 +71,7 @@ object Bench {
     "text_url_canonicalize", "pattern_measure_arith",
     "pattern_nav_offsets", "vec_ann_ivfpq", "pattern_sql_statement",
     "text_bpe_tokens", "pattern_define_agg", "pattern_exclusion",
-    "join_interval", "text_perplexity_bigram")
+    "join_interval", "text_perplexity_bigram", "dedup_admit_novel")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

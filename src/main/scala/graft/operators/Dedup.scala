@@ -197,6 +197,41 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Ingestion ADMISSION filter — the crawl gate of a training
+    * pipeline: drop incoming docs that are VERIFIED MinHash
+    * near-duplicates of an existing corpus, admit the rest.
+    *
+    * `corpusSig` is the corpus's signature frame
+    * ([[minHashSignatures]]) — the INDEX: computed once, reused across
+    * calls (pair this per-batch core with `foreachBatch` to gate an
+    * unbounded stream; the core itself is batch-testable and
+    * batch ≡ stream by construction). Candidates come from an LSH band
+    * equi-join batch × corpus — never a cross product — and every
+    * candidate is verified by signature agreement before dropping, so
+    * band collisions alone never reject a doc. Docs too short to have
+    * a signature are trivially novel (admitted). */
+  def admitNovel(batch: DataFrame, corpusSig: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 16, numBands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val bSig = minHashSignatures(batch, idCol, textCol, numHashes)
+    val bB = minHashBuckets(bSig, idCol, numHashes, numBands)
+    val cB = minHashBuckets(corpusSig, idCol, numHashes, numBands)
+      .withColumnRenamed(idCol, "__cid")
+    val cand = bB.join(cB, Seq("band", "bucket"))
+      .select(col(idCol), col("__cid")).distinct()
+    val sigB = bSig.toDF(bSig.columns.toIndexedSeq
+      .map(c => if (c == idCol) idCol else s"b_$c"): _*)
+    val sigC = corpusSig.toDF(corpusSig.columns.toIndexedSeq
+      .map(c => if (c == idCol) "__cid" else s"c_$c"): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"b_h$i") === col(s"c_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val dupIds = cand.join(sigB, idCol).join(sigC, "__cid")
+      .filter(agree.cast("double") / numHashes >= minEstJaccard)
+      .select(idCol).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** SimHash over whitespace tokens using `bits` bits (≤ 64) of the
     * signed 64-bit md5 token hash. Per-bit majority vote; one narrow
     * projection through the compiled [[graft.functions.SimHash]] loop.

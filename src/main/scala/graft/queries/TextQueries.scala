@@ -372,6 +372,39 @@ object TextQueries {
         JOIN sig y ON y.doc_id = p.id_b AND y.hid = x.hid
         GROUP BY 1, 2""")),
 
+    // Ingestion ADMISSION filter (the crawl gate): incoming docs
+    // (doc_id % 5 = 0) are admitted unless a VERIFIED MinHash
+    // near-duplicate of the standing corpus (the rest). LSH band
+    // equi-join batch x corpus + signature-agreement verify; the
+    // oracle replays pairs corpus-wide and keeps only
+    // boundary-crossing verified dups.
+    Q("dedup_admit_novel",
+      (s, d) => {
+        val all = docs(s, d)
+        val corpus = all.filter(col("doc_id") % 5 =!= 0)
+        val incoming = all.filter(col("doc_id") % 5 === 0)
+        val corpusSig = Dedup.minHashSignatures(corpus, "doc_id", "text", 16)
+        Dedup.admitNovel(incoming, corpusSig, "doc_id", "text",
+            numHashes = 16, numBands = 4, minEstJaccard = 0.5)
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH $minhashPairCtes,
+        ver AS (
+          SELECT p.id_a, p.id_b,
+            CAST(sum(CASE WHEN x.hv = y.hv THEN 1 ELSE 0 END) AS DOUBLE)
+              / 16 AS est
+          FROM pair p
+          JOIN sig x ON x.doc_id = p.id_a
+          JOIN sig y ON y.doc_id = p.id_b AND y.hid = x.hid
+          GROUP BY 1, 2
+        ), dup AS (
+          SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS inc_id
+          FROM ver
+          WHERE est >= 0.5 AND ((id_a % 5 = 0) <> (id_b % 5 = 0)))
+        SELECT doc_id FROM documents
+        WHERE doc_id % 5 = 0
+          AND doc_id NOT IN (SELECT inc_id FROM dup)""")),
+
     // Near-dup CLUSTERS: the step after pair generation in a dedup
     // pipeline — connected components over the MinHash candidate graph,
     // cluster id = min doc id (the canonical keeper under

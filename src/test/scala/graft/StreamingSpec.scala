@@ -639,6 +639,46 @@ class StreamingSpec extends SparkSpec {
     assert(kept.size <= 100 + 20, s"kept ${kept.size}")
   }
 
+  test("near-dup admission gate: foreachBatch stream == batch core") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    // the crawl gate: a standing corpus index (signatures computed
+    // ONCE) filters an unbounded ingest stream per micro-batch
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = "spark structured streaming carries watermarks through stateful operators"
+    val corpus = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val corpusSig = Dedup.minHashSignatures(corpus, "doc_id", "text", 16)
+      .cache() // the index artifact
+    val incoming = Seq(
+      (10L, t1),                                             // verbatim dup
+      (11L, "a wholly novel document mentioning glaciers " +
+        "volcanoes and typesetting with nothing shared"),    // novel
+      (12L, t2),                                             // verbatim dup
+      (13L, "another unrelated piece on category theory " +
+        "monoids functors and natural transformations"))     // novel
+    val batchResult = Dedup.admitNovel(incoming.toDF("doc_id", "text"),
+        corpusSig, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchResult == Set(11L, 13L), batchResult.toString)
+    // stream the same docs across TWO micro-batches
+    val admitted = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitted ++= Dedup.admitNovel(batch, corpusSig, "doc_id", "text")
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    mem.addData(incoming.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(incoming.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.toSet == batchResult, admitted.toString)
+  }
+
   test("streaming TFRecord export: each micro-batch lands as its own shard set") {
     import graft.sources.TFRecordIO
     import org.apache.spark.sql.DataFrame
