@@ -219,6 +219,50 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("DEFINE SUM cap segmentation == naive greedy simulator on random series") {
+    // PATTERN (B+) DEFINE B AS SUM(B.value) <= cap, SKIP PAST LAST ROW
+    // — the running-aggregate DEFINE path (AggOp). Naive reference:
+    // walk left to right accumulating; close the match when the next
+    // value would exceed the cap; a value alone above the cap matches
+    // nothing and the scan resumes after it.
+    import graft.operators.MatchRecognize
+    def naive(xs: IndexedSeq[Double], cap: Double): Seq[(Int, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+      var i = 0
+      while (i < xs.length) {
+        if (xs(i) > cap) i += 1
+        else {
+          var j = i
+          var acc = xs(i)
+          while (j + 1 < xs.length && acc + xs(j + 1) <= cap) {
+            j += 1; acc += xs(j)
+          }
+          out += ((j - i + 1, acc))
+          i = j + 1
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(13L)
+    for (trial <- 1 to 200) {
+      val n = 1 + rnd.nextInt(24)
+      val cap = (2 + rnd.nextInt(8)).toDouble
+      // integer values 0..4: zeros exercise ties, values > cap exercise
+      // the no-match singleton path when cap is small
+      val xs = IndexedSeq.fill(n)(rnd.nextInt(5).toDouble)
+      val steps = Seq(MatchRecognize.CtxStep[Double]("B",
+        (t, ctx) => {
+          val sofar = ctx.rowsOf("B").sum + t // candidate included
+          sofar <= cap
+        }, 1, Int.MaxValue))
+      val got = MatchRecognize.matchRows(1L, xs, steps) { m =>
+        (m.captured("B").size, m.captured("B").sum)
+      }
+      assert(got == naive(xs, cap),
+        s"trial $trial cap=$cap xs=$xs got=$got want=${naive(xs, cap)}")
+    }
+  }
+
   test("matchRows spans == java.util.regex on random uncorrelated patterns") {
     import graft.operators.MatchRecognize
     import MatchRecognize.{Alt, Elem, SkipMode, SkipPastLastRow, SkipToNextRow, Step}
