@@ -196,5 +196,14 @@ class JoinsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
+    // negative lower bound: window straddles the anchor [lts-4, lts+4]
+    // (floor division must round toward -inf for negative bucket ids)
+    val banded2 = Joins.intervalJoin(la, ra, "k", "lts", "rts", -4L, 4L)
+      .select("lid_l", "rid_r").as[(Long, Long)].collect().toSet
+    val naive2 = la.join(ra, la("k") === ra("k") &&
+        ra("rts") >= la("lts") - 4 && ra("rts") <= la("lts") + 4)
+      .select(la("lid"), ra("rid")).as[(Long, Long)].collect().toSet
+    assert(banded2 == naive2,
+      s"missing=${(naive2 -- banded2).take(5)} extra=${(banded2 -- naive2).take(5)}")
   }
 }
