@@ -949,6 +949,59 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("streaming MATCH_RECOGNIZE SQL: round-8 clause features on closed sessions") {
+    withRocksDb {
+      // DEFINE running-aggregate cap + pattern exclusion + logical
+      // offset navigation, all through the session-closing stream path
+      // (the stream reuses the same compiled clause as batch — this
+      // proves the composition end-to-end, not just compilation)
+      import graft.operators.MatchRecognizeSql
+      val clause = """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS m, RUNNING COUNT(B.*) AS n_so_far,
+                 LAST(B.value, 1) AS pen
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ({- A -} B+)
+        DEFINE A AS A.etype = 'start',
+          B AS B.etype = 'x' AND SUM(B.value) <= 100"""
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "etype", "value")
+      val out = MatchRecognizeSql.stream(df, clause,
+        tsCol = "ts", delay = "0 seconds", gapMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(out, table)
+      // start, x=40, x=50, x=30: the cap (100) stops B at [40, 50];
+      // the excluded 'start' anchor must not be emitted
+      mem.addData((1L, t(1), "start", 0.0), (1L, t(2), "x", 40.0),
+        (1L, t(3), "x", 50.0), (1L, t(4), "x", 30.0))
+      q.processAllAvailable()
+      mem.addData((9L, t(50), "noise", 0.0)) // close the session
+      q.processAllAvailable()
+      mem.addData((9L, t(55), "noise", 0.0)) // deliver the firing
+      q.processAllAvailable()
+      val got = spark.table(table)
+        .select("value", "m", "n_so_far", "pen")
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+      // two B rows emitted (anchor excluded), RUNNING count advances,
+      // FINAL LAST(B.value, 1) = 40 on both
+      assert(got == Set((40.0, 1L, 1L, 40.0), (50.0, 1L, 2L, 40.0)),
+        got.toString)
+      // batch over the same rows agrees (stream == batch)
+      val batch = MatchRecognizeSql(
+        Seq((1L, t(1), "start", 0.0), (1L, t(2), "x", 40.0),
+          (1L, t(3), "x", 50.0), (1L, t(4), "x", 30.0))
+          .toDF("user_id", "ts", "etype", "value"), clause)
+        .select("value", "m", "n_so_far", "pen")
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+      assert(batch == got, s"batch=$batch stream=$got")
+      q.stop()
+    }
+  }
+
   test("session clustering: a late within-delay row BRIDGES two armed clusters") {
     withRocksDb {
       // events at 00:01 and 00:25 open two distinct sessions (gap 10 s,
