@@ -508,29 +508,100 @@ object Similarity {
       m: Int = 16, kCodes: Int = 32, pqIters: Int = 1,
       rerank: Int = 4): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
-    val seeds = kmeansSeeds(corpus, idCol, vecCol, nCells)
-    val books = pqCodebooks(corpus, idCol, vecCol, m, kCodes, pqIters)
-    if (seeds.isEmpty || books.isEmpty)
+    val index = fitPqIndex(corpus, idCol, vecCol, nCells, m, kCodes, pqIters)
+    if (index.isEmpty)
       return queries.select(col(idCol).as("query_id"),
         col(idCol).as("match_id"), lit(0.0).as("sim")).limit(0)
-    val sd = books.head.head.size
-    // reconstruction norms |c_{s,j}|² as one plan-time literal
-    val normSqLit = typedLit(books.map(_.map(normSqD)))
-    def cellsRanked(vec: Column, norm: Column): Column =
-      cellsRankedFor(seeds)(vec, norm)
-    // corpus scanned ONCE: cell + m codes + reconstruction norm; the
-    // raw vector is carried only into the bounded re-rank join below
-    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
+    ivfPqTopKEncoded(queries, encodePq(corpus, idCol, vecCol, index),
+      corpus, idCol, vecCol, index, k, nProbe, rerank)
+  }
+
+  /** A fitted IVF-PQ index: the coarse-quantizer seeds and the PQ
+    * codebooks — the ONLY training state. A few KB at any corpus size;
+    * fit once, [[writePqIndex]] it, and every later job
+    * [[readPqIndex]]s + [[encodePq]]s or queries without re-training
+    * (the production index lifecycle — FAISS train/add/search split). */
+  final case class PqIndex(seeds: Seq[Seq[Float]],
+      books: Seq[Seq[Seq[Float]]]) {
+    def isEmpty: Boolean = seeds.isEmpty || books.isEmpty
+    def m: Int = books.size
+  }
+
+  /** Fit the coarse quantizer + PQ codebooks (see [[kmeansSeeds]] and
+    * [[pqCodebooks]] for the per-stage scale shapes). */
+  def fitPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 16, kCodes: Int = 32,
+      pqIters: Int = 1): PqIndex =
+    PqIndex(kmeansSeeds(corpus, idCol, vecCol, nCells),
+      pqCodebooks(corpus, idCol, vecCol, m, kCodes, pqIters))
+
+  /** Encode a corpus against a fitted index: one narrow scan emitting
+    * (match_id, cell, codes, cn_hat) — the compressed, persistable form
+    * (m bytes + cell + norm per row; 64-dim float → m=16 is 16×). Write
+    * this once; the ADC query path never touches raw vectors again
+    * except the bounded re-rank. */
+  def encodePq(corpus: DataFrame, idCol: String, vecCol: String,
+      index: PqIndex): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(!index.isEmpty, "encodePq: empty index")
+    val normSqLit = typedLit(index.books.map(_.map(normSqD)))
+    corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"))
-      .withColumn("cell", element_at(cellsRanked(col("cv"), col("cn")), 1)
-        .getField("cell"))
-      .withColumn("codes", pqCodesExpr(col("cv"), books))
+      .withColumn("cell",
+        element_at(cellsRankedFor(index.seeds)(col("cv"), col("cn")), 1)
+          .getField("cell"))
+      .withColumn("codes", pqCodesExpr(col("cv"), index.books))
       .withColumn("cn_hat", sqrt(
-        (0 until m).map(s => element_at(element_at(normSqLit, s + 1),
+        (0 until index.m).map(s => element_at(element_at(normSqLit, s + 1),
           element_at(col("codes"), s + 1) + 1)).reduce(_ + _)))
+      .select("match_id", "cell", "codes", "cn_hat")
+  }
+
+  /** Persist a fitted index: two tiny parquet tables (seeds, books)
+    * under `path`. */
+  def writePqIndex(spark: org.apache.spark.sql.SparkSession,
+      index: PqIndex, path: String): Unit = {
+    import spark.implicits._
+    index.seeds.zipWithIndex.map { case (v, c) => (c, v) }
+      .toDF("cell", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/seeds")
+    index.books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, j) => (s, j, c) }
+    }.toDF("s", "j", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Load an index written by [[writePqIndex]]. */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqIndex = {
+    import spark.implicits._
+    val seeds = spark.read.parquet(s"$path/seeds")
+      .as[(Int, Seq[Float])].collect() // bounded: nCells rows
+      .sortBy(_._1).map(_._2).toSeq
+    val flat = spark.read.parquet(s"$path/books")
+      .as[(Int, Int, Seq[Float])].collect() // bounded: m x kCodes rows
+    val books = flat.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    PqIndex(seeds, books)
+  }
+
+  /** ANN query over a PRE-ENCODED corpus ([[encodePq]] output, usually
+    * read back from storage): probe `nProbe` cells, rank candidates by
+    * ADC over the codes, exact-refine the top `rerank·k` against
+    * `corpusVecs` (the raw-vector table, joined only for the bounded
+    * shortlist). */
+  def ivfPqTopKEncoded(queries: DataFrame, encoded: DataFrame,
+      corpusVecs: DataFrame, idCol: String, vecCol: String,
+      index: PqIndex, k: Int, nProbe: Int = 4,
+      rerank: Int = 4): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    require(!index.isEmpty, "ivfPqTopKEncoded: empty index")
+    val m = index.m
+    def cellsRanked(vec: Column, norm: Column): Column =
+      cellsRankedFor(index.seeds)(vec, norm)
     // per-query ADC lookup table: lut(s)(j) = q_s · c_{s,j} — one
     // native PqLut expression (dim·kCodes multiplies, once per query)
-    val lutCol = call_function("pq_lut", col("qv"), typedLit(books))
+    val lutCol = call_function("pq_lut", col("qv"), typedLit(index.books))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2Norm(col(vecCol)).as("qn"))
       .withColumn("lut", lutCol)
@@ -541,7 +612,8 @@ object Similarity {
     // match_id, so distinct() collapses multi-cell duplicates without
     // a join back to the corpus)
     val cand = q.select("query_id", "cell")
-      .join(c.select("match_id", "cell", "codes", "cn_hat"), Seq("cell"))
+      .join(encoded.select("match_id", "cell", "codes", "cn_hat"),
+        Seq("cell"))
       .filter(col("query_id") =!= col("match_id"))
       .select("query_id", "match_id", "codes", "cn_hat").distinct()
     val qLut = broadcast(q.select("query_id", "lut", "qn").distinct())
@@ -558,8 +630,10 @@ object Similarity {
       .select("query_id", "match_id")
     // refine: exact cosine on the bounded shortlist only
     val qVecs = broadcast(q.select("query_id", "qv", "qn").distinct())
+    val cVecs = corpusVecs.select(col(idCol).as("match_id"),
+      col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
     val scored = shortlist.join(qVecs, "query_id")
-      .join(c.select("match_id", "cv", "cn"), "match_id")
+      .join(cVecs, "match_id")
       .select(col("query_id"), col("match_id"),
         round(call_function("vec_dot", col("qv"), col("cv"))
           / (col("qn") * col("cn")), 6).as("sim"))

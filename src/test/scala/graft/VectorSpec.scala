@@ -236,6 +236,34 @@ class VectorSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("PQ index lifecycle: fit -> persist -> load -> query == fresh query") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val index = Similarity.fitPqIndex(emb, "vec_id", "embedding",
+      nCells = 16, m = 16, kCodes = 32, pqIters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-index").toString
+    Similarity.writePqIndex(spark, index, dir)
+    val loaded = Similarity.readPqIndex(spark, dir)
+    assert(loaded == index, "index round-trip changed the artifacts")
+    // encode once, persist the compressed corpus, query from storage
+    val encodedPath = s"$dir/encoded"
+    Similarity.encodePq(emb, "vec_id", "embedding", loaded)
+      .write.parquet(encodedPath)
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+      .select((-col("vec_id") - 1).as("vec_id"),
+        transform(col("embedding"),
+          v => (v * 1.02d + 0.01d).cast("float")).as("embedding"))
+    val fromDisk = Similarity.ivfPqTopKEncoded(qs,
+        spark.read.parquet(encodedPath), emb, "vec_id", "embedding",
+        loaded, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = Similarity.ivfPqTopK(qs, emb, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4, m = 16, kCodes = 32, pqIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == fresh && fresh.nonEmpty,
+      s"persisted-index query diverged: disk=${fromDisk.size} fresh=${fresh.size}")
+  }
+
   test("semantic dedup pair join stays a label equi-join (never a BNLJ)") {
     // the SemDeDup plan contract: pairwise cosine work is confined to
     // cluster cells by a hash-joinable equality on the label — a
