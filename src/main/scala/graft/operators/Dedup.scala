@@ -212,10 +212,16 @@ object Dedup {
     * a signature are trivially novel (admitted). */
   def admitNovel(batch: DataFrame, corpusSig: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 16, numBands: Int = 4,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      corpusBuckets: Option[DataFrame] = None): DataFrame = {
     val bSig = minHashSignatures(batch, idCol, textCol, numHashes)
     val bB = minHashBuckets(bSig, idCol, numHashes, numBands)
-    val cB = minHashBuckets(corpusSig, idCol, numHashes, numBands)
+    // For a standing stream gate, pass corpusBuckets =
+    // minHashBuckets(corpusSig, …) PERSISTED once: otherwise every call
+    // re-derives the band projection over the whole corpus frame and
+    // per-batch work is O(corpus), not O(batch).
+    val cB = corpusBuckets
+      .getOrElse(minHashBuckets(corpusSig, idCol, numHashes, numBands))
       .withColumnRenamed(idCol, "__cid")
     val cand = bB.join(cB, Seq("band", "bucket"))
       .select(col(idCol), col("__cid")).distinct()

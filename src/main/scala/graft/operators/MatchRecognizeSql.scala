@@ -152,7 +152,14 @@ object MatchRecognizeSql {
     * selfVar`) or when counting all rows (`varName == ""`). The
     * cumulative-cap predicate family (`B AS SUM(B.amount) <= 100`)
     * hangs off this. Null cells are skipped (empty → SQL NULL →
-    * comparison false). */
+    * comparison false).
+    *
+    * Complexity: each evaluation re-walks the rows matched so far —
+    * O(match²) per match, same bound SCALE.md documents. Acceptable
+    * BECAUSE the predicate family that wants this is cap-shaped: the
+    * cap bounds the match length by construction. A predicate that
+    * lets matches grow unboundedly (e.g. `COUNT(*) >= 0`) degrades
+    * quadratically — cap it or use the incremental MEASURES path. */
   private final case class AggOp(kind: String, varName: String,
       colName: String) extends Operand {
     def value(t: Row, ctx: MatchRecognize.MatchCtx[Row], selfVar: String): Any = {
@@ -541,10 +548,9 @@ object MatchRecognizeSql {
       val inner = expr.substring(expr.indexOf('(') + 1, expr.length - 1).trim
       val (v, rowExpr) = parseAggInner(inner)
       Some(MAgg(name, kind, v, rowExpr))
-    } else if (expr.matches("""[A-Za-z_][A-Za-z_0-9]*\.[A-Za-z_][A-Za-z_0-9]*"""))
-      Some(MNav(name, "last", expr.split("\\.", 2)(0),
-        expr.split("\\.", 2)(1))) // ONE ROW PER MATCH: V.col ≡ LAST(V.col)
-    else None
+    } else None
+    // (the bare V.col form can't reach here: the no-paren early return
+    // at the top of this method already handled it)
   }
 
   /** Primitive measure, or an arithmetic [[MExpr]] over primitives and
@@ -1166,10 +1172,15 @@ object MatchRecognizeSql {
     val out = apply(spark.table(table), clause)
     val view = "graft_mr_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    // the view must outlive the returned (lazy) plan — not dropped here
     out.createOrReplaceTempView(view)
-    spark.sql(statement.substring(0, fromIdx) + "FROM " + view +
+    try spark.sql(statement.substring(0, fromIdx) + "FROM " + view +
       statement.substring(close + 1))
+    finally
+      // spark.sql analyzes eagerly and analysis INLINES temp views into
+      // the plan, so the returned DataFrame no longer references the
+      // name — drop it immediately or every sql() call leaks a catalog
+      // entry for the session's lifetime
+      spark.catalog.dropTempView(view)
   }
 
   /** STREAMING MATCH_RECOGNIZE through the SQL front door: sessions
@@ -1187,6 +1198,23 @@ object MatchRecognizeSql {
     *              (allowed lateness), e.g. "10 seconds". */
   def stream(df: DataFrame, clause: String, tsCol: String,
       delay: String, gapMs: Long): DataFrame = {
+    val sp = compileStream(df, clause, tsCol, delay)
+    graft.streaming.StatefulV2.eventTimeGapApply[String, Row, Row](
+      sp.keyed, gapMs)(sp.apply)(Encoders.STRING, sp.rowEnc, sp.outEnc)
+  }
+
+  /** Shared streaming scaffolding for the three window models: the
+    * compiled clause keyed + watermarked, plus the per-group
+    * sort-and-run closure (a fix to keying, watermark placement, or
+    * sort-ordering semantics lands ONCE here). */
+  private final case class StreamPlan(
+      keyed: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, Row)],
+      apply: (String, Seq[Row]) => Iterator[Row],
+      rowEnc: org.apache.spark.sql.Encoder[Row],
+      outEnc: org.apache.spark.sql.Encoder[Row])
+
+  private def compileStream(df: DataFrame, clause: String, tsCol: String,
+      delay: String): StreamPlan = {
     val plan = compile(df, clause)
     val tsIdx = plan.inSchema.fieldIndex(tsCol)
     val rowEnc = Encoders.row(plan.inSchema)
@@ -1198,9 +1226,9 @@ object MatchRecognizeSql {
     val keyed = df
       .map(r => (keyFn(r), r.getTimestamp(tsIdx), r))(tupEnc)
       .withWatermark("_2", delay)
-    // in-memory per-session sort by the clause's ORDER BY (sessions are
-    // bounded by per-key activity within one gap — the batch group's
-    // contract, minus the shuffle's spill path)
+    // in-memory per-group sort by the clause's ORDER BY (groups are
+    // bounded by per-key activity within one gap/window — the batch
+    // group's contract, minus the shuffle's spill path)
     val keys = plan.sortKeys.map { case (n, desc) =>
       (plan.inSchema.fieldIndex(n), desc)
     }
@@ -1214,10 +1242,9 @@ object MatchRecognizeSql {
       }
     }
     val runner = plan.groupRunner
-    graft.streaming.StatefulV2.eventTimeGapApply[String, Row, Row](
-      keyed, gapMs) { (k, rows) =>
-      runner(k, rows.sorted(ord).toIndexedSeq).iterator
-    }(Encoders.STRING, rowEnc, Encoders.row(plan.outSchema))
+    StreamPlan(keyed,
+      (k, rows) => runner(k, rows.sorted(ord).toIndexedSeq).iterator,
+      rowEnc, Encoders.row(plan.outSchema))
   }
 
   /** STREAMING MATCH_RECOGNIZE over FIXED (tumbling) event-time
@@ -1229,31 +1256,10 @@ object MatchRecognizeSql {
     * clause/NFA machinery is identical. */
   def streamWindowed(df: DataFrame, clause: String, tsCol: String,
       delay: String, windowMs: Long): DataFrame = {
-    val plan = compile(df, clause)
-    val tsIdx = plan.inSchema.fieldIndex(tsCol)
-    val rowEnc = Encoders.row(plan.inSchema)
-    val tupEnc = Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, rowEnc)
-    val keyFn = plan.keyFn
-    val keyed = df
-      .map(r => (keyFn(r), r.getTimestamp(tsIdx), r))(tupEnc)
-      .withWatermark("_2", delay)
-    val keys = plan.sortKeys.map { case (n, desc) =>
-      (plan.inSchema.fieldIndex(n), desc)
-    }
-    val ord: Ordering[Row] = new Ordering[Row] {
-      override def compare(a: Row, b: Row): Int = {
-        keys.foreach { case (i, desc) =>
-          val c = compareVals(a.get(i), b.get(i))
-          if (c != 0) return if (desc) -c else c
-        }
-        0
-      }
-    }
-    val runner = plan.groupRunner
+    val sp = compileStream(df, clause, tsCol, delay)
     graft.streaming.StatefulV2.eventTimeWindowApply[String, Row, Row](
-      keyed, windowMs) { (k, _, rows) =>
-      runner(k, rows.sorted(ord).toIndexedSeq).iterator
-    }(Encoders.STRING, rowEnc, Encoders.row(plan.outSchema))
+      sp.keyed, windowMs) { (k, _, rows) => sp.apply(k, rows)
+    }(Encoders.STRING, sp.rowEnc, sp.outEnc)
   }
 
   /** STREAMING MATCH_RECOGNIZE over SLIDING event-time windows —
@@ -1265,30 +1271,9 @@ object MatchRecognizeSql {
     * (sessions) and [[streamWindowed]] (fixed). */
   def streamSliding(df: DataFrame, clause: String, tsCol: String,
       delay: String, windowMs: Long, slideMs: Long): DataFrame = {
-    val plan = compile(df, clause)
-    val tsIdx = plan.inSchema.fieldIndex(tsCol)
-    val rowEnc = Encoders.row(plan.inSchema)
-    val tupEnc = Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, rowEnc)
-    val keyFn = plan.keyFn
-    val keyed = df
-      .map(r => (keyFn(r), r.getTimestamp(tsIdx), r))(tupEnc)
-      .withWatermark("_2", delay)
-    val keys = plan.sortKeys.map { case (n, desc) =>
-      (plan.inSchema.fieldIndex(n), desc)
-    }
-    val ord: Ordering[Row] = new Ordering[Row] {
-      override def compare(a: Row, b: Row): Int = {
-        keys.foreach { case (i, desc) =>
-          val c = compareVals(a.get(i), b.get(i))
-          if (c != 0) return if (desc) -c else c
-        }
-        0
-      }
-    }
-    val runner = plan.groupRunner
+    val sp = compileStream(df, clause, tsCol, delay)
     graft.streaming.StatefulV2.eventTimeSlidingApply[String, Row, Row](
-      keyed, windowMs, slideMs) { (k, _, rows) =>
-      runner(k, rows.sorted(ord).toIndexedSeq).iterator
-    }(Encoders.STRING, rowEnc, Encoders.row(plan.outSchema))
+      sp.keyed, windowMs, slideMs) { (k, _, rows) => sp.apply(k, rows)
+    }(Encoders.STRING, sp.rowEnc, sp.outEnc)
   }
 }

@@ -188,6 +188,10 @@ object Multimodal {
   def encodeWav(sampleRate: Int, nSamples: Int, amp: Int): Array[Byte] = {
     require(sampleRate > 0 && nSamples > 0 && amp >= 0 && amp <= 32767,
       s"bad WAV params: rate=$sampleRate n=$nSamples amp=$amp")
+    // 44 + 2n must fit an Int (and the RIFF size field): past this the
+    // arithmetic overflows negative — fail by name, not in ByteBuffer
+    require(nSamples <= (Int.MaxValue - 44) / 2,
+      s"WAV of $nSamples samples exceeds the 2 GiB single-buffer form")
     val dataSize = nSamples * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -589,7 +589,8 @@ object Similarity {
     * read back from storage): probe `nProbe` cells, rank candidates by
     * ADC over the codes, exact-refine the top `rerank·k` against
     * `corpusVecs` (the raw-vector table, joined only for the bounded
-    * shortlist). */
+    * shortlist). `queries` must carry UNIQUE ids (the per-query frames
+    * project pre-explode without a dedup). */
   def ivfPqTopKEncoded(queries: DataFrame, encoded: DataFrame,
       corpusVecs: DataFrame, idCol: String, vecCol: String,
       index: PqIndex, k: Int, nProbe: Int = 4,
@@ -600,14 +601,18 @@ object Similarity {
     def cellsRanked(vec: Column, norm: Column): Column =
       cellsRankedFor(index.seeds)(vec, norm)
     // per-query ADC lookup table: lut(s)(j) = q_s · c_{s,j} — one
-    // native PqLut expression (dim·kCodes multiplies, once per query)
+    // native PqLut expression (dim·kCodes multiplies, once per query).
+    // lut/qv frames project from the PRE-explode q0: selecting them
+    // post-explode would need a distinct() that shuffles the m·kCodes
+    // lut array (and the raw vector) nProbe× per query just to undo
+    // the explode.
     val lutCol = call_function("pq_lut", col("qv"), typedLit(index.books))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2Norm(col(vecCol)).as("qn"))
       .withColumn("lut", lutCol)
-      .withColumn("cell", explode(transform(
-        slice(cellsRanked(col("qv"), col("qn")), 1, nProbe),
-        x => x.getField("cell"))))
+    val q = q0.withColumn("cell", explode(transform(
+      slice(cellsRanked(col("qv"), col("qn")), 1, nProbe),
+      x => x.getField("cell"))))
     // candidate codes ride along through the dedup (identical per
     // match_id, so distinct() collapses multi-cell duplicates without
     // a join back to the corpus)
@@ -616,7 +621,7 @@ object Similarity {
         Seq("cell"))
       .filter(col("query_id") =!= col("match_id"))
       .select("query_id", "match_id", "codes", "cn_hat").distinct()
-    val qLut = broadcast(q.select("query_id", "lut", "qn").distinct())
+    val qLut = broadcast(q0.select("query_id", "lut", "qn"))
     val adc = (0 until m).map(s =>
       element_at(element_at(col("lut"), s + 1),
         element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
@@ -629,7 +634,7 @@ object Similarity {
       .filter(col("rk") <= k * rerank)
       .select("query_id", "match_id")
     // refine: exact cosine on the bounded shortlist only
-    val qVecs = broadcast(q.select("query_id", "qv", "qn").distinct())
+    val qVecs = broadcast(q0.select("query_id", "qv", "qn"))
     val cVecs = corpusVecs.select(col(idCol).as("match_id"),
       col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
     val scored = shortlist.join(qVecs, "query_id")

@@ -124,12 +124,17 @@ object TextAnalysis {
   def urlSurtHost(u: Column): Column =
     array_join(reverse(split(urlHost(u), "\\.")), ",")
 
-  /** Query string with tracking params (utm_*, fbclid, gclid) dropped;
-    * NULL when nothing survives. Param order is preserved. */
+  /** Query string with tracking params (utm_*, fbclid, gclid) dropped
+    * — bare keys too (`?fbclid` without `=`, common after shortener
+    * stripping, must canonicalize the same as `?fbclid=x` or the same
+    * page gets two identities); NULL when nothing survives. Param
+    * order is preserved. */
   def urlCleanQuery(u: Column): Column = {
     val kept = filter(split(parse_url(u, lit("QUERY")), "&"),
-      p => !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
-        p.startsWith("gclid=")))
+      p => {
+        val key = element_at(split(p, "=", 2), 1)
+        !(key.startsWith("utm_") || key === "fbclid" || key === "gclid")
+      })
     when(parse_url(u, lit("QUERY")).isNull || size(kept) === 0, lit(null))
       .otherwise(array_join(kept, "&"))
   }

@@ -471,6 +471,8 @@ object StatefulV2 {
       ds: Dataset[(K, java.sql.Timestamp, V)], windowMs: Long)(
       f: (K, Long, Seq[V]) => Iterator[O])(
       implicit outEnc: Encoder[O]): Dataset[O] = {
+    // fail at plan time, not as an executor-side floorDiv / by zero
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     implicit val keyEnc: Encoder[(K, Long)] =
       Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong)
     ds.groupByKey { case (k, ts, _) =>

@@ -649,6 +649,10 @@ class StreamingSpec extends SparkSpec {
     val corpus = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
     val corpusSig = Dedup.minHashSignatures(corpus, "doc_id", "text", 16)
       .cache() // the index artifact
+    // the banded form of the index — persisted once so each micro-batch
+    // pays O(batch), never re-deriving the corpus projection
+    val corpusBuckets = Dedup.minHashBuckets(corpusSig, "doc_id", 16, 4)
+      .cache()
     val incoming = Seq(
       (10L, t1),                                             // verbatim dup
       (11L, "a wholly novel document mentioning glaciers " +
@@ -666,7 +670,8 @@ class StreamingSpec extends SparkSpec {
     val q = mem.toDF().toDF("doc_id", "text")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitted ++= Dedup.admitNovel(batch, corpusSig, "doc_id", "text")
+        admitted ++= Dedup.admitNovel(batch, corpusSig, "doc_id", "text",
+            corpusBuckets = Some(corpusBuckets))
           .select("doc_id").collect().map(_.getLong(0))
         ()
       }
