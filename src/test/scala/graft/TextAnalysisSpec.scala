@@ -268,7 +268,10 @@ class TextAnalysisSpec extends SparkSpec {
     val urls = Seq(
       "https://WWW.News.Example.COM/a/b?utm_source=x&id=7&fbclid=zz&q=2#frag",
       "https://example.com/plain",                 // no query, no www
-      "http://Host.ORG/p?utm_campaign=only&gclid=1" // ONLY tracking params
+      "http://Host.ORG/p?utm_campaign=only&gclid=1", // ONLY tracking params
+      // BARE tracker keys (no '=') — shortener-stripped form must
+      // canonicalize identically to the valued form
+      "https://a.example.com/p?fbclid&id=3&gclid"
     ).toDF("u")
     val got = urls.select(
       TextAnalysis.urlHost(col("u")).as("host"),
@@ -280,7 +283,8 @@ class TextAnalysisSpec extends SparkSpec {
         "www.news.example.com/a/b?id=7&q=2"),
       ("example.com", "com,example", "example.com/plain"),
       // every param was tracking → no '?' survives
-      ("host.org", "org,host", "host.org/p")))
+      ("host.org", "org,host", "host.org/p"),
+      ("a.example.com", "com,example,a", "a.example.com/p?id=3")))
   }
 
   test("removeRepeatedLines fail-fasts on unusable doc ids (packed-key domain)") {
