@@ -192,10 +192,15 @@ case class SrpBuckets(child: Expression, bits: Int, dim: Int, tables: Int,
   */
 case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
     extends UnaryExpression {
+  require(books.forall(_.nonEmpty),
+    "pq_encode: every codebook subspace needs at least one centroid")
   private val m = books.length
   private val sd = if (m == 0) 0 else books(0)(0).length
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull=true is tolerated at the type level (parquet arrays
+    // are element-nullable by default) but an actual null element
+    // fails by name at runtime — getFloat would silently read 0.0.
     case ArrayType(FloatType, _) if m > 0 => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"pq_encode requires array<float> and non-empty codebooks, got ${other.sql}")
@@ -209,6 +214,11 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
     val x = v.asInstanceOf[ArrayData]
     require(x.numElements() >= m * sd,
       s"pq_encode: vector has ${x.numElements()} dims, codebooks need ${m * sd}")
+    var chk = 0
+    while (chk < m * sd) {
+      require(!x.isNullAt(chk), s"pq_encode: null vector element at $chk")
+      chk += 1
+    }
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -250,6 +260,12 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
          |  throw new IllegalArgumentException("pq_encode: vector has " +
          |    $a.numElements() + " dims, codebooks need ${m * sd}");
          |}
+         |for (int $p = 0; $p < ${m * sd}; $p++) {
+         |  if ($a.isNullAt($p)) {
+         |    throw new IllegalArgumentException(
+         |      "pq_encode: null vector element at " + $p);
+         |  }
+         |}
          |int[] $out = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $best = 0;
@@ -277,10 +293,13 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
   * the same expression-tree-size reason as [[PqEncode]]. */
 case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
     extends UnaryExpression {
+  require(books.forall(_.nonEmpty),
+    "pq_lut: every codebook subspace needs at least one centroid")
   private val m = books.length
   private val sd = if (m == 0) 0 else books(0)(0).length
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // Null elements fail by name at runtime — see PqEncode.
     case ArrayType(FloatType, _) if m > 0 => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"pq_lut requires array<float> and non-empty codebooks, got ${other.sql}")
@@ -295,6 +314,11 @@ case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
     val x = v.asInstanceOf[ArrayData]
     require(x.numElements() >= m * sd,
       s"pq_lut: vector has ${x.numElements()} dims, codebooks need ${m * sd}")
+    var chk = 0
+    while (chk < m * sd) {
+      require(!x.isNullAt(chk), s"pq_lut: null vector element at $chk")
+      chk += 1
+    }
     val rows = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -331,6 +355,12 @@ case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
          |if ($a.numElements() < ${m * sd}) {
          |  throw new IllegalArgumentException("pq_lut: vector has " +
          |    $a.numElements() + " dims, codebooks need ${m * sd}");
+         |}
+         |for (int $p = 0; $p < ${m * sd}; $p++) {
+         |  if ($a.isNullAt($p)) {
+         |    throw new IllegalArgumentException(
+         |      "pq_lut: null vector element at " + $p);
+         |  }
          |}
          |Object[] $rows = new Object[$m];
          |for (int $s = 0; $s < $m; $s++) {

@@ -227,15 +227,23 @@ object Joins {
       upperUs: Long): DataFrame = {
     require(upperUs >= lowerUs,
       s"interval upper bound $upperUs < lower bound $lowerUs")
+    require(leftTsCol != key && rightTsCol != key,
+      s"interval join timestamp column must differ from key '$key'")
     val w = math.max(1L, upperUs - lowerUs + 1) // bucket width = span
+    // Exact long floor-division toward -inf: Spark's `/` is double
+    // division, inexact past 2^53 — a boundary row could land in the
+    // wrong bucket and silently drop pairs. pmod + integral `div`
+    // keeps the whole computation on longs.
+    def floorDiv(x: Column): Column =
+      call_function("div", x - pmod(x, lit(w)), lit(w))
     val l = left.columns.foldLeft(left) { (df, c) =>
       if (c == key) df else df.withColumnRenamed(c, c + "_l")
     }.withColumn("__b", explode(sequence(
-      floor((col(leftTsCol + "_l") + lowerUs) / w).cast("long"),
-      floor((col(leftTsCol + "_l") + upperUs) / w).cast("long"))))
+      floorDiv(col(leftTsCol + "_l").cast("long") + lowerUs),
+      floorDiv(col(leftTsCol + "_l").cast("long") + upperUs))))
     val r = right.columns.foldLeft(right) { (df, c) =>
       if (c == key) df else df.withColumnRenamed(c, c + "_r")
-    }.withColumn("__b", floor(col(rightTsCol + "_r") / w).cast("long"))
+    }.withColumn("__b", floorDiv(col(rightTsCol + "_r").cast("long")))
     l.join(r, Seq(key, "__b"))
       .filter(col(rightTsCol + "_r") >= col(leftTsCol + "_l") + lowerUs &&
         col(rightTsCol + "_r") <= col(leftTsCol + "_l") + upperUs)

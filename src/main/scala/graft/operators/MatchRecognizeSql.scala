@@ -685,27 +685,37 @@ object MatchRecognizeSql {
 
   /** Index of a whole-word, case-insensitive keyword at paren depth 0
     * and outside '…' string literals; -1 if absent. */
-  private def findKeyword(s: String, kw: String): Int = {
+  private def findKeyword(s: String, kw: String): Int =
+    keywordOccurrences(s, kw).headOption.getOrElse(-1)
+
+  /** ALL whole-word, case-insensitive occurrences of `kw` at paren
+    * depth 0 and outside '…' string literals — the shared quote-aware
+    * scanner behind [[findKeyword]] and the full-statement [[sql]]
+    * front door (a 'FROM' inside a SELECT-list literal must not count
+    * as the table reference). */
+  private def keywordOccurrences(s: String, kw: String): Seq[Int] = {
     val up = s.toUpperCase
     val kwu = kw.toUpperCase
+    val out = Seq.newBuilder[Int]
     var depth = 0
     var inStr = false
     var i = 0
-    while (i <= up.length - kwu.length) {
+    while (i < up.length) {
       up.charAt(i) match {
         case '\'' => inStr = !inStr
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
         case _ =>
       }
-      if (!inStr && depth == 0 && up.regionMatches(i, kwu, 0, kwu.length) &&
+      if (!inStr && depth == 0 && i <= up.length - kwu.length &&
+          up.regionMatches(i, kwu, 0, kwu.length) &&
           (i == 0 || !up.charAt(i - 1).isLetterOrDigit) &&
           (i + kwu.length == up.length ||
             !up.charAt(i + kwu.length).isLetterOrDigit))
-        return i
+        out += i
       i += 1
     }
-    -1
+    out.result()
   }
 
   /** Parse + compile a `MATCH_RECOGNIZE (...)` clause BODY against
@@ -1132,11 +1142,14 @@ object MatchRecognizeSql {
     * `spark.sql` — the outer projection/filter/aggregate/sort all
     * plan and optimize in Catalyst as usual. */
   def sql(spark: SparkSession, statement: String): DataFrame = {
-    val up = statement.toUpperCase
-    val mrIdx = up.indexOf("MATCH_RECOGNIZE")
-    require(mrIdx >= 0, "statement has no MATCH_RECOGNIZE clause")
-    require(up.indexOf("MATCH_RECOGNIZE", mrIdx + 1) < 0,
+    // quote-aware keyword location: 'MATCH_RECOGNIZE' or 'FROM' text
+    // inside a SELECT-list string literal must not mis-parse the
+    // statement (same scanner as the clause-body sections)
+    val mrHits = keywordOccurrences(statement, "MATCH_RECOGNIZE")
+    require(mrHits.nonEmpty, "statement has no MATCH_RECOGNIZE clause")
+    require(mrHits.size == 1,
       "only one MATCH_RECOGNIZE per statement is supported")
+    val mrIdx = mrHits.head
     val open = statement.indexOf('(', mrIdx)
     require(open > 0 && statement.substring(mrIdx + 15, open).trim.isEmpty,
       "MATCH_RECOGNIZE must be followed by a parenthesized clause")
@@ -1159,9 +1172,7 @@ object MatchRecognizeSql {
     // keyword; subqueries as the MATCH_RECOGNIZE input are not
     // supported (materialize a temp view first)
     val fromIdx = {
-      val re = """(?i)\bFROM\b""".r
-      val hits = re.findAllMatchIn(statement.substring(0, mrIdx))
-        .map(_.start).toSeq
+      val hits = keywordOccurrences(statement.substring(0, mrIdx), "FROM")
       require(hits.nonEmpty, "no FROM before MATCH_RECOGNIZE")
       hits.last
     }

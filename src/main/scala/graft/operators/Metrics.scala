@@ -75,7 +75,10 @@ object Metrics {
 
   /** Beam `Gauge` (metrics/Metrics.java `gauge`: latest reported
     * value): last-writer-wins by report time. Each `add` stamps the
-    * value with `System.nanoTime`; merge keeps the later stamp — the
+    * value with epoch millis (`System.currentTimeMillis`, the
+    * `Instant.now` parity Beam's GaugeResult records — NOT nanoTime,
+    * whose origin is arbitrary per JVM and so cross-executor
+    * incomparable); merge keeps the later stamp — the
     * same "latest across workers" contract Beam's GaugeResult carries
     * (and the same caveat: cross-worker clock comparison is only
     * meaningful for values that converge, e.g. "current model

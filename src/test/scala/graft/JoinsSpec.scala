@@ -206,4 +206,24 @@ class JoinsSpec extends SparkSpec {
     assert(banded2 == naive2,
       s"missing=${(naive2 -- banded2).take(5)} extra=${(banded2 -- naive2).take(5)}")
   }
+
+  test("intervalJoin: exact bucketing beyond 2^53; tsCol==key rejected") {
+    import spark.implicits._
+    // timestamps past 2^53 where double division is inexact: a
+    // boundary row one unit inside the window must still pair (the old
+    // floor(double/…) could mis-bucket it and silently drop the pair)
+    val base = (1L << 60) + 1234567L
+    val l = Seq((1L, 1L, base)).toDF("k", "lid", "lts")
+    val r = Seq((1L, 10L, base + 5L), (1L, 11L, base + 10L),
+      (1L, 12L, base + 11L)).toDF("k", "rid", "rts")
+    val got = Joins.intervalJoin(l, r, "k", "lts", "rts", 5L, 10L)
+      .select("lid_l", "rid_r").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L)), got.toString)
+    // ts column sharing the key name would make the _l rename
+    // unresolvable — fail by name up front
+    val err = intercept[IllegalArgumentException] {
+      Joins.intervalJoin(l, r, "k", "k", "rts", 0L, 1L)
+    }
+    assert(err.getMessage.contains("must differ from key"))
+  }
 }

@@ -423,6 +423,24 @@ class PipelineOpsSpec extends SparkSpec {
         "SELECT * FROM (SELECT 1) MATCH_RECOGNIZE (X)")
     }
     assert(e2.getMessage.contains("temp view"))
+    // 'FROM'/'MATCH_RECOGNIZE' text inside SELECT-list string literals
+    // must not shift the keyword scan (quote-aware, like the clause
+    // sections) — the literal even ends with FROM right before the
+    // real table reference
+    val got2 = MatchRecognizeSql.sql(spark, """
+      SELECT 'A MATCH_RECOGNIZE came FROM' AS lit, m.user_id
+      FROM mr_stmt_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY seq
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS A.value > 0, B AS B.value < PREV(B.value)
+      ) AS m
+      ORDER BY m.user_id""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got2 == Seq(("A MATCH_RECOGNIZE came FROM", 1L),
+      ("A MATCH_RECOGNIZE came FROM", 2L)), got2.toString)
   }
 
   test("MatchRecognizeSql: FIRST/LAST logical offsets in MEASURES and DEFINE") {
