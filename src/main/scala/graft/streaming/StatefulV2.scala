@@ -379,41 +379,59 @@ object StatefulV2 {
 
     @transient private var buf: ListState[(Long, V)] = _
     @transient private var armed: ListState[Long] = _
+    @transient private var sums: ListState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[(Long, V)]("buf",
         Encoders.tuple(Encoders.scalaLong, vEnc), TTLConfig.NONE)
       armed = getHandle.getListState[Long]("armed", Encoders.scalaLong,
         TTLConfig.NONE)
+      // cluster summaries (minTs, maxTs) — sorted, pairwise separated
+      // by > gapMs; the incremental-maintenance state that keeps
+      // per-batch work O(batch · clusters), never O(buffer): the row
+      // buffer itself is append-only between flushes
+      sums = getHandle.getListState[(Long, Long)]("sums",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
     }
 
-    /** Event-time clusters of the buffered rows, each as
-      * (end = maxTs + gap, rows sorted by ts — stable, so equal
-      * timestamps keep arrival order). */
-    private def clusters(rows: Seq[(Long, V)]): Seq[(Long, Seq[(Long, V)])] = {
-      val sorted = rows.sortBy(_._1)
-      val out = Seq.newBuilder[(Long, Seq[(Long, V)])]
-      var cur = List.newBuilder[(Long, V)]
-      var curMax = Long.MinValue
-      var nonEmpty = false
-      sorted.foreach { r =>
-        if (nonEmpty && r._1 > curMax + gapMs) {
-          out += ((curMax + gapMs, cur.result()))
-          cur = List.newBuilder[(Long, V)]
-        }
-        cur += r
-        if (r._1 > curMax) curMax = r._1
-        nonEmpty = true
+    /** Insert one timestamp into the sorted disjoint cluster intervals:
+      * extends a neighbor within `gapMs`, merges the two it bridges, or
+      * opens a new singleton — the same gap-connected components the
+      * old full re-sort produced, maintained incrementally. */
+    private def insert(cs: Vector[(Long, Long)], ts: Long): Vector[(Long, Long)] = {
+      // idx = first cluster with min > ts
+      var lo = 0; var hi = cs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cs(mid)._1 <= ts) lo = mid + 1 else hi = mid
       }
-      if (nonEmpty) out += ((curMax + gapMs, cur.result()))
-      out.result()
+      val pred = lo - 1 // cluster with min <= ts, if any
+      if (pred >= 0 && ts <= cs(pred)._2) return cs // inside an interval
+      val joinsPred = pred >= 0 && ts <= cs(pred)._2 + gapMs
+      val joinsSucc = lo < cs.length && cs(lo)._1 - ts <= gapMs
+      if (joinsPred && joinsSucc)
+        cs.patch(pred, Seq((cs(pred)._1, cs(lo)._2)), 2)
+      else if (joinsPred)
+        cs.updated(pred, (cs(pred)._1, math.max(cs(pred)._2, ts)))
+      else if (joinsSucc)
+        cs.updated(lo, (ts, cs(lo)._2))
+      else
+        cs.patch(lo, Seq((ts, ts)), 0)
     }
 
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, V)],
         timers: TimerValues): Iterator[O] = {
-      rows.foreach { case (_, ts, v) => buf.appendValue((ts.getTime, v)) }
-      val ends = clusters(buf.get().toSeq).map(_._1).toSet
+      var cs = sums.get().toVector
+      rows.foreach { case (_, ts, v) =>
+        val t = ts.getTime
+        buf.appendValue((t, v))
+        cs = insert(cs, t)
+      }
+      sums.clear()
+      cs.foreach(sums.appendValue)
+      val ends = cs.map(_._2 + gapMs).toSet
       val already = armed.get().toSet
       (ends -- already).foreach { e =>
         getHandle.registerTimer(e)
@@ -425,13 +443,30 @@ object StatefulV2 {
     override def handleExpiredTimer(key: K, timers: TimerValues,
         timer: ExpiredTimerInfo): Iterator[O] = {
       val expiry = timer.getExpiryTimeInMs()
-      val (due, pending) = clusters(buf.get().toSeq).partition(_._1 <= expiry)
-      buf.clear()
-      pending.flatMap(_._2).foreach(buf.appendValue)
       val remaining = armed.get().toSeq.filter(_ != expiry)
       armed.clear()
       remaining.foreach(armed.appendValue)
-      due.iterator.flatMap { case (_, rs) => flushFn(key, rs.map(_._2)) }
+      // clusters are disjoint and sorted, so ends are increasing and
+      // the due set is a PREFIX — a stale timer (its cluster merged
+      // away) is a pure no-op that never touches the row buffer
+      val cs = sums.get().toVector
+      val (due, pending) = cs.partition(_._2 + gapMs <= expiry)
+      if (due.isEmpty) return Iterator.empty
+      val cut = due.last._2
+      val (dueRows, pendRows) = buf.get().toSeq.partition(_._1 <= cut)
+      buf.clear()
+      pendRows.foreach(buf.appendValue)
+      sums.clear()
+      pending.foreach(sums.appendValue)
+      // sort ONLY the flushed rows (stable: equal timestamps keep
+      // arrival order), then split them across the due clusters
+      val sorted = dueRows.sortBy(_._1)
+      var rest = sorted
+      due.iterator.flatMap { case (_, mx) =>
+        val (rs, later) = rest.span(_._1 <= mx)
+        rest = later
+        flushFn(key, rs.map(_._2))
+      }
     }
   }
 

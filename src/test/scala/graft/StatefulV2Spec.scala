@@ -1034,6 +1034,40 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("session clustering: multi-batch out-of-order growth, two sessions flush on one watermark jump") {
+    withRocksDb {
+      // drives the INCREMENTAL summary maintenance: rows for two
+      // sessions ([1..5] and [40..43], gap 10 s) arrive shuffled
+      // across four micro-batches — summaries must extend/merge
+      // per-row without re-clustering the buffer, and ONE watermark
+      // jump past both ends flushes BOTH sessions, each in event-time
+      // order, split correctly at the inter-session gap
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val flushed = StatefulV2.eventTimeGapFlush(
+        mem.toDS().withWatermark("_2", "2 minutes"), gapMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(flushed, table)
+      mem.addData((1L, t(3), "s1c"), (1L, t(42), "s2c"))
+      q.processAllAvailable()
+      mem.addData((1L, t(40), "s2a"), (1L, t(1), "s1a"))
+      q.processAllAvailable()
+      mem.addData((1L, t(5), "s1d"), (1L, t(43), "s2d"))
+      q.processAllAvailable()
+      mem.addData((1L, t(2), "s1b"), (1L, t(41), "s2b"))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 0) // watermark still behind
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2"))
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Seq[String])].collect()
+        .filter(_._1 == 1L).toSet
+      assert(got == Set((1L, Seq("s1a", "s1b", "s1c", "s1d")),
+        (1L, Seq("s2a", "s2b", "s2c", "s2d"))), s"got $got")
+      q.stop()
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE SQL over FIXED windows: matches confined per window") {
     withRocksDb {
       import graft.operators.MatchRecognizeSql
