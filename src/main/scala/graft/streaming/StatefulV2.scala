@@ -607,6 +607,13 @@ object StatefulV2 {
     /** A finished composite never fires again in this window (the
       * on-time / close panes are AfterWatermark's and still fire). */
     def finished(state: Long): Boolean = false
+    /** Combine the trigger states of two MERGING windows (sessions) —
+      * Beam's onMerge trigger-state merge (ReduceFnRunner.java:97 over
+      * Sessions.java:57-66). Progress composites join at the furthest
+      * point; [[OrFinallyOf]] overrides to SUM the until-counts (Beam
+      * merges AfterPane element counts by summing the combining
+      * state). Pure shapes carry no state. */
+    def mergeState(a: Long, b: Long): Long = math.max(a, b)
   }
   /** AfterPane.elementCountAtLeast(n). */
   final case class AfterCount(n: Int) extends CountTrigger {
@@ -667,6 +674,8 @@ object StatefulV2 {
         else (main.shouldFire(since), untilCount << 1)
       }
     override def finished(state: Long): Boolean = (state & 1L) == 1L
+    override def mergeState(a: Long, b: Long): Long =
+      (((a >> 1) + (b >> 1)) << 1) | ((a | b) & 1L)
   }
 
   /** One fired pane of [[TriggeredWindowProcessor]]:
@@ -1165,6 +1174,222 @@ object StatefulV2 {
     ds.groupByKey(_._1).transformWithState(
       new TriggeredWindowProcessor[K, V](windowMs, allowedLatenessMs,
         earlyTrigger, lateTrigger, accumulating, retractions),
+      TimeMode.EventTime(), OutputMode.Append())
+
+  /** The trigger/pane state machine over MERGING windows — Beam's
+    * ReduceFnRunner (runners/core-java/.../ReduceFnRunner.java:97)
+    * running the compound trigger
+    * `AfterWatermark.pastEndOfWindow().withEarlyFirings(..).withLateFirings(..)`
+    * over `Sessions` (Sessions.java:42,57-66), the interplay SURVEY
+    * §7.4 names as Beam's single most intricate behavior. Sessions are
+    * per-key gap-merged event-time clusters; each carries its OWN pane
+    * state, and when a bridging element merges two sessions their
+    * state merges too (Window.java:259-270 accumulation semantics):
+    *
+    *  - buffers concatenate; counts-since-last-fire SUM; pane index
+    *    continues from the furthest part (max); composite trigger
+    *    state joins via [[CountTrigger.mergeState]] — an early pane
+    *    fired pre-merge keeps its place in the merged lineage
+    *  - `fired` (on-time emitted) merges with OR: a merged session one
+    *    of whose parts already fired its ON_TIME pane is post-on-time
+    *    — subsequent firings are LATE (at most one ON_TIME pane per
+    *    session lineage; when fired-ness differs the fired part's
+    *    trigger state wins, since the merged session continues under
+    *    the late trigger)
+    *  - a merged session's later panes can carry an EARLIER
+    *    windowStart than its early panes — window identity itself
+    *    evolves under merging, exactly Beam's merging-window model
+    *
+    * EARLY panes fire per `earlyTrigger` before the conceptual Beam
+    * watermark passes the session end (= maxTs + gap); the ON_TIME
+    * pane fires exactly once when it does (FIRE_ALWAYS — even with
+    * nothing new buffered); LATE panes fire per `lateTrigger` for rows
+    * within `allowedLatenessMs` beyond that; at end + lateness the
+    * session closes with a final pane (isFinal=true) flushing any
+    * unfired remainder, and state is GC'd (onGarbageCollection). Pane
+    * values are event-time sorted (stable for ties). Accumulating
+    * mode re-emits the whole session per pane; discarding emits only
+    * values since the previous pane.
+    *
+    * Watermark mapping as in [[TriggeredWindowProcessor]]: the caller
+    * MUST set the upstream watermark delay to `allowedLatenessMs`, so
+    * the conceptual Beam watermark = Spark's + lateness; the on-time
+    * timer arms at (end − lateness), the GC timer at end, in Spark's
+    * domain. `allowedLatenessMs < gapMs` is enforced for the same
+    * reason as the fixed-window `lateness < window` constraint: the
+    * on-time expiry must land strictly after the session's max element
+    * timestamp. Timers whose session end moved (extension or merge)
+    * fire as no-ops.
+    *
+    * Scale: summaries + pane state per OPEN session per key (sessions
+    * per key are bounded by the gap structure); the buffer is
+    * append-only between panes; all state RocksDB-backed. */
+  class TriggeredSessionProcessor[K, V](gapMs: Long, allowedLatenessMs: Long,
+      earlyTrigger: CountTrigger, lateTrigger: CountTrigger,
+      accumulating: Boolean)(
+      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long)])
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
+    require(gapMs > 0 && allowedLatenessMs >= 0)
+    require(allowedLatenessMs < gapMs,
+      s"allowedLatenessMs ($allowedLatenessMs) must be < gapMs ($gapMs): " +
+        "the on-time timer arms at sessionEnd - lateness, which must " +
+        "fall strictly after the session's max element timestamp")
+
+    // per-session pane state, keyed by session MIN ts:
+    // (buf(ts, v), countSinceLastFire, paneIndex, onTimeFired,
+    //  triggerState, maxTs)
+    private type SessState = (Seq[(Long, V)], Long, Long, Boolean, Long, Long)
+    @transient private var sessions: MapState[Long, SessState] = _
+    @transient private var armed: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sessions = getHandle.getMapState[Long, SessState]("sessions",
+        Encoders.scalaLong, stEnc, TTLConfig.NONE)
+      armed = getHandle.getListState[Long]("armed", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    private def loadSessions(): scala.collection.mutable.TreeMap[Long, SessState] = {
+      val m = scala.collection.mutable.TreeMap.empty[Long, SessState]
+      val it = sessions.iterator()
+      while (it.hasNext) { val kv = it.next(); m += (kv._1 -> kv._2) }
+      m
+    }
+
+    private def paneValues(buf: Seq[(Long, V)]): Seq[V] =
+      buf.sortBy(_._1).map(_._2)
+
+    /** Arm any not-yet-armed timers for the session ends in `m`. */
+    private def armTimers(m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
+      val already = armed.get().toSet
+      val wanted = Set.newBuilder[Long]
+      m.values.foreach { case (_, _, _, fired, _, mx) =>
+        val end = mx + gapMs
+        if (!fired) wanted += end - allowedLatenessMs
+        if (allowedLatenessMs > 0) wanted += end
+      }
+      (wanted.result() -- already).foreach { e =>
+        getHandle.registerTimer(e)
+        armed.appendValue(e)
+      }
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, V)],
+        timers: TimerValues): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
+      val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      val m = loadSessions()
+      val before = m.keySet.toSet
+      rows.foreach { case (_, ts, v) =>
+        val t = ts.getTime
+        // neighbors under gap-connectivity (same rule as
+        // EventTimeGapProcessor.insert, but with pane state to merge)
+        val predKey = m.rangeTo(t).lastOption.map(_._1)
+        val succKey = m.rangeFrom(t + 1).headOption.map(_._1)
+        val joinsPred = predKey.exists(p => t <= m(p)._6 + gapMs)
+        val joinsSucc = succKey.exists(s => s - t <= gapMs)
+        val (skey, st0) = (joinsPred, joinsSucc) match {
+          case (true, true) =>
+            val p = predKey.get; val s = succKey.get
+            val (ab, asn, ap, af, atr, amx) = m(p)
+            val (bb, bsn, bp, bf, btr, bmx) = m(s)
+            m.remove(s)
+            val trig = if (af || bf) lateTrigger else earlyTrigger
+            val mtr =
+              if (af == bf) trig.mergeState(atr, btr)
+              else if (af) atr else btr
+            (p, (ab ++ bb, asn + bsn, math.max(ap, bp), af || bf, mtr,
+              math.max(amx, bmx)))
+          case (true, false) =>
+            val p = predKey.get
+            val (b, sn, pn, f, tr, mx) = m(p)
+            (p, (b, sn, pn, f, tr, math.max(mx, t)))
+          case (false, true) =>
+            val s = succKey.get
+            val st = m(s)
+            m.remove(s) // min moves down to t
+            (t, st)
+          case (false, false) =>
+            (t, (Seq.empty[(Long, V)], 0L, 0L, false, 0L, t))
+        }
+        var (buf, since, pane, fired, trigSt, mx) = st0
+        buf :+= ((t, v))
+        since += 1
+        val trig = if (fired) lateTrigger else earlyTrigger
+        val (fire, nextSt) = trig.onElement(trigSt, since)
+        trigSt = nextSt
+        if (fire) {
+          out += ((key, skey, pane, if (fired) "LATE" else "EARLY", false,
+            paneValues(buf)))
+          pane += 1; since = 0
+          if (!accumulating) buf = Seq.empty
+        }
+        m(skey) = (buf, since, pane, fired, trigSt, mx)
+      }
+      (before -- m.keySet).foreach(sessions.removeKey)
+      m.foreach { case (k, st) => sessions.updateValue(k, st) }
+      armTimers(m)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
+      val expiry = timer.getExpiryTimeInMs()
+      val remaining = armed.get().toSeq.filter(_ != expiry)
+      armed.clear()
+      remaining.foreach(armed.appendValue)
+      val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      val m = loadSessions()
+      m.foreach { case (min, (buf, since, pane, fired, _, mx)) =>
+        val end = mx + gapMs
+        if (!fired && end - allowedLatenessMs == expiry) {
+          // conceptual Beam watermark passed the session end
+          val closing = allowedLatenessMs == 0
+          out += ((key, min, pane, "ON_TIME", closing, paneValues(buf)))
+          if (closing) sessions.removeKey(min)
+          else sessions.updateValue(min,
+            (if (accumulating) buf else Seq.empty, 0L, pane + 1, true, 0L, mx))
+        } else if (end == expiry && allowedLatenessMs > 0) {
+          // lateness horizon passed: close + GC
+          if (since > 0)
+            out += ((key, min, pane, if (fired) "LATE" else "ON_TIME", true,
+              paneValues(buf)))
+          sessions.removeKey(min)
+        }
+        // anything else: a timer whose session end moved — no-op
+      }
+      out.iterator
+    }
+  }
+
+  /** Session windows with early/late count firings + pane metadata —
+    * see [[TriggeredSessionProcessor]]. `ds` must carry
+    * `.withWatermark(tsCol, s"$allowedLatenessMs milliseconds")`.
+    * `earlyFireEvery` 0 = no early firings (the default trigger). */
+  def triggeredSessions[K: Encoder, V: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, V)], gapMs: Long,
+      allowedLatenessMs: Long = 0L, earlyFireEvery: Int = 0,
+      lateFireEvery: Int = 1, accumulating: Boolean = false)(
+      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long)],
+      outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
+    triggeredSessionsWith(ds, gapMs, allowedLatenessMs,
+      earlyTrigger = if (earlyFireEvery > 0) AfterCount(earlyFireEvery)
+                     else NeverCount,
+      lateTrigger = AfterCount(lateFireEvery),
+      accumulating = accumulating)
+
+  /** [[triggeredSessions]] with compositional [[CountTrigger]]s. */
+  def triggeredSessionsWith[K: Encoder, V: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, V)], gapMs: Long,
+      allowedLatenessMs: Long = 0L,
+      earlyTrigger: CountTrigger = NeverCount,
+      lateTrigger: CountTrigger = AfterCount(1),
+      accumulating: Boolean = false)(
+      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long)],
+      outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new TriggeredSessionProcessor[K, V](gapMs, allowedLatenessMs,
+        earlyTrigger, lateTrigger, accumulating),
       TimeMode.EventTime(), OutputMode.Append())
 
   /** Beam's MIXED time-mode compound trigger — the one trigger shape a

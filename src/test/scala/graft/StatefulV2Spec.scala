@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, collect_list, session_window, sort_array, struct}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming.StatefulV2
 
@@ -420,6 +421,134 @@ class StatefulV2Spec extends SparkSpec {
         ("ON_TIME", Seq("w1-a"))), s"got $got")
       q.stop()
     }
+  }
+
+  test("triggered SESSIONS: early pane before merge; merged panes continue the index and accumulate across the bridge") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.triggeredSessions(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        gapMs = 10000L, allowedLatenessMs = 0L, earlyFireEvery = 2,
+        accumulating = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      // session A = {a@1, b@2}: early pane fires on b (before any merge)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"))
+      q.processAllAvailable()
+      // d@20 opens session B and c@11 BRIDGES A and B (11-2 ≤ gap,
+      // 20-11 ≤ gap) — same batch, so both clear the watermark (2s).
+      // Merged state = counts sum (2 since A's firing → the early
+      // trigger fires again), pane index continues from the furthest
+      // part (A fired pane 0 → merged fires pane 1), buffer
+      // accumulates both parts across the bridge
+      mem.addData((1L, t(20), "d"), (1L, t(11), "c"))
+      q.processAllAvailable()
+      // watermark past merged end (20s + 10s gap); A's original 12s
+      // timer fires as a stale no-op along the way
+      mem.addData((9L, t(40), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, t(45), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 3)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._2, p._3, p._4, p._5, p._6)).toSeq
+      val start = t(1).getTime
+      assert(got == Seq(
+        (start, 0L, "EARLY", false, Seq("a", "b")),
+        (start, 1L, "EARLY", false, Seq("a", "b", "c", "d")),
+        (start, 2L, "ON_TIME", true, Seq("a", "b", "c", "d"))), s"got $got")
+      q.stop()
+    }
+  }
+
+  test("triggered SESSIONS: LATE pane after the on-time firing, then silent GC") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // lateness 5s ⇒ watermark delay 5s; session {a@1, b@3}: end 13s,
+      // on-time timer at 8s in Spark's domain
+      val panes = StatefulV2.triggeredSessions(
+        mem.toDS().withWatermark("_2", "5000 milliseconds"),
+        gapMs = 10000L, allowedLatenessMs = 5000L, earlyFireEvery = 0,
+        lateFireEvery = 1, accumulating = false)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(3), "b"))
+      q.processAllAvailable()
+      mem.addData((9L, t(15), "wm")) // spark wm 10s ≥ 8s → ON_TIME
+      q.processAllAvailable()
+      mem.addData((9L, t(16), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 1)
+      // late row @12 (above spark wm 11s, within gap of max 3) re-enters
+      // the CLOSED-but-not-GC'd session → LATE pane, session extends
+      mem.addData((1L, t(12), "late"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 2)
+      // horizon passes the extended end (12+10=22s) → GC with nothing
+      // unfired: no final pane
+      mem.addData((9L, t(40), "wm3"))
+      q.processAllAvailable()
+      mem.addData((9L, t(45), "wm4"))
+      q.processAllAvailable()
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._3, p._4, p._5, p._6)).toSeq
+      assert(got == Seq(
+        (0L, "ON_TIME", false, Seq("a", "b")),
+        (1L, "LATE", false, Seq("late"))), s"got $got")
+      q.stop()
+    }
+  }
+
+  test("triggered SESSIONS: accumulating final panes == batch session_window contents (unification)") {
+    withRocksDb {
+      // shuffled multi-batch arrival over three sessions on two keys;
+      // early firings every 2 elements are noise — the isFinal panes
+      // must equal the BATCH session_window grouping of the same rows
+      val rows = Seq(
+        (1L, t(3), "a2"), (1L, t(1), "a1"), (1L, t(25), "b1"),
+        (1L, t(27), "b2"), (1L, t(29), "b3"), (2L, t(5), "c1"),
+        (2L, t(9), "c2"))
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // generous watermark delay so the shuffled cross-batch arrival
+      // order never drops rows; lateness 0 → on-time pane IS final
+      val panes = StatefulV2.triggeredSessions(
+        mem.toDS().withWatermark("_2", "2 minutes"),
+        gapMs = 10000L, allowedLatenessMs = 0L, earlyFireEvery = 2,
+        accumulating = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      rows.grouped(3).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2"))
+      q.processAllAvailable()
+      val finals = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(p => p._1 != 9L && p._5)
+        .map(p => (p._1, p._6.toList)).toSet
+      val batch = rows.toDF("k", "ts", "v")
+        .groupBy(col("k"), session_window(col("ts"), "10 seconds"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("v")))).as("vs"))
+        .select(col("k"), col("vs.v"))
+        .as[(Long, Seq[String])].collect()
+        .map(p => (p._1, p._2.toList)).toSet
+      assert(finals == batch, s"stream=$finals batch=$batch")
+      q.stop()
+    }
+  }
+
+  test("triggered SESSIONS: lateness >= gap is rejected up front") {
+    val err = intercept[IllegalArgumentException] {
+      new StatefulV2.TriggeredSessionProcessor[Long, String](
+        gapMs = 1000L, allowedLatenessMs = 1000L,
+        earlyTrigger = StatefulV2.NeverCount,
+        lateTrigger = StatefulV2.AfterCount(1), accumulating = false)
+    }
+    assert(err.getMessage.contains("must be < gapMs"))
   }
 
   test("winningBid drops orphan bids after the orphan TTL (state GC)") {
