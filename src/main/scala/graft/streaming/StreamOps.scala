@@ -52,6 +52,17 @@ object StreamOps {
   /** Session windows (gap-merged per key) — native `session_window`,
     * including merge across micro-batches backed by the state store. */
   def sessionAgg(df: DataFrame, tsCol: String, gap: String,
+      lateness: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    sessionAggDynamic(df, tsCol, lit(gap), lateness, keys, aggs)
+
+  /** [[sessionAgg]] with a DYNAMIC per-row gap expression — Beam's
+    * data-driven Sessions (a WindowFn reading the element,
+    * windowing/Sessions.java generalized); Spark's `session_window`
+    * accepts a gap Column in streaming too, so e.g. purchase events
+    * can hold a session open longer than views. Rows whose gap
+    * evaluates ≤ 0 are dropped by the operator (Spark's documented
+    * dynamic-gap contract). */
+  def sessionAggDynamic(df: DataFrame, tsCol: String, gap: Column,
       lateness: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
     val wm = if (df.isStreaming) df.withWatermark(tsCol, lateness) else df
     wm.groupBy((session_window(col(tsCol), gap) +: keys): _*)

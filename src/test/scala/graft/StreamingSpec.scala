@@ -156,30 +156,38 @@ class StreamingSpec extends SparkSpec {
       rows.toSeq.toString)
   }
 
-  test("dynamic-gap session windows run unchanged on a stream") {
+  test("dynamic-gap session windows run unchanged on a stream (and match the batch result)") {
     // the newest windowing mode keeps the unification promise too:
     // per-row gap expression (clicks hold the session 30 min, views
-    // 10) inside a streaming session_window aggregation
+    // 10) inside a streaming session_window aggregation — via the
+    // SAME StreamOps.sessionAggDynamic call the batch path uses
     val mem = MemoryStream[Ev]
     val gap = when(col("event_type") === "click", "30 minutes")
       .otherwise("10 minutes")
-    val streamed = mem.toDF().withWatermark("ts", "5 minutes")
-      .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-    val table = freshTable()
-    val q = streamed.writeStream.format("memory")
-      .queryName(table).outputMode("append").start()
-    mem.addData(
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.sessionAggDynamic(df, "ts", gap, "5 minutes",
+        Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+    val data = Seq(
       Ev(1, ts(0), 1, "click", 0),  // 30-min reach: holds through 10:25
       Ev(2, ts(25), 1, "view", 0),  // within click's reach → same session
       Ev(3, ts(0), 2, "view", 0),   // 10-min reach only
-      Ev(4, ts(25), 2, "view", 0),  // beyond it → NEW session
-      Ev(99, ts(59, 59), 9, "eof", 0))
+      Ev(4, ts(25), 2, "view", 0))  // beyond it → NEW session
+    val table = freshTable()
+    val q = sessions(mem.toDF()).writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(data :+ Ev(99, ts(59, 59), 9, "eof", 0): _*)
     runToCompletion(q)
-    val got = spark.table(table).filter(col("user_id") < 9)
-      .select("user_id", "n").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    assert(got == Seq((1L, 2L), (2L, 1L), (2L, 1L)), got.toString)
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getStruct(0).getTimestamp(0).toString,
+        r.getStruct(0).getTimestamp(1).toString,
+        r.getLong(1), r.getLong(2))).toSeq.sorted
+    val streamed = shape(spark.table(table).filter(col("user_id") < 9).collect())
+    assert(streamed.map(r => (r._3, r._4)).sorted ==
+      Seq((1L, 2L), (2L, 1L), (2L, 1L)), streamed.toString)
+    // the identical call on a batch DataFrame returns the same
+    // sessions — Beam's bounded/unbounded unification
+    val batch = shape(sessions(data.toDF()).collect())
+    assert(batch == streamed, s"batch=$batch stream=$streamed")
   }
 
   test("stream-stream join within event-time bound") {
