@@ -71,7 +71,11 @@ object Bench {
     "text_url_canonicalize", "pattern_measure_arith",
     "pattern_nav_offsets", "vec_ann_ivfpq", "pattern_sql_statement",
     "text_bpe_tokens", "pattern_define_agg", "pattern_exclusion",
-    "join_interval", "text_perplexity_bigram", "dedup_admit_novel")
+    "join_interval", "text_perplexity_bigram", "dedup_admit_novel",
+    // round 9 additions: TPC-DS analog shapes
+    "agg_tpcds_q3", "agg_tpcds_q5", "agg_tpcds_q14", "agg_tpcds_q38",
+    "agg_tpcds_q47", "agg_tpcds_q51", "agg_tpcds_q67", "agg_tpcds_q73",
+    "agg_tpcds_q74", "agg_tpcds_q88")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -14,7 +14,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     RelationalQueries.queries ++ TpchQueries.queries ++
-      EventTimeQueries.queries ++
+      TpcdsQueries.queries ++ EventTimeQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
       CoverageQueries.queries ++ PipelineQueries.queries ++
       CurationQueries.queries

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** TPC-DS analog mini-suite: the star-schema / grouping-sets /
+  * window-heavy SQL shapes a warehouse user actually runs, which TPC-H
+  * doesn't exercise. The reference ships the full 103-query TPC-DS
+  * suite as benchmark-as-test
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
+  * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
+  * these port its ten distinctive PLAN SHAPES onto the driver's
+  * TPC-H-ish star schema (there is no date_dim/item/store, so filters
+  * and dimensions map to year()/month(), part, nation):
+  *
+  *   q3   star join + dimension filter + (year, brand) aggregate
+  *   q5   multi-channel UNION ALL + ROLLUP
+  *   q14  GROUPING SETS with grouping-id output
+  *   q38  multi-channel INTERSECT of customer sets
+  *   q47  lag/lead navigation over an aggregate (monthly series)
+  *   q51  cumulative windows over a FULL OUTER join of two channels
+  *   q67  rank() over ROLLUP results per group
+  *   q73  HAVING count range + join back to the dimension
+  *   q74  year-over-year self-join of per-customer aggregates
+  *   q88  multi-band conditional counts in one scan
+  *
+  * Scale discipline matches [[TpchQueries]]: only fixed-cardinality
+  * dims (nation=25) are hinted broadcast; fact-fact joins stay shuffle
+  * joins for AQE. Counts/quantities are emitted as BIGINT (exact
+  * cross-engine); money sums round to 4 decimals.
+  */
+object TpcdsQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def prt(s: SparkSession, d: String) = Tables.part(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  private val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** orders ⋈ customer ⋈ nation with (n_name, ym = year*100+month). */
+  private def ordByNationMonth(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("ym",
+        year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+
+  def queries: Seq[Q] = Seq(
+
+    // q3: the canonical star join — fact ⋈ filtered dimension ⋈ date,
+    // grouped by (year, brand). The dimension filter must reach the
+    // part scan and prune lineitem BEFORE the orders join.
+    Q("agg_tpcds_q3",
+      (s, d) => li(s, d)
+        .join(prt(s, d).filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("p_brand"))
+        .agg(round(sum(rev), 4).as("sum_agg")),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year, p_brand,
+          round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_agg
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_type = 'PROMO'
+        GROUP BY 1, 2""")),
+
+    // q5: multi-channel report — each channel is a branch of a UNION
+    // ALL over the same fact (sales vs returns), rolled up with
+    // ROLLUP(channel, nation): per-(channel, nation) rows, per-channel
+    // subtotals, and a grand total, all in one aggregation.
+    Q("agg_tpcds_q5",
+      (s, d) => {
+        val base = li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select(col("l_returnflag"), col("n_name"), rev.as("r"))
+        val sales = base.filter(col("l_returnflag") =!= "R")
+          .select(lit("sales").as("channel"), col("n_name"), col("r"))
+        val returns = base.filter(col("l_returnflag") === "R")
+          .select(lit("returns").as("channel"), col("n_name"), col("r"))
+        sales.unionByName(returns)
+          .rollup(col("channel"), col("n_name"))
+          .agg(round(sum(col("r")), 4).as("total_rev"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH base AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 'returns'
+                      ELSE 'sales' END AS channel,
+            n_name, l_extendedprice * (1 - l_discount) AS r
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey)
+        SELECT channel, n_name, round(sum(r), 4) AS total_rev,
+          CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY ROLLUP(channel, n_name)""")),
+
+    // q14: GROUPING SETS — (type, brand), (type), () in one pass, with
+    // an explicit grouping-id column distinguishing the levels.
+    Q("agg_tpcds_q14",
+      (s, d) => li(s, d)
+        .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+        .groupingSets(
+          Seq(Seq(col("p_type"), col("p_brand")), Seq(col("p_type")), Seq()),
+          col("p_type"), col("p_brand"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          (grouping(col("p_type")) * 2 + grouping(col("p_brand")))
+            .cast("long").as("gid")),
+      Some("""SELECT p_type, p_brand,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          CAST(GROUPING(p_type) * 2 + GROUPING(p_brand) AS BIGINT) AS gid
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY GROUPING SETS ((p_type, p_brand), (p_type), ())""")),
+
+    // q38: customers present in ALL THREE channels (order priorities
+    // stand in for store/catalog/web) — chained INTERSECT, then count.
+    Q("agg_tpcds_q38",
+      (s, d) => {
+        def chan(p: String) = ord(s, d)
+          .filter(col("o_orderpriority") === p)
+          .select(col("o_custkey")).distinct()
+        chan("1-URGENT").intersect(chan("2-HIGH"))
+          .intersect(chan("3-MEDIUM"))
+          .agg(count(lit(1)).cast("long").as("n"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM')""")),
+
+    // q47: navigation over an aggregate — monthly order volume per
+    // nation with the previous/next month alongside (lag/lead over the
+    // grouped series; rounding happens BEFORE navigation so both
+    // engines navigate identical values).
+    Q("agg_tpcds_q47",
+      (s, d) => {
+        val monthly = ordByNationMonth(s, d)
+          .groupBy(col("n_name"), col("ym"))
+          .agg(round(sum(col("o_totalprice")), 4).as("sales"))
+        val w = Window.partitionBy(col("n_name")).orderBy(col("ym"))
+        monthly
+          .withColumn("prev_sales", lag(col("sales"), 1).over(w))
+          .withColumn("next_sales", lead(col("sales"), 1).over(w))
+          .filter(col("prev_sales").isNotNull && col("next_sales").isNotNull)
+      },
+      Some("""WITH monthly AS (
+          SELECT n_name,
+            CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+            round(sum(o_totalprice), 4) AS sales
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT n_name, ym, sales,
+          lag(sales) OVER w AS prev_sales,
+          lead(sales) OVER w AS next_sales
+        FROM monthly
+        WINDOW w AS (PARTITION BY n_name ORDER BY ym)
+        QUALIFY prev_sales IS NOT NULL AND next_sales IS NOT NULL""")),
+
+    // q51: two channels aggregated independently, FULL OUTER joined on
+    // (nation, month), then compared through CUMULATIVE window sums —
+    // months where the running return count exceeds 1/5 of the running
+    // order count (integer counts: exact cross-engine).
+    Q("agg_tpcds_q51",
+      (s, d) => {
+        val o = ordByNationMonth(s, d)
+          .groupBy(col("n_name"), col("ym"))
+          .agg(count(lit(1)).as("n_ord"))
+        val r = li(s, d).filter(col("l_returnflag") === "R")
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .withColumn("ym",
+            year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .groupBy(col("n_name"), col("ym"))
+          .agg(count(lit(1)).as("n_ret"))
+        val w = Window.partitionBy(col("n_name")).orderBy(col("ym"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.join(r, Seq("n_name", "ym"), "full_outer")
+          .select(col("n_name"), col("ym"),
+            coalesce(col("n_ord"), lit(0L)).as("n_ord"),
+            coalesce(col("n_ret"), lit(0L)).as("n_ret"))
+          .withColumn("cum_ord", sum(col("n_ord")).over(w))
+          .withColumn("cum_ret", sum(col("n_ret")).over(w))
+          .filter(col("cum_ret") * 5 > col("cum_ord"))
+          .select(col("n_name"), col("ym"), col("cum_ord"), col("cum_ret"))
+      },
+      Some("""WITH o AS (
+          SELECT n_name,
+            CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+            count(*) AS n_ord
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2
+        ), r AS (
+          SELECT n_name,
+            CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+            count(*) AS n_ret
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+          GROUP BY 1, 2
+        ), j AS (
+          SELECT COALESCE(o.n_name, r.n_name) AS n_name,
+            COALESCE(o.ym, r.ym) AS ym,
+            COALESCE(o.n_ord, 0) AS n_ord, COALESCE(r.n_ret, 0) AS n_ret
+          FROM o FULL JOIN r ON o.n_name = r.n_name AND o.ym = r.ym)
+        SELECT n_name, ym,
+          CAST(sum(n_ord) OVER w AS BIGINT) AS cum_ord,
+          CAST(sum(n_ret) OVER w AS BIGINT) AS cum_ret
+        FROM j
+        WINDOW w AS (PARTITION BY n_name ORDER BY ym
+                     ROWS UNBOUNDED PRECEDING)
+        QUALIFY cum_ret * 5 > cum_ord""")),
+
+    // q67: rank() over ROLLUP output — quantity by (type, brand) plus
+    // subtotals, top 3 rows per type partition (the subtotal row
+    // competes in its own partition, as in q67's rollup ranking).
+    // Tiebreak on coalesce(brand) keeps the rank total-ordered without
+    // engine-specific NULL placement.
+    Q("agg_tpcds_q67",
+      (s, d) => {
+        val rolled = li(s, d)
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .rollup(col("p_type"), col("p_brand"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        val w = Window.partitionBy(col("p_type"))
+          .orderBy(col("sum_qty").desc, coalesce(col("p_brand"), lit("")).asc)
+        rolled.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      },
+      Some("""WITH rolled AS (
+          SELECT p_type, p_brand, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY ROLLUP(p_type, p_brand))
+        SELECT p_type, p_brand, sum_qty,
+          CAST(rank() OVER (PARTITION BY p_type
+            ORDER BY sum_qty DESC, COALESCE(p_brand, '') ASC) AS INT) AS rk
+        FROM rolled QUALIFY rk <= 3""")),
+
+    // q73: frequency-band customers — order counts in a date range
+    // HAVING count in [4, 6], joined back to the dimension for names.
+    Q("agg_tpcds_q73",
+      (s, d) => ord(s, d)
+        .filter(year(col("o_orderdate")).between(1995, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(4, 6))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n")),
+      Some("""SELECT c_custkey, c_name, n FROM (
+          SELECT o_custkey, count(*) AS n FROM orders
+          WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+          GROUP BY 1 HAVING count(*) BETWEEN 4 AND 6)
+        JOIN customer ON o_custkey = c_custkey""")),
+
+    // q74: year-over-year — per-customer totals for two years,
+    // self-joined, keeping customers who grew (integer counts: the
+    // growth comparison is exact).
+    Q("agg_tpcds_q74",
+      (s, d) => {
+        def yr(y: Int) = ord(s, d)
+          .filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as(s"n_$y"))
+        yr(1996).join(yr(1997), Seq("o_custkey"))
+          .filter(col("n_1997") > col("n_1996"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"),
+            col("n_1996"), col("n_1997"))
+      },
+      Some("""WITH y96 AS (
+          SELECT o_custkey, count(*) AS n_1996 FROM orders
+          WHERE year(o_orderdate) = 1996 GROUP BY 1
+        ), y97 AS (
+          SELECT o_custkey, count(*) AS n_1997 FROM orders
+          WHERE year(o_orderdate) = 1997 GROUP BY 1)
+        SELECT c_custkey, c_name, n_1996, n_1997
+        FROM y96 JOIN y97 USING (o_custkey)
+        JOIN customer ON o_custkey = c_custkey
+        WHERE n_1997 > n_1996""")),
+
+    // q88: one scan, eight disjoint conditional counts (time-of-day
+    // bands) — the multi-scan-collapsed-to-conditional-aggregation
+    // shape; Catalyst evaluates all eight in a single pass.
+    Q("agg_tpcds_q88",
+      (s, d) => {
+        def band(i: Int) = sum(when(hour(col("ts")) >= i * 3 &&
+          hour(col("ts")) < (i + 1) * 3, 1).otherwise(0))
+          .cast("long").as(s"h$i")
+        ev(s, d).filter(col("event_type") === "click")
+          .agg(band(0), band(1), band(2), band(3), band(4), band(5),
+            band(6), band(7))
+      },
+      Some("""SELECT
+          CAST(count(*) FILTER (WHERE hour(ts) >= 0  AND hour(ts) < 3)  AS BIGINT) AS h0,
+          CAST(count(*) FILTER (WHERE hour(ts) >= 3  AND hour(ts) < 6)  AS BIGINT) AS h1,
+          CAST(count(*) FILTER (WHERE hour(ts) >= 6  AND hour(ts) < 9)  AS BIGINT) AS h2,
+          CAST(count(*) FILTER (WHERE hour(ts) >= 9  AND hour(ts) < 12) AS BIGINT) AS h3,
+          CAST(count(*) FILTER (WHERE hour(ts) >= 12 AND hour(ts) < 15) AS BIGINT) AS h4,
+          CAST(count(*) FILTER (WHERE hour(ts) >= 15 AND hour(ts) < 18) AS BIGINT) AS h5,
+          CAST(count(*) FILTER (WHERE hour(ts) >= 18 AND hour(ts) < 21) AS BIGINT) AS h6,
+          CAST(count(*) FILTER (WHERE hour(ts) >= 21 AND hour(ts) < 24) AS BIGINT) AS h7
+        FROM events WHERE event_type = 'click'"""))
+  )
+}

@@ -396,6 +396,24 @@ class ScaleSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(ewma).size == 1,
       "ewma should shuffle exactly once")
     assert(ewma.contains("Sort "), "ewma lost its group sort")
+    // TPC-DS q3 analog: the dimension filter reaches the part scan
+    // (classic star-join pruning — the fact join must see only PROMO
+    // parts, not post-filter)
+    val ds3 = plan("agg_tpcds_q3")
+    assert(ds3.contains("EqualTo(p_type,PROMO)"),
+      "tpcds q3 part filter not pushed to the scan")
+    // TPC-DS q88 analog: eight conditional counts collapse to ONE
+    // aggregation pass — a single exchange, no expand, no union
+    val ds88 = plan("agg_tpcds_q88")
+    assert("Exchange".r.findAllIn(ds88).size <= 1 &&
+      !ds88.contains("Union"),
+      "tpcds q88 no longer a single conditional-aggregation pass")
+    // TPC-DS q67 analog: rollup + rank = one aggregation (Expand) and
+    // one window, never a re-scan per grouping level
+    val ds67 = plan("agg_tpcds_q67")
+    assert("Scan parquet".r.findAllIn(ds67).size <= 2,
+      "tpcds q67 re-scans inputs per rollup level")
+    assert(ds67.contains("Window"), "tpcds q67 lost the rank window")
   }
 
   test("GraftExtensions injects native functions at session build") {
