@@ -141,6 +141,37 @@ object Bench {
     }
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val total = results.map(_._2).sum
+    // Streaming throughput section (events/s; BASELINE's Nexmark
+    // numbers are a streaming bench — this is the like-for-like side).
+    // A failed op reports -1.0, same contract as the batch rows.
+    val streaming: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAMING", "1") == "0") Seq.empty
+      else {
+        // Streaming-section tuning (measured on sf0.1, each worth
+        // 1.3-2x): RocksDB + changelog checkpointing (per-batch commit
+        // ships the delta, not a full snapshot), 8 state partitions
+        // (32 RocksDB instances paying per-batch commit overhead
+        // dwarfed the actual work at this key cardinality), and no
+        // no-data micro-batches (timers fire during the data batches;
+        // the sentinel batches deliver the final flushes).
+        val tuned = Seq(
+          "spark.sql.streaming.stateStore.providerClass" ->
+            graft.streaming.StatefulV2.RocksDbProvider,
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+          "spark.sql.shuffle.partitions" -> "8")
+        val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+        tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+        try StreamingBench.run(spark, sfDir)
+        catch { case _: Throwable => Seq("streaming_suite" -> -1.0) }
+        finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+    val streamingJson = streaming
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
     // Full per-query detail goes to a FILE: the bench driver captures
     // only the tail of stdout (observed: last ~2000 chars), so a
     // 127-entry JSON line gets front-truncated and fails to parse —
@@ -148,7 +179,7 @@ object Bench {
     val full = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$full,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$full,"streaming":$streamingJson,"sf":"$sfDir"}"""
     // best-effort: never let a read-only/foreign cwd kill the stdout
     // line the driver parses
     try java.nio.file.Files.write(
@@ -168,7 +199,9 @@ object Bench {
       (anchors ++ names).distinct
     }
     val byName = results.toMap
-    val capChars = 1500 // map budget; full line stays < ~1700 chars
+    // map budget; full line (incl. the ~250-char streaming block)
+    // stays < ~1700 chars, under the driver's ~2000-char stdout tail
+    val capChars = 1250
     val sb = new StringBuilder
     var taken = 0
     anchorsFirst.foreach { n =>
@@ -179,7 +212,7 @@ object Bench {
       }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"n_queries":${names.size},"detail":"bench_details.json","queries":{${sb.toString}},"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"n_queries":${names.size},"detail":"bench_details.json","queries":{${sb.toString}},"streaming":$streamingJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

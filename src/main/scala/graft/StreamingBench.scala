@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{StatefulV2, StreamOps}
+
+/** Streaming THROUGHPUT bench: replays the `events` table in
+  * event-time order through MemoryStream into the stateful streaming
+  * operators and reports events/second — the like-for-like comparison
+  * with BASELINE.md's published Beam DirectRunner Nexmark numbers,
+  * which are a STREAMING bench (events/s over ~100k events), where the
+  * batch headline queries only measure batch analogs.
+  *
+  * Method: rows sorted by event time (Nexmark's replay order), fed in
+  * `Chunks` micro-batches (so state-store commits, watermark advance,
+  * and timer firing are all on the measured path), then watermark
+  * sentinels to flush event-time state; wall time runs from
+  * query.start() through the final flush. Single measured pass per op
+  * (streaming queries are multi-second and self-averaging across
+  * micro-batches; the batch bench's best-of-3 would triple a
+  * several-minute section for little variance gain).
+  */
+object StreamingBench {
+
+  private val Chunks = 10
+
+  private def bench[T: Encoder](spark: SparkSession, name: String,
+      rows: IndexedSeq[T], sentinels: Seq[T])(
+      f: Dataset[T] => Dataset[_]): (String, Double) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[T]
+    val out = f(mem.toDS())
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sbench_" + name).toString
+    val t0 = System.nanoTime()
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val sz = math.max(1, rows.size / Chunks)
+    rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
+    val dt = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    (name, rows.size / dt)
+  }
+
+  /** (name → events/s) for the streaming operator suite. Caller is
+    * expected to have set the RocksDB state-store provider
+    * (transformWithState requires it). */
+  def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import spark.implicits._
+    // bounded: bench replay source — events at sf0.1 is ~100k small
+    // rows, materialized to the driver by design (MemoryStream feed)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_type", "value", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+      .sortBy(_._2.getTime)
+      .toIndexedSeq
+    val maxTs = ev.last._2.getTime
+    def lateTs(h: Int) = new java.sql.Timestamp(maxTs + h * 3600000L)
+
+    val tvd = ev.map(e => (e._1, e._2, e._4)) // (user, ts, value)
+    val named = ev.map(e => (e._1, e._2, e._3, e._4))
+
+    val mrClause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES COUNT(*) AS n
+      ONE ROW PER MATCH
+      PATTERN (C+ P)
+      DEFINE C AS C.etype = 'click', P AS P.etype = 'purchase'"""
+
+    Seq(
+      // Nexmark Q3's incremental join (state, no timers): person =
+      // first signup per user, auctions join as they arrive
+      bench(spark, "streaming_incremental_join",
+        ev.map(e => if (e._3 == "signup") (e._1, Option(e._1), Option.empty[Double])
+                    else (e._1, Option.empty[Long], Option(e._4))),
+        Seq.empty[(Long, Option[Long], Option[Double])]) { ds =>
+        StatefulV2.incrementalJoin[Long, Long, Double](ds)
+      },
+      // Nexmark Q9's winning bid (event-time timers at auction close)
+      bench(spark, "streaming_winning_bid",
+        ev.map(e => (e._1, e._2, e._3 == "signup", e._5, e._4)),
+        Seq((-1L, lateTs(3), false, -1L, 0.0),
+          (-1L, lateTs(4), false, -2L, 0.0))) { ds =>
+        StatefulV2.winningBid(ds.withWatermark("_2", "0 seconds"),
+          durationMs = 3600000L)
+      },
+      // fixed windows under the trigger/pane state machine
+      bench(spark, "streaming_triggered_windows", tvd,
+        Seq((-1L, lateTs(3), 0.0), (-1L, lateTs(4), 0.0))) { ds =>
+        StatefulV2.triggeredWindows(ds.withWatermark("_2", "0 seconds"),
+          windowMs = 3600000L)
+      },
+      // merging session windows under the same machinery (round 9)
+      bench(spark, "streaming_triggered_sessions", tvd,
+        Seq((-1L, lateTs(3), 0.0), (-1L, lateTs(4), 0.0))) { ds =>
+        StatefulV2.triggeredSessions(ds.withWatermark("_2", "0 seconds"),
+          gapMs = 1800000L)
+      },
+      // native session_window aggregation (the Catalyst-planned path,
+      // as a floor/reference for the custom processors above)
+      bench(spark, "streaming_session_agg", named,
+        Seq((-1L, lateTs(3), "eof", 0.0), (-1L, lateTs(4), "eof", 0.0))) { ds =>
+        StreamOps.sessionAgg(ds.toDF("user_id", "ts", "etype", "value"),
+          "ts", "30 minutes", "0 seconds", Seq(col("user_id")),
+          Seq(count(lit(1)).as("n")))
+      },
+      // streaming MATCH_RECOGNIZE: NFA per watermark-closed session
+      bench(spark, "streaming_match_recognize", named,
+        Seq((-1L, lateTs(3), "eof", 0.0), (-1L, lateTs(4), "eof", 0.0))) { ds =>
+        graft.operators.MatchRecognizeSql.stream(
+          ds.toDF("user_id", "ts", "etype", "value"), mrClause,
+          tsCol = "ts", delay = "0 seconds", gapMs = 1800000L)
+      })
+  }
+}

@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object SBenchMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StatefulV2.RocksDbProvider)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.StreamingBench.run(spark, sfDir).foreach { case (n, eps) =>
+      println(f"SBENCH $n%-34s ${eps}%.1f events/s")
+    }
+    spark.stop()
+  }
+}
