@@ -238,6 +238,37 @@ object Dedup {
     batch.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** EMBEDDING-level ingestion admission — the online form of semantic
+    * dedup (SemDeDup at the crawl gate): drop incoming rows whose
+    * embedding has a near-duplicate (exact cosine ≥ `minSim` after the
+    * bounded re-rank) in the INDEXED corpus, admit the rest.
+    *
+    * The corpus rides as the persisted IVF-PQ artifacts — the
+    * [[Similarity.PqIndex]] (a few KB, [[Similarity.readPqIndex]]) plus
+    * the [[Similarity.encodePq]] table (m bytes + cell + norm per row)
+    * — so per-batch work is O(batch · probed-cell candidates), never
+    * O(corpus), and only the bounded shortlist ever touches raw corpus
+    * vectors. Pair with `foreachBatch` to gate an unbounded stream
+    * (batch ≡ stream by construction; the index artifacts are loaded
+    * once outside the loop).
+    *
+    * Admission is decision-robust even though ANN is approximate when
+    * duplicates are true copies/near-copies: such a query ranks its
+    * original's cell first and the original survives every shortlist
+    * cut, so real duplicates are always verified by exact cosine;
+    * a candidate below `minSim` can only be admitted. */
+  def admitNovelByEmbedding(batch: DataFrame, encoded: DataFrame,
+      corpusVecs: DataFrame, idCol: String, vecCol: String,
+      index: Similarity.PqIndex, minSim: Double, nProbe: Int = 4,
+      rerank: Int = 4): DataFrame = {
+    val nn = Similarity.ivfPqTopKEncoded(
+      batch.select(col(idCol), col(vecCol)), encoded, corpusVecs,
+      idCol, vecCol, index, k = 1, nProbe = nProbe, rerank = rerank)
+    val dupIds = nn.filter(col("sim") >= minSim)
+      .select(col("query_id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** SimHash over whitespace tokens using `bits` bits (≤ 64) of the
     * signed 64-bit md5 token hash. Per-bit majority vote; one narrow
     * projection through the compiled [[graft.functions.SimHash]] loop.

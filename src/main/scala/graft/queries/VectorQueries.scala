@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Vector-similarity coverage over the `embeddings` table: norms,
   * brute-force cosine top-k (broadcast query set — the corpus is scanned
@@ -251,6 +251,47 @@ object VectorQueries {
       Some("""SELECT 5 AS k, count(*) AS n_queries, CAST(1 AS BIGINT)
           AS recall_ok
         FROM embeddings WHERE vec_id % 25 = 0""")),
+
+    // ===== EMBEDDING-level ingestion admission (round 9): the online
+    // form of semantic dedup — per-batch ANN against the persisted
+    // IVF-PQ index drops incoming vectors whose exact cosine vs the
+    // corpus clears 0.95, admits the rest. Incoming = exact COPIES of
+    // every 25th corpus vector (a copy ranks its original's cell first
+    // and survives every shortlist cut → always caught, so the
+    // admitted set is DETERMINISTIC despite ANN) + basis-vector
+    // "novels" (max true corpus cosine ≈ 0.58 — far under threshold
+    // whichever candidates ANN surfaces). The oracle brute-forces the
+    // true max cosine per incoming row: decision-level equivalence,
+    // the same contract the streaming foreachBatch gate runs on.
+    Q("dedup_admit_novel_embedding",
+      (s, d) => {
+        val corpus = emb(s, d)
+        val copies = corpus.filter(col("vec_id") % 25 === 0)
+          .select((-col("vec_id") - 1).as("vec_id"), col("embedding"))
+        val novels = corpus.filter(col("vec_id") % 25 === 7)
+          .select((-col("vec_id") - 100001L).as("vec_id"),
+            transform(sequence(lit(0), lit(63)), j =>
+              when(j.cast("long") === pmod(col("vec_id"), lit(64L)),
+                lit(1.0f)).otherwise(lit(0.0f))).as("embedding"))
+        val index = Similarity.fitPqIndex(corpus, "vec_id", "embedding",
+          nCells = 16, m = 16, kCodes = 32, pqIters = 1)
+        val encoded = Similarity.encodePq(corpus, "vec_id", "embedding", index)
+        Dedup.admitNovelByEmbedding(copies.unionByName(novels), encoded,
+            corpus, "vec_id", "embedding", index, minSim = 0.95)
+          .select("vec_id")
+      },
+      Some("""WITH inc AS (
+          SELECT -vec_id - 1 AS id, embedding AS v
+          FROM embeddings WHERE vec_id % 25 = 0
+          UNION ALL
+          SELECT -vec_id - 100001 AS id,
+            list_transform(range(0, 64), j ->
+              CAST(CASE WHEN j = vec_id % 64 THEN 1.0 ELSE 0.0 END AS FLOAT)) AS v
+          FROM embeddings WHERE vec_id % 25 = 7
+        ), m AS (
+          SELECT inc.id, max(list_cosine_similarity(inc.v, e.embedding)) AS mc
+          FROM inc CROSS JOIN embeddings e GROUP BY inc.id)
+        SELECT id AS vec_id FROM m WHERE mc < 0.95""")),
 
     // ===== INT8 embedding quantization — the storage/bandwidth path a
     // 100 TB embedding corpus ships on (4x smaller, SIMD-friendly):

@@ -692,6 +692,65 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.toSet == batchResult, admitted.toString)
   }
 
+  test("embedding admission gate: foreachBatch ANN stream == batch core (persisted PQ index)") {
+    import graft.operators.{Dedup, Similarity}
+    import org.apache.spark.sql.DataFrame
+    // the online form of semantic dedup: a PERSISTED IVF-PQ index
+    // (fit+write once; read + encoded table loaded once, outside the
+    // micro-batch loop) gates an unbounded embedding stream
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+    val index0 = Similarity.fitPqIndex(corpus, "vec_id", "embedding",
+      nCells = 8, m = 8, kCodes = 16, pqIters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-admit").toString
+    Similarity.writePqIndex(spark, index0, dir)
+    val index = Similarity.readPqIndex(spark, dir)
+    Similarity.encodePq(corpus, "vec_id", "embedding", index)
+      .write.parquet(s"$dir/encoded")
+    val encoded = spark.read.parquet(s"$dir/encoded").cache()
+    // incoming: exact copies of every 50th corpus vector (always
+    // caught — a copy ranks its original's cell first) + basis-vector
+    // novels (max true corpus cosine ≈ 0.58, far below 0.95)
+    val copies = corpus.filter(col("vec_id") % 50 === 0)
+      .select((-col("vec_id") - 1).as("vec_id"), col("embedding"))
+    val novels = corpus.filter(col("vec_id") % 50 === 7)
+      .select((-col("vec_id") - 100001L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          when(j.cast("long") === pmod(col("vec_id"), lit(64L)),
+            lit(1.0f)).otherwise(lit(0.0f))).as("embedding"))
+    val incoming = copies.unionByName(novels)
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(incoming.size >= 4, s"thin fixture: ${incoming.size} rows")
+    def admit(b: DataFrame): Set[Long] =
+      Dedup.admitNovelByEmbedding(b, encoded, corpus, "vec_id",
+          "embedding", index, minSim = 0.95)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val batchResult = admit(incoming.toDF("vec_id", "embedding"))
+    // copies dropped, novels admitted — exactly
+    assert(batchResult == incoming.map(_._1).filter(_ <= -100001L).toSet,
+      s"batch admitted $batchResult")
+    // stream the same vectors across two micro-batches
+    val admitted = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitted ++= admit(
+          batch.select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding")))
+        ()
+      }
+      .start()
+    val (h, t) = incoming.splitAt(incoming.size / 2)
+    mem.addData(h: _*)
+    q.processAllAvailable()
+    mem.addData(t: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.toSet == batchResult,
+      s"stream=${admitted.toSet} batch=$batchResult")
+  }
+
   test("streaming TFRecord export: each micro-batch lands as its own shard set") {
     import graft.sources.TFRecordIO
     import org.apache.spark.sql.DataFrame
