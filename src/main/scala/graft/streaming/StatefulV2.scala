@@ -1209,7 +1209,12 @@ object StatefulV2 {
     * unfired remainder, and state is GC'd (onGarbageCollection). Pane
     * values are event-time sorted (stable for ties). Accumulating
     * mode re-emits the whole session per pane; discarding emits only
-    * values since the previous pane.
+    * values since the previous pane. `retractions=true` (requires
+    * accumulating) re-emits the stale pane as a RETRACT before each
+    * replacement — and on MERGE retracts each part's last pane under
+    * its OWN window start (downstream subtracts the per-window results
+    * the merge just invalidated), with the merged lineage starting
+    * clean.
     *
     * Watermark mapping as in [[TriggeredWindowProcessor]]: the caller
     * MUST set the upstream watermark delay to `allowedLatenessMs`, so
@@ -1226,19 +1231,27 @@ object StatefulV2 {
     * append-only between panes; all state RocksDB-backed. */
   class TriggeredSessionProcessor[K, V](gapMs: Long, allowedLatenessMs: Long,
       earlyTrigger: CountTrigger, lateTrigger: CountTrigger,
-      accumulating: Boolean)(
-      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long)])
+      accumulating: Boolean, retractions: Boolean = false)(
+      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
     require(gapMs > 0 && allowedLatenessMs >= 0)
     require(allowedLatenessMs < gapMs,
       s"allowedLatenessMs ($allowedLatenessMs) must be < gapMs ($gapMs): " +
         "the on-time timer arms at sessionEnd - lateness, which must " +
         "fall strictly after the session's max element timestamp")
+    require(!retractions || accumulating,
+      "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
     // per-session pane state, keyed by session MIN ts:
     // (buf(ts, v), countSinceLastFire, paneIndex, onTimeFired,
-    //  triggerState, maxTs)
-    private type SessState = (Seq[(Long, V)], Long, Long, Boolean, Long, Long)
+    //  triggerState, maxTs, prevLen). prevLen = length of the buffer
+    // prefix that formed the last EMITTED (un-retracted) pane — the
+    // retraction baseline. It is NOT simply buf.size - since: a merge
+    // retracts both parts' last panes under their own window starts
+    // (downstream must subtract the now-stale per-window results,
+    // Beam's accumulatingAndRetracting rule over merging windows) and
+    // rebases the merged lineage to prevLen = 0.
+    private type SessState = (Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)
     @transient private var sessions: MapState[Long, SessState] = _
     @transient private var armed: ListState[Long] = _
 
@@ -1263,7 +1276,7 @@ object StatefulV2 {
     private def armTimers(m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
       val already = armed.get().toSet
       val wanted = Set.newBuilder[Long]
-      m.values.foreach { case (_, _, _, fired, _, mx) =>
+      m.values.foreach { case (_, _, _, fired, _, mx, _) =>
         val end = mx + gapMs
         if (!fired) wanted += end - allowedLatenessMs
         if (allowedLatenessMs > 0) wanted += end
@@ -1273,6 +1286,14 @@ object StatefulV2 {
         armed.appendValue(e)
       }
     }
+
+    /** RETRACT pane for a session's last emitted content, if any. */
+    private def retractionOf(key: K, skey: Long, buf: Seq[(Long, V)],
+        pane: Long, prevLen: Long,
+        out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
+      if (retractions && prevLen > 0)
+        out += ((key, skey, pane - 1, "RETRACT", false,
+          paneValues(buf.take(prevLen.toInt))))
 
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, V)],
@@ -1291,40 +1312,46 @@ object StatefulV2 {
         val (skey, st0) = (joinsPred, joinsSucc) match {
           case (true, true) =>
             val p = predKey.get; val s = succKey.get
-            val (ab, asn, ap, af, atr, amx) = m(p)
-            val (bb, bsn, bp, bf, btr, bmx) = m(s)
+            val (ab, asn, ap, af, atr, amx, apl) = m(p)
+            val (bb, bsn, bp, bf, btr, bmx, bpl) = m(s)
             m.remove(s)
+            // merge retracts each part's last pane under its OWN
+            // window start; the merged lineage starts clean (prevLen 0)
+            retractionOf(key, p, ab, ap, apl, out)
+            retractionOf(key, s, bb, bp, bpl, out)
             val trig = if (af || bf) lateTrigger else earlyTrigger
             val mtr =
               if (af == bf) trig.mergeState(atr, btr)
               else if (af) atr else btr
             (p, (ab ++ bb, asn + bsn, math.max(ap, bp), af || bf, mtr,
-              math.max(amx, bmx)))
+              math.max(amx, bmx), 0L))
           case (true, false) =>
             val p = predKey.get
-            val (b, sn, pn, f, tr, mx) = m(p)
-            (p, (b, sn, pn, f, tr, math.max(mx, t)))
+            val (b, sn, pn, f, tr, mx, pl) = m(p)
+            (p, (b, sn, pn, f, tr, math.max(mx, t), pl))
           case (false, true) =>
             val s = succKey.get
             val st = m(s)
             m.remove(s) // min moves down to t
             (t, st)
           case (false, false) =>
-            (t, (Seq.empty[(Long, V)], 0L, 0L, false, 0L, t))
+            (t, (Seq.empty[(Long, V)], 0L, 0L, false, 0L, t, 0L))
         }
-        var (buf, since, pane, fired, trigSt, mx) = st0
+        var (buf, since, pane, fired, trigSt, mx, prevLen) = st0
         buf :+= ((t, v))
         since += 1
         val trig = if (fired) lateTrigger else earlyTrigger
         val (fire, nextSt) = trig.onElement(trigSt, since)
         trigSt = nextSt
         if (fire) {
+          retractionOf(key, skey, buf, pane, prevLen, out)
           out += ((key, skey, pane, if (fired) "LATE" else "EARLY", false,
             paneValues(buf)))
           pane += 1; since = 0
+          prevLen = buf.size
           if (!accumulating) buf = Seq.empty
         }
-        m(skey) = (buf, since, pane, fired, trigSt, mx)
+        m(skey) = (buf, since, pane, fired, trigSt, mx, prevLen)
       }
       (before -- m.keySet).foreach(sessions.removeKey)
       m.foreach { case (k, st) => sessions.updateValue(k, st) }
@@ -1340,20 +1367,24 @@ object StatefulV2 {
       remaining.foreach(armed.appendValue)
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
       val m = loadSessions()
-      m.foreach { case (min, (buf, since, pane, fired, _, mx)) =>
+      m.foreach { case (min, (buf, since, pane, fired, _, mx, prevLen)) =>
         val end = mx + gapMs
         if (!fired && end - allowedLatenessMs == expiry) {
           // conceptual Beam watermark passed the session end
           val closing = allowedLatenessMs == 0
+          retractionOf(key, min, buf, pane, prevLen, out)
           out += ((key, min, pane, "ON_TIME", closing, paneValues(buf)))
           if (closing) sessions.removeKey(min)
           else sessions.updateValue(min,
-            (if (accumulating) buf else Seq.empty, 0L, pane + 1, true, 0L, mx))
+            (if (accumulating) buf else Seq.empty, 0L, pane + 1, true, 0L,
+              mx, buf.size.toLong))
         } else if (end == expiry && allowedLatenessMs > 0) {
           // lateness horizon passed: close + GC
-          if (since > 0)
+          if (since > 0) {
+            retractionOf(key, min, buf, pane, prevLen, out)
             out += ((key, min, pane, if (fired) "LATE" else "ON_TIME", true,
               paneValues(buf)))
+          }
           sessions.removeKey(min)
         }
         // anything else: a timer whose session end moved — no-op
@@ -1369,14 +1400,15 @@ object StatefulV2 {
   def triggeredSessions[K: Encoder, V: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, V)], gapMs: Long,
       allowedLatenessMs: Long = 0L, earlyFireEvery: Int = 0,
-      lateFireEvery: Int = 1, accumulating: Boolean = false)(
-      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long)],
+      lateFireEvery: Int = 1, accumulating: Boolean = false,
+      retractions: Boolean = false)(
+      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)],
       outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     triggeredSessionsWith(ds, gapMs, allowedLatenessMs,
       earlyTrigger = if (earlyFireEvery > 0) AfterCount(earlyFireEvery)
                      else NeverCount,
       lateTrigger = AfterCount(lateFireEvery),
-      accumulating = accumulating)
+      accumulating = accumulating, retractions = retractions)
 
   /** [[triggeredSessions]] with compositional [[CountTrigger]]s. */
   def triggeredSessionsWith[K: Encoder, V: Encoder](
@@ -1384,12 +1416,13 @@ object StatefulV2 {
       allowedLatenessMs: Long = 0L,
       earlyTrigger: CountTrigger = NeverCount,
       lateTrigger: CountTrigger = AfterCount(1),
-      accumulating: Boolean = false)(
-      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long)],
+      accumulating: Boolean = false,
+      retractions: Boolean = false)(
+      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)],
       outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     ds.groupByKey(_._1).transformWithState(
       new TriggeredSessionProcessor[K, V](gapMs, allowedLatenessMs,
-        earlyTrigger, lateTrigger, accumulating),
+        earlyTrigger, lateTrigger, accumulating, retractions),
       TimeMode.EventTime(), OutputMode.Append())
 
   /** Beam's MIXED time-mode compound trigger — the one trigger shape a

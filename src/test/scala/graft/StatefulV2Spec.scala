@@ -541,6 +541,54 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("triggered SESSIONS: merge retracts each part's pane under its own window start") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // generous watermark delay keeps the bridging row above the
+      // watermark (same device as the bridge spec below); lateness 0 →
+      // the on-time pane is final
+      val panes = StatefulV2.triggeredSessions(
+        mem.toDS().withWatermark("_2", "2 minutes"),
+        gapMs = 10000L, allowedLatenessMs = 0L, earlyFireEvery = 2,
+        accumulating = true, retractions = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      // sessions A = {a@1, b@2} and B = {d@20, e@21}: each fires an
+      // EARLY pane 0 under its own window start
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"),
+        (1L, t(20), "d"), (1L, t(21), "e"))
+      q.processAllAvailable()
+      // c@11 bridges: BOTH parts' last panes must be RETRACTED under
+      // their own starts (the merge invalidated those per-window
+      // results); the merged lineage starts clean — the next firing
+      // (f@22, count 2 since merge) emits WITHOUT a retraction
+      mem.addData((1L, t(11), "c"))
+      q.processAllAvailable()
+      mem.addData((1L, t(22), "f"))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 7)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L)
+        .map(p => (p._2, p._3, p._4, p._5, p._6)).toSet
+      val sA = t(1).getTime; val sB = t(20).getTime
+      val all = Seq("a", "b", "c", "d", "e", "f")
+      assert(got == Set(
+        (sA, 0L, "EARLY", false, Seq("a", "b")),
+        (sB, 0L, "EARLY", false, Seq("d", "e")),
+        (sA, 0L, "RETRACT", false, Seq("a", "b")),
+        (sB, 0L, "RETRACT", false, Seq("d", "e")),
+        (sA, 1L, "EARLY", false, all),
+        (sA, 1L, "RETRACT", false, all),
+        (sA, 2L, "ON_TIME", true, all)), s"got $got")
+      q.stop()
+    }
+  }
+
   test("triggered SESSIONS: lateness >= gap is rejected up front") {
     val err = intercept[IllegalArgumentException] {
       new StatefulV2.TriggeredSessionProcessor[Long, String](
