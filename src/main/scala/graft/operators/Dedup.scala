@@ -261,6 +261,9 @@ object Dedup {
       corpusVecs: DataFrame, idCol: String, vecCol: String,
       index: Similarity.PqIndex, minSim: Double, nProbe: Int = 4,
       rerank: Int = 4): DataFrame = {
+    // an EMPTY corpus (no fitted index) can hold no duplicate of
+    // anything — everything is novel, not an error
+    if (index.isEmpty) return batch
     val nn = Similarity.ivfPqTopKEncoded(
       batch.select(col(idCol), col(vecCol)), encoded, corpusVecs,
       idCol, vecCol, index, k = 1, nProbe = nProbe, rerank = rerank)

@@ -275,10 +275,15 @@ object VectorQueries {
                 lit(1.0f)).otherwise(lit(0.0f))).as("embedding"))
         val index = Similarity.fitPqIndex(corpus, "vec_id", "embedding",
           nCells = 16, m = 16, kCodes = 32, pqIters = 1)
-        val encoded = Similarity.encodePq(corpus, "vec_id", "embedding", index)
-        Dedup.admitNovelByEmbedding(copies.unionByName(novels), encoded,
-            corpus, "vec_id", "embedding", index, minSim = 0.95)
-          .select("vec_id")
+        val incoming = copies.unionByName(novels)
+        // empty corpus → no index to encode; everything is novel
+        if (index.isEmpty) incoming.select("vec_id")
+        else {
+          val encoded = Similarity.encodePq(corpus, "vec_id", "embedding", index)
+          Dedup.admitNovelByEmbedding(incoming, encoded,
+              corpus, "vec_id", "embedding", index, minSim = 0.95)
+            .select("vec_id")
+        }
       },
       Some("""WITH inc AS (
           SELECT -vec_id - 1 AS id, embedding AS v
