@@ -75,7 +75,8 @@ object Bench {
     // round 9 additions: TPC-DS analog shapes
     "agg_tpcds_q3", "agg_tpcds_q5", "agg_tpcds_q14", "agg_tpcds_q38",
     "agg_tpcds_q47", "agg_tpcds_q51", "agg_tpcds_q67", "agg_tpcds_q73",
-    "agg_tpcds_q74", "agg_tpcds_q88", "dedup_admit_novel_embedding")
+    "agg_tpcds_q74", "agg_tpcds_q88", "agg_tpcds_q9", "agg_tpcds_q23",
+    "dedup_admit_novel_embedding")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -11,13 +11,15 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port its ten distinctive PLAN SHAPES onto the driver's
+  * these port its twelve distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
   *   q3   star join + dimension filter + (year, brand) aggregate
   *   q5   multi-channel UNION ALL + ROLLUP
+  *   q9   per-bucket scalar subqueries → conditional aggregation
   *   q14  GROUPING SETS with grouping-id output
+  *   q23  frequent-item CTE feeding a semi-joined second aggregate
   *   q38  multi-channel INTERSECT of customer sets
   *   q47  lag/lead navigation over an aggregate (monthly series)
   *   q51  cumulative windows over a FULL OUTER join of two channels
@@ -291,6 +293,54 @@ object TpcdsQueries {
         FROM y96 JOIN y97 USING (o_custkey)
         JOIN customer ON o_custkey = c_custkey
         WHERE n_1997 > n_1996""")),
+
+    // q9: the five-scalar-subqueries-over-buckets shape — per
+    // quantity-band averages, collapsed to conditional aggregation in
+    // ONE scan (the original runs 15 correlated scalar subqueries;
+    // a columnar engine evaluates all bands in a single pass).
+    Q("agg_tpcds_q9",
+      (s, d) => {
+        def band(lo: Int, hi: Int) =
+          round(avg(when(col("l_quantity").between(lo, hi),
+            col("l_extendedprice"))), 4).as(s"avg_b$lo")
+        li(s, d).agg(band(1, 10), band(11, 20), band(21, 30),
+          band(31, 40), band(41, 50))
+      },
+      Some("""SELECT
+          round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 1 AND 10), 4) AS avg_b1,
+          round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 11 AND 20), 4) AS avg_b11,
+          round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 21 AND 30), 4) AS avg_b21,
+          round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 31 AND 40), 4) AS avg_b31,
+          round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 41 AND 50), 4) AS avg_b41
+        FROM lineitem""")),
+
+    // q23: two-stage frequency shape — "frequent parts" (appearing in
+    // more than `minOccur` line items) feed a semi-join that restricts
+    // a second aggregate (urgent-order revenue on frequent parts only,
+    // by year).
+    Q("agg_tpcds_q23",
+      (s, d) => {
+        val frequent = li(s, d).groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 35)
+          .select("l_partkey")
+        li(s, d)
+          .join(frequent, Seq("l_partkey"), "left_semi")
+          .join(ord(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(sum(rev), 4).as("frequent_rev"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""WITH frequent AS (
+          SELECT l_partkey FROM lineitem GROUP BY 1 HAVING count(*) > 35)
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          round(sum(l_extendedprice * (1 - l_discount)), 4) AS frequent_rev,
+          CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND l_partkey IN (SELECT l_partkey FROM frequent)
+        GROUP BY 1""")),
 
     // q88: one scan, eight disjoint conditional counts (time-of-day
     // bands) — the multi-scan-collapsed-to-conditional-aggregation
