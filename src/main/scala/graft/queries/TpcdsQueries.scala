@@ -87,9 +87,14 @@ object TpcdsQueries {
           .select(lit("sales").as("channel"), col("n_name"), col("r"))
         val returns = base.filter(col("l_returnflag") === "R")
           .select(lit("returns").as("channel"), col("n_name"), col("r"))
+        // the GRAND-TOTAL rollup row sums the whole fact table; a
+        // double sum is summation-ORDER-dependent and at ~3e10 the
+        // cross-engine drift lands in the 4th decimal — so sum exactly
+        // in decimal (order-independent), then convert for output
         sales.unionByName(returns)
           .rollup(col("channel"), col("n_name"))
-          .agg(round(sum(col("r")), 4).as("total_rev"),
+          .agg(round(sum(col("r").cast("decimal(38,6)")).cast("double"), 4)
+              .as("total_rev"),
             count(lit(1)).as("n"))
       },
       Some("""WITH base AS (
@@ -100,7 +105,8 @@ object TpcdsQueries {
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey)
-        SELECT channel, n_name, round(sum(r), 4) AS total_rev,
+        SELECT channel, n_name,
+          round(CAST(sum(CAST(r AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_rev,
           CAST(count(*) AS BIGINT) AS n
         FROM base GROUP BY ROLLUP(channel, n_name)""")),
 
