@@ -1603,4 +1603,217 @@ object StatefulV2 {
       new MixedTriggerWindowProcessor[K, V](windowMs, allowedLatenessMs,
         earlyDelayMs, lateDelayMs, accumulating, retractions, heartbeatMs),
       TimeMode.ProcessingTime(), OutputMode.Append())
+
+  /** Beam's mixed-clock compound trigger over MERGING windows — the
+    * composition of [[MixedTriggerWindowProcessor]] (wall-clock
+    * early/late panes inside event-time windows) and
+    * [[TriggeredSessionProcessor]] (pane state that merges when
+    * sessions merge):
+    *
+    * `Window.into(Sessions.withGapDuration(gap))
+    *    .triggering(AfterWatermark.pastEndOfWindow()
+    *      .withEarlyFirings(AfterProcessingTime
+    *         .pastFirstElementInPane().plusDelayOf(earlyDelay))
+    *      .withLateFirings(...))`
+    *
+    * Mechanics: runs in TimeMode.ProcessingTime — wall-clock timers
+    * drive early/late panes (`pastFirstElementInPane` anchoring: the
+    * FIRST element buffered since the last firing sets the deadline;
+    * later arrivals never push it out) — while the event-time
+    * machinery reads the propagated watermark for on-time/close/GC.
+    * No engine late-row filter applies in this mode, so drops happen
+    * by the element's proto-window end (ts + gap + lateness < wm),
+    * Beam's exact rule. On MERGE: buffers concatenate, counts sum,
+    * pane index continues, `fired` ORs, the anchor deadline takes the
+    * EARLIEST pending one (a pane already promised keeps its
+    * deadline), and with retractions each part's last pane retracts
+    * under its own window start (as in [[TriggeredSessionProcessor]]).
+    * Session ends move as elements arrive/merge, so on-time/GC are
+    * evaluated against the CURRENT end in the sweep rather than a
+    * pre-armed end timer — a heartbeat guarantees sweep progress on
+    * idle keys, and an idle key (no open sessions) holds zero state
+    * and zero timers. */
+  class MixedTriggerSessionProcessor[K, V](
+      gapMs: Long, allowedLatenessMs: Long,
+      earlyDelayMs: Long, lateDelayMs: Long,
+      accumulating: Boolean, retractions: Boolean = false,
+      heartbeatMs: Long = 200L)(
+      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)])
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
+    require(gapMs > 0 && allowedLatenessMs >= 0)
+    require(earlyDelayMs > 0 && lateDelayMs > 0 && heartbeatMs > 0)
+    require(!retractions || accumulating,
+      "retractions require accumulating mode (a discarding pane has nothing to retract)")
+
+    // per-session pane state, keyed by session MIN ts:
+    // (buf(ts, v), countSinceLastFire, paneIndex, onTimeFired,
+    //  anchorDeadlineMs (0 = no pending wall-clock pane), maxTs,
+    //  prevLen — the retraction baseline, as in TriggeredSessionProcessor)
+    private type SessState = (Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)
+    @transient private var sessions: MapState[Long, SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getMapState[Long, SessState]("sessions",
+        Encoders.scalaLong, stEnc, TTLConfig.NONE)
+
+    private def loadSessions(): scala.collection.mutable.TreeMap[Long, SessState] = {
+      val m = scala.collection.mutable.TreeMap.empty[Long, SessState]
+      val it = sessions.iterator()
+      while (it.hasNext) { val kv = it.next(); m += (kv._1 -> kv._2) }
+      m
+    }
+
+    private def paneValues(buf: Seq[(Long, V)]): Seq[V] =
+      buf.sortBy(_._1).map(_._2)
+
+    private def retractionOf(key: K, skey: Long, buf: Seq[(Long, V)],
+        pane: Long, prevLen: Long,
+        out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
+      if (retractions && prevLen > 0)
+        out += ((key, skey, pane - 1, "RETRACT", false,
+          paneValues(buf.take(prevLen.toInt))))
+
+    /** Watermark transitions (on-time, close/GC) against each
+      * session's CURRENT end; mutates `m` in place. */
+    private def sweep(key: K, wm: Long,
+        m: scala.collection.mutable.TreeMap[Long, SessState],
+        out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
+      m.keys.toSeq.foreach { min =>
+        var (buf, since, pane, fired, anchor, mx, prevLen) = m(min)
+        val end = mx + gapMs
+        var closed = false
+        if (!fired && wm >= end) {
+          retractionOf(key, min, buf, pane, prevLen, out)
+          val closing = allowedLatenessMs == 0
+          out += ((key, min, pane, "ON_TIME", closing, paneValues(buf)))
+          if (closing) { m.remove(min); closed = true }
+          else {
+            prevLen = buf.size
+            buf = if (accumulating) buf else Seq.empty
+            since = 0; pane += 1; fired = true; anchor = 0
+            m(min) = (buf, since, pane, fired, anchor, mx, prevLen)
+          }
+        }
+        if (!closed && fired && wm >= end + allowedLatenessMs) {
+          if (since > 0) {
+            retractionOf(key, min, buf, pane, prevLen, out)
+            out += ((key, min, pane, "LATE", true, paneValues(buf)))
+          }
+          m.remove(min)
+        }
+      }
+
+    /** Fire any due wall-clock pane anchors; mutates `m` in place. */
+    private def fireDueAnchors(key: K, now: Long,
+        m: scala.collection.mutable.TreeMap[Long, SessState],
+        out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
+      m.keys.toSeq.foreach { min =>
+        var (buf, since, pane, fired, anchor, mx, prevLen) = m(min)
+        if (anchor != 0L && anchor <= now && since > 0) {
+          retractionOf(key, min, buf, pane, prevLen, out)
+          out += ((key, min, pane, if (fired) "LATE" else "EARLY", false,
+            paneValues(buf)))
+          prevLen = buf.size
+          if (!accumulating) buf = Seq.empty
+          since = 0; pane += 1; anchor = 0
+          m(min) = (buf, since, pane, fired, anchor, mx, prevLen)
+        }
+      }
+
+    private def writeBack(before: Set[Long],
+        m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
+      (before -- m.keySet).foreach(sessions.removeKey)
+      m.foreach { case (k, st) => sessions.updateValue(k, st) }
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, V)],
+        timers: TimerValues): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val now = timers.getCurrentProcessingTimeInMs()
+      val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      val m = loadSessions()
+      val before = m.keySet.toSet
+      rows.foreach { case (_, ts, v) =>
+        val t = ts.getTime
+        if (wm < t + gapMs + allowedLatenessMs) { // else: expired proto-window
+          val predKey = m.rangeTo(t).lastOption.map(_._1)
+          val succKey = m.rangeFrom(t + 1).headOption.map(_._1)
+          val joinsPred = predKey.exists(p => t <= m(p)._6 + gapMs)
+          val joinsSucc = succKey.exists(s => s - t <= gapMs)
+          val (skey, st0) = (joinsPred, joinsSucc) match {
+            case (true, true) =>
+              val p = predKey.get; val s = succKey.get
+              val (ab, asn, ap, af, aan, amx, apl) = m(p)
+              val (bb, bsn, bp, bf, ban, bmx, bpl) = m(s)
+              m.remove(s)
+              retractionOf(key, p, ab, ap, apl, out)
+              retractionOf(key, s, bb, bp, bpl, out)
+              val man = (aan, ban) match {
+                case (0L, x) => x
+                case (x, 0L) => x
+                case (x, y) => math.min(x, y) // earliest promised pane
+              }
+              (p, (ab ++ bb, asn + bsn, math.max(ap, bp), af || bf, man,
+                math.max(amx, bmx), 0L))
+            case (true, false) =>
+              val p = predKey.get
+              val (b, sn, pn, f, an, mx, pl) = m(p)
+              (p, (b, sn, pn, f, an, math.max(mx, t), pl))
+            case (false, true) =>
+              val s = succKey.get
+              val st = m(s)
+              m.remove(s) // min moves down to t
+              (t, st)
+            case (false, false) =>
+              (t, (Seq.empty[(Long, V)], 0L, 0L, false, 0L, t, 0L))
+          }
+          var (buf, since, pane, fired, anchor, mx, prevLen) = st0
+          buf :+= ((t, v))
+          since += 1
+          if (anchor == 0L) { // first element of this pane anchors the delay
+            anchor = now + (if (fired) lateDelayMs else earlyDelayMs)
+            getHandle.registerTimer(anchor)
+          }
+          m(skey) = (buf, since, pane, fired, anchor, mx, prevLen)
+        }
+      }
+      sweep(key, wm, m, out)
+      writeBack(before, m)
+      if (m.nonEmpty) getHandle.registerTimer(now + heartbeatMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val now = timers.getCurrentProcessingTimeInMs()
+      val expiry = timer.getExpiryTimeInMs()
+      val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      val m = loadSessions()
+      val before = m.keySet.toSet
+      sweep(key, wm, m, out)
+      fireDueAnchors(key, math.max(now, expiry), m, out)
+      writeBack(before, m)
+      if (m.nonEmpty) getHandle.registerTimer(now + heartbeatMs)
+      out.iterator
+    }
+  }
+
+  /** Session windows with Beam's mixed-clock compound trigger — see
+    * [[MixedTriggerSessionProcessor]]. `ds` must carry a watermark on
+    * its timestamp column (any delay; the processor reads the
+    * watermark but does its own proto-window-end lateness drops). */
+  def mixedTriggerSessions[K: Encoder, V: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, V)], gapMs: Long,
+      allowedLatenessMs: Long = 0L,
+      earlyDelayMs: Long = 1000L, lateDelayMs: Long = 1000L,
+      accumulating: Boolean = false, retractions: Boolean = false,
+      heartbeatMs: Long = 200L)(
+      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)],
+      outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new MixedTriggerSessionProcessor[K, V](gapMs, allowedLatenessMs,
+        earlyDelayMs, lateDelayMs, accumulating, retractions, heartbeatMs),
+      TimeMode.ProcessingTime(), OutputMode.Append())
 }

@@ -891,6 +891,104 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("mixed-trigger SESSIONS: wall-clock EARLY panes while the session stays open") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // gap 1 hour, watermark never reaches the session end — every
+      // pane is wall-clock-triggered inside the open merging window
+      val panes = StatefulV2.mixedTriggerSessions(
+        mem.toDS().withWatermark("_2", "0 milliseconds"),
+        gapMs = 3600000L, earlyDelayMs = 300L, lateDelayMs = 300L)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"))
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "EARLY", false, Seq("a", "b"))))
+      // pastFirstElementInPane re-anchors on the next element
+      mem.addData((1L, t(3), "c"))
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "EARLY", false, Seq("a", "b")),
+            (1L, "EARLY", false, Seq("c"))))
+      q.stop()
+    }
+  }
+
+  test("mixed-trigger SESSIONS: merge retracts both parts, then on-time closes the merged session") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // generous watermark delay keeps the bridge row alive and the
+      // on-time transition in OUR hands until the sentinels
+      val panes = StatefulV2.mixedTriggerSessions(
+        mem.toDS().withWatermark("_2", "2 minutes"),
+        gapMs = 10000L, earlyDelayMs = 300L, lateDelayMs = 300L,
+        accumulating = true, retractions = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      // sessions A = {a@1, b@2}, B = {d@20, e@21}: each fires a
+      // wall-clock EARLY pane under its own start
+      mem.addData((1L, t(1), "a"), (1L, t(2), "b"),
+        (1L, t(20), "d"), (1L, t(21), "e"))
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 2)
+      // c@11 bridges: both parts retract under their own starts; the
+      // merged pane (count 1 since merge) fires 300ms later
+      mem.addData((1L, t(11), "c"))
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 5)
+      // watermark past the merged end (21s + 10s) → ON_TIME retracts
+      // the merged pane and closes (lateness 0). NOTE: timer-driven
+      // no-data batches keep this query permanently busy, so
+      // processAllAvailable would hang — the continuous batches pick
+      // the sentinels up on their own; poll the sink instead.
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm"))
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2"))
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 7)
+      val got = spark.table(table).as[MixedPane].collect()
+        .filter(_._1 == 1L).map(p => (p._2, p._3, p._4, p._5, p._6)).toSet
+      val sA = t(1).getTime; val sB = t(20).getTime
+      val all = Seq("a", "b", "c", "d", "e")
+      assert(got == Set(
+        (sA, 0L, "EARLY", false, Seq("a", "b")),
+        (sB, 0L, "EARLY", false, Seq("d", "e")),
+        (sA, 0L, "RETRACT", false, Seq("a", "b")),
+        (sB, 0L, "RETRACT", false, Seq("d", "e")),
+        (sA, 1L, "EARLY", false, all),
+        (sA, 1L, "RETRACT", false, all),
+        (sA, 2L, "ON_TIME", true, all)), s"got $got")
+      q.stop()
+    }
+  }
+
+  test("mixed-trigger SESSIONS: Beam's window-end drop rule — a below-watermark row re-enters its live session") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      // lateness drops happen by PROTO-WINDOW end (ts + gap +
+      // lateness < wm), Beam's exact rule — an element whose ts is
+      // below the watermark but whose window is unexpired is KEPT
+      val panes = StatefulV2.mixedTriggerSessions(
+        mem.toDS().withWatermark("_2", "5 seconds"),
+        gapMs = 10000L, allowedLatenessMs = 5000L,
+        earlyDelayMs = 600000L, lateDelayMs = 300L)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      mem.addData((1L, t(1), "a"), (1L, t(3), "b")) // session end 13s
+      mem.addData((9L, t(20), "wm")) // wm → 15s ≥ 13s: on-time
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "ON_TIME", false, Seq("a", "b"))))
+      // c@12: BELOW the watermark (15s) but 12+10+5 = 27s > wm → kept,
+      // re-enters the session (12-3 ≤ gap), fires a wall-clock LATE
+      // pane; the session end moves to 22s
+      mem.addData((1L, t(12), "late"))
+      awaitSink(table)(panesOf(table, 1L) ==
+        Seq((0L, "ON_TIME", false, Seq("a", "b")),
+            (1L, "LATE", false, Seq("late"))))
+      // horizon passes the EXTENDED end (22s + 5s) → silent GC
+      // (no processAllAvailable: timer batches keep the query busy)
+      mem.addData((9L, t(50), "wm2"))
+      Thread.sleep(1500)
+      assert(panesOf(table, 1L).size == 2, panesOf(table, 1L).toString)
+      q.stop()
+    }
+  }
+
   test("temporalJoin resolves events against the version in effect at event time") {
     withRocksDb {
       val events = MemoryStream[(Long, java.sql.Timestamp, String)]
