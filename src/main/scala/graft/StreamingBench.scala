@@ -49,10 +49,10 @@ object StreamingBench {
     * (transformWithState requires it). */
   def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import spark.implicits._
-    // bounded: bench replay source — events at sf0.1 is ~100k small
-    // rows, materialized to the driver by design (MemoryStream feed)
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_type", "value", "event_id")
+      // bounded: bench replay source — events at sf0.1 is ~100k small
+      // rows, materialized to the driver by design (MemoryStream feed)
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
         r.getDouble(3), r.getLong(4)))
