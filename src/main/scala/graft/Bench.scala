@@ -144,7 +144,9 @@ object Bench {
     val total = results.map(_._2).sum
     // Streaming throughput section (events/s; BASELINE's Nexmark
     // numbers are a streaming bench — this is the like-for-like side).
-    // A failed op reports -1.0, same contract as the batch rows.
+    // Each op isolates its own failure as -1.0 (the batch rows'
+    // contract); the outer catch only covers suite setup (the events
+    // replay collect).
     val streaming: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAMING", "1") == "0") Seq.empty
       else {

@@ -29,19 +29,36 @@ object StreamingBench {
       rows: IndexedSeq[T], sentinels: Seq[T])(
       f: Dataset[T] => Dataset[_]): (String, Double) = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[T]
-    val out = f(mem.toDS())
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_sbench_" + name).toString
-    val t0 = System.nanoTime()
-    val q = out.writeStream.format("noop")
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    val sz = math.max(1, rows.size / Chunks)
-    rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
-    sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
-    val dt = (System.nanoTime() - t0) / 1e9
-    q.stop()
-    (name, rows.size / dt)
+    // per-op failure isolation: one broken op reports -1.0 (the batch
+    // rows' contract) without discarding the others' measurements or
+    // leaking its running query / checkpoint state
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_sbench_" + name)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val mem = MemoryStream[T]
+      val out = f(mem.toDS())
+      val t0 = System.nanoTime()
+      q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").start()
+      val sz = math.max(1, rows.size / Chunks)
+      rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (name, rows.size / dt)
+    } catch {
+      case _: Throwable => (name, -1.0)
+    } finally {
+      if (q != null) { try q.stop() catch { case _: Throwable => () } }
+      // RocksDB checkpoint trees accumulate across bench rounds otherwise
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
   }
 
   /** (name → events/s) for the streaming operator suite. Caller is

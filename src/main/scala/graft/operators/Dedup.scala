@@ -264,9 +264,12 @@ object Dedup {
     // an EMPTY corpus (no fitted index) can hold no duplicate of
     // anything — everything is novel, not an error
     if (index.isEmpty) return batch
+    // excludeSelf=false: an incoming row re-ingested under its corpus
+    // duplicate's OWN id (the common re-fetch case) must still match it
     val nn = Similarity.ivfPqTopKEncoded(
       batch.select(col(idCol), col(vecCol)), encoded, corpusVecs,
-      idCol, vecCol, index, k = 1, nProbe = nProbe, rerank = rerank)
+      idCol, vecCol, index, k = 1, nProbe = nProbe, rerank = rerank,
+      excludeSelf = false)
     val dupIds = nn.filter(col("sim") >= minSim)
       .select(col("query_id").as(idCol)).distinct()
     batch.join(dupIds, Seq(idCol), "left_anti")

@@ -696,6 +696,9 @@ object MatchRecognizeSql {
   private def keywordOccurrences(s: String, kw: String): Seq[Int] = {
     val up = s.toUpperCase
     val kwu = kw.toUpperCase
+    // '_' is an identifier character: 'FROM' inside `events_from` is
+    // not the keyword (matches regex \b and the identifier scanners)
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
     val out = Seq.newBuilder[Int]
     var depth = 0
     var inStr = false
@@ -709,9 +712,9 @@ object MatchRecognizeSql {
       }
       if (!inStr && depth == 0 && i <= up.length - kwu.length &&
           up.regionMatches(i, kwu, 0, kwu.length) &&
-          (i == 0 || !up.charAt(i - 1).isLetterOrDigit) &&
+          (i == 0 || !wordChar(up.charAt(i - 1))) &&
           (i + kwu.length == up.length ||
-            !up.charAt(i + kwu.length).isLetterOrDigit))
+            !wordChar(up.charAt(i + kwu.length))))
         out += i
       i += 1
     }

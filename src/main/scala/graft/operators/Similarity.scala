@@ -594,7 +594,7 @@ object Similarity {
   def ivfPqTopKEncoded(queries: DataFrame, encoded: DataFrame,
       corpusVecs: DataFrame, idCol: String, vecCol: String,
       index: PqIndex, k: Int, nProbe: Int = 4,
-      rerank: Int = 4): DataFrame = {
+      rerank: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     require(!index.isEmpty, "ivfPqTopKEncoded: empty index")
     val m = index.m
@@ -616,10 +616,15 @@ object Similarity {
     // candidate codes ride along through the dedup (identical per
     // match_id, so distinct() collapses multi-cell duplicates without
     // a join back to the corpus)
-    val cand = q.select("query_id", "cell")
+    // excludeSelf drops (id, id) pairs — right for intra-corpus top-k
+    // where every query IS a corpus row; admission gates set false
+    // (an incoming row legitimately shares its duplicate's id)
+    val cand0 = q.select("query_id", "cell")
       .join(encoded.select("match_id", "cell", "codes", "cn_hat"),
         Seq("cell"))
-      .filter(col("query_id") =!= col("match_id"))
+    val cand = (if (excludeSelf)
+        cand0.filter(col("query_id") =!= col("match_id"))
+      else cand0)
       .select("query_id", "match_id", "codes", "cn_hat").distinct()
     val qLut = broadcast(q0.select("query_id", "lut", "qn"))
     val adc = (0 until m).map(s =>

@@ -1229,6 +1229,74 @@ object StatefulV2 {
     * Scale: summaries + pane state per OPEN session per key (sessions
     * per key are bounded by the gap structure); the buffer is
     * append-only between panes; all state RocksDB-backed. */
+  /** Shared session-pane plumbing for the two merging-window trigger
+    * processors ([[TriggeredSessionProcessor]] count-trigger,
+    * [[MixedTriggerSessionProcessor]] mixed-clock): the state shape,
+    * TreeMap load, pane value ordering, and the four-way
+    * gap-connectivity locate/extend/rekey/merge for a new element —
+    * parameterized on how slot 5 (composite trigger state vs
+    * wall-clock anchor) combines at a merge. A fix to merge semantics
+    * lands ONCE here. */
+  private[streaming] object SessionPanes {
+    /** (buf(ts, v), countSinceLastFire, paneIndex, onTimeFired,
+      * slot5, maxTs, prevLen). */
+    type St[V] = (Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)
+
+    def load[V](ms: MapState[Long, St[V]]): scala.collection.mutable.TreeMap[Long, St[V]] = {
+      val m = scala.collection.mutable.TreeMap.empty[Long, St[V]]
+      val it = ms.iterator()
+      while (it.hasNext) { val kv = it.next(); m += (kv._1 -> kv._2) }
+      m
+    }
+
+    def paneValues[V](buf: Seq[(Long, V)]): Seq[V] =
+      buf.sortBy(_._1).map(_._2)
+
+    /** Locate the session for an element at `t` under gap
+      * connectivity, mutating `m`: extend the predecessor, move a
+      * successor's start down (REKEY), bridge-merge both, or open a
+      * singleton. Returns (sessionKey, state-before-append).
+      *
+      * `retract(windowStart, buf, pane, prevLen)` runs for every pane
+      * a window-IDENTITY change invalidates — both parts of a
+      * two-sided merge AND the old start of a downward rekey (the
+      * session's windowStart changes, so a pane published under the
+      * old start must be retracted before panes appear under the new
+      * one); the invalidated lineage restarts with prevLen = 0. */
+    def upsert[V](m: scala.collection.mutable.TreeMap[Long, St[V]],
+        t: Long, gapMs: Long,
+        combine5: (Boolean, Long, Boolean, Long) => Long,
+        retract: (Long, Seq[(Long, V)], Long, Long) => Unit): (Long, St[V]) = {
+      val predKey = m.rangeTo(t).lastOption.map(_._1)
+      val succKey = m.rangeFrom(t + 1).headOption.map(_._1)
+      val joinsPred = predKey.exists(p => t <= m(p)._6 + gapMs)
+      val joinsSucc = succKey.exists(s => s - t <= gapMs)
+      (joinsPred, joinsSucc) match {
+        case (true, true) =>
+          val p = predKey.get; val s = succKey.get
+          val (ab, asn, ap, af, a5, amx, apl) = m(p)
+          val (bb, bsn, bp, bf, b5, bmx, bpl) = m(s)
+          m.remove(s)
+          retract(p, ab, ap, apl)
+          retract(s, bb, bp, bpl)
+          (p, (ab ++ bb, asn + bsn, math.max(ap, bp), af || bf,
+            combine5(af, a5, bf, b5), math.max(amx, bmx), 0L))
+        case (true, false) =>
+          val p = predKey.get
+          val (b, sn, pn, f, s5, mx, pl) = m(p)
+          (p, (b, sn, pn, f, s5, math.max(mx, t), pl))
+        case (false, true) =>
+          val s = succKey.get
+          val st = m(s)
+          m.remove(s) // start moves down to t — new window identity
+          retract(s, st._1, st._3, st._7)
+          (t, st.copy(_7 = 0L))
+        case (false, false) =>
+          (t, (Seq.empty[(Long, V)], 0L, 0L, false, 0L, t, 0L))
+      }
+    }
+  }
+
   class TriggeredSessionProcessor[K, V](gapMs: Long, allowedLatenessMs: Long,
       earlyTrigger: CountTrigger, lateTrigger: CountTrigger,
       accumulating: Boolean, retractions: Boolean = false)(
@@ -1242,16 +1310,16 @@ object StatefulV2 {
     require(!retractions || accumulating,
       "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
-    // per-session pane state, keyed by session MIN ts:
-    // (buf(ts, v), countSinceLastFire, paneIndex, onTimeFired,
-    //  triggerState, maxTs, prevLen). prevLen = length of the buffer
-    // prefix that formed the last EMITTED (un-retracted) pane — the
-    // retraction baseline. It is NOT simply buf.size - since: a merge
-    // retracts both parts' last panes under their own window starts
+    // per-session pane state, keyed by session MIN ts — see
+    // [[SessionPanes.St]]; slot 5 = composite trigger state. prevLen =
+    // length of the buffer prefix that formed the last EMITTED
+    // (un-retracted) pane, the retraction baseline. It is NOT simply
+    // buf.size - since: a window-identity change (merge or rekey)
+    // retracts the stale panes under their own window starts
     // (downstream must subtract the now-stale per-window results,
-    // Beam's accumulatingAndRetracting rule over merging windows) and
-    // rebases the merged lineage to prevLen = 0.
-    private type SessState = (Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)
+    // Beam's accumulatingAndRetractingFiredPanes rule over merging
+    // windows) and rebases the lineage to prevLen = 0.
+    private type SessState = SessionPanes.St[V]
     @transient private var sessions: MapState[Long, SessState] = _
     @transient private var armed: ListState[Long] = _
 
@@ -1262,15 +1330,11 @@ object StatefulV2 {
         TTLConfig.NONE)
     }
 
-    private def loadSessions(): scala.collection.mutable.TreeMap[Long, SessState] = {
-      val m = scala.collection.mutable.TreeMap.empty[Long, SessState]
-      val it = sessions.iterator()
-      while (it.hasNext) { val kv = it.next(); m += (kv._1 -> kv._2) }
-      m
-    }
+    private def loadSessions(): scala.collection.mutable.TreeMap[Long, SessState] =
+      SessionPanes.load(sessions)
 
     private def paneValues(buf: Seq[(Long, V)]): Seq[V] =
-      buf.sortBy(_._1).map(_._2)
+      SessionPanes.paneValues(buf)
 
     /** Arm any not-yet-armed timers for the session ends in `m`. */
     private def armTimers(m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
@@ -1303,40 +1367,16 @@ object StatefulV2 {
       val before = m.keySet.toSet
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
-        // neighbors under gap-connectivity (same rule as
-        // EventTimeGapProcessor.insert, but with pane state to merge)
-        val predKey = m.rangeTo(t).lastOption.map(_._1)
-        val succKey = m.rangeFrom(t + 1).headOption.map(_._1)
-        val joinsPred = predKey.exists(p => t <= m(p)._6 + gapMs)
-        val joinsSucc = succKey.exists(s => s - t <= gapMs)
-        val (skey, st0) = (joinsPred, joinsSucc) match {
-          case (true, true) =>
-            val p = predKey.get; val s = succKey.get
-            val (ab, asn, ap, af, atr, amx, apl) = m(p)
-            val (bb, bsn, bp, bf, btr, bmx, bpl) = m(s)
-            m.remove(s)
-            // merge retracts each part's last pane under its OWN
-            // window start; the merged lineage starts clean (prevLen 0)
-            retractionOf(key, p, ab, ap, apl, out)
-            retractionOf(key, s, bb, bp, bpl, out)
+        // locate/extend/rekey/merge under gap-connectivity — shared
+        // with the mixed-clock processor; merge/rekey retract the
+        // invalidated panes under their own window starts
+        val (skey, st0) = SessionPanes.upsert(m, t, gapMs,
+          combine5 = (af, a5, bf, b5) => {
             val trig = if (af || bf) lateTrigger else earlyTrigger
-            val mtr =
-              if (af == bf) trig.mergeState(atr, btr)
-              else if (af) atr else btr
-            (p, (ab ++ bb, asn + bsn, math.max(ap, bp), af || bf, mtr,
-              math.max(amx, bmx), 0L))
-          case (true, false) =>
-            val p = predKey.get
-            val (b, sn, pn, f, tr, mx, pl) = m(p)
-            (p, (b, sn, pn, f, tr, math.max(mx, t), pl))
-          case (false, true) =>
-            val s = succKey.get
-            val st = m(s)
-            m.remove(s) // min moves down to t
-            (t, st)
-          case (false, false) =>
-            (t, (Seq.empty[(Long, V)], 0L, 0L, false, 0L, t, 0L))
-        }
+            if (af == bf) trig.mergeState(a5, b5)
+            else if (af) a5 else b5
+          },
+          retract = (w, b, pn, pl) => retractionOf(key, w, b, pn, pl, out))
         var (buf, since, pane, fired, trigSt, mx, prevLen) = st0
         buf :+= ((t, v))
         since += 1
@@ -1645,26 +1685,22 @@ object StatefulV2 {
     require(!retractions || accumulating,
       "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
-    // per-session pane state, keyed by session MIN ts:
-    // (buf(ts, v), countSinceLastFire, paneIndex, onTimeFired,
-    //  anchorDeadlineMs (0 = no pending wall-clock pane), maxTs,
-    //  prevLen — the retraction baseline, as in TriggeredSessionProcessor)
-    private type SessState = (Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)
+    // per-session pane state, keyed by session MIN ts — see
+    // [[SessionPanes.St]]; slot 5 = anchorDeadlineMs (0 = no pending
+    // wall-clock pane); prevLen = the retraction baseline, as in
+    // TriggeredSessionProcessor
+    private type SessState = SessionPanes.St[V]
     @transient private var sessions: MapState[Long, SessState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       sessions = getHandle.getMapState[Long, SessState]("sessions",
         Encoders.scalaLong, stEnc, TTLConfig.NONE)
 
-    private def loadSessions(): scala.collection.mutable.TreeMap[Long, SessState] = {
-      val m = scala.collection.mutable.TreeMap.empty[Long, SessState]
-      val it = sessions.iterator()
-      while (it.hasNext) { val kv = it.next(); m += (kv._1 -> kv._2) }
-      m
-    }
+    private def loadSessions(): scala.collection.mutable.TreeMap[Long, SessState] =
+      SessionPanes.load(sessions)
 
     private def paneValues(buf: Seq[(Long, V)]): Seq[V] =
-      buf.sortBy(_._1).map(_._2)
+      SessionPanes.paneValues(buf)
 
     private def retractionOf(key: K, skey: Long, buf: Seq[(Long, V)],
         pane: Long, prevLen: Long,
@@ -1737,37 +1773,13 @@ object StatefulV2 {
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
         if (wm < t + gapMs + allowedLatenessMs) { // else: expired proto-window
-          val predKey = m.rangeTo(t).lastOption.map(_._1)
-          val succKey = m.rangeFrom(t + 1).headOption.map(_._1)
-          val joinsPred = predKey.exists(p => t <= m(p)._6 + gapMs)
-          val joinsSucc = succKey.exists(s => s - t <= gapMs)
-          val (skey, st0) = (joinsPred, joinsSucc) match {
-            case (true, true) =>
-              val p = predKey.get; val s = succKey.get
-              val (ab, asn, ap, af, aan, amx, apl) = m(p)
-              val (bb, bsn, bp, bf, ban, bmx, bpl) = m(s)
-              m.remove(s)
-              retractionOf(key, p, ab, ap, apl, out)
-              retractionOf(key, s, bb, bp, bpl, out)
-              val man = (aan, ban) match {
-                case (0L, x) => x
-                case (x, 0L) => x
-                case (x, y) => math.min(x, y) // earliest promised pane
-              }
-              (p, (ab ++ bb, asn + bsn, math.max(ap, bp), af || bf, man,
-                math.max(amx, bmx), 0L))
-            case (true, false) =>
-              val p = predKey.get
-              val (b, sn, pn, f, an, mx, pl) = m(p)
-              (p, (b, sn, pn, f, an, math.max(mx, t), pl))
-            case (false, true) =>
-              val s = succKey.get
-              val st = m(s)
-              m.remove(s) // min moves down to t
-              (t, st)
-            case (false, false) =>
-              (t, (Seq.empty[(Long, V)], 0L, 0L, false, 0L, t, 0L))
-          }
+          val (skey, st0) = SessionPanes.upsert(m, t, gapMs,
+            combine5 = (_, a5, _, b5) => (a5, b5) match {
+              case (0L, x) => x
+              case (x, 0L) => x
+              case (x, y) => math.min(x, y) // earliest promised pane
+            },
+            retract = (w, b, pn, pl) => retractionOf(key, w, b, pn, pl, out))
           var (buf, since, pane, fired, anchor, mx, prevLen) = st0
           buf :+= ((t, v))
           since += 1

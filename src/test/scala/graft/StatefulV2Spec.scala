@@ -589,6 +589,49 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("triggered SESSIONS: downward REKEY retracts the pane published under the old window start") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.triggeredSessions(
+        mem.toDS().withWatermark("_2", "2 minutes"),
+        gapMs = 10000L, allowedLatenessMs = 0L, earlyFireEvery = 2,
+        accumulating = true, retractions = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      // session {b@20, c@21} fires EARLY pane 0 under windowStart 20s
+      mem.addData((1L, t(20), "b"), (1L, t(21), "c"))
+      q.processAllAvailable()
+      // a@15 grows the session DOWNWARD (within gap, below min): the
+      // window identity changes 20s → 15s, so the pane published under
+      // 20s must be RETRACTED — without it, downstream would keep the
+      // stale 20s result and later see a RETRACT under 15s for a pane
+      // that never existed
+      mem.addData((1L, t(15), "a"))
+      q.processAllAvailable()
+      // d@16 → count 2 since the rekey → EARLY pane 1 under 15s
+      mem.addData((1L, t(16), "d"))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 5)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L)
+        .map(p => (p._2, p._3, p._4, p._5, p._6)).toSet
+      val oldS = t(20).getTime; val newS = t(15).getTime
+      val all = Seq("a", "d", "b", "c")
+      assert(got == Set(
+        (oldS, 0L, "EARLY", false, Seq("b", "c")),
+        (oldS, 0L, "RETRACT", false, Seq("b", "c")),
+        (newS, 1L, "EARLY", false, all),
+        (newS, 1L, "RETRACT", false, all),
+        (newS, 2L, "ON_TIME", true, all)), s"got $got")
+      q.stop()
+    }
+  }
+
   test("triggered SESSIONS: lateness >= gap is rejected up front") {
     val err = intercept[IllegalArgumentException] {
       new StatefulV2.TriggeredSessionProcessor[Long, String](

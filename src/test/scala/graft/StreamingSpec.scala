@@ -718,7 +718,12 @@ class StreamingSpec extends SparkSpec {
         transform(sequence(lit(0), lit(63)), j =>
           when(j.cast("long") === pmod(col("vec_id"), lit(64L)),
             lit(1.0f)).otherwise(lit(0.0f))).as("embedding"))
-    val incoming = copies.unionByName(novels)
+    // re-fetch case: a copy carrying its corpus duplicate's OWN id
+    // must still be caught (the ANN self-pair exclusion is disabled
+    // on the admission path)
+    val sameId = corpus.filter(col("vec_id") === 3)
+      .select(col("vec_id"), col("embedding"))
+    val incoming = copies.unionByName(novels).unionByName(sameId)
       .as[(Long, Seq[Float])].collect().toSeq
     assert(incoming.size >= 4, s"thin fixture: ${incoming.size} rows")
     def admit(b: DataFrame): Set[Long] =
