@@ -1237,7 +1237,7 @@ object StatefulV2 {
     * parameterized on how slot 5 (composite trigger state vs
     * wall-clock anchor) combines at a merge. A fix to merge semantics
     * lands ONCE here. */
-  private[streaming] object SessionPanes {
+  private[graft] object SessionPanes {
     /** (buf(ts, v), countSinceLastFire, paneIndex, onTimeFired,
       * slot5, maxTs, prevLen). */
     type St[V] = (Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)

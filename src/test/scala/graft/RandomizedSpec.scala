@@ -366,4 +366,52 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("SessionPanes.upsert maintains exact gap-clusters under random insertion order") {
+    import graft.streaming.StatefulV2.SessionPanes
+    // the incremental locate/extend/rekey/merge must reproduce, after
+    // EVERY insertion, exactly the gap-connected components a full
+    // re-cluster of the inserted timestamps would give — plus the
+    // bookkeeping invariants the trigger machinery relies on
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { trial =>
+      val gap = 1 + rnd.nextInt(10)
+      val n = 1 + rnd.nextInt(40)
+      val ts = IndexedSeq.fill(n)(rnd.nextInt(120).toLong)
+      val m = scala.collection.mutable.TreeMap
+        .empty[Long, SessionPanes.St[String]]
+      var retracts = 0
+      ts.zipWithIndex.foreach { case (t, i) =>
+        val (skey, st0) = SessionPanes.upsert[String](m, t, gap,
+          combine5 = (_, a5, _, b5) => math.max(a5, b5),
+          retract = (_, _, _, _) => retracts += 1)
+        val (buf, since, pane, fired, s5, mx, prevLen) = st0
+        m(skey) = (buf :+ ((t, s"v$i")), since + 1, pane, fired, s5,
+          math.max(mx, t), prevLen)
+        // expected components: sort inserted so-far, split on > gap
+        val sorted = ts.take(i + 1).sorted
+        val expected = sorted.tail.foldLeft(
+          Vector(Vector(sorted.head))) { (acc, x) =>
+          if (x - acc.last.last > gap) acc :+ Vector(x)
+          else acc.init :+ (acc.last :+ x)
+        }.map(c => (c.head, c.last))
+        val got = m.toSeq.map { case (k, st) => (k, st._6) }
+        assert(got == expected,
+          s"trial $trial gap=$gap after ${i + 1} inserts: " +
+            s"got=$got expected=$expected ts=${ts.take(i + 1)}")
+        // buffers tile the inserted multiset: each row in exactly one
+        // session, with its ts inside that session's [min, max]
+        val allRows = m.toSeq.flatMap { case (k, st) =>
+          st._1.map { case (rt, _) => (k, rt) } }
+        assert(allRows.size == i + 1, s"trial $trial: row lost/duplicated")
+        allRows.foreach { case (k, rt) =>
+          val st = m(k)
+          assert(rt >= k && rt <= st._6,
+            s"trial $trial: row ts $rt outside session [$k, ${st._6}]")
+        }
+        // counts sum to the inserted total (merges never drop counts)
+        assert(m.values.map(_._2).sum == i + 1L, s"trial $trial: count drift")
+      }
+    }
+  }
 }
