@@ -61,10 +61,24 @@ object StreamingBench {
     }
   }
 
-  /** (name → events/s) for the streaming operator suite. Caller is
-    * expected to have set the RocksDB state-store provider
-    * (transformWithState requires it). */
+  /** (name → events/s) for the streaming operator suite, BEST of
+    * `SPARK_GRAFT_STREAMING_REPS` (default 2) interleaved passes —
+    * streaming ops are single queries (no per-query best-of-3 like the
+    * batch rows), so one noisy-host burst during a pass would
+    * otherwise halve an op's reported throughput. Caller is expected
+    * to have set the RocksDB state-store provider (transformWithState
+    * requires it). */
   def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STREAMING_REPS", "2")
+      .toInt.max(1)
+    val passes = (1 to reps).map(_ => runOnce(spark, sfDir))
+    passes.head.indices.map { i =>
+      val name = passes.head(i)._1
+      (name, passes.map(_(i)._2).max) // -1.0 failures lose to any success
+    }
+  }
+
+  private def runOnce(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_type", "value", "event_id")
