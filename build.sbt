@@ -39,3 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC thrash and the shuffle-join timings degrade 3-6x.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+// Stale XML reports from since-deleted specs inflate the visible suite
+// count (round 9's ScratchDebugSpec). Wipe the report dir before each
+// test run so target/test-reports always matches the live suites.
+Test / testOptions += {
+  val reports = target.value / "test-reports"
+  Tests.Setup(() => IO.delete(reports))
+}

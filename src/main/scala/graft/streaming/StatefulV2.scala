@@ -424,6 +424,14 @@ object StatefulV2 {
         rows: Iterator[(K, java.sql.Timestamp, V)],
         timers: TimerValues): Iterator[O] = {
       var cs = sums.get().toVector
+      if (cs.isEmpty) {
+        // a checkpoint written before the summary state existed has a
+        // non-empty buf and empty sums: rebuild the cluster summaries
+        // once from the surviving rows (the old full-recluster logic),
+        // so pre-upgrade rows flush instead of stranding
+        val it = buf.get()
+        while (it.hasNext) cs = insert(cs, it.next()._1)
+      }
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
         buf.appendValue((t, v))
@@ -1238,16 +1246,57 @@ object StatefulV2 {
     * wall-clock anchor) combines at a merge. A fix to merge semantics
     * lands ONCE here. */
   private[graft] object SessionPanes {
-    /** (buf(ts, v), countSinceLastFire, paneIndex, onTimeFired,
-      * slot5, maxTs, prevLen). */
-    type St[V] = (Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)
+    /** (cuts(tsLo, cutoffPos), countSinceLastFire, paneIndex,
+      * onTimeFired, slot5, maxTs, lastFirePos).
+      *
+      * The row buffer is NOT here: rows live in a per-key APPEND-ONLY
+      * log ([[SessionLog]]) and the session state holds only summaries
+      * + offsets — Beam's BagState-append shape
+      * (runners/core-java/.../ReduceFnRunner.java:97 never rewrites the
+      * bag), so a session alive across B micro-batches serializes
+      * O(batch) per batch through RocksDB, not O(B·n).
+      *
+      * `cuts` is the piecewise-constant liveness cutoff over the
+      * session's event-time span: a log row (pos, ts) is LIVE for
+      * session [min..maxTs] iff min ≤ ts ≤ maxTs and
+      * pos ≥ cutoff(cuts, ts). Segments are sorted by tsLo with
+      * cuts.head.tsLo == min; one segment is added per downward rekey
+      * and per merge part (bounded by merges since the last clear), and
+      * a discarding-mode clear collapses them to the single segment
+      * (min, currentLogPos). `lastFirePos` = the log position fence of
+      * the last EMITTED (un-retracted) pane — the retraction baseline
+      * (0 = none): that pane's content is exactly the live rows with
+      * pos < lastFirePos, because cutoffs are monotone per ts within a
+      * session and appends are monotone in pos. */
+    type St = (Seq[(Long, Long)], Long, Long, Boolean, Long, Long, Long)
 
-    def load[V](ms: MapState[Long, St[V]]): scala.collection.mutable.TreeMap[Long, St[V]] = {
-      val m = scala.collection.mutable.TreeMap.empty[Long, St[V]]
+    /** V-free state shape → one static encoder, no caller plumbing. */
+    val stEnc: Encoder[St] = Encoders.product[St]
+
+    def load(ms: MapState[Long, St]): scala.collection.mutable.TreeMap[Long, St] = {
+      val m = scala.collection.mutable.TreeMap.empty[Long, St]
       val it = ms.iterator()
       while (it.hasNext) { val kv = it.next(); m += (kv._1 -> kv._2) }
       m
     }
+
+    /** Liveness cutoff for a row at `ts`: the segment with the
+      * greatest tsLo ≤ ts (head's cutoff below the first — defensive;
+      * such rows do not arise while the invariant head.tsLo == min
+      * holds). */
+    def cutoff(cuts: Seq[(Long, Long)], ts: Long): Long = {
+      var c = cuts.head._2
+      val it = cuts.iterator
+      while (it.hasNext) {
+        val (lo, p) = it.next()
+        if (lo <= ts) c = p else return c
+      }
+      c
+    }
+
+    /** Is log row (pos, ts) live for the session keyed at `min`? */
+    def live(min: Long, st: St, pos: Long, ts: Long): Boolean =
+      ts >= min && ts <= st._6 && pos >= cutoff(st._1, ts)
 
     def paneValues[V](buf: Seq[(Long, V)]): Seq[V] =
       buf.sortBy(_._1).map(_._2)
@@ -1255,18 +1304,21 @@ object StatefulV2 {
     /** Locate the session for an element at `t` under gap
       * connectivity, mutating `m`: extend the predecessor, move a
       * successor's start down (REKEY), bridge-merge both, or open a
-      * singleton. Returns (sessionKey, state-before-append).
+      * singleton. Returns (sessionKey, state-before-append). `nextPos`
+      * = the log position the element will be appended at; a new or
+      * rekeyed span's cutoff starts there so stale log rows from
+      * since-closed sessions in the same ts range can never resurrect.
       *
-      * `retract(windowStart, buf, pane, prevLen)` runs for every pane
-      * a window-IDENTITY change invalidates — both parts of a
-      * two-sided merge AND the old start of a downward rekey (the
-      * session's windowStart changes, so a pane published under the
-      * old start must be retracted before panes appear under the new
-      * one); the invalidated lineage restarts with prevLen = 0. */
-    def upsert[V](m: scala.collection.mutable.TreeMap[Long, St[V]],
-        t: Long, gapMs: Long,
+      * `retract(windowStart, partState)` runs for every pane a
+      * window-IDENTITY change invalidates — both parts of a two-sided
+      * merge AND the old start of a downward rekey (the session's
+      * windowStart changes, so a pane published under the old start
+      * must be retracted before panes appear under the new one); the
+      * invalidated lineage restarts with lastFirePos = 0. */
+    def upsert(m: scala.collection.mutable.TreeMap[Long, St],
+        t: Long, gapMs: Long, nextPos: Long,
         combine5: (Boolean, Long, Boolean, Long) => Long,
-        retract: (Long, Seq[(Long, V)], Long, Long) => Unit): (Long, St[V]) = {
+        retract: (Long, St) => Unit): (Long, St) = {
       val predKey = m.rangeTo(t).lastOption.map(_._1)
       val succKey = m.rangeFrom(t + 1).headOption.map(_._1)
       val joinsPred = predKey.exists(p => t <= m(p)._6 + gapMs)
@@ -1274,33 +1326,104 @@ object StatefulV2 {
       (joinsPred, joinsSucc) match {
         case (true, true) =>
           val p = predKey.get; val s = succKey.get
-          val (ab, asn, ap, af, a5, amx, apl) = m(p)
-          val (bb, bsn, bp, bf, b5, bmx, bpl) = m(s)
+          val a = m(p); val b = m(s)
+          val (ac, asn, ap, af, a5, amx, _) = a
+          val (bc, bsn, bp, bf, b5, bmx, _) = b
           m.remove(s)
-          retract(p, ab, ap, apl)
-          retract(s, bb, bp, bpl)
-          (p, (ab ++ bb, asn + bsn, math.max(ap, bp), af || bf,
+          retract(p, a)
+          retract(s, b)
+          // cuts concatenate in key order (part spans are disjoint,
+          // all of a's tsLo < s ≤ b's tsLo) — each part keeps its own
+          // liveness fence across the merge
+          (p, (ac ++ bc, asn + bsn, math.max(ap, bp), af || bf,
             combine5(af, a5, bf, b5), math.max(amx, bmx), 0L))
         case (true, false) =>
           val p = predKey.get
-          val (b, sn, pn, f, s5, mx, pl) = m(p)
-          (p, (b, sn, pn, f, s5, math.max(mx, t), pl))
+          val (c, sn, pn, f, s5, mx, pl) = m(p)
+          (p, (c, sn, pn, f, s5, math.max(mx, t), pl))
         case (false, true) =>
           val s = succKey.get
           val st = m(s)
           m.remove(s) // start moves down to t — new window identity
-          retract(s, st._1, st._3, st._7)
-          (t, st.copy(_7 = 0L))
+          retract(s, st)
+          (t, st.copy(_1 = (t, nextPos) +: st._1, _7 = 0L))
         case (false, false) =>
-          (t, (Seq.empty[(Long, V)], 0L, 0L, false, 0L, t, 0L))
+          (t, (Seq((t, nextPos)), 0L, 0L, false, 0L, t, 0L))
       }
     }
+  }
+
+  /** Per-invocation view over a key's append-only row log — the state
+    * half of [[SessionPanes]]. Entries are (pos, ts, value) with
+    * monotone virtual positions (a ValueState counter), so cutoffs and
+    * pane fences in session summaries survive log rewrites. Appends go
+    * straight to the ListState (O(batch) serialization per batch); the
+    * full log is READ only when a pane actually fires or retracts —
+    * the read Beam pays on every BagState firing too. `garbage` counts
+    * rows dead to their own session (discarding-mode clears); a
+    * rewrite runs when a session CLOSES (its span's rows must leave
+    * the log immediately, before a neighbor can ever extend over the
+    * same ts range) or when garbage reaches half the log — classic
+    * amortized-O(1)-per-append compaction. */
+  private final class SessionLog[V](
+      log: ListState[(Long, Long, V)],
+      meta: ValueState[(Long, Long, Long)]) {
+    var (nextPos, total, garbage) = if (meta.exists()) meta.get() else (0L, 0L, 0L)
+    private var cache: scala.collection.mutable.ArrayBuffer[(Long, Long, V)] = null
+
+    def rows(): scala.collection.mutable.ArrayBuffer[(Long, Long, V)] = {
+      if (cache == null) {
+        cache = scala.collection.mutable.ArrayBuffer[(Long, Long, V)]()
+        val it = log.get()
+        while (it.hasNext) cache += it.next()
+      }
+      cache
+    }
+
+    def append(t: Long, v: V): Unit = {
+      val e = (nextPos, t, v)
+      log.appendValue(e)
+      if (cache != null) cache += e
+      nextPos += 1; total += 1
+    }
+
+    /** The live rows of the session keyed at `min`, below `beforePos`,
+      * in arrival order (pane values ts-sort afterwards; arrival order
+      * keeps equal-ts ties stable, as the old in-state buffers did). */
+    def content(min: Long, st: SessionPanes.St,
+        beforePos: Long = Long.MaxValue): Seq[(Long, V)] =
+      rows().iterator
+        .filter { case (p, t, _) => p < beforePos && SessionPanes.live(min, st, p, t) }
+        .map { case (_, t, v) => (t, v) }
+        .toSeq
+
+    /** Purge + compact: drop every closed span's rows now (correctness
+      * — a later session extending over that ts range must not see
+      * them) and, when triggered, every row dead to its own session.
+      * One O(log) rewrite per invocation that closed a session or
+      * crossed the garbage threshold. */
+    def maybeRewrite(closed: Seq[(Long, Long)],
+        m: scala.collection.mutable.TreeMap[Long, SessionPanes.St]): Unit = {
+      if (closed.isEmpty && garbage * 2 < total) return
+      val keep = rows().filter { case (p, t, _) =>
+        m.rangeTo(t).lastOption.exists { case (min, st) =>
+          SessionPanes.live(min, st, p, t)
+        }
+      }
+      log.clear()
+      keep.foreach(log.appendValue)
+      cache = keep
+      total = keep.size.toLong
+      garbage = 0L
+    }
+
+    def save(): Unit = meta.update((nextPos, total, garbage))
   }
 
   class TriggeredSessionProcessor[K, V](gapMs: Long, allowedLatenessMs: Long,
       earlyTrigger: CountTrigger, lateTrigger: CountTrigger,
       accumulating: Boolean, retractions: Boolean = false)(
-      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)])
+      implicit vEnc: Encoder[V])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
     require(gapMs > 0 && allowedLatenessMs >= 0)
     require(allowedLatenessMs < gapMs,
@@ -1310,23 +1433,33 @@ object StatefulV2 {
     require(!retractions || accumulating,
       "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
-    // per-session pane state, keyed by session MIN ts — see
-    // [[SessionPanes.St]]; slot 5 = composite trigger state. prevLen =
-    // length of the buffer prefix that formed the last EMITTED
-    // (un-retracted) pane, the retraction baseline. It is NOT simply
-    // buf.size - since: a window-identity change (merge or rekey)
-    // retracts the stale panes under their own window starts
-    // (downstream must subtract the now-stale per-window results,
-    // Beam's accumulatingAndRetractingFiredPanes rule over merging
-    // windows) and rebases the lineage to prevLen = 0.
-    private type SessState = SessionPanes.St[V]
+    // per-session pane SUMMARIES, keyed by session MIN ts — see
+    // [[SessionPanes.St]]; slot 5 = composite trigger state. Rows live
+    // in the per-key append-only [[SessionLog]]; lastFirePos (slot 7)
+    // fences the last EMITTED (un-retracted) pane, the retraction
+    // baseline. A window-identity change (merge or rekey) retracts the
+    // stale panes under their own window starts (downstream must
+    // subtract the now-stale per-window results, Beam's
+    // accumulatingAndRetractingFiredPanes rule over merging windows)
+    // and rebases the lineage to lastFirePos = 0. NOTE: this state
+    // layout replaced the r9 in-MapState row buffers — checkpoints
+    // written by the buffer layout are not portable across it.
+    private type SessState = SessionPanes.St
     @transient private var sessions: MapState[Long, SessState] = _
     @transient private var armed: ListState[Long] = _
+    @transient private var log: ListState[(Long, Long, V)] = _
+    @transient private var logMeta: ValueState[(Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       sessions = getHandle.getMapState[Long, SessState]("sessions",
-        Encoders.scalaLong, stEnc, TTLConfig.NONE)
+        Encoders.scalaLong, SessionPanes.stEnc, TTLConfig.NONE)
       armed = getHandle.getListState[Long]("armed", Encoders.scalaLong,
+        TTLConfig.NONE)
+      log = getHandle.getListState[(Long, Long, V)]("log",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, vEnc),
+        TTLConfig.NONE)
+      logMeta = getHandle.getValueState[(Long, Long, Long)]("logMeta",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
         TTLConfig.NONE)
     }
 
@@ -1352,50 +1485,62 @@ object StatefulV2 {
     }
 
     /** RETRACT pane for a session's last emitted content, if any. */
-    private def retractionOf(key: K, skey: Long, buf: Seq[(Long, V)],
-        pane: Long, prevLen: Long,
+    private def retractionOf(key: K, skey: Long, st: SessState,
+        lv: SessionLog[V],
         out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
-      if (retractions && prevLen > 0)
-        out += ((key, skey, pane - 1, "RETRACT", false,
-          paneValues(buf.take(prevLen.toInt))))
+      if (retractions && st._7 > 0)
+        out += ((key, skey, st._3 - 1, "RETRACT", false,
+          paneValues(lv.content(skey, st, beforePos = st._7))))
 
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, V)],
         timers: TimerValues): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      val lv = new SessionLog[V](log, logMeta)
       val m = loadSessions()
       val before = m.keySet.toSet
+      val dirty = scala.collection.mutable.Set[Long]()
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
         // locate/extend/rekey/merge under gap-connectivity — shared
         // with the mixed-clock processor; merge/rekey retract the
         // invalidated panes under their own window starts
-        val (skey, st0) = SessionPanes.upsert(m, t, gapMs,
+        val (skey, st0) = SessionPanes.upsert(m, t, gapMs, lv.nextPos,
           combine5 = (af, a5, bf, b5) => {
             val trig = if (af || bf) lateTrigger else earlyTrigger
             if (af == bf) trig.mergeState(a5, b5)
             else if (af) a5 else b5
           },
-          retract = (w, b, pn, pl) => retractionOf(key, w, b, pn, pl, out))
-        var (buf, since, pane, fired, trigSt, mx, prevLen) = st0
-        buf :+= ((t, v))
+          retract = (w, st) => retractionOf(key, w, st, lv, out))
+        var (cuts, since, pane, fired, trigSt, mx, lastFire) = st0
+        lv.append(t, v)
         since += 1
         val trig = if (fired) lateTrigger else earlyTrigger
         val (fire, nextSt) = trig.onElement(trigSt, since)
         trigSt = nextSt
         if (fire) {
-          retractionOf(key, skey, buf, pane, prevLen, out)
+          val stNow = (cuts, since, pane, fired, trigSt, mx, lastFire)
+          retractionOf(key, skey, stNow, lv, out)
+          val vals = paneValues(lv.content(skey, stNow))
           out += ((key, skey, pane, if (fired) "LATE" else "EARLY", false,
-            paneValues(buf)))
+            vals))
           pane += 1; since = 0
-          prevLen = buf.size
-          if (!accumulating) buf = Seq.empty
+          lastFire = lv.nextPos
+          if (!accumulating) {
+            lv.garbage += vals.size // cleared rows stay in the log, dead
+            cuts = Seq((skey, lv.nextPos))
+          }
         }
-        m(skey) = (buf, since, pane, fired, trigSt, mx, prevLen)
+        m(skey) = (cuts, since, pane, fired, trigSt, mx, lastFire)
+        dirty += skey
       }
       (before -- m.keySet).foreach(sessions.removeKey)
-      m.foreach { case (k, st) => sessions.updateValue(k, st) }
+      dirty.foreach { k =>
+        m.get(k).foreach(st => sessions.updateValue(k, st))
+      }
       armTimers(m)
+      lv.maybeRewrite(Seq.empty, m)
+      lv.save()
       out.iterator
     }
 
@@ -1406,29 +1551,39 @@ object StatefulV2 {
       armed.clear()
       remaining.foreach(armed.appendValue)
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      val lv = new SessionLog[V](log, logMeta)
       val m = loadSessions()
-      m.foreach { case (min, (buf, since, pane, fired, _, mx, prevLen)) =>
+      val closed = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      m.toSeq.foreach { case (min, st) =>
+        val (_, since, pane, fired, _, mx, _) = st
         val end = mx + gapMs
         if (!fired && end - allowedLatenessMs == expiry) {
           // conceptual Beam watermark passed the session end
           val closing = allowedLatenessMs == 0
-          retractionOf(key, min, buf, pane, prevLen, out)
-          out += ((key, min, pane, "ON_TIME", closing, paneValues(buf)))
-          if (closing) sessions.removeKey(min)
-          else sessions.updateValue(min,
-            (if (accumulating) buf else Seq.empty, 0L, pane + 1, true, 0L,
-              mx, buf.size.toLong))
+          retractionOf(key, min, st, lv, out)
+          val vals = paneValues(lv.content(min, st))
+          out += ((key, min, pane, "ON_TIME", closing, vals))
+          if (closing) {
+            sessions.removeKey(min); m.remove(min); closed += ((min, mx))
+          } else {
+            val cuts = if (accumulating) st._1
+                       else { lv.garbage += vals.size; Seq((min, lv.nextPos)) }
+            val nst = (cuts, 0L, pane + 1, true, 0L, mx, lv.nextPos)
+            sessions.updateValue(min, nst); m(min) = nst
+          }
         } else if (end == expiry && allowedLatenessMs > 0) {
           // lateness horizon passed: close + GC
           if (since > 0) {
-            retractionOf(key, min, buf, pane, prevLen, out)
+            retractionOf(key, min, st, lv, out)
             out += ((key, min, pane, if (fired) "LATE" else "ON_TIME", true,
-              paneValues(buf)))
+              paneValues(lv.content(min, st))))
           }
-          sessions.removeKey(min)
+          sessions.removeKey(min); m.remove(min); closed += ((min, mx))
         }
         // anything else: a timer whose session end moved — no-op
       }
+      lv.maybeRewrite(closed.toSeq, m)
+      lv.save()
       out.iterator
     }
   }
@@ -1442,8 +1597,7 @@ object StatefulV2 {
       allowedLatenessMs: Long = 0L, earlyFireEvery: Int = 0,
       lateFireEvery: Int = 1, accumulating: Boolean = false,
       retractions: Boolean = false)(
-      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)],
-      outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
+      implicit outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     triggeredSessionsWith(ds, gapMs, allowedLatenessMs,
       earlyTrigger = if (earlyFireEvery > 0) AfterCount(earlyFireEvery)
                      else NeverCount,
@@ -1458,8 +1612,7 @@ object StatefulV2 {
       lateTrigger: CountTrigger = AfterCount(1),
       accumulating: Boolean = false,
       retractions: Boolean = false)(
-      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)],
-      outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
+      implicit outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     ds.groupByKey(_._1).transformWithState(
       new TriggeredSessionProcessor[K, V](gapMs, allowedLatenessMs,
         earlyTrigger, lateTrigger, accumulating, retractions),
@@ -1515,11 +1668,12 @@ object StatefulV2 {
       windowMs: Long, allowedLatenessMs: Long,
       earlyDelayMs: Long, lateDelayMs: Long,
       accumulating: Boolean, retractions: Boolean = false,
-      heartbeatMs: Long = 200L)(
+      heartbeatMs: Long = 200L, maxSweepLagMs: Long = 5000L)(
       implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean, Long)])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
     require(windowMs > 0 && allowedLatenessMs >= 0)
     require(earlyDelayMs > 0 && lateDelayMs > 0 && heartbeatMs > 0)
+    require(maxSweepLagMs >= heartbeatMs)
     require(!retractions || accumulating,
       "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
@@ -1528,10 +1682,41 @@ object StatefulV2 {
     // wall-clock pane; buffer holds the whole window when accumulating,
     // else only values since the previous pane
     @transient private var windows: MapState[Long, (Seq[V], Long, Long, Boolean, Long)] = _
+    @transient private var sweepAt: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       windows = getHandle.getMapState[Long, (Seq[V], Long, Long, Boolean, Long)](
         "windows", Encoders.scalaLong, stEnc, TTLConfig.NONE)
+      sweepAt = getHandle.getValueState[Long]("sweepAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** One sweep-timer chain per key, aimed at the nearest pending
+      * event-time need (on-time at window end, GC at end + lateness)
+      * mapped to wall clock — same self-pacing estimate as
+      * [[MixedTriggerSessionProcessor.armSweep]]; replaces the fixed
+      * per-invocation heartbeat that grew one timer chain per input
+      * batch. */
+    private def armSweep(now: Long, wm: Long): Unit = {
+      val pending = if (sweepAt.exists()) sweepAt.get() else 0L
+      val it = windows.iterator()
+      var need = Long.MaxValue
+      while (it.hasNext) {
+        val (w, st) = it.next()
+        val n = if (!st._4) w + windowMs else w + windowMs + allowedLatenessMs
+        if (n < need) need = n
+      }
+      if (need == Long.MaxValue) { // no open windows
+        if (pending != 0L) { getHandle.deleteTimer(pending); sweepAt.clear() }
+        return
+      }
+      val target = now + math.max(heartbeatMs, math.min(need - wm, maxSweepLagMs))
+      if (pending == 0L || pending <= now || target < pending) {
+        if (pending > now) getHandle.deleteTimer(pending)
+        getHandle.registerTimer(target)
+        sweepAt.update(target)
+      }
+    }
 
     private def openWindows(): Seq[Long] = {
       val it = windows.keys(); val b = scala.collection.mutable.ArrayBuffer[Long]()
@@ -1598,9 +1783,9 @@ object StatefulV2 {
         }
       }
       sweep(key, wm, out)
-      // idle-key progress: one heartbeat so the on-time/GC sweep runs
-      // again even if no further input or pane timer arrives
-      if (openWindows().nonEmpty) getHandle.registerTimer(now + heartbeatMs)
+      // idle-key progress: keep exactly one sweep chain alive so the
+      // on-time/GC sweep runs again even with no further input
+      armSweep(now, wm)
       out.iterator
     }
 
@@ -1609,6 +1794,7 @@ object StatefulV2 {
       val wm = timers.getCurrentWatermarkInMs()
       val now = timers.getCurrentProcessingTimeInMs()
       val expiry = timer.getExpiryTimeInMs()
+      if (sweepAt.exists() && sweepAt.get() == expiry) sweepAt.clear()
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
       sweep(key, wm, out)
       openWindows().foreach { w =>
@@ -1621,7 +1807,7 @@ object StatefulV2 {
           windows.updateValue(w, (buf, since, pane, fired, anchor))
         }
       }
-      if (openWindows().nonEmpty) getHandle.registerTimer(now + heartbeatMs)
+      armSweep(now, wm)
       out.iterator
     }
   }
@@ -1636,12 +1822,13 @@ object StatefulV2 {
       allowedLatenessMs: Long = 0L,
       earlyDelayMs: Long = 1000L, lateDelayMs: Long = 1000L,
       accumulating: Boolean = false, retractions: Boolean = false,
-      heartbeatMs: Long = 200L)(
+      heartbeatMs: Long = 200L, maxSweepLagMs: Long = 5000L)(
       implicit stEnc: Encoder[(Seq[V], Long, Long, Boolean, Long)],
       outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     ds.groupByKey(_._1).transformWithState(
       new MixedTriggerWindowProcessor[K, V](windowMs, allowedLatenessMs,
-        earlyDelayMs, lateDelayMs, accumulating, retractions, heartbeatMs),
+        earlyDelayMs, lateDelayMs, accumulating, retractions, heartbeatMs,
+        maxSweepLagMs),
       TimeMode.ProcessingTime(), OutputMode.Append())
 
   /** Beam's mixed-clock compound trigger over MERGING windows — the
@@ -1677,24 +1864,39 @@ object StatefulV2 {
       gapMs: Long, allowedLatenessMs: Long,
       earlyDelayMs: Long, lateDelayMs: Long,
       accumulating: Boolean, retractions: Boolean = false,
-      heartbeatMs: Long = 200L)(
-      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)])
+      heartbeatMs: Long = 200L, maxSweepLagMs: Long = 5000L)(
+      implicit vEnc: Encoder[V])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, Long, String, Boolean, Seq[V])] {
     require(gapMs > 0 && allowedLatenessMs >= 0)
     require(earlyDelayMs > 0 && lateDelayMs > 0 && heartbeatMs > 0)
+    require(maxSweepLagMs >= heartbeatMs)
     require(!retractions || accumulating,
       "retractions require accumulating mode (a discarding pane has nothing to retract)")
 
-    // per-session pane state, keyed by session MIN ts — see
+    // per-session pane SUMMARIES, keyed by session MIN ts — see
     // [[SessionPanes.St]]; slot 5 = anchorDeadlineMs (0 = no pending
-    // wall-clock pane); prevLen = the retraction baseline, as in
-    // TriggeredSessionProcessor
-    private type SessState = SessionPanes.St[V]
+    // wall-clock pane); lastFirePos = the retraction baseline and rows
+    // live in the per-key append-only [[SessionLog]], both as in
+    // TriggeredSessionProcessor (and with the same checkpoint
+    // non-portability vs the r9 buffer layout)
+    private type SessState = SessionPanes.St
     @transient private var sessions: MapState[Long, SessState] = _
+    @transient private var log: ListState[(Long, Long, V)] = _
+    @transient private var logMeta: ValueState[(Long, Long, Long)] = _
+    @transient private var sweepAt: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       sessions = getHandle.getMapState[Long, SessState]("sessions",
-        Encoders.scalaLong, stEnc, TTLConfig.NONE)
+        Encoders.scalaLong, SessionPanes.stEnc, TTLConfig.NONE)
+      log = getHandle.getListState[(Long, Long, V)]("log",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, vEnc),
+        TTLConfig.NONE)
+      logMeta = getHandle.getValueState[(Long, Long, Long)]("logMeta",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+      sweepAt = getHandle.getValueState[Long]("sweepAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     private def loadSessions(): scala.collection.mutable.TreeMap[Long, SessState] =
       SessionPanes.load(sessions)
@@ -1702,64 +1904,104 @@ object StatefulV2 {
     private def paneValues(buf: Seq[(Long, V)]): Seq[V] =
       SessionPanes.paneValues(buf)
 
-    private def retractionOf(key: K, skey: Long, buf: Seq[(Long, V)],
-        pane: Long, prevLen: Long,
+    private def retractionOf(key: K, skey: Long, st: SessState,
+        lv: SessionLog[V],
         out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
-      if (retractions && prevLen > 0)
-        out += ((key, skey, pane - 1, "RETRACT", false,
-          paneValues(buf.take(prevLen.toInt))))
+      if (retractions && st._7 > 0)
+        out += ((key, skey, st._3 - 1, "RETRACT", false,
+          paneValues(lv.content(skey, st, beforePos = st._7))))
 
     /** Watermark transitions (on-time, close/GC) against each
-      * session's CURRENT end; mutates `m` in place. */
-    private def sweep(key: K, wm: Long,
+      * session's CURRENT end; mutates `m` in place, tracking dirty and
+      * closed sessions. */
+    private def sweep(key: K, wm: Long, lv: SessionLog[V],
         m: scala.collection.mutable.TreeMap[Long, SessState],
+        dirty: scala.collection.mutable.Set[Long],
+        closedSpans: scala.collection.mutable.ArrayBuffer[(Long, Long)],
         out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
       m.keys.toSeq.foreach { min =>
-        var (buf, since, pane, fired, anchor, mx, prevLen) = m(min)
+        var st = m(min)
+        val (_, _, _, fired0, _, mx, _) = st
         val end = mx + gapMs
         var closed = false
-        if (!fired && wm >= end) {
-          retractionOf(key, min, buf, pane, prevLen, out)
+        if (!fired0 && wm >= end) {
+          retractionOf(key, min, st, lv, out)
           val closing = allowedLatenessMs == 0
-          out += ((key, min, pane, "ON_TIME", closing, paneValues(buf)))
-          if (closing) { m.remove(min); closed = true }
+          val vals = paneValues(lv.content(min, st))
+          out += ((key, min, st._3, "ON_TIME", closing, vals))
+          if (closing) { m.remove(min); closedSpans += ((min, mx)); closed = true }
           else {
-            prevLen = buf.size
-            buf = if (accumulating) buf else Seq.empty
-            since = 0; pane += 1; fired = true; anchor = 0
-            m(min) = (buf, since, pane, fired, anchor, mx, prevLen)
+            val cuts = if (accumulating) st._1
+                       else { lv.garbage += vals.size; Seq((min, lv.nextPos)) }
+            st = (cuts, 0L, st._3 + 1, true, 0L, mx, lv.nextPos)
+            m(min) = st; dirty += min
           }
         }
-        if (!closed && fired && wm >= end + allowedLatenessMs) {
-          if (since > 0) {
-            retractionOf(key, min, buf, pane, prevLen, out)
-            out += ((key, min, pane, "LATE", true, paneValues(buf)))
+        if (!closed && st._4 && wm >= end + allowedLatenessMs) {
+          if (st._2 > 0) {
+            retractionOf(key, min, st, lv, out)
+            out += ((key, min, st._3, "LATE", true,
+              paneValues(lv.content(min, st))))
           }
-          m.remove(min)
+          m.remove(min); closedSpans += ((min, mx))
         }
       }
 
     /** Fire any due wall-clock pane anchors; mutates `m` in place. */
-    private def fireDueAnchors(key: K, now: Long,
+    private def fireDueAnchors(key: K, now: Long, lv: SessionLog[V],
         m: scala.collection.mutable.TreeMap[Long, SessState],
+        dirty: scala.collection.mutable.Set[Long],
         out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
       m.keys.toSeq.foreach { min =>
-        var (buf, since, pane, fired, anchor, mx, prevLen) = m(min)
+        val st = m(min)
+        val (_, since, pane, fired, anchor, mx, _) = st
         if (anchor != 0L && anchor <= now && since > 0) {
-          retractionOf(key, min, buf, pane, prevLen, out)
+          retractionOf(key, min, st, lv, out)
+          val vals = paneValues(lv.content(min, st))
           out += ((key, min, pane, if (fired) "LATE" else "EARLY", false,
-            paneValues(buf)))
-          prevLen = buf.size
-          if (!accumulating) buf = Seq.empty
-          since = 0; pane += 1; anchor = 0
-          m(min) = (buf, since, pane, fired, anchor, mx, prevLen)
+            vals))
+          val cuts = if (accumulating) st._1
+                     else { lv.garbage += vals.size; Seq((min, lv.nextPos)) }
+          m(min) = (cuts, 0L, pane + 1, fired, 0L, mx, lv.nextPos)
+          dirty += min
         }
       }
 
     private def writeBack(before: Set[Long],
+        dirty: scala.collection.mutable.Set[Long],
         m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
       (before -- m.keySet).foreach(sessions.removeKey)
-      m.foreach { case (k, st) => sessions.updateValue(k, st) }
+      dirty.foreach { k =>
+        m.get(k).foreach(st => sessions.updateValue(k, st))
+      }
+    }
+
+    /** One sweep-timer chain per key, aimed at the nearest pending
+      * event-time need (on-time at end, GC at end + lateness), mapped
+      * to the wall clock under the steady-state assumption that the
+      * watermark advances at wall rate: delay = clamp(nearestNeed − wm,
+      * heartbeatMs, maxSweepLagMs). A stalled watermark self-paces
+      * (the deficit stays put, so so does the polling interval); a
+      * watermark racing ahead of wall time is observed within
+      * maxSweepLagMs; every input batch re-aims the chain at the fresh
+      * estimate. Replaces the fixed per-invocation heartbeat that
+      * accumulated one timer chain per input batch. */
+    private def armSweep(now: Long, wm: Long,
+        m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
+      val pending = if (sweepAt.exists()) sweepAt.get() else 0L
+      if (m.isEmpty) {
+        if (pending != 0L) { getHandle.deleteTimer(pending); sweepAt.clear() }
+        return
+      }
+      val need = m.valuesIterator.map { st =>
+        if (!st._4) st._6 + gapMs else st._6 + gapMs + allowedLatenessMs
+      }.min
+      val target = now + math.max(heartbeatMs, math.min(need - wm, maxSweepLagMs))
+      if (pending == 0L || pending <= now || target < pending) {
+        if (pending > now) getHandle.deleteTimer(pending)
+        getHandle.registerTimer(target)
+        sweepAt.update(target)
+      }
     }
 
     override def handleInputRows(key: K,
@@ -1768,31 +2010,37 @@ object StatefulV2 {
       val wm = timers.getCurrentWatermarkInMs()
       val now = timers.getCurrentProcessingTimeInMs()
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      val lv = new SessionLog[V](log, logMeta)
       val m = loadSessions()
       val before = m.keySet.toSet
+      val dirty = scala.collection.mutable.Set[Long]()
+      val closedSpans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
         if (wm < t + gapMs + allowedLatenessMs) { // else: expired proto-window
-          val (skey, st0) = SessionPanes.upsert(m, t, gapMs,
+          val (skey, st0) = SessionPanes.upsert(m, t, gapMs, lv.nextPos,
             combine5 = (_, a5, _, b5) => (a5, b5) match {
               case (0L, x) => x
               case (x, 0L) => x
               case (x, y) => math.min(x, y) // earliest promised pane
             },
-            retract = (w, b, pn, pl) => retractionOf(key, w, b, pn, pl, out))
-          var (buf, since, pane, fired, anchor, mx, prevLen) = st0
-          buf :+= ((t, v))
+            retract = (w, st) => retractionOf(key, w, st, lv, out))
+          var (cuts, since, pane, fired, anchor, mx, lastFire) = st0
+          lv.append(t, v)
           since += 1
           if (anchor == 0L) { // first element of this pane anchors the delay
             anchor = now + (if (fired) lateDelayMs else earlyDelayMs)
             getHandle.registerTimer(anchor)
           }
-          m(skey) = (buf, since, pane, fired, anchor, mx, prevLen)
+          m(skey) = (cuts, since, pane, fired, anchor, mx, lastFire)
+          dirty += skey
         }
       }
-      sweep(key, wm, m, out)
-      writeBack(before, m)
-      if (m.nonEmpty) getHandle.registerTimer(now + heartbeatMs)
+      sweep(key, wm, lv, m, dirty, closedSpans, out)
+      writeBack(before, dirty, m)
+      lv.maybeRewrite(closedSpans.toSeq, m)
+      lv.save()
+      armSweep(now, wm, m)
       out.iterator
     }
 
@@ -1801,13 +2049,19 @@ object StatefulV2 {
       val wm = timers.getCurrentWatermarkInMs()
       val now = timers.getCurrentProcessingTimeInMs()
       val expiry = timer.getExpiryTimeInMs()
+      if (sweepAt.exists() && sweepAt.get() == expiry) sweepAt.clear()
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      val lv = new SessionLog[V](log, logMeta)
       val m = loadSessions()
       val before = m.keySet.toSet
-      sweep(key, wm, m, out)
-      fireDueAnchors(key, math.max(now, expiry), m, out)
-      writeBack(before, m)
-      if (m.nonEmpty) getHandle.registerTimer(now + heartbeatMs)
+      val dirty = scala.collection.mutable.Set[Long]()
+      val closedSpans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      sweep(key, wm, lv, m, dirty, closedSpans, out)
+      fireDueAnchors(key, math.max(now, expiry), lv, m, dirty, out)
+      writeBack(before, dirty, m)
+      lv.maybeRewrite(closedSpans.toSeq, m)
+      lv.save()
+      armSweep(now, wm, m)
       out.iterator
     }
   }
@@ -1821,11 +2075,11 @@ object StatefulV2 {
       allowedLatenessMs: Long = 0L,
       earlyDelayMs: Long = 1000L, lateDelayMs: Long = 1000L,
       accumulating: Boolean = false, retractions: Boolean = false,
-      heartbeatMs: Long = 200L)(
-      implicit stEnc: Encoder[(Seq[(Long, V)], Long, Long, Boolean, Long, Long, Long)],
-      outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
+      heartbeatMs: Long = 200L, maxSweepLagMs: Long = 5000L)(
+      implicit outEnc: Encoder[(K, Long, Long, String, Boolean, Seq[V])]): Dataset[(K, Long, Long, String, Boolean, Seq[V])] =
     ds.groupByKey(_._1).transformWithState(
       new MixedTriggerSessionProcessor[K, V](gapMs, allowedLatenessMs,
-        earlyDelayMs, lateDelayMs, accumulating, retractions, heartbeatMs),
+        earlyDelayMs, lateDelayMs, accumulating, retractions, heartbeatMs,
+        maxSweepLagMs),
       TimeMode.ProcessingTime(), OutputMode.Append())
 }

@@ -379,15 +379,18 @@ class RandomizedSpec extends SparkSpec {
       val n = 1 + rnd.nextInt(40)
       val ts = IndexedSeq.fill(n)(rnd.nextInt(120).toLong)
       val m = scala.collection.mutable.TreeMap
-        .empty[Long, SessionPanes.St[String]]
+        .empty[Long, SessionPanes.St]
+      // the append-only row log the state design pairs with the
+      // summaries: (pos, ts, value), positions strictly increasing
+      val log = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
       var retracts = 0
       ts.zipWithIndex.foreach { case (t, i) =>
-        val (skey, st0) = SessionPanes.upsert[String](m, t, gap,
+        val pos = i.toLong
+        val (skey, st0) = SessionPanes.upsert(m, t, gap, pos,
           combine5 = (_, a5, _, b5) => math.max(a5, b5),
-          retract = (_, _, _, _) => retracts += 1)
-        val (buf, since, pane, fired, s5, mx, prevLen) = st0
-        m(skey) = (buf :+ ((t, s"v$i")), since + 1, pane, fired, s5,
-          math.max(mx, t), prevLen)
+          retract = (_, _) => retracts += 1)
+        log += ((pos, t, s"v$i"))
+        m(skey) = st0.copy(_2 = st0._2 + 1)
         // expected components: sort inserted so-far, split on > gap
         val sorted = ts.take(i + 1).sorted
         val expected = sorted.tail.foldLeft(
@@ -399,16 +402,24 @@ class RandomizedSpec extends SparkSpec {
         assert(got == expected,
           s"trial $trial gap=$gap after ${i + 1} inserts: " +
             s"got=$got expected=$expected ts=${ts.take(i + 1)}")
-        // buffers tile the inserted multiset: each row in exactly one
-        // session, with its ts inside that session's [min, max]
-        val allRows = m.toSeq.flatMap { case (k, st) =>
-          st._1.map { case (rt, _) => (k, rt) } }
-        assert(allRows.size == i + 1, s"trial $trial: row lost/duplicated")
-        allRows.foreach { case (k, rt) =>
-          val st = m(k)
-          assert(rt >= k && rt <= st._6,
-            s"trial $trial: row ts $rt outside session [$k, ${st._6}]")
+        // cuts invariants: head segment starts at the session min and
+        // segments are strictly increasing in tsLo
+        m.foreach { case (k, st) =>
+          assert(st._1.head._1 == k,
+            s"trial $trial: cuts head ${st._1.head} != session min $k")
+          assert(st._1.map(_._1) == st._1.map(_._1).sorted.distinct,
+            s"trial $trial: cuts not strictly sorted: ${st._1}")
         }
+        // LIVE log rows tile the inserted multiset: each row live for
+        // exactly one session, with its ts inside that session's span
+        val liveFor = log.map { case (p, rt, _) =>
+          m.toSeq.filter { case (k, st) => SessionPanes.live(k, st, p, rt) }
+        }
+        assert(liveFor.forall(_.size == 1),
+          s"trial $trial: a log row is live for ${liveFor.map(_.size)} sessions")
+        assert(liveFor.flatten.groupBy(_._1).forall { case (k, ss) =>
+          ss.size == m(k)._2
+        }, s"trial $trial: live-row tiling != per-session counts")
         // counts sum to the inserted total (merges never drop counts)
         assert(m.values.map(_._2).sum == i + 1L, s"trial $trial: count drift")
       }

@@ -632,6 +632,75 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("triggered SESSIONS: a session accumulating across many micro-batches (append-only log, O(batch) state writes)") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.triggeredSessions(
+        mem.toDS().withWatermark("_2", "2 minutes"),
+        gapMs = 10000L, allowedLatenessMs = 0L, earlyFireEvery = 3,
+        accumulating = true)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      // ONE session fed a single row per micro-batch for 12 batches —
+      // the shape whose per-batch cost was O(B·n) under the old
+      // rewrite-the-buffer state layout and is O(batch) appends now
+      (0 until 12).foreach { i =>
+        mem.addData((1L, t(i), s"v$i")); q.processAllAvailable()
+      }
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 5)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._2, p._3, p._4, p._5, p._6)).toSeq
+      val start = t(0).getTime
+      def pref(n: Int) = (0 until n).map(i => s"v$i")
+      assert(got == Seq(
+        (start, 0L, "EARLY", false, pref(3)),
+        (start, 1L, "EARLY", false, pref(6)),
+        (start, 2L, "EARLY", false, pref(9)),
+        (start, 3L, "EARLY", false, pref(12)),
+        (start, 4L, "ON_TIME", true, pref(12))), s"got $got")
+      q.stop()
+    }
+  }
+
+  test("triggered SESSIONS: discarding panes across many micro-batches (log garbage compaction keeps firing correct)") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val panes = StatefulV2.triggeredSessions(
+        mem.toDS().withWatermark("_2", "2 minutes"),
+        gapMs = 10000L, allowedLatenessMs = 0L, earlyFireEvery = 2,
+        accumulating = false)
+      val table = freshTable()
+      val q = startMemorySink(panes, table)
+      // every batch fires + clears its pane, so after each batch ALL
+      // prior rows are garbage — the half-dead compaction threshold
+      // trips repeatedly and must never resurrect a cleared row
+      (0 until 10).foreach { i =>
+        mem.addData((1L, t(2 * i), s"a$i"), (1L, t(2 * i + 1), s"b$i"))
+        q.processAllAvailable()
+      }
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "wm"))
+      q.processAllAvailable()
+      mem.addData((9L, java.sql.Timestamp.valueOf("2026-01-01 10:06:00"), "wm2"))
+      q.processAllAvailable()
+      awaitSink(table)(spark.table(table).filter("_1 = 1").count() == 11)
+      val got = spark.table(table)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 == 1L).sortBy(_._3)
+        .map(p => (p._3, p._4, p._5, p._6)).toSeq
+      val expected = (0 until 10).map { i =>
+        (i.toLong, "EARLY", false, Seq(s"a$i", s"b$i"))
+      } :+ ((10L, "ON_TIME", true, Seq.empty[String]))
+      assert(got == expected, s"got $got")
+      q.stop()
+    }
+  }
+
   test("triggered SESSIONS: lateness >= gap is rejected up front") {
     val err = intercept[IllegalArgumentException] {
       new StatefulV2.TriggeredSessionProcessor[Long, String](
