@@ -11,21 +11,30 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port its twelve distinctive PLAN SHAPES onto the driver's
+  * these port its twenty-one distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
+  *   q1   correlated scalar subquery per group, decorrelated
+  *   q2   WITH-chain reuse: one CTE consumed twice via a shifted join
   *   q3   star join + dimension filter + (year, brand) aggregate
   *   q5   multi-channel UNION ALL + ROLLUP
   *   q9   per-bucket scalar subqueries → conditional aggregation
   *   q14  GROUPING SETS with grouping-id output
+  *   q17  multi-fact star: sales ⋈ returns on (item, customer)
   *   q23  frequent-item CTE feeding a semi-joined second aggregate
+  *   q25  three-fact star: three channel aggregates joined on item
+  *   q29  temporal sold→returned→re-bought three-fact chain
   *   q38  multi-channel INTERSECT of customer sets
   *   q47  lag/lead navigation over an aggregate (monthly series)
+  *   q49  per-channel worst-return-ratio ranking + channel union
   *   q51  cumulative windows over a FULL OUTER join of two channels
+  *   q59  one CTE compared across two epochs on month-of-year
+  *   q62  shipping-lag lateness bands, one conditional-agg pass
   *   q67  rank() over ROLLUP results per group
   *   q73  HAVING count range + join back to the dimension
   *   q74  year-over-year self-join of per-customer aggregates
+  *   q78  channel ratio over returns-excluded (anti-joined) sales
   *   q88  multi-band conditional counts in one scan
   *
   * Scale discipline matches [[TpchQueries]]: only fixed-cardinality
@@ -369,6 +378,354 @@ object TpcdsQueries {
           CAST(count(*) FILTER (WHERE hour(ts) >= 15 AND hour(ts) < 18) AS BIGINT) AS h5,
           CAST(count(*) FILTER (WHERE hour(ts) >= 18 AND hour(ts) < 21) AS BIGINT) AS h6,
           CAST(count(*) FILTER (WHERE hour(ts) >= 21 AND hour(ts) < 24) AS BIGINT) AS h7
-        FROM events WHERE event_type = 'click'"""))
+        FROM events WHERE event_type = 'click'""")),
+
+    // q1: the correlated-scalar-subquery-per-group filter — customers
+    // whose return count exceeds 1.2x the AVERAGE return count of
+    // their nation. Decorrelated the way Calcite/Catalyst both do:
+    // the inner aggregate becomes a grouped frame joined back on the
+    // correlation key (25 nation rows → broadcast). The 1.2x-avg
+    // comparison is algebraized to integers (ctr·cnt·5 > tot·6) so the
+    // predicate is EXACT cross-engine — no double-boundary ties.
+    Q("agg_tpcds_q1",
+      (s, d) => {
+        val ctr = li(s, d).filter(col("l_returnflag") === "R")
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_nationkey"))
+          .agg(count(lit(1)).as("ctr_total"))
+        val na = ctr.groupBy(col("c_nationkey"))
+          .agg(sum(col("ctr_total")).as("tot"), count(lit(1)).as("cnt"))
+        ctr.join(broadcast(na), Seq("c_nationkey"))
+          .filter(col("ctr_total") * col("cnt") * 5 > col("tot") * 6)
+          .select(col("c_custkey"), col("c_nationkey"), col("ctr_total"))
+      },
+      Some("""WITH ctr AS (
+          SELECT c_custkey, c_nationkey, count(*) AS ctr_total
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE l_returnflag = 'R' GROUP BY 1, 2
+        ), na AS (
+          SELECT c_nationkey, sum(ctr_total) AS tot, count(*) AS cnt
+          FROM ctr GROUP BY 1)
+        SELECT c_custkey, c_nationkey, CAST(ctr_total AS BIGINT) AS ctr_total
+        FROM ctr JOIN na USING (c_nationkey)
+        WHERE ctr_total * cnt * 5 > tot * 6""")),
+
+    // q2: WITH-chain reuse — ONE monthly-sales CTE consumed twice
+    // (this month vs the same nation a year earlier) through a
+    // shifted self-join. Money sums in DECIMAL (the q5 lesson: the
+    // diff of two large double sums drifts cross-engine).
+    Q("agg_tpcds_q2",
+      (s, d) => {
+        val wss = ordByNationMonth(s, d)
+          .groupBy(col("n_name"), col("ym"))
+          .agg(sum(col("o_totalprice").cast("decimal(38,6)")).as("sales"))
+        val prev = wss.select(col("n_name"),
+          (col("ym") + 100).as("ym"), col("sales").as("prev_sales"))
+        wss.join(prev, Seq("n_name", "ym"))
+          .select(col("n_name"), col("ym"),
+            round(col("sales").cast("double"), 4).as("sales"),
+            round(col("prev_sales").cast("double"), 4).as("prev_sales"),
+            round((col("sales") - col("prev_sales")).cast("double"), 4)
+              .as("diff"))
+      },
+      Some("""WITH wss AS (
+          SELECT n_name,
+            CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+            sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sales
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT t.n_name, t.ym,
+          round(CAST(t.sales AS DOUBLE), 4) AS sales,
+          round(CAST(p.sales AS DOUBLE), 4) AS prev_sales,
+          round(CAST(t.sales - p.sales AS DOUBLE), 4) AS diff
+        FROM wss t JOIN wss p
+          ON t.n_name = p.n_name AND t.ym = p.ym + 100""")),
+
+    // q17: the multi-fact star — sales facts ⋈ returns facts on the
+    // COMPOSITE (item, customer) key, stats per brand. Scale
+    // discipline: each side pre-aggregates to (partkey, custkey)
+    // BEFORE the fact-fact shuffle join, so the join carries one row
+    // per pair per side, never the line-level multiplicity. Quantity
+    // sums are integer-valued doubles (exact under any summation
+    // order).
+    Q("agg_tpcds_q17",
+      (s, d) => {
+        def side(f: org.apache.spark.sql.Column, out: String) =
+          li(s, d).filter(f)
+            .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_partkey"), col("o_custkey"))
+            .agg(sum(col("l_quantity")).as(out))
+        side(col("l_returnflag") =!= "R", "s_qty")
+          .join(side(col("l_returnflag") === "R", "r_qty"),
+            Seq("l_partkey", "o_custkey"))
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(col("s_qty")), 4).as("avg_sold"),
+            round(avg(col("r_qty")), 4).as("avg_returned"))
+      },
+      Some("""WITH sales AS (
+          SELECT l_partkey, o_custkey, sum(l_quantity) AS s_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag <> 'R' GROUP BY 1, 2
+        ), rets AS (
+          SELECT l_partkey, o_custkey, sum(l_quantity) AS r_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R' GROUP BY 1, 2)
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+          round(avg(s_qty), 4) AS avg_sold,
+          round(avg(r_qty), 4) AS avg_returned
+        FROM sales JOIN rets USING (l_partkey, o_custkey)
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1""")),
+
+    // q25: the THREE-fact star — three channel aggregates (order
+    // priorities stand in for store/catalog/web) each grouped to the
+    // item key, 3-way inner joined, then the dimension join + brand
+    // report. Same pre-aggregate-before-fact-join discipline as q17.
+    Q("agg_tpcds_q25",
+      (s, d) => {
+        def chan(p: String, out: String) = ord(s, d)
+          .filter(col("o_orderpriority") === p)
+          .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity")).as(out))
+        chan("1-URGENT", "q_urgent")
+          .join(chan("2-HIGH", "q_high"), Seq("l_partkey"))
+          .join(chan("3-MEDIUM", "q_medium"), Seq("l_partkey"))
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("q_urgent")).cast("long").as("qty_urgent"),
+            sum(col("q_high")).cast("long").as("qty_high"),
+            sum(col("q_medium")).cast("long").as("qty_medium"))
+      },
+      Some("""WITH u AS (
+          SELECT l_partkey, sum(l_quantity) AS q_urgent FROM orders
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        ), h AS (
+          SELECT l_partkey, sum(l_quantity) AS q_high FROM orders
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderpriority = '2-HIGH' GROUP BY 1
+        ), m AS (
+          SELECT l_partkey, sum(l_quantity) AS q_medium FROM orders
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderpriority = '3-MEDIUM' GROUP BY 1)
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+          CAST(sum(q_urgent) AS BIGINT) AS qty_urgent,
+          CAST(sum(q_high) AS BIGINT) AS qty_high,
+          CAST(sum(q_medium) AS BIGINT) AS qty_medium
+        FROM u JOIN h USING (l_partkey) JOIN m USING (l_partkey)
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1""")),
+
+    // q29: the temporal sold→returned→re-bought chain — three fact
+    // instances over DISJOINT-purpose date windows (sold in 1995,
+    // returned 1995-96, bought again 1996-97), joined on the
+    // composite (item, customer) key, reported per brand.
+    Q("agg_tpcds_q29",
+      (s, d) => {
+        def phase(f: org.apache.spark.sql.Column, y0: Int, y1: Int,
+            out: String) =
+          li(s, d).filter(f)
+            .join(ord(s, d).filter(year(col("o_orderdate")).between(y0, y1)),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_partkey"), col("o_custkey"))
+            .agg(sum(col("l_quantity")).as(out))
+        phase(col("l_returnflag") =!= "R", 1995, 1995, "sold_qty")
+          .join(phase(col("l_returnflag") === "R", 1995, 1996, "ret_qty"),
+            Seq("l_partkey", "o_custkey"))
+          .join(phase(col("l_returnflag") =!= "R", 1996, 1997, "rebuy_qty"),
+            Seq("l_partkey", "o_custkey"))
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_chains"),
+            sum(col("sold_qty")).cast("long").as("sold_qty"),
+            sum(col("ret_qty")).cast("long").as("ret_qty"),
+            sum(col("rebuy_qty")).cast("long").as("rebuy_qty"))
+      },
+      Some("""WITH s95 AS (
+          SELECT l_partkey, o_custkey, sum(l_quantity) AS sold_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag <> 'R' AND year(o_orderdate) = 1995
+          GROUP BY 1, 2
+        ), r AS (
+          SELECT l_partkey, o_custkey, sum(l_quantity) AS ret_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND year(o_orderdate) BETWEEN 1995 AND 1996
+          GROUP BY 1, 2
+        ), s97 AS (
+          SELECT l_partkey, o_custkey, sum(l_quantity) AS rebuy_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag <> 'R'
+            AND year(o_orderdate) BETWEEN 1996 AND 1997
+          GROUP BY 1, 2)
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_chains,
+          CAST(sum(sold_qty) AS BIGINT) AS sold_qty,
+          CAST(sum(ret_qty) AS BIGINT) AS ret_qty,
+          CAST(sum(rebuy_qty) AS BIGINT) AS rebuy_qty
+        FROM s95 JOIN r USING (l_partkey, o_custkey)
+        JOIN s97 USING (l_partkey, o_custkey)
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1""")),
+
+    // q49: worst-return-ratio ranking per channel + UNION of the
+    // channels. The ratio is integer basis points ((ret·10000) div
+    // sold) — exact cross-engine, no float-rank ties — and the rank
+    // is total-ordered by (ratio desc, partkey asc).
+    Q("agg_tpcds_q49",
+      (s, d) => {
+        val byChan = li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("channel",
+            when(col("o_orderpriority") === "1-URGENT", "urgent")
+              .when(col("o_orderpriority") === "2-HIGH", "high")
+              .otherwise("other"))
+          .groupBy(col("channel"), col("l_partkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("sold"),
+            sum(when(col("l_returnflag") === "R", col("l_quantity"))
+              .otherwise(lit(0.0))).cast("long").as("ret"))
+          .filter(col("ret") > 0)
+          .withColumn("ratio_bp", expr("ret * 10000 div sold"))
+        val w = Window.partitionBy(col("channel"))
+          .orderBy(col("ratio_bp").desc, col("l_partkey").asc)
+        byChan.withColumn("rk", rank().over(w)).filter(col("rk") <= 10)
+          .select(col("channel"), col("l_partkey"), col("ratio_bp"),
+            col("rk"))
+      },
+      Some("""WITH byc AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                      WHEN o_orderpriority = '2-HIGH' THEN 'high'
+                      ELSE 'other' END AS channel,
+            l_partkey,
+            CAST(sum(l_quantity) AS BIGINT) AS sold,
+            CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                          ELSE 0 END) AS BIGINT) AS ret
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2
+          HAVING sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                          ELSE 0 END) > 0)
+        SELECT channel, l_partkey, ret * 10000 // sold AS ratio_bp,
+          CAST(rank() OVER (PARTITION BY channel
+            ORDER BY ret * 10000 // sold DESC, l_partkey ASC) AS INT) AS rk
+        FROM byc QUALIFY rk <= 10""")),
+
+    // q59: the same-CTE-two-epochs comparison — monthly order volume
+    // per nation, 1996 vs 1997 joined on MONTH-OF-YEAR (q59's
+    // week-over-week shape on this schema's calendar).
+    Q("agg_tpcds_q59",
+      (s, d) => {
+        val mss = ord(s, d)
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .filter(year(col("o_orderdate")).isin(1996, 1997))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("moy"))
+          .agg(count(lit(1)).as("n"))
+        val a = mss.filter(col("y") === 1996)
+          .select(col("n_name"), col("moy"), col("n").as("n_1996"))
+        val b = mss.filter(col("y") === 1997)
+          .select(col("n_name"), col("moy"), col("n").as("n_1997"))
+        a.join(b, Seq("n_name", "moy"))
+      },
+      Some("""WITH mss AS (
+          SELECT n_name, CAST(year(o_orderdate) AS INT) AS y,
+            CAST(month(o_orderdate) AS INT) AS moy, count(*) AS n
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE year(o_orderdate) IN (1996, 1997)
+          GROUP BY 1, 2, 3)
+        SELECT a.n_name, a.moy,
+          CAST(a.n AS BIGINT) AS n_1996, CAST(b.n AS BIGINT) AS n_1997
+        FROM mss a JOIN mss b
+          ON a.n_name = b.n_name AND a.moy = b.moy
+         AND a.y = 1996 AND b.y = 1997""")),
+
+    // q62: the shipping-lag band report — days between order and ship
+    // date bucketed into lateness bands, one conditional-aggregation
+    // pass per order priority (q62's web-sales shipping report on
+    // this schema's dates).
+    Q("agg_tpcds_q62",
+      (s, d) => {
+        val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+        li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(lag <= 30, 1).otherwise(0)).cast("long").as("d30"),
+            sum(when(lag > 30 && lag <= 60, 1).otherwise(0)).cast("long").as("d60"),
+            sum(when(lag > 60 && lag <= 90, 1).otherwise(0)).cast("long").as("d90"),
+            sum(when(lag > 90, 1).otherwise(0)).cast("long").as("d90plus"))
+      },
+      Some("""SELECT o_orderpriority,
+          CAST(count(*) FILTER (WHERE date_diff('day',
+            CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30)
+            AS BIGINT) AS d30,
+          CAST(count(*) FILTER (WHERE date_diff('day',
+            CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+            BETWEEN 31 AND 60) AS BIGINT) AS d60,
+          CAST(count(*) FILTER (WHERE date_diff('day',
+            CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+            BETWEEN 61 AND 90) AS BIGINT) AS d90,
+          CAST(count(*) FILTER (WHERE date_diff('day',
+            CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90)
+            AS BIGINT) AS d90plus
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""")),
+
+    // q78: the channel ratio EXCLUDING returned merchandise — sales
+    // lines anti-joined against the (customer, item) pairs that were
+    // ever returned (q78's ss LEFT JOIN sr ... WHERE sr IS NULL),
+    // then per (year, customer) the urgent-vs-other quantity ratio in
+    // integer basis points.
+    Q("agg_tpcds_q78",
+      (s, d) => {
+        val retPairs = li(s, d).filter(col("l_returnflag") === "R")
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_partkey")).distinct()
+        li(s, d).filter(col("l_returnflag") =!= "R")
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(retPairs, Seq("o_custkey", "l_partkey"), "left_anti")
+          .groupBy(year(col("o_orderdate")).as("o_year"), col("o_custkey"))
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT",
+              col("l_quantity")).otherwise(lit(0.0))).cast("long").as("uq"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT",
+              col("l_quantity")).otherwise(lit(0.0))).cast("long").as("oq"))
+          .filter(col("uq") > 0 && col("oq") > 0)
+          .withColumn("ratio_bp", expr("uq * 10000 div oq"))
+      },
+      Some("""WITH clean AS (
+          SELECT year(o_orderdate) AS o_year, o_custkey, o_orderpriority,
+            l_quantity
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag <> 'R' AND NOT EXISTS (
+            SELECT 1 FROM lineitem l2 JOIN orders o2
+              ON l2.l_orderkey = o2.o_orderkey
+            WHERE l2.l_returnflag = 'R'
+              AND o2.o_custkey = orders.o_custkey
+              AND l2.l_partkey = lineitem.l_partkey))
+        SELECT CAST(o_year AS INT) AS o_year, o_custkey,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN l_quantity ELSE 0 END) AS BIGINT) AS uq,
+          CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                        THEN l_quantity ELSE 0 END) AS BIGINT) AS oq,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN l_quantity ELSE 0 END) AS BIGINT) * 10000
+            // CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                          THEN l_quantity ELSE 0 END) AS BIGINT) AS ratio_bp
+        FROM clean
+        GROUP BY 1, 2
+        HAVING sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN l_quantity ELSE 0 END) > 0
+           AND sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                        THEN l_quantity ELSE 0 END) > 0"""))
   )
 }

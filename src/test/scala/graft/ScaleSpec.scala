@@ -414,6 +414,31 @@ class ScaleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(ds67).size <= 2,
       "tpcds q67 re-scans inputs per rollup level")
     assert(ds67.contains("Window"), "tpcds q67 lost the rank window")
+    // TPC-DS q1 analog: the decorrelated per-nation average (25 rows)
+    // joins back via BROADCAST — the counts frame is never reshuffled
+    // for the comparison
+    val ds1 = plan("agg_tpcds_q1")
+    assert(ds1.contains("BroadcastHashJoin"),
+      "tpcds q1 nation-average join not broadcast")
+    // TPC-DS q17 analog (multi-fact star): both fact branches
+    // pre-aggregate to (partkey, custkey) BEFORE the fact-fact join —
+    // the join carries one row per pair per side, never line-level
+    // multiplicity (2 aggs per side + the brand agg = >= 6 nodes)
+    val ds17 = plan("agg_tpcds_q17")
+    assert("HashAggregate".r.findAllIn(ds17).size >= 6,
+      "tpcds q17 lost its pre-join per-pair aggregation")
+    assert(!ds17.contains("CartesianProduct"),
+      "tpcds q17 degenerated to a cross product")
+    // TPC-DS q78 analog: the returned-pairs exclusion stays an ANTI
+    // join (no row multiplication, no NOT-IN null trap)
+    assert(plan("agg_tpcds_q78").contains("LeftAnti"),
+      "tpcds q78 lost the anti join")
+    // TPC-DS q62 analog: four lateness bands in ONE conditional-agg
+    // pass over one join — no per-band re-scan, no union
+    val ds62 = plan("agg_tpcds_q62")
+    assert("Scan parquet".r.findAllIn(ds62).size <= 2 &&
+      !ds62.contains("Union"),
+      "tpcds q62 no longer a single conditional-aggregation pass")
   }
 
   test("GraftExtensions injects native functions at session build") {
