@@ -150,7 +150,7 @@ object Bench {
     // Each op isolates its own failure as -1.0 (the batch rows'
     // contract); the outer catch only covers suite setup (the events
     // replay collect).
-    val streaming: Seq[(String, Double)] =
+    val streaming: Seq[(String, Double, StreamingBench.OpBreakdown)] =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAMING", "1") == "0") Seq.empty
       else {
         // Streaming-section tuning (measured on sf0.1, each worth
@@ -169,14 +169,21 @@ object Bench {
         val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
         tuned.foreach { case (k, v) => spark.conf.set(k, v) }
         try StreamingBench.run(spark, sfDir)
-        catch { case _: Throwable => Seq("streaming_suite" -> -1.0) }
+        catch { case _: Throwable =>
+          Seq(("streaming_suite", -1.0,
+            StreamingBench.OpBreakdown(0, 0, 0, 0, 0, 0, 0))) }
         finally prev.foreach {
           case (k, Some(v)) => spark.conf.set(k, v)
           case (k, None) => spark.conf.unset(k)
         }
       }
     val streamingJson = streaming
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
+    // per-op state-read/-write vs processing split (round-9 directive:
+    // NexmarkPerf-style separate rate tracking) — details file only
+    val streamingBreakdownJson = streaming
+      .map { case (k, _, b) => "\"" + k + "\":" + b.json }
       .mkString("{", ",", "}")
     // Full per-query detail goes to a FILE: the bench driver captures
     // only the tail of stdout (observed: last ~2000 chars), so a
@@ -185,7 +192,7 @@ object Bench {
     val full = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$full,"streaming":$streamingJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$full,"streaming":$streamingJson,"streaming_breakdown":$streamingBreakdownJson,"sf":"$sfDir"}"""
     // best-effort: never let a read-only/foreign cwd kill the stdout
     // line the driver parses
     try java.nio.file.Files.write(

@@ -25,9 +25,48 @@ object StreamingBench {
 
   private val Chunks = 10
 
+  /** Per-op cost breakdown from the query's progress telemetry — the
+    * state-read/-write vs processing split NexmarkPerf tracks as
+    * separate rates (the reference publishes per-query time AND
+    * events/s). All times summed across micro-batches, milliseconds:
+    *   - addBatchMs: total execution (planning excluded) — state IO
+    *     happens inside it, so processing ≈ addBatch − state terms
+    *   - stateCommitMs: RocksDB snapshot/changelog commit
+    *   - stateUpdateMs / stateRemovalMs: put/delete paths incl. the
+    *     ListState/MapState traffic the processors generate
+    *   - rowsUpdated / rowsRemoved: state-row write volume (the
+    *     metric that exposes O(n²) state rewrite patterns directly)
+    */
+  final case class OpBreakdown(batches: Int, addBatchMs: Long,
+      stateCommitMs: Long, stateUpdateMs: Long, stateRemovalMs: Long,
+      rowsUpdated: Long, rowsRemoved: Long) {
+    def json: String =
+      s"""{"batches":$batches,"addBatchMs":$addBatchMs,""" +
+        s""""stateCommitMs":$stateCommitMs,"stateUpdateMs":$stateUpdateMs,""" +
+        s""""stateRemovalMs":$stateRemovalMs,"rowsUpdated":$rowsUpdated,""" +
+        s""""rowsRemoved":$rowsRemoved}"""
+  }
+
+  private def breakdownOf(
+      q: org.apache.spark.sql.streaming.StreamingQuery): OpBreakdown = {
+    val prog = q.recentProgress
+    def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+        k: String): Long =
+      Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+    val ops = prog.flatMap(_.stateOperators)
+    OpBreakdown(
+      batches = prog.length,
+      addBatchMs = prog.map(dur(_, "addBatch")).sum,
+      stateCommitMs = ops.map(_.commitTimeMs).sum,
+      stateUpdateMs = ops.map(_.allUpdatesTimeMs).sum,
+      stateRemovalMs = ops.map(_.allRemovalsTimeMs).sum,
+      rowsUpdated = ops.map(_.numRowsUpdated).sum,
+      rowsRemoved = ops.map(_.numRowsRemoved).sum)
+  }
+
   private def bench[T: Encoder](spark: SparkSession, name: String,
       rows: IndexedSeq[T], sentinels: Seq[T])(
-      f: Dataset[T] => Dataset[_]): (String, Double) = {
+      f: Dataset[T] => Dataset[_]): (String, Double, OpBreakdown) = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // per-op failure isolation: one broken op reports -1.0 (the batch
     // rows' contract) without discarding the others' measurements or
@@ -46,9 +85,9 @@ object StreamingBench {
       rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
       sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
       val dt = (System.nanoTime() - t0) / 1e9
-      (name, rows.size / dt)
+      (name, rows.size / dt, breakdownOf(q))
     } catch {
-      case _: Throwable => (name, -1.0)
+      case _: Throwable => (name, -1.0, OpBreakdown(0, 0, 0, 0, 0, 0, 0))
     } finally {
       if (q != null) { try q.stop() catch { case _: Throwable => () } }
       // RocksDB checkpoint trees accumulate across bench rounds otherwise
@@ -61,24 +100,24 @@ object StreamingBench {
     }
   }
 
-  /** (name → events/s) for the streaming operator suite, BEST of
-    * `SPARK_GRAFT_STREAMING_REPS` (default 2) interleaved passes —
-    * streaming ops are single queries (no per-query best-of-3 like the
-    * batch rows), so one noisy-host burst during a pass would
-    * otherwise halve an op's reported throughput. Caller is expected
-    * to have set the RocksDB state-store provider (transformWithState
-    * requires it). */
-  def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  /** (name → events/s, breakdown) for the streaming operator suite,
+    * BEST of `SPARK_GRAFT_STREAMING_REPS` (default 2) interleaved
+    * passes — streaming ops are single queries (no per-query best-of-3
+    * like the batch rows), so one noisy-host burst during a pass would
+    * otherwise halve an op's reported throughput. The breakdown comes
+    * from the winning pass. Caller is expected to have set the RocksDB
+    * state-store provider (transformWithState requires it). */
+  def run(spark: SparkSession, sfDir: String): Seq[(String, Double, OpBreakdown)] = {
     val reps = sys.env.getOrElse("SPARK_GRAFT_STREAMING_REPS", "2")
       .toInt.max(1)
     val passes = (1 to reps).map(_ => runOnce(spark, sfDir))
     passes.head.indices.map { i =>
       val name = passes.head(i)._1
-      (name, passes.map(_(i)._2).max) // -1.0 failures lose to any success
+      passes.map(p => (name, p(i)._2, p(i)._3)).maxBy(_._2) // -1.0 loses
     }
   }
 
-  private def runOnce(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  private def runOnce(spark: SparkSession, sfDir: String): Seq[(String, Double, OpBreakdown)] = {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_type", "value", "event_id")

@@ -440,8 +440,21 @@ object StatefulV2 {
       sums.clear()
       cs.foreach(sums.appendValue)
       val ends = cs.map(_._2 + gapMs).toSet
-      val already = armed.get().toSet
-      (ends -- already).foreach { e =>
+      // fired entries prune LAZILY here (half-dead threshold) — the
+      // timer handler no longer rewrites the list per fire, which was
+      // O(armed) state writes per firing. A stale entry can never mask
+      // a needed registration: every live/extended cluster's end is
+      // above the watermark (late rows drop below it), fired entries
+      // at or below it.
+      val wm = timers.getCurrentWatermarkInMs()
+      val cur = armed.get().toSeq
+      val dead = cur.count(e => e < wm && !ends.contains(e))
+      val keep =
+        if (dead > 0 && dead * 2 >= cur.size) {
+          val k = cur.filter(e => e >= wm || ends.contains(e))
+          armed.clear(); k.foreach(armed.appendValue); k
+        } else cur
+      (ends -- keep.toSet).foreach { e =>
         getHandle.registerTimer(e)
         armed.appendValue(e)
       }
@@ -450,15 +463,30 @@ object StatefulV2 {
 
     override def handleExpiredTimer(key: K, timers: TimerValues,
         timer: ExpiredTimerInfo): Iterator[O] = {
-      val expiry = timer.getExpiryTimeInMs()
-      val remaining = armed.get().toSeq.filter(_ != expiry)
-      armed.clear()
-      remaining.foreach(armed.appendValue)
+      // flush by the WATERMARK, not the firing timer's own expiry: all
+      // clusters whose end the watermark passed are equally final (no
+      // row below the watermark can arrive to extend them), so the
+      // batch's FIRST fire flushes every due cluster and the same
+      // batch's later timers no-op — one buffer partition/rewrite per
+      // key per batch instead of one per cluster (the read/write
+      // amplification the r10 breakdown exposed on match_recognize:
+      // ~30 state-row writes per input event).
+      val cutTs = math.max(timer.getExpiryTimeInMs(),
+        timers.getCurrentWatermarkInMs())
       // clusters are disjoint and sorted, so ends are increasing and
       // the due set is a PREFIX — a stale timer (its cluster merged
       // away) is a pure no-op that never touches the row buffer
-      val cs = sums.get().toVector
-      val (due, pending) = cs.partition(_._2 + gapMs <= expiry)
+      var cs = sums.get().toVector
+      if (cs.isEmpty) {
+        // pre-upgrade-checkpoint backfill, timer path: a restored key's
+        // armed timer can fire BEFORE any new input arrives, and the
+        // summary state only exists post-upgrade — rebuild it from the
+        // surviving rows here too, or the buffered rows strand (the
+        // timer is consumed on return)
+        val it = buf.get()
+        while (it.hasNext) cs = insert(cs, it.next()._1)
+      }
+      val (due, pending) = cs.partition(_._2 + gapMs <= cutTs)
       if (due.isEmpty) return Iterator.empty
       val cut = due.last._2
       val (dueRows, pendRows) = buf.get().toSeq.partition(_._1 <= cut)
@@ -773,9 +801,15 @@ object StatefulV2 {
         rows: Iterator[(K, java.sql.Timestamp, V)],
         timers: TimerValues): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      // per-element state writes deferred: the pane state (including
+      // the whole window buffer) serializes into the MapState ONCE per
+      // touched window per batch, not once per row — a B-row batch
+      // into one window was O(B²) serialized bytes otherwise (the r10
+      // breakdown's rowsUpdated ≈ 2× events on this op)
+      val touched = scala.collection.mutable.Map[Long, (Seq[V], Long, Long, Boolean, Long)]()
       rows.foreach { case (_, ts, v) =>
         val w = Math.floorDiv(ts.getTime, windowMs) * windowMs
-        val opening = !windows.containsKey(w)
+        val opening = !touched.contains(w) && !windows.containsKey(w)
         if (opening) {
           // arm the window's timers once, in Spark-watermark domain
           getHandle.registerTimer(w + windowMs - allowedLatenessMs) // on-time
@@ -783,7 +817,8 @@ object StatefulV2 {
             getHandle.registerTimer(w + windowMs) // GC / window close
         }
         var (buf, since, pane, fired, trigSt) =
-          if (opening) (Seq.empty[V], 0L, 0L, false, 0L) else windows.getValue(w)
+          if (opening) (Seq.empty[V], 0L, 0L, false, 0L)
+          else touched.getOrElse(w, windows.getValue(w))
         buf :+= v
         since += 1
         val trig = if (fired) lateTrigger else earlyTrigger
@@ -799,8 +834,9 @@ object StatefulV2 {
           pane += 1; since = 0
           if (!accumulating) buf = Seq.empty
         }
-        windows.updateValue(w, (buf, since, pane, fired, trigSt))
+        touched(w) = (buf, since, pane, fired, trigSt)
       }
+      touched.foreach { case (w, st) => windows.updateValue(w, st) }
       out.iterator
     }
 
@@ -1283,16 +1319,38 @@ object StatefulV2 {
     /** Liveness cutoff for a row at `ts`: the segment with the
       * greatest tsLo ≤ ts (head's cutoff below the first — defensive;
       * such rows do not arise while the invariant head.tsLo == min
-      * holds). */
+      * holds). Binary search — segments are tsLo-sorted, and a
+      * many-merge accumulating session carries one segment per merge
+      * part since its last fence collapse. */
     def cutoff(cuts: Seq[(Long, Long)], ts: Long): Long = {
-      var c = cuts.head._2
-      val it = cuts.iterator
-      while (it.hasNext) {
-        val (lo, p) = it.next()
-        if (lo <= ts) c = p else return c
+      val cs: IndexedSeq[(Long, Long)] = cuts match {
+        case i: IndexedSeq[(Long, Long)] @unchecked => i
+        case s => s.toIndexedSeq
       }
-      c
+      var lo = 0; var hi = cs.length // first segment with tsLo > ts
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cs(mid)._1 <= ts) lo = mid + 1 else hi = mid
+      }
+      if (lo == 0) cs.head._2 else cs(lo - 1)._2
     }
+
+    /** Collapse adjacent segments carrying the same cutoff — the
+      * lookup is piecewise-constant, so a run of equal fences is one
+      * segment. Keeps `cuts` at O(distinct live fences) across merge
+      * chains whose parts share a fence (e.g. parts cleared at the
+      * same compaction). */
+    def compact(cuts: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      if (cuts.length < 2) cuts
+      else {
+        val b = Vector.newBuilder[(Long, Long)]
+        var last = cuts.head
+        b += last
+        cuts.iterator.drop(1).foreach { seg =>
+          if (seg._2 != last._2) { b += seg; last = seg }
+        }
+        b.result()
+      }
 
     /** Is log row (pos, ts) live for the session keyed at `min`? */
     def live(min: Long, st: St, pos: Long, ts: Long): Boolean =
@@ -1334,8 +1392,10 @@ object StatefulV2 {
           retract(s, b)
           // cuts concatenate in key order (part spans are disjoint,
           // all of a's tsLo < s ≤ b's tsLo) — each part keeps its own
-          // liveness fence across the merge
-          (p, (ac ++ bc, asn + bsn, math.max(ap, bp), af || bf,
+          // liveness fence across the merge; equal adjacent fences
+          // collapse, and a log compaction collapses ALL fences to 0
+          // (see SessionLog.maybeRewrite), bounding cuts length
+          (p, (compact(ac ++ bc), asn + bsn, math.max(ap, bp), af || bf,
             combine5(af, a5, bf, b5), math.max(amx, bmx), 0L))
         case (true, false) =>
           val p = predKey.get
@@ -1358,18 +1418,27 @@ object StatefulV2 {
     * monotone virtual positions (a ValueState counter), so cutoffs and
     * pane fences in session summaries survive log rewrites. Appends go
     * straight to the ListState (O(batch) serialization per batch); the
-    * full log is READ only when a pane actually fires or retracts —
-    * the read Beam pays on every BagState firing too. `garbage` counts
-    * rows dead to their own session (discarding-mode clears); a
-    * rewrite runs when a session CLOSES (its span's rows must leave
-    * the log immediately, before a neighbor can ever extend over the
-    * same ts range) or when garbage reaches half the log — classic
+    * full log is READ at most once per invocation (to build the
+    * ts-sorted index), and each pane fire/retraction then reads ONLY
+    * its session's ts-span through a binary-searched slice — a hot key
+    * with many live sessions pays O(its own span) per fire, not
+    * O(whole log). `garbage` counts rows dead to every session
+    * (discarding-mode clears AND closed sessions — a closed span can
+    * never be re-covered: new sessions and downward rekeys fence at
+    * the append position, and the gap-separation + lateness-drop
+    * arithmetic keeps any live neighbor from ever extending over a
+    * closed span, so close-purge is safely lazy); the one O(log)
+    * rewrite runs when garbage reaches half the log — classic
     * amortized-O(1)-per-append compaction. */
-  private final class SessionLog[V](
+  private[graft] final class SessionLog[V](
       log: ListState[(Long, Long, V)],
       meta: ValueState[(Long, Long, Long)]) {
     var (nextPos, total, garbage) = if (meta.exists()) meta.get() else (0L, 0L, 0L)
     private var cache: scala.collection.mutable.ArrayBuffer[(Long, Long, V)] = null
+    // cache[0, baseLen) sorted by (ts, pos); appends after index build
+    // land past baseLen and are scanned linearly (O(this batch))
+    private var baseSorted: scala.collection.mutable.ArrayBuffer[(Long, Long, V)] = null
+    private var baseLen = 0
 
     def rows(): scala.collection.mutable.ArrayBuffer[(Long, Long, V)] = {
       if (cache == null) {
@@ -1380,6 +1449,16 @@ object StatefulV2 {
       cache
     }
 
+    private def ensureIndex(): Unit = if (baseSorted == null) {
+      val r = rows()
+      baseLen = r.length
+      val b = new scala.collection.mutable.ArrayBuffer[(Long, Long, V)](baseLen)
+      var i = 0
+      while (i < baseLen) { b += r(i); i += 1 }
+      b.sortInPlaceBy(e => (e._2, e._1))
+      baseSorted = b
+    }
+
     def append(t: Long, v: V): Unit = {
       val e = (nextPos, t, v)
       log.appendValue(e)
@@ -1387,24 +1466,52 @@ object StatefulV2 {
       nextPos += 1; total += 1
     }
 
-    /** The live rows of the session keyed at `min`, below `beforePos`,
-      * in arrival order (pane values ts-sort afterwards; arrival order
-      * keeps equal-ts ties stable, as the old in-state buffers did). */
+    /** The live rows of the session keyed at `min`, below `beforePos`:
+      * a binary-searched slice of the (ts, pos)-sorted index plus this
+      * invocation's unindexed appends. Equal-ts rows come out in pos
+      * (= arrival) order, so paneValues' stable ts-sort keeps ties
+      * stable, as the old in-state buffers did. */
     def content(min: Long, st: SessionPanes.St,
-        beforePos: Long = Long.MaxValue): Seq[(Long, V)] =
-      rows().iterator
-        .filter { case (p, t, _) => p < beforePos && SessionPanes.live(min, st, p, t) }
-        .map { case (_, t, v) => (t, v) }
-        .toSeq
+        beforePos: Long = Long.MaxValue): Seq[(Long, V)] = {
+      ensureIndex()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, V)]()
+      var lo = 0; var hi = baseLen // first index with ts >= min
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (baseSorted(mid)._2 < min) lo = mid + 1 else hi = mid
+      }
+      val mx = st._6
+      var i = lo
+      while (i < baseLen && baseSorted(i)._2 <= mx) {
+        val e = baseSorted(i)
+        if (e._1 < beforePos && e._1 >= SessionPanes.cutoff(st._1, e._2))
+          out += ((e._2, e._3))
+        i += 1
+      }
+      val c = cache
+      var j = baseLen
+      while (j < c.length) {
+        val e = c(j)
+        if (e._1 < beforePos && SessionPanes.live(min, st, e._1, e._2))
+          out += ((e._2, e._3))
+        j += 1
+      }
+      out.toSeq
+    }
 
-    /** Purge + compact: drop every closed span's rows now (correctness
-      * — a later session extending over that ts range must not see
-      * them) and, when triggered, every row dead to its own session.
-      * One O(log) rewrite per invocation that closed a session or
-      * crossed the garbage threshold. */
-    def maybeRewrite(closed: Seq[(Long, Long)],
-        m: scala.collection.mutable.TreeMap[Long, SessionPanes.St]): Unit = {
-      if (closed.isEmpty && garbage * 2 < total) return
+    /** Threshold-driven compaction: rewrite the log keeping only rows
+      * live for some open session — when garbage (closed-session and
+      * cleared-pane rows; callers account closes via `garbage +=`)
+      * reaches half the log, or any session's fence list outgrew
+      * `maxCuts` (a long accumulating merge chain). Returns true when
+      * it rewrote: every surviving row is then live, so the caller
+      * collapses each open session's fences to (min, 0) — which is
+      * what bounds cuts length at O(merges since last compaction),
+      * i.e. O(1) amortized. */
+    def maybeRewrite(m: scala.collection.mutable.TreeMap[Long, SessionPanes.St],
+        maxCuts: Int = 32): Boolean = {
+      val overflow = m.valuesIterator.exists(_._1.length > maxCuts)
+      if (garbage * 2 < total && !overflow) return false
       val keep = rows().filter { case (p, t, _) =>
         m.rangeTo(t).lastOption.exists { case (min, st) =>
           SessionPanes.live(min, st, p, t)
@@ -1413,8 +1520,10 @@ object StatefulV2 {
       log.clear()
       keep.foreach(log.appendValue)
       cache = keep
+      baseSorted = null; baseLen = 0
       total = keep.size.toLong
       garbage = 0L
+      true
     }
 
     def save(): Unit = meta.update((nextPos, total, garbage))
@@ -1442,19 +1551,30 @@ object StatefulV2 {
     // subtract the now-stale per-window results, Beam's
     // accumulatingAndRetractingFiredPanes rule over merging windows)
     // and rebases the lineage to lastFirePos = 0. NOTE: this state
-    // layout replaced the r9 in-MapState row buffers — checkpoints
-    // written by the buffer layout are not portable across it.
+    // layout replaced the r9 in-MapState row buffers — the variable is
+    // named "sessions2" precisely so an r9 checkpoint (whose value
+    // schema for V = Long is byte-identical) restores into an ABSENT
+    // column family and fails the schema gate loudly instead of
+    // decoding old buffer rows as cutoff segments.
     private type SessState = SessionPanes.St
     @transient private var sessions: MapState[Long, SessState] = _
-    @transient private var armed: ListState[Long] = _
+    @transient private var nextTimer: ValueState[Long] = _
     @transient private var log: ListState[(Long, Long, V)] = _
     @transient private var logMeta: ValueState[(Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      sessions = getHandle.getMapState[Long, SessState]("sessions",
+      sessions = getHandle.getMapState[Long, SessState]("sessions2",
         Encoders.scalaLong, SessionPanes.stEnc, TTLConfig.NONE)
-      armed = getHandle.getListState[Long]("armed", Encoders.scalaLong,
-        TTLConfig.NONE)
+      // ONE event-time timer chain per key, aimed at the earliest
+      // pending session need — the fire sweeps EVERY session the
+      // watermark has passed (not just the one whose end matched),
+      // then re-arms. The r10 layout armed one timer per session end
+      // (an `armed` ListState): a session-heavy key paid one fire per
+      // closing session per batch, each fire re-reading the session
+      // map and rewriting the armed list — O(sessions²) state traffic
+      // per batch where this chain pays O(sessions).
+      nextTimer = getHandle.getValueState[Long]("nextTimer",
+        Encoders.scalaLong, TTLConfig.NONE)
       log = getHandle.getListState[(Long, Long, V)]("log",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, vEnc),
         TTLConfig.NONE)
@@ -1469,18 +1589,25 @@ object StatefulV2 {
     private def paneValues(buf: Seq[(Long, V)]): Seq[V] =
       SessionPanes.paneValues(buf)
 
-    /** Arm any not-yet-armed timers for the session ends in `m`. */
-    private def armTimers(m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
-      val already = armed.get().toSet
-      val wanted = Set.newBuilder[Long]
-      m.values.foreach { case (_, _, _, fired, _, mx, _) =>
-        val end = mx + gapMs
-        if (!fired) wanted += end - allowedLatenessMs
-        if (allowedLatenessMs > 0) wanted += end
+    /** Re-aim the key's single timer chain at the earliest pending
+      * need: (end − lateness) for a not-yet-fired session, end for a
+      * fired one awaiting GC. Only ever moves EARLIER — a timer left
+      * too early by a since-extended session fires as a cheap no-op
+      * and re-arms itself. */
+    private def armNext(m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
+      val pending = if (nextTimer.exists()) nextTimer.get() else 0L
+      if (m.isEmpty) {
+        if (pending != 0L) { getHandle.deleteTimer(pending); nextTimer.clear() }
+        return
       }
-      (wanted.result() -- already).foreach { e =>
-        getHandle.registerTimer(e)
-        armed.appendValue(e)
+      val need = m.valuesIterator.map { st =>
+        if (!st._4) st._6 + gapMs - allowedLatenessMs
+        else st._6 + gapMs
+      }.min
+      if (pending == 0L || need < pending) {
+        if (pending != 0L) getHandle.deleteTimer(pending)
+        getHandle.registerTimer(need)
+        nextTimer.update(need)
       }
     }
 
@@ -1535,11 +1662,16 @@ object StatefulV2 {
         dirty += skey
       }
       (before -- m.keySet).foreach(sessions.removeKey)
+      if (lv.maybeRewrite(m)) {
+        // post-compaction every surviving row is live: collapse each
+        // session's fence list to the trivial (min, 0) segment
+        m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
+        dirty ++= m.keySet
+      }
       dirty.foreach { k =>
         m.get(k).foreach(st => sessions.updateValue(k, st))
       }
-      armTimers(m)
-      lv.maybeRewrite(Seq.empty, m)
+      armNext(m)
       lv.save()
       out.iterator
     }
@@ -1547,43 +1679,61 @@ object StatefulV2 {
     override def handleExpiredTimer(key: K, timers: TimerValues,
         timer: ExpiredTimerInfo): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
       val expiry = timer.getExpiryTimeInMs()
-      val remaining = armed.get().toSeq.filter(_ != expiry)
-      armed.clear()
-      remaining.foreach(armed.appendValue)
+      if (nextTimer.exists() && nextTimer.get() == expiry) nextTimer.clear()
+      // sweep by the WATERMARK, not the firing expiry: every session
+      // the watermark has passed is equally final, so one fire drains
+      // all of them and the chain re-arms at the next future need —
+      // identical per-batch output to per-end timers, at one fire
+      val cut = math.max(expiry, timers.getCurrentWatermarkInMs())
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
       val lv = new SessionLog[V](log, logMeta)
       val m = loadSessions()
-      val closed = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      m.toSeq.foreach { case (min, st) =>
-        val (_, since, pane, fired, _, mx, _) = st
-        val end = mx + gapMs
-        if (!fired && end - allowedLatenessMs == expiry) {
+      var mutated = false
+      m.toSeq.foreach { case (min, st0) =>
+        var st = st0
+        var open = true
+        if (!st._4 && st._6 + gapMs - allowedLatenessMs <= cut) {
           // conceptual Beam watermark passed the session end
           val closing = allowedLatenessMs == 0
           retractionOf(key, min, st, lv, out)
           val vals = paneValues(lv.content(min, st))
-          out += ((key, min, pane, "ON_TIME", closing, vals))
+          out += ((key, min, st._3, "ON_TIME", closing, vals))
+          mutated = true
           if (closing) {
-            sessions.removeKey(min); m.remove(min); closed += ((min, mx))
+            sessions.removeKey(min); m.remove(min); open = false
+            lv.garbage += vals.size // closed-span rows purge lazily
           } else {
             val cuts = if (accumulating) st._1
                        else { lv.garbage += vals.size; Seq((min, lv.nextPos)) }
-            val nst = (cuts, 0L, pane + 1, true, 0L, mx, lv.nextPos)
-            sessions.updateValue(min, nst); m(min) = nst
+            st = (cuts, 0L, st._3 + 1, true, 0L, st._6, lv.nextPos)
+            sessions.updateValue(min, st); m(min) = st
           }
-        } else if (end == expiry && allowedLatenessMs > 0) {
-          // lateness horizon passed: close + GC
-          if (since > 0) {
-            retractionOf(key, min, st, lv, out)
-            out += ((key, min, pane, if (fired) "LATE" else "ON_TIME", true,
-              paneValues(lv.content(min, st))))
-          }
-          sessions.removeKey(min); m.remove(min); closed += ((min, mx))
         }
-        // anything else: a timer whose session end moved — no-op
+        // GC need is (end) in Spark's watermark domain — the upstream
+        // delay already embodies the lateness horizon
+        if (open && st._4 && st._6 + gapMs <= cut && allowedLatenessMs > 0) {
+          // lateness horizon passed: close + GC
+          val live = lv.content(min, st)
+          if (st._2 > 0) {
+            retractionOf(key, min, st, lv, out)
+            out += ((key, min, st._3, if (st0._4) "LATE" else "ON_TIME",
+              true, paneValues(live)))
+          }
+          sessions.removeKey(min); m.remove(min)
+          lv.garbage += live.size
+          mutated = true
+        }
+        // anything else: the chain fired early (session since
+        // extended) — pure no-op, re-armed below
       }
-      lv.maybeRewrite(closed.toSeq, m)
-      lv.save()
+      if (mutated) {
+        if (lv.maybeRewrite(m)) m.keys.toSeq.foreach { k =>
+          val c = m(k).copy(_1 = Seq((k, 0L)))
+          m(k) = c; sessions.updateValue(k, c)
+        }
+        lv.save()
+      }
+      armNext(m)
       out.iterator
     }
   }
@@ -1701,8 +1851,12 @@ object StatefulV2 {
       val pending = if (sweepAt.exists()) sweepAt.get() else 0L
       val it = windows.iterator()
       var need = Long.MaxValue
+      // anchor-coinciding timer slots are shared, never deleted — see
+      // MixedTriggerSessionProcessor.armSweep
+      val anchors = scala.collection.mutable.Set[Long]()
       while (it.hasNext) {
         val (w, st) = it.next()
+        if (st._5 != 0L) anchors += st._5
         val n = if (!st._4) w + windowMs else w + windowMs + allowedLatenessMs
         if (n < need) need = n
       }
@@ -1712,8 +1866,9 @@ object StatefulV2 {
       }
       val target = now + math.max(heartbeatMs, math.min(need - wm, maxSweepLagMs))
       if (pending == 0L || pending <= now || target < pending) {
-        if (pending > now) getHandle.deleteTimer(pending)
-        getHandle.registerTimer(target)
+        if (pending > now && !anchors.contains(pending))
+          getHandle.deleteTimer(pending)
+        if (!anchors.contains(target)) getHandle.registerTimer(target)
         sweepAt.update(target)
       }
     }
@@ -1767,21 +1922,26 @@ object StatefulV2 {
       val wm = timers.getCurrentWatermarkInMs()
       val now = timers.getCurrentProcessingTimeInMs()
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
+      // state writes deferred to one per touched window per batch (see
+      // TriggeredWindowProcessor.handleInputRows)
+      val touched = scala.collection.mutable.Map[Long, (Seq[V], Long, Long, Boolean, Long)]()
       rows.foreach { case (_, ts, v) =>
         val w = Math.floorDiv(ts.getTime, windowMs) * windowMs
         if (wm < w + windowMs + allowedLatenessMs) { // else: expired window, drop
           var (buf, since, pane, fired, anchor) =
-            if (windows.containsKey(w)) windows.getValue(w)
-            else (Seq.empty[V], 0L, 0L, false, 0L)
+            touched.getOrElse(w,
+              if (windows.containsKey(w)) windows.getValue(w)
+              else (Seq.empty[V], 0L, 0L, false, 0L))
           buf :+= v
           since += 1
           if (anchor == 0L) { // first element of this pane anchors the delay
             anchor = now + (if (fired) lateDelayMs else earlyDelayMs)
             getHandle.registerTimer(anchor)
           }
-          windows.updateValue(w, (buf, since, pane, fired, anchor))
+          touched(w) = (buf, since, pane, fired, anchor)
         }
       }
+      touched.foreach { case (w, st) => windows.updateValue(w, st) }
       sweep(key, wm, out)
       // idle-key progress: keep exactly one sweep chain alive so the
       // on-time/GC sweep runs again even with no further input
@@ -1816,7 +1976,14 @@ object StatefulV2 {
     * clock early/late panes inside event-time windows; see
     * [[MixedTriggerWindowProcessor]]. `ds` must carry a watermark on
     * its timestamp column (any delay; the processor reads the
-    * watermark but does its own window-end lateness drops). */
+    * watermark but does its own window-end lateness drops).
+    *
+    * `maxSweepLagMs` is the EMISSION-LATENCY BOUND for on-time/GC
+    * panes on idle keys: the sweep chain assumes the watermark
+    * advances at wall-clock rate, so in replay/backfill where it
+    * outpaces wall time, an idle key's on-time pane can trail the
+    * watermark by up to this long (default 5 s). Replay-heavy callers
+    * should lower it (at the cost of more sweep ticks). */
   def mixedTriggerWindows[K: Encoder, V: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, V)], windowMs: Long,
       allowedLatenessMs: Long = 0L,
@@ -1878,7 +2045,9 @@ object StatefulV2 {
     // wall-clock pane); lastFirePos = the retraction baseline and rows
     // live in the per-key append-only [[SessionLog]], both as in
     // TriggeredSessionProcessor (and with the same checkpoint
-    // non-portability vs the r9 buffer layout)
+    // non-portability vs the r9 buffer layout — hence "sessions2":
+    // an r9 checkpoint restores into an absent column family and
+    // fails loudly rather than decoding buffers as cutoff segments)
     private type SessState = SessionPanes.St
     @transient private var sessions: MapState[Long, SessState] = _
     @transient private var log: ListState[(Long, Long, V)] = _
@@ -1886,7 +2055,7 @@ object StatefulV2 {
     @transient private var sweepAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      sessions = getHandle.getMapState[Long, SessState]("sessions",
+      sessions = getHandle.getMapState[Long, SessState]("sessions2",
         Encoders.scalaLong, SessionPanes.stEnc, TTLConfig.NONE)
       log = getHandle.getListState[(Long, Long, V)]("log",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, vEnc),
@@ -1912,12 +2081,12 @@ object StatefulV2 {
           paneValues(lv.content(skey, st, beforePos = st._7))))
 
     /** Watermark transitions (on-time, close/GC) against each
-      * session's CURRENT end; mutates `m` in place, tracking dirty and
-      * closed sessions. */
+      * session's CURRENT end; mutates `m` in place, tracking dirty
+      * sessions (closed-span rows are accounted as log garbage and
+      * purge lazily at the compaction threshold). */
     private def sweep(key: K, wm: Long, lv: SessionLog[V],
         m: scala.collection.mutable.TreeMap[Long, SessState],
         dirty: scala.collection.mutable.Set[Long],
-        closedSpans: scala.collection.mutable.ArrayBuffer[(Long, Long)],
         out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
       m.keys.toSeq.foreach { min =>
         var st = m(min)
@@ -1929,8 +2098,10 @@ object StatefulV2 {
           val closing = allowedLatenessMs == 0
           val vals = paneValues(lv.content(min, st))
           out += ((key, min, st._3, "ON_TIME", closing, vals))
-          if (closing) { m.remove(min); closedSpans += ((min, mx)); closed = true }
-          else {
+          if (closing) {
+            m.remove(min); closed = true
+            lv.garbage += vals.size // closed-span rows purge lazily
+          } else {
             val cuts = if (accumulating) st._1
                        else { lv.garbage += vals.size; Seq((min, lv.nextPos)) }
             st = (cuts, 0L, st._3 + 1, true, 0L, mx, lv.nextPos)
@@ -1938,12 +2109,13 @@ object StatefulV2 {
           }
         }
         if (!closed && st._4 && wm >= end + allowedLatenessMs) {
+          val live = lv.content(min, st)
           if (st._2 > 0) {
             retractionOf(key, min, st, lv, out)
-            out += ((key, min, st._3, "LATE", true,
-              paneValues(lv.content(min, st))))
+            out += ((key, min, st._3, "LATE", true, paneValues(live)))
           }
-          m.remove(min); closedSpans += ((min, mx))
+          m.remove(min)
+          lv.garbage += live.size
         }
       }
 
@@ -1985,7 +2157,15 @@ object StatefulV2 {
       * watermark racing ahead of wall time is observed within
       * maxSweepLagMs; every input batch re-aims the chain at the fresh
       * estimate. Replaces the fixed per-invocation heartbeat that
-      * accumulated one timer chain per input batch. */
+      * accumulated one timer chain per input batch.
+      *
+      * Timer-slot sharing: per-key timers are keyed by expiry, so the
+      * pending sweep slot can COINCIDE with a session's wall-clock
+      * anchor (now + delay). Deleting such a slot would silence the
+      * anchor until the next sweep tick — so an anchor-coinciding slot
+      * is never deleted, and a target landing on an anchor reuses that
+      * timer as the sweep tick (the expiry handler runs the sweep on
+      * every firing regardless of which role armed it). */
     private def armSweep(now: Long, wm: Long,
         m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
       val pending = if (sweepAt.exists()) sweepAt.get() else 0L
@@ -1993,13 +2173,15 @@ object StatefulV2 {
         if (pending != 0L) { getHandle.deleteTimer(pending); sweepAt.clear() }
         return
       }
+      val anchors = m.valuesIterator.map(_._5).filter(_ != 0L).toSet
       val need = m.valuesIterator.map { st =>
         if (!st._4) st._6 + gapMs else st._6 + gapMs + allowedLatenessMs
       }.min
       val target = now + math.max(heartbeatMs, math.min(need - wm, maxSweepLagMs))
       if (pending == 0L || pending <= now || target < pending) {
-        if (pending > now) getHandle.deleteTimer(pending)
-        getHandle.registerTimer(target)
+        if (pending > now && !anchors.contains(pending))
+          getHandle.deleteTimer(pending)
+        if (!anchors.contains(target)) getHandle.registerTimer(target)
         sweepAt.update(target)
       }
     }
@@ -2014,7 +2196,6 @@ object StatefulV2 {
       val m = loadSessions()
       val before = m.keySet.toSet
       val dirty = scala.collection.mutable.Set[Long]()
-      val closedSpans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
         if (wm < t + gapMs + allowedLatenessMs) { // else: expired proto-window
@@ -2036,9 +2217,12 @@ object StatefulV2 {
           dirty += skey
         }
       }
-      sweep(key, wm, lv, m, dirty, closedSpans, out)
+      sweep(key, wm, lv, m, dirty, out)
+      if (lv.maybeRewrite(m)) {
+        m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
+        dirty ++= m.keySet
+      }
       writeBack(before, dirty, m)
-      lv.maybeRewrite(closedSpans.toSeq, m)
       lv.save()
       armSweep(now, wm, m)
       out.iterator
@@ -2055,11 +2239,13 @@ object StatefulV2 {
       val m = loadSessions()
       val before = m.keySet.toSet
       val dirty = scala.collection.mutable.Set[Long]()
-      val closedSpans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      sweep(key, wm, lv, m, dirty, closedSpans, out)
+      sweep(key, wm, lv, m, dirty, out)
       fireDueAnchors(key, math.max(now, expiry), lv, m, dirty, out)
+      if (lv.maybeRewrite(m)) {
+        m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
+        dirty ++= m.keySet
+      }
       writeBack(before, dirty, m)
-      lv.maybeRewrite(closedSpans.toSeq, m)
       lv.save()
       armSweep(now, wm, m)
       out.iterator
@@ -2069,7 +2255,11 @@ object StatefulV2 {
   /** Session windows with Beam's mixed-clock compound trigger — see
     * [[MixedTriggerSessionProcessor]]. `ds` must carry a watermark on
     * its timestamp column (any delay; the processor reads the
-    * watermark but does its own proto-window-end lateness drops). */
+    * watermark but does its own proto-window-end lateness drops).
+    *
+    * `maxSweepLagMs` bounds on-time/GC emission latency on idle keys
+    * when the watermark outpaces wall time (replay/backfill) — see
+    * the note on [[mixedTriggerWindows]]. */
   def mixedTriggerSessions[K: Encoder, V: Encoder](
       ds: Dataset[(K, java.sql.Timestamp, V)], gapMs: Long,
       allowedLatenessMs: Long = 0L,

@@ -14,8 +14,8 @@ object SBenchMain {
         graft.streaming.StatefulV2.RocksDbProvider)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.StreamingBench.run(spark, sfDir).foreach { case (n, eps) =>
-      println(f"SBENCH $n%-34s ${eps}%.1f events/s")
+    graft.StreamingBench.run(spark, sfDir).foreach { case (n, eps, b) =>
+      println(f"SBENCH $n%-34s ${eps}%.1f events/s  ${b.json}")
     }
     spark.stop()
   }

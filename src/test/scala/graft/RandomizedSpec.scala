@@ -425,4 +425,75 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("SessionLog: hundreds of merges into one session keep cuts bounded; span reads == full-scan reference") {
+    import graft.streaming.StatefulV2.{SessionPanes, SessionLog}
+    // in-memory state fakes (the trait surface the processors use)
+    class FakeList[T] extends org.apache.spark.sql.streaming.ListState[T] {
+      var buf = scala.collection.mutable.ArrayBuffer.empty[T]
+      def exists(): Boolean = buf.nonEmpty
+      def get(): Iterator[T] = buf.iterator
+      def put(s: Array[T]): Unit = { buf.clear(); buf ++= s }
+      def appendValue(v: T): Unit = buf += v
+      def appendList(s: Array[T]): Unit = buf ++= s
+      def clear(): Unit = buf.clear()
+    }
+    class FakeValue[T] extends org.apache.spark.sql.streaming.ValueState[T] {
+      private var v: Option[T] = None
+      def exists(): Boolean = v.isDefined
+      def get(): T = v.get
+      def update(x: T): Unit = v = Some(x)
+      def clear(): Unit = v = None
+    }
+    val logState = new FakeList[(Long, Long, String)]
+    val metaState = new FakeValue[(Long, Long, Long)]
+    val m = scala.collection.mutable.TreeMap.empty[Long, SessionPanes.St]
+    // the merge mill: 301 singletons at even ts (gap=1 keeps them
+    // apart), then 300 odd-ts bridges, each merging the growing left
+    // session with the next singleton — the accumulating-mode shape
+    // where pre-compaction cuts would grow one segment per merge
+    val singles = (0 to 300).map(_ * 2L)
+    val bridges = (0 until 300).map(_ * 2L + 1)
+    var merges = 0
+    var maxCuts = 0
+    var rewrites = 0
+    (singles ++ bridges).foreach { t =>
+      // fresh view per "invocation", as the processors construct one
+      val lv = new SessionLog[String](logState, metaState)
+      val (skey, st0) = SessionPanes.upsert(m, t, 1L, lv.nextPos,
+        combine5 = (_, a5, _, b5) => math.max(a5, b5),
+        retract = (_, _) => merges += 1)
+      lv.append(t, s"v$t")
+      m(skey) = st0.copy(_2 = st0._2 + 1)
+      if (lv.maybeRewrite(m)) {
+        // the processors' post-compaction fence collapse
+        m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
+        rewrites += 1
+      }
+      lv.save()
+      maxCuts = math.max(maxCuts, m.values.map(_._1.length).max)
+      // span-indexed content == brute-force full-log liveness filter
+      m.foreach { case (k, st) =>
+        val want = logState.buf
+          .filter { case (p, rt, _) => SessionPanes.live(k, st, p, rt) }
+          .map { case (_, rt, v) => (rt, v) }.toSeq
+        val got = new SessionLog[String](logState, metaState).content(k, st)
+        assert(got.sorted == want.sorted,
+          s"content mismatch for session $k at insert $t")
+      }
+    }
+    assert(merges >= 300, s"merge mill only produced $merges merges")
+    assert(m.size == 1, "bridges should leave exactly one session")
+    assert(m.head._2._2 == 601L, "merged session must hold every insert")
+    assert(maxCuts <= 33,
+      s"cuts grew to $maxCuts segments — fence compaction not bounding")
+    // one overflow-triggered compaction collapses every fence to 0;
+    // equal-fence compaction then keeps merged cuts at ONE segment
+    // forever after — bounded even tighter than the 32-segment ceiling
+    assert(rewrites >= 1, s"fence-collapse compaction never engaged")
+    // and the final session's content is the full multiset
+    val fin = new SessionLog[String](logState, metaState)
+      .content(m.head._1, m.head._2)
+    assert(fin.map(_._1).sorted == (0L to 600L).toSeq, "final content drift")
+  }
 }

@@ -439,6 +439,22 @@ class ScaleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(ds62).size <= 2 &&
       !ds62.contains("Union"),
       "tpcds q62 no longer a single conditional-aggregation pass")
+    // TPC-DS q2/q59 analogs: the WITH-chain (monthly-sales frame) is
+    // consumed twice through a self-join — the frame's aggregation
+    // exchange must materialize ONCE and be REUSED by the second
+    // consumer (at 100x the frame is worth computing exactly once),
+    // not re-run the whole star join per CTE reference. Reuse is an
+    // AQE runtime decision (ReusedExchange / reused query stage), so
+    // execute and read the FINAL plan, as the hybrid-join guard does.
+    def finalPlan(name: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    assert(finalPlan("agg_tpcds_q2").contains("Reused"),
+      "tpcds q2 CTE self-join recomputes the monthly frame")
+    assert(finalPlan("agg_tpcds_q59").contains("Reused"),
+      "tpcds q59 CTE self-join recomputes the monthly frame")
   }
 
   test("GraftExtensions injects native functions at session build") {

@@ -784,4 +784,125 @@ class StreamingSpec extends SparkSpec {
     val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set("batch=0", "batch=1"), dirs.toString)
   }
+
+  test("streaming warehouse capstone: star join + monthly agg via foreachBatch == batch (TPC-DS q3/q59 shape)") {
+    import org.apache.spark.sql.DataFrame
+    // The 21 TPC-DS analog shapes run as batch queries; this is the
+    // same star-schema shape run CONTINUOUSLY — the orders fact
+    // arriving as a stream, dimension join against the static
+    // customer⋈nation table (broadcast, Beam's side-input join:
+    // extensions/sql/.../rel/BeamSideInputJoinRel.java:69), 30-day
+    // event-time windows closing at the watermark, each closed slice
+    // MERGEd into the serving store by foreachBatch (the warehouse
+    // ingestion pattern). Unbounded-side constraints per
+    // BeamCoGBKJoinRel.java:139-160: the unbounded side is windowed,
+    // the bounded side static.
+    val sf = "/root/testdata/sf0.001"
+    val dims = graft.sources.Tables.customer(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    // bounded: sf0.001 orders (1.5k rows) replayed through MemoryStream
+    val facts = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_orderdate").cast("timestamp"),
+        col("o_totalprice").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(_._3.getTime)
+    val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+    def star(df: DataFrame): DataFrame = df
+      .toDF("o_orderkey", "o_custkey", "ots", "price")
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(window(col("ots"), "30 days").as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 4).as("rev"))
+    val served = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    var dupDelivery = false
+    val seenKeys = scala.collection.mutable.Set[(String, String)]()
+    val q = star(mem.toDF().withWatermark("_3", "0 seconds"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .select(col("w.start").cast("string"), col("n_name"),
+            col("n"), col("rev"))
+          .collect()
+        rows.foreach { r =>
+          // append-at-close contract: each (window, nation) cell is
+          // delivered to the serving store EXACTLY once — the property
+          // that makes the foreachBatch MERGE idempotence-free
+          if (!seenKeys.add((r.getString(0), r.getString(1)))) dupDelivery = true
+          served += r.toSeq
+        }
+      }.start()
+    // three arrival waves (ts-ordered replay) + a far-future sentinel
+    // with no matching customer: advances the watermark past every
+    // real window, joins nothing, aggregates nothing
+    facts.grouped(math.max(1, facts.length / 3)).foreach { g =>
+      mem.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    val eof = new Timestamp(facts.last._3.getTime + 400L * 86400000L)
+    mem.addData((-1L, -1L, eof, 0.0))
+    runToCompletion(q)
+    val batchRef = star(facts.toSeq.toDF())
+      .select(col("w.start").cast("string"), col("n_name"),
+        col("n"), col("rev"))
+      .collect().map(_.toSeq).toSet
+    assert(!dupDelivery, "a (window, nation) slice was delivered twice")
+    assert(served.toSet == batchRef && batchRef.size > 100,
+      s"continuous star agg != batch: served=${served.size} rows " +
+        s"(${served.toSet.size} distinct), batch=${batchRef.size}")
+  }
+
+  test("streaming top-N per channel leaderboard: rank at window close == batch rank (TPC-DS q49 shape)") {
+    import org.apache.spark.sql.DataFrame
+    // q49-style channel leaderboard run continuously: revenue per user
+    // inside 10-minute event-time windows, top-2 users per (window,
+    // channel) ranked when the window CLOSES — rank-over-agg inside
+    // foreachBatch, sound because append mode delivers every aggregate
+    // row of a window in the single micro-batch where the watermark
+    // passes its end, so each batch holds complete (window, channel)
+    // rank domains (the continuous-leaderboard shape Nexmark Q5
+    // generalizes; ranking reuses Relational.topKPerKey).
+    val events = Seq(
+      Ev(1, ts(1), 1, "view", 5.0), Ev(2, ts(2), 2, "view", 9.0),
+      Ev(3, ts(3), 3, "view", 7.0), Ev(4, ts(4), 1, "view", 3.0),
+      Ev(5, ts(2), 1, "click", 2.0), Ev(6, ts(5), 2, "click", 1.0),
+      // second window, arrives across two waves, out of order within
+      Ev(7, ts(14), 3, "view", 4.0), Ev(8, ts(12), 1, "view", 4.0),
+      Ev(9, ts(13), 2, "click", 8.0), Ev(10, ts(11), 3, "click", 6.0))
+    val mem = MemoryStream[Ev]
+    def revenue(df: DataFrame): DataFrame = df
+      .groupBy(window(col("ts"), "10 minutes").as("w"),
+        col("event_type"), col("user_id"))
+      .agg(sum("value").as("rev"))
+    def rank(df: DataFrame): DataFrame =
+      graft.operators.Relational.topKPerKey(df,
+        keys = Seq(col("w"), col("event_type")),
+        order = Seq(col("rev").desc, col("user_id").asc), k = 2)
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = revenue(mem.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        got ++= rank(batch)
+          .select(col("w.start").cast("string"), col("event_type"),
+            col("user_id"), col("rev"), col("rk"))
+          .collect().map(_.toSeq)
+        ()
+      }.start()
+    mem.addData(events.take(6): _*); q.processAllAvailable()
+    mem.addData(events.drop(6): _*); q.processAllAvailable()
+    mem.addData(Ev(99, ts(50), 9, "eof", 0.0)) // close the second window
+    runToCompletion(q)
+    val batchRef = rank(revenue(events.toDF()))
+      .select(col("w.start").cast("string"), col("event_type"),
+        col("user_id"), col("rev"), col("rk"))
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet == batchRef,
+      s"continuous leaderboard != batch rank: got=${got.toSet} want=$batchRef")
+    // the leaderboard really truncates: window-1 'view' had 3 users
+    assert(got.count(r => r(1) == "view") == 4 &&
+      !got.exists(r => r(1) == "view" && r(2) == 3L &&
+        r(0).toString.endsWith(" 10:00:00")),
+      s"top-2 truncation lost: $got")
+  }
 }
