@@ -79,6 +79,8 @@ object Bench {
     "agg_tpcds_q1", "agg_tpcds_q2", "agg_tpcds_q17", "agg_tpcds_q25",
     "agg_tpcds_q29", "agg_tpcds_q49", "agg_tpcds_q59", "agg_tpcds_q62",
     "agg_tpcds_q78",
+    // round 11 additions
+    "agg_tpcds_q31", "agg_tpcds_q89", "agg_tpcds_q98",
     "dedup_admit_novel_embedding")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */

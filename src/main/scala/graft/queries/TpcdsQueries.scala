@@ -11,7 +11,7 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port its twenty-one distinctive PLAN SHAPES onto the driver's
+  * these port its twenty-four distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
@@ -25,6 +25,7 @@ import graft.sources.Tables
   *   q23  frequent-item CTE feeding a semi-joined second aggregate
   *   q25  three-fact star: three channel aggregates joined on item
   *   q29  temporal sold→returned→re-bought three-fact chain
+  *   q31  one CTE consumed SIX times: channel growth-ratio comparison
   *   q38  multi-channel INTERSECT of customer sets
   *   q47  lag/lead navigation over an aggregate (monthly series)
   *   q49  per-channel worst-return-ratio ranking + channel union
@@ -36,6 +37,8 @@ import graft.sources.Tables
   *   q74  year-over-year self-join of per-customer aggregates
   *   q78  channel ratio over returns-excluded (anti-joined) sales
   *   q88  multi-band conditional counts in one scan
+  *   q89  deviation-from-average: window aggregate over an aggregate
+  *   q98  ratio-to-report: partition share of each class in its group
   *
   * Scale discipline matches [[TpchQueries]]: only fixed-cardinality
   * dims (nation=25) are hinted broadcast; fact-fact joins stay shuffle
@@ -726,6 +729,139 @@ object TpcdsQueries {
         HAVING sum(CASE WHEN o_orderpriority = '1-URGENT'
                         THEN l_quantity ELSE 0 END) > 0
            AND sum(CASE WHEN o_orderpriority <> '1-URGENT'
-                        THEN l_quantity ELSE 0 END) > 0"""))
+                        THEN l_quantity ELSE 0 END) > 0""")),
+
+    // q31: the MULTI-INSTANCE WITH chain — one per-(nation, channel,
+    // quarter) aggregate consumed SIX times (two channels × three
+    // quarters of 1996) through self-joins; nations kept where the
+    // urgent channel out-grows the other channel in BOTH quarter
+    // steps. Growth ratios compared by integer CROSS-MULTIPLICATION
+    // over order counts (u2/u1 > o2/o1 ⇔ u2·o1 > o2·u1) — exact in
+    // BIGINT, no float-ratio tie divergence. The six consumers must
+    // reuse the one aggregation exchange, not re-run the star join.
+    Q("agg_tpcds_q31",
+      (s, d) => {
+        val qs = ord(s, d)
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .filter(year(col("o_orderdate")) === 1996 &&
+            quarter(col("o_orderdate")) <= 3)
+          .withColumn("chan",
+            when(col("o_orderpriority") === "1-URGENT", "u").otherwise("o"))
+          .groupBy(col("n_name"), col("chan"),
+            quarter(col("o_orderdate")).as("q"))
+          .agg(count(lit(1)).as("n"))
+        def slice(c: String, qn: Int, out: String) =
+          qs.filter(col("chan") === c && col("q") === qn)
+            .select(col("n_name"), col("n").as(out))
+        slice("u", 1, "u1")
+          .join(slice("u", 2, "u2"), Seq("n_name"))
+          .join(slice("u", 3, "u3"), Seq("n_name"))
+          .join(slice("o", 1, "o1"), Seq("n_name"))
+          .join(slice("o", 2, "o2"), Seq("n_name"))
+          .join(slice("o", 3, "o3"), Seq("n_name"))
+          .filter(col("u2") * col("o1") > col("o2") * col("u1") &&
+            col("u3") * col("o2") > col("o3") * col("u2"))
+          .select(col("n_name"), col("u1"), col("u2"), col("u3"),
+            col("o1"), col("o2"), col("o3"))
+      },
+      Some("""WITH qs AS (
+          SELECT n_name,
+            CASE WHEN o_orderpriority = '1-URGENT' THEN 'u' ELSE 'o' END AS chan,
+            quarter(o_orderdate) AS q, count(*) AS n
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) <= 3
+          GROUP BY 1, 2, 3)
+        SELECT u1.n_name,
+          CAST(u1.n AS BIGINT) AS u1, CAST(u2.n AS BIGINT) AS u2,
+          CAST(u3.n AS BIGINT) AS u3, CAST(o1.n AS BIGINT) AS o1,
+          CAST(o2.n AS BIGINT) AS o2, CAST(o3.n AS BIGINT) AS o3
+        FROM qs u1 JOIN qs u2 ON u1.n_name = u2.n_name
+        JOIN qs u3 ON u1.n_name = u3.n_name
+        JOIN qs o1 ON u1.n_name = o1.n_name
+        JOIN qs o2 ON u1.n_name = o2.n_name
+        JOIN qs o3 ON u1.n_name = o3.n_name
+        WHERE u1.chan = 'u' AND u1.q = 1 AND u2.chan = 'u' AND u2.q = 2
+          AND u3.chan = 'u' AND u3.q = 3 AND o1.chan = 'o' AND o1.q = 1
+          AND o2.chan = 'o' AND o2.q = 2 AND o3.chan = 'o' AND o3.q = 3
+          AND u2.n * o1.n > o2.n * u1.n
+          AND u3.n * o2.n > o3.n * u2.n""")),
+
+    // q89: DEVIATION-FROM-AVERAGE — monthly list-price volume per
+    // brand vs the brand's monthly average over the year, keeping
+    // months deviating >10%: a window aggregate OVER an aggregate
+    // (q47 navigates the series; q89 compares each point to the
+    // partition mean). Exactness: volumes in integer CENTS
+    // (quantity × 2-decimal list price × 100 is integer-valued;
+    // round() before the BIGINT cast because Spark truncates
+    // double→long where DuckDB rounds), and the 10% test cross-
+    // multiplies (|vol·n − tot|·10 > tot) so no division ever runs.
+    Q("agg_tpcds_q89",
+      (s, d) => {
+        val monthly = li(s, d)
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .filter(year(col("o_orderdate")) === 1996)
+          .groupBy(col("p_brand"), month(col("o_orderdate")).as("moy"))
+          .agg(sum(round(col("l_quantity") * col("p_retailprice") * 100)
+            .cast("long")).as("vol_c"))
+        val w = Window.partitionBy(col("p_brand"))
+        monthly
+          .withColumn("tot_c", sum(col("vol_c")).over(w))
+          .withColumn("nm", count(lit(1)).over(w))
+          .filter(abs(col("vol_c") * col("nm") - col("tot_c")) * 10 >
+            col("tot_c"))
+          .select(col("p_brand"), col("moy"), col("vol_c"), col("tot_c"),
+            col("nm"))
+      },
+      Some("""WITH monthly AS (
+          SELECT p_brand, CAST(month(o_orderdate) AS INT) AS moy,
+            sum(CAST(round(l_quantity * p_retailprice * 100) AS BIGINT)) AS vol_c
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(o_orderdate) = 1996
+          GROUP BY 1, 2)
+        SELECT p_brand, moy, CAST(vol_c AS BIGINT) AS vol_c,
+          CAST(tot_c AS BIGINT) AS tot_c, CAST(nm AS BIGINT) AS nm
+        FROM (
+          SELECT p_brand, moy, vol_c,
+            sum(vol_c) OVER (PARTITION BY p_brand) AS tot_c,
+            count(*) OVER (PARTITION BY p_brand) AS nm
+          FROM monthly)
+        WHERE abs(vol_c * nm - tot_c) * 10 > tot_c""")),
+
+    // q98: RATIO-TO-REPORT — each part type's share of its
+    // brand's list-price revenue: a partition-sum window over an
+    // aggregate with the share emitted in integer BASIS POINTS
+    // (vol·10000 div tot — the q49 exact-division idiom), never a
+    // float division. One aggregation, one window, no re-scan.
+    Q("agg_tpcds_q98",
+      (s, d) => {
+        val byType = li(s, d)
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"))
+          .agg(sum(round(col("l_quantity") * col("p_retailprice") * 100)
+            .cast("long")).as("vol_c"))
+        val w = Window.partitionBy(col("p_brand"))
+        byType
+          .withColumn("tot_c", sum(col("vol_c")).over(w))
+          .withColumn("share_bp", expr("vol_c * 10000 div tot_c"))
+          .select(col("p_brand"), col("p_type"), col("vol_c"),
+            col("tot_c"), col("share_bp"))
+      },
+      Some("""WITH t AS (
+          SELECT p_brand, p_type,
+            sum(CAST(round(l_quantity * p_retailprice * 100) AS BIGINT)) AS vol_c
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2)
+        SELECT p_brand, p_type, CAST(vol_c AS BIGINT) AS vol_c,
+          CAST(sum(vol_c) OVER (PARTITION BY p_brand) AS BIGINT) AS tot_c,
+          CAST(vol_c * 10000
+            // CAST(sum(vol_c) OVER (PARTITION BY p_brand) AS BIGINT)
+            AS BIGINT) AS share_bp
+        FROM t"""))
   )
 }

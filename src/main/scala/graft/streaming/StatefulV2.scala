@@ -792,10 +792,41 @@ object StatefulV2 {
     // (AfterEachOf child index / OrFinallyOf finished+count), reset to
     // 0 at the on-time transition so the late trigger starts fresh
     @transient private var windows: MapState[Long, (Seq[V], Long, Long, Boolean, Long)] = _
+    // ONE event-time timer chain per key (see the session processor's
+    // nextTimer): the fire sweeps EVERY window the watermark passed,
+    // replacing two timers per window whose fires each iterated the
+    // whole window map — O(windows²) reads per batch on a busy key
+    @transient private var nextTimer: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       windows = getHandle.getMapState[Long, (Seq[V], Long, Long, Boolean, Long)](
         "windows", Encoders.scalaLong, stEnc, TTLConfig.NONE)
+      nextTimer = getHandle.getValueState[Long]("nextTimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Re-aim the chain at the earliest pending need: (end − lateness)
+      * for an unfired window, (end) for a fired one awaiting GC — both
+      * in Spark's watermark domain. Fixed windows never extend, so the
+      * chain only ever needs to move earlier (a new window can open
+      * below existing needs). */
+    private def armNext(): Unit = {
+      val pending = if (nextTimer.exists()) nextTimer.get() else 0L
+      val it = windows.iterator()
+      var need = Long.MaxValue
+      while (it.hasNext) {
+        val (w, st) = it.next()
+        val n = if (!st._4) w + windowMs - allowedLatenessMs else w + windowMs
+        if (n < need) need = n
+      }
+      if (need == Long.MaxValue) {
+        if (pending != 0L) { getHandle.deleteTimer(pending); nextTimer.clear() }
+      } else if (pending == 0L || need < pending) {
+        if (pending != 0L) getHandle.deleteTimer(pending)
+        getHandle.registerTimer(need)
+        nextTimer.update(need)
+      }
+    }
 
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, V)],
@@ -810,12 +841,6 @@ object StatefulV2 {
       rows.foreach { case (_, ts, v) =>
         val w = Math.floorDiv(ts.getTime, windowMs) * windowMs
         val opening = !touched.contains(w) && !windows.containsKey(w)
-        if (opening) {
-          // arm the window's timers once, in Spark-watermark domain
-          getHandle.registerTimer(w + windowMs - allowedLatenessMs) // on-time
-          if (allowedLatenessMs > 0)
-            getHandle.registerTimer(w + windowMs) // GC / window close
-        }
         var (buf, since, pane, fired, trigSt) =
           if (opening) (Seq.empty[V], 0L, 0L, false, 0L)
           else touched.getOrElse(w, windows.getValue(w))
@@ -837,15 +862,19 @@ object StatefulV2 {
         touched(w) = (buf, since, pane, fired, trigSt)
       }
       touched.foreach { case (w, st) => windows.updateValue(w, st) }
+      armNext()
       out.iterator
     }
 
     override def handleExpiredTimer(key: K, timers: TimerValues,
         timer: ExpiredTimerInfo): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
       val expiry = timer.getExpiryTimeInMs()
+      if (nextTimer.exists() && nextTimer.get() == expiry) nextTimer.clear()
+      // sweep by the WATERMARK: one fire drains every due window (the
+      // timer was aimed at the earliest need; all windows the
+      // watermark passed this batch are equally final)
+      val cut = math.max(expiry, timers.getCurrentWatermarkInMs())
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
-      // map the expiry back to its window(s); open windows per key are
-      // few (bounded by lateness horizon / window size)
       val openWindows = {
         val it = windows.keys(); val b = scala.collection.mutable.ArrayBuffer[Long]()
         while (it.hasNext) b += it.next()
@@ -853,7 +882,8 @@ object StatefulV2 {
       }
       openWindows.foreach { w =>
         // on-time firing: conceptual watermark passed the window end
-        if (w + windowMs - allowedLatenessMs == expiry) {
+        var closedHere = false
+        if (w + windowMs - allowedLatenessMs <= cut) {
           val (buf, since, pane, fired, _) = windows.getValue(w)
           if (!fired) {
             if (retractions && pane > 0) {
@@ -864,16 +894,15 @@ object StatefulV2 {
             val closing = allowedLatenessMs == 0
             // trigger state resets to 0: the late trigger starts fresh
             out += ((key, w, pane, "ON_TIME", closing, buf))
-            windows.updateValue(w,
+            if (closing) { windows.removeKey(w); closedHere = true }
+            else windows.updateValue(w,
               (if (accumulating) buf else Seq.empty, 0L, pane + 1, true, 0L))
           }
         }
         // window close + GC: lateness horizon passed
-        if (w + windowMs == expiry) {
+        if (!closedHere && w + windowMs <= cut && allowedLatenessMs > 0) {
           val (buf, since, pane, fired, _) = windows.getValue(w)
-          if (allowedLatenessMs == 0 && !fired) {
-            // single-timer case already handled above as closing ON_TIME
-          } else if (since > 0) {
+          if (since > 0) {
             if (retractions && pane > 0) {
               val prevPane = buf.take(buf.size - since.toInt)
               if (prevPane.nonEmpty)
@@ -884,6 +913,7 @@ object StatefulV2 {
           windows.removeKey(w)
         }
       }
+      armNext()
       out.iterator
     }
   }

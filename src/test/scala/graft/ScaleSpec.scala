@@ -455,6 +455,20 @@ class ScaleSpec extends SparkSpec {
       "tpcds q2 CTE self-join recomputes the monthly frame")
     assert(finalPlan("agg_tpcds_q59").contains("Reused"),
       "tpcds q59 CTE self-join recomputes the monthly frame")
+    // TPC-DS q31 analog: SIX consumers of one quarterly aggregate —
+    // the exchange must be reused, not the star join re-run per slice
+    assert(finalPlan("agg_tpcds_q31").contains("Reused"),
+      "tpcds q31 six-way CTE reuse lost")
+    // TPC-DS q89/q98 analogs: window-over-aggregate in ONE pass — a
+    // single windowed re-sort of the aggregate, never an input re-scan
+    val ds89 = plan("agg_tpcds_q89")
+    assert(ds89.contains("Window") &&
+      "Scan parquet".r.findAllIn(ds89).size <= 3,
+      "tpcds q89 deviation window no longer a single pass")
+    val ds98 = plan("agg_tpcds_q98")
+    assert(ds98.contains("Window") &&
+      "Scan parquet".r.findAllIn(ds98).size <= 2,
+      "tpcds q98 ratio-to-report no longer a single pass")
   }
 
   test("GraftExtensions injects native functions at session build") {
