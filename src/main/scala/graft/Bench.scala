@@ -167,6 +167,10 @@ object Bench {
             graft.streaming.StatefulV2.RocksDbProvider,
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
           "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+          // the breakdown sums recentProgress, a ring buffer that
+          // defaults to 100 entries — keep it above any op's batch
+          // count or the totals silently undercount
+          "spark.sql.streaming.numRecentProgressUpdates" -> "1000",
           "spark.sql.shuffle.partitions" -> "8")
         val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
         tuned.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -28,15 +28,19 @@ object StreamingBench {
   /** Per-op cost breakdown from the query's progress telemetry — the
     * state-read/-write vs processing split NexmarkPerf tracks as
     * separate rates (the reference publishes per-query time AND
-    * events/s). All times summed across micro-batches, milliseconds:
-    *   - addBatchMs: total execution (planning excluded) — state IO
-    *     happens inside it, so processing ≈ addBatch − state terms
+    * events/s). All sums across micro-batches, milliseconds:
+    *   - addBatchMs: WALL time of batch execution (planning excluded)
     *   - stateCommitMs: RocksDB snapshot/changelog commit
     *   - stateUpdateMs / stateRemovalMs: put/delete paths incl. the
     *     ListState/MapState traffic the processors generate
     *   - rowsUpdated / rowsRemoved: state-row write volume (the
     *     metric that exposes O(n²) state rewrite patterns directly)
-    */
+    * The three state times are PER-PARTITION task times summed across
+    * the parallel state-store instances, so they are comparable to
+    * each other and across runs but NOT subtractable from the wall
+    * addBatchMs (with 8 state partitions their sum routinely exceeds
+    * it). Read rowsUpdated/rowsRemoved as the primary amplification
+    * signal; the times attribute which path paid for it. */
   final case class OpBreakdown(batches: Int, addBatchMs: Long,
       stateCommitMs: Long, stateUpdateMs: Long, stateRemovalMs: Long,
       rowsUpdated: Long, rowsRemoved: Long) {

@@ -487,7 +487,12 @@ object StatefulV2 {
         while (it.hasNext) cs = insert(cs, it.next()._1)
       }
       val (due, pending) = cs.partition(_._2 + gapMs <= cutTs)
-      if (due.isEmpty) return Iterator.empty
+      if (due.isEmpty) {
+        // persist a backfill rebuild even on a no-op fire, or every
+        // subsequent stale timer repeats the O(buffer) reconstruction
+        if (!sums.get().hasNext) cs.foreach(sums.appendValue)
+        return Iterator.empty
+      }
       val cut = due.last._2
       val (dueRows, pendRows) = buf.get().toSeq.partition(_._1 <= cut)
       buf.clear()
@@ -1533,11 +1538,12 @@ object StatefulV2 {
       * live for some open session — when garbage (closed-session and
       * cleared-pane rows; callers account closes via `garbage +=`)
       * reaches half the log, or any session's fence list outgrew
-      * `maxCuts` (a long accumulating merge chain). Returns true when
-      * it rewrote: every surviving row is then live, so the caller
-      * collapses each open session's fences to (min, 0) — which is
-      * what bounds cuts length at O(merges since last compaction),
-      * i.e. O(1) amortized. */
+      * `maxCuts` (a long accumulating merge chain). On rewrite, every
+      * surviving row is live, so each session's fence list in `m` is
+      * COLLAPSED here to the trivial (min, 0) segment — which is what
+      * bounds cuts length at O(merges since last compaction), i.e.
+      * O(1) amortized. Returns true when it rewrote: the caller must
+      * then write back EVERY entry of `m` (the fences changed). */
     def maybeRewrite(m: scala.collection.mutable.TreeMap[Long, SessionPanes.St],
         maxCuts: Int = 32): Boolean = {
       val overflow = m.valuesIterator.exists(_._1.length > maxCuts)
@@ -1553,8 +1559,24 @@ object StatefulV2 {
       baseSorted = null; baseLen = 0
       total = keep.size.toLong
       garbage = 0L
+      m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
       true
     }
+
+    /** Loud detector for a pre-r11 checkpoint restore: in the current
+      * layout an empty session map implies an empty (fully-compacted)
+      * log — the last close always pushes `garbage` to `total` and
+      * triggers the rewrite. An r10-layout checkpoint, whose sessions
+      * lived under the old state name, restores here with summaries
+      * EMPTY while this log still holds rows: fail fast instead of
+      * silently dropping every in-flight session. */
+    def checkLayout(m: scala.collection.mutable.TreeMap[Long, SessionPanes.St]): Unit =
+      if (m.isEmpty && total > 0)
+        throw new IllegalStateException(
+          "session state layout mismatch: row log is non-empty but no " +
+            "session summaries exist — this checkpoint was written by a " +
+            "pre-r11 state layout and cannot be restored; restart from a " +
+            "fresh checkpoint")
 
     def save(): Unit = meta.update((nextPos, total, garbage))
   }
@@ -1582,10 +1604,15 @@ object StatefulV2 {
     // accumulatingAndRetractingFiredPanes rule over merging windows)
     // and rebases the lineage to lastFirePos = 0. NOTE: this state
     // layout replaced the r9 in-MapState row buffers — the variable is
-    // named "sessions2" precisely so an r9 checkpoint (whose value
-    // schema for V = Long is byte-identical) restores into an ABSENT
-    // column family and fails the schema gate loudly instead of
-    // decoding old buffer rows as cutoff segments.
+    // named "sessions2" so an r9 checkpoint (whose value schema for
+    // V = Long is byte-identical) can never be DECODED as cutoff
+    // segments. A renamed variable legally restores EMPTY under state
+    // evolution, so emptiness alone is not loud — the paired
+    // SessionLog.checkLayout makes it loud for any checkpoint that
+    // carried this processor's log (empty summaries + non-empty log is
+    // impossible in this layout); a pre-log r9 checkpoint degrades to
+    // a clean start, documented data loss rather than silent
+    // corruption.
     private type SessState = SessionPanes.St
     @transient private var sessions: MapState[Long, SessState] = _
     @transient private var nextTimer: ValueState[Long] = _
@@ -1655,6 +1682,7 @@ object StatefulV2 {
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
       val lv = new SessionLog[V](log, logMeta)
       val m = loadSessions()
+      lv.checkLayout(m)
       val before = m.keySet.toSet
       val dirty = scala.collection.mutable.Set[Long]()
       rows.foreach { case (_, ts, v) =>
@@ -1692,12 +1720,7 @@ object StatefulV2 {
         dirty += skey
       }
       (before -- m.keySet).foreach(sessions.removeKey)
-      if (lv.maybeRewrite(m)) {
-        // post-compaction every surviving row is live: collapse each
-        // session's fence list to the trivial (min, 0) segment
-        m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
-        dirty ++= m.keySet
-      }
+      if (lv.maybeRewrite(m)) dirty ++= m.keySet // fences collapsed
       dirty.foreach { k =>
         m.get(k).foreach(st => sessions.updateValue(k, st))
       }
@@ -1718,6 +1741,7 @@ object StatefulV2 {
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
       val lv = new SessionLog[V](log, logMeta)
       val m = loadSessions()
+      lv.checkLayout(m)
       var mutated = false
       m.toSeq.foreach { case (min, st0) =>
         var st = st0
@@ -1757,10 +1781,8 @@ object StatefulV2 {
         // extended) — pure no-op, re-armed below
       }
       if (mutated) {
-        if (lv.maybeRewrite(m)) m.keys.toSeq.foreach { k =>
-          val c = m(k).copy(_1 = Seq((k, 0L)))
-          m(k) = c; sessions.updateValue(k, c)
-        }
+        if (lv.maybeRewrite(m)) // fences collapsed: write back all
+          m.foreach { case (k, st) => sessions.updateValue(k, st) }
         lv.save()
       }
       armNext(m)
@@ -2075,9 +2097,8 @@ object StatefulV2 {
     // wall-clock pane); lastFirePos = the retraction baseline and rows
     // live in the per-key append-only [[SessionLog]], both as in
     // TriggeredSessionProcessor (and with the same checkpoint
-    // non-portability vs the r9 buffer layout — hence "sessions2":
-    // an r9 checkpoint restores into an absent column family and
-    // fails loudly rather than decoding buffers as cutoff segments)
+    // non-portability vs the r9 buffer layout — hence "sessions2"
+    // plus SessionLog.checkLayout; see the note there)
     private type SessState = SessionPanes.St
     @transient private var sessions: MapState[Long, SessState] = _
     @transient private var log: ListState[(Long, Long, V)] = _
@@ -2224,6 +2245,7 @@ object StatefulV2 {
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
       val lv = new SessionLog[V](log, logMeta)
       val m = loadSessions()
+      lv.checkLayout(m)
       val before = m.keySet.toSet
       val dirty = scala.collection.mutable.Set[Long]()
       rows.foreach { case (_, ts, v) =>
@@ -2248,10 +2270,7 @@ object StatefulV2 {
         }
       }
       sweep(key, wm, lv, m, dirty, out)
-      if (lv.maybeRewrite(m)) {
-        m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
-        dirty ++= m.keySet
-      }
+      if (lv.maybeRewrite(m)) dirty ++= m.keySet // fences collapsed
       writeBack(before, dirty, m)
       lv.save()
       armSweep(now, wm, m)
@@ -2267,14 +2286,12 @@ object StatefulV2 {
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
       val lv = new SessionLog[V](log, logMeta)
       val m = loadSessions()
+      lv.checkLayout(m)
       val before = m.keySet.toSet
       val dirty = scala.collection.mutable.Set[Long]()
       sweep(key, wm, lv, m, dirty, out)
       fireDueAnchors(key, math.max(now, expiry), lv, m, dirty, out)
-      if (lv.maybeRewrite(m)) {
-        m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
-        dirty ++= m.keySet
-      }
+      if (lv.maybeRewrite(m)) dirty ++= m.keySet // fences collapsed
       writeBack(before, dirty, m)
       lv.save()
       armSweep(now, wm, m)

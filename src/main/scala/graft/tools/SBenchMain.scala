@@ -7,6 +7,7 @@ object SBenchMain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -465,11 +465,9 @@ class RandomizedSpec extends SparkSpec {
         retract = (_, _) => merges += 1)
       lv.append(t, s"v$t")
       m(skey) = st0.copy(_2 = st0._2 + 1)
-      if (lv.maybeRewrite(m)) {
-        // the processors' post-compaction fence collapse
-        m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
-        rewrites += 1
-      }
+      // maybeRewrite collapses every session's fences in m itself
+      // (the processors' contract: write back all of m afterwards)
+      if (lv.maybeRewrite(m)) rewrites += 1
       lv.save()
       maxCuts = math.max(maxCuts, m.values.map(_._1.length).max)
       // span-indexed content == brute-force full-log liveness filter
