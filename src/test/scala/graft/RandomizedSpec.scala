@@ -493,5 +493,16 @@ class RandomizedSpec extends SparkSpec {
     val fin = new SessionLog[String](logState, metaState)
       .content(m.head._1, m.head._2)
     assert(fin.map(_._1).sorted == (0L to 600L).toSeq, "final content drift")
+    // layout guard: a populated map passes; empty summaries over a
+    // non-empty log (the r10-checkpoint restore signature) throw
+    new SessionLog[String](logState, metaState).checkLayout(m)
+    val emptyM = scala.collection.mutable.TreeMap.empty[Long, SessionPanes.St]
+    intercept[IllegalStateException] {
+      new SessionLog[String](logState, metaState).checkLayout(emptyM)
+    }
+    // empty map over an empty log (clean start) passes
+    val log2 = new FakeList[(Long, Long, String)]
+    val meta2 = new FakeValue[(Long, Long, Long)]
+    new SessionLog[String](log2, meta2).checkLayout(emptyM)
   }
 }
