@@ -189,6 +189,23 @@ object StreamingBench {
         graft.operators.MatchRecognizeSql.stream(
           ds.toDF("user_id", "ts", "etype", "value"), mrClause,
           tsCol = "ts", delay = "0 seconds", gapMs = 1800000L)
+      },
+      // plain event-time gap flush — the session primitive under
+      // streaming MATCH_RECOGNIZE minus the NFA, so the breakdown can
+      // attribute match_recognize's cost between gap machinery and
+      // clause evaluation
+      bench(spark, "streaming_gap_flush", tvd,
+        Seq((-1L, lateTs(3), 0.0), (-1L, lateTs(4), 0.0))) { ds =>
+        StatefulV2.eventTimeGapFlush(ds.withWatermark("_2", "0 seconds"),
+          gapMs = 1800000L)
+      },
+      // watermark-horizon exact dedup by event id (Beam Deduplicate's
+      // bounded-state contract on the native operator)
+      bench(spark, "streaming_dedup", ev.map(e => (e._1, e._2, e._5)),
+        Seq((-1L, lateTs(3), -1L), (-1L, lateTs(4), -2L))) { ds =>
+        StreamOps.dedupWithinWatermark(
+          ds.toDF("user_id", "ts", "event_id"),
+          "ts", "0 seconds", Seq("event_id"))
       })
   }
 }

@@ -871,6 +871,42 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("triggeredSessions: open sessions survive restart and flush via the restored timer chain") {
+    withRocksDb {
+      // the r11 single-timer-chain layout (nextTimer + sessions2 +
+      // log): an open session's chain timer and log must both restore,
+      // or the session strands after restart (lost-wakeup)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-rec2").toString
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      def start() = StatefulV2.triggeredSessions(
+          mem.toDS().withWatermark("_2", "0 seconds"), gapMs = 10000L)
+        .toDF("key", "win", "pane", "timing", "isFinal", "vals")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData((1L, t(1), "a"), (1L, t(3), "b"), (2L, t(2), "x"))
+      q1.processAllAvailable()
+      q1.stop() // both keys hold open sessions; nothing emitted yet
+      val q2 = start()
+      mem.addData((9L, t(50), "wm")) // watermark past both session ends
+      q2.processAllAvailable()
+      mem.addData((9L, t(55), "wm2"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, String, Boolean, Seq[String])]
+        .collect().filter(_._1 != 9L)
+      assert(got.exists(p => p._1 == 1L && p._4 == "ON_TIME" && p._5 &&
+        p._6 == Seq("a", "b")),
+        s"key 1's session lost or mis-flushed across restart: ${got.toSeq}")
+      assert(got.exists(p => p._1 == 2L && p._4 == "ON_TIME" &&
+        p._6 == Seq("x")),
+        s"key 2's session lost across restart: ${got.toSeq}")
+      q2.stop()
+    }
+  }
+
   test("dedupWithTtl drops repeated ids per key within the horizon") {
     withRocksDb {
       val mem = MemoryStream[(Long, Long, String)]
