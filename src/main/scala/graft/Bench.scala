@@ -81,6 +81,8 @@ object Bench {
     "agg_tpcds_q78",
     // round 11 additions
     "agg_tpcds_q31", "agg_tpcds_q89", "agg_tpcds_q98",
+    "agg_tpcds_q21", "agg_tpcds_q35", "agg_tpcds_q39",
+    "agg_tpcds_q75", "agg_tpcds_q95",
     "dedup_admit_novel_embedding")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */

@@ -21,6 +21,67 @@ object TextQueries {
     """CASE WHEN length(trim(text)) = 0 THEN []
        ELSE string_split_regex(trim(text), '\s+') END"""
 
+  /** BM25 (k1 = 1.2, b = 0.75) document scores for a fixed query term
+    * set in ONE corpus scan: per-term tf columns, then a 1-row global
+    * fit (N, avgdl, per-term df) broadcast back over the scored scan —
+    * the corpus is never self-joined. Shared by `text_bm25_search` and
+    * `rag_rrf_fusion` (reference retrieval shape:
+    * sdks/java/extensions/ml uses external search; this is the
+    * in-engine equivalent). Scores round to 4 so downstream ranking
+    * is deterministic cross-engine. */
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      d: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val k1 = 1.2
+    val base = docs(s, d)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        size(filter(col("toks"), x => x === lit(t))).cast("double"))
+    }.drop("toks", "text", "lang", "source", "n_chars")
+    val fitAggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val fit = withTf.agg(fitAggs.head, fitAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0))
+      idf * col(s"tf$i") * lit(k1 + 1) /
+        (col(s"tf$i") + lit(k1) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(fit))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+  }
+
+  /** DuckDB mirror of [[bm25Scores]] producing (doc_id, bm25). */
+  private[queries] def bm25ScoresSql(terms: Seq[String]): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n          ")
+    val dfAggs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+      .mkString(",\n          ")
+    val scoreTerms = terms.indices.map(i =>
+      s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * 2.2
+              / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))""")
+      .mkString("\n          + ")
+    val anyTf = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        dd AS (SELECT doc_id,
+          CAST(len(toks) AS DOUBLE) AS dl,
+          $tfCols
+          FROM t),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+          $dfAggs
+          FROM dd)
+        SELECT doc_id, round($scoreTerms, 4) AS bm25
+        FROM dd, g
+        WHERE $anyTf"""
+  }
+
   /** Shared DuckDB CTE body producing sh(doc_id, simhash) — the
     * `bits`-wide SimHash replicated bit-for-bit (used by text_simhash
     * at 16 bits and dedup_simhash_pairs at 64). The token hash is the
@@ -549,53 +610,9 @@ object TextQueries {
     // 100 TB that is one partial-agg shuffle of a constant-size row,
     // then a zero-shuffle scoring scan; no per-term join against an
     // inverted index is needed when the query is a handful of terms.
-    Q("text_bm25_search", (s, d) => {
-      val terms = Seq("data", "query", "spark")
-      val k1 = 1.2
-      val base = docs(s, d)
-        .withColumn("toks", TextAnalysis.tokens(col("text")))
-        .withColumn("dl", size(col("toks")).cast("double"))
-      val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
-        df.withColumn(s"tf$i",
-          size(filter(col("toks"), x => x === lit(t))).cast("double"))
-      }.drop("toks", "text", "lang", "source", "n_chars")
-      val fitAggs = count(lit(1)).cast("double").as("n") +:
-        avg(col("dl")).as("avgdl") +:
-        terms.indices.map(i =>
-          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
-      val fit = withTf.agg(fitAggs.head, fitAggs.tail: _*)
-      val score = terms.indices.map { i =>
-        val idf = log((col("n") - col(s"df$i") + lit(0.5)) /
-          (col(s"df$i") + lit(0.5)) + lit(1.0))
-        idf * col(s"tf$i") * lit(k1 + 1) /
-          (col(s"tf$i") + lit(k1) *
-            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
-      }.reduce(_ + _)
-      withTf.crossJoin(broadcast(fit))
-        .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
-        .select(col("doc_id"), round(score, 4).as("bm25"))
-    },
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        dd AS (SELECT doc_id,
-          CAST(len(toks) AS DOUBLE) AS dl,
-          CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) AS tf0,
-          CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf1,
-          CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf2
-          FROM t),
-        g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-          sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
-          sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
-          sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
-          FROM dd)
-        SELECT doc_id, round(
-            ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
-              / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-          + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
-              / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-          + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
-              / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS bm25
-        FROM dd, g
-        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""")),
+    Q("text_bm25_search",
+      (s, d) => bm25Scores(s, d, Seq("data", "query", "spark")),
+      Some(bm25ScoresSql(Seq("data", "query", "spark")))),
 
     // ===== C4 repeated-span removal (Raffel et al. 2020 §2.2; the
     // reference ecosystem's flagship public pipeline — C4 itself was

@@ -11,7 +11,7 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port its twenty-four distinctive PLAN SHAPES onto the driver's
+  * these port its twenty-nine distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
@@ -22,11 +22,16 @@ import graft.sources.Tables
   *   q9   per-bucket scalar subqueries → conditional aggregation
   *   q14  GROUPING SETS with grouping-id output
   *   q17  multi-fact star: sales ⋈ returns on (item, customer)
+  *   q21  before/after pivot-date split with a balance-band HAVING
   *   q23  frequent-item CTE feeding a semi-joined second aggregate
   *   q25  three-fact star: three channel aggregates joined on item
   *   q29  temporal sold→returned→re-bought three-fact chain
   *   q31  one CTE consumed SIX times: channel growth-ratio comparison
+  *   q35  EXISTS a AND (EXISTS b OR EXISTS c) AND NOT EXISTS d segments
   *   q38  multi-channel INTERSECT of customer sets
+  *   q39  variance-over-aggregate + consecutive-period self-join
+  *   q75  channel UNION with returns netting + year-over-year decline
+  *   q95  semi-join on a self-derived key set + NOT EXISTS returns
   *   q47  lag/lead navigation over an aggregate (monthly series)
   *   q49  per-channel worst-return-ratio ranking + channel union
   *   q51  cumulative windows over a FULL OUTER join of two channels
@@ -862,6 +867,219 @@ object TpcdsQueries {
           CAST(vol_c * 10000
             // CAST(sum(vol_c) OVER (PARTITION BY p_brand) AS BIGINT)
             AS BIGINT) AS share_bp
-        FROM t"""))
+        FROM t""")),
+
+    // q21: BEFORE/AFTER PIVOT SPLIT — quantity shipped before vs on/
+    // after a pivot date per (supplier, brand), keeping groups whose
+    // split stays within the [2/3, 3/2] balance band. ONE conditional-
+    // aggregation scan (never two passes over the fact), and the band
+    // test cross-multiplies integer quantities (the q31 idiom) so no
+    // division — and no float boundary — ever runs.
+    Q("agg_tpcds_q21",
+      (s, d) => {
+        val pivot = lit("1996-07-01").cast("timestamp")
+        li(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("s_name"), col("p_brand"))
+          .agg(
+            sum(when(col("l_shipdate") < pivot, col("l_quantity"))
+              .otherwise(lit(0))).cast("long").as("qty_before"),
+            sum(when(col("l_shipdate") >= pivot, col("l_quantity"))
+              .otherwise(lit(0))).cast("long").as("qty_after"))
+          .filter(col("qty_before") > 0 &&
+            col("qty_after") * 2 <= col("qty_before") * 3 &&
+            col("qty_before") * 2 <= col("qty_after") * 3)
+      },
+      Some("""SELECT s_name, p_brand,
+          CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1996-07-01'
+                        THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_before,
+          CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-07-01'
+                        THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_after
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+        HAVING qty_before > 0
+          AND qty_after * 2 <= qty_before * 3
+          AND qty_before * 2 <= qty_after * 3""")),
+
+    // q35: PRESENCE/ABSENCE SEGMENTATION — customers with EXISTS
+    // urgent orders AND (EXISTS high OR EXISTS medium) AND NOT EXISTS
+    // low-priority orders, counted by (nation, market segment). The
+    // OR-of-EXISTS is ONE left-semi against the distinct union of the
+    // two channels' key sets (not two correlated probes), the NOT
+    // EXISTS a left-anti — three bounded key-set joins total, each an
+    // equi-join on the customer key.
+    Q("agg_tpcds_q35",
+      (s, d) => {
+        def keys(p: String) = ord(s, d)
+          .filter(col("o_orderpriority") === p).select(col("o_custkey"))
+        cust(s, d)
+          .join(keys("1-URGENT"), col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .join(keys("2-HIGH").union(keys("3-MEDIUM")).distinct(),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(keys("5-LOW"), col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"),
+            round(sum(round(col("c_acctbal") * 100).cast("long"))
+              .cast("double") / 100, 2).as("sum_bal"))
+      },
+      Some("""SELECT n_name, c_mktsegment,
+          CAST(count(*) AS BIGINT) AS n_cust,
+          round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+            / 100, 2) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT')
+          AND (c_custkey IN (SELECT o_custkey FROM orders
+              WHERE o_orderpriority = '2-HIGH')
+            OR c_custkey IN (SELECT o_custkey FROM orders
+              WHERE o_orderpriority = '3-MEDIUM'))
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '5-LOW')
+        GROUP BY 1, 2""")),
+
+    // q39: VARIANCE-OVER-AGGREGATE + CONSECUTIVE-PERIOD SELF-JOIN —
+    // per (supplier, month) shipment-quantity mean and coefficient of
+    // variation, keeping suppliers erratic (cov > 1/2) in BOTH March
+    // and April 1996. Exactness: quantities are integer-valued, so n,
+    // Σx and Σx² are BIGINTs, and cov > τ is decided by the
+    // cross-multiplied identity n·(n·Σx² − (Σx)²) > τ²·(Σx)²·(n−1)
+    // (for τ = 1/2: 4·n·(n·Σx² − (Σx)²) > (Σx)²·(n−1)) — no float
+    // stddev ever computed, so no cross-engine summation-order drift.
+    // BIGINT headroom: with qty ≤ 50 the left side is ≤ 10⁴·n³, exact
+    // while n ≲ 10⁵ rows per (supplier, month) cell; at larger fills
+    // move the comparison into DECIMAL(38,0) — the cell count grows
+    // with the supplier dimension, not with total fact rows.
+    Q("agg_tpcds_q39",
+      (s, d) => {
+        val q = col("l_quantity").cast("long")
+        def moy(m: Int, suf: String) = li(s, d)
+          .filter(year(col("l_shipdate")) === 1996 &&
+            month(col("l_shipdate")) === m)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as(s"n$suf"), sum(q).as(s"sx$suf"),
+            sum(q * q).as(s"sx2$suf"))
+          .filter(col(s"n$suf") > 1 &&
+            col(s"n$suf") * (col(s"n$suf") * col(s"sx2$suf") -
+              col(s"sx$suf") * col(s"sx$suf")) * 4 >
+            col(s"sx$suf") * col(s"sx$suf") * (col(s"n$suf") - 1))
+        moy(3, "_mar").join(moy(4, "_apr"), Seq("l_suppkey"))
+          .select(col("l_suppkey"), col("n_mar"), col("sx_mar"),
+            col("sx2_mar"), col("n_apr"), col("sx_apr"), col("sx2_apr"))
+      },
+      Some("""WITH m AS (
+          SELECT l_suppkey, CAST(month(l_shipdate) AS INT) AS moy,
+            count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sx,
+            sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2
+          FROM lineitem WHERE year(l_shipdate) = 1996
+            AND month(l_shipdate) IN (3, 4)
+          GROUP BY 1, 2
+          HAVING n > 1 AND n * (n * sx2 - sx * sx) * 4 > sx * sx * (n - 1))
+        SELECT a.l_suppkey,
+          CAST(a.n AS BIGINT) AS n_mar, CAST(a.sx AS BIGINT) AS sx_mar,
+          CAST(a.sx2 AS BIGINT) AS sx2_mar,
+          CAST(b.n AS BIGINT) AS n_apr, CAST(b.sx AS BIGINT) AS sx_apr,
+          CAST(b.sx2 AS BIGINT) AS sx2_apr
+        FROM m a JOIN m b ON a.l_suppkey = b.l_suppkey
+        WHERE a.moy = 3 AND b.moy = 4""")),
+
+    // q75: CHANNEL UNION + RETURNS NETTING + YEAR-OVER-YEAR DECLINE —
+    // each channel nets returns from sales per (year, brand), the
+    // channels UNION into one (year, brand) aggregate, and the
+    // current year self-joins the prior to keep brands whose net
+    // quantity declined. Quantities stay integer end-to-end; the
+    // decline test is an exact BIGINT comparison.
+    Q("agg_tpcds_q75",
+      (s, d) => {
+        val net = sum(when(col("l_returnflag") === "R",
+          -col("l_quantity")).otherwise(col("l_quantity"))).cast("long")
+        def chan(ps: Seq[String], nm: String) = li(s, d)
+          .join(ord(s, d).filter(col("o_orderpriority").isin(ps: _*)),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"), col("p_brand"))
+          .agg(net.as("net_qty"))
+          .withColumn("channel", lit(nm))
+        // val, not def: both sides of the YoY join must share the
+        // IDENTICAL plan subtree so the yearly aggregate's exchange is
+        // built once and reused; the join is SHIFTED (cur.year =
+        // prev.year + 1, the q2 WITH-chain discipline) rather than
+        // filtered per side, which would split the subtree
+        val yearly = chan(Seq("1-URGENT", "2-HIGH"), "fast")
+          .unionByName(chan(Seq("3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+            "slow"))
+          .groupBy(col("o_year"), col("p_brand"))
+          .agg(sum(col("net_qty")).as("net_qty"))
+        val cur = yearly
+          .select(col("o_year"), col("p_brand"), col("net_qty").as("cur_qty"))
+        val prev = yearly
+          .select(col("o_year").as("prev_year"), col("p_brand"),
+            col("net_qty").as("prev_qty"))
+        cur.join(prev, cur("o_year") === prev("prev_year") + 1 &&
+            cur("p_brand") === prev("p_brand"))
+          .filter(col("cur_qty") < col("prev_qty"))
+          .select(cur("o_year"), cur("p_brand"), col("prev_qty"),
+            col("cur_qty"), (col("prev_qty") - col("cur_qty")).as("decline"))
+      },
+      Some("""WITH chans AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year, p_brand,
+            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 'fast' ELSE 'slow' END AS channel,
+            sum(CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+                     ELSE CAST(l_quantity AS BIGINT) END) AS net_qty
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2, 3
+        ), yearly AS (
+          SELECT o_year, p_brand, sum(net_qty) AS net_qty
+          FROM chans GROUP BY 1, 2)
+        SELECT c.o_year, c.p_brand, CAST(p.net_qty AS BIGINT) AS prev_qty,
+          CAST(c.net_qty AS BIGINT) AS cur_qty,
+          CAST(p.net_qty - c.net_qty AS BIGINT) AS decline
+        FROM yearly c JOIN yearly p
+          ON c.p_brand = p.p_brand AND c.o_year = p.o_year + 1
+        WHERE c.net_qty < p.net_qty""")),
+
+    // q95: SEMI-JOIN ON A SELF-DERIVED KEY SET + NOT EXISTS — orders
+    // in 1996 whose line items span at least TWO distinct suppliers
+    // (the multi-warehouse EXISTS, computed as ONE count-distinct
+    // aggregate over the fact, never a fact×fact self-join probe) and
+    // with NO returned line item (left-anti), reported per priority
+    // class with money summed in integer cents.
+    Q("agg_tpcds_q95",
+      (s, d) => {
+        val multi = li(s, d).groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("ns"))
+          .filter(col("ns") >= 2).select(col("l_orderkey"))
+        val returned = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        ord(s, d).filter(year(col("o_orderdate")) === 1996)
+          .join(multi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .join(returned, col("o_orderkey") === col("l_orderkey"),
+            "left_anti")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("total_cents"))
+      },
+      Some("""SELECT o_orderpriority,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS total_cents
+        FROM orders
+        WHERE year(o_orderdate) = 1996
+          AND o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2)
+          AND o_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY 1""")),
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Dedup, Similarity}
@@ -344,5 +345,80 @@ object VectorQueries {
           round(sqrt(${foldSum("list_transform(list_zip(xd, qv), z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale))")}), 6) AS err_l2,
           array_to_string(qv[1:4], ',') AS q_head
         FROM qz""")),
+
+    // ===== Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    // HYBRID-SEARCH merge: a lexical BM25 ranking and a semantic
+    // cosine ranking per query, fused by Σ 1/(60 + rank) over a FULL
+    // OUTER join on (query, doc). Scale shape: each side is its own
+    // top-k (lexical: one corpus scan + 1-row fit broadcast; semantic:
+    // broadcast query set against one corpus scan — never corpus ×
+    // corpus), the fusion join then touches only ≤ 2k rows per query.
+    // All rankings order by ROUNDED scores with id tie-breaks, so
+    // ranks — and therefore RRF scores — are deterministic
+    // cross-engine. Docs and embeddings share the id space by
+    // construction (row i of embeddings embeds doc i); the full-outer
+    // fusion would be correct under partial overlap too.
+    Q("rag_rrf_fusion",
+      (s, d) => {
+        val termsByQuery = Seq(
+          0L -> Seq("data", "query", "spark"),
+          250L -> Seq("join", "hash", "stream"))
+        val lexScores = termsByQuery.map { case (qid, terms) =>
+          TextQueries.bm25Scores(s, d, terms)
+            .select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
+        }.reduce(_ unionByName _)
+        val wLex = Window.partitionBy("query_id")
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+        val lex = lexScores
+          .withColumn("rk_lex", row_number().over(wLex).cast("long"))
+          .filter(col("rk_lex") <= 20)
+          .select(col("query_id"), col("doc_id"), col("rk_lex"))
+        val sem = Similarity.cosineTopK(
+            emb(s, d).filter(col("vec_id").isin(0L, 250L)), emb(s, d),
+            "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("match_id").as("doc_id"),
+            col("rk").cast("long").as("rk_sem"))
+        val wFused = Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60.0) + col("rk_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rk_sem")), lit(0.0)), 6))
+          .withColumn("rk_fused", row_number().over(wFused).cast("long"))
+          .select(col("query_id"), col("doc_id"), col("rk_lex"),
+            col("rk_sem"), col("rrf"), col("rk_fused"))
+      },
+      Some(s"""WITH lex AS (
+          SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk_lex
+          FROM (
+            SELECT CAST(0 AS BIGINT) AS query_id, doc_id, bm25
+            FROM (${TextQueries.bm25ScoresSql(Seq("data", "query", "spark"))})
+            UNION ALL
+            SELECT CAST(250 AS BIGINT) AS query_id, doc_id, bm25
+            FROM (${TextQueries.bm25ScoresSql(Seq("join", "hash", "stream"))}))
+          QUALIFY rk_lex <= 20
+        ), sem AS (
+          SELECT query_id, match_id AS doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, match_id) AS BIGINT) AS rk_sem
+          FROM (
+            SELECT query_id, match_id,
+              round(${cosineSql("qv", "cv")}, 6) AS sim
+            FROM (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id IN (0, 250)) q
+            JOIN (SELECT vec_id AS match_id, embedding AS cv
+                  FROM embeddings) c
+              ON query_id != match_id)
+          QUALIFY rk_sem <= 20)
+        SELECT query_id, doc_id, rk_lex, rk_sem, rrf,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk_fused
+        FROM (
+          SELECT query_id, doc_id, rk_lex, rk_sem,
+            round(coalesce(CAST(1 AS DOUBLE) / (60 + rk_lex), 0) +
+                  coalesce(CAST(1 AS DOUBLE) / (60 + rk_sem), 0), 6) AS rrf
+          FROM lex FULL JOIN sem USING (query_id, doc_id))""")),
   )
 }

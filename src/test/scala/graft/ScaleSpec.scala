@@ -283,6 +283,7 @@ class ScaleSpec extends SparkSpec {
     assert(row.getLong(0) == 600)
   }
 
+
   test("flagship plans keep their audited shapes (plan-regression guard)") {
     def plan(name: String): String =
       graft.SparkEntry.queries(name)(spark, sfDir)
@@ -469,6 +470,39 @@ class ScaleSpec extends SparkSpec {
     assert(ds98.contains("Window") &&
       "Scan parquet".r.findAllIn(ds98).size <= 2,
       "tpcds q98 ratio-to-report no longer a single pass")
+    // TPC-DS q21 analog: the before/after split is ONE conditional-agg
+    // scan of the fact — never two passes unioned or re-joined
+    val ds21 = plan("agg_tpcds_q21")
+    assert("Scan parquet".r.findAllIn(ds21).size <= 3 &&
+      !ds21.contains("Union"),
+      "tpcds q21 no longer a single conditional-aggregation pass")
+    // TPC-DS q35 analog: presence/absence stays semi/anti KEY-SET
+    // joins — two left-semis, one left-anti, no correlated re-probe,
+    // no cartesian
+    val ds35 = plan("agg_tpcds_q35")
+    assert("LeftSemi".r.findAllIn(ds35).size == 2 &&
+      ds35.contains("LeftAnti") && !ds35.contains("CartesianProduct"),
+      "tpcds q35 lost its semi/anti key-set join shape")
+    // TPC-DS q39 analog: the variance filter runs INSIDE the monthly
+    // aggregate (partial+final agg, then an equi self-join) — the
+    // erratic-supplier test must not become a window or a re-scan of
+    // the fact per month beyond the two month branches
+    val ds39 = plan("agg_tpcds_q39")
+    assert("Scan parquet".r.findAllIn(ds39).size <= 2 &&
+      !ds39.contains("CartesianProduct"),
+      "tpcds q39 re-scans the fact or lost the equi self-join")
+    // TPC-DS q95 analog: the multi-supplier EXISTS is a count-distinct
+    // AGGREGATE feeding a left-semi (never a fact-to-fact correlated
+    // probe), the returns exclusion a left-anti
+    val ds95 = plan("agg_tpcds_q95")
+    assert(ds95.contains("LeftSemi") && ds95.contains("LeftAnti"),
+      "tpcds q95 lost its semi+anti shape")
+    // TPC-DS q75 analog: the yearly (year, brand) frame is one plan
+    // subtree consumed by both sides of the YoY self-join — assert the
+    // aggregation exchange materializes once and is reused (AQE
+    // runtime decision, so read the final plan)
+    assert(finalPlan("agg_tpcds_q75").contains("Reused"),
+      "tpcds q75 YoY self-join recomputes the yearly frame")
   }
 
   test("GraftExtensions injects native functions at session build") {
