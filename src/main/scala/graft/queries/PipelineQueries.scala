@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
 import graft.sources.Tables
@@ -1691,5 +1692,86 @@ object PipelineQueries {
             string_split_regex(trim(lower(text)), '\s+'))), ' '), 1, 120)
             AS bag_prefix
         FROM documents""")),
+
+    // ===== Stratified deterministic downsample — cap every stratum
+    // (source) at ceil(20%) of its rows, chosen by portable-hash order
+    // so the sample is reproducible across runs, engines, and
+    // re-partitionings (the "downweight over-represented sources"
+    // curation step; complements pipeline_source_mix's exact-count
+    // allocation). The ceil test 5·rn ≤ n+4 stays in integers. ONE
+    // shuffle: both windows share the stratum partitioning. At 100 TB
+    // a hot stratum serializes through one partition — for that case
+    // switch to the threshold form (sample by h ≤ frac·2⁶⁴ quantile),
+    // which needs no window; the exact-ceil form here is the
+    // small-stratum-count path.
+    Q("pipeline_stratified_sample",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("h").asc, col("doc_id").asc)
+        val wc = Window.partitionBy("source")
+        docs(s, d).select(col("doc_id"), col("source"),
+            PortableHash.md5Long(
+              concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n_src", count(lit(1)).over(wc))
+          .filter(col("rn") * 5 <= col("n_src") + 4)
+          .select(col("doc_id"), col("source"), col("rn"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source,
+            ${PortableHash.md5LongSql("'strat:' || CAST(doc_id AS VARCHAR)")}
+              AS h
+          FROM documents),
+        r AS (SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY h, doc_id) AS BIGINT) AS rn,
+            count(*) OVER (PARTITION BY source) AS n_src
+          FROM h)
+        SELECT doc_id, source, rn FROM r WHERE rn * 5 <= n_src + 4""")),
+
+    // ===== Data-quality constraint profile (the Deequ/great-expectations
+    // shape a training-data pipeline gates ingestion on): per-source
+    // completeness, key uniqueness, text-distinctness, length bounds,
+    // and a pass-rate against a quality predicate — ALL computed in ONE
+    // scan + one partial-aggregated groupBy (count-distincts expand to
+    // two agg passes, still a single scan). Ratios are emitted in
+    // integer basis points via the div idiom so no float division ever
+    // crosses engines.
+    Q("pipeline_data_quality",
+      (s, d) => docs(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).as("n_missing_text"),
+          countDistinct(col("doc_id")).as("n_keys"),
+          countDistinct(col("text")).as("n_distinct_text"),
+          min(col("n_chars")).as("min_len"),
+          max(col("n_chars")).as("max_len"),
+          sum(col("n_chars")).as("sum_len"),
+          sum(when(col("n_chars").between(20, 5000) &&
+            col("lang").isin("en", "de", "fr", "es", "zh"), 1L)
+            .otherwise(0L)).as("n_pass"))
+        .select(col("source"), col("n_rows"), col("n_missing_text"),
+          col("n_keys"), col("n_distinct_text"), col("min_len"),
+          col("max_len"), col("sum_len"), col("n_pass"),
+          expr("n_distinct_text * 10000 div n_rows").as("uniq_bp"),
+          expr("n_pass * 10000 div n_rows").as("pass_bp")),
+      Some("""SELECT source,
+          count(*) AS n_rows,
+          CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_text,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+          CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+          CAST(min(n_chars) AS BIGINT) AS min_len,
+          CAST(max(n_chars) AS BIGINT) AS max_len,
+          CAST(sum(n_chars) AS BIGINT) AS sum_len,
+          CAST(sum(CASE WHEN n_chars BETWEEN 20 AND 5000
+            AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+          count(DISTINCT text) * 10000 // count(*) AS uniq_bp,
+          CAST(sum(CASE WHEN n_chars BETWEEN 20 AND 5000
+            AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+            THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS pass_bp
+        FROM documents GROUP BY 1""")),
   )
 }

@@ -895,6 +895,83 @@ object RelationalQueries {
         SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
         GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""")),
 
+    // ===== Cohort retention matrix — the first-purchase-cohort shape
+    // (TPC-DS q54's "revenue after first purchase" spirit; every
+    // product-analytics stack ships this). The first-purchase frame is
+    // ONE partial-aggregated row per customer; the re-join shuffles
+    // both sides on the SAME key (custkey) so at 100 TB it
+    // co-partitions instead of broadcasting an executor-sized frame.
+    // Months are linearized to an integer index (year*12 + month), so
+    // the cohort/offset arithmetic is exact BIGINT — no date-diff
+    // rounding; revenue sums in integer cents.
+    Q("agg_cohort_retention",
+      (s, d) => {
+        val o = ord(s, d).select(col("o_custkey"), col("o_totalprice"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("ym"))
+        val first = o.groupBy(col("o_custkey"))
+          .agg(min(col("ym")).as("cohort_ym"))
+        o.join(first, Seq("o_custkey"))
+          .groupBy(col("cohort_ym"),
+            (col("ym") - col("cohort_ym")).as("months_since"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("rev_cents"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_totalprice,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+              AS ym
+          FROM orders),
+        f AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY 1)
+        SELECT cohort_ym, ym - cohort_ym AS months_since,
+          CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_cust,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS rev_cents
+        FROM o JOIN f USING (o_custkey)
+        GROUP BY 1, 2""")),
+
+    // ===== SCD2 history build — slowly-changing-dimension type-2
+    // compression of a per-key attribute stream: consecutive identical
+    // states collapse, each surviving change row carries
+    // [valid_from, valid_to) plus an is_current flag. Two window passes
+    // over the SAME partition key = one shuffle (Catalyst reuses the
+    // exchange); ordering ties (same customer, same date) break on
+    // o_orderkey in BOTH passes so the history is deterministic
+    // cross-engine. Timestamps emit as epoch seconds per the oracle
+    // convention; the open-ended current row keeps valid_to NULL.
+    Q("scd2_history",
+      (s, d) => {
+        val wChange = Window.partitionBy("o_custkey")
+          .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+        val wSpan = Window.partitionBy("o_custkey")
+          .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+        ord(s, d)
+          .select(col("o_custkey"), col("o_orderpriority").as("state"),
+            unix_timestamp(col("o_orderdate")).as("valid_from"),
+            col("o_orderkey"))
+          .withColumn("prev_state", lag(col("state"), 1).over(wChange))
+          .filter(col("prev_state").isNull ||
+            col("prev_state") =!= col("state"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wSpan))
+          .select(col("o_custkey"), col("state"), col("valid_from"),
+            col("valid_to"),
+            when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      },
+      Some("""WITH s AS (SELECT o_custkey, o_orderpriority AS state,
+            CAST(epoch(o_orderdate) AS BIGINT) AS valid_from, o_orderkey,
+            lag(o_orderpriority) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS prev_state
+          FROM orders),
+        c AS (SELECT o_custkey, state, valid_from, o_orderkey FROM s
+          WHERE prev_state IS NULL OR prev_state != state)
+        SELECT o_custkey, state, valid_from,
+          lead(valid_from) OVER (PARTITION BY o_custkey
+            ORDER BY valid_from, o_orderkey) AS valid_to,
+          CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey
+            ORDER BY valid_from, o_orderkey) IS NULL
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
+        FROM c""")),
+
     // ===== Literal values (Beam Create.of / BeamValuesRel)
     Q("create_values",
       (s, d) => {

@@ -11,13 +11,14 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port its twenty-nine distinctive PLAN SHAPES onto the driver's
+  * these port its thirty distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
   *   q1   correlated scalar subquery per group, decorrelated
   *   q2   WITH-chain reuse: one CTE consumed twice via a shifted join
   *   q3   star join + dimension filter + (year, brand) aggregate
+  *   q4   growth-ratio-vs-growth-ratio via one 4-cell conditional agg
   *   q5   multi-channel UNION ALL + ROLLUP
   *   q9   per-bucket scalar subqueries → conditional aggregation
   *   q14  GROUPING SETS with grouping-id output
@@ -1046,6 +1047,56 @@ object TpcdsQueries {
         FROM yearly c JOIN yearly p
           ON c.p_brand = p.p_brand AND c.o_year = p.o_year + 1
         WHERE c.net_qty < p.net_qty""")),
+
+    // q4: GROWTH-RATIO-VS-GROWTH-RATIO — customers whose year-over-year
+    // revenue growth in the fast channel exceeds their growth in the
+    // slow channel. TPC-DS phrases this as one CTE consumed FOUR times
+    // (per year × channel) with float division; at scale the better
+    // plan is ONE conditional-aggregation pass producing all four
+    // cells per customer (no self-joins at all), and the ratio
+    // comparison fast_y2/fast_y1 > slow_y2/slow_y1 cross-multiplies in
+    // integer cents — division-free, exact. BIGINT headroom: cells are
+    // per-customer-year cent sums (~1e8 here), products ~1e16 ≪ 2⁶³;
+    // at fills where a cell nears 3e9 cents move the comparison into
+    // DECIMAL(38,0).
+    Q("agg_tpcds_q4",
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val fast = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val y = year(col("o_orderdate"))
+        ord(s, d)
+          .filter(y.isin(1995, 1996))
+          .groupBy(col("o_custkey"))
+          .agg(
+            sum(when(y === 1995 && fast, cents).otherwise(0L)).as("fast_y1"),
+            sum(when(y === 1996 && fast, cents).otherwise(0L)).as("fast_y2"),
+            sum(when(y === 1995 && !fast, cents).otherwise(0L)).as("slow_y1"),
+            sum(when(y === 1996 && !fast, cents).otherwise(0L)).as("slow_y2"))
+          .filter(col("fast_y1") > 0 && col("slow_y1") > 0 &&
+            col("fast_y2") * col("slow_y1") > col("slow_y2") * col("fast_y1"))
+      },
+      Some("""SELECT o_custkey,
+          CAST(sum(CASE WHEN year(o_orderdate) = 1995
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS fast_y1,
+          CAST(sum(CASE WHEN year(o_orderdate) = 1996
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS fast_y2,
+          CAST(sum(CASE WHEN year(o_orderdate) = 1995
+              AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS slow_y1,
+          CAST(sum(CASE WHEN year(o_orderdate) = 1996
+              AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS slow_y2
+        FROM orders
+        WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY 1
+        HAVING fast_y1 > 0 AND slow_y1 > 0
+          AND fast_y2 * slow_y1 > slow_y2 * fast_y1""")),
 
     // q95: SEMI-JOIN ON A SELF-DERIVED KEY SET + NOT EXISTS — orders
     // in 1996 whose line items span at least TWO distinct suppliers

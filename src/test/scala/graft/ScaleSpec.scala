@@ -503,6 +503,32 @@ class ScaleSpec extends SparkSpec {
     // runtime decision, so read the final plan)
     assert(finalPlan("agg_tpcds_q75").contains("Reused"),
       "tpcds q75 YoY self-join recomputes the yearly frame")
+    // TPC-DS q4 analog: FOUR cells (year × channel) from ONE
+    // conditional-agg scan — no self-join, no union, no division
+    val ds4 = plan("agg_tpcds_q4")
+    assert("Scan parquet".r.findAllIn(ds4).size == 1 &&
+      !ds4.contains("Join") && !ds4.contains("Union"),
+      "tpcds q4 no longer a single conditional-aggregation pass")
+    // Cohort retention: the first-purchase frame is a partial agg of
+    // the SAME scan re-joined on the same key — at most two fact
+    // scans, an equi join (never cartesian), co-partitioned on custkey
+    val coh = plan("agg_cohort_retention")
+    assert("Scan parquet".r.findAllIn(coh).size <= 2 &&
+      !coh.contains("CartesianProduct"),
+      "cohort retention re-scans or lost the custkey equi join")
+    // SCD2 history: both window passes share ONE custkey shuffle — the
+    // second pass re-sorts the same partitioning, it must not add an
+    // exchange (nor a join: change-compression is pure windows)
+    val scd = plan("scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(scd).size == 1 &&
+      "Scan parquet".r.findAllIn(scd).size == 1,
+      "scd2 history no longer single-shuffle/single-scan")
+    // Data-quality profile: one scan; count-distincts legitimately
+    // expand the aggregation but must never self-join the corpus
+    val dq = plan("pipeline_data_quality")
+    assert("Scan parquet".r.findAllIn(dq).size == 1 &&
+      !dq.contains("Join"),
+      "data-quality profile no longer a single-scan aggregation")
   }
 
   test("GraftExtensions injects native functions at session build") {
