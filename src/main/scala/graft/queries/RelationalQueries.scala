@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Joins, Relational}
+import graft.operators.{Joins, Relational, Scd}
 import graft.functions.PortableHash
 
 /** Batch relational operator coverage (SURVEY §2.2-§2.9): aggregation,
@@ -930,33 +930,26 @@ object RelationalQueries {
         FROM o JOIN f USING (o_custkey)
         GROUP BY 1, 2""")),
 
-    // ===== SCD2 history build — slowly-changing-dimension type-2
-    // compression of a per-key attribute stream: consecutive identical
-    // states collapse, each surviving change row carries
-    // [valid_from, valid_to) plus an is_current flag. Two window passes
-    // over the SAME partition key = one shuffle (Catalyst reuses the
-    // exchange); ordering ties (same customer, same date) break on
-    // o_orderkey in BOTH passes so the history is deterministic
-    // cross-engine. Timestamps emit as epoch seconds per the oracle
-    // convention; the open-ended current row keeps valid_to NULL.
+    // ===== SCD2 history build (operators/Scd.scala) — slowly-changing-
+    // dimension type-2 compression of a per-key attribute stream:
+    // consecutive identical states collapse, each surviving change row
+    // carries [valid_from, valid_to) plus an is_current flag. Two
+    // window passes over the SAME partition key = one shuffle (plan-
+    // guarded); ordering ties (same customer, same date) break on
+    // o_orderkey so the history is deterministic cross-engine.
+    // Timestamps emit as epoch seconds per the oracle convention; the
+    // open-ended current row keeps valid_to NULL. The same operator
+    // applies per micro-batch as a touched-keys CDC MERGE
+    // (Scd.applyCdcBatch, StreamingSpec).
     Q("scd2_history",
-      (s, d) => {
-        val wChange = Window.partitionBy("o_custkey")
-          .orderBy(col("valid_from").asc, col("o_orderkey").asc)
-        val wSpan = Window.partitionBy("o_custkey")
-          .orderBy(col("valid_from").asc, col("o_orderkey").asc)
-        ord(s, d)
-          .select(col("o_custkey"), col("o_orderpriority").as("state"),
+      (s, d) => Scd.history(
+          ord(s, d).select(col("o_custkey"),
+            col("o_orderpriority").as("state"),
             unix_timestamp(col("o_orderdate")).as("valid_from"),
-            col("o_orderkey"))
-          .withColumn("prev_state", lag(col("state"), 1).over(wChange))
-          .filter(col("prev_state").isNull ||
-            col("prev_state") =!= col("state"))
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(wSpan))
-          .select(col("o_custkey"), col("state"), col("valid_from"),
-            col("valid_to"),
-            when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
-      },
+            col("o_orderkey")),
+          "o_custkey", "state", "valid_from", "o_orderkey")
+        .select(col("o_custkey"), col("state"), col("valid_from"),
+          col("valid_to"), col("is_current")),
       Some("""WITH s AS (SELECT o_custkey, o_orderpriority AS state,
             CAST(epoch(o_orderdate) AS BIGINT) AS valid_from, o_orderkey,
             lag(o_orderpriority) OVER (PARTITION BY o_custkey

@@ -905,4 +905,68 @@ class StreamingSpec extends SparkSpec {
         r(0).toString.endsWith(" 10:00:00")),
       s"top-2 truncation lost: $got")
   }
+
+  test("streaming CDC apply: per-batch touched-keys SCD2 merge == batch history") {
+    import org.apache.spark.sql.DataFrame
+    // The dimension-ingestion shape: a CDC change stream applied per
+    // micro-batch to the stored SCD2 change points with
+    // Scd.applyCdcBatch — untouched keys pass through a left-anti,
+    // touched keys re-compress (existing change points ∪ new rows).
+    // Delivery follows the CDC-log commit-order contract ((ts, tie)
+    // order per key), under which incremental apply == full rebuild.
+    // At warehouse scale each batch's working set is O(batch keys)
+    // (a Delta/Iceberg MERGE), never O(dimension).
+    val sf = "/root/testdata/sf0.001"
+    val raw = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("long"),
+        col("o_orderpriority"),
+        unix_timestamp(col("o_orderdate")).cast("long"),
+        col("o_orderkey").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._3, t._4)) // commit order: (ts, tie)
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val emptyStore = Seq.empty[(Long, String, Long, Long)]
+      .toDF("k", "state", "vf", "okey")
+    var store = emptyStore
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = mem.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.toDF("k", "state", "vf", "okey")
+        // localCheckpoint truncates the growing per-batch lineage —
+        // the store's stand-in for a real table MERGE target
+        store = graft.operators.Scd
+          .applyCdcBatch(store, b, "k", "state", "vf", "okey")
+          .localCheckpoint(true)
+        batchSizes += store.count()
+        ()
+      }.start()
+    raw.grouped(math.max(1, raw.length / 4)).foreach { g =>
+      mem.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    runToCompletion(q)
+    // incremental compression left no consecutive-dup change points:
+    // re-running the compression over the store drops nothing
+    val served = graft.operators.Scd
+      .history(store, "k", "state", "vf", "okey")
+    assert(served.count() == store.count(),
+      "store kept a consecutive-duplicate change point")
+    val got = served
+      .select(col("k"), col("state"), col("vf"), col("valid_to"),
+        col("is_current")).collect().map(_.toSeq).toSet
+    val want = graft.operators.Scd
+      .history(raw.toSeq.toDF("k", "state", "vf", "okey"),
+        "k", "state", "vf", "okey")
+      .select(col("k"), col("state"), col("vf"), col("valid_to"),
+        col("is_current")).collect().map(_.toSeq).toSet
+    assert(got == want && want.size > 500,
+      s"CDC apply != batch SCD2: got=${got.size} want=${want.size}")
+    // exactly one open (is_current) row per key survives
+    val opens = served.filter(col("is_current") === 1L)
+      .groupBy("k").count().filter(col("count") > 1).count()
+    assert(opens == 0, "a key has more than one current row")
+    // the store really grew incrementally across batches
+    assert(batchSizes.size >= 4 && batchSizes.toSeq == batchSizes.sorted,
+      s"store sizes not monotone: $batchSizes")
+  }
 }
