@@ -84,7 +84,7 @@ object Bench {
     "agg_tpcds_q21", "agg_tpcds_q35", "agg_tpcds_q39",
     "agg_tpcds_q75", "agg_tpcds_q95", "agg_tpcds_q4",
     "agg_cohort_retention", "scd2_history", "pipeline_data_quality",
-    "pipeline_stratified_sample",
+    "pipeline_stratified_sample", "rag_rrf_fusion",
     "dedup_admit_novel_embedding")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */

@@ -206,6 +206,15 @@ object StreamingBench {
         StreamOps.dedupWithinWatermark(
           ds.toDF("user_id", "ts", "event_id"),
           "ts", "0 seconds", Seq("event_id"))
+      },
+      // continuous SCD2 dimension maintenance (the CDC-apply shape):
+      // per-user event_type treated as the tracked attribute; ONE
+      // ValueState per key, one put per changed key per batch — the
+      // minimal-state contrast to the buffer-heavy session ops above
+      bench(spark, "streaming_scd2",
+        ev.map(e => (e._1, e._3, e._2.getTime, e._5)),
+        Seq.empty[(Long, String, Long, Long)]) { ds =>
+        StatefulV2.scd2Changes(ds)
       })
   }
 }

@@ -1100,21 +1100,24 @@ object TpcdsQueries {
 
     // q95: SEMI-JOIN ON A SELF-DERIVED KEY SET + NOT EXISTS — orders
     // in 1996 whose line items span at least TWO distinct suppliers
-    // (the multi-warehouse EXISTS, computed as ONE count-distinct
-    // aggregate over the fact, never a fact×fact self-join probe) and
-    // with NO returned line item (left-anti), reported per priority
-    // class with money summed in integer cents.
+    // (the multi-warehouse EXISTS) and with NO returned line item.
+    // Both predicates derive from the SAME fact keyed on l_orderkey,
+    // so they FUSE into one aggregate pass (count-distinct suppliers +
+    // a max-flag for returns) feeding a single left-semi — one
+    // lineitem scan where the naive IN + NOT IN plan reads the fact
+    // twice; never a fact×fact correlated probe. Money sums in
+    // integer cents.
     Q("agg_tpcds_q95",
       (s, d) => {
-        val multi = li(s, d).groupBy(col("l_orderkey"))
-          .agg(countDistinct(col("l_suppkey")).as("ns"))
-          .filter(col("ns") >= 2).select(col("l_orderkey"))
-        val returned = li(s, d).filter(col("l_returnflag") === "R")
+        val keyset = li(s, d).groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("ns"),
+            max(when(col("l_returnflag") === "R", 1).otherwise(0))
+              .as("has_ret"))
+          .filter(col("ns") >= 2 && col("has_ret") === 0)
           .select(col("l_orderkey"))
         ord(s, d).filter(year(col("o_orderdate")) === 1996)
-          .join(multi, col("o_orderkey") === col("l_orderkey"), "left_semi")
-          .join(returned, col("o_orderkey") === col("l_orderkey"),
-            "left_anti")
+          .join(keyset, col("o_orderkey") === col("l_orderkey"),
+            "left_semi")
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_orders"),
             sum(round(col("o_totalprice") * 100).cast("long"))
@@ -1128,9 +1131,9 @@ object TpcdsQueries {
         WHERE year(o_orderdate) = 1996
           AND o_orderkey IN (
             SELECT l_orderkey FROM lineitem
-            GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2)
-          AND o_orderkey NOT IN (
-            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+            GROUP BY 1
+            HAVING count(DISTINCT l_suppkey) >= 2
+              AND max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 0)
         GROUP BY 1""")),
   )
 }

@@ -491,12 +491,14 @@ class ScaleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(ds39).size <= 2 &&
       !ds39.contains("CartesianProduct"),
       "tpcds q39 re-scans the fact or lost the equi self-join")
-    // TPC-DS q95 analog: the multi-supplier EXISTS is a count-distinct
-    // AGGREGATE feeding a left-semi (never a fact-to-fact correlated
-    // probe), the returns exclusion a left-anti
+    // TPC-DS q95 analog: the multi-supplier EXISTS and the returns
+    // exclusion FUSE into one fact aggregate feeding a single
+    // left-semi — exactly one lineitem scan, never a fact-to-fact
+    // correlated probe
     val ds95 = plan("agg_tpcds_q95")
-    assert(ds95.contains("LeftSemi") && ds95.contains("LeftAnti"),
-      "tpcds q95 lost its semi+anti shape")
+    assert(ds95.contains("LeftSemi") &&
+      "Scan parquet".r.findAllIn(ds95).size <= 2,
+      "tpcds q95 lost its fused single-scan semi shape")
     // TPC-DS q75 analog: the yearly (year, brand) frame is one plan
     // subtree consumed by both sides of the YoY self-join — assert the
     // aggregation exchange materializes once and is reused (AQE

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, collect_list, session_window, sort_array, struct}
+import org.apache.spark.sql.functions.{col, collect_list, session_window, sort_array, struct, unix_timestamp}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming.StatefulV2
 
@@ -54,6 +54,39 @@ class StatefulV2Spec extends SparkSpec {
       // full batches emitted; remainder (1,"c") still buffered (no timer)
       assert(got == Set((1L, Seq("a", "b")), (2L, Seq("x", "y"))))
       q.stop()
+    }
+  }
+
+  test("scd2Changes: streamed closed spans == batch Scd.history closed rows") {
+    withRocksDb {
+      // the continuous form of operators/Scd: replay the orders change
+      // log in commit order ((ts, tie)-sorted waves); every span the
+      // stream CLOSES must be exactly the batch build's is_current=0
+      // rows — the open spans stay in ValueState
+      val sf = "/root/testdata/sf0.001"
+      val raw = graft.sources.Tables.orders(spark, sf)
+        .select(col("o_custkey").cast("long"), col("o_orderpriority"),
+          unix_timestamp(col("o_orderdate")).cast("long"),
+          col("o_orderkey").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._3, t._4)).toIndexedSeq
+      val mem = MemoryStream[(Long, String, Long, Long)]
+      val table = freshTable()
+      val q = startMemorySink(StatefulV2.scd2Changes(mem.toDS()), table)
+      raw.grouped(math.max(1, raw.length / 4)).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(table)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val want = graft.operators.Scd.history(
+          raw.toDF("k", "state", "vf", "okey"), "k", "state", "vf", "okey")
+        .filter(col("is_current") === 0L)
+        .select(col("k"), col("state"), col("vf"), col("valid_to"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == want && want.size > 500,
+        s"streamed closed spans != batch: got=${got.size} want=${want.size}")
     }
   }
 
@@ -903,6 +936,35 @@ class StatefulV2Spec extends SparkSpec {
       assert(got.exists(p => p._1 == 2L && p._4 == "ON_TIME" &&
         p._6 == Seq("x")),
         s"key 2's session lost across restart: ${got.toSeq}")
+      q2.stop()
+    }
+  }
+
+  test("scd2Changes: open span survives restart and closes on the next change") {
+    withRocksDb {
+      // the CDC contract across failure: a key's OPEN (state,
+      // valid_from) span lives only in ValueState — after stop+restart
+      // it must close with the ORIGINAL valid_from when the next
+      // change arrives, or history silently loses a span boundary
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-rec3").toString
+      val mem = MemoryStream[(Long, String, Long, Long)]
+      def start() = StatefulV2.scd2Changes(mem.toDS())
+        .toDF("k", "state", "valid_from", "valid_to")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData((1L, "A", 100L, 1L), (1L, "A", 200L, 2L)) // absorbed dup
+      q1.processAllAvailable()
+      q1.stop() // open span (A, 100) in state, nothing emitted
+      val q2 = start()
+      mem.addData((1L, "B", 300L, 3L)) // closes A; opens B
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == Set((1L, "A", 100L, 300L)),
+        s"open span lost or re-based across restart: $got")
       q2.stop()
     }
   }
