@@ -897,10 +897,10 @@ object RelationalQueries {
 
     // ===== Cohort retention matrix — the first-purchase-cohort shape
     // (TPC-DS q54's "revenue after first purchase" spirit; every
-    // product-analytics stack ships this). The first-purchase frame is
-    // ONE partial-aggregated row per customer; the re-join shuffles
-    // both sides on the SAME key (custkey) so at 100 TB it
-    // co-partitions instead of broadcasting an executor-sized frame.
+    // product-analytics stack ships this). The first-purchase month is
+    // a WINDOW MIN over the custkey partition — ONE fact scan and one
+    // shuffle, where the textbook aggregate-then-re-join form scans
+    // the fact twice and joins (plan-guarded single-scan, no join).
     // Months are linearized to an integer index (year*12 + month), so
     // the cohort/offset arithmetic is exact BIGINT — no date-diff
     // rounding; revenue sums in integer cents.
@@ -909,9 +909,8 @@ object RelationalQueries {
         val o = ord(s, d).select(col("o_custkey"), col("o_totalprice"),
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
             .cast("long").as("ym"))
-        val first = o.groupBy(col("o_custkey"))
-          .agg(min(col("ym")).as("cohort_ym"))
-        o.join(first, Seq("o_custkey"))
+        o.withColumn("cohort_ym",
+            min(col("ym")).over(Window.partitionBy("o_custkey")))
           .groupBy(col("cohort_ym"),
             (col("ym") - col("cohort_ym")).as("months_since"))
           .agg(countDistinct(col("o_custkey")).as("n_cust"),

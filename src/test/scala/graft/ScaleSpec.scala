@@ -511,13 +511,13 @@ class ScaleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(ds4).size == 1 &&
       !ds4.contains("Join") && !ds4.contains("Union"),
       "tpcds q4 no longer a single conditional-aggregation pass")
-    // Cohort retention: the first-purchase frame is a partial agg of
-    // the SAME scan re-joined on the same key — at most two fact
-    // scans, an equi join (never cartesian), co-partitioned on custkey
+    // Cohort retention: the first-purchase month is a window MIN over
+    // the custkey partition — exactly ONE fact scan, no join at all
+    // (the aggregate-then-re-join form scans twice)
     val coh = plan("agg_cohort_retention")
-    assert("Scan parquet".r.findAllIn(coh).size <= 2 &&
-      !coh.contains("CartesianProduct"),
-      "cohort retention re-scans or lost the custkey equi join")
+    assert("Scan parquet".r.findAllIn(coh).size == 1 &&
+      !coh.contains("Join") && coh.contains("Window"),
+      "cohort retention no longer a single-scan window plan")
     // SCD2 history: both window passes share ONE custkey shuffle — the
     // second pass re-sorts the same partitioning, it must not add an
     // exchange (nor a join: change-compression is pure windows)
