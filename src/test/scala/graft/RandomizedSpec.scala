@@ -123,6 +123,44 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("Scd.applyCdcBatch over random wave splits == full-rebuild history") {
+    // the CDC idempotence contract: under commit-order delivery
+    // ((ts, tie)-sorted), incrementally applying ANY partition of the
+    // change log into batches yields exactly the history a single
+    // batch build over the full log produces — including keys whose
+    // entire state churn happens inside one wave, keys split across
+    // every wave, and absorbed consecutive duplicates at wave edges
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(200)((rnd.nextInt(6).toLong,
+          s"s${rnd.nextInt(3)}", rnd.nextInt(40).toLong))
+        .zipWithIndex
+        .map { case ((k, st, ts), i) => (k, st, ts, i.toLong) }
+        .sortBy(t => (t._3, t._4)) // commit order
+      // random wave boundaries (1..6 waves)
+      val nWaves = 1 + rnd.nextInt(6)
+      val cuts = (Seq(0, rows.length) ++
+        Seq.fill(nWaves - 1)(rnd.nextInt(rows.length + 1))).distinct.sorted
+      val waves = cuts.zip(cuts.tail).map { case (a, b) => rows.slice(a, b) }
+      var store = Seq.empty[(Long, String, Long, Long)]
+        .toDF("k", "state", "ts", "tie")
+      waves.filter(_.nonEmpty).foreach { wv =>
+        store = graft.operators.Scd.applyCdcBatch(store,
+          wv.toDF("k", "state", "ts", "tie"), "k", "state", "ts", "tie")
+          .localCheckpoint(true)
+      }
+      def hist(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Scd.history(df, "k", "state", "ts", "tie")
+          .select(col("k"), col("state"), col("ts"), col("valid_to"),
+            col("is_current"))
+          .collect().map(_.toSeq).toSet
+      val got = hist(store)
+      val want = hist(rows.toDF("k", "state", "ts", "tie"))
+      assert(got == want,
+        s"trial $trial (waves=$nWaves): incremental != rebuild")
+    }
+  }
+
   test("t-digest rank error stays bounded across random distributions") {
     // Pure-function trials (no Spark): build the digest exactly as the
     // aggregate does — per-chunk buffers, cross-chunk merge, compress —
