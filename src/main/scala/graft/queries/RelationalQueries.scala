@@ -964,6 +964,61 @@ object RelationalQueries {
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
         FROM c""")),
 
+    // ===== Market-basket co-occurrence with lift — the association-
+    // rule support/lift core every retail-analytics stack ships.
+    // Scale shape: items dedupe per basket first (a part can repeat
+    // across lines), then pairs generate through an EQUI-join on the
+    // basket key with p1 < p2 — fan-out per basket is C(items, 2),
+    // bounded by basket size, NEVER a catalog self-join; the pair
+    // aggregation shuffles on (p1, p2). Item counts are catalog-sized
+    // (broadcast); the basket total is a 1-row fit. Support and lift
+    // emit in exact integer basis points (cross-multiplied `div` —
+    // lift = N·cnt_ab / (cnt_a·cnt_b), all BIGINT), and the top-50
+    // orders by (lift_bp, p1, p2) — a total order over unique pair
+    // keys, so the LIMIT is deterministic cross-engine.
+    Q("agg_basket_lift",
+      (s, d) => {
+        val items = li(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val cnts = items.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("c"))
+        val n = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        val a = items.toDF("okey", "p1")
+        val b = items.toDF("okey", "p2")
+        a.join(b, Seq("okey"))
+          .filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt_ab"))
+          .filter(col("cnt_ab") >= 2)
+          .join(broadcast(cnts.toDF("p1", "cnt_a")), Seq("p1"))
+          .join(broadcast(cnts.toDF("p2", "cnt_b")), Seq("p2"))
+          .crossJoin(broadcast(n))
+          .select(col("p1"), col("p2"), col("cnt_ab"), col("cnt_a"),
+            col("cnt_b"),
+            expr("cnt_ab * 10000 div n_orders").as("support_bp"),
+            expr("cnt_ab * n_orders * 10000 div (cnt_a * cnt_b)")
+              .as("lift_bp"))
+          .orderBy(col("lift_bp").desc, col("p1").asc, col("p2").asc)
+          .limit(50)
+      },
+      Some("""WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        cnt AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY 1),
+        pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+            count(*) AS cnt_ab
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p1, p2, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+          CAST(ca.c AS BIGINT) AS cnt_a, CAST(cb.c AS BIGINT) AS cnt_b,
+          CAST(cnt_ab * 10000 // n_orders AS BIGINT) AS support_bp,
+          CAST(cnt_ab * n_orders * 10000 // (ca.c * cb.c) AS BIGINT)
+            AS lift_bp
+        FROM pairs
+        JOIN cnt ca ON p1 = ca.l_partkey
+        JOIN cnt cb ON p2 = cb.l_partkey, n
+        ORDER BY lift_bp DESC, p1, p2 LIMIT 50""")),
+
     // ===== Literal values (Beam Create.of / BeamValuesRel)
     Q("create_values",
       (s, d) => {
