@@ -85,7 +85,8 @@ object Bench {
     "agg_tpcds_q75", "agg_tpcds_q95", "agg_tpcds_q4",
     "agg_cohort_retention", "scd2_history", "pipeline_data_quality",
     "pipeline_stratified_sample", "rag_rrf_fusion",
-    "dedup_admit_novel_embedding", "agg_basket_lift")
+    "dedup_admit_novel_embedding", "agg_basket_lift",
+    "agg_funnel_steps")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

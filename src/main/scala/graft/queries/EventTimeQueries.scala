@@ -22,6 +22,85 @@ object EventTimeQueries {
 
   def queries: Seq[Q] = Seq(
 
+    // ===== Step-funnel conversion — the product-analytics funnel
+    // (first view → first click within 72 h of it → first purchase
+    // within 72 h of that), with per-step conversion rates. Scale
+    // shape: ONE fact scan and ONE shuffle — the three step times are
+    // chained window-mins over the SAME user partition (each step's
+    // predicate references the previous step's time, so the windows
+    // stack on one Exchange + sort), then a global partial-aggregated
+    // 1-row rollup. The textbook form self-joins the fact once per
+    // step — O(steps) scans this plan never pays. All times compare
+    // in epoch MICROSECONDS (BIGINT) and rates emit in integer basis
+    // points via `div`, so nothing floats across engines.
+    Q("agg_funnel_steps",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        val h72 = 259200000000L // 72 h in µs
+        ev(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_type"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("tus"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" &&
+              col("tus") >= col("t1") && col("tus") <= col("t1") + h72,
+              col("tus"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" &&
+              col("tus") >= col("t2") && col("tus") <= col("t2") + h72,
+              col("tus"))).over(w))
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(when(col("t1").isNotNull, col("user_id")))
+              .as("n_view"),
+            countDistinct(when(col("t2").isNotNull, col("user_id")))
+              .as("n_click"),
+            countDistinct(when(col("t3").isNotNull, col("user_id")))
+              .as("n_purchase"))
+          .select(col("n_users"), col("n_view"), col("n_click"),
+            col("n_purchase"),
+            // the global agg emits its one row even over EMPTY input
+            // (unlike grouped bp queries, whose groups imply rows), so
+            // each rate guards its denominator — ANSI div throws on 0
+            expr("CASE WHEN n_users > 0 THEN n_view * 10000 div n_users END")
+              .as("view_bp"),
+            expr("CASE WHEN n_view > 0 THEN n_click * 10000 div n_view END")
+              .as("click_of_view_bp"),
+            expr("CASE WHEN n_click > 0 " +
+              "THEN n_purchase * 10000 div n_click END")
+              .as("purchase_of_click_bp"))
+      },
+      Some("""WITH b AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+          FROM events),
+        s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+            OVER (PARTITION BY user_id) AS t1 FROM b),
+        s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus >= t1
+              AND tus <= t1 + 259200000000 THEN tus END)
+            OVER (PARTITION BY user_id) AS t2 FROM s1),
+        s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus >= t2
+              AND tus <= t2 + 259200000000 THEN tus END)
+            OVER (PARTITION BY user_id) AS t3 FROM s2),
+        agg AS (SELECT
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+            CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+              AS BIGINT) AS n_view,
+            CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+              AS BIGINT) AS n_click,
+            CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+              AS BIGINT) AS n_purchase
+          FROM s3)
+        SELECT n_users, n_view, n_click, n_purchase,
+          CAST(CASE WHEN n_users > 0
+            THEN n_view * 10000 // n_users END AS BIGINT) AS view_bp,
+          CAST(CASE WHEN n_view > 0
+            THEN n_click * 10000 // n_view END AS BIGINT)
+            AS click_of_view_bp,
+          CAST(CASE WHEN n_click > 0
+            THEN n_purchase * 10000 // n_click END AS BIGINT)
+            AS purchase_of_click_bp
+        FROM agg""")),
+
     // Beam FixedWindows (windowing/FixedWindows.java:38)
     Q("win_tumbling",
       (s, d) => Windowing.tumbling(ev(s, d), "ts", "1 hour", col("event_type"))
