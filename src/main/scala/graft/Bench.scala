@@ -95,6 +95,30 @@ object Bench {
       .foreach(_.unpersist(blocking = false))
   }
 
+  // Host-speed calibration probe (round-11 directive): a FIXED
+  // ten-query subset spanning the main families (scan-agg, multi-join,
+  // window, dedup shuffle, vector, text scan, TPC-DS chain, regex,
+  // sort, sketch), re-timed at the END of the batch section in a
+  // quiesced JVM (caches dropped, System.gc(), fully JIT-warm). The
+  // subset's code never changes round over round, so its aggregate
+  // moves ONLY with host conditions — divide a round's per-query
+  // deltas by the calibration ratio before calling anything a
+  // regression (identical code swung ±15-60%/query, -15% aggregate,
+  // between BENCH_r11 and BENCH_r12 on host noise alone).
+  private[graft] val calibration = Seq(
+    "agg_tpch_q1", "agg_tpch_q6", "join_multiway", "window_running",
+    "dedup_minhash_pairs", "vec_cosine_topk", "text_stats",
+    "agg_tpcds_q78", "pattern_match", "agg_approx_quantiles")
+
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+  private def jitMs: Long =
+    java.lang.management.ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -152,6 +176,35 @@ object Bench {
     }
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val total = results.map(_._2).sum
+    // Calibration pass: quiesce, then best-of-3 interleaved over the
+    // fixed subset. GC/JIT deltas across the pass attribute any
+    // residual swing (a high gc_ms with a flat wall total = heap
+    // pressure, not host slowdown).
+    val calNames = calibration.filter(all.contains)
+    val calBest = scala.collection.mutable.Map[String, Double]()
+    dropCaches(spark); System.gc()
+    val (calGc0, calJit0) = (gcMs, jitMs)
+    val calT0 = System.nanoTime()
+    (1 to 3).foreach { _ =>
+      calNames.foreach { name =>
+        val t0 = System.nanoTime()
+        val ok = try { all(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) calBest(name) = math.min(calBest.getOrElse(name, Double.MaxValue), dt)
+        dropCaches(spark)
+      }
+    }
+    val calWallSec = (System.nanoTime() - calT0) / 1e9
+    val calResults = calNames.map(n => n -> calBest.getOrElse(n, -1.0))
+    val calTotal = calResults.map(_._2).sum
+    val calJson = {
+      val qs = calResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      f"""{"total":$calTotal%.3f,"wall_sec":$calWallSec%.1f,""" +
+        f""""gc_ms":${gcMs - calGc0},"jit_ms":${jitMs - calJit0},""" +
+        s""""queries":$qs}"""
+    }
     // Streaming throughput section (events/s; BASELINE's Nexmark
     // numbers are a streaming bench — this is the like-for-like side).
     // Each op isolates its own failure as -1.0 (the batch rows'
@@ -181,8 +234,9 @@ object Bench {
         tuned.foreach { case (k, v) => spark.conf.set(k, v) }
         try StreamingBench.run(spark, sfDir)
         catch { case _: Throwable =>
-          Seq(("streaming_suite", -1.0,
-            StreamingBench.OpBreakdown(0, 0, 0, 0, 0, 0, 0))) }
+          // -1 sentinels, NOT zeros: an all-zeros breakdown is
+          // indistinguishable from "ran with zero state traffic"
+          Seq(("streaming_suite", -1.0, StreamingBench.failedBreakdown)) }
         finally prev.foreach {
           case (k, Some(v)) => spark.conf.set(k, v)
           case (k, None) => spark.conf.unset(k)
@@ -203,7 +257,7 @@ object Bench {
     val full = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$full,"streaming":$streamingJson,"streaming_breakdown":$streamingBreakdownJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$full,"calibration":$calJson,"streaming":$streamingJson,"streaming_breakdown":$streamingBreakdownJson,"sf":"$sfDir"}"""
     // best-effort: never let a read-only/foreign cwd kill the stdout
     // line the driver parses
     try java.nio.file.Files.write(
@@ -236,7 +290,7 @@ object Bench {
       }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"n_queries":${names.size},"detail":"bench_details.json","queries":{${sb.toString}},"streaming":$streamingJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"n_queries":${names.size},"cal":$calTotal%.3f,"detail":"bench_details.json","queries":{${sb.toString}},"streaming":$streamingJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

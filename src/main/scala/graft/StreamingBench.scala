@@ -51,6 +51,10 @@ object StreamingBench {
         s""""rowsRemoved":$rowsRemoved}"""
   }
 
+  /** Failure sentinel: every field -1 so a failed op/suite can never
+    * be misread as "ran with zero state traffic". */
+  val failedBreakdown: OpBreakdown = OpBreakdown(-1, -1, -1, -1, -1, -1, -1)
+
   private def breakdownOf(
       q: org.apache.spark.sql.streaming.StreamingQuery): OpBreakdown = {
     val prog = q.recentProgress
@@ -91,7 +95,7 @@ object StreamingBench {
       val dt = (System.nanoTime() - t0) / 1e9
       (name, rows.size / dt, breakdownOf(q))
     } catch {
-      case _: Throwable => (name, -1.0, OpBreakdown(0, 0, 0, 0, 0, 0, 0))
+      case _: Throwable => (name, -1.0, failedBreakdown)
     } finally {
       if (q != null) { try q.stop() catch { case _: Throwable => () } }
       // RocksDB checkpoint trees accumulate across bench rounds otherwise

@@ -431,29 +431,55 @@ object StatefulV2 {
     * `gapMs` past the cluster's max — so an event arriving (in
     * processing time) before an older session's timer fires, but
     * carrying an event time a full gap later, opens a NEW session
-    * instead of silently extending the old one. One timer is armed per
-    * cluster end; a timer whose cluster merged away (a late
-    * within-watermark row bridged two clusters) fires as a no-op. */
+    * instead of silently extending the old one. ONE timer chain per
+    * key aims at the earliest pending close; a chain timer whose
+    * cluster merged away or extended (a late within-watermark row
+    * bridged two clusters) fires as a no-op and re-arms. */
   class EventTimeGapProcessor[K, V, O](gapMs: Long,
       flushFn: (K, Seq[V]) => Iterator[O])(implicit vEnc: Encoder[V])
       extends StatefulProcessor[K, (K, java.sql.Timestamp, V), O] {
 
-    @transient private var buf: ListState[(Long, V)] = _
-    @transient private var armed: ListState[Long] = _
-    @transient private var sums: ListState[(Long, Long)] = _
+    // State layout (r13, the [[SessionLog]] design applied here): the
+    // row log is APPEND-ONLY (pos, ts, value) — a flush no longer
+    // clears+rewrites the surviving buffer (the r12 breakdown's last
+    // ~6x-per-event write amplifier); flushed rows die LAZILY behind a
+    // (pos, cutTs) fence and the one O(log) rewrite runs when dead
+    // rows reach half the log (amortized O(1)/append). All scalar and
+    // small-vector bookkeeping — next position, row/garbage counts,
+    // the sorted disjoint cluster summaries, the fences — packs into
+    // ONE ValueState row, so a batch writes one meta put per key
+    // instead of the old sums clear + per-cluster re-appends. Timers
+    // collapse from one-per-cluster-end (the old `armed` ListState,
+    // rewritten on prune) to ONE chain per key aimed at the earliest
+    // pending close; a chain timer left early by a since-extended
+    // cluster fires as a cheap no-op and re-arms.
+    //   meta = (nextPos, total, garbage, clusters, fences)
+    //     clusters: (minTs, maxTs) sorted, pairwise > gapMs apart
+    //     fences:   (fencePos, cutTs) — a row (pos, ts) is dead iff
+    //               some fence has pos < fencePos && ts <= cutTs (the
+    //               pos guard keeps a LATE row landing under an old
+    //               cut alive; it reflushes as its own session)
+    private type Meta =
+      (Long, Long, Long, Seq[(Long, Long)], Seq[(Long, Long)])
+
+    @transient private var log: ListState[(Long, Long, V)] = _
+    @transient private var meta: ValueState[Meta] = _
+    @transient private var nextTimer: ValueState[Long] = _
+    // pre-r13 layout ((ts, value) rows, no positions): registered
+    // read-only so a restored old checkpoint MIGRATES instead of
+    // silently dropping its buffered sessions — see migrate()
+    @transient private var oldBuf: ListState[(Long, V)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buf = getHandle.getListState[(Long, V)]("buf",
+      log = getHandle.getListState[(Long, Long, V)]("log",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, vEnc),
+        TTLConfig.NONE)
+      meta = getHandle.getValueState[Meta]("gapMeta",
+        Encoders.product[Meta], TTLConfig.NONE)
+      nextTimer = getHandle.getValueState[Long]("nextTimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+      oldBuf = getHandle.getListState[(Long, V)]("buf",
         Encoders.tuple(Encoders.scalaLong, vEnc), TTLConfig.NONE)
-      armed = getHandle.getListState[Long]("armed", Encoders.scalaLong,
-        TTLConfig.NONE)
-      // cluster summaries (minTs, maxTs) — sorted, pairwise separated
-      // by > gapMs; the incremental-maintenance state that keeps
-      // per-batch work O(batch · clusters), never O(buffer): the row
-      // buffer itself is append-only between flushes
-      sums = getHandle.getListState[(Long, Long)]("sums",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
     }
 
     /** Insert one timestamp into the sorted disjoint cluster intervals:
@@ -481,44 +507,80 @@ object StatefulV2 {
         cs.patch(lo, Seq((ts, ts)), 0)
     }
 
+    private def loadMeta(): Meta =
+      if (meta.exists()) meta.get() else (0L, 0L, 0L, Nil, Nil)
+
+    /** Dead iff flushed behind some fence: appended before it
+      * (pos < fencePos) at or below its cut. */
+    private def live(pos: Long, ts: Long, fences: Seq[(Long, Long)]): Boolean =
+      !fences.exists { case (fp, fc) => pos < fp && ts <= fc }
+
+    /** Add a flush fence, dropping the ones it dominates (covers both
+      * coordinates) — with in-order data every flush's fence dominates
+      * all before it, so the list stays at ONE entry; only a late row
+      * reflushed under an old cut leaves an extra behind (pruned at
+      * the next dominating flush or compaction). */
+    private def addFence(fences: Seq[(Long, Long)],
+        fp: Long, fc: Long): Seq[(Long, Long)] =
+      fences.filterNot { case (p, c) => p <= fp && c <= fc } :+ ((fp, fc))
+
+    /** Re-aim the key's single timer chain at the earliest pending
+      * close (first cluster's max + gap — ends increase across the
+      * sorted disjoint clusters). Only ever moves EARLIER: a chain
+      * timer left early by a since-extended cluster fires as a no-op
+      * and re-arms here, avoiding a delete+register write per batch on
+      * a steadily growing session. `consumed` = the expiry of the
+      * timer this invocation is firing for, already spent. */
+    private def armChain(cs: Vector[(Long, Long)], consumed: Long = 0L): Unit = {
+      val have0 = if (nextTimer.exists()) nextTimer.get() else 0L
+      val have = if (have0 == consumed) 0L else have0
+      if (cs.isEmpty) {
+        if (have != 0L) getHandle.deleteTimer(have)
+        if (have0 != 0L) nextTimer.clear()
+        return
+      }
+      val need = cs.head._2 + gapMs
+      if (have == 0L || need < have) {
+        if (have != 0L) getHandle.deleteTimer(have)
+        getHandle.registerTimer(need)
+        nextTimer.update(need)
+      }
+    }
+
+    /** Pre-r13 checkpoint backfill: rows buffered under the old
+      * (ts, value) layout re-append into the positioned log (arrival
+      * order → arrival positions) and rebuild cluster summaries, then
+      * the old buffer clears — one-shot per restored key, from either
+      * the input or the timer path (a restored key's old per-end
+      * timer can fire before any new input arrives). */
+    private def migrate(m: Meta): Meta = {
+      val it = oldBuf.get()
+      if (!it.hasNext) return m
+      var (nextPos, total, garbage, cs0, fences) = m
+      var cs = cs0.toVector
+      while (it.hasNext) {
+        val (t, v) = it.next()
+        log.appendValue((nextPos, t, v))
+        cs = insert(cs, t)
+        nextPos += 1; total += 1
+      }
+      oldBuf.clear()
+      (nextPos, total, garbage, cs, fences)
+    }
+
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, V)],
         timers: TimerValues): Iterator[O] = {
-      var cs = sums.get().toVector
-      if (cs.isEmpty) {
-        // a checkpoint written before the summary state existed has a
-        // non-empty buf and empty sums: rebuild the cluster summaries
-        // once from the surviving rows (the old full-recluster logic),
-        // so pre-upgrade rows flush instead of stranding
-        val it = buf.get()
-        while (it.hasNext) cs = insert(cs, it.next()._1)
-      }
+      var (nextPos, total, garbage, cs0, fences) = migrate(loadMeta())
+      var cs = cs0.toVector
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
-        buf.appendValue((t, v))
+        log.appendValue((nextPos, t, v))
         cs = insert(cs, t)
+        nextPos += 1; total += 1
       }
-      sums.clear()
-      cs.foreach(sums.appendValue)
-      val ends = cs.map(_._2 + gapMs).toSet
-      // fired entries prune LAZILY here (half-dead threshold) — the
-      // timer handler no longer rewrites the list per fire, which was
-      // O(armed) state writes per firing. A stale entry can never mask
-      // a needed registration: every live/extended cluster's end is
-      // above the watermark (late rows drop below it), fired entries
-      // at or below it.
-      val wm = timers.getCurrentWatermarkInMs()
-      val cur = armed.get().toSeq
-      val dead = cur.count(e => e < wm && !ends.contains(e))
-      val keep =
-        if (dead > 0 && dead * 2 >= cur.size) {
-          val k = cur.filter(e => e >= wm || ends.contains(e))
-          armed.clear(); k.foreach(armed.appendValue); k
-        } else cur
-      (ends -- keep.toSet).foreach { e =>
-        getHandle.registerTimer(e)
-        armed.appendValue(e)
-      }
+      meta.update((nextPos, total, garbage, cs, fences))
+      armChain(cs)
       Iterator.empty
     }
 
@@ -527,47 +589,57 @@ object StatefulV2 {
       // flush by the WATERMARK, not the firing timer's own expiry: all
       // clusters whose end the watermark passed are equally final (no
       // row below the watermark can arrive to extend them), so the
-      // batch's FIRST fire flushes every due cluster and the same
-      // batch's later timers no-op — one buffer partition/rewrite per
-      // key per batch instead of one per cluster (the read/write
-      // amplification the r10 breakdown exposed on match_recognize:
-      // ~30 state-row writes per input event).
-      val cutTs = math.max(timer.getExpiryTimeInMs(),
-        timers.getCurrentWatermarkInMs())
+      // batch's FIRST fire flushes every due cluster and later fires
+      // no-op — one log scan per key per batch instead of one per
+      // cluster.
+      val expiry = timer.getExpiryTimeInMs()
+      val cutTs = math.max(expiry, timers.getCurrentWatermarkInMs())
+      val m0 = loadMeta()
+      val m = migrate(m0) // returns m0 itself when there is nothing to do
+      // persist a backfill rebuild even on a no-op fire, or every
+      // subsequent stale timer repeats the O(old buffer) migration
+      if (m ne m0) meta.update(m)
+      val (nextPos, total, garbage0, cs0, fences0) = m
+      val cs = cs0.toVector
       // clusters are disjoint and sorted, so ends are increasing and
       // the due set is a PREFIX — a stale timer (its cluster merged
-      // away) is a pure no-op that never touches the row buffer
-      var cs = sums.get().toVector
-      if (cs.isEmpty) {
-        // pre-upgrade-checkpoint backfill, timer path: a restored key's
-        // armed timer can fire BEFORE any new input arrives, and the
-        // summary state only exists post-upgrade — rebuild it from the
-        // surviving rows here too, or the buffered rows strand (the
-        // timer is consumed on return)
-        val it = buf.get()
-        while (it.hasNext) cs = insert(cs, it.next()._1)
-      }
+      // away or extended) is a pure no-op that never reads the log
       val (due, pending) = cs.partition(_._2 + gapMs <= cutTs)
-      if (due.isEmpty) {
-        // persist a backfill rebuild even on a no-op fire, or every
-        // subsequent stale timer repeats the O(buffer) reconstruction
-        if (!sums.get().hasNext) cs.foreach(sums.appendValue)
-        return Iterator.empty
-      }
+      if (due.isEmpty) { armChain(cs, consumed = expiry); return Iterator.empty }
       val cut = due.last._2
-      val (dueRows, pendRows) = buf.get().toSeq.partition(_._1 <= cut)
-      buf.clear()
-      pendRows.foreach(buf.appendValue)
-      sums.clear()
-      pending.foreach(sums.appendValue)
-      // sort ONLY the flushed rows (stable: equal timestamps keep
-      // arrival order), then split them across the due clusters
-      val sorted = dueRows.sortBy(_._1)
-      var rest = sorted
+      // ONE log read: split live rows at the cut; dead rows (behind a
+      // fence) stay in the log untouched — they fall out at compaction
+      val dueRows = scala.collection.mutable.ArrayBuffer[(Long, Long, V)]()
+      val pendRows = scala.collection.mutable.ArrayBuffer[(Long, Long, V)]()
+      val it = log.get()
+      while (it.hasNext) {
+        val e = it.next()
+        if (live(e._1, e._2, fences0)) {
+          if (e._2 <= cut) dueRows += e else pendRows += e
+        }
+      }
+      val garbage = garbage0 + dueRows.length
+      if (garbage * 2 >= total) {
+        // threshold compaction — the ONLY log rewrite, amortized O(1)
+        // per append: keep the still-pending live rows, drop fences
+        // (every survivor is live)
+        log.clear()
+        pendRows.foreach(log.appendValue)
+        meta.update((nextPos, pendRows.length.toLong, 0L, pending, Nil))
+      } else {
+        meta.update((nextPos, total, garbage, pending,
+          addFence(fences0, nextPos, cut)))
+      }
+      armChain(pending.toVector, consumed = expiry)
+      // sort ONLY the flushed rows (ties by pos = arrival order, as
+      // the old stable ts-sort of the arrival-ordered buffer did),
+      // then split them across the due clusters
+      val sorted = dueRows.sortInPlaceBy(e => (e._2, e._1))
+      var rest: Seq[(Long, Long, V)] = sorted.toSeq
       due.iterator.flatMap { case (_, mx) =>
-        val (rs, later) = rest.span(_._1 <= mx)
+        val (rs, later) = rest.span(_._2 <= mx)
         rest = later
-        flushFn(key, rs.map(_._2))
+        flushFn(key, rs.map(_._3))
       }
     }
   }

@@ -1553,6 +1553,75 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("session clustering: flushed rows stay dead in the append-only log (no resurrection)") {
+    withRocksDb {
+      // r13 layout: a flush no longer rewrites the row log — flushed
+      // rows die behind a (pos, cut) fence and compaction is DEFERRED
+      // while dead < half the log. Here a 2-row session [1..3] closes
+      // while a 5-row session [40..44] is still open (2*2 < 7 → the
+      // fence path, not the compaction path), so the second flush
+      // re-reads a log that still physically holds the first session's
+      // rows — and must NOT resurrect them into the second session.
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val flushed = StatefulV2.eventTimeGapFlush(
+        mem.toDS().withWatermark("_2", "0 seconds"), gapMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(flushed, table)
+      mem.addData((1L, t(1), "a"), (1L, t(3), "b"), (1L, t(40), "v0"),
+        (1L, t(41), "v1"), (1L, t(42), "v2"), (1L, t(43), "v3"),
+        (1L, t(44), "v4"))
+      q.processAllAvailable() // wm 44: session [1..3] due, [40..44] open
+      mem.addData((9L, t(50), "wm"))
+      q.processAllAvailable() // delivers the first firing (fence, no rewrite)
+      mem.addData((9L, t(56), "wm2"))
+      q.processAllAvailable() // wm 56 > 44+10: second session due
+      mem.addData((9L, t(59), "wm3"))
+      q.processAllAvailable() // delivers the second firing
+      val got = spark.table(table).as[(Long, Seq[String])].collect()
+        .filter(_._1 == 1L).toSeq
+      assert(got.count(_ == ((1L, Seq("a", "b")))) == 1 &&
+        got.count(_ == ((1L, Seq("v0", "v1", "v2", "v3", "v4")))) == 1 &&
+        got.size == 2, s"got $got")
+      q.stop()
+    }
+  }
+
+  test("gap-flush state writes stay within ~3x of input rows (no rewrite amplification)") {
+    withRocksDb {
+      // the r11-r12 breakdowns flagged ~6x state rowsUpdated per input
+      // event on the gap processors (per-batch sums rewrite + per-end
+      // timer list + flush-time buffer rewrite); the r13 append-only
+      // log + single packed meta put + one timer chain bounds it by
+      // ~(1 log append/event + a few puts per key per batch). Guard it
+      // with the same telemetry the bench breakdown reads.
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val flushed = StatefulV2.eventTimeGapFlush(
+        mem.toDS().withWatermark("_2", "0 seconds"), gapMs = 10000L)
+      val table = freshTable()
+      val q = startMemorySink(flushed, table)
+      val keys = 20
+      val batches = 5
+      val perBatch = 10
+      (0 until batches).foreach { b =>
+        val rows = for (k <- 1 to keys; i <- 0 until perBatch)
+          yield (k.toLong, t(b * perBatch + i), s"v$b$i")
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      }
+      mem.addData((999L, java.sql.Timestamp.valueOf("2026-01-01 11:00:00"), "wm"))
+      q.processAllAvailable()
+      mem.addData((999L, java.sql.Timestamp.valueOf("2026-01-01 11:05:00"), "wm2"))
+      q.processAllAvailable()
+      val n = keys * batches * perBatch
+      assert(spark.table(table).count() >= keys) // every session flushed
+      val updated = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsUpdated).sum
+      assert(updated <= 3L * n,
+        s"state write amplification: $updated rowsUpdated for $n input rows")
+      q.stop()
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE SQL over FIXED windows: matches confined per window") {
     withRocksDb {
       import graft.operators.MatchRecognizeSql
