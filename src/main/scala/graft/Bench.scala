@@ -83,6 +83,8 @@ object Bench {
     "agg_tpcds_q31", "agg_tpcds_q89", "agg_tpcds_q98",
     "agg_tpcds_q21", "agg_tpcds_q35", "agg_tpcds_q39",
     "agg_tpcds_q75", "agg_tpcds_q95", "agg_tpcds_q4",
+    // round 13 addition
+    "agg_tpcds_q64",
     "agg_cohort_retention", "scd2_history", "pipeline_data_quality",
     "pipeline_stratified_sample", "rag_rrf_fusion",
     "dedup_admit_novel_embedding", "agg_basket_lift",

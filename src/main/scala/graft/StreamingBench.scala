@@ -219,6 +219,19 @@ object StreamingBench {
         ev.map(e => (e._1, e._3, e._2.getTime, e._5)),
         Seq.empty[(Long, String, Long, Long)]) { ds =>
         StatefulV2.scd2Changes(ds)
+      },
+      // continuous step-funnel (view → click → purchase within 72 h of
+      // the previous step): per-user packed 3-slot ValueState, one put
+      // per changed key per batch — the streaming twin of the batch
+      // agg_funnel_steps chained window-mins
+      bench(spark, "streaming_funnel",
+        ev.flatMap(e => e._3 match {
+          case "view" => Some((e._1, e._2.getTime, 1))
+          case "click" => Some((e._1, e._2.getTime, 2))
+          case "purchase" => Some((e._1, e._2.getTime, 3))
+          case _ => None
+        }), Seq.empty[(Long, Long, Int)]) { ds =>
+        StatefulV2.funnelSteps(ds, horizonMs = 259200000L)
       })
   }
 }

@@ -38,6 +38,8 @@ import graft.sources.Tables
   *   q51  cumulative windows over a FULL OUTER join of two channels
   *   q59  one CTE compared across two epochs on month-of-year
   *   q62  shipping-lag lateness bands, one conditional-agg pass
+  *   q64  deep cross-sales chain (semi key-set + 4-way star + agg)
+  *        self-joined across two sales years — exchange reuse at depth
   *   q67  rank() over ROLLUP results per group
   *   q73  HAVING count range + join back to the dimension
   *   q74  year-over-year self-join of per-customer aggregates
@@ -58,6 +60,7 @@ object TpcdsQueries {
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
   private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
   private def prt(s: SparkSession, d: String) = Tables.part(s, d)
+  private def sup(s: SparkSession, d: String) = Tables.supplier(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
   private val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -1135,5 +1138,93 @@ object TpcdsQueries {
             HAVING count(DISTINCT l_suppkey) >= 2
               AND max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 0)
         GROUP BY 1""")),
+
+    // q64: MULTI-ROUND SELF-JOIN OF A DEEP CROSS-SALES CHAIN — the
+    // widest plan tree in the suite (query64.sql builds a cross_sales
+    // CTE out of store_sales ⋈ store_returns ⋈ the cs_ui refund
+    // key-set ⋈ a dozen dimensions, then self-joins it across two
+    // sales years on item+store). Analog: cross_sales = lineitem
+    // semi-joined on a SELF-DERIVED key set (parts whose returned
+    // quantity is under half their sold quantity — the cs_ui analog,
+    // derived from the SAME fact) ⋈ orders (two years) ⋈ part (size
+    // band) ⋈ supplier ⋈ nation, aggregated per (part, nation, year);
+    // the final join matches each year's cells to the NEXT year's
+    // cells of the SAME (part, nation) where the later cycle bought
+    // at least as many. Scale shape: the whole cross_sales subtree —
+    // the semi, the four-way star, the aggregate — is ONE plan
+    // subtree consumed by BOTH sides of the self-join, so its
+    // aggregation exchange must materialize once and be REUSED
+    // (plan-guarded in ScaleSpec along with the scan budget); at
+    // 100 TB recomputing that chain per consumer doubles the dominant
+    // cost. The year pairing is deliberately the CROSS-SIDE condition
+    // `yr + 1 = next yr` (the q2/q59 shifted-key idiom), not a
+    // per-side constant filter: a constant pushes through the
+    // aggregate into each consumer's orders scan, FORKING the two
+    // subtrees into non-identical plans that can't dedupe — the
+    // shifted form keeps both sides byte-identical and the fact chain
+    // computed once. Joined as a 1:1 equi-join on small aggregated
+    // sides — never a fact×fact multiplicity. Money in integer cents.
+    Q("agg_tpcds_q64",
+      (s, d) => {
+        val l = li(s, d)
+        // cs_ui analog: the refund-screened key set, from the same fact
+        val ui = l.groupBy(col("l_partkey").as("ui_partkey"))
+          .agg(sum(col("l_quantity")).as("sold_qty"),
+            sum(when(col("l_returnflag") === "R", col("l_quantity"))
+              .otherwise(0.0)).as("ret_qty"))
+          .filter(col("ret_qty") * 2 < col("sold_qty"))
+          .select(col("ui_partkey"))
+        val cross = l
+          .join(ui, col("l_partkey") === col("ui_partkey"), "left_semi")
+          .join(ord(s, d).filter(year(col("o_orderdate")).isin(1995, 1996)),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(prt(s, d).filter(col("p_size").between(1, 25)),
+            col("l_partkey") === col("p_partkey"))
+          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("p_partkey"), col("n_name"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("sale_cents"))
+        val cs1 = cross.select(col("p_partkey").as("k1"),
+          col("n_name").as("nn1"), col("yr").as("yr1"),
+          col("cnt").as("y1_cnt"), col("sale_cents").as("y1_cents"))
+        val cs2 = cross.select(col("p_partkey").as("k2"),
+          col("n_name").as("nn2"), col("yr").as("yr2"),
+          col("cnt").as("y2_cnt"), col("sale_cents").as("y2_cents"))
+        cs1.join(cs2, col("k1") === col("k2") && col("nn1") === col("nn2") &&
+            col("yr1") + 1 === col("yr2"))
+          .filter(col("y2_cnt") >= col("y1_cnt"))
+          .select(col("k1").as("p_partkey"), col("nn1").as("n_name"),
+            col("yr1").as("base_yr"),
+            col("y1_cnt"), col("y1_cents"), col("y2_cnt"), col("y2_cents"))
+      },
+      Some("""WITH ui AS (
+          SELECT l_partkey AS ui_partkey
+          FROM lineitem
+          GROUP BY 1
+          HAVING sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+            ELSE 0 END) * 2 < sum(l_quantity)),
+        cross_sales AS (
+          SELECT p_partkey, n_name, year(o_orderdate) AS yr,
+            CAST(count(*) AS BIGINT) AS cnt,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sale_cents
+          FROM lineitem, orders, part, supplier, nation
+          WHERE l_partkey IN (SELECT ui_partkey FROM ui)
+            AND l_orderkey = o_orderkey
+            AND year(o_orderdate) IN (1995, 1996)
+            AND l_partkey = p_partkey AND p_size BETWEEN 1 AND 25
+            AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          GROUP BY 1, 2, 3)
+        SELECT cs1.p_partkey, cs1.n_name, CAST(cs1.yr AS INT) AS base_yr,
+          cs1.cnt AS y1_cnt, cs1.sale_cents AS y1_cents,
+          cs2.cnt AS y2_cnt, cs2.sale_cents AS y2_cents
+        FROM cross_sales cs1 JOIN cross_sales cs2
+          ON cs1.p_partkey = cs2.p_partkey AND cs1.n_name = cs2.n_name
+          AND cs1.yr + 1 = cs2.yr
+          AND cs2.cnt >= cs1.cnt""")),
   )
 }

@@ -414,6 +414,80 @@ object StatefulV2 {
       // deterministically in tests)
       TimeMode.None(), OutputMode.Append())
 
+  /** Streaming step-funnel — the continuous form of the batch
+    * `agg_funnel_steps` chained window-mins: per key, three slots
+    * (t1, t2, t3) = earliest step-1 time, earliest step-2 time within
+    * `horizonMs` of t1, earliest step-3 time within `horizonMs` of t2.
+    * Beam's state-API funnel pattern (one `@StateId` cell per step,
+    * `sdks/java/core/.../transforms/DoFn.java:516` vocabulary) on ONE
+    * packed ValueState. Emits a (rev, t1, t2, t3) snapshot (-1 =
+    * unset, rev strictly increasing per key) for each key in each
+    * batch where its slots CHANGED — a changelog whose max-rev row per
+    * key is the live funnel state, so downstream conversion counts are
+    * a latest-per-key aggregate away.
+    *
+    * Ordering contract (same as Beam's arrival-order state pattern):
+    * rows sort by ts within each micro-batch; under event-time-ordered
+    * replay the final state equals the batch query's chained
+    * window-mins EXACTLY (spec-asserted against the same sf table). A
+    * cross-batch late row that lowers a slot cascades: a lower t1 can
+    * push t2 past t1 + horizon, unsetting t2/t3 until later qualifying
+    * events re-fill them — the bounded-state tradeoff (exact
+    * out-of-order mins would buffer every step-2/3 candidate until the
+    * watermark passes t1 + horizon). State is O(keys); write traffic
+    * is one 3-slot put per key per batch that changed — the same
+    * minimal shape as [[Scd2Processor]]. */
+  class FunnelProcessor[K](horizonMs: Long)
+      extends StatefulProcessor[K, (K, Long, Int), (K, Long, Long, Long, Long)] {
+
+    @transient private var slots: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      slots = getHandle.getValueState[(Long, Long, Long, Long)]("slots",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Long, Int)],
+        timers: TimerValues): Iterator[(K, Long, Long, Long, Long)] = {
+      var (rev, t1, t2, t3) =
+        if (slots.exists()) slots.get() else (0L, -1L, -1L, -1L)
+      val before = (t1, t2, t3)
+      rows.toVector.sortBy(_._2).foreach { case (_, ts, step) =>
+        step match {
+          case 1 if t1 == -1L || ts < t1 =>
+            t1 = ts
+            // a lower t1 can push t2 past t1 + horizon — cascade (the
+            // t2 >= t1 bound can't break: t1 only moved down)
+            if (t2 != -1L && t2 > t1 + horizonMs) { t2 = -1L; t3 = -1L }
+          case 2 if t1 != -1L && ts >= t1 && ts <= t1 + horizonMs &&
+              (t2 == -1L || ts < t2) =>
+            t2 = ts
+            if (t3 != -1L && t3 > t2 + horizonMs) t3 = -1L
+          case 3 if t2 != -1L && ts >= t2 && ts <= t2 + horizonMs &&
+              (t3 == -1L || ts < t3) =>
+            t3 = ts
+          case _ => () // non-qualifying or unknown step: absorbed
+        }
+      }
+      if ((t1, t2, t3) != before) {
+        rev += 1L
+        slots.update((rev, t1, t2, t3))
+        Iterator.single((key, rev, t1, t2, t3))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[FunnelProcessor]] over a keyed step stream (key, ts, step ∈
+    * 1..3; ts in any fixed unit consistent with `horizonMs`): per-key
+    * funnel-slot changelog, latest row per key = max rev. */
+  def funnelSteps[K: Encoder](ds: Dataset[(K, Long, Int)], horizonMs: Long)(
+      implicit outEnc: Encoder[(K, Long, Long, Long, Long)]): Dataset[(K, Long, Long, Long, Long)] =
+    ds.groupByKey(_._1).transformWithState(
+      new FunnelProcessor[K](horizonMs),
+      // no timers, no TTL → TimeMode.None (see scd2Changes)
+      TimeMode.None(), OutputMode.Append())
+
   /** Beam's event-time timer (`@TimerId` in TimeDomain.EVENT_TIME — the
     * domain Beam windows/GC run on): buffer values per key, register a
     * timer at (max seen event time + gapMs), re-arming as later events

@@ -505,6 +505,20 @@ class ScaleSpec extends SparkSpec {
     // runtime decision, so read the final plan)
     assert(finalPlan("agg_tpcds_q75").contains("Reused"),
       "tpcds q75 YoY self-join recomputes the yearly frame")
+    // TPC-DS q64 analog: the deep cross_sales chain (refund key-set
+    // semi + four-way star + per-(part, nation, year) aggregate) is
+    // consumed by BOTH sides of the two-year self-join — its
+    // aggregation exchange must materialize once and be REUSED (AQE
+    // runtime decision → final plan), and the scan budget stays at
+    // the chain's own tables (2x lineitem for the self-derived key
+    // set + orders + part + supplier + nation), never doubled per
+    // consumer
+    val ds64final = finalPlan("agg_tpcds_q64")
+    assert(ds64final.contains("Reused"),
+      "tpcds q64 self-join recomputes the cross_sales chain")
+    assert("Scan parquet".r.findAllIn(ds64final).size <= 6 &&
+      !ds64final.contains("CartesianProduct"),
+      "tpcds q64 scan budget exceeded or cross product appeared")
     // TPC-DS q4 analog: FOUR cells (year × channel) from ONE
     // conditional-agg scan — no self-join, no union, no division
     val ds4 = plan("agg_tpcds_q4")

@@ -1622,6 +1622,88 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("funnelSteps: streamed changelog converges to the batch chained window-mins") {
+    withRocksDb {
+      // replay the events table in event-time order (the CDC-ish
+      // arrival contract) and check the max-rev snapshot per user
+      // equals the batch agg_funnel_steps pre-aggregate (t1, t2, t3)
+      // exactly — stream ≡ batch for the funnel operator
+      import org.apache.spark.sql.functions._
+      val sf = "/root/testdata/sf0.001"
+      val h = 259200000000L // 72 h in µs
+      val evDf = graft.sources.Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val expected = evDf
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("tus"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("tus") >= col("t1") && col("tus") <= col("t1") + h,
+            col("tus"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("tus") >= col("t2") && col("tus") <= col("t2") + h,
+            col("tus"))).over(w))
+        .groupBy("user_id")
+        .agg(coalesce(first("t1"), lit(-1L)).as("t1"),
+          coalesce(first("t2"), lit(-1L)).as("t2"),
+          coalesce(first("t3"), lit(-1L)).as("t3"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+        .filter { case (_, (t1, t2, t3)) => (t1, t2, t3) != ((-1L, -1L, -1L)) }
+      val steps = evDf.collect().flatMap { r =>
+        val step = r.getString(2) match {
+          case "view" => 1; case "click" => 2; case "purchase" => 3
+          case _ => 0
+        }
+        if (step == 0) None else Some((r.getLong(0), r.getLong(1), step))
+      }.sortBy(_._2).toIndexedSeq
+      val mem = MemoryStream[(Long, Long, Int)]
+      val table = freshTable()
+      val q = startMemorySink(StatefulV2.funnelSteps(mem.toDS(), h), table)
+      steps.grouped(math.max(1, steps.length / 4)).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(table).as[(Long, Long, Long, Long, Long)]
+        .collect()
+        .groupBy(_._1)
+        .map { case (k, snaps) =>
+          val last = snaps.maxBy(_._2)
+          k -> ((last._3, last._4, last._5))
+        }
+      assert(got == expected,
+        s"stream/batch funnel mismatch: ${
+          (got.toSet -- expected.toSet).take(3)} vs ${
+          (expected.toSet -- got.toSet).take(3)}")
+    }
+  }
+
+  test("funnelSteps: a late lower t1 cascades — t2/t3 unset, then re-fill") {
+    withRocksDb {
+      // horizon 5: view@10, click@12 fills (10, 12, -1); a LATE view@1
+      // lowers t1 and pushes t2=12 past 1+5 → snapshot (1, -1, -1);
+      // click@4 then purchase@8 re-fill within the new windows
+      val mem = MemoryStream[(Long, Long, Int)]
+      val table = freshTable()
+      val q = startMemorySink(StatefulV2.funnelSteps(mem.toDS(), 5L), table)
+      mem.addData((7L, 10L, 1), (7L, 12L, 2))
+      q.processAllAvailable()
+      mem.addData((7L, 1L, 1))
+      q.processAllAvailable()
+      mem.addData((7L, 4L, 2), (7L, 8L, 3))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(table).as[(Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._2).toSeq
+      assert(got == Seq((7L, 1L, 10L, 12L, -1L), (7L, 2L, 1L, -1L, -1L),
+        (7L, 3L, 1L, 4L, 8L)), s"got $got")
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE SQL over FIXED windows: matches confined per window") {
     withRocksDb {
       import graft.operators.MatchRecognizeSql
