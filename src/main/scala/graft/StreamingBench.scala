@@ -232,6 +232,14 @@ object StreamingBench {
           case _ => None
         }), Seq.empty[(Long, Long, Int)]) { ds =>
         StatefulV2.funnelSteps(ds, horizonMs = 259200000L)
+      },
+      // sharded streaming heavy hitters: per-shard Misra-Gries k=32
+      // summary (O(k) state per key forever), deterministic
+      // est/err/coverage bounds — the bounded-state streaming top-k
+      bench(spark, "streaming_heavy_hitters",
+        ev.map(e => (e._1 % 16, e._5 % 997, 1L)),
+        Seq.empty[(Long, Long, Long)]) { ds =>
+        StatefulV2.heavyHitters(ds, k = 32)
       })
   }
 }

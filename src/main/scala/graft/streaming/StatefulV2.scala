@@ -450,32 +450,72 @@ object StatefulV2 {
 
     override def handleInputRows(key: K, rows: Iterator[(K, Long, Int)],
         timers: TimerValues): Iterator[(K, Long, Long, Long, Long)] = {
-      var (rev, t1, t2, t3) =
+      val (rev, t1, t2, t3) =
         if (slots.exists()) slots.get() else (0L, -1L, -1L, -1L)
       val before = (t1, t2, t3)
-      rows.toVector.sortBy(_._2).foreach { case (_, ts, step) =>
-        step match {
-          case 1 if t1 == -1L || ts < t1 =>
-            t1 = ts
-            // a lower t1 can push t2 past t1 + horizon — cascade (the
-            // t2 >= t1 bound can't break: t1 only moved down)
-            if (t2 != -1L && t2 > t1 + horizonMs) { t2 = -1L; t3 = -1L }
-          case 2 if t1 != -1L && ts >= t1 && ts <= t1 + horizonMs &&
-              (t2 == -1L || ts < t2) =>
-            t2 = ts
-            if (t3 != -1L && t3 > t2 + horizonMs) t3 = -1L
-          case 3 if t2 != -1L && ts >= t2 && ts <= t2 + horizonMs &&
-              (t3 == -1L || ts < t3) =>
-            t3 = ts
-          case _ => () // non-qualifying or unknown step: absorbed
-        }
+      // sort (ts, step): an equal-ts later step must see the earlier
+      // step's slot first (batch window-mins allow ts >= t1 / >= t2,
+      // so a click at the view's exact timestamp qualifies)
+      val after = rows.toVector.sortBy(r => (r._2, r._3)).foldLeft(before) {
+        case (st, (_, ts, step)) => funnelStep(st, ts, step, horizonMs)
       }
-      if ((t1, t2, t3) != before) {
-        rev += 1L
-        slots.update((rev, t1, t2, t3))
-        Iterator.single((key, rev, t1, t2, t3))
+      if (after != before) {
+        slots.update((rev + 1L, after._1, after._2, after._3))
+        Iterator.single((key, rev + 1L, after._1, after._2, after._3))
       } else Iterator.empty
     }
+  }
+
+  /** Insert one timestamp into sorted disjoint gap-cluster intervals
+    * (pure; property-tested against naive re-clustering in
+    * RandomizedSpec): extends a neighbor within `gapMs`, merges the
+    * two it bridges, or opens a new singleton — the same gap-connected
+    * components a full re-sort produces, maintained incrementally in
+    * O(log clusters) (+ O(clusters) on the rare structural patch). */
+  private[graft] def insertCluster(cs: Vector[(Long, Long)], ts: Long,
+      gapMs: Long): Vector[(Long, Long)] = {
+    // idx = first cluster with min > ts
+    var lo = 0; var hi = cs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cs(mid)._1 <= ts) lo = mid + 1 else hi = mid
+    }
+    val pred = lo - 1 // cluster with min <= ts, if any
+    if (pred >= 0 && ts <= cs(pred)._2) return cs // inside an interval
+    val joinsPred = pred >= 0 && ts <= cs(pred)._2 + gapMs
+    val joinsSucc = lo < cs.length && cs(lo)._1 - ts <= gapMs
+    if (joinsPred && joinsSucc)
+      cs.patch(pred, Seq((cs(pred)._1, cs(lo)._2)), 2)
+    else if (joinsPred)
+      cs.updated(pred, (cs(pred)._1, math.max(cs(pred)._2, ts)))
+    else if (joinsSucc)
+      cs.updated(lo, (ts, cs(lo)._2))
+    else
+      cs.patch(lo, Seq((ts, ts)), 0)
+  }
+
+  /** One funnel slot transition (pure; property-tested against the
+    * batch chained-window-min reference in RandomizedSpec): apply a
+    * step event at `ts` to the (t1, t2, t3) slots, -1 = unset. */
+  private[graft] def funnelStep(st: (Long, Long, Long), ts: Long,
+      step: Int, horizonMs: Long): (Long, Long, Long) = {
+    var (t1, t2, t3) = st
+    step match {
+      case 1 if t1 == -1L || ts < t1 =>
+        t1 = ts
+        // a lower t1 can push t2 past t1 + horizon — cascade (the
+        // t2 >= t1 bound can't break: t1 only moved down)
+        if (t2 != -1L && t2 > t1 + horizonMs) { t2 = -1L; t3 = -1L }
+      case 2 if t1 != -1L && ts >= t1 && ts <= t1 + horizonMs &&
+          (t2 == -1L || ts < t2) =>
+        t2 = ts
+        if (t3 != -1L && t3 > t2 + horizonMs) t3 = -1L
+      case 3 if t2 != -1L && ts >= t2 && ts <= t2 + horizonMs &&
+          (t3 == -1L || ts < t3) =>
+        t3 = ts
+      case _ => () // non-qualifying or unknown step: absorbed
+    }
+    (t1, t2, t3)
   }
 
   /** [[FunnelProcessor]] over a keyed step stream (key, ts, step ∈
@@ -485,6 +525,74 @@ object StatefulV2 {
       implicit outEnc: Encoder[(K, Long, Long, Long, Long)]): Dataset[(K, Long, Long, Long, Long)] =
     ds.groupByKey(_._1).transformWithState(
       new FunnelProcessor[K](horizonMs),
+      // no timers, no TTL → TimeMode.None (see scd2Changes)
+      TimeMode.None(), OutputMode.Append())
+
+  /** Streaming heavy hitters per key — a [[graft.functions.MisraGries]]
+    * k-counter summary held in per-key state: counters in MapState
+    * (≤ k entries, only CHANGED entries write back per batch — the
+    * batch first folds into an exact in-memory count map, so a
+    * million-row batch still writes ≤ k+1 state rows per key),
+    * (rev, err, n) bookkeeping in one packed ValueState. Each batch
+    * that touches a key emits a rev-stamped snapshot
+    * (key, rev, n, err, top counters): est ≤ true ≤ est + err with
+    * err ≤ n/(k+1), and every item with true count > err is present —
+    * the deterministic streaming hot-items guarantee (Beam analog:
+    * SketchFrequencies / Top.perKey over triggered panes; the
+    * MERGEABLE shrink also lets per-shard summaries combine
+    * downstream, Agarwal et al. PODS 2012). State is O(k) per key
+    * FOREVER — the bounded-state contrast to exact streaming top-k,
+    * whose state grows with distinct items. */
+  class HeavyHittersProcessor[K, I](k: Int)(implicit iEnc: Encoder[I])
+      extends StatefulProcessor[K, (K, I, Long), (K, Long, Long, Long, Seq[(I, Long)])] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    @transient private var counters: MapState[I, Long] = _
+    @transient private var mgMeta: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[I, Long]("mg", iEnc,
+        Encoders.scalaLong, TTLConfig.NONE)
+      mgMeta = getHandle.getValueState[(Long, Long, Long)]("mgMeta",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, I, Long)],
+        timers: TimerValues): Iterator[(K, Long, Long, Long, Seq[(I, Long)])] = {
+      val (rev, err, n) =
+        if (mgMeta.exists()) mgMeta.get() else (0L, 0L, 0L)
+      val cur = scala.collection.mutable.Map[I, Long]()
+      val it = counters.iterator()
+      while (it.hasNext) { val e = it.next(); cur += (e._1 -> e._2) }
+      // exact fold of this batch, then ONE summary merge
+      val batch = scala.collection.mutable.Map[I, Long]()
+      var any = false
+      rows.foreach { case (_, i, w) =>
+        batch += (i -> (batch.getOrElse(i, 0L) + w)); any = true
+      }
+      if (!any) return Iterator.empty
+      val before = graft.functions.MisraGries.Summary(cur.toMap, err, n)
+      val after = graft.functions.MisraGries.addAll(before, batch, k)
+      // write back only the delta: changed counters + shrunk-away keys
+      after.counters.foreach { case (i, c) =>
+        if (cur.getOrElse(i, -1L) != c) counters.updateValue(i, c)
+      }
+      cur.keysIterator.foreach { i =>
+        if (!after.counters.contains(i)) counters.removeKey(i)
+      }
+      mgMeta.update((rev + 1L, after.err, after.n))
+      Iterator.single((key, rev + 1L, after.n, after.err, after.topK(k)))
+    }
+  }
+
+  /** [[HeavyHittersProcessor]] over a keyed item stream
+    * (key, item, weight): per-key rev-stamped frequent-items
+    * snapshots; latest row per key = max rev. */
+  def heavyHitters[K: Encoder, I: Encoder](ds: Dataset[(K, I, Long)], k: Int)(
+      implicit outEnc: Encoder[(K, Long, Long, Long, Seq[(I, Long)])]): Dataset[(K, Long, Long, Long, Seq[(I, Long)])] =
+    ds.groupByKey(_._1).transformWithState(
+      new HeavyHittersProcessor[K, I](k),
       // no timers, no TTL → TimeMode.None (see scd2Changes)
       TimeMode.None(), OutputMode.Append())
 
@@ -556,30 +664,8 @@ object StatefulV2 {
         Encoders.tuple(Encoders.scalaLong, vEnc), TTLConfig.NONE)
     }
 
-    /** Insert one timestamp into the sorted disjoint cluster intervals:
-      * extends a neighbor within `gapMs`, merges the two it bridges, or
-      * opens a new singleton — the same gap-connected components the
-      * old full re-sort produced, maintained incrementally. */
-    private def insert(cs: Vector[(Long, Long)], ts: Long): Vector[(Long, Long)] = {
-      // idx = first cluster with min > ts
-      var lo = 0; var hi = cs.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (cs(mid)._1 <= ts) lo = mid + 1 else hi = mid
-      }
-      val pred = lo - 1 // cluster with min <= ts, if any
-      if (pred >= 0 && ts <= cs(pred)._2) return cs // inside an interval
-      val joinsPred = pred >= 0 && ts <= cs(pred)._2 + gapMs
-      val joinsSucc = lo < cs.length && cs(lo)._1 - ts <= gapMs
-      if (joinsPred && joinsSucc)
-        cs.patch(pred, Seq((cs(pred)._1, cs(lo)._2)), 2)
-      else if (joinsPred)
-        cs.updated(pred, (cs(pred)._1, math.max(cs(pred)._2, ts)))
-      else if (joinsSucc)
-        cs.updated(lo, (ts, cs(lo)._2))
-      else
-        cs.patch(lo, Seq((ts, ts)), 0)
-    }
+    private def insert(cs: Vector[(Long, Long)], ts: Long): Vector[(Long, Long)] =
+      insertCluster(cs, ts, gapMs)
 
     private def loadMeta(): Meta =
       if (meta.exists()) meta.get() else (0L, 0L, 0L, Nil, Nil)

@@ -543,4 +543,114 @@ class RandomizedSpec extends SparkSpec {
     val meta2 = new FakeValue[(Long, Long, Long)]
     new SessionLog[String](log2, meta2).checkLayout(emptyM)
   }
+
+  test("insertCluster == naive gap re-clustering on random insertion orders") {
+    // the r13 gap processor maintains session summaries incrementally
+    // (extend / bridge-merge / open) against rows arriving in ANY
+    // order — every prefix of every insertion order must equal the
+    // naive sort-then-split clustering of the same multiset
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 200).foreach { trial =>
+      val gap = 1L + rnd.nextInt(9)
+      val n = 1 + rnd.nextInt(40)
+      val ts = Seq.fill(n)(rnd.nextInt(120).toLong)
+      var cs = Vector.empty[(Long, Long)]
+      ts.zipWithIndex.foreach { case (t, i) =>
+        cs = graft.streaming.StatefulV2.insertCluster(cs, t, gap)
+        val seen = ts.take(i + 1).distinct.sorted
+        // naive: split the sorted distinct timestamps wherever the
+        // next starts more than gap past the running max
+        val want = seen.tail.foldLeft(Vector((seen.head, seen.head))) {
+          case (acc, t2) =>
+            if (t2 - acc.last._2 <= gap) acc.init :+ ((acc.last._1, t2))
+            else acc :+ ((t2, t2))
+        }
+        assert(cs == want,
+          s"trial $trial gap=$gap after ${ts.take(i + 1)}: $cs != $want")
+      }
+    }
+  }
+
+  test("Misra-Gries: est <= true <= est + err, err <= n/(k+1), heavy coverage — any split/merge order") {
+    // the mergeable-summaries contract: fold a random weighted stream
+    // in random batch chunks (the streaming path), AND independently
+    // summarize random shards then merge in random order (the
+    // distributed combine path) — both must satisfy the deterministic
+    // bounds vs exact counts
+    import graft.functions.MisraGries
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 150).foreach { trial =>
+      val k = 1 + rnd.nextInt(12)
+      val nItems = 1 + rnd.nextInt(30)
+      // Zipf-ish: low ids heavy
+      val stream = Seq.fill(30 + rnd.nextInt(300)) {
+        val item = math.min(nItems - 1,
+          (nItems * math.pow(rnd.nextDouble(), 3)).toInt)
+        (item, 1L + rnd.nextInt(4))
+      }
+      val exact = stream.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      val n = stream.map(_._2).sum
+      def check(s: MisraGries.Summary[Int], label: String): Unit = {
+        assert(s.n == n, s"trial $trial $label n drift")
+        assert(s.err <= n / (k + 1),
+          s"trial $trial $label err ${s.err} > ${n / (k + 1)}")
+        exact.foreach { case (x, t) =>
+          val e = s.est(x)
+          assert(e <= t && t <= e + s.err,
+            s"trial $trial $label item $x est $e true $t err ${s.err}")
+          assert(t <= s.err || s.counters.contains(x),
+            s"trial $trial $label heavy item $x (true $t > err ${s.err}) missing")
+        }
+      }
+      // streaming fold in random chunks
+      var folded = MisraGries.empty[Int]
+      var rest = stream
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.size)
+        val (chunk, later) = rest.splitAt(take)
+        folded = MisraGries.addAll(folded,
+          chunk.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap, k)
+        rest = later
+      }
+      check(folded, "fold")
+      // shard + random-order merge
+      val nShards = 1 + rnd.nextInt(6)
+      val shards = stream.zipWithIndex.groupBy(_._2 % nShards).values.toSeq
+        .map(sh => MisraGries.addAll(MisraGries.empty[Int],
+          sh.map(_._1).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap, k))
+      val merged = rnd.shuffle(shards)
+        .reduce((a, b) => MisraGries.merge(a, b, k))
+      check(merged, "merge")
+    }
+  }
+
+  test("funnelStep fold == batch chained window-mins on random in-order streams") {
+    // the streaming funnel's contract: under event-time-ordered
+    // arrival (any batch split), the folded 3-slot state equals the
+    // batch query's chained window-mins t1/t2/t3 exactly
+    val rnd = new scala.util.Random(13L)
+    (1 to 300).foreach { trial =>
+      val h = 5L + rnd.nextInt(20)
+      // (ts, step) order — the processor's in-batch sort: an equal-ts
+      // later step processes after the earlier step it depends on
+      val evs = Seq.fill(1 + rnd.nextInt(60))(
+        (rnd.nextInt(100).toLong, 1 + rnd.nextInt(3))).sorted
+      val got = evs.foldLeft((-1L, -1L, -1L)) { case (st, (ts, step)) =>
+        graft.streaming.StatefulV2.funnelStep(st, ts, step, h)
+      }
+      // batch reference: t1 = min step-1 ts; t2 = min step-2 ts in
+      // [t1, t1+h]; t3 = min step-3 ts in [t2, t2+h]
+      val t1 = evs.collect { case (ts, 1) => ts }
+        .minOption.getOrElse(-1L)
+      val t2 = if (t1 == -1L) -1L
+        else evs.collect { case (ts, 2) if ts >= t1 && ts <= t1 + h => ts }
+          .minOption.getOrElse(-1L)
+      val t3 = if (t2 == -1L) -1L
+        else evs.collect { case (ts, 3) if ts >= t2 && ts <= t2 + h => ts }
+          .minOption.getOrElse(-1L)
+      assert(got == ((t1, t2, t3)),
+        s"trial $trial h=$h evs=$evs: $got != ${(t1, t2, t3)}")
+    }
+  }
 }

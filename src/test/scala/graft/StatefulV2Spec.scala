@@ -1660,7 +1660,8 @@ class StatefulV2Spec extends SparkSpec {
           case _ => 0
         }
         if (step == 0) None else Some((r.getLong(0), r.getLong(1), step))
-      }.sortBy(_._2).toIndexedSeq
+      }.sortBy(e => (e._2, e._3)).toIndexedSeq // (ts, step): equal-ts
+      // pairs feed earlier-step-first, matching the in-batch sort
       val mem = MemoryStream[(Long, Long, Int)]
       val table = freshTable()
       val q = startMemorySink(StatefulV2.funnelSteps(mem.toDS(), h), table)
@@ -1679,6 +1680,41 @@ class StatefulV2Spec extends SparkSpec {
         s"stream/batch funnel mismatch: ${
           (got.toSet -- expected.toSet).take(3)} vs ${
           (expected.toSet -- got.toSet).take(3)}")
+    }
+  }
+
+  test("heavyHitters: streamed Misra-Gries snapshots keep the deterministic bounds") {
+    withRocksDb {
+      // feed a skewed item stream across several micro-batches; the
+      // final (max-rev) snapshot must satisfy est <= true <= est+err,
+      // err <= n/(k+1), and contain every item with true count > err
+      // — while state stays at <= k counters per key
+      val rnd = new scala.util.Random(99L)
+      val items = IndexedSeq.fill(600) {
+        val it = math.min(29, (30 * math.pow(rnd.nextDouble(), 3)).toInt)
+        (1L, it.toLong, 1L)
+      }
+      val exact = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val k = 8
+      val mem = MemoryStream[(Long, Long, Long)]
+      val table = freshTable()
+      val q = startMemorySink(StatefulV2.heavyHitters(mem.toDS(), k), table)
+      items.grouped(150).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val snaps = spark.table(table)
+        .as[(Long, Long, Long, Long, Seq[(Long, Long)])].collect()
+      assert(snaps.length == 4) // one snapshot per touched batch
+      val last = snaps.maxBy(_._2)
+      val (_, _, n, err, top) = last
+      assert(n == 600L && err <= n / (k + 1) && top.size <= k)
+      val est = top.toMap
+      exact.foreach { case (x, t) =>
+        val e = est.getOrElse(x, 0L)
+        assert(e <= t && t <= e + err, s"item $x est $e true $t err $err")
+        assert(t <= err || est.contains(x), s"heavy item $x missing")
+      }
     }
   }
 
