@@ -240,6 +240,13 @@ object StreamingBench {
         ev.map(e => (e._1 % 16, e._5 % 997, 1L)),
         Seq.empty[(Long, Long, Long)]) { ds =>
         StatefulV2.heavyHitters(ds, k = 32)
+      },
+      // online per-type z-score anomaly flags (landmark Welford stats,
+      // prequential scoring) — the streaming twin of anomaly_zscore's
+      // fit-and-flag
+      bench(spark, "streaming_anomaly",
+        ev.map(e => (e._3, e._4)), Seq.empty[(String, Double)]) { ds =>
+        StatefulV2.anomalyZScore(ds, threshold = 2.5, minN = 30L)
       })
   }
 }

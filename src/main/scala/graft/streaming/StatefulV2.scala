@@ -100,6 +100,111 @@ object StatefulV2 {
       if (flushTimeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
       OutputMode.Append())
 
+  /** Beam GroupIntoBatches.ofByteSize
+    * (transforms/GroupIntoBatches.java:149) — WEIGHT-capped batches:
+    * a batch flushes BEFORE adding an element that would push the
+    * accumulated weight past `maxWeight` (batches never exceed the
+    * budget), and an element whose own weight reaches the budget
+    * flushes alone immediately. The remainder flushes on the per-key
+    * processing-time timer, exactly as the count-capped
+    * [[BatchingProcessor]] does. This is the streaming form of the
+    * token-budget sequence packing a training-data loader runs
+    * (`pipeline_seq_packing` is the batch twin): weight = token
+    * count, budget = context length. */
+  class WeightBatchingProcessor[K, V](maxWeight: Long, flushTimeoutMs: Long,
+      weigh: V => Long)(implicit vEnc: Encoder[V])
+      extends StatefulProcessor[K, (K, V), (K, Seq[V])] {
+    require(maxWeight > 0, s"maxWeight must be positive, got $maxWeight")
+
+    @transient private var buf: ListState[V] = _
+    @transient private var wc: ValueState[(Long, Long)] = _ // (weight, count)
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
+      wc = getHandle.getValueState[(Long, Long)]("wc",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, V)],
+        timers: TimerValues): Iterator[(K, Seq[V])] = {
+      val out = scala.collection.mutable.ArrayBuffer[(K, Seq[V])]()
+      var (w, cnt) = if (wc.exists()) wc.get() else (0L, 0L)
+      // no-flush batches APPEND without reading or rewriting the
+      // buffer (pendingNew); the persisted tail materializes only
+      // when a flush actually needs its content — state traffic is
+      // O(appends + flushes + 1) per key per batch, never O(buffer)
+      val pendingNew = scala.collection.mutable.ArrayBuffer[V]()
+      var tail: scala.collection.mutable.ArrayBuffer[V] = null
+      def materialize(): Unit = if (tail == null) {
+        tail = scala.collection.mutable.ArrayBuffer[V]()
+        val it = buf.get()
+        while (it.hasNext) tail += it.next()
+        tail ++= pendingNew
+      }
+      def flushTail(): Unit = {
+        materialize()
+        out += ((key, tail.toSeq))
+        tail.clear(); w = 0L; cnt = 0L
+      }
+      var flushed = false
+      rows.foreach { case (_, v) =>
+        val vw = math.max(0L, weigh(v))
+        if (vw >= maxWeight) {
+          // oversize alone: close the open batch first (arrival order
+          // preserved), then emit the element as its own batch
+          if (cnt > 0) flushTail()
+          out += ((key, Seq(v)))
+          flushed = true
+        } else {
+          if (cnt > 0 && w + vw > maxWeight) { flushTail(); flushed = true }
+          if (tail != null) tail += v else pendingNew += v
+          w += vw; cnt += 1
+        }
+      }
+      if (flushed) {
+        buf.clear()
+        if (tail != null) tail.foreach(buf.appendValue)
+      } else pendingNew.foreach(buf.appendValue)
+      wc.update((w, cnt))
+      if (flushTimeoutMs > 0) {
+        val hadTimer = armed.exists()
+        if (cnt == 0L) {
+          if (hadTimer) { getHandle.deleteTimer(armed.get()); armed.clear() }
+        } else if (flushed || !hadTimer) {
+          if (hadTimer) getHandle.deleteTimer(armed.get())
+          val at = timers.getCurrentProcessingTimeInMs() + flushTimeoutMs
+          getHandle.registerTimer(at)
+          armed.update(at)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(K, Seq[V])] = {
+      val pending = buf.get().toSeq
+      buf.clear(); wc.clear(); armed.clear()
+      if (pending.nonEmpty) Iterator((key, pending)) else Iterator.empty
+    }
+  }
+
+  /** GroupIntoBatches.ofByteSize via transformWithState: weight-capped
+    * batches per key under `weigh`; the remainder flushes when the
+    * per-key processing-time timer fires (flushTimeoutMs <= 0 → no
+    * timer, TimeMode.None — see [[groupIntoBatchesTws]]). */
+  def groupIntoBatchesByWeight[K: Encoder, V: Encoder](
+      ds: Dataset[(K, V)], maxWeight: Long, flushTimeoutMs: Long)(
+      weigh: V => Long)(
+      implicit outEnc: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new WeightBatchingProcessor[K, V](maxWeight, flushTimeoutMs, weigh),
+      if (flushTimeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+      OutputMode.Append())
+
   /** Beam's PROCESSING-TIME trigger primitive in the global window —
     * `Repeatedly.forever(AfterProcessingTime.pastFirstElementInPane()
     * .plusDelayOf(delay))` (AfterProcessingTime.java:39,
@@ -585,6 +690,72 @@ object StatefulV2 {
       Iterator.single((key, rev + 1L, after.n, after.err, after.topK(k)))
     }
   }
+
+  /** Streaming per-key z-score anomaly detection — the continuous
+    * form of the batch `anomaly_zscore` fit-and-flag (reference:
+    * sdks/python/apache_beam/ml/anomaly/detectors/zscore.py over the
+    * incremental univariate trackers): ONE packed ValueState per key
+    * holds the landmark Welford (n, mean, M2); each arriving value
+    * scores PREQUENTIALLY — z against the statistics of the values
+    * before it — then folds in (so an extreme value never masks
+    * itself by inflating the variance it is judged against). Emits
+    * (key, value, z) for |z| > threshold once the tracker has seen
+    * `minN` values (the warm-up gate every online detector needs;
+    * sd = sample stddev, sqrt(M2/(n-1))). State is O(keys) × 3
+    * numbers, one put per touched key per batch — nothing buffers. */
+  class ZScoreProcessor[K](threshold: Double, minN: Long)
+      extends StatefulProcessor[K, (K, Double), (K, Double, Double)] {
+    require(minN >= 2, s"minN must be >= 2 (sample stddev), got $minN")
+
+    @transient private var st: ValueState[(Long, Double, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Double)]("welford",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+          Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Double)],
+        timers: TimerValues): Iterator[(K, Double, Double)] = {
+      var cur = if (st.exists()) st.get() else (0L, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer[(K, Double, Double)]()
+      var any = false
+      rows.foreach { case (_, v) =>
+        val (n, mean, m2) = cur
+        if (n >= minN) {
+          val sd = math.sqrt(m2 / (n - 1))
+          if (sd > 0) {
+            val z = (v - mean) / sd
+            if (math.abs(z) > threshold) out += ((key, v, z))
+          }
+        }
+        cur = welfordAdd(cur, v)
+        any = true
+      }
+      if (any) st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** One Welford accumulation step (pure; property-tested against the
+    * exact two-pass mean/variance in RandomizedSpec). */
+  private[graft] def welfordAdd(st: (Long, Double, Double),
+      v: Double): (Long, Double, Double) = {
+    val (n0, mean0, m20) = st
+    val n = n0 + 1
+    val d = v - mean0
+    val mean = mean0 + d / n
+    (n, mean, m20 + d * (v - mean))
+  }
+
+  /** [[ZScoreProcessor]] over a keyed value stream: per-key online
+    * anomaly flags (key, value, z). */
+  def anomalyZScore[K: Encoder](ds: Dataset[(K, Double)],
+      threshold: Double = 2.5, minN: Long = 30L)(
+      implicit outEnc: Encoder[(K, Double, Double)]): Dataset[(K, Double, Double)] =
+    ds.groupByKey(_._1).transformWithState(
+      new ZScoreProcessor[K](threshold, minN),
+      // no timers, no TTL → TimeMode.None (see scd2Changes)
+      TimeMode.None(), OutputMode.Append())
 
   /** [[HeavyHittersProcessor]] over a keyed item stream
     * (key, item, weight): per-key rev-stamped frequent-items

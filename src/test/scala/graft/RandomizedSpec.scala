@@ -625,6 +625,25 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("welfordAdd fold == exact two-pass mean/variance on random streams") {
+    val rnd = new scala.util.Random(31L)
+    (1 to 200).foreach { trial =>
+      val xs = Seq.fill(2 + rnd.nextInt(200))(
+        (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6)))
+      val (n, mean, m2) = xs.foldLeft((0L, 0.0, 0.0)) {
+        (st, v) => graft.streaming.StatefulV2.welfordAdd(st, v)
+      }
+      val exactMean = xs.sum / xs.size
+      val exactM2 = xs.map(x => (x - exactMean) * (x - exactMean)).sum
+      assert(n == xs.size)
+      assert(math.abs(mean - exactMean) <=
+        1e-9 * math.max(1.0, math.abs(exactMean)),
+        s"trial $trial mean $mean != $exactMean")
+      assert(math.abs(m2 - exactM2) <= 1e-6 * math.max(1.0, exactM2),
+        s"trial $trial m2 $m2 != $exactM2")
+    }
+  }
+
   test("funnelStep fold == batch chained window-mins on random in-order streams") {
     // the streaming funnel's contract: under event-time-ordered
     // arrival (any batch split), the folded 3-slot state equals the

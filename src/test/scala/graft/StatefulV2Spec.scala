@@ -106,6 +106,49 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("groupIntoBatchesByWeight packs to the budget; oversize emits alone in order") {
+    withRocksDb {
+      // budget 10: [4,3,2] packs (9 <= 10); the 5 would overflow →
+      // batch closes BEFORE it (never exceeds budget); the oversize 12
+      // closes the open [5] first (arrival order), then emits alone;
+      // the trailing [1,1] stays buffered (no timer)
+      val mem = MemoryStream[(Long, Long)]
+      val batched = StatefulV2.groupIntoBatchesByWeight(mem.toDS(),
+        maxWeight = 10L, flushTimeoutMs = -1L)(identity)
+      val table = freshTable()
+      val q = startMemorySink(batched, table)
+      mem.addData((1L, 4L), (1L, 3L), (1L, 2L), (1L, 5L), (1L, 12L),
+        (1L, 1L), (1L, 1L))
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Seq[Long])].collect().toSeq
+      assert(got == Seq((1L, Seq(4L, 3L, 2L)), (1L, Seq(5L)),
+        (1L, Seq(12L))), s"got $got")
+      // a later arrival that overflows flushes the buffered remainder
+      // accumulated across micro-batches (persisted tail + new rows)
+      mem.addData((1L, 9L))
+      q.processAllAvailable()
+      val got2 = spark.table(table).as[(Long, Seq[Long])].collect().toSeq
+      assert(got2.contains((1L, Seq(1L, 1L))), s"got2 $got2")
+      q.stop()
+    }
+  }
+
+  test("groupIntoBatchesByWeight flush timer emits the weighted remainder") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, Long)]
+      val batched = StatefulV2.groupIntoBatchesByWeight(mem.toDS(),
+        maxWeight = 100L, flushTimeoutMs = 300L)(identity)
+      val table = freshTable()
+      val q = startMemorySink(batched, table)
+      mem.addData((1L, 7L), (1L, 8L)) // buffers + arms the timer
+      awaitSink(table) {
+        spark.table(table).as[(Long, Seq[Long])].collect()
+          .contains((1L, Seq(7L, 8L)))
+      }
+      q.stop()
+    }
+  }
+
   test("processingTimePanes fires repeatedly: one pane per delay after first element") {
     withRocksDb {
       val mem = MemoryStream[(Long, String)]
@@ -1680,6 +1723,86 @@ class StatefulV2Spec extends SparkSpec {
         s"stream/batch funnel mismatch: ${
           (got.toSet -- expected.toSet).take(3)} vs ${
           (expected.toSet -- got.toSet).take(3)}")
+    }
+  }
+
+  test("funnelSteps + heavyHitters: state and rev continuity across a query restart") {
+    withRocksDb {
+      // the changelog contract (latest row per key = max rev) only
+      // holds if rev NEVER resets — restore must continue both the
+      // slots/counters and the rev counter from the checkpoint
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-f").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-rec-f").toString
+      val mem = MemoryStream[(Long, Long, Int)]
+      def start() = StatefulV2.funnelSteps(mem.toDS(), 100L)
+        .toDF("k", "rev", "t1", "t2", "t3")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData((1L, 10L, 1))
+      q1.processAllAvailable()
+      q1.stop() // rev 1 emitted, slots (10, -1, -1) checkpointed
+      val q2 = start()
+      mem.addData((1L, 20L, 2), (1L, 30L, 3))
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 10L, -1L, -1L), (1L, 2L, 10L, 20L, 30L)),
+        s"funnel restart drift: $got")
+
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ckpt-h").toString
+      val outDir2 = java.nio.file.Files.createTempDirectory("graft-rec-h").toString
+      val mem2 = MemoryStream[(Long, Long, Long)]
+      def start2() = StatefulV2.heavyHitters(mem2.toDS(), k = 4)
+        .toDF("k", "rev", "n", "err", "top")
+        .writeStream.format("parquet").option("path", outDir2)
+        .option("checkpointLocation", ckpt2)
+        .outputMode("append").start()
+      val h1 = start2()
+      mem2.addData((1L, 7L, 5L), (1L, 8L, 3L))
+      h1.processAllAvailable()
+      h1.stop()
+      val h2 = start2()
+      mem2.addData((1L, 7L, 2L))
+      h2.processAllAvailable()
+      h2.stop()
+      val snaps = spark.read.parquet(outDir2)
+        .as[(Long, Long, Long, Long, Seq[(Long, Long)])].collect()
+      val last = snaps.maxBy(_._2)
+      assert(snaps.map(_._2).sorted.toSeq == Seq(1L, 2L) &&
+        last._3 == 10L && last._5.toMap == Map(7L -> 7L, 8L -> 3L),
+        s"heavy-hitters restart drift: ${snaps.toSeq}")
+    }
+  }
+
+  test("anomalyZScore: prequential flags after warm-up, none before") {
+    withRocksDb {
+      // 30 values ~ N-ish around 10 (warm-up), then an outlier at 100:
+      // the outlier scores against the PRE-outlier stats (prequential)
+      // and flags; the warm-up values themselves never emit, and a
+      // second normal value after the outlier scores against stats
+      // that now include it (no retroactive re-scoring)
+      val warm = (1 to 30).map(i => (1L, 10.0 + (i % 5) - 2))
+      val mem = MemoryStream[(Long, Double)]
+      val table = freshTable()
+      val q = startMemorySink(
+        StatefulV2.anomalyZScore(mem.toDS(), threshold = 2.5, minN = 30L),
+        table)
+      mem.addData(warm: _*)
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 0) // warm-up: nothing flagged
+      mem.addData((1L, 100.0), (1L, 10.0))
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Double, Double)].collect().toSeq
+      // reference z from the exact warm-up stats
+      val mean = warm.map(_._2).sum / warm.size
+      val sd = math.sqrt(warm.map(x => math.pow(x._2 - mean, 2)).sum / (warm.size - 1))
+      val zRef = (100.0 - mean) / sd
+      assert(got.size == 1 && got.head._2 == 100.0 &&
+        math.abs(got.head._3 - zRef) < 1e-9, s"got $got want z=$zRef")
+      q.stop()
     }
   }
 
