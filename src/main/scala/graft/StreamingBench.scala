@@ -247,6 +247,13 @@ object StreamingBench {
       bench(spark, "streaming_anomaly",
         ev.map(e => (e._3, e._4)), Seq.empty[(String, Double)]) { ds =>
         StatefulV2.anomalyZScore(ds, threshold = 2.5, minN = 30L)
+      },
+      // per-type streaming t-digest quantile snapshots — the mergeable
+      // quantile sketch folded incrementally, O(compression) state/key
+      bench(spark, "streaming_tdigest",
+        ev.map(e => (e._3, e._4)), Seq.empty[(String, Double)]) { ds =>
+        StatefulV2.tdigestQuantiles(ds, compression = 100.0,
+          qs = Seq(0.5, 0.95, 0.99))
       })
   }
 }

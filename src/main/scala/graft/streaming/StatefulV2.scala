@@ -691,6 +691,64 @@ object StatefulV2 {
     }
   }
 
+  /** Streaming per-key t-digest quantiles — the third mergeable
+    * sketch in the streaming family (with [[HeavyHittersProcessor]]'s
+    * Misra-Gries and native HLL): Beam's TDigestQuantiles
+    * (sdks/java/extensions/sketching/src/main/java/org/apache/beam/
+    * sdk/extensions/sketching/TDigestQuantiles.java:86) as a
+    * `transformWithState` fold over the SAME [[graft.functions.TDigest]]
+    * core the batch aggregates use — one estimator, two execution
+    * modes, so batch and stream agree on the rank-error contract.
+    * State per key is the compressed centroid list (O(compression)
+    * doubles FOREVER, interleaved [mean, weight, …]), one ValueState
+    * put per touched key per batch; each touched key emits a
+    * rev-stamped (rev, n, quantile values at `qs`) snapshot — latest
+    * row per key = max rev, as [[heavyHitters]]. */
+  class TDigestProcessor[K](compression: Double, qs: Seq[Double])
+      extends StatefulProcessor[K, (K, Double), (K, Long, Long, Seq[Double])] {
+    require(compression >= 20, s"compression too small: $compression")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad qs: $qs")
+
+    @transient private var st: ValueState[(Long, Long, Seq[Double])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Seq[Double])]("digest",
+        Encoders.product[(Long, Long, Seq[Double])], TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Double)],
+        timers: TimerValues): Iterator[(K, Long, Long, Seq[Double])] = {
+      val (rev, n0, packed) =
+        if (st.exists()) st.get() else (0L, 0L, Seq.empty[Double])
+      val buf = new graft.functions.TDigest.Buf(compression)
+      var i = 0
+      while (i < packed.length) { buf.add(packed(i), packed(i + 1)); i += 2 }
+      var n = n0
+      rows.foreach { case (_, v) => buf.add(v, 1.0); n += 1 }
+      if (n == n0) return Iterator.empty
+      buf.compact()
+      val out = new Array[Double](2 * buf.n)
+      var j = 0
+      while (j < buf.n) {
+        out(2 * j) = buf.means(j); out(2 * j + 1) = buf.weights(j); j += 1
+      }
+      st.update((rev + 1L, n, out.toSeq))
+      val means = java.util.Arrays.copyOf(buf.means, buf.n)
+      val weights = java.util.Arrays.copyOf(buf.weights, buf.n)
+      Iterator.single((key, rev + 1L, n,
+        qs.map(q => graft.functions.TDigest.quantile(means, weights, q))))
+    }
+  }
+
+  /** [[TDigestProcessor]] over a keyed value stream: per-key
+    * rev-stamped quantile snapshots at `qs`. */
+  def tdigestQuantiles[K: Encoder](ds: Dataset[(K, Double)],
+      compression: Double = 100.0, qs: Seq[Double] = Seq(0.5, 0.95, 0.99))(
+      implicit outEnc: Encoder[(K, Long, Long, Seq[Double])]): Dataset[(K, Long, Long, Seq[Double])] =
+    ds.groupByKey(_._1).transformWithState(
+      new TDigestProcessor[K](compression, qs),
+      // no timers, no TTL → TimeMode.None (see scd2Changes)
+      TimeMode.None(), OutputMode.Append())
+
   /** Streaming per-key z-score anomaly detection — the continuous
     * form of the batch `anomaly_zscore` fit-and-flag (reference:
     * sdks/python/apache_beam/ml/anomaly/detectors/zscore.py over the

@@ -1777,6 +1777,37 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("tdigestQuantiles: streamed snapshots stay within rank bound across folds") {
+    withRocksDb {
+      // skewed values over several micro-batches; the final (max-rev)
+      // snapshot's q50/q95 must sit within ±2% rank of the exact
+      // quantiles of everything fed — the same contract the batch
+      // tdigest_agg test pins, now across incremental folds
+      val rnd = new scala.util.Random(7L)
+      val vals = IndexedSeq.fill(4000)(math.exp(rnd.nextDouble() * 5))
+      val mem = MemoryStream[(Long, Double)]
+      val table = freshTable()
+      val q = startMemorySink(
+        StatefulV2.tdigestQuantiles(mem.toDS(), compression = 100.0,
+          qs = Seq(0.5, 0.95)), table)
+      vals.grouped(1000).foreach { g =>
+        mem.addData(g.map((1L, _)): _*); q.processAllAvailable()
+      }
+      q.stop()
+      val snaps = spark.table(table)
+        .as[(Long, Long, Long, Seq[Double])].collect()
+      assert(snaps.length == 4)
+      val last = snaps.maxBy(_._2)
+      assert(last._3 == 4000L)
+      val sorted = vals.sorted
+      def rankOf(x: Double): Double =
+        sorted.count(_ <= x).toDouble / sorted.size
+      val Seq(q50, q95) = last._4
+      assert(math.abs(rankOf(q50) - 0.5) <= 0.02, s"q50=$q50 rank=${rankOf(q50)}")
+      assert(math.abs(rankOf(q95) - 0.95) <= 0.02, s"q95=$q95 rank=${rankOf(q95)}")
+    }
+  }
+
   test("anomalyZScore: prequential flags after warm-up, none before") {
     withRocksDb {
       // 30 values ~ N-ish around 10 (warm-up), then an outlier at 100:
