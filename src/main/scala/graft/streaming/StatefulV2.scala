@@ -165,9 +165,14 @@ object StatefulV2 {
           w += vw; cnt += 1
         }
       }
-      if (flushed) {
+      // flushed && tail == null ⟺ every flush was an oversize landing
+      // on an EMPTY buffer (cnt==0 skips flushTail, so the persisted
+      // buf was never materialized and is known empty) — rows buffered
+      // after it sit only in pendingNew and must still append, or they
+      // are silently lost while wc counts them
+      if (flushed && tail != null) {
         buf.clear()
-        if (tail != null) tail.foreach(buf.appendValue)
+        tail.foreach(buf.appendValue)
       } else pendingNew.foreach(buf.appendValue)
       wc.update((w, cnt))
       if (flushTimeoutMs > 0) {
@@ -941,7 +946,14 @@ object StatefulV2 {
       * order → arrival positions) and rebuild cluster summaries, then
       * the old buffer clears — one-shot per restored key, from either
       * the input or the timer path (a restored key's old per-end
-      * timer can fire before any new input arrives). */
+      * timer can fire before any new input arrives). The old "sums"/
+      * "armed" lists are deliberately NOT re-registered (their content
+      * is derivable from the rows; stale per-end timers fire as
+      * no-ops) — this relies on state evolution tolerating removed
+      * state variables on restore, the same contract the r11
+      * sessions→sessions2 rename shipped on; if a Spark upgrade turns
+      * that into a hard restore error, the failure is loud, not a
+      * silent data loss. */
     private def migrate(m: Meta): Meta = {
       val it = oldBuf.get()
       if (!it.hasNext) return m

@@ -133,6 +133,27 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("groupIntoBatchesByWeight: rows after an oversize-on-empty-buffer still persist") {
+    withRocksDb {
+      // regression (code review r13): an oversize element on an EMPTY
+      // buffer flushes alone without materializing the persisted tail
+      // (tail stays null) — the same batch's later rows then lived
+      // only in pendingNew and the old persist branch dropped them
+      val mem = MemoryStream[(Long, Long)]
+      val batched = StatefulV2.groupIntoBatchesByWeight(mem.toDS(),
+        maxWeight = 10L, flushTimeoutMs = -1L)(identity)
+      val table = freshTable()
+      val q = startMemorySink(batched, table)
+      mem.addData((1L, 12L), (1L, 3L)) // oversize first, then a small row
+      q.processAllAvailable()
+      mem.addData((1L, 9L)) // overflows → must flush the surviving [3]
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Seq[Long])].collect().toSeq
+      assert(got == Seq((1L, Seq(12L)), (1L, Seq(3L))), s"got $got")
+      q.stop()
+    }
+  }
+
   test("groupIntoBatchesByWeight flush timer emits the weighted remainder") {
     withRocksDb {
       val mem = MemoryStream[(Long, Long)]
