@@ -1650,6 +1650,66 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("eventTimeGapFlush: random in-order replay == naive gap clustering (fences + compaction on the way)") {
+    withRocksDb {
+      // 600 random rows over 12 keys fed in event-time order across
+      // 8 micro-batches with watermark 0: sessions close INCREMENTALLY
+      // as the watermark advances (each flush fences dead rows, some
+      // batches cross the half-dead compaction threshold), and the
+      // total flushed output must equal the naive sort-and-split gap
+      // clustering of everything fed — the end-to-end contract of the
+      // r13 append-only-log layout under its normal operating regime
+      val rnd = new scala.util.Random(20260815L)
+      val gap = 10000L
+      val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+      // DISTINCT timestamps: with watermark delay 0, an equal-ts pair
+      // straddling a micro-batch boundary is dropped by Spark's
+      // late-row filter (row ts <= previous batch's watermark) before
+      // the processor ever sees it — engine semantics, not part of
+      // the clustering contract under test
+      val rows = rnd.shuffle((0 until 3000).toList).take(600).sorted
+        .map(i => (1L + rnd.nextInt(12), base + i * 1000L,
+          rnd.nextInt(1000000).toString)).toIndexedSeq
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val flushed = StatefulV2.eventTimeGapFlush(
+        mem.toDS().withWatermark("_2", "0 seconds"), gapMs = gap)
+      val table = freshTable()
+      val q = startMemorySink(flushed, table)
+      rows.grouped(75).foreach { g =>
+        mem.addData(g.map(r => (r._1, new java.sql.Timestamp(r._2), r._3)): _*)
+        q.processAllAvailable()
+      }
+      // two sentinel jumps: close every remaining session, then
+      // deliver the firings
+      mem.addData((99L, new java.sql.Timestamp(base + 2000000L), "wm"))
+      q.processAllAvailable()
+      mem.addData((99L, new java.sql.Timestamp(base + 3000000L), "wm2"))
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Seq[String])].collect()
+        .filter(_._1 != 99L)
+        .map { case (k, vs) => (k, vs.toList) }.toSeq
+        .sortBy(t => (t._1, t._2.mkString(",")))
+      // naive reference: per key, sort rows by (ts, arrival), split
+      // wherever the next row starts more than gap past the running max
+      val want = rows.zipWithIndex.groupBy(_._1._1).toSeq.flatMap {
+        case (k, krs) =>
+          val sorted = krs.sortBy { case ((_, ts, _), i) => (ts, i) }
+          val sessions = scala.collection.mutable.ArrayBuffer(
+            scala.collection.mutable.ArrayBuffer(sorted.head))
+          var mx = sorted.head._1._2
+          sorted.tail.foreach { e =>
+            if (e._1._2 - mx > gap) sessions += scala.collection.mutable.ArrayBuffer(e)
+            else sessions.last += e
+            mx = math.max(mx, e._1._2)
+          }
+          sessions.map(s => (k, s.map(_._1._3).toList))
+      }.sortBy(t => (t._1, t._2.mkString(",")))
+      assert(got == want,
+        s"mismatch: got ${got.size} sessions, want ${want.size}")
+      q.stop()
+    }
+  }
+
   test("gap-flush state writes stay within ~3x of input rows (no rewrite amplification)") {
     withRocksDb {
       // the r11-r12 breakdowns flagged ~6x state rowsUpdated per input
