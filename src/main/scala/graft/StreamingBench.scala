@@ -254,6 +254,12 @@ object StreamingBench {
         ev.map(e => (e._3, e._4)), Seq.empty[(String, Double)]) { ds =>
         StatefulV2.tdigestQuantiles(ds, compression = 100.0,
           qs = Seq(0.5, 0.95, 0.99))
+      },
+      // per-type streaming approximate distinct users (HLL state,
+      // O(2^lgK) per key forever; bytes hll_union_agg-able downstream)
+      bench(spark, "streaming_approx_distinct",
+        ev.map(e => (e._3, e._1.toString)), Seq.empty[(String, String)]) { ds =>
+        StatefulV2.approxDistinct(ds, lgK = 12)
       })
   }
 }

@@ -754,6 +754,58 @@ object StatefulV2 {
       // no timers, no TTL → TimeMode.None (see scd2Changes)
       TimeMode.None(), OutputMode.Append())
 
+  /** Streaming per-key approximate distinct count — Beam's
+    * ApproximateUnique.perKey (sdks/java/core/src/main/java/org/
+    * apache/beam/sdk/transforms/ApproximateUnique.java:82) run
+    * continuously under the global window: a DataSketches HllSketch
+    * folds per key in ONE ValueState (compact bytes, O(2^lgK) FOREVER
+    * — never O(distinct items)), one put per touched key per batch,
+    * each touched key emitting a rev-stamped
+    * (rev, n, estimate, sketch bytes) snapshot. The bytes are the
+    * SAME library/format Spark's native `hll_sketch_agg` family uses
+    * (org.apache.datasketches.hll), so downstream SQL can
+    * `hll_sketch_estimate` an emitted sketch directly or
+    * `hll_union_agg` the latest per-key sketches into group/global
+    * distincts — stream state composes with batch analytics instead
+    * of dead-ending (spec-asserted both ways). Standard HLL rsd
+    * ≈ 1.04/√2^lgK (~1.6% at the lgK=12 default). */
+  class ApproxDistinctProcessor[K](lgK: Int)
+      extends StatefulProcessor[K, (K, String), (K, Long, Long, Long, Array[Byte])] {
+    require(lgK >= 4 && lgK <= 21, s"lgK out of range: $lgK")
+
+    @transient private var st: ValueState[(Long, Long, Array[Byte])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Array[Byte])]("hll",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.BINARY), TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, String)],
+        timers: TimerValues): Iterator[(K, Long, Long, Long, Array[Byte])] = {
+      val (rev, n0, bytes) =
+        if (st.exists()) st.get() else (0L, 0L, Array.empty[Byte])
+      val sk =
+        if (bytes.isEmpty) new org.apache.datasketches.hll.HllSketch(lgK)
+        else org.apache.datasketches.hll.HllSketch.heapify(bytes)
+      var n = n0
+      rows.foreach { case (_, item) => sk.update(item); n += 1 }
+      if (n == n0) return Iterator.empty
+      val out = sk.toUpdatableByteArray
+      st.update((rev + 1L, n, out))
+      Iterator.single((key, rev + 1L, n, Math.round(sk.getEstimate), out))
+    }
+  }
+
+  /** [[ApproxDistinctProcessor]] over a keyed item stream: per-key
+    * rev-stamped (n, distinct estimate, sketch bytes) snapshots;
+    * latest row per key = max rev. */
+  def approxDistinct[K: Encoder](ds: Dataset[(K, String)], lgK: Int = 12)(
+      implicit outEnc: Encoder[(K, Long, Long, Long, Array[Byte])]): Dataset[(K, Long, Long, Long, Array[Byte])] =
+    ds.groupByKey(_._1).transformWithState(
+      new ApproxDistinctProcessor[K](lgK),
+      // no timers, no TTL → TimeMode.None (see scd2Changes)
+      TimeMode.None(), OutputMode.Append())
+
   /** Streaming per-key z-score anomaly detection — the continuous
     * form of the batch `anomaly_zscore` fit-and-flag (reference:
     * sdks/python/apache_beam/ml/anomaly/detectors/zscore.py over the

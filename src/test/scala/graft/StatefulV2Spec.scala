@@ -1889,6 +1889,49 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("approxDistinct: streamed HLL within rsd; emitted bytes compose with native hll_* SQL") {
+    withRocksDb {
+      // 3 keys × overlapping item ranges over several batches; the
+      // final per-key estimate must sit within ~5% of exact, AND the
+      // emitted sketch BYTES must be directly consumable by Spark's
+      // native hll_sketch_estimate / hll_union_agg — streamed state
+      // composing with batch SQL analytics (one sketch library)
+      val rnd = new scala.util.Random(17L)
+      val rows = IndexedSeq.fill(6000)(
+        (1L + rnd.nextInt(3), "item" + rnd.nextInt(2000)))
+      val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val globalExact = rows.map(_._2).distinct.size
+      val mem = MemoryStream[(Long, String)]
+      val table = freshTable()
+      val q = startMemorySink(StatefulV2.approxDistinct(mem.toDS(), lgK = 12),
+        table)
+      rows.grouped(1500).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val snaps = spark.table(table)
+        .as[(Long, Long, Long, Long, Array[Byte])].collect()
+      val latest = snaps.groupBy(_._1).map { case (_, s) => s.maxBy(_._2) }
+      assert(latest.size == 3)
+      latest.foreach { case (k, _, n, est, _) =>
+        assert(n == rows.count(_._1 == k))
+        assert(math.abs(est - exact(k)).toDouble / exact(k) <= 0.05,
+          s"key $k est $est exact ${exact(k)}")
+      }
+      // native-function interop on the emitted rows
+      import spark.implicits._
+      latest.toSeq.map { case (k, rev, n, est, b) => (k, est, b) }
+        .toDF("k", "est", "sk").createOrReplaceTempView("hll_snaps")
+      val inter = spark.sql("""
+        SELECT sum(CASE WHEN hll_sketch_estimate(sk) = est THEN 1 ELSE 0 END),
+               hll_sketch_estimate(hll_union_agg(sk))
+        FROM hll_snaps""").collect().head
+      assert(inter.getLong(0) == 3, "native estimate disagrees with streamed estimate")
+      assert(math.abs(inter.getLong(1) - globalExact).toDouble / globalExact <= 0.05,
+        s"union estimate ${inter.getLong(1)} vs exact $globalExact")
+    }
+  }
+
   test("anomalyZScore: prequential flags after warm-up, none before") {
     withRocksDb {
       // 30 values ~ N-ish around 10 (warm-up), then an outlier at 100:
