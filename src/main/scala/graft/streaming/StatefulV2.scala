@@ -788,7 +788,11 @@ object StatefulV2 {
         if (bytes.isEmpty) new org.apache.datasketches.hll.HllSketch(lgK)
         else org.apache.datasketches.hll.HllSketch.heapify(bytes)
       var n = n0
-      rows.foreach { case (_, item) => sk.update(item); n += 1 }
+      // null items are skipped AND excluded from n, matching
+      // COUNT(DISTINCT x)'s NULL semantics (the sketch ignores them)
+      rows.foreach { case (_, item) =>
+        if (item != null) { sk.update(item); n += 1 }
+      }
       if (n == n0) return Iterator.empty
       val out = sk.toUpdatableByteArray
       st.update((rev + 1L, n, out))
