@@ -794,7 +794,10 @@ object StatefulV2 {
         if (item != null) { sk.update(item); n += 1 }
       }
       if (n == n0) return Iterator.empty
-      val out = sk.toUpdatableByteArray
+      // compact image: smaller than the updatable form (no warm-up
+      // coupon headroom / aux slack) and equally heapify-able by both
+      // this processor and the native hll_* functions
+      val out = sk.toCompactByteArray
       st.update((rev + 1L, n, out))
       Iterator.single((key, rev + 1L, n, Math.round(sk.getEstimate), out))
     }

@@ -1679,11 +1679,13 @@ class StatefulV2Spec extends SparkSpec {
         mem.addData(g.map(r => (r._1, new java.sql.Timestamp(r._2), r._3)): _*)
         q.processAllAvailable()
       }
-      // two sentinel jumps: close every remaining session, then
-      // deliver the firings
-      mem.addData((99L, new java.sql.Timestamp(base + 2000000L), "wm"))
+      // two sentinel jumps PAST the sample-space max (base+2,999,000)
+      // plus gap — with margin, so the test doesn't hinge on the
+      // seed's max draw or on timers firing at expiry == watermark:
+      // close every remaining session, then deliver the firings
+      mem.addData((99L, new java.sql.Timestamp(base + 4000000L), "wm"))
       q.processAllAvailable()
-      mem.addData((99L, new java.sql.Timestamp(base + 3000000L), "wm2"))
+      mem.addData((99L, new java.sql.Timestamp(base + 5000000L), "wm2"))
       q.processAllAvailable()
       val got = spark.table(table).as[(Long, Seq[String])].collect()
         .filter(_._1 != 99L)
