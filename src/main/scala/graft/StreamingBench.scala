@@ -260,6 +260,12 @@ object StreamingBench {
       bench(spark, "streaming_approx_distinct",
         ev.map(e => (e._3, e._1.toString)), Seq.empty[(String, String)]) { ds =>
         StatefulV2.approxDistinct(ds, lgK = 12)
+      },
+      // per-user streaming uniform reservoir (Algorithm R, O(k)
+      // state/key, deterministic replayable draws)
+      bench(spark, "streaming_reservoir",
+        ev.map(e => (e._1 % 64, e._5)), Seq.empty[(Long, Long)]) { ds =>
+        StatefulV2.sampleFixedPerKey(ds, k = 32)
       })
   }
 }

@@ -754,6 +754,95 @@ object StatefulV2 {
       // no timers, no TTL → TimeMode.None (see scd2Changes)
       TimeMode.None(), OutputMode.Append())
 
+  /** SplitMix64 finalizer — the deterministic pseudo-random mix behind
+    * [[reservoirDraw]] (public-domain constant schedule; same mixer
+    * the JDK's SplittableRandom uses). */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform draw in [0, n] for the (n+1)-th element of a key's
+    * stream (Algorithm R's j) — a pure function of (seed, key hash,
+    * element index), so the whole sample is REPLAYABLE: a pure
+    * function of arrival order, exactly reproducible across runs and
+    * spec-checkable against a reference fold. */
+  private[graft] def reservoirDraw(seed: Long, keyHash: Long, n: Long): Long =
+    Math.floorMod(mix64(seed ^ keyHash ^ (n * 0x632be59bd9b4e019L)), n + 1)
+
+  /** Streaming fixed-size uniform sample per key — Beam's
+    * Sample.fixedSizePerKey (sdks/java/core/src/main/java/org/apache/
+    * beam/sdk/transforms/Sample.java:61) run continuously: classic
+    * Algorithm R (Vitter) per key, state = the k-slot reservoir
+    * (ListState, O(k) FOREVER) + one packed (rev, n) ValueState. Each
+    * batch folds locally and writes the reservoir back at most ONCE
+    * (only when it changed); each TOUCHED key emits a rev-stamped
+    * (rev, n, sample) snapshot — latest row per key = max rev, the
+    * live uniform sample of everything that key has seen.
+    * Draws come from [[reservoirDraw]] (deterministic in (seed, key,
+    * index)), so two runs over the same arrival order produce
+    * byte-identical samples — the reproducibility contract the batch
+    * sampling queries keep via portable-hash ordering. */
+  class ReservoirProcessor[K, V](k: Int, seed: Long)(implicit vEnc: Encoder[V])
+      extends StatefulProcessor[K, (K, V), (K, Long, Long, Seq[V])] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    @transient private var res: ListState[V] = _
+    @transient private var meta: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      res = getHandle.getListState[V]("res", vEnc, TTLConfig.NONE)
+      meta = getHandle.getValueState[(Long, Long)]("resMeta",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, V)],
+        timers: TimerValues): Iterator[(K, Long, Long, Seq[V])] = {
+      val (rev, n0) = if (meta.exists()) meta.get() else (0L, 0L)
+      var n = n0
+      val kh = key.hashCode().toLong
+      var buf: scala.collection.mutable.ArrayBuffer[V] = null
+      def load(): Unit = if (buf == null) {
+        buf = scala.collection.mutable.ArrayBuffer[V]()
+        val it = res.get()
+        while (it.hasNext) buf += it.next()
+      }
+      var changed = false
+      rows.foreach { case (_, v) =>
+        if (n < k) { load(); buf += v; changed = true }
+        else {
+          val j = reservoirDraw(seed, kh, n)
+          if (j < k) { load(); buf(j.toInt) = v; changed = true }
+        }
+        n += 1
+      }
+      if (n == n0) return Iterator.empty
+      meta.update((rev + 1L, n))
+      // snapshot emits on EVERY touched batch (n advanced even when
+      // the sample didn't — the heavyHitters/tdigest contract), but
+      // the reservoir itself writes back only when it changed
+      if (changed) {
+        res.clear()
+        buf.foreach(res.appendValue)
+      } else load()
+      Iterator.single((key, rev + 1L, n, buf.toSeq))
+    }
+  }
+
+  /** [[ReservoirProcessor]] over a keyed value stream: per-key
+    * rev-stamped (n, uniform k-sample) snapshots; latest row per key
+    * = max rev. */
+  def sampleFixedPerKey[K: Encoder, V: Encoder](ds: Dataset[(K, V)],
+      k: Int, seed: Long = 42L)(
+      implicit outEnc: Encoder[(K, Long, Long, Seq[V])]): Dataset[(K, Long, Long, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new ReservoirProcessor[K, V](k, seed),
+      // no timers, no TTL → TimeMode.None (see scd2Changes)
+      TimeMode.None(), OutputMode.Append())
+
   /** Streaming per-key approximate distinct count — Beam's
     * ApproximateUnique.perKey (sdks/java/core/src/main/java/org/
     * apache/beam/sdk/transforms/ApproximateUnique.java:82) run

@@ -625,6 +625,26 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("reservoirDraw: Algorithm R selection is uniform across keys") {
+    // k=1 over 10 items per key, 3000 distinct keys: each item index
+    // survives for ~300 keys. The draw is deterministic per (seed,
+    // key, index), so uniformity must come from the mix — a biased
+    // mixer shows up as a skewed histogram
+    import graft.streaming.StatefulV2.reservoirDraw
+    val counts = new Array[Int](10)
+    (0 until 3000).foreach { key =>
+      val kh = key.toLong * 2654435761L // spread key hashes
+      var kept = 0
+      (0L until 10L).foreach { n =>
+        if (n == 0L || reservoirDraw(42L, kh, n) == 0L) kept = n.toInt
+      }
+      counts(kept) += 1
+    }
+    counts.zipWithIndex.foreach { case (c, i) =>
+      assert(c > 180 && c < 450, s"index $i selected $c/3000 — biased")
+    }
+  }
+
   test("welfordAdd fold == exact two-pass mean/variance on random streams") {
     val rnd = new scala.util.Random(31L)
     (1 to 200).foreach { trial =>

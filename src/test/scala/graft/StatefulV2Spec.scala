@@ -1891,6 +1891,50 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("sampleFixedPerKey: streamed reservoir == reference Algorithm R fold, exactly") {
+    withRocksDb {
+      // determinism contract: the reservoir is a pure function of
+      // (seed, key, arrival order) — the streamed result across
+      // arbitrary micro-batch splits must equal a reference fold of
+      // the same draw sequence; keys with fewer than k items keep
+      // everything in arrival order
+      val rnd = new scala.util.Random(5L)
+      val rows = IndexedSeq.tabulate(500)(i => (1L + rnd.nextInt(4), i.toLong))
+        .appended((9L, 777L)) // a key with n=1 < k
+      val k = 8
+      val seed = 42L
+      val mem = MemoryStream[(Long, Long)]
+      val table = freshTable()
+      val q = startMemorySink(
+        StatefulV2.sampleFixedPerKey(mem.toDS(), k, seed), table)
+      rows.grouped(120).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(table).as[(Long, Long, Long, Seq[Long])].collect()
+        .groupBy(_._1).map { case (kk, s) =>
+          val last = s.maxBy(_._2); kk -> ((last._3, last._4.toList))
+        }
+      val want = rows.groupBy(_._1).map { case (kk, krs) =>
+        val kh = kk.hashCode().toLong
+        val buf = scala.collection.mutable.ArrayBuffer[Long]()
+        var n = 0L
+        krs.map(_._2).foreach { v =>
+          if (n < k) buf += v
+          else {
+            val j = StatefulV2.reservoirDraw(seed, kh, n)
+            if (j < k) buf(j.toInt) = v
+          }
+          n += 1
+        }
+        kk -> ((n, buf.toList))
+      }
+      assert(got == want, s"reservoir drift:\n got=$got\nwant=$want")
+      assert(got(9L) == ((1L, List(777L)))) // under-full key keeps all
+      q.stop()
+    }
+  }
+
   test("approxDistinct: streamed HLL within rsd; emitted bytes compose with native hll_* SQL") {
     withRocksDb {
       // 3 keys × overlapping item ranges over several batches; the
