@@ -261,8 +261,8 @@ object StreamingBench {
         ev.map(e => (e._3, e._1.toString)), Seq.empty[(String, String)]) { ds =>
         StatefulV2.approxDistinct(ds, lgK = 12)
       },
-      // per-user streaming uniform reservoir (Algorithm R, O(k)
-      // state/key, deterministic replayable draws)
+      // per-user-SHARD streaming uniform reservoir (64 shard keys;
+      // Algorithm R, O(k) state/key, deterministic replayable draws)
       bench(spark, "streaming_reservoir",
         ev.map(e => (e._1 % 64, e._5)), Seq.empty[(Long, Long)]) { ds =>
         StatefulV2.sampleFixedPerKey(ds, k = 32)

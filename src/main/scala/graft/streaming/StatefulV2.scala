@@ -775,59 +775,46 @@ object StatefulV2 {
   /** Streaming fixed-size uniform sample per key — Beam's
     * Sample.fixedSizePerKey (sdks/java/core/src/main/java/org/apache/
     * beam/sdk/transforms/Sample.java:61) run continuously: classic
-    * Algorithm R (Vitter) per key, state = the k-slot reservoir
-    * (ListState, O(k) FOREVER) + one packed (rev, n) ValueState. Each
-    * batch folds locally and writes the reservoir back at most ONCE
-    * (only when it changed); each TOUCHED key emits a rev-stamped
+    * Algorithm R (Vitter) per key, state = ONE packed ValueState
+    * (rev, n, k-slot reservoir — O(k) FOREVER). Each batch folds
+    * locally into one state put; each TOUCHED key emits a rev-stamped
     * (rev, n, sample) snapshot — latest row per key = max rev, the
     * live uniform sample of everything that key has seen.
     * Draws come from [[reservoirDraw]] (deterministic in (seed, key,
     * index)), so two runs over the same arrival order produce
     * byte-identical samples — the reproducibility contract the batch
     * sampling queries keep via portable-hash ordering. */
-  class ReservoirProcessor[K, V](k: Int, seed: Long)(implicit vEnc: Encoder[V])
+  class ReservoirProcessor[K, V](k: Int, seed: Long)(
+      implicit stEnc: Encoder[(Long, Long, Seq[V])])
       extends StatefulProcessor[K, (K, V), (K, Long, Long, Seq[V])] {
     require(k >= 1, s"k must be >= 1, got $k")
 
-    @transient private var res: ListState[V] = _
-    @transient private var meta: ValueState[(Long, Long)] = _
+    // ONE packed ValueState (rev, n, reservoir) — one put per touched
+    // key per batch, the repo's minimal-rowsUpdated idiom (the caller
+    // supplies the Seq-bearing encoder, since V is generic here)
+    @transient private var st: ValueState[(Long, Long, Seq[V])] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      res = getHandle.getListState[V]("res", vEnc, TTLConfig.NONE)
-      meta = getHandle.getValueState[(Long, Long)]("resMeta",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
-    }
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Seq[V])]("reservoir",
+        stEnc, TTLConfig.NONE)
 
     override def handleInputRows(key: K, rows: Iterator[(K, V)],
         timers: TimerValues): Iterator[(K, Long, Long, Seq[V])] = {
-      val (rev, n0) = if (meta.exists()) meta.get() else (0L, 0L)
+      val (rev, n0, res0) =
+        if (st.exists()) st.get() else (0L, 0L, Seq.empty[V])
       var n = n0
       val kh = key.hashCode().toLong
-      var buf: scala.collection.mutable.ArrayBuffer[V] = null
-      def load(): Unit = if (buf == null) {
-        buf = scala.collection.mutable.ArrayBuffer[V]()
-        val it = res.get()
-        while (it.hasNext) buf += it.next()
-      }
-      var changed = false
+      val buf = scala.collection.mutable.ArrayBuffer[V](res0: _*)
       rows.foreach { case (_, v) =>
-        if (n < k) { load(); buf += v; changed = true }
+        if (n < k) buf += v
         else {
           val j = reservoirDraw(seed, kh, n)
-          if (j < k) { load(); buf(j.toInt) = v; changed = true }
+          if (j < k) buf(j.toInt) = v
         }
         n += 1
       }
       if (n == n0) return Iterator.empty
-      meta.update((rev + 1L, n))
-      // snapshot emits on EVERY touched batch (n advanced even when
-      // the sample didn't — the heavyHitters/tdigest contract), but
-      // the reservoir itself writes back only when it changed
-      if (changed) {
-        res.clear()
-        buf.foreach(res.appendValue)
-      } else load()
+      st.update((rev + 1L, n, buf.toSeq))
       Iterator.single((key, rev + 1L, n, buf.toSeq))
     }
   }
@@ -835,9 +822,10 @@ object StatefulV2 {
   /** [[ReservoirProcessor]] over a keyed value stream: per-key
     * rev-stamped (n, uniform k-sample) snapshots; latest row per key
     * = max rev. */
-  def sampleFixedPerKey[K: Encoder, V: Encoder](ds: Dataset[(K, V)],
+  def sampleFixedPerKey[K: Encoder, V](ds: Dataset[(K, V)],
       k: Int, seed: Long = 42L)(
-      implicit outEnc: Encoder[(K, Long, Long, Seq[V])]): Dataset[(K, Long, Long, Seq[V])] =
+      implicit outEnc: Encoder[(K, Long, Long, Seq[V])],
+      stEnc: Encoder[(Long, Long, Seq[V])]): Dataset[(K, Long, Long, Seq[V])] =
     ds.groupByKey(_._1).transformWithState(
       new ReservoirProcessor[K, V](k, seed),
       // no timers, no TTL → TimeMode.None (see scd2Changes)

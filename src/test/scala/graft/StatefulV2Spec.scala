@@ -1931,7 +1931,6 @@ class StatefulV2Spec extends SparkSpec {
       }
       assert(got == want, s"reservoir drift:\n got=$got\nwant=$want")
       assert(got(9L) == ((1L, List(777L)))) // under-full key keeps all
-      q.stop()
     }
   }
 
