@@ -182,7 +182,13 @@ object Bench {
     // fixed subset. GC/JIT deltas across the pass attribute any
     // residual swing (a high gc_ms with a flat wall total = heap
     // pressure, not host slowdown).
-    val calNames = calibration.filter(all.contains)
+    // The subset is a FIXED never-changing probe — a renamed/removed
+    // member would silently shrink the denominator and make the
+    // cross-round `cal` totals non-comparable, so fail loudly instead.
+    val calMissing = calibration.filterNot(all.contains)
+    require(calMissing.isEmpty,
+      s"calibration queries missing from registry: ${calMissing.mkString(", ")}")
+    val calNames = calibration
     val calBest = scala.collection.mutable.Map[String, Double]()
     dropCaches(spark); System.gc()
     val (calGc0, calJit0) = (gcMs, jitMs)

@@ -266,6 +266,20 @@ object StreamingBench {
       bench(spark, "streaming_reservoir",
         ev.map(e => (e._1 % 64, e._5)), Seq.empty[(Long, Long)]) { ds =>
         StatefulV2.sampleFixedPerKey(ds, k = 32)
+      },
+      // GLOBAL streaming heavy hitters (two-stage: item-hash shards →
+      // one-key summary merge) — whole-stream hot items, still O(k)
+      // state per shard; items = event-type × user-bucket composites
+      bench(spark, "streaming_heavy_hitters_global",
+        ev.map(e => (e._3 + "#" + e._1 % 100, 1L)),
+        Seq.empty[(String, Long)]) { ds =>
+        StatefulV2.heavyHittersGlobal(ds, k = 16, shards = 8)
+      },
+      // GLOBAL streaming approximate distinct (per-shard HLLs → one-key
+      // DataSketches union) — whole-stream distinct event ids
+      bench(spark, "streaming_approx_distinct_global",
+        ev.map(e => e._5.toString), Seq.empty[String]) { ds =>
+        StatefulV2.approxDistinctGlobal(ds, lgK = 12, shards = 8)
       })
   }
 }

@@ -47,10 +47,15 @@ object MisraGries {
       (m.collect { case (t, c) if c > cut => t -> (c - cut) }, cut)
     }
 
-  /** Fold a batch of exact (item, weight) counts into the summary. */
+  /** Fold a batch of exact (item, weight) counts into the summary.
+    * Weights must be strictly positive — every advertised bound
+    * (`est <= true <= est + err`, err ≤ n/(k+1), coverage) assumes
+    * non-negative increments, so a bad weight fails loudly here
+    * rather than silently voiding the guarantees downstream. */
   def addAll[T](s: Summary[T], batch: Iterable[(T, Long)], k: Int): Summary[T] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val combined = batch.foldLeft(s.counters) { case (m, (t, w)) =>
+      require(w > 0, s"Misra-Gries weights must be > 0, got $w for item $t")
       m.updated(t, m.getOrElse(t, 0L) + w)
     }
     val (kept, cut) = shrink(combined, k)

@@ -374,6 +374,24 @@ object RelationalQueries {
         QUALIFY row_number() OVER (PARTITION BY o_custkey
           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""")),
 
+    // Latest-snapshot view of a rev-stamped changelog — the documented
+    // consumption idiom for every streaming (key, rev, …) snapshot op
+    // (heavyHitters / tdigestQuantiles / approxDistinct / funnelSteps /
+    // sampleFixedPerKey): ONE map-side-partial max_by aggregate, not a
+    // row_number window sort over the full changelog. Here orders
+    // stands in as the changelog (o_orderkey = the unique increasing
+    // rev per customer).
+    Q("changelog_latest_by_rev",
+      (s, d) => graft.streaming.StreamOps.latestByRev(
+        ord(s, d).select("o_custkey", "o_orderkey", "o_totalprice",
+          "o_orderstatus"),
+        Seq("o_custkey"), "o_orderkey"),
+      Some("""SELECT o_custkey,
+        max(o_orderkey) AS o_orderkey,
+        arg_max(o_totalprice, o_orderkey) AS o_totalprice,
+        arg_max(o_orderstatus, o_orderkey) AS o_orderstatus
+        FROM orders GROUP BY o_custkey""")),
+
     Q("topk_global",
       (s, d) => Relational.topK(ord(s, d), 10,
           col("o_totalprice").desc, col("o_orderkey").asc)

@@ -26,6 +26,13 @@ object StatefulV2 {
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** `toArray` for an unbounded-generic buffer without threading a
+    * ClassTag through every processor's public signature: ListState's
+    * appendList/put only ITERATE the array (T is erased), so an
+    * Object-array cast is safe here. */
+  private def toArr[T](b: scala.collection.mutable.ArrayBuffer[T]): Array[T] =
+    b.toArray[Any](scala.reflect.ClassTag.Any).asInstanceOf[Array[T]]
+
   /** Beam GroupIntoBatches (transforms/GroupIntoBatches.java:108) with
     * real timers: BagState buffer + ValueState count + a processing-time
     * flush timer per key — the exact state/timer cell layout of the
@@ -48,17 +55,26 @@ object StatefulV2 {
     override def handleInputRows(key: K, rows: Iterator[(K, V)],
         timers: TimerValues): Iterator[(K, Seq[V])] = {
       val out = scala.collection.mutable.ArrayBuffer[(K, Seq[V])]()
-      var n = if (cnt.exists()) cnt.get() else 0L
+      val n0 = if (cnt.exists()) cnt.get() else 0L
+      var n = n0
       var sizeFlushed = false
+      // buffer locally, persist the remainder in ONE appendList at the
+      // end (per-row appendValue is O(appends-this-batch) per call —
+      // see SessionLog.flush); the store is only read when the batch
+      // spanning it actually flushes
+      val local = scala.collection.mutable.ArrayBuffer[V]()
       rows.foreach { case (_, v) =>
-        buf.appendValue(v)
+        local += v
         n += 1
         if (n >= maxSize) {
-          out += ((key, buf.get().toSeq))
-          buf.clear(); n = 0
+          val head = if (!sizeFlushed && n0 > 0) buf.get().toSeq else Seq.empty
+          out += ((key, head ++ local))
+          local.clear(); n = 0
           sizeFlushed = true
         }
       }
+      if (sizeFlushed) buf.clear()
+      if (local.nonEmpty) buf.appendList(toArr(local))
       cnt.update(n)
       // Beam's bufferingTimer contract: the timer covers the CURRENT
       // remainder. Clear + re-arm whenever a flush emptied the buffer
@@ -170,10 +186,11 @@ object StatefulV2 {
       // buf was never materialized and is known empty) — rows buffered
       // after it sit only in pendingNew and must still append, or they
       // are silently lost while wc counts them
+      // persist in ONE put/appendList (per-row appendValue is
+      // O(appends-this-batch) per call — see SessionLog.flush)
       if (flushed && tail != null) {
-        buf.clear()
-        tail.foreach(buf.appendValue)
-      } else pendingNew.foreach(buf.appendValue)
+        if (tail.isEmpty) buf.clear() else buf.put(toArr(tail))
+      } else if (pendingNew.nonEmpty) buf.appendList(toArr(pendingNew))
       wc.update((w, cnt))
       if (flushTimeoutMs > 0) {
         val hadTimer = armed.exists()
@@ -239,7 +256,10 @@ object StatefulV2 {
         timers: TimerValues): Iterator[(K, Long, Seq[V])] = {
       var n = if (since.exists()) since.get() else 0L
       val firstOfPane = n == 0
-      rows.foreach { case (_, v) => buf.appendValue(v); n += 1 }
+      // ONE appendList per batch — see SessionLog.flush
+      val local = scala.collection.mutable.ArrayBuffer[V]()
+      rows.foreach { case (_, v) => local += v; n += 1 }
+      if (local.nonEmpty) buf.appendList(toArr(local))
       since.update(n)
       // pastFirstElementInPane: the delay is anchored at the FIRST
       // element of the pane; later arrivals never push it out
@@ -385,20 +405,40 @@ object StatefulV2 {
         timers: TimerValues): Iterator[(K, Long, Seq[V])] = {
       val now = timers.getCurrentProcessingTimeInMs()
       var cnt = if (since.exists()) since.get() else 0L
+      var anc = if (anchor.exists()) anchor.get() else now
+      var pn = if (pane.exists()) pane.get() else 0L
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Seq[V])]()
+      // buffer locally; persist buf/since/anchor/pane ONCE at the end
+      // (per-row appendValue/update is O(writes-this-batch) per call —
+      // see SessionLog.flush)
+      val local = scala.collection.mutable.ArrayBuffer[V]()
+      var storeValid = true // persisted rows still part of the open pane
+      var storeRows: Seq[V] = null
+      def readStore(): Seq[V] = {
+        if (storeRows == null) storeRows = buf.get().toSeq
+        storeRows
+      }
       rows.foreach { case (_, v) =>
-        if (cnt == 0) anchor.update(now) // first element of this pane
-        buf.appendValue(v)
+        if (cnt == 0) anc = now // first element of this pane
+        local += v
         cnt += 1
-        since.update(cnt)
         // Count conditions trip on the element path, mid-batch — a
         // second AfterCount pane can fire within one input batch.
-        val anc = anchor.get()
         if (TriggerSpec.readyAt(spec, cnt, anc).exists(_ <= now)) {
-          out += fire(key)
+          val contents =
+            (if (storeValid) readStore() else Seq.empty[V]) ++ local
+          out += ((key, pn, contents))
+          pn += 1
+          if (!accumulating) { local.clear(); storeValid = false }
           cnt = 0
         }
       }
+      if (!storeValid) {
+        if (local.isEmpty) buf.clear() else buf.put(toArr(local))
+      } else if (local.nonEmpty) buf.appendList(toArr(local))
+      since.update(cnt)
+      pane.update(pn)
+      if (cnt > 0) anchor.update(anc) else anchor.clear()
       rearm(now)
       out.iterator
     }
@@ -764,6 +804,13 @@ object StatefulV2 {
     z ^ (z >>> 31)
   }
 
+  /** 64-bit per-key draw-stream seed: value hash in the low word,
+    * string-form hash in the high word, mixed through [[mix64]] — two
+    * independent 32-bit hashes must BOTH collide before two keys share
+    * a draw sequence (see [[ReservoirProcessor]]'s determinism note). */
+  private[graft] def keyDrawHash(key: Any): Long =
+    mix64(key.hashCode().toLong ^ (key.toString.hashCode.toLong << 32))
+
   /** Uniform draw in [0, n] for the (n+1)-th element of a key's
     * stream (Algorithm R's j) — a pure function of (seed, key hash,
     * element index), so the whole sample is REPLAYABLE: a pure
@@ -783,7 +830,14 @@ object StatefulV2 {
     * Draws come from [[reservoirDraw]] (deterministic in (seed, key,
     * index)), so two runs over the same arrival order produce
     * byte-identical samples — the reproducibility contract the batch
-    * sampling queries keep via portable-hash ordering. */
+    * sampling queries keep via portable-hash ordering. The per-key
+    * draw stream is seeded by [[keyDrawHash]]: a 64-bit combination
+    * of the key's value hash and string form mixed through SplitMix64,
+    * so two keys share a draw sequence only on a full 64-bit collision
+    * (~2^-64, vs 2^-32 for raw hashCode). Determinism across runs
+    * assumes value-stable `hashCode`/`toString` key types (primitives,
+    * Strings, case classes — NOT raw arrays, which are also unsound as
+    * groupByKey keys for the same identity-hash reason). */
   class ReservoirProcessor[K, V](k: Int, seed: Long)(
       implicit stEnc: Encoder[(Long, Long, Seq[V])])
       extends StatefulProcessor[K, (K, V), (K, Long, Long, Seq[V])] {
@@ -803,7 +857,7 @@ object StatefulV2 {
       val (rev, n0, res0) =
         if (st.exists()) st.get() else (0L, 0L, Seq.empty[V])
       var n = n0
-      val kh = key.hashCode().toLong
+      val kh = keyDrawHash(key)
       val buf = scala.collection.mutable.ArrayBuffer[V](res0: _*)
       rows.foreach { case (_, v) =>
         if (n < k) buf += v
@@ -890,6 +944,184 @@ object StatefulV2 {
       // no timers, no TTL → TimeMode.None (see scd2Changes)
       TimeMode.None(), OutputMode.Append())
 
+  /** Shard assignment for the GLOBAL sketch forms: the item's own
+    * value routes it — hash-sharding by item means an item's ENTIRE
+    * count lands in exactly one shard, which is what lets per-shard
+    * summaries compose without splitting any item's frequency. 64-bit
+    * mixed ([[keyDrawHash]]) so shard skew is hash-collision-grade
+    * only; same value-stable hashCode/toString caveat. */
+  private[graft] def shardOf(item: Any, shards: Int): Long =
+    Math.floorMod(keyDrawHash(item), shards.toLong)
+
+  /** Second stage of [[heavyHittersGlobal]]: the O(shards)-row
+    * snapshot stream merges under ONE grouping key. State is the
+    * latest Misra-Gries summary per shard (MapState, ≤ `shards`
+    * entries × k counters FOREVER; only shards that emitted this
+    * batch rewrite). Because sharding is BY ITEM, shard summaries
+    * cover disjoint item sets: the global summary is their plain
+    * union, est(x) = its shard's est, and x's true undercount is
+    * bounded by its own shard's err — so the published single bound
+    * `err = max(shard errs)` is valid for every item (tighter than
+    * [[graft.functions.MisraGries.merge]]'s general-case err sum,
+    * which pays for overlapping summaries that cannot arise here),
+    * and coverage holds: true(x) > err ≥ errShard(x) ⇒ x survives in
+    * its shard. Emits one rev-stamped global snapshot per batch:
+    * (rev, n, err, top-k). */
+  class GlobalHeavyHittersMergeProcessor[I](k: Int)(
+      implicit shardEnc: Encoder[(Long, Long, Seq[(I, Long)])])
+      extends StatefulProcessor[Int, (Long, Long, Long, Long, Seq[(I, Long)]), (Long, Long, Long, Seq[(I, Long)])] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    // shard → (n, err, counters); rev in its own slot (one put each)
+    @transient private var perShard: MapState[Long, (Long, Long, Seq[(I, Long)])] = _
+    @transient private var rev: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      perShard = getHandle.getMapState[Long, (Long, Long, Seq[(I, Long)])](
+        "shardMg", Encoders.scalaLong, shardEnc, TTLConfig.NONE)
+      rev = getHandle.getValueState[Long]("rev", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int,
+        rows: Iterator[(Long, Long, Long, Long, Seq[(I, Long)])],
+        timers: TimerValues): Iterator[(Long, Long, Long, Seq[(I, Long)])] = {
+      // ≤ one snapshot per shard per batch (one invocation per key
+      // upstream), but keep the max-rev row per shard defensively
+      val fresh = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      val freshCounters = scala.collection.mutable.Map[Long, Seq[(I, Long)]]()
+      var any = false
+      rows.foreach { case (shard, srev, n, err, counters) =>
+        if (fresh.get(shard).forall(_._1 < srev)) {
+          fresh(shard) = (srev, n, err)
+          freshCounters(shard) = counters
+        }
+        any = true
+      }
+      if (!any) return Iterator.empty
+      fresh.foreach { case (shard, (_, n, err)) =>
+        perShard.updateValue(shard, (n, err, freshCounters(shard)))
+      }
+      // merge the full shard set (O(shards × k) — small by contract)
+      var nSum = 0L; var errMax = 0L
+      val union = scala.collection.mutable.ArrayBuffer[(I, Long)]()
+      val it = perShard.iterator()
+      while (it.hasNext) {
+        val (_, (n, err, counters)) = it.next()
+        nSum += n; errMax = math.max(errMax, err)
+        union ++= counters
+      }
+      val r = (if (rev.exists()) rev.get() else 0L) + 1L
+      rev.update(r)
+      Iterator.single((r, nSum, errMax,
+        union.sortBy { case (_, c) => -c }.take(k).toSeq))
+    }
+  }
+
+  /** GLOBAL (cross-key) streaming heavy hitters — Beam's
+    * SketchFrequencies / Top.largest over the whole stream
+    * (sdks/java/extensions/sketching/src/main/java/org/apache/beam/
+    * sdk/extensions/sketching/SketchFrequencies.java:90) in the
+    * scale-safe two-stage form: stage 1 shards BY ITEM VALUE
+    * (hash(item) % shards — parallel across the cluster, O(k) state
+    * per shard) and runs the per-key [[HeavyHittersProcessor]]; stage
+    * 2 merges the O(shards)-row snapshot stream under one key
+    * ([[GlobalHeavyHittersMergeProcessor]] — a single-key stage is
+    * only safe because its INPUT is summaries, never the event
+    * stream). Emits rev-stamped global snapshots (rev, n, err, top-k):
+    * est ≤ true ≤ est + err deterministic, coverage for every item
+    * with true count > err. Input: (item, weight), weights > 0. */
+  def heavyHittersGlobal[I: Encoder](ds: Dataset[(I, Long)], k: Int,
+      shards: Int = 32)(
+      implicit midEnc: Encoder[(Long, Long, Long, Long, Seq[(I, Long)])],
+      shardEnc: Encoder[(Long, Long, Seq[(I, Long)])],
+      outEnc: Encoder[(Long, Long, Long, Seq[(I, Long)])]): Dataset[(Long, Long, Long, Seq[(I, Long)])] = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    implicit val keyedEnc: Encoder[(Long, I, Long)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[I]],
+        Encoders.scalaLong)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val sharded = ds.map { case (i, w) => (shardOf(i, shards), i, w) }
+    heavyHitters[Long, I](sharded, k)
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(new GlobalHeavyHittersMergeProcessor[I](k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Second stage of [[approxDistinctGlobal]]: latest HLL sketch bytes
+    * per shard (MapState, ≤ `shards` compact images FOREVER), one
+    * DataSketches union over the shard set per batch. Item-value
+    * sharding makes shard item sets disjoint, but HLL union is exact
+    * under ANY overlap — the bound is the plain union-sketch rsd. */
+  class GlobalApproxDistinctMergeProcessor(lgK: Int)
+      extends StatefulProcessor[Int, (Long, Long, Long, Long, Array[Byte]), (Long, Long, Long, Array[Byte])] {
+
+    @transient private var perShard: MapState[Long, (Long, Array[Byte])] = _
+    @transient private var rev: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      perShard = getHandle.getMapState[Long, (Long, Array[Byte])](
+        "shardHll", Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY), TTLConfig.NONE)
+      rev = getHandle.getValueState[Long]("rev", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int,
+        rows: Iterator[(Long, Long, Long, Long, Array[Byte])],
+        timers: TimerValues): Iterator[(Long, Long, Long, Array[Byte])] = {
+      val fresh = scala.collection.mutable.Map[Long, (Long, Long, Array[Byte])]()
+      var any = false
+      rows.foreach { case (shard, srev, n, _, bytes) =>
+        if (fresh.get(shard).forall(_._1 < srev)) fresh(shard) = (srev, n, bytes)
+        any = true
+      }
+      if (!any) return Iterator.empty
+      fresh.foreach { case (shard, (_, n, bytes)) =>
+        perShard.updateValue(shard, (n, bytes))
+      }
+      var nSum = 0L
+      val union = new org.apache.datasketches.hll.Union(lgK)
+      val it = perShard.iterator()
+      while (it.hasNext) {
+        val (_, (n, bytes)) = it.next()
+        nSum += n
+        union.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
+      }
+      val sk = union.getResult
+      val r = (if (rev.exists()) rev.get() else 0L) + 1L
+      rev.update(r)
+      Iterator.single((r, nSum, Math.round(sk.getEstimate),
+        sk.toCompactByteArray))
+    }
+  }
+
+  /** GLOBAL (cross-key) streaming approximate distinct count — Beam's
+    * ApproximateUnique.globally (sdks/java/core/src/main/java/org/
+    * apache/beam/sdk/transforms/ApproximateUnique.java:82) in the same
+    * two-stage form as [[heavyHittersGlobal]]: per-shard
+    * [[ApproxDistinctProcessor]] HLLs, then a one-key DataSketches
+    * union over the O(shards) snapshot stream. Emits rev-stamped
+    * (rev, n, estimate, union sketch bytes) — the bytes compose with
+    * the native hll_* SQL functions exactly like the per-key form. */
+  def approxDistinctGlobal(ds: Dataset[String], lgK: Int = 12,
+      shards: Int = 32)(
+      implicit outEnc: Encoder[(Long, Long, Long, Array[Byte])]): Dataset[(Long, Long, Long, Array[Byte])] = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    implicit val keyedEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val midEnc: Encoder[(Long, Long, Long, Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.BINARY)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val sharded = ds.filter((i: String) => i != null)
+      .map(i => (shardOf(i, shards), i))
+    approxDistinct[Long](sharded, lgK)
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(new GlobalApproxDistinctMergeProcessor(lgK),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming per-key z-score anomaly detection — the continuous
     * form of the batch `anomaly_zscore` fit-and-flag (reference:
     * sdks/python/apache_beam/ml/anomaly/detectors/zscore.py over the
@@ -900,7 +1132,12 @@ object StatefulV2 {
     * itself by inflating the variance it is judged against). Emits
     * (key, value, z) for |z| > threshold once the tracker has seen
     * `minN` values (the warm-up gate every online detector needs;
-    * sd = sample stddev, sqrt(M2/(n-1))). State is O(keys) × 3
+    * sd = sample stddev, sqrt(M2/(n-1))). A deviation from a
+    * CONSTANT warm-up (sd == 0, v != mean) is the clearest possible
+    * anomaly, not a blind spot: it flags with the sentinel
+    * z = ±Infinity (signed toward the deviation) — mathematically
+    * honest (the value is unboundedly many sample-sds away) and
+    * trivially past any finite threshold. State is O(keys) × 3
     * numbers, one put per touched key per batch — nothing buffers. */
   class ZScoreProcessor[K](threshold: Double, minN: Long)
       extends StatefulProcessor[K, (K, Double), (K, Double, Double)] {
@@ -925,6 +1162,9 @@ object StatefulV2 {
           if (sd > 0) {
             val z = (v - mean) / sd
             if (math.abs(z) > threshold) out += ((key, v, z))
+          } else if (v != mean) {
+            // constant-valued warm-up broken: infinitely many sds away
+            out += ((key, v, math.signum(v - mean) * Double.PositiveInfinity))
           }
         }
         cur = welfordAdd(cur, v)
@@ -1017,10 +1257,11 @@ object StatefulV2 {
     @transient private var log: ListState[(Long, Long, V)] = _
     @transient private var meta: ValueState[Meta] = _
     @transient private var nextTimer: ValueState[Long] = _
-    // pre-r13 layout ((ts, value) rows, no positions): registered
-    // read-only so a restored old checkpoint MIGRATES instead of
-    // silently dropping its buffered sessions — see migrate()
-    @transient private var oldBuf: ListState[(Long, V)] = _
+    // The pre-r13 "buf" ((ts, value), no positions) migration shim was
+    // retired in r14 once no pre-r13 checkpoint could survive a round
+    // boundary — dropping the variable relies on removed-state-tolerant
+    // restore, the same contract the r11 sessions→sessions2 rename
+    // shipped on (see SCALE.md's state-evolution playbook).
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       log = getHandle.getListState[(Long, Long, V)]("log",
@@ -1030,8 +1271,6 @@ object StatefulV2 {
         Encoders.product[Meta], TTLConfig.NONE)
       nextTimer = getHandle.getValueState[Long]("nextTimer",
         Encoders.scalaLong, TTLConfig.NONE)
-      oldBuf = getHandle.getListState[(Long, V)]("buf",
-        Encoders.tuple(Encoders.scalaLong, vEnc), TTLConfig.NONE)
     }
 
     private def insert(cs: Vector[(Long, Long)], ts: Long): Vector[(Long, Long)] =
@@ -1077,45 +1316,25 @@ object StatefulV2 {
       }
     }
 
-    /** Pre-r13 checkpoint backfill: rows buffered under the old
-      * (ts, value) layout re-append into the positioned log (arrival
-      * order → arrival positions) and rebuild cluster summaries, then
-      * the old buffer clears — one-shot per restored key, from either
-      * the input or the timer path (a restored key's old per-end
-      * timer can fire before any new input arrives). The old "sums"/
-      * "armed" lists are deliberately NOT re-registered (their content
-      * is derivable from the rows; stale per-end timers fire as
-      * no-ops) — this relies on state evolution tolerating removed
-      * state variables on restore, the same contract the r11
-      * sessions→sessions2 rename shipped on; if a Spark upgrade turns
-      * that into a hard restore error, the failure is loud, not a
-      * silent data loss. */
-    private def migrate(m: Meta): Meta = {
-      val it = oldBuf.get()
-      if (!it.hasNext) return m
-      var (nextPos, total, garbage, cs0, fences) = m
-      var cs = cs0.toVector
-      while (it.hasNext) {
-        val (t, v) = it.next()
-        log.appendValue((nextPos, t, v))
-        cs = insert(cs, t)
-        nextPos += 1; total += 1
-      }
-      oldBuf.clear()
-      (nextPos, total, garbage, cs, fences)
-    }
-
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, V)],
         timers: TimerValues): Iterator[O] = {
-      var (nextPos, total, garbage, cs0, fences) = migrate(loadMeta())
+      var (nextPos, total, garbage, cs0, fences) = loadMeta()
       var cs = cs0.toVector
+      // ONE appendList per key per batch, not one appendValue per row:
+      // per-value appendValue pays a per-call store overhead that the
+      // ScaleProbe measured as O(batch-appends) per key — a 20k-row
+      // batch ran ~13x slower PER EVENT than a 2k-row batch on the
+      // same accumulated state (O(batch²) per invocation); batching
+      // the rows into one call restores O(batch)
+      val batch = scala.collection.mutable.ArrayBuffer[(Long, Long, V)]()
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
-        log.appendValue((nextPos, t, v))
+        batch += ((nextPos, t, v))
         cs = insert(cs, t)
         nextPos += 1; total += 1
       }
+      if (batch.nonEmpty) log.appendList(batch.toArray)
       meta.update((nextPos, total, garbage, cs, fences))
       armChain(cs)
       Iterator.empty
@@ -1131,12 +1350,7 @@ object StatefulV2 {
       // cluster.
       val expiry = timer.getExpiryTimeInMs()
       val cutTs = math.max(expiry, timers.getCurrentWatermarkInMs())
-      val m0 = loadMeta()
-      val m = migrate(m0) // returns m0 itself when there is nothing to do
-      // persist a backfill rebuild even on a no-op fire, or every
-      // subsequent stale timer repeats the O(old buffer) migration
-      if (m ne m0) meta.update(m)
-      val (nextPos, total, garbage0, cs0, fences0) = m
+      val (nextPos, total, garbage0, cs0, fences0) = loadMeta()
       val cs = cs0.toVector
       // clusters are disjoint and sorted, so ends are increasing and
       // the due set is a PREFIX — a stale timer (its cluster merged
@@ -1160,8 +1374,7 @@ object StatefulV2 {
         // threshold compaction — the ONLY log rewrite, amortized O(1)
         // per append: keep the still-pending live rows, drop fences
         // (every survivor is live)
-        log.clear()
-        pendRows.foreach(log.appendValue)
+        if (pendRows.isEmpty) log.clear() else log.put(pendRows.toArray)
         meta.update((nextPos, pendRows.length.toLong, 0L, pending, Nil))
       } else {
         meta.update((nextPos, total, garbage, pending,
@@ -1278,7 +1491,10 @@ object StatefulV2 {
     override def handleInputRows(key: (K, Long),
         rows: Iterator[(A, java.sql.Timestamp, V)],
         timers: TimerValues): Iterator[O] = {
-      rows.foreach { case (_, ts, v) => buf.appendValue((ts.getTime, v)) }
+      // ONE appendList per key per batch — see SessionLog.flush
+      val local = scala.collection.mutable.ArrayBuffer[(Long, V)]()
+      rows.foreach { case (_, ts, v) => local += ((ts.getTime, v)) }
+      if (local.nonEmpty) buf.appendList(toArr(local))
       if (!armed.exists()) {
         getHandle.registerTimer(key._2 + windowMs)
         armed.update(true)
@@ -1621,18 +1837,22 @@ object StatefulV2 {
     override def handleInputRows(key: K, rows: Iterator[(K, Option[L], Option[R])],
         timers: TimerValues): Iterator[(K, L, R)] = {
       val out = scala.collection.mutable.ArrayBuffer[(K, L, R)]()
+      // rights buffer locally; ONE appendList persists the batch's
+      // still-unjoined remainder — see SessionLog.flush
+      val local = scala.collection.mutable.ArrayBuffer[R]()
       rows.foreach {
         case (_, Some(l), _) if !person.exists() =>
           person.update(l)
-          val buffered = pending.get().toSeq
-          pending.clear()
+          val buffered = pending.get().toSeq ++ local
+          pending.clear(); local.clear()
           buffered.foreach(r => out += ((key, l, r)))
         case (_, Some(_), _) => // duplicate person: first wins
         case (_, None, Some(r)) =>
           if (person.exists()) out += ((key, person.get(), r))
-          else pending.appendValue(r)
+          else local += r
         case _ => // (None, None): ignore
       }
+      if (local.nonEmpty) pending.appendList(toArr(local))
       out.iterator
     }
   }
@@ -1729,11 +1949,14 @@ object StatefulV2 {
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, Option[V], Option[R])],
         timers: TimerValues): Iterator[(K, java.sql.Timestamp, V, Option[R])] = {
+      // events buffer locally, ONE appendList — see SessionLog.flush
+      val local = scala.collection.mutable.ArrayBuffer[(Long, V)]()
       rows.foreach {
-        case (_, ts, Some(v), _) => pending.appendValue((ts.getTime, v))
+        case (_, ts, Some(v), _) => local += ((ts.getTime, v))
         case (_, ts, _, Some(r)) => versions.updateValue(ts.getTime, r)
         case _ => // (None, None): ignore
       }
+      if (local.nonEmpty) pending.appendList(toArr(local))
       rearm()
       Iterator.empty
     }
@@ -1753,8 +1976,8 @@ object StatefulV2 {
         (key, new java.sql.Timestamp(ts), v, floor)
       }
       if (ready.nonEmpty) {
-        pending.clear()
-        rest.foreach(pending.appendValue)
+        if (rest.isEmpty) pending.clear()
+        else pending.put(rest.toArray)
       }
       // GC: the newest version <= wm stays (floor candidate for every
       // future on-time event); all strictly older ones are unreachable
@@ -1828,20 +2051,36 @@ object StatefulV2 {
           Encoders.scalaDouble), TTLConfig.NONE)
     }
 
-    private def offer(openMs: Long, tsMs: Long, bidId: Long, value: Double): Unit = {
-      if (tsMs >= openMs && tsMs < openMs + durationMs) {
-        val better = !best.exists() || {
-          val (bv, bts, bid) = best.get()
-          value > bv || (value == bv && (tsMs < bts ||
-            (tsMs == bts && bidId < bid)))
-        }
-        if (better) best.update((value, tsMs, bidId))
-      }
-    }
-
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, Boolean, Long, Double)],
         timers: TimerValues): Iterator[(K, Long, Long, Double)] = {
+      // best/early fold into LOCALS, persisted once at the end —
+      // per-row ValueState get/update and ListState appendValue pay a
+      // per-call store overhead that grows within a batch (see
+      // SessionLog.flush)
+      var bestLocal: (Double, Long, Long) = null
+      var bestLoaded = false
+      var bestDirty = false
+      def offer(openMs: Long, tsMs: Long, bidId: Long, value: Double): Unit =
+        if (tsMs >= openMs && tsMs < openMs + durationMs) {
+          if (!bestLoaded) {
+            bestLocal = if (best.exists()) best.get() else null
+            bestLoaded = true
+          }
+          val better = bestLocal == null || {
+            val (bv, bts, bid) = bestLocal
+            value > bv || (value == bv && (tsMs < bts ||
+              (tsMs == bts && bidId < bid)))
+          }
+          if (better) { bestLocal = (value, tsMs, bidId); bestDirty = true }
+        }
+      val localEarly = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      var storeProbed = false
+      var storeNonEmpty = false
+      def storeHasRows: Boolean = {
+        if (!storeProbed) { storeNonEmpty = early.get().hasNext; storeProbed = true }
+        storeNonEmpty
+      }
       rows.foreach { case (_, ts, isAuction, id, value) =>
         if (isAuction) {
           if (!auction.exists()) {
@@ -1849,17 +2088,20 @@ object StatefulV2 {
             auction.update((openMs, id))
             getHandle.registerTimer(openMs + durationMs)
             early.get().foreach { case (bts, bid, bv) => offer(openMs, bts, bid, bv) }
-            early.clear()
+            localEarly.foreach { case (bts, bid, bv) => offer(openMs, bts, bid, bv) }
+            early.clear(); localEarly.clear()
           }
         } else {
           if (auction.exists()) offer(auction.get()._1, ts.getTime, id, value)
           else {
-            if (orphanTtlMs > 0 && !early.get().hasNext)
+            if (orphanTtlMs > 0 && localEarly.isEmpty && !storeHasRows)
               getHandle.registerTimer(ts.getTime + orphanTtlMs)
-            early.appendValue((ts.getTime, id, value))
+            localEarly += ((ts.getTime, id, value))
           }
         }
       }
+      if (localEarly.nonEmpty) early.appendList(localEarly.toArray)
+      if (bestDirty) best.update(bestLocal)
       Iterator.empty
     }
 
@@ -2011,15 +2253,22 @@ object StatefulV2 {
       * session and appends are monotone in pos. */
     type St = (Seq[(Long, Long)], Long, Long, Boolean, Long, Long, Long)
 
-    /** V-free state shape → one static encoder, no caller plumbing. */
-    val stEnc: Encoder[St] = Encoders.product[St]
+    /** The WHOLE per-key bookkeeping row (r14 packed-meta layout): log
+      * counters (nextPos, total, garbage), the single timer-chain slot,
+      * and every open session's summary, sorted by session min ts.
+      * Open sessions per key are bounded by the gap structure (disjoint
+      * spans > gap apart inside the lateness horizon) and a summary is
+      * ~10 numbers, so the row stays small — and packing it means a
+      * batch writes ONE ValueState put per touched key instead of
+      * logMeta + timer slot + one MapState put per dirty session (+ a
+      * removeKey per close): the r13 gap-processor discipline
+      * (6× → 1.9× rowsUpdated/event there) applied to the session-pane
+      * family. A key whose sessions all closed and whose log compacted
+      * empty CLEARS the row — zero resident state for idle keys. */
+    type Packed = (Long, Long, Long, Long, Seq[(Long, St)])
 
-    def load(ms: MapState[Long, St]): scala.collection.mutable.TreeMap[Long, St] = {
-      val m = scala.collection.mutable.TreeMap.empty[Long, St]
-      val it = ms.iterator()
-      while (it.hasNext) { val kv = it.next(); m += (kv._1 -> kv._2) }
-      m
-    }
+    /** V-free state shape → one static encoder, no caller plumbing. */
+    val packedEnc: Encoder[Packed] = Encoders.product[Packed]
 
     /** Liveness cutoff for a row at `ts`: the segment with the
       * greatest tsLo ≤ ts (head's cutoff below the first — defensive;
@@ -2137,19 +2386,31 @@ object StatefulV2 {
     * amortized-O(1)-per-append compaction. */
   private[graft] final class SessionLog[V](
       log: ListState[(Long, Long, V)],
-      meta: ValueState[(Long, Long, Long)]) {
-    var (nextPos, total, garbage) = if (meta.exists()) meta.get() else (0L, 0L, 0L)
+      nextPos0: Long = 0L, total0: Long = 0L, garbage0: Long = 0L) {
+    // counters arrive from (and return to) the caller's packed meta
+    // row — the log itself persists no scalar state of its own
+    var nextPos: Long = nextPos0
+    var total: Long = total0
+    var garbage: Long = garbage0
     private var cache: scala.collection.mutable.ArrayBuffer[(Long, Long, V)] = null
     // cache[0, baseLen) sorted by (ts, pos); appends after index build
     // land past baseLen and are scanned linearly (O(this batch))
     private var baseSorted: scala.collection.mutable.ArrayBuffer[(Long, Long, V)] = null
     private var baseLen = 0
+    // this invocation's appends, persisted by flush() in ONE
+    // appendList call: per-row appendValue pays a per-call store
+    // overhead that GROWS with the calls already made this batch —
+    // the ScaleProbe measured O(batch²) per invocation (a 20k-row
+    // batch ~13× slower PER EVENT than a 2k-row batch on identical
+    // accumulated state; one appendList restored the 60× loss)
+    private val pending = scala.collection.mutable.ArrayBuffer[(Long, Long, V)]()
 
     def rows(): scala.collection.mutable.ArrayBuffer[(Long, Long, V)] = {
       if (cache == null) {
         cache = scala.collection.mutable.ArrayBuffer[(Long, Long, V)]()
         val it = log.get()
         while (it.hasNext) cache += it.next()
+        cache ++= pending // appends made before the first read
       }
       cache
     }
@@ -2166,9 +2427,17 @@ object StatefulV2 {
 
     def append(t: Long, v: V): Unit = {
       val e = (nextPos, t, v)
-      log.appendValue(e)
+      pending += e
       if (cache != null) cache += e
       nextPos += 1; total += 1
+    }
+
+    /** Persist this invocation's appends — ONE appendList call; must
+      * run before the invocation returns (a compaction that already
+      * folded them into its rewrite empties `pending` first). */
+    def flush(): Unit = if (pending.nonEmpty) {
+      log.appendList(pending.toArray)
+      pending.clear()
     }
 
     /** The live rows of the session keyed at `min`, below `beforePos`:
@@ -2217,14 +2486,20 @@ object StatefulV2 {
     def maybeRewrite(m: scala.collection.mutable.TreeMap[Long, SessionPanes.St],
         maxCuts: Int = 32): Boolean = {
       val overflow = m.valuesIterator.exists(_._1.length > maxCuts)
-      if (garbage * 2 < total && !overflow) return false
+      // the (m.isEmpty && total > 0) arm is defensive: the last close
+      // pushes garbage to total anyway, but an undercount must never
+      // strand dead rows under an empty session map forever
+      if (garbage * 2 < total && !overflow && !(m.isEmpty && total > 0))
+        return false
       val keep = rows().filter { case (p, t, _) =>
         m.rangeTo(t).lastOption.exists { case (min, st) =>
           SessionPanes.live(min, st, p, t)
         }
       }
-      log.clear()
-      keep.foreach(log.appendValue)
+      // rows() includes this invocation's pending appends, so the
+      // rewrite persists them too — drop the buffer, then ONE put
+      pending.clear()
+      if (keep.isEmpty) log.clear() else log.put(keep.toArray)
       cache = keep
       baseSorted = null; baseLen = 0
       total = keep.size.toLong
@@ -2248,7 +2523,21 @@ object StatefulV2 {
             "pre-r11 state layout and cannot be restored; restart from a " +
             "fresh checkpoint")
 
-    def save(): Unit = meta.update((nextPos, total, garbage))
+    /** Loud detector for a pre-r14 (separate logMeta/MapState layout)
+      * checkpoint restore: the caller found NO packed meta row for this
+      * key, so the log must be physically empty — rows under an absent
+      * meta mean the key's state was written by the r11-r13 layout
+      * (sessions2 + logMeta + timer slot), whose summaries restore
+      * empty under the renamed variable. Fail fast instead of silently
+      * dropping every in-flight session. Cheap: for a genuinely new key
+      * the iterator is empty and this is one O(1) probe. */
+    def checkFreshLayout(): Unit =
+      if (rows().nonEmpty)
+        throw new IllegalStateException(
+          "session state layout mismatch: row log is non-empty but the " +
+            "packed session meta is absent — this checkpoint was written " +
+            "by a pre-r14 state layout and cannot be restored; restart " +
+            "from a fresh checkpoint")
   }
 
   class TriggeredSessionProcessor[K, V](gapMs: Long, allowedLatenessMs: Long,
@@ -2272,46 +2561,64 @@ object StatefulV2 {
     // stale panes under their own window starts (downstream must
     // subtract the now-stale per-window results, Beam's
     // accumulatingAndRetractingFiredPanes rule over merging windows)
-    // and rebases the lineage to lastFirePos = 0. NOTE: this state
-    // layout replaced the r9 in-MapState row buffers — the variable is
-    // named "sessions2" so an r9 checkpoint (whose value schema for
-    // V = Long is byte-identical) can never be DECODED as cutoff
-    // segments. A renamed variable legally restores EMPTY under state
-    // evolution, so emptiness alone is not loud — the paired
-    // SessionLog.checkLayout makes it loud for any checkpoint that
-    // carried this processor's log (empty summaries + non-empty log is
-    // impossible in this layout); a pre-log r9 checkpoint degrades to
-    // a clean start, documented data loss rather than silent
-    // corruption.
+    // and rebases the lineage to lastFirePos = 0.
+    //
+    // r14 packed layout ([[SessionPanes.Packed]]): the summaries, the
+    // log counters, and the single timer-chain slot all live in ONE
+    // ValueState row — one put per touched key per batch, replacing
+    // the r11-r13 sessions2 MapState + logMeta + nextTimer trio (one
+    // put per DIRTY SESSION per batch plus two scalar puts plus a
+    // removeKey per close: the engine's worst remaining write
+    // amplifier at ~3.4 state rows/event in the r13 breakdown). The
+    // variable is NAMED "panes3" so an r11-r13 checkpoint can never
+    // be decoded as the new schema; a renamed variable legally
+    // restores EMPTY under state evolution, so emptiness alone is not
+    // loud — the paired SessionLog.checkFreshLayout makes it loud for
+    // any checkpoint that carried this processor's log (rows under an
+    // absent meta are impossible in this layout); a pre-log r9
+    // checkpoint degrades to a clean start, documented data loss
+    // rather than silent corruption.
+    //
+    // The timer-chain slot (Packed._4): ONE event-time timer per key,
+    // aimed at the earliest pending session need — the fire sweeps
+    // EVERY session the watermark has passed (not just the one whose
+    // end matched), then re-arms. The r10 layout armed one timer per
+    // session end (an `armed` ListState): a session-heavy key paid one
+    // fire per closing session per batch, each fire re-reading the
+    // session map and rewriting the armed list — O(sessions²) state
+    // traffic per batch where this chain pays O(sessions).
     private type SessState = SessionPanes.St
-    @transient private var sessions: MapState[Long, SessState] = _
-    @transient private var nextTimer: ValueState[Long] = _
+    @transient private var packed: ValueState[SessionPanes.Packed] = _
     @transient private var log: ListState[(Long, Long, V)] = _
-    @transient private var logMeta: ValueState[(Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      sessions = getHandle.getMapState[Long, SessState]("sessions2",
-        Encoders.scalaLong, SessionPanes.stEnc, TTLConfig.NONE)
-      // ONE event-time timer chain per key, aimed at the earliest
-      // pending session need — the fire sweeps EVERY session the
-      // watermark has passed (not just the one whose end matched),
-      // then re-arms. The r10 layout armed one timer per session end
-      // (an `armed` ListState): a session-heavy key paid one fire per
-      // closing session per batch, each fire re-reading the session
-      // map and rewriting the armed list — O(sessions²) state traffic
-      // per batch where this chain pays O(sessions).
-      nextTimer = getHandle.getValueState[Long]("nextTimer",
-        Encoders.scalaLong, TTLConfig.NONE)
+      packed = getHandle.getValueState[SessionPanes.Packed]("panes3",
+        SessionPanes.packedEnc, TTLConfig.NONE)
       log = getHandle.getListState[(Long, Long, V)]("log",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, vEnc),
         TTLConfig.NONE)
-      logMeta = getHandle.getValueState[(Long, Long, Long)]("logMeta",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
     }
 
-    private def loadSessions(): scala.collection.mutable.TreeMap[Long, SessState] =
-      SessionPanes.load(sessions)
+    /** (log view, timer slot, session summaries) off the packed row. */
+    private def loadPacked(): (SessionLog[V], Long,
+        scala.collection.mutable.TreeMap[Long, SessState]) =
+      if (packed.exists()) {
+        val (np, tot, gb, slot, ss) = packed.get()
+        (new SessionLog[V](log, np, tot, gb), slot,
+          scala.collection.mutable.TreeMap.from(ss))
+      } else {
+        val lv = new SessionLog[V](log)
+        lv.checkFreshLayout() // pre-r14 checkpoint → loud, not data loss
+        (lv, 0L, scala.collection.mutable.TreeMap.empty)
+      }
+
+    /** ONE meta put per touched key per batch — or a full clear when
+      * the key went idle (no sessions, compacted-empty log, no timer):
+      * zero resident state for dead keys. */
+    private def savePacked(lv: SessionLog[V], slot: Long,
+        m: scala.collection.mutable.TreeMap[Long, SessState]): Unit =
+      if (m.isEmpty && lv.total == 0L && slot == 0L) packed.clear()
+      else packed.update((lv.nextPos, lv.total, lv.garbage, slot, m.toSeq))
 
     private def paneValues(buf: Seq[(Long, V)]): Seq[V] =
       SessionPanes.paneValues(buf)
@@ -2320,12 +2627,15 @@ object StatefulV2 {
       * need: (end − lateness) for a not-yet-fired session, end for a
       * fired one awaiting GC. Only ever moves EARLIER — a timer left
       * too early by a since-extended session fires as a cheap no-op
-      * and re-arms itself. */
-    private def armNext(m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
-      val pending = if (nextTimer.exists()) nextTimer.get() else 0L
+      * and re-arms itself. Returns the new slot value (0 = no timer);
+      * `consumed` = the expiry this invocation is firing for, already
+      * spent. The slot persists inside the packed meta row. */
+    private def armNext(m: scala.collection.mutable.TreeMap[Long, SessState],
+        slot: Long, consumed: Long = 0L): Long = {
+      val pending = if (slot == consumed) 0L else slot
       if (m.isEmpty) {
-        if (pending != 0L) { getHandle.deleteTimer(pending); nextTimer.clear() }
-        return
+        if (pending != 0L) getHandle.deleteTimer(pending)
+        return 0L
       }
       val need = m.valuesIterator.map { st =>
         if (!st._4) st._6 + gapMs - allowedLatenessMs
@@ -2334,8 +2644,8 @@ object StatefulV2 {
       if (pending == 0L || need < pending) {
         if (pending != 0L) getHandle.deleteTimer(pending)
         getHandle.registerTimer(need)
-        nextTimer.update(need)
-      }
+        need
+      } else pending
     }
 
     /** RETRACT pane for a session's last emitted content, if any. */
@@ -2350,11 +2660,7 @@ object StatefulV2 {
         rows: Iterator[(K, java.sql.Timestamp, V)],
         timers: TimerValues): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
-      val lv = new SessionLog[V](log, logMeta)
-      val m = loadSessions()
-      lv.checkLayout(m)
-      val before = m.keySet.toSet
-      val dirty = scala.collection.mutable.Set[Long]()
+      val (lv, slot, m) = loadPacked()
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
         // locate/extend/rekey/merge under gap-connectivity — shared
@@ -2387,32 +2693,23 @@ object StatefulV2 {
           }
         }
         m(skey) = (cuts, since, pane, fired, trigSt, mx, lastFire)
-        dirty += skey
       }
-      (before -- m.keySet).foreach(sessions.removeKey)
-      if (lv.maybeRewrite(m)) dirty ++= m.keySet // fences collapsed
-      dirty.foreach { k =>
-        m.get(k).foreach(st => sessions.updateValue(k, st))
-      }
-      armNext(m)
-      lv.save()
+      lv.maybeRewrite(m) // collapses fences in m itself; m persists below
+      lv.flush() // ONE appendList for this batch's rows
+      savePacked(lv, armNext(m, slot), m)
       out.iterator
     }
 
     override def handleExpiredTimer(key: K, timers: TimerValues,
         timer: ExpiredTimerInfo): Iterator[(K, Long, Long, String, Boolean, Seq[V])] = {
       val expiry = timer.getExpiryTimeInMs()
-      if (nextTimer.exists() && nextTimer.get() == expiry) nextTimer.clear()
       // sweep by the WATERMARK, not the firing expiry: every session
       // the watermark has passed is equally final, so one fire drains
       // all of them and the chain re-arms at the next future need —
       // identical per-batch output to per-end timers, at one fire
       val cut = math.max(expiry, timers.getCurrentWatermarkInMs())
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
-      val lv = new SessionLog[V](log, logMeta)
-      val m = loadSessions()
-      lv.checkLayout(m)
-      var mutated = false
+      val (lv, slot, m) = loadPacked()
       m.toSeq.foreach { case (min, st0) =>
         var st = st0
         var open = true
@@ -2422,15 +2719,14 @@ object StatefulV2 {
           retractionOf(key, min, st, lv, out)
           val vals = paneValues(lv.content(min, st))
           out += ((key, min, st._3, "ON_TIME", closing, vals))
-          mutated = true
           if (closing) {
-            sessions.removeKey(min); m.remove(min); open = false
+            m.remove(min); open = false
             lv.garbage += vals.size // closed-span rows purge lazily
           } else {
             val cuts = if (accumulating) st._1
                        else { lv.garbage += vals.size; Seq((min, lv.nextPos)) }
             st = (cuts, 0L, st._3 + 1, true, 0L, st._6, lv.nextPos)
-            sessions.updateValue(min, st); m(min) = st
+            m(min) = st
           }
         }
         // GC need is (end) in Spark's watermark domain — the upstream
@@ -2443,19 +2739,15 @@ object StatefulV2 {
             out += ((key, min, st._3, if (st0._4) "LATE" else "ON_TIME",
               true, paneValues(live)))
           }
-          sessions.removeKey(min); m.remove(min)
+          m.remove(min)
           lv.garbage += live.size
-          mutated = true
         }
         // anything else: the chain fired early (session since
         // extended) — pure no-op, re-armed below
       }
-      if (mutated) {
-        if (lv.maybeRewrite(m)) // fences collapsed: write back all
-          m.foreach { case (k, st) => sessions.updateValue(k, st) }
-        lv.save()
-      }
-      armNext(m)
+      lv.maybeRewrite(m)
+      lv.flush()
+      savePacked(lv, armNext(m, slot, consumed = expiry), m)
       out.iterator
     }
   }
@@ -2766,30 +3058,41 @@ object StatefulV2 {
     // [[SessionPanes.St]]; slot 5 = anchorDeadlineMs (0 = no pending
     // wall-clock pane); lastFirePos = the retraction baseline and rows
     // live in the per-key append-only [[SessionLog]], both as in
-    // TriggeredSessionProcessor (and with the same checkpoint
-    // non-portability vs the r9 buffer layout — hence "sessions2"
-    // plus SessionLog.checkLayout; see the note there)
+    // TriggeredSessionProcessor — including the r14 packed layout
+    // ([[SessionPanes.Packed]], Packed._4 = the sweep-chain slot): ONE
+    // ValueState put per touched key per batch, named "panes3" so an
+    // r11-r13 (sessions2 + logMeta + sweepAt) checkpoint can never be
+    // decoded as the new schema; SessionLog.checkFreshLayout makes a
+    // pre-r14 restore loud (see the TriggeredSessionProcessor note).
     private type SessState = SessionPanes.St
-    @transient private var sessions: MapState[Long, SessState] = _
+    @transient private var packed: ValueState[SessionPanes.Packed] = _
     @transient private var log: ListState[(Long, Long, V)] = _
-    @transient private var logMeta: ValueState[(Long, Long, Long)] = _
-    @transient private var sweepAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      sessions = getHandle.getMapState[Long, SessState]("sessions2",
-        Encoders.scalaLong, SessionPanes.stEnc, TTLConfig.NONE)
+      packed = getHandle.getValueState[SessionPanes.Packed]("panes3",
+        SessionPanes.packedEnc, TTLConfig.NONE)
       log = getHandle.getListState[(Long, Long, V)]("log",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, vEnc),
         TTLConfig.NONE)
-      logMeta = getHandle.getValueState[(Long, Long, Long)]("logMeta",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
-      sweepAt = getHandle.getValueState[Long]("sweepAt",
-        Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def loadSessions(): scala.collection.mutable.TreeMap[Long, SessState] =
-      SessionPanes.load(sessions)
+    /** (log view, sweep slot, session summaries) off the packed row. */
+    private def loadPacked(): (SessionLog[V], Long,
+        scala.collection.mutable.TreeMap[Long, SessState]) =
+      if (packed.exists()) {
+        val (np, tot, gb, slot, ss) = packed.get()
+        (new SessionLog[V](log, np, tot, gb), slot,
+          scala.collection.mutable.TreeMap.from(ss))
+      } else {
+        val lv = new SessionLog[V](log)
+        lv.checkFreshLayout() // pre-r14 checkpoint → loud, not data loss
+        (lv, 0L, scala.collection.mutable.TreeMap.empty)
+      }
+
+    private def savePacked(lv: SessionLog[V], slot: Long,
+        m: scala.collection.mutable.TreeMap[Long, SessState]): Unit =
+      if (m.isEmpty && lv.total == 0L && slot == 0L) packed.clear()
+      else packed.update((lv.nextPos, lv.total, lv.garbage, slot, m.toSeq))
 
     private def paneValues(buf: Seq[(Long, V)]): Seq[V] =
       SessionPanes.paneValues(buf)
@@ -2807,7 +3110,6 @@ object StatefulV2 {
       * purge lazily at the compaction threshold). */
     private def sweep(key: K, wm: Long, lv: SessionLog[V],
         m: scala.collection.mutable.TreeMap[Long, SessState],
-        dirty: scala.collection.mutable.Set[Long],
         out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
       m.keys.toSeq.foreach { min =>
         var st = m(min)
@@ -2826,7 +3128,7 @@ object StatefulV2 {
             val cuts = if (accumulating) st._1
                        else { lv.garbage += vals.size; Seq((min, lv.nextPos)) }
             st = (cuts, 0L, st._3 + 1, true, 0L, mx, lv.nextPos)
-            m(min) = st; dirty += min
+            m(min) = st
           }
         }
         if (!closed && st._4 && wm >= end + allowedLatenessMs) {
@@ -2843,7 +3145,6 @@ object StatefulV2 {
     /** Fire any due wall-clock pane anchors; mutates `m` in place. */
     private def fireDueAnchors(key: K, now: Long, lv: SessionLog[V],
         m: scala.collection.mutable.TreeMap[Long, SessState],
-        dirty: scala.collection.mutable.Set[Long],
         out: scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]): Unit =
       m.keys.toSeq.foreach { min =>
         val st = m(min)
@@ -2856,18 +3157,8 @@ object StatefulV2 {
           val cuts = if (accumulating) st._1
                      else { lv.garbage += vals.size; Seq((min, lv.nextPos)) }
           m(min) = (cuts, 0L, pane + 1, fired, 0L, mx, lv.nextPos)
-          dirty += min
         }
       }
-
-    private def writeBack(before: Set[Long],
-        dirty: scala.collection.mutable.Set[Long],
-        m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
-      (before -- m.keySet).foreach(sessions.removeKey)
-      dirty.foreach { k =>
-        m.get(k).foreach(st => sessions.updateValue(k, st))
-      }
-    }
 
     /** One sweep-timer chain per key, aimed at the nearest pending
       * event-time need (on-time at end, GC at end + lateness), mapped
@@ -2888,11 +3179,12 @@ object StatefulV2 {
       * timer as the sweep tick (the expiry handler runs the sweep on
       * every firing regardless of which role armed it). */
     private def armSweep(now: Long, wm: Long,
-        m: scala.collection.mutable.TreeMap[Long, SessState]): Unit = {
-      val pending = if (sweepAt.exists()) sweepAt.get() else 0L
+        m: scala.collection.mutable.TreeMap[Long, SessState],
+        slot: Long): Long = {
+      val pending = slot
       if (m.isEmpty) {
-        if (pending != 0L) { getHandle.deleteTimer(pending); sweepAt.clear() }
-        return
+        if (pending != 0L) getHandle.deleteTimer(pending)
+        return 0L
       }
       val anchors = m.valuesIterator.map(_._5).filter(_ != 0L).toSet
       val need = m.valuesIterator.map { st =>
@@ -2903,8 +3195,8 @@ object StatefulV2 {
         if (pending > now && !anchors.contains(pending))
           getHandle.deleteTimer(pending)
         if (!anchors.contains(target)) getHandle.registerTimer(target)
-        sweepAt.update(target)
-      }
+        target
+      } else pending
     }
 
     override def handleInputRows(key: K,
@@ -2913,11 +3205,7 @@ object StatefulV2 {
       val wm = timers.getCurrentWatermarkInMs()
       val now = timers.getCurrentProcessingTimeInMs()
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
-      val lv = new SessionLog[V](log, logMeta)
-      val m = loadSessions()
-      lv.checkLayout(m)
-      val before = m.keySet.toSet
-      val dirty = scala.collection.mutable.Set[Long]()
+      val (lv, slot, m) = loadPacked()
       rows.foreach { case (_, ts, v) =>
         val t = ts.getTime
         if (wm < t + gapMs + allowedLatenessMs) { // else: expired proto-window
@@ -2936,14 +3224,12 @@ object StatefulV2 {
             getHandle.registerTimer(anchor)
           }
           m(skey) = (cuts, since, pane, fired, anchor, mx, lastFire)
-          dirty += skey
         }
       }
-      sweep(key, wm, lv, m, dirty, out)
-      if (lv.maybeRewrite(m)) dirty ++= m.keySet // fences collapsed
-      writeBack(before, dirty, m)
-      lv.save()
-      armSweep(now, wm, m)
+      sweep(key, wm, lv, m, out)
+      lv.maybeRewrite(m) // collapses fences in m itself; m persists below
+      lv.flush() // ONE appendList for this batch's rows
+      savePacked(lv, armSweep(now, wm, m, slot), m)
       out.iterator
     }
 
@@ -2952,19 +3238,14 @@ object StatefulV2 {
       val wm = timers.getCurrentWatermarkInMs()
       val now = timers.getCurrentProcessingTimeInMs()
       val expiry = timer.getExpiryTimeInMs()
-      if (sweepAt.exists() && sweepAt.get() == expiry) sweepAt.clear()
       val out = scala.collection.mutable.ArrayBuffer[(K, Long, Long, String, Boolean, Seq[V])]()
-      val lv = new SessionLog[V](log, logMeta)
-      val m = loadSessions()
-      lv.checkLayout(m)
-      val before = m.keySet.toSet
-      val dirty = scala.collection.mutable.Set[Long]()
-      sweep(key, wm, lv, m, dirty, out)
-      fireDueAnchors(key, math.max(now, expiry), lv, m, dirty, out)
-      if (lv.maybeRewrite(m)) dirty ++= m.keySet // fences collapsed
-      writeBack(before, dirty, m)
-      lv.save()
-      armSweep(now, wm, m)
+      val (lv, slot0, m) = loadPacked()
+      val slot = if (slot0 == expiry) 0L else slot0 // sweep slot consumed
+      sweep(key, wm, lv, m, out)
+      fireDueAnchors(key, math.max(now, expiry), lv, m, out)
+      lv.maybeRewrite(m)
+      lv.flush()
+      savePacked(lv, armSweep(now, wm, m, slot), m)
       out.iterator
     }
   }

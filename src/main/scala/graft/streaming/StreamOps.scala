@@ -69,6 +69,29 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Latest-snapshot view of a REV-STAMPED CHANGELOG — the one-liner
+    * every consumer of this engine's streaming snapshot ops needs
+    * (heavyHitters / tdigestQuantiles / approxDistinct / funnelSteps /
+    * sampleFixedPerKey / scd2 open rows all emit (key, rev, …) with
+    * "latest row per key = max rev"): one `max_by(struct(…), rev)` per
+    * key, column names and order preserved. Scale: a single hash
+    * aggregate with a map-side partial max_by — one shuffle of one row
+    * per key per partition, never a window sort over the full
+    * changelog (the `row_number() = 1` anti-idiom this replaces).
+    * `revCol` must be unique per key (every emitter here stamps a
+    * strictly increasing rev). Batch consumption of an appended sink;
+    * for a live streaming view, aggregate in update mode instead. */
+  def latestByRev(df: DataFrame, keyCols: Seq[String],
+      revCol: String): DataFrame = {
+    require(keyCols.nonEmpty && !keyCols.contains(revCol),
+      s"keyCols must be non-empty and exclude revCol: $keyCols / $revCol")
+    val others = df.columns.filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(revCol)).as("_latest"))
+      .select(keyCols.map(col) ++
+        others.map(c => col(s"_latest.`$c`").as(c)): _*)
+  }
+
   /** Beam Deduplicate: drop duplicate ids arriving within the watermark
     * horizon. State is GC'd once the watermark passes — bounded memory
     * at any scale (the 100 TB property Beam gets from its TTL timer). */

@@ -1,0 +1,242 @@
+package graft.tools
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{StatefulV2, StreamOps}
+
+/** Empirical scale probe for the STATEFUL streaming family — the one
+  * 100 TB argument plan-shape lint cannot make: drive the worst state
+  * ops over synthetic skewed-key event streams at 1× and 10× volume
+  * and measure how throughput and state-write amplification actually
+  * move. A state design that is O(open-sessions) per key holds its
+  * events/s and rowsUpdated/event across the decade; an O(n²) rewrite
+  * pattern degrades super-linearly and fails the gates below.
+  *
+  * Probes (the three worst r13 state amplifiers + the banded-dedup
+  * candidate generator as the batch-side scale witness):
+  *   - triggered_sessions (merging windows + trigger/pane machinery)
+  *   - gap_flush (event-time session clusters, the MATCH_RECOGNIZE base)
+  *   - session_agg (native session_window — Catalyst's own path)
+  *   - minhash_candidates (LSH banded equi-join, N then 10N docs)
+  *
+  * Workload: `SCALE_PROBE_BASE` events (default 100k; 10× = 1M) over a
+  * FIXED 2,000-key population with cubic skew (hot keys ~30× the
+  * median — the shape that breaks per-key designs), event times
+  * advancing so sessions open, merge, close, and GC continuously —
+  * state reaches steady-state and stays there, which is exactly the
+  * property being verified (the 10× run holds 10× MORE SESSIONS over
+  * time but the SAME live state).
+  *
+  * Gates (printed as a table + PASS/FAIL; exit 1 on any FAIL):
+  *   - throughput exponent log10(evs_1x / evs_10x) ≤ 0.30 per op
+  *     (≤ 2× per-event cost growth across a decade = sub-linear total)
+  *   - rowsUpdated/event within each op's budget at BOTH scales
+  *     (triggered_sessions ≤ 2.5, gap_flush ≤ 2.5, session_agg ≤ 3.5)
+  *   - minhash candidate pairs grow ~linearly (≤ 3× per-doc growth):
+  *     banded LSH emits O(dupes), never the all-pairs O(N²)
+  */
+object ScaleProbe {
+
+  private val Keys = 2000
+  private val GapMs = 1800000L // 30 min, the bench's session gap
+  private def Chunks = sys.env.getOrElse("SCALE_PROBE_CHUNKS", "10").toInt
+
+  /** Synthetic skewed keyed events: (key, ts, value). Cubic key skew;
+    * timestamps advance ~100ms per event so the 10× stream spans 10×
+    * the time (same arrival density ⇒ same live-state steady state).
+    * Deterministic (fixed seed) so both scales sample one process. */
+  private def gen(n: Int): IndexedSeq[(Long, java.sql.Timestamp, Double)] = {
+    val rnd = new scala.util.Random(42L)
+    IndexedSeq.tabulate(n) { i =>
+      val u = rnd.nextDouble()
+      val key = math.min(Keys - 1, (Keys * u * u * u).toInt).toLong
+      val ts = new java.sql.Timestamp(1600000000000L + i * 100L +
+        rnd.nextInt(80))
+      (key, ts, rnd.nextDouble())
+    }
+  }
+
+  private final case class Probe(name: String, n: Int, evsPerSec: Double,
+      rowsUpdated: Long, rowsRemoved: Long,
+      addBatchMs: Long, commitMs: Long, updateMs: Long) {
+    def updPerEvent: Double = rowsUpdated.toDouble / n
+  }
+
+  private def drive[T: Encoder](spark: SparkSession, name: String,
+      rows: IndexedSeq[T], sentinels: Seq[T])(
+      f: Dataset[T] => Dataset[_]): Probe = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_sprobe_" + name)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val mem = MemoryStream[T]
+      val out = f(mem.toDS())
+      val t0 = System.nanoTime()
+      q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").start()
+      val sz = math.max(1, rows.size / Chunks)
+      rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress
+      val ops = prog.flatMap(_.stateOperators)
+      def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+          k: String): Long =
+        Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+      Probe(name, rows.size, rows.size / dt,
+        ops.map(_.numRowsUpdated).sum, ops.map(_.numRowsRemoved).sum,
+        prog.map(dur(_, "addBatch")).sum, ops.map(_.commitTimeMs).sum,
+        ops.map(_.allUpdatesTimeMs).sum)
+    } finally {
+      if (q != null) { try q.stop() catch { case _: Throwable => () } }
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Synthetic doc corpus for the banded-dedup witness: `n` docs of 30
+    * vocab words; every 10th doc is a near-copy of the previous one
+    * (one word swapped) so true near-dupe pairs scale O(n), and the
+    * probe checks the candidate generator does too. */
+  private def genDocs(spark: SparkSession, n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var prev: Array[String] = Array.empty
+    (0 until n).foreach { i =>
+      val words =
+        if (i % 10 == 9 && prev.nonEmpty) {
+          val w = prev.clone(); w(rnd.nextInt(w.length)) = "w" + rnd.nextInt(5000); w
+        } else Array.fill(30)("w" + rnd.nextInt(5000))
+      prev = words
+      docs += ((i.toLong, words.mkString(" ")))
+    }
+    docs.toSeq.toDF("doc_id", "text").repartition(8)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SCALE_PROBE_BASE", "100000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        StatefulV2.RocksDbProvider)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    def gate(ok: Boolean, msg: String): String =
+      if (ok) "ok" else { failures += msg; s"FAIL($msg)" }
+
+    println(f"${"op"}%-22s ${"n"}%9s ${"ev/s"}%9s ${"upd/ev"}%7s ${"rm/ev"}%7s  gates")
+    val budgets = Map("triggered_sessions" -> 2.5, "gap_flush" -> 2.5,
+      "session_agg" -> 3.5)
+    val results = scala.collection.mutable.Map[(String, Int), Probe]()
+
+    val scales = sys.env.get("SCALE_PROBE_SCALES")
+      .map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(base, base * 10))
+    scales.foreach { n =>
+      val ev = gen(n)
+      val maxTs = ev.last._2.getTime
+      def late(h: Int) =
+        (-1L, new java.sql.Timestamp(maxTs + h * 3600000L), 0.0)
+      val sentinels = Seq(late(3), late(4))
+      val named = ev.map(e => (e._1, e._2, "e", e._3))
+      def lateN(h: Int) =
+        (-1L, new java.sql.Timestamp(maxTs + h * 3600000L), "eof", 0.0)
+
+      val opFilter = sys.env.get("SCALE_PROBE_OPS").map(_.split(",").toSet)
+      def want(op: String) = opFilter.forall(_.contains(op))
+      val probes = Seq(
+        Option.when(want("triggered_sessions"))(
+          drive(spark, "triggered_sessions", ev, sentinels) { ds =>
+            StatefulV2.triggeredSessions(ds.withWatermark("_2", "0 seconds"),
+              gapMs = GapMs)
+          }),
+        Option.when(want("gap_flush"))(
+          drive(spark, "gap_flush", ev, sentinels) { ds =>
+            StatefulV2.eventTimeGapFlush(ds.withWatermark("_2", "0 seconds"),
+              gapMs = GapMs)
+          }),
+        Option.when(want("session_agg"))(
+          drive(spark, "session_agg", named, Seq(lateN(3), lateN(4))) { ds =>
+            StreamOps.sessionAgg(ds.toDF("user_id", "ts", "etype", "value"),
+              "ts", "30 minutes", "0 seconds", Seq(col("user_id")),
+              Seq(count(lit(1)).as("n")))
+          })).flatten
+      probes.foreach { p =>
+        results((p.name, n)) = p
+        val g = gate(p.updPerEvent <= budgets(p.name),
+          f"${p.name} upd/ev ${p.updPerEvent}%.2f > ${budgets(p.name)}%.1f at n=$n")
+        println(f"${p.name}%-22s ${p.n}%9d ${p.evsPerSec}%9.0f " +
+          f"${p.updPerEvent}%7.2f ${p.rowsRemoved.toDouble / p.n}%7.2f  " +
+          f"addBatch=${p.addBatchMs}ms commit=${p.commitMs}ms " +
+          f"upd=${p.updateMs}ms  $g")
+      }
+    }
+
+    // throughput exponents across the decade
+    budgets.keys.toSeq.sorted
+      .filter(n => results.contains((n, base)) &&
+        results.contains((n, base * 10))).foreach { name =>
+      val (s, b) = (results((name, base)), results((name, base * 10)))
+      val exp = math.log10(s.evsPerSec / b.evsPerSec)
+      val g = gate(exp <= 0.30,
+        f"$name throughput exponent $exp%.2f > 0.30 across 10x")
+      println(f"$name%-22s decade exponent ${exp}%+6.3f " +
+        f"(${s.evsPerSec}%.0f -> ${b.evsPerSec}%.0f ev/s)  $g")
+    }
+
+    // banded-dedup candidate generator: docs at N and 10N
+    val wantDedup = sys.env.get("SCALE_PROBE_OPS")
+      .forall(_.split(",").contains("minhash"))
+    val dedupBase = math.max(2000, base / 10)
+    val pairStats = if (!wantDedup) Seq.empty
+      else Seq(dedupBase, dedupBase * 10).map { n =>
+      val docs = genDocs(spark, n)
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .minHashCandidates(docs, "doc_id", "text", numHashes = 16,
+          numBands = 4, minEstJaccard = 0.5).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"minhash_candidates     $n%9d ${n / dt}%9.0f docs/s  pairs=$pairs")
+      (n, n / dt, pairs)
+    }
+    if (pairStats.nonEmpty) {
+      val (n1, r1, p1) = pairStats.head
+      val (n2, r2, p2) = pairStats.last
+      val pairGrowth = p2.toDouble / math.max(1L, p1)
+      println(gate(pairGrowth <= 30.0,
+        f"candidate pairs grew ${pairGrowth}%.1fx across 10x docs (O(n^2)?)") match {
+        case "ok" => f"minhash pairs growth ${pairGrowth}%.1fx across 10x docs (linear band) ok"
+        case s => s
+      })
+      val dedupExp = math.log10(r1 / r2)
+      println(gate(dedupExp <= 0.30,
+        f"minhash throughput exponent $dedupExp%.2f > 0.30") match {
+        case "ok" => f"minhash decade exponent $dedupExp%+6.3f ok"
+        case s => s
+      })
+    }
+
+    spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println("SCALE PROBE FAILURES:\n  " + failures.mkString("\n  "))
+      sys.exit(1)
+    }
+    println("scale probe: all gates green")
+  }
+}

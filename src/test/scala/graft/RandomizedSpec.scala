@@ -476,15 +476,12 @@ class RandomizedSpec extends SparkSpec {
       def appendList(s: Array[T]): Unit = buf ++= s
       def clear(): Unit = buf.clear()
     }
-    class FakeValue[T] extends org.apache.spark.sql.streaming.ValueState[T] {
-      private var v: Option[T] = None
-      def exists(): Boolean = v.isDefined
-      def get(): T = v.get
-      def update(x: T): Unit = v = Some(x)
-      def clear(): Unit = v = None
-    }
     val logState = new FakeList[(Long, Long, String)]
-    val metaState = new FakeValue[(Long, Long, Long)]
+    // the packed-meta counters the processors persist between
+    // invocations (r14 layout: they travel in the one ValueState row)
+    var meta3 = (0L, 0L, 0L)
+    def freshLog() =
+      new SessionLog[String](logState, meta3._1, meta3._2, meta3._3)
     val m = scala.collection.mutable.TreeMap.empty[Long, SessionPanes.St]
     // the merge mill: 301 singletons at even ts (gap=1 keeps them
     // apart), then 300 odd-ts bridges, each merging the growing left
@@ -497,23 +494,25 @@ class RandomizedSpec extends SparkSpec {
     var rewrites = 0
     (singles ++ bridges).foreach { t =>
       // fresh view per "invocation", as the processors construct one
-      val lv = new SessionLog[String](logState, metaState)
+      val lv = freshLog()
       val (skey, st0) = SessionPanes.upsert(m, t, 1L, lv.nextPos,
         combine5 = (_, a5, _, b5) => math.max(a5, b5),
         retract = (_, _) => merges += 1)
       lv.append(t, s"v$t")
       m(skey) = st0.copy(_2 = st0._2 + 1)
       // maybeRewrite collapses every session's fences in m itself
-      // (the processors' contract: write back all of m afterwards)
+      // (the processors' contract: persist all of m afterwards);
+      // flush() persists the invocation's appends in one appendList
       if (lv.maybeRewrite(m)) rewrites += 1
-      lv.save()
+      lv.flush()
+      meta3 = (lv.nextPos, lv.total, lv.garbage)
       maxCuts = math.max(maxCuts, m.values.map(_._1.length).max)
       // span-indexed content == brute-force full-log liveness filter
       m.foreach { case (k, st) =>
         val want = logState.buf
           .filter { case (p, rt, _) => SessionPanes.live(k, st, p, rt) }
           .map { case (_, rt, v) => (rt, v) }.toSeq
-        val got = new SessionLog[String](logState, metaState).content(k, st)
+        val got = freshLog().content(k, st)
         assert(got.sorted == want.sorted,
           s"content mismatch for session $k at insert $t")
       }
@@ -528,20 +527,22 @@ class RandomizedSpec extends SparkSpec {
     // forever after — bounded even tighter than the 32-segment ceiling
     assert(rewrites >= 1, s"fence-collapse compaction never engaged")
     // and the final session's content is the full multiset
-    val fin = new SessionLog[String](logState, metaState)
-      .content(m.head._1, m.head._2)
+    val fin = freshLog().content(m.head._1, m.head._2)
     assert(fin.map(_._1).sorted == (0L to 600L).toSeq, "final content drift")
-    // layout guard: a populated map passes; empty summaries over a
-    // non-empty log (the r10-checkpoint restore signature) throw
-    new SessionLog[String](logState, metaState).checkLayout(m)
+    // layout guards: a populated map passes; empty summaries over a
+    // non-empty log (the r10-checkpoint restore signature) throw; a
+    // physically non-empty log under an ABSENT packed meta (the
+    // pre-r14 restore signature) throws via checkFreshLayout
+    freshLog().checkLayout(m)
     val emptyM = scala.collection.mutable.TreeMap.empty[Long, SessionPanes.St]
+    intercept[IllegalStateException] { freshLog().checkLayout(emptyM) }
     intercept[IllegalStateException] {
-      new SessionLog[String](logState, metaState).checkLayout(emptyM)
+      new SessionLog[String](logState).checkFreshLayout()
     }
-    // empty map over an empty log (clean start) passes
+    // empty map over an empty log (clean start) passes both guards
     val log2 = new FakeList[(Long, Long, String)]
-    val meta2 = new FakeValue[(Long, Long, Long)]
-    new SessionLog[String](log2, meta2).checkLayout(emptyM)
+    new SessionLog[String](log2).checkLayout(emptyM)
+    new SessionLog[String](log2).checkFreshLayout()
   }
 
   test("insertCluster == naive gap re-clustering on random insertion orders") {

@@ -243,4 +243,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(SchemaOps.renameFields(df, "fin.amt" -> "amount")
       .select("fin.amount").as[Double].head() == 10.0)
   }
+
+  test("latestByRev: max-rev row per key, names/order preserved, one agg no window") {
+    import graft.streaming.StreamOps
+    // a rev-stamped changelog as the streaming snapshot ops emit it:
+    // (key, rev, payload...) — latest view = the max-rev row per key
+    val log = Seq(
+      (1L, 1L, "a", 10.0), (1L, 2L, "b", 20.0), (1L, 3L, "c", 30.0),
+      (2L, 1L, "x", 1.0), (2L, 2L, "y", 2.0),
+      (3L, 7L, "solo", 0.5)
+    ).toDF("key", "rev", "state", "score")
+    val got = StreamOps.latestByRev(log, Seq("key"), "rev")
+    assert(got.columns.toSeq == Seq("key", "rev", "state", "score"))
+    assert(got.as[(Long, Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 3L, "c", 30.0), (2L, 2L, "y", 2.0), (3L, 7L, "solo", 0.5)))
+    // the scale contract: a two-phase aggregate with a MAP-SIDE partial
+    // max_by (one row per key per partition crosses the shuffle), never
+    // a row_number window sort over the whole changelog. Struct-valued
+    // max_by plans as SortAggregate — the partial phase is the property.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort crept in:\n$plan")
+    assert(plan.contains("partial_max_by"), s"expected partial agg:\n$plan")
+    // guard-rails
+    intercept[IllegalArgumentException] {
+      StreamOps.latestByRev(log, Seq("key", "rev"), "rev")
+    }
+    intercept[IllegalArgumentException] {
+      StreamOps.latestByRev(log, Seq(), "rev")
+    }
+  }
 }

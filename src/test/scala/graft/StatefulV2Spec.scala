@@ -1916,7 +1916,7 @@ class StatefulV2Spec extends SparkSpec {
           val last = s.maxBy(_._2); kk -> ((last._3, last._4.toList))
         }
       val want = rows.groupBy(_._1).map { case (kk, krs) =>
-        val kh = kk.hashCode().toLong
+        val kh = StatefulV2.keyDrawHash(kk)
         val buf = scala.collection.mutable.ArrayBuffer[Long]()
         var n = 0L
         krs.map(_._2).foreach { v =>
@@ -2038,6 +2038,82 @@ class StatefulV2Spec extends SparkSpec {
         assert(e <= t && t <= e + err, s"item $x est $e true $t err $err")
         assert(t <= err || est.contains(x), s"heavy item $x missing")
       }
+    }
+  }
+
+  test("heavyHittersGlobal: sharded two-stage merge keeps the deterministic bounds") {
+    withRocksDb {
+      // GLOBAL form (no user key): stage 1 shards BY ITEM, stage 2
+      // merges the per-shard summaries under one key. Against exact
+      // batch counts the final snapshot must keep est <= true <=
+      // est + err for every reported item, err <= max over shards of
+      // n_shard/(k+1), and COVER every item whose true count exceeds
+      // err — across micro-batch splits, with 4 shards exercising the
+      // disjoint-union merge path
+      val rnd = new scala.util.Random(7L)
+      val hot = (0 until 5).flatMap(h => Seq.fill(200)("hot" + h))
+      val tail = IndexedSeq.fill(1000)("tail" + rnd.nextInt(400))
+      val items = rnd.shuffle(hot ++ tail).map(i => (i, 1L)).toIndexedSeq
+      val exact = items.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val k = 8
+      val mem = MemoryStream[(String, Long)]
+      val table = freshTable()
+      val q = startMemorySink(
+        StatefulV2.heavyHittersGlobal(mem.toDS(), k, shards = 4), table)
+      items.grouped(500).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val snaps = spark.table(table)
+        .as[(Long, Long, Long, Seq[(String, Long)])].collect()
+      assert(snaps.nonEmpty, "global merge stage emitted nothing")
+      val (_, n, err, top) = snaps.maxBy(_._1)
+      assert(n == items.size.toLong, s"n=$n")
+      assert(top.size <= k)
+      // single published bound valid for every item (max shard err);
+      // each shard saw <= n items, so err <= n/(k+1) grossly
+      assert(err <= n / (k + 1), s"err=$err n=$n")
+      val est = top.toMap
+      est.foreach { case (x, e) =>
+        val t = exact(x)
+        assert(e <= t && t <= e + err, s"item $x est $e true $t err $err")
+      }
+      // coverage: the 5 planted hot items (200 >> err's realistic
+      // range and every tail count) must all be reported
+      (0 until 5).foreach { h =>
+        assert(est.contains("hot" + h), s"hot$h missing from $top (err=$err)")
+      }
+    }
+  }
+
+  test("approxDistinctGlobal: sharded HLL union within rsd; bytes compose with native hll_*") {
+    withRocksDb {
+      val rnd = new scala.util.Random(23L)
+      val items = IndexedSeq.fill(6000)("item" + rnd.nextInt(2000))
+      val exact = items.distinct.size
+      val mem = MemoryStream[String]
+      val table = freshTable()
+      val q = startMemorySink(
+        StatefulV2.approxDistinctGlobal(mem.toDS(), lgK = 12, shards = 8),
+        table)
+      items.grouped(1500).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val snaps = spark.table(table)
+        .as[(Long, Long, Long, Array[Byte])].collect()
+      assert(snaps.nonEmpty, "global union stage emitted nothing")
+      val (_, n, est, bytes) = snaps.maxBy(_._1)
+      assert(n == items.size.toLong, s"n=$n")
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"est $est exact $exact")
+      // the emitted union bytes are directly consumable by the native
+      // hll_* SQL surface — same contract as the per-key form
+      import spark.implicits._
+      Seq((est, bytes)).toDF("est", "sk").createOrReplaceTempView("ghll")
+      val native = spark.sql(
+        "SELECT hll_sketch_estimate(sk) FROM ghll").collect().head.getLong(0)
+      assert(native == est, s"native $native streamed $est")
     }
   }
 
