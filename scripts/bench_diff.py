@@ -52,6 +52,12 @@ def load(path):
 
 
 def host_factor(old, cal_old, new, cal_new):
+    # Bench publishes total = -1.0 when any probe member failed every
+    # rep — a poisoned denominator must fall back, not normalize
+    if cal_old is not None and cal_old <= 0:
+        cal_old = None
+    if cal_new is not None and cal_new <= 0:
+        cal_new = None
     if cal_old and cal_new:
         print(f"host factor (calNew/calOld): {cal_new / cal_old:.3f} "
               f"({cal_old:.2f}s -> {cal_new:.2f}s, quiesced cal blocks)")

@@ -205,7 +205,11 @@ object Bench {
     }
     val calWallSec = (System.nanoTime() - calT0) / 1e9
     val calResults = calNames.map(n => n -> calBest.getOrElse(n, -1.0))
-    val calTotal = calResults.map(_._2).sum
+    // a probe member that failed every rep poisons the denominator —
+    // publish a loudly-invalid total instead of one silently shrunk by
+    // the -1 sentinel (bench_diff treats total <= 0 as "no cal block")
+    val calTotal =
+      if (calResults.exists(_._2 < 0)) -1.0 else calResults.map(_._2).sum
     val calJson = {
       val qs = calResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")

@@ -715,10 +715,18 @@ object StatefulV2 {
       val cur = scala.collection.mutable.Map[I, Long]()
       val it = counters.iterator()
       while (it.hasNext) { val e = it.next(); cur += (e._1 -> e._2) }
-      // exact fold of this batch, then ONE summary merge
+      // exact fold of this batch, then ONE summary merge. Weights are
+      // validated RAW, before netting: a negative netted away by a
+      // positive in the same batch would silently void the
+      // est ≤ true ≤ est + err contract that MisraGries.addAll's own
+      // require (which only sees the net sums) exists to protect.
+      // Loud-failure policy as elsewhere (ANSI): non-positive weights
+      // are upstream bugs to filter before this operator.
       val batch = scala.collection.mutable.Map[I, Long]()
       var any = false
       rows.foreach { case (_, i, w) =>
+        require(w > 0,
+          s"heavyHitters weights must be > 0, got $w for item $i")
         batch += (i -> (batch.getOrElse(i, 0L) + w)); any = true
       }
       if (!any) return Iterator.empty
@@ -966,7 +974,10 @@ object StatefulV2 {
     * which pays for overlapping summaries that cannot arise here),
     * and coverage holds: true(x) > err ≥ errShard(x) ⇒ x survives in
     * its shard. Emits one rev-stamped global snapshot per batch:
-    * (rev, n, err, top-k). */
+    * (rev, n, err, counters) — the FULL union (≤ shards × k entries,
+    * est-descending), never truncated to k: a take(k) here would
+    * silently break the coverage contract when more than k items
+    * exceed err (consumers wanting exactly k take the prefix). */
   class GlobalHeavyHittersMergeProcessor[I](k: Int)(
       implicit shardEnc: Encoder[(Long, Long, Seq[(I, Long)])])
       extends StatefulProcessor[Int, (Long, Long, Long, Long, Seq[(I, Long)]), (Long, Long, Long, Seq[(I, Long)])] {
@@ -1014,7 +1025,7 @@ object StatefulV2 {
       val r = (if (rev.exists()) rev.get() else 0L) + 1L
       rev.update(r)
       Iterator.single((r, nSum, errMax,
-        union.sortBy { case (_, c) => -c }.take(k).toSeq))
+        union.sortBy { case (_, c) => -c }.toSeq))
     }
   }
 
@@ -1028,9 +1039,12 @@ object StatefulV2 {
     * 2 merges the O(shards)-row snapshot stream under one key
     * ([[GlobalHeavyHittersMergeProcessor]] — a single-key stage is
     * only safe because its INPUT is summaries, never the event
-    * stream). Emits rev-stamped global snapshots (rev, n, err, top-k):
-    * est ≤ true ≤ est + err deterministic, coverage for every item
-    * with true count > err. Input: (item, weight), weights > 0. */
+    * stream). Emits rev-stamped global snapshots
+    * (rev, n, err, counters est-descending, ≤ shards × k entries):
+    * est ≤ true ≤ est + err deterministic, and EVERY item with true
+    * count > err is present (which is why the list is not truncated
+    * to k). Input: (item, weight); non-positive weights would void
+    * the bounds and are rejected by the per-shard stage. */
   def heavyHittersGlobal[I: Encoder](ds: Dataset[(I, Long)], k: Int,
       shards: Int = 32)(
       implicit midEnc: Encoder[(Long, Long, Long, Long, Seq[(I, Long)])],
@@ -2108,8 +2122,21 @@ object StatefulV2 {
     override def handleExpiredTimer(key: K, timers: TimerValues,
         timer: ExpiredTimerInfo): Iterator[(K, Long, Long, Double)] = {
       if (!auction.exists()) {
-        // orphan-bid horizon passed with no auction: drop the buffer
-        early.clear()
+        // orphan-bid horizon passed with no auction: drop only the
+        // bids whose OWN horizon this expiry covers. A stale timer (its
+        // cohort was consumed by an auction that itself already closed)
+        // must not clear bids buffered for the NEXT auction — those
+        // keep their buffer and a re-armed timer at the earliest
+        // survivor's horizon.
+        val expiry = timer.getExpiryTimeInMs()
+        val keep =
+          if (orphanTtlMs <= 0) Seq.empty // unreachable defensively
+          else early.get().filter(_._1 + orphanTtlMs > expiry).toSeq
+        if (keep.isEmpty) early.clear()
+        else {
+          early.put(keep.toArray)
+          getHandle.registerTimer(keep.iterator.map(_._1).min + orphanTtlMs)
+        }
         Iterator.empty
       } else if (timer.getExpiryTimeInMs() ==
           auction.get()._1 + durationMs) {
@@ -2507,21 +2534,6 @@ object StatefulV2 {
       m.keys.toSeq.foreach { k => m(k) = m(k).copy(_1 = Seq((k, 0L))) }
       true
     }
-
-    /** Loud detector for a pre-r11 checkpoint restore: in the current
-      * layout an empty session map implies an empty (fully-compacted)
-      * log — the last close always pushes `garbage` to `total` and
-      * triggers the rewrite. An r10-layout checkpoint, whose sessions
-      * lived under the old state name, restores here with summaries
-      * EMPTY while this log still holds rows: fail fast instead of
-      * silently dropping every in-flight session. */
-    def checkLayout(m: scala.collection.mutable.TreeMap[Long, SessionPanes.St]): Unit =
-      if (m.isEmpty && total > 0)
-        throw new IllegalStateException(
-          "session state layout mismatch: row log is non-empty but no " +
-            "session summaries exist — this checkpoint was written by a " +
-            "pre-r11 state layout and cannot be restored; restart from a " +
-            "fresh checkpoint")
 
     /** Loud detector for a pre-r14 (separate logMeta/MapState layout)
       * checkpoint restore: the caller found NO packed meta row for this

@@ -188,21 +188,35 @@ object ScaleProbe {
       }
     }
 
-    // throughput exponents across the decade
-    budgets.keys.toSeq.sorted
-      .filter(n => results.contains((n, base)) &&
-        results.contains((n, base * 10))).foreach { name =>
-      val (s, b) = (results((name, base)), results((name, base * 10)))
-      val exp = math.log10(s.evsPerSec / b.evsPerSec)
-      val g = gate(exp <= 0.30,
-        f"$name throughput exponent $exp%.2f > 0.30 across 10x")
-      println(f"$name%-22s decade exponent ${exp}%+6.3f " +
-        f"(${s.evsPerSec}%.0f -> ${b.evsPerSec}%.0f ev/s)  $g")
+    // throughput exponents across the measured scale span — keyed to
+    // the ACTUAL scales run (custom SCALE_PROBE_SCALES included), and
+    // loud when the gate cannot run at all: a gating tool that prints
+    // "all green" after silently skipping its main gate is worse than
+    // one that fails
+    if (scales.size < 2) {
+      println("NOTE: single scale — throughput-exponent gates SKIPPED " +
+        "(pass two scales to gate sub-linearity)")
+    } else {
+      val (nLo, nHi) = (scales.min, scales.max)
+      val span = math.log10(nHi.toDouble / nLo)
+      budgets.keys.toSeq.sorted.foreach { name =>
+        (results.get((name, nLo)), results.get((name, nHi))) match {
+          case (Some(s), Some(b)) =>
+            // normalized to a per-decade exponent for a fixed bar
+            val exp = math.log10(s.evsPerSec / b.evsPerSec) / span
+            val g = gate(exp <= 0.30,
+              f"$name throughput exponent $exp%.2f > 0.30 per decade")
+            println(f"$name%-22s decade exponent ${exp}%+6.3f " +
+              f"(${s.evsPerSec}%.0f -> ${b.evsPerSec}%.0f ev/s)  $g")
+          case _ => () // op filtered out — its table rows say so
+        }
+      }
     }
 
     // banded-dedup candidate generator: docs at N and 10N
     val wantDedup = sys.env.get("SCALE_PROBE_OPS")
-      .forall(_.split(",").contains("minhash"))
+      .forall(_.split(",").exists(s =>
+        s == "minhash" || s == "minhash_candidates"))
     val dedupBase = math.max(2000, base / 10)
     val pairStats = if (!wantDedup) Seq.empty
       else Seq(dedupBase, dedupBase * 10).map { n =>

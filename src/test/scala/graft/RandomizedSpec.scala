@@ -529,20 +529,14 @@ class RandomizedSpec extends SparkSpec {
     // and the final session's content is the full multiset
     val fin = freshLog().content(m.head._1, m.head._2)
     assert(fin.map(_._1).sorted == (0L to 600L).toSeq, "final content drift")
-    // layout guards: a populated map passes; empty summaries over a
-    // non-empty log (the r10-checkpoint restore signature) throw; a
-    // physically non-empty log under an ABSENT packed meta (the
-    // pre-r14 restore signature) throws via checkFreshLayout
-    freshLog().checkLayout(m)
-    val emptyM = scala.collection.mutable.TreeMap.empty[Long, SessionPanes.St]
-    intercept[IllegalStateException] { freshLog().checkLayout(emptyM) }
+    // layout guard: a physically non-empty log under an ABSENT packed
+    // meta (the pre-r14 restore signature) throws via checkFreshLayout;
+    // an empty log (clean start) passes
     intercept[IllegalStateException] {
       new SessionLog[String](logState).checkFreshLayout()
     }
-    // empty map over an empty log (clean start) passes both guards
-    val log2 = new FakeList[(Long, Long, String)]
-    new SessionLog[String](log2).checkLayout(emptyM)
-    new SessionLog[String](log2).checkFreshLayout()
+    new SessionLog[String](new FakeList[(Long, Long, String)]())
+      .checkFreshLayout()
   }
 
   test("insertCluster == naive gap re-clustering on random insertion orders") {

@@ -839,6 +839,55 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("winningBid: a stale orphan timer spares bids buffered for the NEXT auction") {
+    withRocksDb {
+      // regression (r14 review): bid b1 arms an orphan timer; its
+      // auction consumes it and closes BEFORE the timer fires; a new
+      // orphan bid b2 buffers for the next auction. The stale timer
+      // must drop only bids whose own horizon it covers — clearing the
+      // whole buffer would lose b2 and emit the wrong winner.
+      // 30s watermark delay keeps the out-of-order auction rows inside
+      // the late filter while the stale horizon (b1.ts + 60s = 62s)
+      // still passes before auction 2 arrives
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Boolean, Long, Double)]
+      val won = StatefulV2.winningBid(
+        mem.toDS().withWatermark("_2", "30 seconds"),
+        durationMs = 3000L, orphanTtlMs = 60000L)
+      val table = freshTable()
+      val q = startMemorySink(won, table)
+      // b1 buffers (orphan timer at 62s), then auction 1 [1s, 4s)
+      // consumes it in the same batch — the timer is now STALE
+      mem.addData((1L, t(2), false, 201L, 5.0), (1L, t(1), true, 901L, 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, t(40), true, 900L, 0.0)) // wm → 10 ≥ 4: close A1
+      q.processAllAvailable()
+      mem.addData((9L, t(41), false, 1L, 0.0))
+      q.processAllAvailable()
+      // b2 buffers as an orphan for the NEXT auction (its own horizon
+      // 132s; the stale timer's expiry 62s must not cover it)
+      mem.addData((1L, t(72), false, 202L, 7.0))
+      q.processAllAvailable()
+      // wm → 65-66 ≥ 62: the stale orphan timer fires here
+      mem.addData((9L, t(95), false, 2L, 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, t(96), false, 3L, 0.0))
+      q.processAllAvailable()
+      // auction 2 [71s, 74s) opens within-watermark; b2 (72s) must
+      // still be in the buffer to win it
+      mem.addData((1L, t(71), true, 903L, 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, t(105), false, 4L, 0.0)) // wm ≥ 74: close A2
+      q.processAllAvailable()
+      mem.addData((9L, t(106), false, 5L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, Long, Long, Double)]
+        .collect().filter(_._1 == 1L).toSeq.sortBy(_._2)
+      assert(got == Seq((1L, 901L, 201L, 5.0), (1L, 903L, 202L, 7.0)),
+        s"stale orphan timer dropped the next auction's bid: $got")
+      q.stop()
+    }
+  }
+
   test("triggered windows: lateness >= window size is rejected up front") {
     // the on-time timer arms at windowEnd - lateness; lateness >= the
     // window would land it at/before the window start and mis-classify
@@ -2069,7 +2118,9 @@ class StatefulV2Spec extends SparkSpec {
       assert(snaps.nonEmpty, "global merge stage emitted nothing")
       val (_, n, err, top) = snaps.maxBy(_._1)
       assert(n == items.size.toLong, s"n=$n")
-      assert(top.size <= k)
+      // full (untruncated) union: ≤ shards × k counters, est-descending
+      assert(top.size <= 4 * k, s"union overflow: ${top.size}")
+      assert(top.map(_._2) == top.map(_._2).sorted(Ordering[Long].reverse))
       // single published bound valid for every item (max shard err);
       // each shard saw <= n items, so err <= n/(k+1) grossly
       assert(err <= n / (k + 1), s"err=$err n=$n")
@@ -2078,10 +2129,12 @@ class StatefulV2Spec extends SparkSpec {
         val t = exact(x)
         assert(e <= t && t <= e + err, s"item $x est $e true $t err $err")
       }
-      // coverage: the 5 planted hot items (200 >> err's realistic
-      // range and every tail count) must all be reported
-      (0 until 5).foreach { h =>
-        assert(est.contains("hot" + h), s"hot$h missing from $top (err=$err)")
+      // coverage contract, asserted EXHAUSTIVELY: every item whose
+      // true count exceeds the published err must be present (this is
+      // why the union is not truncated to k)
+      exact.foreach { case (x, t) =>
+        assert(t <= err || est.contains(x),
+          s"covered item $x (true=$t > err=$err) missing")
       }
     }
   }
