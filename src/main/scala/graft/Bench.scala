@@ -85,6 +85,8 @@ object Bench {
     "agg_tpcds_q75", "agg_tpcds_q95", "agg_tpcds_q4",
     // round 13 addition
     "agg_tpcds_q64",
+    // round 14 additions
+    "agg_tpcds_q65", "agg_tpcds_q41", "changelog_latest_by_rev",
     "agg_cohort_retention", "scd2_history", "pipeline_data_quality",
     "pipeline_stratified_sample", "rag_rrf_fusion",
     "dedup_admit_novel_embedding", "agg_basket_lift",

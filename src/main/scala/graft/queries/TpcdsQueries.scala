@@ -11,7 +11,7 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port its thirty distinctive PLAN SHAPES onto the driver's
+  * these port thirty-three of its distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
@@ -38,8 +38,12 @@ import graft.sources.Tables
   *   q51  cumulative windows over a FULL OUTER join of two channels
   *   q59  one CTE compared across two epochs on month-of-year
   *   q62  shipping-lag lateness bands, one conditional-agg pass
+  *   q41  same-dimension correlated EXISTS over a disjunctive
+  *        attribute tree, decorrelated to a broadcast semi-join
   *   q64  deep cross-sales chain (semi key-set + 4-way star + agg)
   *        self-joined across two sales years — exchange reuse at depth
+  *   q65  underperforming store-items: pair revenue vs 10% of the
+  *        store average via aggregate-reuse + integer cross-multiply
   *   q67  rank() over ROLLUP results per group
   *   q73  HAVING count range + join back to the dimension
   *   q74  year-over-year self-join of per-customer aggregates
@@ -1226,5 +1230,87 @@ object TpcdsQueries {
           ON cs1.p_partkey = cs2.p_partkey AND cs1.n_name = cs2.n_name
           AND cs1.yr + 1 = cs2.yr
           AND cs2.cnt >= cs1.cnt""")),
+
+    // q65: UNDERPERFORMING store-items — per-(store, item) revenue vs
+    // 10% of the store's average item revenue, dims joined back AFTER
+    // the filter (store → supplier, item → part). The textbook form
+    // self-joins the pair-revenue CTE against its own per-store
+    // average; here the average is a WINDOW over the already-
+    // aggregated pairs instead — per-consumer column pruning forks a
+    // twice-consumed CTE's subtrees (no exchange dedupe, the q64
+    // lesson in reverse), while the window form aggregates the fact
+    // ONCE by construction and adds only an O(pairs) re-shuffle by
+    // store. The threshold compare stays in INTEGER 10^-4-dollar
+    // units (price cents × discount-complement percent),
+    // cross-multiplied (rev·10·cnt ≤ tot) so no engine ever divides —
+    // exact cross-engine at any SF, no HALF_UP/HALF_EVEN boundary.
+    Q("agg_tpcds_q65",
+      (s, d) => {
+        val rev4 = (round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long"))
+        val bySupp = Window.partitionBy(col("l_suppkey"))
+        li(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum(rev4).as("rev_e4"))
+          .withColumn("tot_e4", sum(col("rev_e4")).over(bySupp))
+          .withColumn("cnt", count(lit(1)).over(bySupp))
+          .filter(col("rev_e4") * 10 * col("cnt") <= col("tot_e4"))
+          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("s_name"), col("p_brand"), col("p_partkey"),
+            col("rev_e4"))
+      },
+      Some("""WITH sa AS (
+          SELECT l_suppkey, l_partkey,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+              AS rev_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1, 2),
+        sc AS (SELECT l_suppkey,
+            CAST(sum(rev_e4) AS BIGINT) AS tot_e4,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM sa GROUP BY 1)
+        SELECT s_name, p_brand, p_partkey, rev_e4
+        FROM sa
+        JOIN sc ON sa.l_suppkey = sc.l_suppkey
+        JOIN supplier ON sa.l_suppkey = s_suppkey
+        JOIN part ON sa.l_partkey = p_partkey
+        WHERE rev_e4 * 10 * cnt <= tot_e4""")),
+
+    // q41: dimension-only correlated EXISTS with a disjunctive
+    // attribute tree — distinct product names in a size band whose
+    // BRAND (the manufacturer analog) also makes some specialty
+    // configuration. Decorrelated to a semi-join against the distinct
+    // qualifying brand set: at 100 TB the dimension is still small,
+    // but the shape (same-table correlated subquery + OR tree) is what
+    // planners historically fumble, so it earns a plan of its own.
+    Q("agg_tpcds_q41",
+      (s, d) => {
+        val p = prt(s, d)
+        val specialty = p.filter(
+          (col("p_type") === "ECONOMY" && col("p_size").between(1, 5)) ||
+          (col("p_type") === "PROMO" && col("p_size").between(6, 10)) ||
+          (col("p_type") === "LARGE" && col("p_size").between(11, 15)) ||
+          (col("p_type") === "SMALL" && col("p_size").between(16, 20)))
+          .select(col("p_brand").as("q_brand")).distinct()
+        p.filter(col("p_size").between(1, 15))
+          .join(broadcast(specialty), col("p_brand") === col("q_brand"),
+            "left_semi")
+          .select("p_name").distinct()
+      },
+      Some("""SELECT DISTINCT p_name
+        FROM part p1
+        WHERE p_size BETWEEN 1 AND 15
+          AND EXISTS (SELECT 1 FROM part p2
+            WHERE p2.p_brand = p1.p_brand
+              AND ((p2.p_type = 'ECONOMY' AND p2.p_size BETWEEN 1 AND 5)
+                OR (p2.p_type = 'PROMO' AND p2.p_size BETWEEN 6 AND 10)
+                OR (p2.p_type = 'LARGE' AND p2.p_size BETWEEN 11 AND 15)
+                OR (p2.p_type = 'SMALL' AND p2.p_size BETWEEN 16 AND 20)))""")),
   )
 }

@@ -142,7 +142,8 @@ object ScaleProbe {
 
     println(f"${"op"}%-22s ${"n"}%9s ${"ev/s"}%9s ${"upd/ev"}%7s ${"rm/ev"}%7s  gates")
     val budgets = Map("triggered_sessions" -> 2.5, "gap_flush" -> 2.5,
-      "session_agg" -> 3.5)
+      "session_agg" -> 3.5, "triggered_windows" -> 2.5,
+      "match_recognize" -> 2.5)
     val results = scala.collection.mutable.Map[(String, Int), Probe]()
 
     val scales = sys.env.get("SCALE_PROBE_SCALES")
@@ -154,7 +155,10 @@ object ScaleProbe {
       def late(h: Int) =
         (-1L, new java.sql.Timestamp(maxTs + h * 3600000L), 0.0)
       val sentinels = Seq(late(3), late(4))
-      val named = ev.map(e => (e._1, e._2, "e", e._3))
+      // ~80/20 click/purchase so the NFA probe's C+ P pattern both
+      // matches and restarts constantly (the expensive regime)
+      val named = ev.map(e =>
+        (e._1, e._2, if (e._3 < 0.8) "click" else "purchase", e._3))
       def lateN(h: Int) =
         (-1L, new java.sql.Timestamp(maxTs + h * 3600000L), "eof", 0.0)
 
@@ -176,6 +180,23 @@ object ScaleProbe {
             StreamOps.sessionAgg(ds.toDF("user_id", "ts", "etype", "value"),
               "ts", "30 minutes", "0 seconds", Seq(col("user_id")),
               Seq(count(lit(1)).as("n")))
+          }),
+        Option.when(want("triggered_windows"))(
+          drive(spark, "triggered_windows", ev, sentinels) { ds =>
+            StatefulV2.triggeredWindows(ds.withWatermark("_2", "0 seconds"),
+              windowMs = 3600000L)
+          }),
+        Option.when(want("match_recognize"))(
+          drive(spark, "match_recognize", named, Seq(lateN(3), lateN(4))) { ds =>
+            graft.operators.MatchRecognizeSql.stream(
+              ds.toDF("user_id", "ts", "etype", "value"),
+              """PARTITION BY user_id
+                 ORDER BY ts
+                 MEASURES COUNT(*) AS n
+                 ONE ROW PER MATCH
+                 PATTERN (C+ P)
+                 DEFINE C AS C.etype = 'click', P AS P.etype = 'purchase'""",
+              tsCol = "ts", delay = "0 seconds", gapMs = GapMs)
           })).flatten
       probes.foreach { p =>
         results((p.name, n)) = p

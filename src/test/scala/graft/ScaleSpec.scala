@@ -519,6 +519,15 @@ class ScaleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(ds64final).size <= 6 &&
       !ds64final.contains("CartesianProduct"),
       "tpcds q64 scan budget exceeded or cross product appeared")
+    // TPC-DS q65 analog: the per-store average is a WINDOW over the
+    // (store, item) revenue aggregate — the fact is scanned ONCE by
+    // construction (the textbook CTE self-join forks under per-
+    // consumer pruning); total scans = fact + the two dim join-backs
+    val ds65 = plan("agg_tpcds_q65")
+    assert(ds65.contains("Window") &&
+      "Scan parquet".r.findAllIn(ds65).size <= 3 &&
+      !ds65.contains("CartesianProduct"),
+      "tpcds q65 no longer the single-fact-scan window form")
     // TPC-DS q4 analog: FOUR cells (year × channel) from ONE
     // conditional-agg scan — no self-join, no union, no division
     val ds4 = plan("agg_tpcds_q4")
