@@ -280,6 +280,19 @@ object StreamingBench {
       bench(spark, "streaming_approx_distinct_global",
         ev.map(e => e._5.toString), Seq.empty[String]) { ds =>
         StatefulV2.approxDistinctGlobal(ds, lgK = 12, shards = 8)
+      },
+      // GLOBAL streaming t-digest quantiles (per-shard digests →
+      // one-key centroid merge) — whole-stream value quantiles
+      bench(spark, "streaming_tdigest_global",
+        ev.map(_._4), Seq.empty[Double]) { ds =>
+        StatefulV2.tdigestQuantilesGlobal(ds, compression = 100.0,
+          qs = Seq(0.5, 0.95, 0.99), shards = 8)
+      },
+      // GLOBAL streaming uniform reservoir (per-shard Algorithm R →
+      // one-key hypergeometric merge) — whole-stream k-sample
+      bench(spark, "streaming_reservoir_global",
+        ev.map(_._5), Seq.empty[Long]) { ds =>
+        StatefulV2.sampleFixedGlobal(ds, k = 64, shards = 8)
       })
   }
 }

@@ -802,6 +802,244 @@ object StatefulV2 {
       // no timers, no TTL → TimeMode.None (see scd2Changes)
       TimeMode.None(), OutputMode.Append())
 
+  /** Stage 1 of [[tdigestQuantilesGlobal]]: [[TDigestProcessor]]'s
+    * fold, but the snapshot carries the packed CENTROIDS (the
+    * mergeable summary) instead of evaluated quantiles — the merge
+    * stage needs the digest, not its read-out. */
+  class TDigestSketchProcessor[K](compression: Double)
+      extends StatefulProcessor[K, (K, Double), (K, Long, Long, Seq[Double])] {
+    require(compression >= 20, s"compression too small: $compression")
+
+    @transient private var st: ValueState[(Long, Long, Seq[Double])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Seq[Double])]("digest",
+        Encoders.product[(Long, Long, Seq[Double])], TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Double)],
+        timers: TimerValues): Iterator[(K, Long, Long, Seq[Double])] = {
+      val (rev, n0, packed) =
+        if (st.exists()) st.get() else (0L, 0L, Seq.empty[Double])
+      val buf = new graft.functions.TDigest.Buf(compression)
+      var i = 0
+      while (i < packed.length) { buf.add(packed(i), packed(i + 1)); i += 2 }
+      var n = n0
+      rows.foreach { case (_, v) => buf.add(v, 1.0); n += 1 }
+      if (n == n0) return Iterator.empty
+      buf.compact()
+      val out = new Array[Double](2 * buf.n)
+      var j = 0
+      while (j < buf.n) {
+        out(2 * j) = buf.means(j); out(2 * j + 1) = buf.weights(j); j += 1
+      }
+      st.update((rev + 1L, n, out.toSeq))
+      Iterator.single((key, rev + 1L, n, out.toSeq))
+    }
+  }
+
+  /** Second stage of [[tdigestQuantilesGlobal]]: latest packed digest
+    * per shard (MapState, ≤ shards × O(compression) doubles FOREVER),
+    * one centroid-level merge + compact per batch — t-digests are
+    * mergeable, so the union digest keeps the rank-error contract of
+    * the per-shard folds. Emits rev-stamped (rev, n, quantiles). */
+  class GlobalTDigestMergeProcessor(compression: Double, qs: Seq[Double])
+      extends StatefulProcessor[Int, (Long, Long, Long, Seq[Double]), (Long, Long, Seq[Double])] {
+
+    @transient private var perShard: MapState[Long, (Long, Seq[Double])] = _
+    @transient private var rev: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      perShard = getHandle.getMapState[Long, (Long, Seq[Double])](
+        "shardDigest", Encoders.scalaLong,
+        Encoders.product[(Long, Seq[Double])], TTLConfig.NONE)
+      rev = getHandle.getValueState[Long]("rev", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int,
+        rows: Iterator[(Long, Long, Long, Seq[Double])],
+        timers: TimerValues): Iterator[(Long, Long, Seq[Double])] = {
+      val fresh = scala.collection.mutable.Map[Long, (Long, Long, Seq[Double])]()
+      var any = false
+      rows.foreach { case (shard, srev, n, packed) =>
+        if (fresh.get(shard).forall(_._1 < srev)) fresh(shard) = (srev, n, packed)
+        any = true
+      }
+      if (!any) return Iterator.empty
+      fresh.foreach { case (shard, (_, n, packed)) =>
+        perShard.updateValue(shard, (n, packed))
+      }
+      var nSum = 0L
+      val buf = new graft.functions.TDigest.Buf(compression)
+      val it = perShard.iterator()
+      while (it.hasNext) {
+        val (_, (n, packed)) = it.next()
+        nSum += n
+        var i = 0
+        while (i < packed.length) { buf.add(packed(i), packed(i + 1)); i += 2 }
+      }
+      buf.compact()
+      val means = java.util.Arrays.copyOf(buf.means, buf.n)
+      val weights = java.util.Arrays.copyOf(buf.weights, buf.n)
+      val r = (if (rev.exists()) rev.get() else 0L) + 1L
+      rev.update(r)
+      Iterator.single((r, nSum,
+        qs.map(q => graft.functions.TDigest.quantile(means, weights, q))))
+    }
+  }
+
+  /** GLOBAL (cross-key) streaming t-digest quantiles — Beam's
+    * TDigestQuantiles.globally (sdks/java/extensions/sketching/src/
+    * main/java/org/apache/beam/sdk/extensions/sketching/
+    * TDigestQuantiles.java:86) in the same two-stage form as
+    * [[heavyHittersGlobal]]: value-hash shards fold per-shard digests
+    * in parallel (mergeable, so the partition is free to be anything
+    * deterministic), a one-key stage merges the O(shards) digest
+    * stream. Emits rev-stamped (rev, n, quantile values at `qs`). */
+  def tdigestQuantilesGlobal(ds: Dataset[Double],
+      compression: Double = 100.0, qs: Seq[Double] = Seq(0.5, 0.95, 0.99),
+      shards: Int = 32)(
+      implicit outEnc: Encoder[(Long, Long, Seq[Double])]): Dataset[(Long, Long, Seq[Double])] = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    implicit val keyedEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val midEnc: Encoder[(Long, Long, Long, Seq[Double])] =
+      Encoders.product[(Long, Long, Long, Seq[Double])]
+    ds.map(v => (shardOf(v, shards), v))
+      .groupByKey(_._1)
+      .transformWithState(new TDigestSketchProcessor[Long](compression),
+        TimeMode.None(), OutputMode.Append())
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(new GlobalTDigestMergeProcessor(compression, qs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Exact k-sample of the UNION of per-shard uniform reservoirs —
+    * the merge half of [[sampleFixedGlobal]], pure and deterministic
+    * in (seed, rev). Sequential sampling without replacement over the
+    * shard POPULATION counts (multivariate-hypergeometric allocation:
+    * draw d picks shard i with probability remaining_i / remainingΣ,
+    * then a uniformly-drawn UNUSED element of i's reservoir —
+    * Fisher-Yates partial shuffle; reservoir slots are NOT
+    * exchangeable under Algorithm R, so popping sequentially would
+    * bias toward early arrivals). Each shard's takes never exceed its
+    * reservoir (takes_i ≤ min(k, n_i) = |reservoir_i|), and a uniform
+    * sub-subset of a uniform subset is uniform over the shard — so
+    * the result is an exact uniform k-subset of all n elements.
+    * Property-tested for per-element selection uniformity in
+    * RandomizedSpec. */
+  private[graft] def mergeReservoirs[V](
+      shards: Seq[(Long, Seq[V])], k: Int, seed: Long, rev: Long): Seq[V] = {
+    // contract: each reservoir holds min(k, n_i) elements (the stage-1
+    // Algorithm R invariant when both stages share k) — it guarantees
+    // takes_i ≤ |reservoir_i| (shard i is drawn at most min(k, n_i)
+    // times), so the merge never runs a reservoir dry
+    shards.foreach { case (n, sample) =>
+      require(sample.size >= math.min(k.toLong, n),
+        s"reservoir underfull: ${sample.size} < min($k, $n)")
+    }
+    val pops = shards.map(_._1).toArray // remaining population per shard
+    val bufs = shards.map(s => scala.collection.mutable.ArrayBuffer(s._2: _*))
+    val avail = bufs.map(_.length).toArray
+    var totalRemaining = pops.sum
+    val take = math.min(k.toLong, totalRemaining).toInt
+    val out = scala.collection.mutable.ArrayBuffer[V]()
+    var d = 0
+    while (d < take) {
+      // shard choice ∝ remaining population
+      var r = Math.floorMod(
+        mix64(seed ^ (rev * 0x9e3779b97f4a7c15L) ^ (d.toLong << 1)),
+        totalRemaining)
+      var i = 0
+      while (r >= pops(i)) { r -= pops(i); i += 1 }
+      // uniform unused element of shard i's reservoir
+      val j = Math.floorMod(
+        mix64(seed ^ (rev * 0xbf58476d1ce4e5b9L) ^ ((d.toLong << 1) | 1L)),
+        avail(i)).toInt
+      out += bufs(i)(j)
+      bufs(i)(j) = bufs(i)(avail(i) - 1)
+      avail(i) -= 1
+      pops(i) -= 1
+      totalRemaining -= 1
+      d += 1
+    }
+    out.toSeq
+  }
+
+  /** Second stage of [[sampleFixedGlobal]]: latest (n, reservoir) per
+    * shard (MapState, ≤ shards × k values FOREVER), re-merged via
+    * [[mergeReservoirs]] on each emit — the merge is STATELESS given
+    * the shard reservoirs, so every snapshot is an exact uniform
+    * k-sample of everything seen. */
+  class GlobalReservoirMergeProcessor[V](k: Int, seed: Long)(
+      implicit shardEnc: Encoder[(Long, Seq[V])])
+      extends StatefulProcessor[Int, (Long, Long, Long, Seq[V]), (Long, Long, Seq[V])] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    @transient private var perShard: MapState[Long, (Long, Seq[V])] = _
+    @transient private var rev: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      perShard = getHandle.getMapState[Long, (Long, Seq[V])](
+        "shardRes", Encoders.scalaLong, shardEnc, TTLConfig.NONE)
+      rev = getHandle.getValueState[Long]("rev", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int,
+        rows: Iterator[(Long, Long, Long, Seq[V])],
+        timers: TimerValues): Iterator[(Long, Long, Seq[V])] = {
+      val fresh = scala.collection.mutable.Map[Long, (Long, Long, Seq[V])]()
+      var any = false
+      rows.foreach { case (shard, srev, n, sample) =>
+        if (fresh.get(shard).forall(_._1 < srev)) fresh(shard) = (srev, n, sample)
+        any = true
+      }
+      if (!any) return Iterator.empty
+      fresh.foreach { case (shard, (_, n, sample)) =>
+        perShard.updateValue(shard, (n, sample))
+      }
+      val states = scala.collection.mutable.ArrayBuffer[(Long, Seq[V])]()
+      val it = perShard.iterator()
+      while (it.hasNext) {
+        val (_, st) = it.next()
+        states += st
+      }
+      val r = (if (rev.exists()) rev.get() else 0L) + 1L
+      rev.update(r)
+      val nSum = states.iterator.map(_._1).sum
+      Iterator.single((r, nSum, mergeReservoirs(states.toSeq, k, seed, r)))
+    }
+  }
+
+  /** GLOBAL (cross-key) streaming fixed-size uniform sample — Beam's
+    * Sample.fixedSizeGlobally (sdks/java/core/src/main/java/org/
+    * apache/beam/sdk/transforms/Sample.java:47) in the two-stage
+    * form: value-hash shards each hold a deterministic Algorithm R
+    * reservoir ([[ReservoirProcessor]] — ANY deterministic partition
+    * is valid, since hypergeometric merge allocation is exact over
+    * disjoint shard populations), a one-key stage re-merges the
+    * O(shards) reservoir snapshots into an exact uniform k-sample of
+    * the whole stream. Emits rev-stamped (rev, n, sample). */
+  def sampleFixedGlobal[V: Encoder](ds: Dataset[V], k: Int,
+      seed: Long = 42L, shards: Int = 32)(
+      implicit midEnc: Encoder[(Long, Long, Long, Seq[V])],
+      shardEnc: Encoder[(Long, Seq[V])],
+      // serves BOTH the per-shard packed state and the global output
+      // (same shape (rev-or-n, n, sample))
+      stEnc: Encoder[(Long, Long, Seq[V])]): Dataset[(Long, Long, Seq[V])] = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    implicit val keyedEnc: Encoder[(Long, V)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[V]])
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    sampleFixedPerKey[Long, V](ds.map(v => (shardOf(v, shards), v)), k,
+        seed)(longEnc, midEnc, stEnc)
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(new GlobalReservoirMergeProcessor[V](k, seed),
+        TimeMode.None(), OutputMode.Append())(stEnc)
+  }
+
   /** SplitMix64 finalizer — the deterministic pseudo-random mix behind
     * [[reservoirDraw]] (public-domain constant schedule; same mixer
     * the JDK's SplittableRandom uses). */

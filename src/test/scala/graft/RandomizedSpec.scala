@@ -640,6 +640,52 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("mergeReservoirs: exact uniform k-subset of the shard union") {
+    import graft.streaming.StatefulV2.mergeReservoirs
+    // (a) uniformity: shards whose reservoirs ARE their populations
+    // (n_i == |sample_i|), so selection frequency of every element
+    // across revs must approach k/N exactly — skewed shard sizes make
+    // a mis-weighted shard choice visible immediately
+    val shards = Seq(
+      (6L, Seq(0L, 1L, 2L, 3L, 4L, 5L)),
+      (3L, Seq(6L, 7L, 8L)),
+      (1L, Seq(9L)))
+    val k = 4
+    val trials = 3000
+    val counts = new Array[Int](10)
+    (1 to trials).foreach { rev =>
+      val got = mergeReservoirs(shards, k, seed = 42L, rev = rev.toLong)
+      assert(got.size == k && got.distinct.size == k, s"rev $rev: $got")
+      got.foreach(v => counts(v.toInt) += 1)
+    }
+    // expected k/N = 0.4 per element; bound generous vs sqrt variance
+    counts.zipWithIndex.foreach { case (c, i) =>
+      val f = c.toDouble / trials
+      assert(f > 0.34 && f < 0.46, s"element $i selected at $f — biased")
+    }
+    // (b) true-reservoir shape: a population far exceeding its
+    // reservoir (|sample| = k, the stage-1 invariant) next to a tiny
+    // full shard — takes from the tiny shard stay population-bounded,
+    // and an under-full union (Σn < k) returns everything
+    (1 to 500).foreach { rev =>
+      val got = mergeReservoirs(
+        Seq((1000L, Seq(1L, 2L, 3L, 4L, 5L, 11L)), (2L, Seq(6L, 7L))),
+        k = 6, seed = 7L, rev = rev.toLong)
+      assert(got.size == 6 && got.distinct.size == 6, s"rev $rev: $got")
+      assert(got.count(v => v == 6L || v == 7L) <= 2,
+        s"rev $rev overdrew the small shard")
+    }
+    assert(mergeReservoirs(Seq((2L, Seq(1L, 2L))), 10, 1L, 1L)
+      .sorted == Seq(1L, 2L))
+    // an underfull reservoir (contract violation) fails loudly
+    intercept[IllegalArgumentException] {
+      mergeReservoirs(Seq((1000L, Seq(1L, 2L))), 6, 1L, 1L)
+    }
+    // (c) deterministic in (seed, rev)
+    assert(mergeReservoirs(shards, k, 42L, 17L) ==
+      mergeReservoirs(shards, k, 42L, 17L))
+  }
+
   test("welfordAdd fold == exact two-pass mean/variance on random streams") {
     val rnd = new scala.util.Random(31L)
     (1 to 200).foreach { trial =>

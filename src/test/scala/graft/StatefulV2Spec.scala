@@ -1940,6 +1940,79 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("tdigestQuantilesGlobal: sharded digest union stays within rank bound") {
+    withRocksDb {
+      // GLOBAL form: value-hash shards fold digests in parallel, a
+      // one-key stage merges them; the merged read-out must keep the
+      // same ±2%-rank contract vs the exact quantiles of the WHOLE
+      // stream — t-digest mergeability across the shard split
+      val rnd = new scala.util.Random(11L)
+      val vals = IndexedSeq.fill(6000)(math.exp(rnd.nextDouble() * 5))
+      val mem = MemoryStream[Double]
+      val table = freshTable()
+      val q = startMemorySink(
+        StatefulV2.tdigestQuantilesGlobal(mem.toDS(), compression = 100.0,
+          qs = Seq(0.5, 0.95), shards = 8), table)
+      vals.grouped(1500).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val snaps = spark.table(table).as[(Long, Long, Seq[Double])].collect()
+      assert(snaps.nonEmpty, "global digest stage emitted nothing")
+      val (_, n, qsOut) = snaps.maxBy(_._1)
+      assert(n == 6000L, s"n=$n")
+      val sorted = vals.sorted
+      def rankOf(x: Double): Double =
+        sorted.count(_ <= x).toDouble / sorted.size
+      val Seq(q50, q95) = qsOut
+      assert(math.abs(rankOf(q50) - 0.5) <= 0.02, s"q50=$q50 rank=${rankOf(q50)}")
+      assert(math.abs(rankOf(q95) - 0.95) <= 0.02, s"q95=$q95 rank=${rankOf(q95)}")
+    }
+  }
+
+  test("sampleFixedGlobal: exact uniform k-sample of the whole stream, replay-deterministic") {
+    withRocksDb {
+      // distinct values so membership/duplication is checkable; the
+      // final snapshot must be k distinct input elements with
+      // n = everything seen, and a bit-identical replay (same seed,
+      // same batching) must produce the SAME sample — the determinism
+      // contract the per-key reservoir keeps, preserved through the
+      // hypergeometric merge (draws keyed on (seed, rev))
+      val vals = (0L until 5000L).toIndexedSeq
+      def run(): (Long, Seq[Long]) = {
+        val mem = MemoryStream[Long]
+        val table = freshTable()
+        val q = startMemorySink(
+          StatefulV2.sampleFixedGlobal(mem.toDS(), k = 50, seed = 42L,
+            shards = 8), table)
+        vals.grouped(1250).foreach { g =>
+          mem.addData(g: _*); q.processAllAvailable()
+        }
+        q.stop()
+        val (_, n, sample) = spark.table(table)
+          .as[(Long, Long, Seq[Long])].collect().maxBy(_._1)
+        (n, sample)
+      }
+      val (n1, s1) = run()
+      assert(n1 == 5000L, s"n=$n1")
+      assert(s1.size == 50 && s1.distinct.size == 50, s"sample: $s1")
+      assert(s1.forall(v => v >= 0L && v < 5000L), s"foreign element: $s1")
+      val (n2, s2) = run()
+      assert(n2 == n1 && s2 == s1,
+        s"replay non-determinism:\n s1=$s1\n s2=$s2")
+      // under-full stream: everything returned
+      val mem3 = MemoryStream[Long]
+      val t3 = freshTable()
+      val q3 = startMemorySink(
+        StatefulV2.sampleFixedGlobal(mem3.toDS(), k = 50, seed = 1L,
+          shards = 4), t3)
+      mem3.addData(1L, 2L, 3L); q3.processAllAvailable(); q3.stop()
+      val (_, n3, s3) = spark.table(t3)
+        .as[(Long, Long, Seq[Long])].collect().maxBy(_._1)
+      assert(n3 == 3L && s3.sorted == Seq(1L, 2L, 3L), s"under-full: $s3")
+    }
+  }
+
   test("sampleFixedPerKey: streamed reservoir == reference Algorithm R fold, exactly") {
     withRocksDb {
       // determinism contract: the reservoir is a pure function of
