@@ -757,10 +757,54 @@ object StatefulV2 {
     * put per touched key per batch; each touched key emits a
     * rev-stamped (rev, n, quantile values at `qs`) snapshot — latest
     * row per key = max rev, as [[heavyHitters]]. */
+  /** Shared per-key t-digest fold step: rebuild the digest from its
+    * packed [mean, weight, …] state, fold the batch values in,
+    * compact, and persist ONE ValueState put. Returns None when the
+    * batch was empty, else (rev+1, n, packed centroids). The fold is
+    * the load-bearing half of both the quantile-emitting per-key
+    * processor and the sketch-emitting global stage 1 — a single copy
+    * so they can never diverge. */
+  private def tdigestFoldStep(st: ValueState[(Long, Long, Seq[Double])],
+      compression: Double,
+      values: Iterator[Double]): Option[(Long, Long, Seq[Double])] = {
+    val (rev, n0, packed) =
+      if (st.exists()) st.get() else (0L, 0L, Seq.empty[Double])
+    val buf = new graft.functions.TDigest.Buf(compression)
+    var i = 0
+    while (i < packed.length) { buf.add(packed(i), packed(i + 1)); i += 2 }
+    var n = n0
+    values.foreach { v => buf.add(v, 1.0); n += 1 }
+    if (n == n0) return None
+    buf.compact()
+    val out = new Array[Double](2 * buf.n)
+    var j = 0
+    while (j < buf.n) {
+      out(2 * j) = buf.means(j); out(2 * j + 1) = buf.weights(j); j += 1
+    }
+    st.update((rev + 1L, n, out.toSeq))
+    Some((rev + 1L, n, out.toSeq))
+  }
+
+  /** Quantiles at `qs` off a packed [mean, weight, …] centroid list. */
+  private def packedQuantiles(packed: Seq[Double],
+      qs: Seq[Double]): Seq[Double] = {
+    val m = packed.length / 2
+    val means = new Array[Double](m)
+    val weights = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      means(i) = packed(2 * i); weights(i) = packed(2 * i + 1); i += 1
+    }
+    qs.map(q => graft.functions.TDigest.quantile(means, weights, q))
+  }
+
+  private def requireQs(qs: Seq[Double]): Unit =
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad qs: $qs")
+
   class TDigestProcessor[K](compression: Double, qs: Seq[Double])
       extends StatefulProcessor[K, (K, Double), (K, Long, Long, Seq[Double])] {
     require(compression >= 20, s"compression too small: $compression")
-    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad qs: $qs")
+    requireQs(qs)
 
     @transient private var st: ValueState[(Long, Long, Seq[Double])] = _
 
@@ -769,27 +813,12 @@ object StatefulV2 {
         Encoders.product[(Long, Long, Seq[Double])], TTLConfig.NONE)
 
     override def handleInputRows(key: K, rows: Iterator[(K, Double)],
-        timers: TimerValues): Iterator[(K, Long, Long, Seq[Double])] = {
-      val (rev, n0, packed) =
-        if (st.exists()) st.get() else (0L, 0L, Seq.empty[Double])
-      val buf = new graft.functions.TDigest.Buf(compression)
-      var i = 0
-      while (i < packed.length) { buf.add(packed(i), packed(i + 1)); i += 2 }
-      var n = n0
-      rows.foreach { case (_, v) => buf.add(v, 1.0); n += 1 }
-      if (n == n0) return Iterator.empty
-      buf.compact()
-      val out = new Array[Double](2 * buf.n)
-      var j = 0
-      while (j < buf.n) {
-        out(2 * j) = buf.means(j); out(2 * j + 1) = buf.weights(j); j += 1
+        timers: TimerValues): Iterator[(K, Long, Long, Seq[Double])] =
+      tdigestFoldStep(st, compression, rows.map(_._2)) match {
+        case None => Iterator.empty
+        case Some((rev, n, packed)) =>
+          Iterator.single((key, rev, n, packedQuantiles(packed, qs)))
       }
-      st.update((rev + 1L, n, out.toSeq))
-      val means = java.util.Arrays.copyOf(buf.means, buf.n)
-      val weights = java.util.Arrays.copyOf(buf.weights, buf.n)
-      Iterator.single((key, rev + 1L, n,
-        qs.map(q => graft.functions.TDigest.quantile(means, weights, q))))
-    }
   }
 
   /** [[TDigestProcessor]] over a keyed value stream: per-key
@@ -817,24 +846,11 @@ object StatefulV2 {
         Encoders.product[(Long, Long, Seq[Double])], TTLConfig.NONE)
 
     override def handleInputRows(key: K, rows: Iterator[(K, Double)],
-        timers: TimerValues): Iterator[(K, Long, Long, Seq[Double])] = {
-      val (rev, n0, packed) =
-        if (st.exists()) st.get() else (0L, 0L, Seq.empty[Double])
-      val buf = new graft.functions.TDigest.Buf(compression)
-      var i = 0
-      while (i < packed.length) { buf.add(packed(i), packed(i + 1)); i += 2 }
-      var n = n0
-      rows.foreach { case (_, v) => buf.add(v, 1.0); n += 1 }
-      if (n == n0) return Iterator.empty
-      buf.compact()
-      val out = new Array[Double](2 * buf.n)
-      var j = 0
-      while (j < buf.n) {
-        out(2 * j) = buf.means(j); out(2 * j + 1) = buf.weights(j); j += 1
+        timers: TimerValues): Iterator[(K, Long, Long, Seq[Double])] =
+      tdigestFoldStep(st, compression, rows.map(_._2)) match {
+        case None => Iterator.empty
+        case Some((rev, n, packed)) => Iterator.single((key, rev, n, packed))
       }
-      st.update((rev + 1L, n, out.toSeq))
-      Iterator.single((key, rev + 1L, n, out.toSeq))
-    }
   }
 
   /** Second stage of [[tdigestQuantilesGlobal]]: latest packed digest
@@ -844,6 +860,8 @@ object StatefulV2 {
     * the per-shard folds. Emits rev-stamped (rev, n, quantiles). */
   class GlobalTDigestMergeProcessor(compression: Double, qs: Seq[Double])
       extends StatefulProcessor[Int, (Long, Long, Long, Seq[Double]), (Long, Long, Seq[Double])] {
+    require(compression >= 20, s"compression too small: $compression")
+    requireQs(qs) // same construction-time contract as the per-key form
 
     @transient private var perShard: MapState[Long, (Long, Seq[Double])] = _
     @transient private var rev: ValueState[Long] = _
@@ -859,16 +877,11 @@ object StatefulV2 {
     override def handleInputRows(key: Int,
         rows: Iterator[(Long, Long, Long, Seq[Double])],
         timers: TimerValues): Iterator[(Long, Long, Seq[Double])] = {
-      val fresh = scala.collection.mutable.Map[Long, (Long, Long, Seq[Double])]()
-      var any = false
-      rows.foreach { case (shard, srev, n, packed) =>
-        if (fresh.get(shard).forall(_._1 < srev)) fresh(shard) = (srev, n, packed)
-        any = true
-      }
-      if (!any) return Iterator.empty
-      fresh.foreach { case (shard, (_, n, packed)) =>
-        perShard.updateValue(shard, (n, packed))
-      }
+      val fresh = latestPerShard(rows.map { case (shard, srev, n, packed) =>
+        (shard, srev, (n, packed))
+      })
+      if (fresh.isEmpty) return Iterator.empty
+      fresh.foreach { case (shard, st) => perShard.updateValue(shard, st) }
       var nSum = 0L
       val buf = new graft.functions.TDigest.Buf(compression)
       val it = perShard.iterator()
@@ -990,16 +1003,11 @@ object StatefulV2 {
     override def handleInputRows(key: Int,
         rows: Iterator[(Long, Long, Long, Seq[V])],
         timers: TimerValues): Iterator[(Long, Long, Seq[V])] = {
-      val fresh = scala.collection.mutable.Map[Long, (Long, Long, Seq[V])]()
-      var any = false
-      rows.foreach { case (shard, srev, n, sample) =>
-        if (fresh.get(shard).forall(_._1 < srev)) fresh(shard) = (srev, n, sample)
-        any = true
-      }
-      if (!any) return Iterator.empty
-      fresh.foreach { case (shard, (_, n, sample)) =>
-        perShard.updateValue(shard, (n, sample))
-      }
+      val fresh = latestPerShard(rows.map { case (shard, srev, n, sample) =>
+        (shard, srev, (n, sample))
+      })
+      if (fresh.isEmpty) return Iterator.empty
+      fresh.foreach { case (shard, st) => perShard.updateValue(shard, st) }
       val states = scala.collection.mutable.ArrayBuffer[(Long, Seq[V])]()
       val it = perShard.iterator()
       while (it.hasNext) {
@@ -1190,6 +1198,24 @@ object StatefulV2 {
       // no timers, no TTL → TimeMode.None (see scd2Changes)
       TimeMode.None(), OutputMode.Append())
 
+  /** The latest (max-srev) payload per shard from a merge-stage input
+    * batch — the staleness rule every GLOBAL sketch's stage 2 applies
+    * before folding shard snapshots into its MapState (≤ one snapshot
+    * per shard per batch arrives by construction; the max-rev guard is
+    * defensive). One copy so the rev-comparison logic can never
+    * diverge across the merge processors. */
+  private def latestPerShard[S](
+      rows: Iterator[(Long, Long, S)]): scala.collection.mutable.Map[Long, S] = {
+    val revs = scala.collection.mutable.Map[Long, Long]()
+    val out = scala.collection.mutable.Map[Long, S]()
+    rows.foreach { case (shard, srev, payload) =>
+      if (revs.get(shard).forall(_ < srev)) {
+        revs(shard) = srev; out(shard) = payload
+      }
+    }
+    out
+  }
+
   /** Shard assignment for the GLOBAL sketch forms: the item's own
     * value routes it — hash-sharding by item means an item's ENTIRE
     * count lands in exactly one shard, which is what lets per-shard
@@ -1235,22 +1261,11 @@ object StatefulV2 {
     override def handleInputRows(key: Int,
         rows: Iterator[(Long, Long, Long, Long, Seq[(I, Long)])],
         timers: TimerValues): Iterator[(Long, Long, Long, Seq[(I, Long)])] = {
-      // ≤ one snapshot per shard per batch (one invocation per key
-      // upstream), but keep the max-rev row per shard defensively
-      val fresh = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
-      val freshCounters = scala.collection.mutable.Map[Long, Seq[(I, Long)]]()
-      var any = false
-      rows.foreach { case (shard, srev, n, err, counters) =>
-        if (fresh.get(shard).forall(_._1 < srev)) {
-          fresh(shard) = (srev, n, err)
-          freshCounters(shard) = counters
-        }
-        any = true
-      }
-      if (!any) return Iterator.empty
-      fresh.foreach { case (shard, (_, n, err)) =>
-        perShard.updateValue(shard, (n, err, freshCounters(shard)))
-      }
+      val fresh = latestPerShard(rows.map { case (shard, srev, n, err, cs) =>
+        (shard, srev, (n, err, cs))
+      })
+      if (fresh.isEmpty) return Iterator.empty
+      fresh.foreach { case (shard, st) => perShard.updateValue(shard, st) }
       // merge the full shard set (O(shards × k) — small by contract)
       var nSum = 0L; var errMax = 0L
       val union = scala.collection.mutable.ArrayBuffer[(I, Long)]()
@@ -1322,16 +1337,11 @@ object StatefulV2 {
     override def handleInputRows(key: Int,
         rows: Iterator[(Long, Long, Long, Long, Array[Byte])],
         timers: TimerValues): Iterator[(Long, Long, Long, Array[Byte])] = {
-      val fresh = scala.collection.mutable.Map[Long, (Long, Long, Array[Byte])]()
-      var any = false
-      rows.foreach { case (shard, srev, n, _, bytes) =>
-        if (fresh.get(shard).forall(_._1 < srev)) fresh(shard) = (srev, n, bytes)
-        any = true
-      }
-      if (!any) return Iterator.empty
-      fresh.foreach { case (shard, (_, n, bytes)) =>
-        perShard.updateValue(shard, (n, bytes))
-      }
+      val fresh = latestPerShard(rows.map { case (shard, srev, n, _, bytes) =>
+        (shard, srev, (n, bytes))
+      })
+      if (fresh.isEmpty) return Iterator.empty
+      fresh.foreach { case (shard, st) => perShard.updateValue(shard, st) }
       var nSum = 0L
       val union = new org.apache.datasketches.hll.Union(lgK)
       val it = perShard.iterator()

@@ -13,11 +13,13 @@ import graft.streaming.{StatefulV2, StreamOps}
   * events/s and rowsUpdated/event across the decade; an O(n²) rewrite
   * pattern degrades super-linearly and fails the gates below.
   *
-  * Probes (the three worst r13 state amplifiers + the banded-dedup
-  * candidate generator as the batch-side scale witness):
+  * Probes (the heavy stateful family + the banded-dedup candidate
+  * generator as the batch-side scale witness):
   *   - triggered_sessions (merging windows + trigger/pane machinery)
   *   - gap_flush (event-time session clusters, the MATCH_RECOGNIZE base)
   *   - session_agg (native session_window — Catalyst's own path)
+  *   - triggered_windows (fixed windows + trigger/pane machinery)
+  *   - match_recognize (full NFA over watermark-closed sessions)
   *   - minhash_candidates (LSH banded equi-join, N then 10N docs)
   *
   * Workload: `SCALE_PROBE_BASE` events (default 100k; 10× = 1M) over a
@@ -32,7 +34,8 @@ import graft.streaming.{StatefulV2, StreamOps}
   *   - throughput exponent log10(evs_1x / evs_10x) ≤ 0.30 per op
   *     (≤ 2× per-event cost growth across a decade = sub-linear total)
   *   - rowsUpdated/event within each op's budget at BOTH scales
-  *     (triggered_sessions ≤ 2.5, gap_flush ≤ 2.5, session_agg ≤ 3.5)
+  *     (triggered_sessions / gap_flush / triggered_windows /
+  *     match_recognize ≤ 2.5, session_agg ≤ 3.5)
   *   - minhash candidate pairs grow ~linearly (≤ 3× per-doc growth):
   *     banded LSH emits O(dupes), never the all-pairs O(N²)
   */

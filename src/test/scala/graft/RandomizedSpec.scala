@@ -665,16 +665,20 @@ class RandomizedSpec extends SparkSpec {
     }
     // (b) true-reservoir shape: a population far exceeding its
     // reservoir (|sample| = k, the stage-1 invariant) next to a tiny
-    // full shard — takes from the tiny shard stay population-bounded,
-    // and an under-full union (Σn < k) returns everything
+    // full shard. The POPULATION weighting is the testable property:
+    // expected takes from the n=2 shard are k·2/1002 ≈ 0.012 per rev
+    // (≈ 6 over 500 revs), where a mis-weighted UNIFORM shard choice
+    // would take ~1500 — the bound below separates them by 20×
+    var smallTakes = 0
     (1 to 500).foreach { rev =>
       val got = mergeReservoirs(
         Seq((1000L, Seq(1L, 2L, 3L, 4L, 5L, 11L)), (2L, Seq(6L, 7L))),
         k = 6, seed = 7L, rev = rev.toLong)
       assert(got.size == 6 && got.distinct.size == 6, s"rev $rev: $got")
-      assert(got.count(v => v == 6L || v == 7L) <= 2,
-        s"rev $rev overdrew the small shard")
+      smallTakes += got.count(v => v == 6L || v == 7L)
     }
+    assert(smallTakes <= 60,
+      s"small shard drawn $smallTakes/500 revs — population weighting broken")
     assert(mergeReservoirs(Seq((2L, Seq(1L, 2L))), 10, 1L, 1L)
       .sorted == Seq(1L, 2L))
     // an underfull reservoir (contract violation) fails loudly
