@@ -124,6 +124,10 @@ object Bench {
       .getTotalCompilationTime
 
   def main(args: Array[String]): Unit = {
+    // Locale is pinned PER FORMAT via num() — NOT Locale.setDefault:
+    // a ROOT default locale breaks embedded Derby database creation
+    // ("XBM0X: Supplied locale description '' is invalid"), which
+    // silently failed io_jdbc_roundtrip when tried
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -213,10 +217,10 @@ object Bench {
     val calTotal =
       if (calResults.exists(_._2 < 0)) -1.0 else calResults.map(_._2).sum
     val calJson = {
-      val qs = calResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      val qs = calResults.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
         .mkString("{", ",", "}")
-      f"""{"total":$calTotal%.3f,"wall_sec":$calWallSec%.1f,""" +
-        f""""gc_ms":${gcMs - calGc0},"jit_ms":${jitMs - calJit0},""" +
+      s"""{"total":${num("%.3f", calTotal)},"wall_sec":${num("%.1f", calWallSec)},""" +
+        s""""gc_ms":${gcMs - calGc0},"jit_ms":${jitMs - calJit0},""" +
         s""""queries":$qs}"""
     }
     // Streaming throughput section (events/s; BASELINE's Nexmark
@@ -257,7 +261,7 @@ object Bench {
         }
       }
     val streamingJson = streaming
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.1f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + num("%.1f", v) }
       .mkString("{", ",", "}")
     // per-op state-read/-write vs processing split (round-9 directive:
     // NexmarkPerf-style separate rate tracking) — details file only
@@ -268,10 +272,10 @@ object Bench {
     // only the tail of stdout (observed: last ~2000 chars), so a
     // 127-entry JSON line gets front-truncated and fails to parse —
     // which is exactly what happened to BENCH_r01..r05 (parsed:null).
-    val full = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val full = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
       .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$full,"calibration":$calJson,"streaming":$streamingJson,"streaming_breakdown":$streamingBreakdownJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","reps":$reps,"queries":$full,"calibration":$calJson,"streaming":$streamingJson,"streaming_breakdown":$streamingBreakdownJson,"sf":"${jsonPath(sfDir)}"}"""
     // best-effort: never let a read-only/foreign cwd kill the stdout
     // line the driver parses
     try java.nio.file.Files.write(
@@ -305,6 +309,27 @@ object Bench {
     * query/streaming maps grew). 1600 = 2000 with 20% headroom. */
   private[graft] val stdoutLineBudget = 1600
 
+  /** Locale-pinned numeric formatting for the machine-parsed line:
+    * the `f` interpolator uses the default locale, and a comma-decimal
+    * locale would make the JSON invalid (ADVICE r15). */
+  private def num(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
+  /** JSON-escape + bound a path for the stdout line: quote/backslash/
+    * control chars escaped (a raw quote would break the driver's
+    * parse), middle elided past 120 chars (an unbounded path would eat
+    * the entry budget — ADVICE r15). */
+  private[graft] def jsonPath(s: String): String = {
+    val bounded =
+      if (s.length <= 120) s else s.take(58) + "..." + s.takeRight(59)
+    bounded.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+  }
+
   /** Assemble the stdout line UNDER [[stdoutLineBudget]] by
     * construction: the scalar fields (total, cal, n_queries — the
     * ones the driver and bench_diff require) are unconditional;
@@ -316,10 +341,10 @@ object Bench {
   private[graft] def stdoutLine(total: Double, reps: Int, nQueries: Int,
       cal: Double, queries: Seq[(String, Double)],
       streaming: Seq[(String, Double)], sfDir: String): String = {
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      f""""reps":$reps,"n_queries":$nQueries,"cal":$cal%.3f,""" +
+    val head = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec",""" +
+      s""""reps":$reps,"n_queries":$nQueries,"cal":${num("%.3f", cal)},""" +
       s""""detail":"bench_details.json""""
-    val tail = s""","sf":"$sfDir"}"""
+    val tail = s""","sf":"${jsonPath(sfDir)}"}"""
     // greedy in-order fill: stop at the FIRST entry that would
     // overflow (a skip-and-continue fill would reorder the map's
     // priority semantics — later low-priority short names sneaking in
@@ -340,10 +365,10 @@ object Bench {
     val avail = math.max(0,
       stdoutLineBudget - head.length - tail.length - wrappers)
     val sBody = fill(
-      streaming.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" },
+      streaming.map { case (k, v) => "\"" + k + "\":" + num("%.1f", v) },
       math.max(0, avail - 300))
     val qBody = fill(
-      queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" },
+      queries.map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) },
       avail - sBody.length)
     head + s""","queries":{$qBody},"streaming":{$sBody}""" + tail
   }

@@ -1315,6 +1315,139 @@ object StatefulV2 {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming per-key top-K by comparator — Beam's Top.perKey
+    * (sdks/java/core/src/main/java/org/apache/beam/sdk/transforms/
+    * Top.java:58, the Top.of comparator form) run continuously under
+    * the global window: the k GREATEST elements per key under `ord`,
+    * held in ONE packed ValueState (rev, n, top-k descending — O(k)
+    * FOREVER). Batches fold as buffer-and-compact (amortized
+    * O(log k) per element, buffer bounded at k + 1024 regardless of
+    * batch size), one state put and one rev-stamped
+    * (key, rev, n, topK) snapshot per touched key per batch — latest
+    * row per key = max rev. Top-k is a mergeable fold, so the result
+    * is EXACT for any arrival order; tie order among ord-equal
+    * elements is unspecified (pass a total order for replay-stable
+    * output — same contract as Beam's comparator). */
+  class TopKProcessor[K, V](k: Int, ord: Ordering[V])(
+      implicit stEnc: Encoder[(Long, Long, Seq[V])])
+      extends StatefulProcessor[K, (K, V), (K, Long, Long, Seq[V])] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    @transient private var st: ValueState[(Long, Long, Seq[V])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Seq[V])]("topk", stEnc,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, V)],
+        timers: TimerValues): Iterator[(K, Long, Long, Seq[V])] = {
+      val (rev, n0, top0) =
+        if (st.exists()) st.get() else (0L, 0L, Seq.empty[V])
+      var n = n0
+      val desc = ord.reverse
+      val buf = scala.collection.mutable.ArrayBuffer[V](top0: _*)
+      rows.foreach { case (_, v) =>
+        buf += v
+        // periodic compaction keeps memory bounded on huge batches
+        // while amortizing the sort across ~1024 arrivals
+        if (buf.length >= k + 1024) {
+          val keep = buf.sorted(desc).take(k)
+          buf.clear(); buf ++= keep
+        }
+        n += 1
+      }
+      if (n == n0) return Iterator.empty
+      val top = buf.sorted(desc).take(k).toSeq
+      st.update((rev + 1L, n, top))
+      Iterator.single((key, rev + 1L, n, top))
+    }
+  }
+
+  /** [[TopKProcessor]] over a keyed value stream: per-key rev-stamped
+    * (n, k greatest under `ord`, descending) snapshots; latest row per
+    * key = max rev. */
+  def topKPerKey[K: Encoder, V](ds: Dataset[(K, V)], k: Int)(
+      implicit ord: Ordering[V],
+      outEnc: Encoder[(K, Long, Long, Seq[V])],
+      stEnc: Encoder[(Long, Long, Seq[V])]): Dataset[(K, Long, Long, Seq[V])] =
+    ds.groupByKey(_._1).transformWithState(
+      new TopKProcessor[K, V](k, ord),
+      // no timers, no TTL → TimeMode.None (see scd2Changes)
+      TimeMode.None(), OutputMode.Append())
+
+  /** Second stage of [[topKGlobal]]: latest (n, top-k) per shard
+    * (MapState, ≤ shards × k values FOREVER), re-merged on each emit
+    * as union → sort desc → take k. The merge is STATELESS given the
+    * shard snapshots and top-k is a mergeable fold, so every emitted
+    * snapshot is the EXACT global top-k of everything seen: any
+    * element of the true global top-k is, a fortiori, in the top-k of
+    * whichever shard it landed in. */
+  class GlobalTopKMergeProcessor[V](k: Int, ord: Ordering[V])(
+      implicit shardEnc: Encoder[(Long, Seq[V])])
+      extends StatefulProcessor[Int, (Long, Long, Long, Seq[V]), (Long, Long, Seq[V])] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    @transient private var perShard: MapState[Long, (Long, Seq[V])] = _
+    @transient private var rev: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      perShard = getHandle.getMapState[Long, (Long, Seq[V])](
+        "shardTop", Encoders.scalaLong, shardEnc, TTLConfig.NONE)
+      rev = getHandle.getValueState[Long]("rev", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int,
+        rows: Iterator[(Long, Long, Long, Seq[V])],
+        timers: TimerValues): Iterator[(Long, Long, Seq[V])] = {
+      val fresh = latestPerShard(rows.map { case (shard, srev, n, top) =>
+        (shard, srev, (n, top))
+      })
+      if (fresh.isEmpty) return Iterator.empty
+      fresh.foreach { case (shard, st) => perShard.updateValue(shard, st) }
+      var nSum = 0L
+      val union = scala.collection.mutable.ArrayBuffer[V]()
+      val it = perShard.iterator()
+      while (it.hasNext) {
+        val (_, (n, top)) = it.next()
+        nSum += n
+        union ++= top
+      }
+      val r = (if (rev.exists()) rev.get() else 0L) + 1L
+      rev.update(r)
+      Iterator.single((r, nSum, union.sorted(ord.reverse).take(k).toSeq))
+    }
+  }
+
+  /** GLOBAL (cross-key) streaming top-K by comparator — Beam's
+    * Top.of/largest/smallest on unbounded input (sdks/java/core/src/
+    * main/java/org/apache/beam/sdk/transforms/Top.java:58) in the same
+    * two-stage form as [[heavyHittersGlobal]]: value-hash shards each
+    * keep a bounded k-heap in parallel (unlike the heavy-hitter
+    * summaries, top-k is mergeable under ANY partition — hashing is
+    * purely for balance), then a one-key stage re-merges the
+    * O(shards × k) snapshot stream. Emits rev-stamped (rev, n, topK
+    * descending) — EXACT, not approximate: each element survives in
+    * its own shard iff it can survive globally. */
+  def topKGlobal[V: Encoder](ds: Dataset[V], k: Int, shards: Int = 32)(
+      implicit ord: Ordering[V],
+      midEnc: Encoder[(Long, Long, Long, Seq[V])],
+      shardEnc: Encoder[(Long, Seq[V])],
+      outEnc: Encoder[(Long, Long, Seq[V])]): Dataset[(Long, Long, Seq[V])] = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    implicit val keyedEnc: Encoder[(Long, V)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[V]])
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    // outEnc doubles as the packed-state encoder (same
+    // (Long, Long, Seq[V]) shape) — passed explicitly to avoid
+    // same-type implicit ambiguity
+    topKPerKey[Long, V](ds.map(v => (shardOf(v, shards), v)), k)(
+        implicitly[Encoder[Long]], ord, midEnc, outEnc)
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(new GlobalTopKMergeProcessor[V](k, ord),
+        TimeMode.None(), OutputMode.Append())(outEnc)
+  }
+
   /** Second stage of [[approxDistinctGlobal]]: latest HLL sketch bytes
     * per shard (MapState, ≤ `shards` compact images FOREVER), one
     * DataSketches union over the shard set per batch. Item-value

@@ -16,20 +16,12 @@ class BenchLineSpec extends AnyFunSuite {
   /** The REAL current suites, with worst-case-width values: batch
     * seconds up to 3 digits before the decimal, streaming ev/s up to
     * 6 digits — wider than anything observed, so the guard holds with
-    * margin. */
+    * margin. Streaming names come from [[StreamingBench.opNames]] —
+    * the SAME list Bench.main's section iterates — so suite growth can
+    * never leave this guard testing a stale universe (ADVICE r15). */
   private def realLine(): String = {
     val qs = Bench.headline.map(n => n -> 999.99)
-    val streamingNames = Seq(
-      "streaming_incremental_join", "streaming_winning_bid",
-      "streaming_triggered_windows", "streaming_triggered_sessions",
-      "streaming_session_agg", "streaming_match_recognize",
-      "streaming_gap_flush", "streaming_dedup", "streaming_scd2",
-      "streaming_funnel", "streaming_heavy_hitters", "streaming_anomaly",
-      "streaming_tdigest", "streaming_approx_distinct",
-      "streaming_reservoir", "streaming_heavy_hitters_global",
-      "streaming_approx_distinct_global", "streaming_tdigest_global",
-      "streaming_reservoir_global", "streaming_topk_global")
-    val ss = streamingNames.map(n => n -> 999999.9)
+    val ss = StreamingBench.opNames.map(n => n -> 999999.9)
     Bench.stdoutLine(total = 999.999, reps = 3, nQueries = qs.size,
       cal = 99.999, queries = qs, streaming = ss,
       sfDir = "/root/testdata/sf0.1")
@@ -55,9 +47,24 @@ class BenchLineSpec extends AnyFunSuite {
     // the streaming block is the BASELINE like-for-like side: with
     // today's suite sizes EVERY streaming row must fit (only batch
     // anchors overflow to bench_details.json)
-    assert(node.get("streaming").size() == 20,
-      s"expected all 20 streaming rows on the stdout line, got " +
-        s"${node.get("streaming").size()}")
+    assert(node.get("streaming").size() == StreamingBench.opNames.size,
+      s"expected all ${StreamingBench.opNames.size} streaming rows on " +
+        s"the stdout line, got ${node.get("streaming").size()}")
+  }
+
+  test("pathological sfDir stays valid JSON under the budget") {
+    // quote + backslash + a 500-char path: the escaping/eliding in
+    // Bench.jsonPath must keep the line parseable and bounded
+    // (ADVICE r15 — an unescaped quote broke the parse, an unbounded
+    // path defeated the truncation fix)
+    val evil = "/tmp/we\"ird\\dir/" + ("x" * 500)
+    val line = Bench.stdoutLine(1.0, 3, 1, 1.0, Seq("q" -> 1.0),
+      Seq("s" -> 1.0), evil)
+    assert(line.length <= Bench.stdoutLineBudget)
+    val node = mapper.readTree(line)
+    val sf = node.get("sf").asText()
+    assert(sf.startsWith("/tmp/we\"ird\\dir/"), s"sf mangled: $sf")
+    assert(sf.length <= 130, s"sf not elided: ${sf.length} chars")
   }
 
   test("fill order is priority-preserving and parse survives overflow") {

@@ -2013,6 +2013,76 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("topKGlobal: every snapshot == batch orderBy-limit of the replayed prefix; shard-independent") {
+    withRocksDb {
+      // EXACT contract (unlike the sketch globals): the k greatest
+      // elements under a total order. After every fed chunk the latest
+      // snapshot must equal the batch engine's orderBy(desc).limit(k)
+      // over exactly the rows replayed so far, and the answer must not
+      // depend on the shard count (top-k is mergeable under any
+      // partition)
+      val rnd = new scala.util.Random(23L)
+      val vals = IndexedSeq.tabulate(4000)(i =>
+        (math.floor(rnd.nextDouble() * 500), i.toLong)) // forced score ties
+      implicit val ord: Ordering[(Double, Long)] =
+        Ordering.by[(Double, Long), Double](_._1).orElseBy(_._2)
+      val k = 25
+      def batchTopK(prefix: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        prefix.toDF("v", "id")
+          .orderBy(col("v").desc, col("id").desc).limit(k)
+          .as[(Double, Long)].collect().toSeq
+      def run(shards: Int): Seq[(Double, Long)] = {
+        val mem = MemoryStream[(Double, Long)]
+        val table = freshTable()
+        val q = startMemorySink(
+          StatefulV2.topKGlobal(mem.toDS(), k, shards = shards), table)
+        var fed = 0
+        vals.grouped(900).foreach { g =>
+          mem.addData(g: _*); q.processAllAvailable()
+          fed += g.size
+          val (_, n, top) = spark.table(table)
+            .as[(Long, Long, Seq[(Double, Long)])].collect().maxBy(_._1)
+          assert(n == fed.toLong, s"n=$n after feeding $fed")
+          assert(top == batchTopK(vals.take(fed)),
+            s"snapshot at $fed rows != batch orderBy.limit($k)")
+        }
+        q.stop()
+        spark.table(table).as[(Long, Long, Seq[(Double, Long)])]
+          .collect().maxBy(_._1)._3
+      }
+      val top8 = run(8)
+      assert(top8 == run(3), "top-k depends on shard count")
+    }
+  }
+
+  test("topKPerKey: latest snapshot per key == per-key sort-take; under-full key keeps all") {
+    withRocksDb {
+      val rnd = new scala.util.Random(31L)
+      val rows = IndexedSeq.tabulate(600)(i =>
+          (1L + rnd.nextInt(4), (rnd.nextDouble(), i.toLong)))
+        .appended((9L, (0.5, 999L))) // key with n=1 < k
+      implicit val ord: Ordering[(Double, Long)] =
+        Ordering.by[(Double, Long), Double](_._1).orElseBy(_._2)
+      val k = 7
+      val mem = MemoryStream[(Long, (Double, Long))]
+      val table = freshTable()
+      val q = startMemorySink(StatefulV2.topKPerKey(mem.toDS(), k), table)
+      rows.grouped(150).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(table)
+        .as[(Long, Long, Long, Seq[(Double, Long)])].collect()
+        .groupBy(_._1).map { case (kk, s) =>
+          val last = s.maxBy(_._2); kk -> ((last._3, last._4.toList))
+        }
+      val want = rows.groupBy(_._1).map { case (kk, krs) =>
+        kk -> ((krs.size.toLong,
+          krs.map(_._2).sorted(ord.reverse).take(k).toList))
+      }
+      assert(got == want, s"per-key top-k drift:\n got=$got\nwant=$want")
+      assert(got(9L) == ((1L, List((0.5, 999L)))))
+    }
+  }
+
   test("sampleFixedPerKey: streamed reservoir == reference Algorithm R fold, exactly") {
     withRocksDb {
       // determinism contract: the reservoir is a pure function of
