@@ -380,6 +380,130 @@ case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
     })
 }
 
+/** `ivf_cells(vec, norm, seeds, n)` → array<int>: the query/corpus
+  * side of IVF coarse quantization — the `n` nearest cells by cosine
+  * (dot(vec, seed) / (norm · |seed|), ties → lowest cell id), best
+  * first. Seeds are a plan-time literal turned into ONE `float[][]`
+  * reference object; per-row work is a tight nCells·dim dot loop +
+  * n-pass selection, so generated-code size is CONSTANT in nCells.
+  * The equivalent Catalyst tree — sort_array over an nCells-wide
+  * array(struct(vec_dot(...), ...)) — grew one janino method per cell
+  * and blew whole-stage codegen's 64 KB method limit near nCells ≈ 200
+  * (ScaleProbe's √N-scaled ANN witness fell back to interpreted
+  * execution), the same expression-tree-size failure [[PqEncode]]
+  * exists to avoid. Seed norms are precomputed once at construction
+  * with the identical double arithmetic (sqrt of summed squares), so
+  * rankings are bit-for-bit the old tree's. */
+case class IvfCells(vec: Expression, norm: Expression,
+    seeds: Array[Array[Float]], n: Int) extends BinaryExpression {
+  require(seeds.nonEmpty, "ivf_cells: need at least one seed")
+  require(n >= 1, s"ivf_cells: n must be >= 1, got $n")
+  // |seed| in the same arithmetic order the old plan-time scala
+  // computation used: sum of toDouble squares, then sqrt
+  private val seedNorms: Array[Double] =
+    seeds.map(s => math.sqrt(s.map(x => x.toDouble * x.toDouble).sum))
+
+  override def left: Expression = vec
+  override def right: Expression = norm
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, norm.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ivf_cells requires (array<float>, double), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_cells"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfCells =
+    copy(vec = newLeft, norm = newRight)
+
+  override protected def nullSafeEval(v: Any, nv: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val qn = nv.asInstanceOf[Double]
+    val nCells = seeds.length
+    val dim = seeds(0).length
+    val sims = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      val s = seeds(c)
+      val len = math.min(x.numElements(), dim)
+      var acc = 0.0
+      var p = 0
+      while (p < len) { acc += x.getFloat(p).toDouble * s(p); p += 1 }
+      sims(c) = acc / (qn * seedNorms(c))
+      c += 1
+    }
+    val take = math.min(n, nCells)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](nCells)
+    var d = 0
+    while (d < take) {
+      // strict > from index 0 ⇒ ties resolve to the LOWEST cell id —
+      // the old struct(negSim, cell) sort order; NaN sims (never > any
+      // best) fall through to the first-unused fallback, matching
+      // sort_array's NaN-last placement
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < nCells) {
+        if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+        i += 1
+      }
+      if (best < 0) { best = 0; while (used(best)) best += 1 }
+      out(d) = best
+      used(best) = true
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, qn) => {
+      val sd = ctx.addReferenceObj("ivfSeeds", seeds, "float[][]")
+      val sn = ctx.addReferenceObj("ivfSeedNorms", seedNorms, "double[]")
+      val sims = ctx.freshName("sims")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val len = ctx.freshName("len")
+      val take = ctx.freshName("take")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $sims = new double[${seeds.length}];
+         |for (int $c = 0; $c < ${seeds.length}; $c++) {
+         |  int $len = java.lang.Math.min($a.numElements(), $sd[$c].length);
+         |  double $acc = 0.0;
+         |  for (int $p = 0; $p < $len; $p++) {
+         |    $acc += (double) $a.getFloat($p) * (double) $sd[$c][$p];
+         |  }
+         |  $sims[$c] = $acc / ($qn * $sn[$c]);
+         |}
+         |int $take = java.lang.Math.min($n, ${seeds.length});
+         |int[] $out = new int[$take];
+         |boolean[] $used = new boolean[${seeds.length}];
+         |for (int $d = 0; $d < $take; $d++) {
+         |  int $best = -1;
+         |  double $bestSim = Double.NEGATIVE_INFINITY;
+         |  for (int $i = 0; $i < ${seeds.length}; $i++) {
+         |    if (!$used[$i] && $sims[$i] > $bestSim) {
+         |      $bestSim = $sims[$i]; $best = $i;
+         |    }
+         |  }
+         |  if ($best < 0) { $best = 0; while ($used[$best]) $best++; }
+         |  $out[$d] = $best;
+         |  $used[$best] = true;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+}
+
 /** Session-scoped registration of graft's native expressions; call once
   * per session (idempotent), then use via
   * `functions.call_function("vec_dot", a, b)`.
@@ -403,8 +527,17 @@ object GraftFunctions {
     }
   }
 
+  /** Evaluate a plan-time array<array<float>> literal into the flat
+    * seed reference object [[IvfCells]] loops over. */
+  private def litSeeds(e: Expression): Array[Array[Float]] = {
+    val ad = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray())
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((e: Seq[Expression]) => VectorDot(e(0), e(1))),
+    "ivf_cells" -> ((e: Seq[Expression]) =>
+      IvfCells(e(0), e(1), litSeeds(e(2)), litInt(e(3)))),
     "pq_encode" -> ((e: Seq[Expression]) => PqEncode(e(0), litBooks(e(1)))),
     "pq_lut" -> ((e: Seq[Expression]) => PqLut(e(0), litBooks(e(1)))),
     "bpe_encode" -> ((e: Seq[Expression]) => BpeEncode(e(0), {

@@ -261,19 +261,19 @@ object Similarity {
         size(vec).cast("string"))).cast("long"))
   }
 
-  /** Cell ranking for a fixed seed set: array of (negSim, cell) sorted
-    * best-first. Seeds are plan-time literals — the per-row cost is
-    * `nCells` codegen'd vec_dot calls, no broadcast needed. */
-  private def cellsRankedFor(seeds: Seq[Seq[Float]])(
-      vec: Column, norm: Column): Column = {
-    def seedSim(i: Int): Column = {
-      val s = seeds(i)
-      val sNorm = math.sqrt(s.map(x => x.toDouble * x.toDouble).sum)
-      call_function("vec_dot", vec, typedlit(s)) / (norm * sNorm)
-    }
-    sort_array(array(seeds.indices.map(i =>
-      struct((-seedSim(i)).as("negSim"), lit(i).as("cell"))): _*))
-  }
+  /** Top-`n` nearest cells for a fixed seed set (cosine, ties → lowest
+    * cell id), best first, as ONE native [[graft.functions.IvfCells]]
+    * dispatch — array<int>. The pre-r16 form (sort_array over an
+    * nCells-wide array(struct(vec_dot…)) tree) generated code linear
+    * in nCells and blew whole-stage codegen's 64 KB method limit near
+    * nCells ≈ 200 — the √N-cells deployment rule makes large nCells
+    * the NORMAL regime at scale, so the assignment loop is native
+    * (same rationale and bit-identical ranking as pq_encode/pq_lut;
+    * see the expression's Scaladoc). Seeds ride as one plan-time
+    * reference object. */
+  private def cellsTopN(seeds: Seq[Seq[Float]], n: Int)(
+      vec: Column, norm: Column): Column =
+    call_function("ivf_cells", vec, norm, typedlit(seeds), lit(n))
 
   /** Deterministic initial seeds (smallest md5(id)) optionally refined
     * by `iters` spherical-k-means Lloyd rounds: assign every corpus row
@@ -299,8 +299,7 @@ object Similarity {
       val cents = corpus
         .select(col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__n"))
         .withColumn("cell",
-          element_at(cellsRankedFor(seeds)(col("__v"), col("__n")), 1)
-            .getField("cell"))
+          element_at(cellsTopN(seeds, 1)(col("__v"), col("__n")), 1))
         .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(avg(col("x").cast("double")).as("m"))
@@ -334,17 +333,14 @@ object Similarity {
       // no candidates — emit zero rows with the output schema intact
       return queries.select(col(idCol).as("query_id"),
         col(idCol).as("match_id"), lit(0.0).as("sim")).limit(0)
-    def cellsRanked(vec: Column, norm: Column): Column =
-      cellsRankedFor(seeds)(vec, norm)
     val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"))
-      .withColumn("cell", element_at(cellsRanked(col("cv"), col("cn")), 1)
-        .getField("cell"))
+      .withColumn("cell",
+        element_at(cellsTopN(seeds, 1)(col("cv"), col("cn")), 1))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2Norm(col(vecCol)).as("qn"))
-      .withColumn("cell", explode(transform(
-        slice(cellsRanked(col("qv"), col("qn")), 1, nProbe),
-        x => x.getField("cell"))))
+      .withColumn("cell",
+        explode(cellsTopN(seeds, nProbe)(col("qv"), col("qn"))))
     // A pair can surface via several probed cells: dedup the bare
     // (query_id, match_id) ids BEFORE joining vectors back in, so each
     // surviving candidate pays exactly ONE vec_dot — the same
@@ -548,8 +544,7 @@ object Similarity {
     corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"))
       .withColumn("cell",
-        element_at(cellsRankedFor(index.seeds)(col("cv"), col("cn")), 1)
-          .getField("cell"))
+        element_at(cellsTopN(index.seeds, 1)(col("cv"), col("cn")), 1))
       .withColumn("codes", pqCodesExpr(col("cv"), index.books))
       .withColumn("cn_hat", sqrt(
         (0 until index.m).map(s => element_at(element_at(normSqLit, s + 1),
@@ -598,8 +593,6 @@ object Similarity {
     GraftFunctions.register(queries.sparkSession)
     require(!index.isEmpty, "ivfPqTopKEncoded: empty index")
     val m = index.m
-    def cellsRanked(vec: Column, norm: Column): Column =
-      cellsRankedFor(index.seeds)(vec, norm)
     // per-query ADC lookup table: lut(s)(j) = q_s · c_{s,j} — one
     // native PqLut expression (dim·kCodes multiplies, once per query).
     // lut/qv frames project from the PRE-explode q0: selecting them
@@ -610,9 +603,8 @@ object Similarity {
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2Norm(col(vecCol)).as("qn"))
       .withColumn("lut", lutCol)
-    val q = q0.withColumn("cell", explode(transform(
-      slice(cellsRanked(col("qv"), col("qn")), 1, nProbe),
-      x => x.getField("cell"))))
+    val q = q0.withColumn("cell",
+      explode(cellsTopN(index.seeds, nProbe)(col("qv"), col("qn"))))
     // candidate codes ride along through the dedup (identical per
     // match_id, so distinct() collapses multi-cell duplicates without
     // a join back to the corpus)
@@ -652,6 +644,31 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .drop("rk")
+  }
+
+  /** Diagnostic: the EXACT candidate-set cardinality the ADC stage of
+    * [[ivfPqTopKEncoded]] scans for the given queries — the probed-cell
+    * equi-join size, pre-dedup. Computed as Σ over (query, probed cell)
+    * of the cell's encoded-row count (a broadcast-size histogram join,
+    * so the diagnostic itself is cheap at any corpus size). One row:
+    * (n_queries, candidates). This is the number ScaleProbe gates for
+    * the admission path: with nCells scaled ~√corpus (the deployment
+    * rule), candidates-per-query grows ~√10 per corpus decade, never
+    * linearly. */
+  def ivfCandidateCount(queries: DataFrame, encoded: DataFrame,
+      idCol: String, vecCol: String, index: PqIndex,
+      nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    require(!index.isEmpty, "ivfCandidateCount: empty index")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2Norm(col(vecCol)).as("qn"))
+      .withColumn("cell",
+        explode(cellsTopN(index.seeds, nProbe)(col("qv"), col("qn"))))
+      .select("query_id", "cell")
+    val cellSizes = encoded.groupBy("cell").agg(count(lit(1)).as("sz"))
+    q.join(broadcast(cellSizes), Seq("cell"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("sz"), lit(0L))).as("candidates"))
   }
 
   /** Recall of an ANN result against the exact top-k: how many of the

@@ -62,7 +62,8 @@ object ScaleProbe {
 
   private final case class Probe(name: String, n: Int, evsPerSec: Double,
       rowsUpdated: Long, rowsRemoved: Long,
-      addBatchMs: Long, commitMs: Long, updateMs: Long) {
+      addBatchMs: Long, commitMs: Long, updateMs: Long,
+      stateRowsFinal: Long) {
     def updPerEvent: Double = rowsUpdated.toDouble / n
   }
 
@@ -88,10 +89,15 @@ object ScaleProbe {
       def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
           k: String): Long =
         Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+      // final resident state: numRowsTotal summed across the LAST
+      // progress entry's operators — the live-state-vs-volume signal
+      // the global two-stage gates assert on (O(shards), never O(n))
+      val lastRows = prog.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
       Probe(name, rows.size, rows.size / dt,
         ops.map(_.numRowsUpdated).sum, ops.map(_.numRowsRemoved).sum,
         prog.map(dur(_, "addBatch")).sum, ops.map(_.commitTimeMs).sum,
-        ops.map(_.allUpdatesTimeMs).sum)
+        ops.map(_.allUpdatesTimeMs).sum, lastRows)
     } finally {
       if (q != null) { try q.stop() catch { case _: Throwable => () } }
       try {
@@ -235,6 +241,162 @@ object ScaleProbe {
           case _ => () // op filtered out — its table rows say so
         }
       }
+    }
+
+    // ===== GLOBAL two-stage sketch/sample ops (r16 directive #1): the
+    // one-key merge stage is the engine's only single-key serialization
+    // point, and "safe by construction" (stage-2 input is O(shards)
+    // summary rows per batch) is precisely the claim this probe exists
+    // to test empirically — the same claim shape ScaleProbe falsified
+    // for appendValue in r14. Two sweeps per op:
+    //   (a) the 100k→1M event decade at shards=32: throughput exponent
+    //       ≤ 0.30 per decade + state-write amplification ≤ 0.10 upd/ev
+    //   (b) a 32→256 shard sweep at the base scale: FINAL resident
+    //       state rows stay O(shards) — ≤ shards × the op's designed
+    //       per-shard row footprint (+16 slack), NEVER O(events) —
+    //       and per-event cost holds (≥ 0.4× the 32-shard throughput).
+    // Per-shard row footprints (state rows as RocksDB counts them —
+    // one per MapState ENTRY, one per packed ValueState):
+    //   heavy hitters: ≤ k Misra-Gries counter entries + mgMeta in
+    //     stage 1, + its stage-2 summary entry (+rev amortized) ⇒ k+3
+    //   reservoir: ONE packed (rev, n, sample) row in stage 1 + its
+    //     stage-2 entry ⇒ 3
+    val opFilter2 = sys.env.get("SCALE_PROBE_OPS").map(_.split(",").toSet)
+    def want2(op: String) = opFilter2.forall(_.contains(op))
+    val globalDefs: Seq[(String, Int, (Int, Int) => Probe)] = Seq(
+      ("heavy_hitters_global", 16 + 3, { (n: Int, shards: Int) =>
+        // items = the cubic-skewed key population (hot items ~30× the
+        // median — the regime heavy hitters exists for)
+        drive(spark, "heavy_hitters_global",
+          gen(n).map(e => ("i" + e._1, 1L)), Seq.empty[(String, Long)]) { ds =>
+          StatefulV2.heavyHittersGlobal(ds, k = 16, shards = shards)
+        }
+      }),
+      ("reservoir_global", 3, { (n: Int, shards: Int) =>
+        // distinct values: every event is a live sampling candidate
+        drive(spark, "reservoir_global",
+          (0 until n).map(_.toLong), Seq.empty[Long]) { ds =>
+          StatefulV2.sampleFixedGlobal(ds, k = 64, shards = shards)
+        }
+      }))
+    globalDefs.filter(d => want2(d._1)).foreach { case (nm, rowsPerShard, mk) =>
+      val decade = scales.map(n => n -> mk(n, 32))
+      decade.foreach { case (n, p) =>
+        val g = gate(p.updPerEvent <= 0.10,
+          f"$nm upd/ev ${p.updPerEvent}%.3f > 0.10 at n=$n")
+        println(f"$nm%-22s ${p.n}%9d ${p.evsPerSec}%9.0f " +
+          f"${p.updPerEvent}%7.3f ${p.rowsRemoved.toDouble / p.n}%7.2f  " +
+          f"addBatch=${p.addBatchMs}ms commit=${p.commitMs}ms " +
+          f"stateRows=${p.stateRowsFinal}  $g")
+      }
+      if (scales.size >= 2) {
+        val lo = decade.minBy(_._1)._2
+        val hi = decade.maxBy(_._1)._2
+        val span = math.log10(scales.max.toDouble / scales.min)
+        val exp = math.log10(lo.evsPerSec / hi.evsPerSec) / span
+        val g = gate(exp <= 0.30,
+          f"$nm throughput exponent $exp%.2f > 0.30 per decade")
+        println(f"$nm%-22s decade exponent ${exp}%+6.3f " +
+          f"(${lo.evsPerSec}%.0f -> ${hi.evsPerSec}%.0f ev/s)  $g")
+      }
+      // (b) shard sweep: stage-2 state must scale with SHARDS, and the
+      // extra shard fan-in must not sink per-event cost
+      val p32 = decade.minBy(_._1)._2
+      val p256 = mk(scales.min, 256)
+      Seq((32, p32), (256, p256)).foreach { case (sh, p) =>
+        val budgetRows = rowsPerShard.toLong * sh + 16
+        val g = gate(p.stateRowsFinal <= budgetRows,
+          s"$nm stateRows ${p.stateRowsFinal} > $budgetRows at shards=$sh " +
+            "(state not O(shards)?)")
+        println(f"$nm%-22s shards=$sh%-4d ${p.evsPerSec}%9.0f ev/s " +
+          f"stateRows=${p.stateRowsFinal} (budget $budgetRows)  $g")
+      }
+      val ratio = p256.evsPerSec / p32.evsPerSec
+      println(gate(ratio >= 0.4,
+        f"$nm 256-shard throughput ${ratio}%.2fx the 32-shard run (< 0.4)") match {
+        case "ok" => f"$nm shard sweep 32->256 throughput ratio $ratio%.2fx ok"
+        case s => s
+      })
+    }
+
+    // ===== ANN ingestion-admission witness (r16 directive #4):
+    // dedup_admit_novel_embedding's per-batch path against a corpus at
+    // N and 10N vectors, nCells scaled ~√corpus (the deployment rule).
+    // Gates: (1) the MEASURED probed-cell candidate set per incoming
+    // row grows sub-linearly (≤ 4.5× per corpus decade; √10 ≈ 3.2
+    // expected), (2) admission decisions stay exact at BOTH scales
+    // (every planted copy rejected, every basis-vector novel admitted
+    // — the decision-robustness argument, now measured), (3) per-batch
+    // admission latency grows ≤ 4× per corpus decade.
+    if (want2("ann_admission")) {
+      import graft.operators.{Dedup, Similarity}
+      val annBase = math.max(2000, base / 20)
+      val annStats = Seq(annBase, annBase * 10).map { n =>
+        val rnd = new scala.util.Random(13L)
+        val vecs = IndexedSeq.tabulate(n)(i =>
+          (i.toLong, Array.fill(64)(rnd.nextFloat())))
+        val corpus = vecs.toDF("vec_id", "embedding").repartition(8)
+          .cache()
+        corpus.count()
+        val nCells = math.max(16, math.round(math.sqrt(n)).toInt)
+        val index = Similarity.fitPqIndex(corpus, "vec_id", "embedding",
+          nCells = nCells, m = 16, kCodes = 32, pqIters = 1)
+        val encoded = Similarity
+          .encodePq(corpus, "vec_id", "embedding", index).cache()
+        encoded.count()
+        // incoming batch: 250 exact copies (must ALL be rejected) +
+        // 250 one-hot novels (max corpus cosine ≈ 0.22 ≪ 0.95 — must
+        // ALL be admitted), same shape at both corpus scales
+        val step = n / 250
+        val copies = vecs.grouped(step).map(_.head)
+          .map { case (id, v) => (-id - 1L, v) }.toIndexedSeq.take(250)
+        val novels = IndexedSeq.tabulate(250) { i =>
+          (-i - 100001L,
+            Array.tabulate(64)(j => if (j == i % 64) 1.0f else 0.0f))
+        }
+        val incoming = (copies ++ novels).toDF("vec_id", "embedding")
+        val candRow = Similarity.ivfCandidateCount(incoming, encoded,
+          "vec_id", "embedding", index, nProbe = 4).collect()(0)
+        val candPerQuery = candRow.getLong(1).toDouble / candRow.getLong(0)
+        // best-of-2 admission wall time (first pass pays codegen)
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val admitted = Dedup.admitNovelByEmbedding(incoming, encoded,
+              corpus, "vec_id", "embedding", index, minSim = 0.95)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val dt = (System.nanoTime() - t0) / 1e9
+          (dt, admitted)
+        }
+        val (dt, admitted) = times.minBy(_._1)
+        val wantAdmit = novels.map(_._1).toSet
+        val gotCopies = admitted.exists(id => copies.exists(_._1 == id))
+        println(gate(admitted == wantAdmit,
+          s"ann_admission decisions drifted at corpus=$n: " +
+            s"admitted=${admitted.size} want=${wantAdmit.size}" +
+            (if (gotCopies) " (a planted copy was ADMITTED)" else "")) match {
+          case "ok" => s"ann_admission corpus=$n decisions exact " +
+            s"(250 copies rejected, 250 novels admitted) ok"
+          case s => s
+        })
+        println(f"ann_admission          $n%9d nCells=$nCells%-5d " +
+          f"cand/query=$candPerQuery%9.1f  batch=${dt}%6.3fs")
+        corpus.unpersist(); encoded.unpersist()
+        (candPerQuery, dt)
+      }
+      val candGrowth = annStats.last._1 / annStats.head._1
+      println(gate(candGrowth <= 4.5,
+        f"ann_admission cand/query grew ${candGrowth}%.1fx across 10x " +
+          "corpus (> 4.5x — not following the √N cell rule?)") match {
+        case "ok" =>
+          f"ann_admission cand/query growth ${candGrowth}%.2fx across 10x corpus (√N cells) ok"
+        case s => s
+      })
+      val latGrowth = annStats.last._2 / annStats.head._2
+      println(gate(latGrowth <= 4.0,
+        f"ann_admission batch latency grew ${latGrowth}%.1fx across 10x corpus") match {
+        case "ok" => f"ann_admission latency growth ${latGrowth}%.2fx across 10x corpus ok"
+        case s => s
+      })
     }
 
     // banded-dedup candidate generator: docs at N and 10N
