@@ -125,9 +125,29 @@ object StreamingBench {
     * as DATA (thunks, not eagerly-started queries) is what lets
     * [[opNames]] exist without a SparkSession — the single source of
     * truth BenchLineSpec's budget guard and Bench.main both consume,
-    * so the guard can never test a stale name universe. */
+    * so the guard can never test a stale name universe.
+    *
+    * `confs` are query-scoped session-conf overrides applied before
+    * the op's query starts and restored after (shuffle.partitions etc.
+    * bind per stateful query at start). */
   private[graft] final case class OpDef(name: String,
-      run: (SparkSession, Replay) => (Double, OpBreakdown))
+      run: (SparkSession, Replay) => (Double, OpBreakdown),
+      confs: Seq[(String, String)] = Nil)
+
+  /** The GLOBAL two-stage ops run their queries at 2 shuffle
+    * partitions: tools.GlobalProfile's sweep measured the RocksDB
+    * commit as a PER-INSTANCE PER-BATCH FLOOR (~55 ms/instance/batch
+    * with changelog on — stage-2's commit time equals stage-1's
+    * despite holding 9 rows vs 8 live sketches, and total commit wall
+    * scales with partitions: 4618+4584 ms at P=8 → 629+661 ms at P=2
+    * per 10 batches), so a two-operator pipeline at P=8 pays 16
+    * instance-floors per batch for 8 shard keys of stage-1 work and
+    * ONE row of stage-2 fan-in. At bench volume P=2 took the global
+    * tdigest 18.3k → 28.6k ev/s. Deployment guidance (SCALE.md §3b):
+    * size P to ~shards for stage-1 parallelism; the merge stage costs
+    * one instance-floor regardless. */
+  private val globalOpConfs: Seq[(String, String)] =
+    Seq("spark.sql.shuffle.partitions" -> "2")
 
   /** The suite, in output order. Names are written once, here. */
   private[graft] val ops: Seq[OpDef] = Seq(
@@ -308,7 +328,7 @@ object StreamingBench {
         Seq.empty[(String, Long)]) { ds =>
         StatefulV2.heavyHittersGlobal(ds, k = 16, shards = 8)
       }
-    }),
+    }, confs = globalOpConfs),
     // GLOBAL streaming approximate distinct (per-shard HLLs → one-key
     // DataSketches union) — whole-stream distinct event ids
     OpDef("streaming_approx_distinct_global", (spark, r) => {
@@ -317,7 +337,7 @@ object StreamingBench {
         r.ev.map(e => e._5.toString), Seq.empty[String]) { ds =>
         StatefulV2.approxDistinctGlobal(ds, lgK = 12, shards = 8)
       }
-    }),
+    }, confs = globalOpConfs),
     // GLOBAL streaming t-digest quantiles (per-shard digests →
     // one-key centroid merge) — whole-stream value quantiles
     OpDef("streaming_tdigest_global", (spark, r) => {
@@ -327,7 +347,7 @@ object StreamingBench {
         StatefulV2.tdigestQuantilesGlobal(ds, compression = 100.0,
           qs = Seq(0.5, 0.95, 0.99), shards = 8)
       }
-    }),
+    }, confs = globalOpConfs),
     // GLOBAL streaming uniform reservoir (per-shard Algorithm R →
     // one-key hypergeometric merge) — whole-stream k-sample
     OpDef("streaming_reservoir_global", (spark, r) => {
@@ -336,7 +356,7 @@ object StreamingBench {
         r.ev.map(_._5), Seq.empty[Long]) { ds =>
         StatefulV2.sampleFixedGlobal(ds, k = 64, shards = 8)
       }
-    }),
+    }, confs = globalOpConfs),
     // GLOBAL streaming top-K by comparator (per-shard bounded k-heaps
     // → one-key exact merge) — whole-stream k greatest (value, id)
     // events; EXACT, unlike the sketch globals
@@ -348,7 +368,7 @@ object StreamingBench {
         r.ev.map(e => (e._4, e._5)), Seq.empty[(Double, Long)]) { ds =>
         StatefulV2.topKGlobal(ds, k = 16, shards = 8)
       }
-    }))
+    }, confs = globalOpConfs))
 
   /** Suite row names in output order — the single source of truth for
     * Bench.main's streaming map and BenchLineSpec's budget guard. */
@@ -383,8 +403,15 @@ object StreamingBench {
       .toIndexedSeq
     val replay = Replay(ev, ev.last._2.getTime)
     ops.map { op =>
-      val (evs, bd) = op.run(spark, replay)
-      (op.name, evs, bd)
+      val prev = op.confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      op.confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val (evs, bd) = op.run(spark, replay)
+        (op.name, evs, bd)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 }

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StatefulV2
+
+/** Attribution profiler for the GLOBAL two-stage streaming ops' fixed
+  * cost (r16 directive #3, carried from r14): the globals bench at
+  * ~16-18k ev/s where per-key siblings hit 20-25k, and the r15
+  * breakdown shows per-batch state commit ~2× (15.4-16.6s vs
+  * 7.9-8.6s per 10 batches). Three candidate explanations:
+  *   (1) the SECOND stateful operator doubles the state-store
+  *       instance count — 2 ops × P shuffle partitions RocksDB
+  *       instances each paying a per-batch commit floor (snapshot +
+  *       changelog file) regardless of row traffic;
+  *   (2) the extra shuffle between the stages;
+  *   (3) changelog upload volume.
+  * This tool separates them by sweeping shuffle partitions (the
+  * instance count: cost ∝ P ⇒ commit floor) and changelog on/off
+  * (cost moves ⇒ upload), printing PER-OPERATOR commit/update times —
+  * stage-1 vs stage-2 attribution the summed bench breakdown can't
+  * give. Method mirrors StreamingBench exactly (MemoryStream replay,
+  * 10 chunks, noop sink, RocksDB provider).
+  *
+  * Usage: sbt "runMain graft.tools.GlobalProfile [nEvents]"
+  */
+object GlobalProfile {
+
+  private val Chunks = 10
+
+  private final case class OpStats(evsPerSec: Double, batches: Int,
+      addBatchMs: Long, perOp: Seq[(Long, Long, Long, Long)])
+      // perOp: (commitMs, updateMs, rowsUpdated, rowsTotalFinal)
+
+  private def drive[T: Encoder](spark: SparkSession,
+      rows: IndexedSeq[T])(f: Dataset[T] => Dataset[_]): OpStats = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_gprof")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val mem = MemoryStream[T]
+      val out = f(mem.toDS())
+      val t0 = System.nanoTime()
+      q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").start()
+      val sz = math.max(1, rows.size / Chunks)
+      rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress
+      def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+          k: String): Long =
+        Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+      // per-operator attribution: stateOperators arrives in a stable
+      // plan order per query — sum each INDEX across batches
+      val nOps = prog.map(_.stateOperators.length).max
+      val perOp = (0 until nOps).map { i =>
+        val ops = prog.flatMap(p =>
+          if (p.stateOperators.length > i) Some(p.stateOperators(i)) else None)
+        (ops.map(_.commitTimeMs).sum, ops.map(_.allUpdatesTimeMs).sum,
+          ops.map(_.numRowsUpdated).sum, ops.last.numRowsTotal)
+      }
+      OpStats(rows.size / dt, prog.length,
+        prog.map(dur(_, "addBatch")).sum, perOp)
+    } finally {
+      if (q != null) { try q.stop() catch { case _: Throwable => () } }
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        StatefulV2.RocksDbProvider)
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // the bench's tdigest payload shape: doubles, keyed by an 8-way
+    // string key for the per-key sibling (event_type cardinality)
+    val rnd = new scala.util.Random(3L)
+    val vals = IndexedSeq.fill(n)(rnd.nextDouble() * 100)
+    val keyed = vals.map(v => ("t" + (rnd.nextInt(8)), v))
+
+    val ChangelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+    println(f"${"op"}%-16s ${"P"}%3s ${"clog"}%4s ${"ev/s"}%8s " +
+      f"${"addBatch"}%9s ${"commit(s1,s2)"}%16s ${"upd(s1,s2)"}%14s rowsUpd")
+    for (p <- Seq(8, 4, 2, 1); clog <- Seq(true, false)) {
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      spark.conf.set(ChangelogKey, clog.toString)
+      // warm pass at 1/10 volume: Janino + RocksDB native init off the
+      // measured runs
+      drive(spark, vals.take(n / 10)) { ds =>
+        StatefulV2.tdigestQuantilesGlobal(ds, 100.0, Seq(0.5), shards = 8) }
+      val perKey = drive(spark, keyed) { ds =>
+        StatefulV2.tdigestQuantiles(ds, 100.0, Seq(0.5, 0.95, 0.99)) }
+      val global = drive(spark, vals) { ds =>
+        StatefulV2.tdigestQuantilesGlobal(ds, 100.0, Seq(0.5, 0.95, 0.99),
+          shards = 8) }
+      def row(nm: String, s: OpStats): Unit = {
+        val cs = s.perOp.map(_._1).mkString(",")
+        val us = s.perOp.map(_._2).mkString(",")
+        val ru = s.perOp.map(_._3).mkString(",")
+        println(f"$nm%-16s $p%3d ${if (clog) "on" else "off"}%4s " +
+          f"${s.evsPerSec}%8.0f ${s.addBatchMs}%8dms ${cs}%16s ${us}%14s $ru")
+      }
+      row("tdigest_per_key", perKey)
+      row("tdigest_global", global)
+    }
+    spark.stop()
+  }
+}
