@@ -56,6 +56,39 @@ class VectorSpec extends SparkSpec {
     assert(got == Set((1L, 4L)))
   }
 
+  test("ivf_cells native kernel == reference ranking, incl. codegen-hostile nCells") {
+    // the r16 native expression replaced an nCells-wide
+    // sort_array(array(struct(vec_dot…))) tree that fell out of
+    // whole-stage codegen past ~200 cells; contract: top-n cells by
+    // sim = dot/(|q|·|seed|) DESC, ties → lowest cell id, computed in
+    // the same double arithmetic — checked against a plain Scala fold
+    // at a codegen-friendly 16 cells AND the 224-cell regime that
+    // used to break, through the DataFrame (codegen) path both times
+    val rnd = new scala.util.Random(41L)
+    val dim = 32
+    def randVec() = Array.fill(dim)(rnd.nextFloat())
+    val queries = IndexedSeq.tabulate(40)(i => (i.toLong, randVec()))
+    for (nCells <- Seq(16, 224); nProbe <- Seq(1, 4)) {
+      val seeds = IndexedSeq.fill(nCells)(randVec().toSeq).map(_.toSeq)
+      val got = queries.toDF("id", "v")
+        .select(col("id"), call_function("ivf_cells", col("v"),
+          call_function("vec_norm", col("v")),
+          typedLit(seeds), lit(nProbe)).as("cells"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val sNorms = seeds.map(s => math.sqrt(s.map(x => x.toDouble * x.toDouble).sum))
+      queries.foreach { case (id, q) =>
+        val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+        val sims = seeds.indices.map { c =>
+          val dot = q.indices.map(p => q(p).toDouble * seeds(c)(p)).sum
+          (dot / (qn * sNorms(c)), c)
+        }
+        val want = sims.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+        assert(got(id) == want,
+          s"nCells=$nCells nProbe=$nProbe query $id: ${got(id)} != $want")
+      }
+    }
+  }
+
   test("ivfCosineTopK sims agree with brute force on shared pairs") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter(col("vec_id") % 100 === 0)
