@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.{StatefulV2, StreamOps}
 
@@ -56,15 +55,11 @@ object StreamingBench {
   val failedBreakdown: OpBreakdown = OpBreakdown(-1, -1, -1, -1, -1, -1, -1)
 
   private def breakdownOf(
-      q: org.apache.spark.sql.streaming.StreamingQuery): OpBreakdown = {
-    val prog = q.recentProgress
-    def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
-        k: String): Long =
-      Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+      prog: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): OpBreakdown = {
     val ops = prog.flatMap(_.stateOperators)
     OpBreakdown(
       batches = prog.length,
-      addBatchMs = prog.map(dur(_, "addBatch")).sum,
+      addBatchMs = prog.map(graft.tools.ReplayHarness.dur(_, "addBatch")).sum,
       stateCommitMs = ops.map(_.commitTimeMs).sum,
       stateUpdateMs = ops.map(_.allUpdatesTimeMs).sum,
       stateRemovalMs = ops.map(_.allRemovalsTimeMs).sum,
@@ -72,41 +67,21 @@ object StreamingBench {
       rowsRemoved = ops.map(_.numRowsRemoved).sum)
   }
 
+  /** One measured pass over the shared replay core
+    * ([[graft.tools.ReplayHarness]]); per-op failure isolation — one
+    * broken op reports -1.0 (the batch rows' contract) without
+    * discarding the others' measurements or leaking its running
+    * query / checkpoint state. */
   private def bench[T: Encoder](spark: SparkSession, name: String,
       rows: IndexedSeq[T], sentinels: Seq[T])(
-      f: Dataset[T] => Dataset[_]): (Double, OpBreakdown) = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // per-op failure isolation: one broken op reports -1.0 (the batch
-    // rows' contract) without discarding the others' measurements or
-    // leaking its running query / checkpoint state
-    val ckptDir = java.nio.file.Files
-      .createTempDirectory("graft_sbench_" + name)
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      f: Dataset[T] => Dataset[_]): (Double, OpBreakdown) =
     try {
-      val mem = MemoryStream[T]
-      val out = f(mem.toDS())
-      val t0 = System.nanoTime()
-      q = out.writeStream.format("noop")
-        .option("checkpointLocation", ckptDir.toString)
-        .outputMode("append").start()
-      val sz = math.max(1, rows.size / Chunks)
-      rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
-      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
-      val dt = (System.nanoTime() - t0) / 1e9
-      (rows.size / dt, breakdownOf(q))
+      val (dt, prog) = graft.tools.ReplayHarness.run(spark, name, rows,
+        sentinels, Chunks)(f)
+      (rows.size / dt, breakdownOf(prog))
     } catch {
       case _: Throwable => (-1.0, failedBreakdown)
-    } finally {
-      if (q != null) { try q.stop() catch { case _: Throwable => () } }
-      // RocksDB checkpoint trees accumulate across bench rounds otherwise
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
     }
-  }
 
   /** The events replay feeding every op: (user_id, ts, event_type,
     * value, event_id) sorted by event time, plus the max event time
@@ -115,9 +90,11 @@ object StreamingBench {
       ev: IndexedSeq[(Long, java.sql.Timestamp, String, Double, Long)],
       maxTs: Long) {
     def lateTs(h: Int) = new java.sql.Timestamp(maxTs + h * 3600000L)
-    def tvd: IndexedSeq[(Long, java.sql.Timestamp, Double)] =
+    // lazy vals: several ops share each projection; a def would remap
+    // the ~100k-row replay per access (review r16)
+    lazy val tvd: IndexedSeq[(Long, java.sql.Timestamp, Double)] =
       ev.map(e => (e._1, e._2, e._4))
-    def named: IndexedSeq[(Long, java.sql.Timestamp, String, Double)] =
+    lazy val named: IndexedSeq[(Long, java.sql.Timestamp, String, Double)] =
       ev.map(e => (e._1, e._2, e._3, e._4))
   }
 
@@ -131,7 +108,7 @@ object StreamingBench {
     * the op's query starts and restored after (shuffle.partitions etc.
     * bind per stateful query at start). */
   private[graft] final case class OpDef(name: String,
-      run: (SparkSession, Replay) => (Double, OpBreakdown),
+      run: (SparkSession, Replay, String) => (Double, OpBreakdown),
       confs: Seq[(String, String)] = Nil)
 
   /** The GLOBAL two-stage ops run their queries at 2 shuffle
@@ -153,9 +130,9 @@ object StreamingBench {
   private[graft] val ops: Seq[OpDef] = Seq(
     // Nexmark Q3's incremental join (state, no timers): person =
     // first signup per user, auctions join as they arrive
-    OpDef("streaming_incremental_join", (spark, r) => {
+    OpDef("streaming_incremental_join", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_incremental_join",
+      bench(spark, name,
         r.ev.map(e => if (e._3 == "signup") (e._1, Option(e._1), Option.empty[Double])
                       else (e._1, Option.empty[Long], Option(e._4))),
         Seq.empty[(Long, Option[Long], Option[Double])]) { ds =>
@@ -163,9 +140,9 @@ object StreamingBench {
       }
     }),
     // Nexmark Q9's winning bid (event-time timers at auction close)
-    OpDef("streaming_winning_bid", (spark, r) => {
+    OpDef("streaming_winning_bid", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_winning_bid",
+      bench(spark, name,
         r.ev.map(e => (e._1, e._2, e._3 == "signup", e._5, e._4)),
         Seq((-1L, r.lateTs(3), false, -1L, 0.0),
           (-1L, r.lateTs(4), false, -2L, 0.0))) { ds =>
@@ -174,18 +151,18 @@ object StreamingBench {
       }
     }),
     // fixed windows under the trigger/pane state machine
-    OpDef("streaming_triggered_windows", (spark, r) => {
+    OpDef("streaming_triggered_windows", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_triggered_windows", r.tvd,
+      bench(spark, name, r.tvd,
         Seq((-1L, r.lateTs(3), 0.0), (-1L, r.lateTs(4), 0.0))) { ds =>
         StatefulV2.triggeredWindows(ds.withWatermark("_2", "0 seconds"),
           windowMs = 3600000L)
       }
     }),
     // merging session windows under the same machinery (round 9)
-    OpDef("streaming_triggered_sessions", (spark, r) => {
+    OpDef("streaming_triggered_sessions", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_triggered_sessions", r.tvd,
+      bench(spark, name, r.tvd,
         Seq((-1L, r.lateTs(3), 0.0), (-1L, r.lateTs(4), 0.0))) { ds =>
         StatefulV2.triggeredSessions(ds.withWatermark("_2", "0 seconds"),
           gapMs = 1800000L)
@@ -193,9 +170,9 @@ object StreamingBench {
     }),
     // native session_window aggregation (the Catalyst-planned path,
     // as a floor/reference for the custom processors above)
-    OpDef("streaming_session_agg", (spark, r) => {
+    OpDef("streaming_session_agg", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_session_agg", r.named,
+      bench(spark, name, r.named,
         Seq((-1L, r.lateTs(3), "eof", 0.0), (-1L, r.lateTs(4), "eof", 0.0))) { ds =>
         StreamOps.sessionAgg(ds.toDF("user_id", "ts", "etype", "value"),
           "ts", "30 minutes", "0 seconds", Seq(col("user_id")),
@@ -203,9 +180,9 @@ object StreamingBench {
       }
     }),
     // streaming MATCH_RECOGNIZE: NFA per watermark-closed session
-    OpDef("streaming_match_recognize", (spark, r) => {
+    OpDef("streaming_match_recognize", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_match_recognize", r.named,
+      bench(spark, name, r.named,
         Seq((-1L, r.lateTs(3), "eof", 0.0), (-1L, r.lateTs(4), "eof", 0.0))) { ds =>
         graft.operators.MatchRecognizeSql.stream(
           ds.toDF("user_id", "ts", "etype", "value"),
@@ -222,9 +199,9 @@ object StreamingBench {
     // streaming MATCH_RECOGNIZE minus the NFA, so the breakdown can
     // attribute match_recognize's cost between gap machinery and
     // clause evaluation
-    OpDef("streaming_gap_flush", (spark, r) => {
+    OpDef("streaming_gap_flush", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_gap_flush", r.tvd,
+      bench(spark, name, r.tvd,
         Seq((-1L, r.lateTs(3), 0.0), (-1L, r.lateTs(4), 0.0))) { ds =>
         StatefulV2.eventTimeGapFlush(ds.withWatermark("_2", "0 seconds"),
           gapMs = 1800000L)
@@ -232,9 +209,9 @@ object StreamingBench {
     }),
     // watermark-horizon exact dedup by event id (Beam Deduplicate's
     // bounded-state contract on the native operator)
-    OpDef("streaming_dedup", (spark, r) => {
+    OpDef("streaming_dedup", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_dedup", r.ev.map(e => (e._1, e._2, e._5)),
+      bench(spark, name, r.ev.map(e => (e._1, e._2, e._5)),
         Seq((-1L, r.lateTs(3), -1L), (-1L, r.lateTs(4), -2L))) { ds =>
         StreamOps.dedupWithinWatermark(
           ds.toDF("user_id", "ts", "event_id"),
@@ -245,9 +222,9 @@ object StreamingBench {
     // per-user event_type treated as the tracked attribute; ONE
     // ValueState per key, one put per changed key per batch — the
     // minimal-state contrast to the buffer-heavy session ops above
-    OpDef("streaming_scd2", (spark, r) => {
+    OpDef("streaming_scd2", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_scd2",
+      bench(spark, name,
         r.ev.map(e => (e._1, e._3, e._2.getTime, e._5)),
         Seq.empty[(Long, String, Long, Long)]) { ds =>
         StatefulV2.scd2Changes(ds)
@@ -257,9 +234,9 @@ object StreamingBench {
     // the previous step): per-user packed 3-slot ValueState, one put
     // per changed key per batch — the streaming twin of the batch
     // agg_funnel_steps chained window-mins
-    OpDef("streaming_funnel", (spark, r) => {
+    OpDef("streaming_funnel", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_funnel",
+      bench(spark, name,
         r.ev.flatMap(e => e._3 match {
           case "view" => Some((e._1, e._2.getTime, 1))
           case "click" => Some((e._1, e._2.getTime, 2))
@@ -272,9 +249,9 @@ object StreamingBench {
     // sharded streaming heavy hitters: per-shard Misra-Gries k=32
     // summary (O(k) state per key forever), deterministic
     // est/err/coverage bounds — the bounded-state streaming top-k
-    OpDef("streaming_heavy_hitters", (spark, r) => {
+    OpDef("streaming_heavy_hitters", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_heavy_hitters",
+      bench(spark, name,
         r.ev.map(e => (e._1 % 16, e._5 % 997, 1L)),
         Seq.empty[(Long, Long, Long)]) { ds =>
         StatefulV2.heavyHitters(ds, k = 32)
@@ -283,18 +260,18 @@ object StreamingBench {
     // online per-type z-score anomaly flags (landmark Welford stats,
     // prequential scoring) — the streaming twin of anomaly_zscore's
     // fit-and-flag
-    OpDef("streaming_anomaly", (spark, r) => {
+    OpDef("streaming_anomaly", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_anomaly",
+      bench(spark, name,
         r.ev.map(e => (e._3, e._4)), Seq.empty[(String, Double)]) { ds =>
         StatefulV2.anomalyZScore(ds, threshold = 2.5, minN = 30L)
       }
     }),
     // per-type streaming t-digest quantile snapshots — the mergeable
     // quantile sketch folded incrementally, O(compression) state/key
-    OpDef("streaming_tdigest", (spark, r) => {
+    OpDef("streaming_tdigest", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_tdigest",
+      bench(spark, name,
         r.ev.map(e => (e._3, e._4)), Seq.empty[(String, Double)]) { ds =>
         StatefulV2.tdigestQuantiles(ds, compression = 100.0,
           qs = Seq(0.5, 0.95, 0.99))
@@ -302,18 +279,18 @@ object StreamingBench {
     }),
     // per-type streaming approximate distinct users (HLL state,
     // O(2^lgK) per key forever; bytes hll_union_agg-able downstream)
-    OpDef("streaming_approx_distinct", (spark, r) => {
+    OpDef("streaming_approx_distinct", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_approx_distinct",
+      bench(spark, name,
         r.ev.map(e => (e._3, e._1.toString)), Seq.empty[(String, String)]) { ds =>
         StatefulV2.approxDistinct(ds, lgK = 12)
       }
     }),
     // per-user-SHARD streaming uniform reservoir (64 shard keys;
     // Algorithm R, O(k) state/key, deterministic replayable draws)
-    OpDef("streaming_reservoir", (spark, r) => {
+    OpDef("streaming_reservoir", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_reservoir",
+      bench(spark, name,
         r.ev.map(e => (e._1 % 64, e._5)), Seq.empty[(Long, Long)]) { ds =>
         StatefulV2.sampleFixedPerKey(ds, k = 32)
       }
@@ -321,9 +298,9 @@ object StreamingBench {
     // GLOBAL streaming heavy hitters (two-stage: item-hash shards →
     // one-key summary merge) — whole-stream hot items, still O(k)
     // state per shard; items = event-type × user-bucket composites
-    OpDef("streaming_heavy_hitters_global", (spark, r) => {
+    OpDef("streaming_heavy_hitters_global", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_heavy_hitters_global",
+      bench(spark, name,
         r.ev.map(e => (e._3 + "#" + e._1 % 100, 1L)),
         Seq.empty[(String, Long)]) { ds =>
         StatefulV2.heavyHittersGlobal(ds, k = 16, shards = 8)
@@ -331,18 +308,18 @@ object StreamingBench {
     }, confs = globalOpConfs),
     // GLOBAL streaming approximate distinct (per-shard HLLs → one-key
     // DataSketches union) — whole-stream distinct event ids
-    OpDef("streaming_approx_distinct_global", (spark, r) => {
+    OpDef("streaming_approx_distinct_global", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_approx_distinct_global",
+      bench(spark, name,
         r.ev.map(e => e._5.toString), Seq.empty[String]) { ds =>
         StatefulV2.approxDistinctGlobal(ds, lgK = 12, shards = 8)
       }
     }, confs = globalOpConfs),
     // GLOBAL streaming t-digest quantiles (per-shard digests →
     // one-key centroid merge) — whole-stream value quantiles
-    OpDef("streaming_tdigest_global", (spark, r) => {
+    OpDef("streaming_tdigest_global", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_tdigest_global",
+      bench(spark, name,
         r.ev.map(_._4), Seq.empty[Double]) { ds =>
         StatefulV2.tdigestQuantilesGlobal(ds, compression = 100.0,
           qs = Seq(0.5, 0.95, 0.99), shards = 8)
@@ -350,9 +327,9 @@ object StreamingBench {
     }, confs = globalOpConfs),
     // GLOBAL streaming uniform reservoir (per-shard Algorithm R →
     // one-key hypergeometric merge) — whole-stream k-sample
-    OpDef("streaming_reservoir_global", (spark, r) => {
+    OpDef("streaming_reservoir_global", (spark, r, name) => {
       import spark.implicits._
-      bench(spark, "streaming_reservoir_global",
+      bench(spark, name,
         r.ev.map(_._5), Seq.empty[Long]) { ds =>
         StatefulV2.sampleFixedGlobal(ds, k = 64, shards = 8)
       }
@@ -360,11 +337,11 @@ object StreamingBench {
     // GLOBAL streaming top-K by comparator (per-shard bounded k-heaps
     // → one-key exact merge) — whole-stream k greatest (value, id)
     // events; EXACT, unlike the sketch globals
-    OpDef("streaming_topk_global", (spark, r) => {
+    OpDef("streaming_topk_global", (spark, r, name) => {
       import spark.implicits._
       implicit val ord: Ordering[(Double, Long)] =
         Ordering.by[(Double, Long), Double](_._1).orElseBy(_._2)
-      bench(spark, "streaming_topk_global",
+      bench(spark, name,
         r.ev.map(e => (e._4, e._5)), Seq.empty[(Double, Long)]) { ds =>
         StatefulV2.topKGlobal(ds, k = 16, shards = 8)
       }
@@ -406,7 +383,7 @@ object StreamingBench {
       val prev = op.confs.map { case (k, _) => k -> spark.conf.getOption(k) }
       op.confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
-        val (evs, bd) = op.run(spark, replay)
+        val (evs, bd) = op.run(spark, replay, op.name)
         (op.name, evs, bd)
       } finally prev.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)

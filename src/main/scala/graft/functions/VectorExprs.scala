@@ -422,12 +422,14 @@ case class IvfCells(vec: Expression, norm: Expression,
     val x = v.asInstanceOf[ArrayData]
     val qn = nv.asInstanceOf[Double]
     val nCells = seeds.length
-    val dim = seeds(0).length
     val sims = new Array[Double](nCells)
     var c = 0
     while (c < nCells) {
       val s = seeds(c)
-      val len = math.min(x.numElements(), dim)
+      // each seed's OWN length, exactly as the generated code loops —
+      // seeds(0).length here would silently diverge from codegen on
+      // ragged seed arrays (review r16)
+      val len = math.min(x.numElements(), s.length)
       var acc = 0.0
       var p = 0
       while (p < len) { acc += x.getFloat(p).toDouble * s(p); p += 1 }

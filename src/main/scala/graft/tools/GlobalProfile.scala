@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.StatefulV2
 
 /** Attribution profiler for the GLOBAL two-stage streaming ops' fixed
@@ -34,43 +33,19 @@ object GlobalProfile {
 
   private def drive[T: Encoder](spark: SparkSession,
       rows: IndexedSeq[T])(f: Dataset[T] => Dataset[_]): OpStats = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft_gprof")
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      val mem = MemoryStream[T]
-      val out = f(mem.toDS())
-      val t0 = System.nanoTime()
-      q = out.writeStream.format("noop")
-        .option("checkpointLocation", ckptDir.toString)
-        .outputMode("append").start()
-      val sz = math.max(1, rows.size / Chunks)
-      rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val prog = q.recentProgress
-      def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
-          k: String): Long =
-        Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
-      // per-operator attribution: stateOperators arrives in a stable
-      // plan order per query — sum each INDEX across batches
-      val nOps = prog.map(_.stateOperators.length).max
-      val perOp = (0 until nOps).map { i =>
-        val ops = prog.flatMap(p =>
-          if (p.stateOperators.length > i) Some(p.stateOperators(i)) else None)
-        (ops.map(_.commitTimeMs).sum, ops.map(_.allUpdatesTimeMs).sum,
-          ops.map(_.numRowsUpdated).sum, ops.last.numRowsTotal)
-      }
-      OpStats(rows.size / dt, prog.length,
-        prog.map(dur(_, "addBatch")).sum, perOp)
-    } finally {
-      if (q != null) { try q.stop() catch { case _: Throwable => () } }
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+    val (dt, prog) = ReplayHarness.run(spark, "gprof", rows, Seq.empty,
+      Chunks)(f)
+    // per-operator attribution: stateOperators arrives in a stable
+    // plan order per query — sum each INDEX across batches
+    val nOps = prog.map(_.stateOperators.length).max
+    val perOp = (0 until nOps).map { i =>
+      val ops = prog.flatMap(p =>
+        if (p.stateOperators.length > i) Some(p.stateOperators(i)) else None)
+      (ops.map(_.commitTimeMs).sum, ops.map(_.allUpdatesTimeMs).sum,
+        ops.map(_.numRowsUpdated).sum, ops.last.numRowsTotal)
     }
+    OpStats(rows.size / dt, prog.length,
+      prog.map(ReplayHarness.dur(_, "addBatch")).sum, perOp)
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,10 +76,14 @@ object GlobalProfile {
     for (p <- Seq(8, 4, 2, 1); clog <- Seq(true, false)) {
       spark.conf.set("spark.sql.shuffle.partitions", p.toString)
       spark.conf.set(ChangelogKey, clog.toString)
-      // warm pass at 1/10 volume: Janino + RocksDB native init off the
-      // measured runs
+      // warm pass at 1/10 volume for BOTH plan shapes: the per-key and
+      // global pipelines compile different generated code, so warming
+      // only one would load its comparison row with Janino + first-init
+      // cost (review r16)
       drive(spark, vals.take(n / 10)) { ds =>
         StatefulV2.tdigestQuantilesGlobal(ds, 100.0, Seq(0.5), shards = 8) }
+      drive(spark, keyed.take(n / 10)) { ds =>
+        StatefulV2.tdigestQuantiles(ds, 100.0, Seq(0.5)) }
       val perKey = drive(spark, keyed) { ds =>
         StatefulV2.tdigestQuantiles(ds, 100.0, Seq(0.5, 0.95, 0.99)) }
       val global = drive(spark, vals) { ds =>

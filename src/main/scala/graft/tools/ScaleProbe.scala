@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.{StatefulV2, StreamOps}
 
@@ -70,43 +69,19 @@ object ScaleProbe {
   private def drive[T: Encoder](spark: SparkSession, name: String,
       rows: IndexedSeq[T], sentinels: Seq[T])(
       f: Dataset[T] => Dataset[_]): Probe = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft_sprobe_" + name)
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      val mem = MemoryStream[T]
-      val out = f(mem.toDS())
-      val t0 = System.nanoTime()
-      q = out.writeStream.format("noop")
-        .option("checkpointLocation", ckptDir.toString)
-        .outputMode("append").start()
-      val sz = math.max(1, rows.size / Chunks)
-      rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
-      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val prog = q.recentProgress
-      val ops = prog.flatMap(_.stateOperators)
-      def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
-          k: String): Long =
-        Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
-      // final resident state: numRowsTotal summed across the LAST
-      // progress entry's operators — the live-state-vs-volume signal
-      // the global two-stage gates assert on (O(shards), never O(n))
-      val lastRows = prog.reverse.find(_.stateOperators.nonEmpty)
-        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
-      Probe(name, rows.size, rows.size / dt,
-        ops.map(_.numRowsUpdated).sum, ops.map(_.numRowsRemoved).sum,
-        prog.map(dur(_, "addBatch")).sum, ops.map(_.commitTimeMs).sum,
-        ops.map(_.allUpdatesTimeMs).sum, lastRows)
-    } finally {
-      if (q != null) { try q.stop() catch { case _: Throwable => () } }
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-    }
+    val (dt, prog) = ReplayHarness.run(spark, name, rows, sentinels,
+      Chunks)(f)
+    val ops = prog.flatMap(_.stateOperators)
+    // final resident state: numRowsTotal summed across the LAST
+    // progress entry's operators — the live-state-vs-volume signal
+    // the global two-stage gates assert on (O(shards), never O(n))
+    val lastRows = prog.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    Probe(name, rows.size, rows.size / dt,
+      ops.map(_.numRowsUpdated).sum, ops.map(_.numRowsRemoved).sum,
+      prog.map(ReplayHarness.dur(_, "addBatch")).sum,
+      ops.map(_.commitTimeMs).sum,
+      ops.map(_.allUpdatesTimeMs).sum, lastRows)
   }
 
   /** Synthetic doc corpus for the banded-dedup witness: `n` docs of 30
@@ -149,6 +124,11 @@ object ScaleProbe {
     def gate(ok: Boolean, msg: String): String =
       if (ok) "ok" else { failures += msg; s"FAIL($msg)" }
 
+    // ONE parse of SCALE_PROBE_OPS for every section (review r16: three
+    // hand-rolled variants risked disagreeing on the filter syntax)
+    val opFilter = sys.env.get("SCALE_PROBE_OPS").map(_.split(",").toSet)
+    def want(op: String) = opFilter.forall(_.contains(op))
+
     println(f"${"op"}%-22s ${"n"}%9s ${"ev/s"}%9s ${"upd/ev"}%7s ${"rm/ev"}%7s  gates")
     val budgets = Map("triggered_sessions" -> 2.5, "gap_flush" -> 2.5,
       "session_agg" -> 3.5, "triggered_windows" -> 2.5,
@@ -171,8 +151,6 @@ object ScaleProbe {
       def lateN(h: Int) =
         (-1L, new java.sql.Timestamp(maxTs + h * 3600000L), "eof", 0.0)
 
-      val opFilter = sys.env.get("SCALE_PROBE_OPS").map(_.split(",").toSet)
-      def want(op: String) = opFilter.forall(_.contains(op))
       val probes = Seq(
         Option.when(want("triggered_sessions"))(
           drive(spark, "triggered_sessions", ev, sentinels) { ds =>
@@ -261,8 +239,6 @@ object ScaleProbe {
     //     stage 1, + its stage-2 summary entry (+rev amortized) ⇒ k+3
     //   reservoir: ONE packed (rev, n, sample) row in stage 1 + its
     //     stage-2 entry ⇒ 3
-    val opFilter2 = sys.env.get("SCALE_PROBE_OPS").map(_.split(",").toSet)
-    def want2(op: String) = opFilter2.forall(_.contains(op))
     val globalDefs: Seq[(String, Int, (Int, Int) => Probe)] = Seq(
       ("heavy_hitters_global", 16 + 3, { (n: Int, shards: Int) =>
         // items = the cubic-skewed key population (hot items ~30× the
@@ -279,11 +255,19 @@ object ScaleProbe {
           StatefulV2.sampleFixedGlobal(ds, k = 64, shards = shards)
         }
       }))
-    globalDefs.filter(d => want2(d._1)).foreach { case (nm, rowsPerShard, mk) =>
+    globalDefs.filter(d => want(d._1)).foreach { case (nm, rowsPerShard, mk) =>
       val decade = scales.map(n => n -> mk(n, 32))
       decade.foreach { case (n, p) =>
+        // the state-rows budget gates BOTH sweeps (review r16): an
+        // O(events) leak slow enough to pass the upd/ev and exponent
+        // gates (~1 resident row per 1000 events) would only show in
+        // resident rows at the decade's far end
+        val rowBudget = rowsPerShard.toLong * 32 + 16
         val g = gate(p.updPerEvent <= 0.10,
-          f"$nm upd/ev ${p.updPerEvent}%.3f > 0.10 at n=$n")
+          f"$nm upd/ev ${p.updPerEvent}%.3f > 0.10 at n=$n") + " " +
+          gate(p.stateRowsFinal <= rowBudget,
+            s"$nm stateRows ${p.stateRowsFinal} > $rowBudget at n=$n " +
+              "(resident state grows with events?)")
         println(f"$nm%-22s ${p.n}%9d ${p.evsPerSec}%9.0f " +
           f"${p.updPerEvent}%7.3f ${p.rowsRemoved.toDouble / p.n}%7.2f  " +
           f"addBatch=${p.addBatchMs}ms commit=${p.commitMs}ms " +
@@ -328,7 +312,7 @@ object ScaleProbe {
     // (every planted copy rejected, every basis-vector novel admitted
     // — the decision-robustness argument, now measured), (3) per-batch
     // admission latency grows ≤ 4× per corpus decade.
-    if (want2("ann_admission")) {
+    if (want("ann_admission")) {
       import graft.operators.{Dedup, Similarity}
       val annBase = math.max(2000, base / 20)
       val annStats = Seq(annBase, annBase * 10).map { n =>
@@ -350,8 +334,11 @@ object ScaleProbe {
         val step = n / 250
         val copies = vecs.grouped(step).map(_.head)
           .map { case (id, v) => (-id - 1L, v) }.toIndexedSeq.take(250)
+        // novels live a full billion below any copy id (-corpusId-1):
+        // an id collision would make the left_anti admission drop both
+        // rows and fail the decision gate spuriously (review r16)
         val novels = IndexedSeq.tabulate(250) { i =>
-          (-i - 100001L,
+          (-i - 1000000001L,
             Array.tabulate(64)(j => if (j == i % 64) 1.0f else 0.0f))
         }
         val incoming = (copies ++ novels).toDF("vec_id", "embedding")
@@ -400,9 +387,7 @@ object ScaleProbe {
     }
 
     // banded-dedup candidate generator: docs at N and 10N
-    val wantDedup = sys.env.get("SCALE_PROBE_OPS")
-      .forall(_.split(",").exists(s =>
-        s == "minhash" || s == "minhash_candidates"))
+    val wantDedup = want("minhash") || want("minhash_candidates")
     val dedupBase = math.max(2000, base / 10)
     val pairStats = if (!wantDedup) Seq.empty
       else Seq(dedupBase, dedupBase * 10).map { n =>
