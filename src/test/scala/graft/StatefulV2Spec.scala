@@ -2083,6 +2083,46 @@ class StatefulV2Spec extends SparkSpec {
     }
   }
 
+  test("topKGlobal: both two-stage operators' state survives a query restart") {
+    withRocksDb {
+      // TWO chained transformWithState operators restoring from ONE
+      // checkpoint: the per-shard k-heaps AND the merge stage's
+      // shard-snapshot MapState + rev counter must all come back —
+      // a lost heap under-ranks the post-restart snapshot, a reset
+      // rev counter duplicates snapshot ids
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-topk").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-rec-topk").toString
+      val rnd = new scala.util.Random(47L)
+      val vals = IndexedSeq.tabulate(2000)(i =>
+        (math.floor(rnd.nextDouble() * 300), i.toLong))
+      implicit val ord: Ordering[(Double, Long)] =
+        Ordering.by[(Double, Long), Double](_._1).orElseBy(_._2)
+      val k = 10
+      val mem = MemoryStream[(Double, Long)]
+      def start() = StatefulV2.topKGlobal(mem.toDS(), k, shards = 4)
+        .toDF("rev", "n", "top")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData(vals.take(1000): _*)
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      mem.addData(vals.drop(1000): _*)
+      q2.processAllAvailable()
+      q2.stop()
+      val snaps = spark.read.parquet(outDir)
+        .as[(Long, Long, Seq[(Double, Long)])].collect()
+      assert(snaps.map(_._1).sorted.toSeq == Seq(1L, 2L),
+        s"rev counter lost/duplicated across restart: ${snaps.map(_._1).toSeq}")
+      val (_, n, top) = snaps.maxBy(_._1)
+      assert(n == 2000L, s"element count lost across restart: n=$n")
+      assert(top == vals.sorted(ord.reverse).take(k),
+        "post-restart top-k under-ranks: a shard heap failed to restore")
+    }
+  }
+
   test("sampleFixedPerKey: streamed reservoir == reference Algorithm R fold, exactly") {
     withRocksDb {
       // determinism contract: the reservoir is a pure function of
