@@ -4,7 +4,8 @@ object SBenchMain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
