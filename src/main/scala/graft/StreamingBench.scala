@@ -168,6 +168,23 @@ object StreamingBench {
           gapMs = 1800000L)
       }
     }),
+    // Nexmark Q7's highest bid per fixed window (the 824 ev/s row —
+    // Beam's slowest published query, paying a side-input max + rejoin
+    // per window): here ONE windowed aggregation emits the winning row
+    // directly (max + max_by argmax), watermark-closed — the global
+    // agg is still scale-safe (map-side partial, nWindows rows shuffle)
+    OpDef("streaming_highest_value", (spark, r, name) => {
+      import spark.implicits._
+      bench(spark, name, r.tvd,
+        Seq((-1L, r.lateTs(3), 0.0), (-1L, r.lateTs(4), 0.0))) { ds =>
+        ds.toDF("user_id", "ts", "value")
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(max(col("value")).as("max_value"),
+            max_by(struct(col("user_id"), col("value")), col("value"))
+              .as("top_bid"))
+      }
+    }),
     // native session_window aggregation (the Catalyst-planned path,
     // as a floor/reference for the custom processors above)
     OpDef("streaming_session_agg", (spark, r, name) => {
