@@ -128,6 +128,32 @@ object StreamingBench {
 
   /** The suite, in output order. Names are written once, here. */
   private[graft] val ops: Seq[OpDef] = Seq(
+    // The stateless Nexmark trio (Q0 passthrough / Q1 map / Q2
+    // filter): no state store on the path, so these measure the
+    // engine's per-event PIPELINE floor under the same micro-batch
+    // replay — the number every stateful row below should be read
+    // against (published: 18,139 / 23,657 / 45,683 ev/s)
+    OpDef("streaming_passthrough", (spark, r, name) => {
+      import spark.implicits._
+      bench(spark, name, r.tvd, Seq.empty[(Long, java.sql.Timestamp, Double)]) {
+        ds => ds.select(col("_1"), col("_2"), col("_3"))
+      }
+    }),
+    OpDef("streaming_convert", (spark, r, name) => {
+      import spark.implicits._
+      // Q1's dollar→euro conversion: one projected arithmetic column
+      bench(spark, name, r.tvd, Seq.empty[(Long, java.sql.Timestamp, Double)]) {
+        ds => ds.select(col("_1"), col("_2"),
+          (col("_3") * lit(0.908)).as("eur"))
+      }
+    }),
+    OpDef("streaming_filter", (spark, r, name) => {
+      import spark.implicits._
+      // Q2's selection: a ~1/123 row filter
+      bench(spark, name, r.tvd, Seq.empty[(Long, java.sql.Timestamp, Double)]) {
+        ds => ds.filter(col("_1") % 123 === 0)
+      }
+    }),
     // Nexmark Q3's incremental join (state, no timers): person =
     // first signup per user, auctions join as they arrive
     OpDef("streaming_incremental_join", (spark, r, name) => {
