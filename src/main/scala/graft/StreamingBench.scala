@@ -211,6 +211,21 @@ object StreamingBench {
               .as("top_bid"))
       }
     }),
+    // Nexmark Q4's average price per category over fixed windows
+    // (published 6,207 ev/s): watermark-closed windowed avg by
+    // event_type — partial agg map-side, windows × categories rows
+    // cross the shuffle
+    OpDef("streaming_avg_by_category", (spark, r, name) => {
+      import spark.implicits._
+      bench(spark, name, r.named,
+        Seq((-1L, r.lateTs(3), "eof", 0.0), (-1L, r.lateTs(4), "eof", 0.0))) { ds =>
+        ds.toDF("user_id", "ts", "category", "value")
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("category"))
+          .agg(avg(col("value")).as("avg_price"),
+            count(lit(1)).as("n"))
+      }
+    }),
     // native session_window aggregation (the Catalyst-planned path,
     // as a floor/reference for the custom processors above)
     OpDef("streaming_session_agg", (spark, r, name) => {
