@@ -226,6 +226,25 @@ object StreamingBench {
             count(lit(1)).as("n"))
       }
     }),
+    // Nexmark Q6's average of the last 10 bids per seller (published
+    // 11,377 ev/s): "last 10 by event time" IS top-10 under a
+    // timestamp ordering — the r16 topKPerKey bounded k-heap — with a
+    // declarative avg read-out over the snapshot; order-insensitive
+    // and replay-deterministic where a buffer of arrival order would
+    // not be
+    OpDef("streaming_avg_last10", (spark, r, name) => {
+      import spark.implicits._
+      implicit val byTs: Ordering[(Long, Double)] =
+        Ordering.by[(Long, Double), Long](_._1).orElseBy(_._2)
+      bench(spark, name,
+        r.ev.map(e => (e._1, (e._2.getTime, e._4))),
+        Seq.empty[(Long, (Long, Double))]) { ds =>
+        StatefulV2.topKPerKey(ds, k = 10)
+          .select(col("_1").as("seller"), col("_2").as("rev"),
+            expr("aggregate(_4, 0d, (a, x) -> a + x._2) / size(_4)")
+              .as("avg_last10"))
+      }
+    }),
     // native session_window aggregation (the Catalyst-planned path,
     // as a floor/reference for the custom processors above)
     OpDef("streaming_session_agg", (spark, r, name) => {
