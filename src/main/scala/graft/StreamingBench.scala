@@ -245,6 +245,27 @@ object StreamingBench {
               .as("avg_last10"))
       }
     }),
+    // Nexmark Q8's monitor-new-users (published 40,274 ev/s — the
+    // highest bar): new persons × their new auctions within the same
+    // hour, as a native watermark-bounded stream-stream self-join
+    // (state on both sides, GC'd by the range condition + watermark)
+    OpDef("streaming_new_users", (spark, r, name) => {
+      import spark.implicits._
+      bench(spark, name, r.named,
+        Seq((-1L, r.lateTs(3), "eof", 0.0), (-1L, r.lateTs(4), "eof", 0.0))) { ds =>
+        val df = ds.toDF("user_id", "ts", "etype", "value")
+        val persons = df.filter(col("etype") === "signup")
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id").as("p_user"),
+            window(col("ts"), "1 hour").as("w"))
+        val auctions = df.filter(col("etype") === "view")
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id").as("a_user"),
+            window(col("ts"), "1 hour").as("aw"), col("value"))
+        persons.join(auctions,
+          col("p_user") === col("a_user") && col("w") === col("aw"))
+      }
+    }),
     // native session_window aggregation (the Catalyst-planned path,
     // as a floor/reference for the custom processors above)
     OpDef("streaming_session_agg", (spark, r, name) => {
