@@ -73,11 +73,13 @@ object StreamingBench {
     * discarding the others' measurements or leaking its running
     * query / checkpoint state. */
   private def bench[T: Encoder](spark: SparkSession, name: String,
-      rows: IndexedSeq[T], sentinels: Seq[T])(
+      rows: IndexedSeq[T], sentinels: Seq[T],
+      sinkFormat: String = "noop", sinkPath: Option[String] = None,
+      sinkPartitionBy: Seq[String] = Nil)(
       f: Dataset[T] => Dataset[_]): (Double, OpBreakdown) =
     try {
       val (dt, prog) = graft.tools.ReplayHarness.run(spark, name, rows,
-        sentinels, Chunks)(f)
+        sentinels, Chunks, sinkFormat, sinkPath, sinkPartitionBy)(f)
       (rows.size / dt, breakdownOf(prog))
     } catch {
       case _: Throwable => (-1.0, failedBreakdown)
@@ -264,6 +266,31 @@ object StreamingBench {
             window(col("ts"), "1 hour").as("aw"), col("value"))
         persons.join(auctions,
           col("p_user") === col("a_user") && col("w") === col("aw"))
+      }
+    }),
+    // Nexmark Q10's log-to-sharded-files (published 25,025 ev/s):
+    // every event to parquet files sharded by event type, through the
+    // EXACTLY-ONCE file sink (atomic _spark_metadata commit log per
+    // batch — strictly stronger than the reference's ILLEGAL-to-retry
+    // raw file logging); output tree torn down after the measure
+    OpDef("streaming_file_sink_shards", (spark, r, name) => {
+      import spark.implicits._
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_q10_" + name)
+      try {
+        bench(spark, name, r.named,
+          Seq.empty[(Long, java.sql.Timestamp, String, Double)],
+          sinkFormat = "parquet", sinkPath = Some(outDir.toString),
+          sinkPartitionBy = Seq("etype")) { ds =>
+          ds.toDF("user_id", "ts", "etype", "value")
+        }
+      } finally {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
       }
     }),
     // native session_window aggregation (the Catalyst-planned path,

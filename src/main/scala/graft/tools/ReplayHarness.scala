@@ -22,7 +22,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryProgress}
 object ReplayHarness {
 
   def run[T: Encoder](spark: SparkSession, name: String,
-      rows: IndexedSeq[T], sentinels: Seq[T], chunks: Int)(
+      rows: IndexedSeq[T], sentinels: Seq[T], chunks: Int,
+      // a REAL sink when the sink itself is what's being measured
+      // (Nexmark Q10's sharded file logging); default noop
+      sinkFormat: String = "noop", sinkPath: Option[String] = None,
+      sinkPartitionBy: Seq[String] = Nil)(
       f: Dataset[T] => Dataset[_]): (Double, Array[StreamingQueryProgress]) = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ckptDir = java.nio.file.Files
@@ -32,9 +36,12 @@ object ReplayHarness {
       val mem = MemoryStream[T]
       val out = f(mem.toDS())
       val t0 = System.nanoTime()
-      q = out.writeStream.format("noop")
+      var w = out.writeStream.format(sinkFormat)
         .option("checkpointLocation", ckptDir.toString)
-        .outputMode("append").start()
+        .outputMode("append")
+      if (sinkPartitionBy.nonEmpty) w = w.partitionBy(sinkPartitionBy: _*)
+      sinkPath.foreach(p => w = w.option("path", p))
+      q = w.start()
       val sz = math.max(1, rows.size / chunks)
       rows.grouped(sz).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
       sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
