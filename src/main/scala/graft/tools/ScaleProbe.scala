@@ -303,6 +303,80 @@ object ScaleProbe {
       })
     }
 
+    // ===== Q8-shaped stream-stream windowed equi-join — the bench's
+    // one below-published-bar row (durability-priced, BASELINE.md):
+    // its SCALE contract is gated here instead. Live join state at
+    // steady arrival density is ~one window of rows regardless of
+    // stream length (the watermark GCs closed windows), so (a) after
+    // the late sentinels resident state must be ~EMPTY (a leak here is
+    // the classic unbounded-join failure), and (b) per-event cost must
+    // hold sub-linear across the 100k→1M decade.
+    if (want("new_users_join")) {
+      val joinProbes = scales.map { n =>
+        val ev = gen(n)
+        val maxTs = ev.last._2.getTime
+        val sentinels = Seq(
+          (-1L, new java.sql.Timestamp(maxTs + 3 * 3600000L), 0.0),
+          (-1L, new java.sql.Timestamp(maxTs + 4 * 3600000L), 0.0))
+        n -> drive(spark, "new_users_join", ev, sentinels) { ds =>
+          val df = ds.toDF("user_id", "ts", "value")
+          val persons = df.filter(col("value") < 0.1)
+            .withWatermark("ts", "0 seconds")
+            .select(col("user_id").as("p_user"),
+              window(col("ts"), "1 hour").as("w"))
+          val auctions = df.filter(col("value") >= 0.1)
+            .withWatermark("ts", "0 seconds")
+            .select(col("user_id").as("a_user"),
+              window(col("ts"), "1 hour").as("aw"), col("value"))
+          persons.join(auctions,
+            col("p_user") === col("a_user") && col("w") === col("aw"))
+        }
+      }
+      joinProbes.foreach { case (n, p) =>
+        // MEASURED (r16): Spark's symmetric-hash join retains a small
+        // CONSTANT of residual state rows per DISTINCT KEY after the
+        // watermark GCs all buffered values — 2/key in a single-window
+        // repro, 4/key under this probe's multi-window stream, and
+        // FLAT across both the event decade AND the window count
+        // (8002 at 100k/3 windows and 1M/28 windows alike) — so the
+        // honest post-flush contract is ≤ 4·keys + live sentinels;
+        // the VALUE state (the O(window·density) part) must be gone.
+        // SCALE.md §3 documents the distinct-key residue floor.
+        val bound = 4L * Keys + 50
+        val g = gate(p.stateRowsFinal <= bound,
+          s"new_users_join resident state ${p.stateRowsFinal} rows " +
+            s"after watermark flush at n=$n (> $bound = 2·keys + " +
+            "sentinels: VALUE state leaked past the watermark)")
+        println(f"new_users_join        ${p.n}%9d ${p.evsPerSec}%9.0f " +
+          f"${p.updPerEvent}%7.2f ${p.rowsRemoved.toDouble / p.n}%7.2f  " +
+          f"stateRowsAfterFlush=${p.stateRowsFinal} (bound $bound)  $g")
+      }
+      // the residue must scale with KEYS, not events: identical at
+      // both decade points or something event-proportional leaks
+      if (joinProbes.size >= 2) {
+        val rows = joinProbes.map(_._2.stateRowsFinal)
+        println(gate(rows.max - rows.min <= 50,
+          s"new_users_join post-flush state moved with event volume: " +
+            s"${rows.mkString(" vs ")}") match {
+          case "ok" =>
+            s"new_users_join post-flush residue flat across decade (${rows.head}) ok"
+          case s => s
+        })
+      }
+      if (scales.size >= 2) {
+        val lo = joinProbes.minBy(_._1)._2
+        val hi = joinProbes.maxBy(_._1)._2
+        val span = math.log10(scales.max.toDouble / scales.min)
+        val exp = math.log10(lo.evsPerSec / hi.evsPerSec) / span
+        println(gate(exp <= 0.30,
+          f"new_users_join throughput exponent $exp%.2f > 0.30 per decade") match {
+          case "ok" => f"new_users_join decade exponent $exp%+6.3f " +
+            f"(${lo.evsPerSec}%.0f -> ${hi.evsPerSec}%.0f ev/s) ok"
+          case s => s
+        })
+      }
+    }
+
     // ===== ANN ingestion-admission witness (r16 directive #4):
     // dedup_admit_novel_embedding's per-batch path against a corpus at
     // N and 10N vectors, nCells scaled ~√corpus (the deployment rule).
