@@ -76,6 +76,7 @@ object Bench {
     "agg_tpcds_q3", "agg_tpcds_q5", "agg_tpcds_q14", "agg_tpcds_q38",
     "agg_tpcds_q47", "agg_tpcds_q51", "agg_tpcds_q67", "agg_tpcds_q73",
     "agg_tpcds_q74", "agg_tpcds_q88", "agg_tpcds_q9", "agg_tpcds_q23",
+    "agg_tpcds_q28",
     "agg_tpcds_q1", "agg_tpcds_q2", "agg_tpcds_q17", "agg_tpcds_q25",
     "agg_tpcds_q29", "agg_tpcds_q49", "agg_tpcds_q59", "agg_tpcds_q62",
     "agg_tpcds_q78",

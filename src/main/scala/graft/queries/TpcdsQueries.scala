@@ -345,6 +345,56 @@ object TpcdsQueries {
           round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 41 AND 50), 4) AS avg_b41
         FROM lineitem""")),
 
+    // q28: six bucketed aggregate "subqueries" over one fact table —
+    // the textbook form cross-joins six separate scalar-subquery
+    // SCANS into one row; here (and in the DuckDB oracle) it is ONE
+    // scan with per-bucket conditional aggregates. The per-bucket
+    // COUNT(DISTINCT …) triple makes this the registry's
+    // multi-distinct witness: Catalyst plans the six distinct groups
+    // through ONE Expand (+ two-level aggregate) — still a single
+    // fact scan at 100 TB where the textbook form pays six.
+    Q("agg_tpcds_q28",
+      (s, d) => {
+        def bucket(tag: String, qLo: Int, qHi: Int, pLo: Int, pHi: Int,
+            dLo: Double, dHi: Double): Seq[org.apache.spark.sql.Column] = {
+          val cond = col("l_quantity").between(qLo, qHi) &&
+            (col("l_extendedprice").between(pLo, pHi) ||
+              col("l_discount").between(dLo, dHi))
+          Seq(
+            round(avg(when(cond, col("l_extendedprice"))), 4)
+              .as(s"${tag}_avg"),
+            count(when(cond, col("l_extendedprice"))).as(s"${tag}_cnt"),
+            countDistinct(when(cond, col("l_extendedprice")))
+              .as(s"${tag}_cntd"))
+        }
+        val aggs = bucket("b1", 1, 8, 1000, 20000, 0.00, 0.02) ++
+          bucket("b2", 9, 16, 5000, 30000, 0.02, 0.04) ++
+          bucket("b3", 17, 24, 10000, 40000, 0.04, 0.06) ++
+          bucket("b4", 25, 32, 20000, 50000, 0.05, 0.07) ++
+          bucket("b5", 33, 40, 30000, 60000, 0.06, 0.08) ++
+          bucket("b6", 41, 50, 40000, 80000, 0.08, 0.10)
+        li(s, d).agg(aggs.head, aggs.tail: _*)
+      },
+      Some {
+        def b(tag: String, qLo: Int, qHi: Int, pLo: Int, pHi: Int,
+            dLo: Double, dHi: Double): String = {
+          val c = s"l_quantity BETWEEN $qLo AND $qHi AND " +
+            s"(l_extendedprice BETWEEN $pLo AND $pHi OR " +
+            s"l_discount BETWEEN $dLo AND $dHi)"
+          s"""round(avg(CASE WHEN $c THEN l_extendedprice END), 4) AS ${tag}_avg,
+             CAST(count(CASE WHEN $c THEN l_extendedprice END) AS BIGINT) AS ${tag}_cnt,
+             CAST(count(DISTINCT CASE WHEN $c THEN l_extendedprice END) AS BIGINT) AS ${tag}_cntd"""
+        }
+        "SELECT " + Seq(
+          b("b1", 1, 8, 1000, 20000, 0.00, 0.02),
+          b("b2", 9, 16, 5000, 30000, 0.02, 0.04),
+          b("b3", 17, 24, 10000, 40000, 0.04, 0.06),
+          b("b4", 25, 32, 20000, 50000, 0.05, 0.07),
+          b("b5", 33, 40, 30000, 60000, 0.06, 0.08),
+          b("b6", 41, 50, 40000, 80000, 0.08, 0.10)).mkString(",\n") +
+          "\nFROM lineitem"
+      }),
+
     // q23: two-stage frequency shape — "frequent parts" (appearing in
     // more than `minOccur` line items) feed a semi-join that restricts
     // a second aggregate (urgent-order revenue on frequent parts only,
