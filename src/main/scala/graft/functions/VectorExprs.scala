@@ -441,15 +441,20 @@ case class IvfCells(vec: Expression, norm: Expression,
     val used = new Array[Boolean](nCells)
     var d = 0
     while (d < take) {
-      // strict > from index 0 ⇒ ties resolve to the LOWEST cell id —
-      // the old struct(negSim, cell) sort order; NaN sims (never > any
-      // best) fall through to the first-unused fallback, matching
-      // sort_array's NaN-last placement
+      // `best < 0` is the explicit "unset" flag: the first unused
+      // non-NaN sim is always selectable — so -Inf sims (zero-norm
+      // query/seed) order BEFORE NaN cells, exactly the old
+      // struct(negSim, cell) sort (negSim=+Inf < NaN in Spark's total
+      // order) — then strict > ⇒ ties resolve to the LOWEST cell id.
+      // NaN sims (never >=) fall through to the first-unused fallback,
+      // matching sort_array's NaN-last placement (ADVICE r16)
       var best = -1
       var bestSim = Double.NegativeInfinity
       var i = 0
       while (i < nCells) {
-        if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+        if (!used(i) && sims(i) >= bestSim && (best < 0 || sims(i) > bestSim)) {
+          bestSim = sims(i); best = i
+        }
         i += 1
       }
       if (best < 0) { best = 0; while (used(best)) best += 1 }
@@ -493,7 +498,8 @@ case class IvfCells(vec: Expression, norm: Expression,
          |  int $best = -1;
          |  double $bestSim = Double.NEGATIVE_INFINITY;
          |  for (int $i = 0; $i < ${seeds.length}; $i++) {
-         |    if (!$used[$i] && $sims[$i] > $bestSim) {
+         |    if (!$used[$i] && $sims[$i] >= $bestSim &&
+         |        ($best < 0 || $sims[$i] > $bestSim)) {
          |      $bestSim = $sims[$i]; $best = $i;
          |    }
          |  }

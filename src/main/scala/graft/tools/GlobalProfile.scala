@@ -36,13 +36,17 @@ object GlobalProfile {
     val (dt, prog) = ReplayHarness.run(spark, "gprof", rows, Seq.empty,
       Chunks)(f)
     // per-operator attribution: stateOperators arrives in a stable
-    // plan order per query — sum each INDEX across batches
-    val nOps = prog.map(_.stateOperators.length).max
+    // plan order per query — sum each INDEX across batches. A query
+    // that fails before its first batch leaves recentProgress empty;
+    // report zero operators instead of dying in .max (ADVICE r16)
+    val nOps =
+      if (prog.isEmpty) 0 else prog.map(_.stateOperators.length).max
     val perOp = (0 until nOps).map { i =>
       val ops = prog.flatMap(p =>
         if (p.stateOperators.length > i) Some(p.stateOperators(i)) else None)
       (ops.map(_.commitTimeMs).sum, ops.map(_.allUpdatesTimeMs).sum,
-        ops.map(_.numRowsUpdated).sum, ops.last.numRowsTotal)
+        ops.map(_.numRowsUpdated).sum,
+        ops.lastOption.map(_.numRowsTotal).getOrElse(0L))
     }
     OpStats(rows.size / dt, prog.length,
       prog.map(ReplayHarness.dur(_, "addBatch")).sum, perOp)

@@ -89,6 +89,23 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("ivf_cells degenerate zero-norm ranking: +Inf cells, then -Inf, then NaN") {
+    // a zero `norm` operand (caller-supplied column, not necessarily
+    // vec_norm) makes sims ±Inf/NaN; the old sort_array tree ordered
+    // struct(negSim, cell) ascending ⇒ +Inf sims first (by id), then
+    // -Inf (by id), then NaN last (by id) — the selection loop must
+    // reproduce that, -Inf cells selectable BEFORE the NaN fallback
+    // (ADVICE r16)
+    val seeds = Seq(Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f),
+      Seq(0.0f, 1.0f), Seq(0.5f, 0.0f))
+    val got = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+      .select(call_function("ivf_cells", col("v"), lit(0.0),
+        typedLit(seeds), lit(4)).as("cells"))
+      .as[Seq[Int]].head()
+    // dots vs q=(1,0): s0=1 (+Inf), s1=-1 (-Inf), s2=0 (NaN), s3=0.5 (+Inf)
+    assert(got == Seq(0, 3, 1, 2))
+  }
+
   test("ivfCosineTopK sims agree with brute force on shared pairs") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter(col("vec_id") % 100 === 0)
