@@ -100,6 +100,41 @@ object StreamOps {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Nexmark Q8's monitor-new-users in the form Beam itself uses — ONE
+    * windowed CoGBK, not a symmetric stream-stream join (reference:
+    * sdks/java/testing/nexmark/.../queries/Query8.java co-groups the
+    * two inputs per (person, window) with a single CoGroupByKey):
+    * filter to the two event types, group by (user, window), count
+    * each type conditionally, keep the users that have BOTH. ONE
+    * stateful operator with ONE state row per (user, window) — no
+    * two-sided join buffering, no symmetric-hash per-key residue floor
+    * (SCALE.md §3), and Catalyst's map-side partial aggregation means
+    * each key writes its state row once per micro-batch regardless of
+    * event multiplicity. The r16 shape was a symmetric-hash self-join
+    * buffering RAW events on both sides (~40k RocksDB join-state
+    * writes+removes per 100k events); a dedup-before-join variant was
+    * measured WORSE (8.1k ev/s) — this data has ~1% duplicate
+    * (user, hour) pairs, so dedup added two stateful operators and
+    * removed nothing. Emits one row per (user, window) with ≥1
+    * `leftType` and ≥1 `rightType` event: counts of each plus the
+    * summed right-side `value` (Q8's reserve analog). */
+  def newUsersJoin(df: DataFrame, windowSize: String, lateness: String,
+      leftType: String, rightType: String): DataFrame =
+    // NOTE: Catalyst pushes the type filter BELOW the watermark node
+    // (the predicate doesn't reference ts), so only rows of the two
+    // kept types advance the watermark — a watermark-advancing
+    // sentinel/heartbeat must carry one of them (a foreign-typed row
+    // is filtered before event-time stats and flushes nothing)
+    df.withWatermark("ts", lateness)
+      .filter(col("event_type").isin(leftType, rightType))
+      .groupBy(col("user_id"), window(col("ts"), windowSize).as("w"))
+      .agg(
+        count(when(col("event_type") === leftType, 1)).as("n_left"),
+        count(when(col("event_type") === rightType, 1)).as("n_right"),
+        sum(when(col("event_type") === rightType, col("value")))
+          .as("right_value"))
+      .filter(col("n_left") > 0 && col("n_right") > 0)
+
   /** Stream-stream join bounded by an event-time range: the Spark
     * equivalent of Beam's windowed CoGBK join. Both sides carry
     * watermarks; the range condition lets the state store GC rows.

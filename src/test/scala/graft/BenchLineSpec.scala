@@ -52,6 +52,28 @@ class BenchLineSpec extends AnyFunSuite {
         s"the stdout line, got ${node.get("streaming").size()}")
   }
 
+  test("streaming block has headroom for the NEXT row (growth degrades by choice)") {
+    // VERDICT r16 #7: without headroom, the round that adds streaming
+    // row N+1 discovers the overflow only when a row silently degrades
+    // to bench_details.json (or worse, at the driver's tail capture).
+    // Guard: today's full suite PLUS one worst-case-width hypothetical
+    // row must still fit every streaming entry on the line, so the
+    // next addition either fits or fails THIS test at build time.
+    val qs = Bench.headline.map(n => n -> 999.99)
+    val ss = (StreamingBench.opNames :+ "streaming_hypothetical_next")
+      .map(n => n -> 999999.9)
+    val line = Bench.stdoutLine(total = 999.999, reps = 3,
+      nQueries = qs.size, cal = 99.999, queries = qs, streaming = ss,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= Bench.stdoutLineBudget)
+    val node = mapper.readTree(line)
+    assert(node.get("streaming").size() == ss.size,
+      s"no headroom left: a ${ss.size}th streaming row would silently " +
+        s"degrade to bench_details.json (got ${node.get("streaming").size()}" +
+        " on-line rows) — grow stdoutLineBudget headroom or consciously" +
+        " route new rows to the details file")
+  }
+
   test("pathological sfDir stays valid JSON under the budget") {
     // quote + backslash + a 500-char path: the escaping/eliding in
     // Bench.jsonPath must keep the line parseable and bounded
