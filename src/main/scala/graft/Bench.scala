@@ -86,6 +86,9 @@ object Bench {
     "agg_tpcds_q75", "agg_tpcds_q95", "agg_tpcds_q4",
     // round 13 addition
     "agg_tpcds_q64",
+    // round 17 additions
+    "agg_tpcds_q77", "agg_tpcds_q57", "agg_tpcds_q10",
+    "agg_tpcds_q54", "agg_tpcds_q70", "agg_tpcds_q44",
     // round 14 additions
     "agg_tpcds_q65", "agg_tpcds_q41", "changelog_latest_by_rev",
     "agg_cohort_retention", "scd2_history", "pipeline_data_quality",

@@ -1362,5 +1362,258 @@ object TpcdsQueries {
                 OR (p2.p_type = 'PROMO' AND p2.p_size BETWEEN 6 AND 10)
                 OR (p2.p_type = 'LARGE' AND p2.p_size BETWEEN 11 AND 15)
                 OR (p2.p_type = 'SMALL' AND p2.p_size BETWEEN 16 AND 20)))""")),
+
+    // ===== round 17 additions (VERDICT r16 #6): new PLAN SHAPES =====
+
+    // q77: UNION of per-channel JOINED AGGREGATES + rollup — unlike q5
+    // (which unions raw rows and aggregates once), each channel first
+    // computes a sales aggregate LEFT JOINed to a returns aggregate,
+    // and only the (channel, nation) AGGREGATE frames are unioned and
+    // rolled up. Customer nation vs supplier nation play the two
+    // channels. All money in integer cents (exact cross-engine).
+    Q("agg_tpcds_q77",
+      (s, d) => {
+        val cents = sum(round(rev * 100).cast("long"))
+        def chan(name: String, joined: DataFrame): DataFrame = {
+          val sales = joined.filter(col("l_returnflag") =!= "R")
+            .groupBy(col("n_name")).agg(cents.as("sales_c"))
+          val rets = joined.filter(col("l_returnflag") === "R")
+            .groupBy(col("n_name")).agg(cents.as("ret_c"))
+          sales.join(rets, Seq("n_name"), "left")
+            .select(lit(name).as("channel"), col("n_name"),
+              col("sales_c"), coalesce(col("ret_c"), lit(0L)).as("ret_c"))
+        }
+        val byCust = chan("cust", li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey")))
+        val bySupp = chan("supp", li(s, d)
+          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey")))
+        byCust.unionByName(bySupp)
+          .rollup(col("channel"), col("n_name"))
+          .agg(sum(col("sales_c")).as("sales_c"),
+            sum(col("ret_c")).as("ret_c"),
+            (sum(col("sales_c")) - sum(col("ret_c"))).as("profit_c"))
+      },
+      Some("""WITH cust_sales AS (
+          SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sales_c
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag <> 'R' GROUP BY 1),
+        cust_returns AS (
+          SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS ret_c
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R' GROUP BY 1),
+        supp_sales AS (
+          SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sales_c
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE l_returnflag <> 'R' GROUP BY 1),
+        supp_returns AS (
+          SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS ret_c
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE l_returnflag = 'R' GROUP BY 1),
+        channels AS (
+          SELECT 'cust' AS channel, s.n_name, s.sales_c, COALESCE(r.ret_c, 0) AS ret_c
+          FROM cust_sales s LEFT JOIN cust_returns r ON s.n_name = r.n_name
+          UNION ALL
+          SELECT 'supp' AS channel, s.n_name, s.sales_c, COALESCE(r.ret_c, 0) AS ret_c
+          FROM supp_sales s LEFT JOIN supp_returns r ON s.n_name = r.n_name)
+        SELECT channel, n_name, CAST(sum(sales_c) AS BIGINT) AS sales_c,
+          CAST(sum(ret_c) AS BIGINT) AS ret_c,
+          CAST(sum(sales_c) - sum(ret_c) AS BIGINT) AS profit_c
+        FROM channels GROUP BY ROLLUP(channel, n_name)""")),
+
+    // q57: deviation BANDS over a monthly series — q47's lag/lead
+    // navigation PLUS the selection q57 adds: months whose volume
+    // deviates >10% from their nation's YEARLY average, with the
+    // neighboring months alongside. Two window frames (yearly
+    // partition sum/count + ordered lag/lead) over ONE aggregate; the
+    // 10% test in exact integer cross-multiplication, never division.
+    Q("agg_tpcds_q57",
+      (s, d) => {
+        val monthly = ordByNationMonth(s, d)
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"),
+            col("ym"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("vol_c"))
+        val wYear = Window.partitionBy(col("n_name"), col("yr"))
+        val wNav = Window.partitionBy(col("n_name")).orderBy(col("ym"))
+        monthly
+          .withColumn("tot_c", sum(col("vol_c")).over(wYear))
+          .withColumn("nm", count(lit(1)).over(wYear))
+          .withColumn("psum", lag(col("vol_c"), 1).over(wNav))
+          .withColumn("nsum", lead(col("vol_c"), 1).over(wNav))
+          .filter(abs(col("vol_c") * col("nm") - col("tot_c")) * 10 >
+            col("tot_c") &&
+            col("psum").isNotNull && col("nsum").isNotNull)
+          .select(col("n_name"), col("ym"), col("vol_c"), col("tot_c"),
+            col("nm"), col("psum"), col("nsum"))
+      },
+      Some("""WITH monthly AS (
+          SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+            CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS vol_c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2, 3),
+        dev AS (
+          SELECT n_name, ym, vol_c,
+            sum(vol_c) OVER (PARTITION BY n_name, yr) AS tot_c,
+            count(*) OVER (PARTITION BY n_name, yr) AS nm,
+            lag(vol_c) OVER (PARTITION BY n_name ORDER BY ym) AS psum,
+            lead(vol_c) OVER (PARTITION BY n_name ORDER BY ym) AS nsum
+          FROM monthly)
+        SELECT n_name, ym, CAST(vol_c AS BIGINT) AS vol_c,
+          CAST(tot_c AS BIGINT) AS tot_c, CAST(nm AS BIGINT) AS nm,
+          CAST(psum AS BIGINT) AS psum, CAST(nsum AS BIGINT) AS nsum
+        FROM dev
+        WHERE abs(vol_c * nm - tot_c) * 10 > tot_c
+          AND psum IS NOT NULL AND nsum IS NOT NULL""")),
+
+    // q10: multi-EXISTS customer PROFILE — active customers (an order
+    // in the period) who ALSO bought big (quantity > 45) OR spent big
+    // (an order > 300k), counted per (nation, segment). q35's cousin
+    // with a different predicate tree: two decorrelated key sets (the
+    // OR of two EXISTS becomes a semi-join against their UNION), no
+    // anti branch, and the profile grain is the demographic pair.
+    Q("agg_tpcds_q10",
+      (s, d) => {
+        val inPeriod = ord(s, d)
+          .filter(year(col("o_orderdate")).between(1995, 1996))
+          .select(col("o_custkey")).distinct()
+        val bigQty = li(s, d).filter(col("l_quantity") > 45)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"))
+        val bigSpend = ord(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey"))
+        val either = bigQty.unionByName(bigSpend).distinct()
+        cust(s, d)
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(inPeriod, col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(either, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND year(o_orderdate) BETWEEN 1995 AND 1996)
+          AND (EXISTS (SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_custkey = c_custkey AND l_quantity > 45)
+            OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_totalprice > 300000))
+        GROUP BY 1, 2""")),
+
+    // q54: SEGMENT HISTOGRAM over a derived per-customer aggregate —
+    // the March-1995 cohort's spend over the following quarter,
+    // bucketed into $50k segments, customers counted per segment. The
+    // shape TPC-DS uses nowhere else: aggregate → bucketize → second
+    // aggregate over the BUCKETS of the first. Integer cents and `div`
+    // bucketing keep it exact.
+    Q("agg_tpcds_q54",
+      (s, d) => {
+        val cohort = ord(s, d)
+          .filter(year(col("o_orderdate")) === 1995 &&
+            month(col("o_orderdate")) === 3)
+          .select(col("o_custkey")).distinct()
+        ord(s, d)
+          .filter(year(col("o_orderdate")) === 1995 &&
+            month(col("o_orderdate")).between(4, 6))
+          .join(cohort, Seq("o_custkey"), "left_semi")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("rev_c"))
+          .select(expr("rev_c div 5000000").as("segment"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("num_customers"))
+      },
+      Some("""WITH cohort AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 3),
+        spend AS (
+          SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+          FROM orders
+          WHERE o_custkey IN (SELECT o_custkey FROM cohort)
+            AND year(o_orderdate) = 1995 AND month(o_orderdate) BETWEEN 4 AND 6
+          GROUP BY 1)
+        SELECT CAST(rev_c // 5000000 AS BIGINT) AS segment,
+          CAST(count(*) AS BIGINT) AS num_customers
+        FROM spend GROUP BY 1""")),
+
+    // q70: RANKED DIMENSION PRE-SELECTION feeding a rollup — the top-5
+    // nations by revenue (TakeOrdered over an aggregate, broadcast back
+    // as a 5-row semi key set; deterministic n_name tiebreak) restrict
+    // the fact BEFORE a ROLLUP(nation, segment). The scale point: the
+    // "top states" selection never becomes a global sort of the fact —
+    // it is a 25-row aggregate ordered on the driver path, and the
+    // fact is pruned by a broadcast semi-join.
+    Q("agg_tpcds_q70",
+      (s, d) => {
+        val onc = ord(s, d)
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        val cents = sum(round(col("o_totalprice") * 100).cast("long"))
+        val top5 = onc.groupBy(col("n_name")).agg(cents.as("rev_c"))
+          .orderBy(col("rev_c").desc, col("n_name")).limit(5)
+          .select(col("n_name"))
+        onc.join(broadcast(top5), Seq("n_name"), "left_semi")
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(cents.as("rev_c"), count(lit(1)).as("n"))
+      },
+      Some("""WITH nat_rev AS (
+          SELECT n_name, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+        top5 AS (
+          SELECT n_name FROM (
+            SELECT n_name, rank() OVER (ORDER BY rev_c DESC, n_name) AS rk
+            FROM nat_rev)
+          WHERE rk <= 5)
+        SELECT n_name, c_mktsegment,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+          CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name IN (SELECT n_name FROM top5)
+        GROUP BY ROLLUP(n_name, c_mktsegment)""")),
+
+    // q44: DUAL ASC/DESC RANKING of one aggregate — best and worst ten
+    // parts by revenue, from a single per-part aggregate consumed by
+    // two opposite TakeOrdered(10)s (never a global rank window — the
+    // limit IS the rank cut, with a p_partkey tiebreak), unioned and
+    // joined back to the dimension for names. The aggregate exchange
+    // should materialize once and be reused by both rankings.
+    Q("agg_tpcds_q44",
+      (s, d) => {
+        val byPart = li(s, d).groupBy(col("l_partkey"))
+          .agg(sum(round(rev * 100).cast("long")).as("total_c"))
+        val best = byPart.orderBy(col("total_c").desc, col("l_partkey"))
+          .limit(10).withColumn("side", lit("best"))
+        val worst = byPart.orderBy(col("total_c").asc, col("l_partkey"))
+          .limit(10).withColumn("side", lit("worst"))
+        best.unionByName(worst)
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("side"), col("p_partkey"), col("p_name"),
+            col("total_c"))
+      },
+      Some("""WITH by_part AS (
+          SELECT l_partkey,
+            sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_c
+          FROM lineitem GROUP BY 1)
+        SELECT 'best' AS side, p_partkey, p_name,
+          CAST(total_c AS BIGINT) AS total_c FROM (
+          SELECT * FROM by_part ORDER BY total_c DESC, l_partkey LIMIT 10)
+          JOIN part ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'worst' AS side, p_partkey, p_name,
+          CAST(total_c AS BIGINT) AS total_c FROM (
+          SELECT * FROM by_part ORDER BY total_c ASC, l_partkey LIMIT 10)
+          JOIN part ON l_partkey = p_partkey""")),
   )
 }

@@ -554,6 +554,51 @@ class ScaleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(dq).size == 1 &&
       !dq.contains("Join"),
       "data-quality profile no longer a single-scan aggregation")
+    // ===== round 17 TPC-DS analogs =====
+    // q77: union of per-channel JOINED AGGREGATES + rollup — the
+    // rollup (Expand) runs over the tiny per-channel aggregate union,
+    // never over fact rows, and the channel sales/returns frames meet
+    // in joins, not a re-scan per rollup level
+    val ds77 = plan("agg_tpcds_q77")
+    assert(ds77.contains("Expand") && ds77.contains("Union") &&
+      !ds77.contains("CartesianProduct"),
+      "tpcds q77 lost its union-of-joined-aggregates + rollup shape")
+    // q57: TWO window frames (yearly sum/count + ordered lag/lead)
+    // over ONE monthly aggregate — no fact re-scan per frame
+    val ds57 = plan("agg_tpcds_q57")
+    assert("Window".r.findAllIn(ds57).size >= 2 &&
+      "Scan parquet".r.findAllIn(ds57).size <= 3,
+      "tpcds q57 deviation bands no longer window-over-one-aggregate")
+    // q10: the EXISTS tree stays two semi KEY-SET joins (period AND
+    // either-big), no anti, no correlated re-probe
+    val ds10 = plan("agg_tpcds_q10")
+    assert("LeftSemi".r.findAllIn(ds10).size == 2 &&
+      !ds10.contains("CartesianProduct"),
+      "tpcds q10 lost its two-semi-join profile shape")
+    // q54: cohort semi-join + TWO aggregation grains (per-customer
+    // spend, then per-segment count) — the orders fact scans at most
+    // twice (cohort keyset + spend window), never per segment
+    val ds54 = plan("agg_tpcds_q54")
+    assert(ds54.contains("LeftSemi") &&
+      "Scan parquet".r.findAllIn(ds54).size <= 2,
+      "tpcds q54 segment histogram re-scans the fact")
+    // q70: the top-5 nation pre-selection is a TakeOrdered over a
+    // 25-row aggregate broadcast back as a semi key set — never a
+    // global sort or rank window over fact rows
+    val ds70 = plan("agg_tpcds_q70")
+    assert(ds70.contains("TakeOrdered") &&
+      ds70.contains("BroadcastHashJoin") && ds70.contains("Expand") &&
+      !ds70.contains("Window"),
+      "tpcds q70 ranked pre-selection no longer TakeOrdered + broadcast semi")
+    // q44: best/worst are two opposite TakeOrdered(10)s — never a
+    // global rank window — and the per-part aggregate they both
+    // consume must materialize once and be REUSED (AQE, final plan)
+    val ds44 = plan("agg_tpcds_q44")
+    assert("TakeOrdered".r.findAllIn(ds44).size == 2 &&
+      !ds44.contains("Window"),
+      "tpcds q44 dual ranking no longer two TakeOrdered cuts")
+    assert(finalPlan("agg_tpcds_q44").contains("Reused"),
+      "tpcds q44 recomputes the per-part aggregate per ranking")
   }
 
   test("GraftExtensions injects native functions at session build") {
