@@ -221,7 +221,8 @@ object ScaleProbe {
       }
     }
 
-    // ===== GLOBAL two-stage sketch/sample ops (r16 directive #1): the
+    // ===== GLOBAL two-stage sketch/sample ops (r16 directive #1; r17
+    // extends coverage from two of five members to ALL five): the
     // one-key merge stage is the engine's only single-key serialization
     // point, and "safe by construction" (stage-2 input is O(shards)
     // summary rows per batch) is precisely the claim this probe exists
@@ -253,6 +254,35 @@ object ScaleProbe {
         drive(spark, "reservoir_global",
           (0 until n).map(_.toLong), Seq.empty[Long]) { ds =>
           StatefulV2.sampleFixedGlobal(ds, k = 64, shards = shards)
+        }
+      }),
+      // r17 (VERDICT r16 #4): the remaining three two-stage members.
+      // All share the reservoir's state shape — ONE packed ValueState
+      // per shard in stage 1, one stage-2 MapState entry per shard
+      // (+rev amortized) ⇒ footprint 3 — but "shares the idiom" is a
+      // by-construction claim, and this probe exists to measure it.
+      ("topk_global", 3, { (n: Int, shards: Int) =>
+        implicit val ord: Ordering[(Double, Long)] =
+          Ordering.by[(Double, Long), Double](_._1).orElseBy(_._2)
+        // (value, id) pairs: every event contends for the global heap
+        drive(spark, "topk_global",
+          gen(n).zipWithIndex.map { case (e, i) => (e._3, i.toLong) },
+          Seq.empty[(Double, Long)]) { ds =>
+          StatefulV2.topKGlobal(ds, k = 16, shards = shards)
+        }
+      }),
+      ("tdigest_global", 3, { (n: Int, shards: Int) =>
+        drive(spark, "tdigest_global", gen(n).map(_._3),
+          Seq.empty[Double]) { ds =>
+          StatefulV2.tdigestQuantilesGlobal(ds, compression = 100.0,
+            qs = Seq(0.5, 0.95, 0.99), shards = shards)
+        }
+      }),
+      ("approx_distinct_global", 3, { (n: Int, shards: Int) =>
+        // all-distinct ids: every event mutates its shard's HLL
+        drive(spark, "approx_distinct_global",
+          (0 until n).map(_.toString), Seq.empty[String]) { ds =>
+          StatefulV2.approxDistinctGlobal(ds, lgK = 12, shards = shards)
         }
       }))
     globalDefs.filter(d => want(d._1)).foreach { case (nm, rowsPerShard, mk) =>
@@ -303,22 +333,25 @@ object ScaleProbe {
       })
     }
 
-    // ===== Q8-shaped stream-stream windowed equi-join — the bench's
-    // one below-published-bar row (durability-priced, BASELINE.md):
-    // its SCALE contract is gated here instead. Live join state at
-    // steady arrival density is ~one window of rows regardless of
-    // stream length (the watermark GCs closed windows), so (a) after
-    // the late sentinels resident state must be ~EMPTY (a leak here is
-    // the classic unbounded-join failure), and (b) per-event cost must
-    // hold sub-linear across the 100k→1M decade.
-    if (want("new_users_join")) {
+    // ===== Native symmetric-hash stream-stream windowed equi-join —
+    // the operator's state contract, gated on the raw-event self-join
+    // shape (the r16 bench shape; the bench row has since moved to the
+    // windowed-CoGBK form below, but StreamOps.streamStreamJoin /
+    // intervalJoinStream still plan THIS operator, so its contract
+    // stays gated). Live join state at steady arrival density is ~one
+    // window of rows regardless of stream length (the watermark GCs
+    // closed windows), so (a) after the late sentinels resident state
+    // must fall to the measured per-distinct-key residue floor (a leak
+    // past it is the classic unbounded-join failure), and (b)
+    // per-event cost must hold sub-linear across the 100k→1M decade.
+    if (want("stream_stream_join")) {
       val joinProbes = scales.map { n =>
         val ev = gen(n)
         val maxTs = ev.last._2.getTime
         val sentinels = Seq(
           (-1L, new java.sql.Timestamp(maxTs + 3 * 3600000L), 0.0),
           (-1L, new java.sql.Timestamp(maxTs + 4 * 3600000L), 0.0))
-        n -> drive(spark, "new_users_join", ev, sentinels) { ds =>
+        n -> drive(spark, "stream_stream_join", ev, sentinels) { ds =>
           val df = ds.toDF("user_id", "ts", "value")
           val persons = df.filter(col("value") < 0.1)
             .withWatermark("ts", "0 seconds")
@@ -344,10 +377,10 @@ object ScaleProbe {
         // SCALE.md §3 documents the distinct-key residue floor.
         val bound = 4L * Keys + 50
         val g = gate(p.stateRowsFinal <= bound,
-          s"new_users_join resident state ${p.stateRowsFinal} rows " +
-            s"after watermark flush at n=$n (> $bound = 2·keys + " +
+          s"stream_stream_join resident state ${p.stateRowsFinal} rows " +
+            s"after watermark flush at n=$n (> $bound = 4·keys + " +
             "sentinels: VALUE state leaked past the watermark)")
-        println(f"new_users_join        ${p.n}%9d ${p.evsPerSec}%9.0f " +
+        println(f"stream_stream_join    ${p.n}%9d ${p.evsPerSec}%9.0f " +
           f"${p.updPerEvent}%7.2f ${p.rowsRemoved.toDouble / p.n}%7.2f  " +
           f"stateRowsAfterFlush=${p.stateRowsFinal} (bound $bound)  $g")
       }
@@ -356,16 +389,68 @@ object ScaleProbe {
       if (joinProbes.size >= 2) {
         val rows = joinProbes.map(_._2.stateRowsFinal)
         println(gate(rows.max - rows.min <= 50,
-          s"new_users_join post-flush state moved with event volume: " +
+          s"stream_stream_join post-flush state moved with event volume: " +
             s"${rows.mkString(" vs ")}") match {
           case "ok" =>
-            s"new_users_join post-flush residue flat across decade (${rows.head}) ok"
+            s"stream_stream_join post-flush residue flat across decade (${rows.head}) ok"
           case s => s
         })
       }
       if (scales.size >= 2) {
         val lo = joinProbes.minBy(_._1)._2
         val hi = joinProbes.maxBy(_._1)._2
+        val span = math.log10(scales.max.toDouble / scales.min)
+        val exp = math.log10(lo.evsPerSec / hi.evsPerSec) / span
+        println(gate(exp <= 0.30,
+          f"stream_stream_join throughput exponent $exp%.2f > 0.30 per decade") match {
+          case "ok" => f"stream_stream_join decade exponent $exp%+6.3f " +
+            f"(${lo.evsPerSec}%.0f -> ${hi.evsPerSec}%.0f ev/s) ok"
+          case s => s
+        })
+      }
+    }
+
+    // ===== Q8 monitor-new-users in the r17 windowed-CoGBK bench shape
+    // (StreamOps.newUsersJoin — ONE stateful windowed aggregation, the
+    // form Beam's own Query8 plans): state is one row per (user,
+    // window), GC'd at window close with NO residue floor, so the
+    // post-flush contract is near-EMPTY (only the sentinels' still-
+    // open windows), flat across the decade, cost sub-linear.
+    if (want("new_users_join")) {
+      val cogbkProbes = scales.map { n =>
+        val ev = gen(n)
+        val maxTs = ev.last._2.getTime
+        val sentinels = Seq(
+          (-1L, new java.sql.Timestamp(maxTs + 3 * 3600000L), 0.0),
+          (-1L, new java.sql.Timestamp(maxTs + 4 * 3600000L), 0.0))
+        n -> drive(spark, "new_users_join", ev, sentinels) { ds =>
+          // value<0.1 plays "signup", the rest "view" — ~10/90 split,
+          // same cubic key skew as every probe
+          StreamOps.newUsersJoin(
+            ds.toDF("user_id", "ts", "value")
+              .withColumn("event_type",
+                when(col("value") < 0.1, "signup").otherwise("view")),
+            windowSize = "1 hour", lateness = "0 seconds",
+            leftType = "signup", rightType = "view")
+        }
+      }
+      cogbkProbes.foreach { case (n, p) =>
+        // windowed-agg state GCs COMPLETELY at close: post-flush
+        // residue is only the sentinels' own open windows (the final
+        // sentinel's window never closes) — a fixed handful of rows,
+        // NOT O(keys) and certainly not O(events)
+        val bound = 50L
+        val g = gate(p.stateRowsFinal <= bound,
+          s"new_users_join resident state ${p.stateRowsFinal} rows " +
+            s"after watermark flush at n=$n (> $bound: windowed-agg " +
+            "state leaked past the watermark)")
+        println(f"new_users_join        ${p.n}%9d ${p.evsPerSec}%9.0f " +
+          f"${p.updPerEvent}%7.2f ${p.rowsRemoved.toDouble / p.n}%7.2f  " +
+          f"stateRowsAfterFlush=${p.stateRowsFinal} (bound $bound)  $g")
+      }
+      if (scales.size >= 2) {
+        val lo = cogbkProbes.minBy(_._1)._2
+        val hi = cogbkProbes.maxBy(_._1)._2
         val span = math.log10(scales.max.toDouble / scales.min)
         val exp = math.log10(lo.evsPerSec / hi.evsPerSec) / span
         println(gate(exp <= 0.30,
