@@ -1615,5 +1615,116 @@ object TpcdsQueries {
           CAST(total_c AS BIGINT) AS total_c FROM (
           SELECT * FROM by_part ORDER BY total_c ASC, l_partkey LIMIT 10)
           JOIN part ON l_partkey = p_partkey""")),
+
+    // q22: AVERAGE-over-ROLLUP at three dimension levels — the
+    // inventory-averages shape: one fact pass, ONE Expand for all four
+    // grouping levels, and the average emitted as exact integer
+    // centi-units (sum·100 div n — l_quantity is integer-valued) so
+    // every level compares exactly cross-engine.
+    Q("agg_tpcds_q22",
+      (s, d) => li(s, d)
+        .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty_e2", expr("sum_qty * 100 div n"))
+        .select(col("p_brand"), col("p_type"), col("p_size"),
+          col("sum_qty"), col("n"), col("avg_qty_e2")),
+      Some("""SELECT p_brand, p_type, p_size,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(l_quantity AS BIGINT)) * 100 // count(*) AS BIGINT) AS avg_qty_e2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY ROLLUP(p_brand, p_type, p_size)""")),
+
+    // q36: gross-margin ROLLUP with rank WITHIN EACH GROUPING LEVEL —
+    // the lochierarchy idiom: margin in integer basis points
+    // (net·10⁴ div list — exact, never a float ratio), ranked inside
+    // (level, type-if-brand-level) partitions, where q67 ranks only
+    // inside one fixed dimension.
+    Q("agg_tpcds_q36",
+      (s, d) => {
+        val rolled = li(s, d)
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .rollup(col("p_type"), col("p_brand"))
+          .agg(sum(round(rev * 100).cast("long")).as("net_c"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("list_c"),
+            (grouping(col("p_type")) + grouping(col("p_brand")))
+              .cast("long").as("lochierarchy"))
+          .withColumn("margin_bp", expr("net_c * 10000 div list_c"))
+        val w = Window.partitionBy(col("lochierarchy"),
+            when(col("lochierarchy") === 0, col("p_type")))
+          .orderBy(col("margin_bp").asc,
+            coalesce(col("p_brand"), lit("")),
+            coalesce(col("p_type"), lit("")))
+        rolled.withColumn("rk", rank().over(w).cast("int"))
+          .select(col("p_type"), col("p_brand"), col("lochierarchy"),
+            col("margin_bp"), col("rk"))
+      },
+      Some("""WITH rolled AS (
+          SELECT p_type, p_brand,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_c,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS list_c,
+            CAST(GROUPING(p_type) + GROUPING(p_brand) AS BIGINT) AS lochierarchy
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY ROLLUP(p_type, p_brand))
+        SELECT p_type, p_brand, lochierarchy,
+          CAST(net_c * 10000 // list_c AS BIGINT) AS margin_bp,
+          CAST(rank() OVER (
+            PARTITION BY lochierarchy,
+              CASE WHEN lochierarchy = 0 THEN p_type END
+            ORDER BY net_c * 10000 // list_c ASC,
+              COALESCE(p_brand, ''), COALESCE(p_type, '')) AS INT) AS rk
+        FROM rolled""")),
+
+    // q68: cross-dimension INEQUALITY cohort — orders with ANY line
+    // supplied from a nation different from the customer's home
+    // nation ("bought from abroad"): a distinct order key set from a
+    // four-table chain with a dim≠dim predicate, semi-restricting an
+    // order-grain aggregate that joins back to the customer. Big
+    // extended-price orders only (> $350k, exact integer cents).
+    Q("agg_tpcds_q68",
+      (s, d) => {
+        val abroad = li(s, d)
+          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .select(col("l_orderkey")).distinct()
+        li(s, d)
+          .join(abroad.withColumnRenamed("l_orderkey", "a_orderkey"),
+            col("l_orderkey") === col("a_orderkey"), "left_semi")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("ext_c"),
+            count(lit(1)).as("n_lines"))
+          .filter(col("ext_c") > 35000000L)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_name"), col("n_name"), col("o_orderkey"),
+            col("ext_c"), col("n_lines"))
+      },
+      Some("""WITH abroad AS (
+          SELECT DISTINCT l_orderkey
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE s_nationkey <> c_nationkey),
+        per_order AS (
+          SELECT l_orderkey,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ext_c,
+            CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem
+          WHERE l_orderkey IN (SELECT l_orderkey FROM abroad)
+          GROUP BY 1)
+        SELECT c_name, n_name, o_orderkey, ext_c, n_lines
+        FROM per_order
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE ext_c > 35000000""")),
   )
 }

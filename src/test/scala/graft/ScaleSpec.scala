@@ -599,6 +599,24 @@ class ScaleSpec extends SparkSpec {
       "tpcds q44 dual ranking no longer two TakeOrdered cuts")
     assert(finalPlan("agg_tpcds_q44").contains("Reused"),
       "tpcds q44 recomputes the per-part aggregate per ranking")
+    // q22: all four rollup levels through ONE Expand over one fact
+    // pass — never a scan or union per level
+    val ds22 = plan("agg_tpcds_q22")
+    assert(ds22.contains("Expand") && !ds22.contains("Union") &&
+      "Scan parquet".r.findAllIn(ds22).size <= 2,
+      "tpcds q22 average rollup re-scans per grouping level")
+    // q36: the lochierarchy rank is ONE window over the rollup
+    // aggregate (Expand) — the fact is never re-sorted or re-scanned
+    val ds36 = plan("agg_tpcds_q36")
+    assert(ds36.contains("Expand") && ds36.contains("Window") &&
+      "Scan parquet".r.findAllIn(ds36).size <= 2,
+      "tpcds q36 lost its window-over-rollup shape")
+    // q68: the abroad cohort stays a semi KEY-SET restriction on the
+    // order-grain aggregate — no cartesian, no correlated re-probe
+    val ds68 = plan("agg_tpcds_q68")
+    assert(ds68.contains("LeftSemi") &&
+      !ds68.contains("CartesianProduct"),
+      "tpcds q68 lost its semi key-set cohort shape")
   }
 
   test("GraftExtensions injects native functions at session build") {
