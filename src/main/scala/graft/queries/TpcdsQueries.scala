@@ -1726,5 +1726,94 @@ object TpcdsQueries {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         WHERE ext_c > 35000000""")),
+
+    // q87: the EXCEPT chain — customers in channel 1 but in NEITHER of
+    // the other two (q38 covers the INTERSECT triple; EXCEPT is the
+    // remaining multi-channel set operator, planned as chained
+    // anti key-set joins over distinct key sets).
+    Q("agg_tpcds_q87",
+      (s, d) => {
+        def chan(p: String) = ord(s, d)
+          .filter(col("o_orderpriority") === p)
+          .select(col("o_custkey")).distinct()
+        chan("1-URGENT").except(chan("2-HIGH"))
+          .except(chan("3-MEDIUM"))
+          .agg(count(lit(1)).cast("long").as("n"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM')""")),
+
+    // q97: the channel OVERLAP MATRIX — two distinct customer key sets
+    // FULL OUTER joined, with both/left-only/right-only counted from
+    // the join's null pattern in one aggregation (the generic
+    // set-reconciliation report shape).
+    Q("agg_tpcds_q97",
+      (s, d) => {
+        val ch1 = ord(s, d).filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_custkey").as("k1")).distinct()
+        val ch2 = ord(s, d).filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_custkey").as("k2")).distinct()
+        ch1.join(ch2, col("k1") === col("k2"), "full_outer")
+          .agg(
+            sum(when(col("k1").isNotNull && col("k2").isNotNull, 1)
+              .otherwise(0)).as("both_ch"),
+            sum(when(col("k1").isNotNull && col("k2").isNull, 1)
+              .otherwise(0)).as("only_1"),
+            sum(when(col("k1").isNull && col("k2").isNotNull, 1)
+              .otherwise(0)).as("only_2"))
+      },
+      Some("""WITH ch1 AS (SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE year(o_orderdate) = 1995),
+          ch2 AS (SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE year(o_orderdate) = 1996)
+        SELECT
+          CAST(sum(CASE WHEN ch1.k IS NOT NULL AND ch2.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_ch,
+          CAST(sum(CASE WHEN ch1.k IS NOT NULL AND ch2.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1,
+          CAST(sum(CASE WHEN ch1.k IS NULL AND ch2.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_2
+        FROM ch1 FULL OUTER JOIN ch2 ON ch1.k = ch2.k""")),
+
+    // q45: DISJUNCTIVE admission across a dimension predicate and a
+    // fact-derived key set — customers in a nation short-list OR
+    // buyers of small parts. The OR cannot be a semi join (it would
+    // drop the dim-only rows), so the key set enters as a LEFT join
+    // against the DISTINCT buyer keys and the disjunction is one
+    // filter — never two unioned scans of the fact.
+    Q("agg_tpcds_q45",
+      (s, d) => {
+        val buyers = li(s, d)
+          .join(prt(s, d).filter(col("p_size").isin(1, 2, 3)),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("b_cust")).distinct()
+        ord(s, d)
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(buyers, col("o_custkey") === col("b_cust"), "left")
+          .filter(col("n_name").isin("NATION_1", "NATION_5", "NATION_9") ||
+            col("b_cust").isNotNull)
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("rev_c"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH wanted_parts AS (
+          SELECT p_partkey FROM part WHERE p_size IN (1, 2, 3)),
+        buyers AS (
+          SELECT DISTINCT o_custkey FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_partkey IN (SELECT p_partkey FROM wanted_parts))
+        SELECT n_name, c_mktsegment,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+          CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+           OR o_custkey IN (SELECT o_custkey FROM buyers)
+        GROUP BY 1, 2""")),
   )
 }

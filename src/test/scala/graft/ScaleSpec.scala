@@ -617,6 +617,24 @@ class ScaleSpec extends SparkSpec {
     assert(ds68.contains("LeftSemi") &&
       !ds68.contains("CartesianProduct"),
       "tpcds q68 lost its semi key-set cohort shape")
+    // q87: the EXCEPT chain plans as two anti key-set joins over
+    // distinct sets — never a nested-loop or a re-scan per branch
+    val ds87 = plan("agg_tpcds_q87")
+    assert("LeftAnti".r.findAllIn(ds87).size == 2 &&
+      !ds87.contains("CartesianProduct"),
+      "tpcds q87 EXCEPT chain lost its two-anti-join shape")
+    // q97: the overlap matrix is ONE full-outer key join + one
+    // aggregation — never unioned per-quadrant scans
+    val ds97 = plan("agg_tpcds_q97")
+    assert(ds97.contains("FullOuter") && !ds97.contains("Union"),
+      "tpcds q97 overlap matrix lost its single full-outer form")
+    // q45: the disjunctive admission is a LEFT join against the
+    // distinct buyer key set + ONE filter — the fact is never
+    // scanned twice and unioned to express the OR
+    val ds45 = plan("agg_tpcds_q45")
+    assert(!ds45.contains("Union") && !ds45.contains("CartesianProduct") &&
+      "Scan parquet".r.findAllIn(ds45).size <= 6,
+      "tpcds q45 disjunctive admission no longer a single-pass left-join form")
   }
 
   test("GraftExtensions injects native functions at session build") {
