@@ -438,12 +438,19 @@ object ScaleProbe {
         // windowed-agg state GCs COMPLETELY at close: post-flush
         // residue is only the sentinels' own open windows (the final
         // sentinel's window never closes) — a fixed handful of rows,
-        // NOT O(keys) and certainly not O(events)
+        // NOT O(keys) and certainly not O(events). Write amplification
+        // is bounded too: one put per TOUCHED (user, window) per batch
+        // (map-side partial agg) — measured 0.20/0.07 upd/ev at
+        // 100k/1M; a regression past 0.5 means the partial agg or the
+        // once-per-batch put contract broke
         val bound = 50L
         val g = gate(p.stateRowsFinal <= bound,
           s"new_users_join resident state ${p.stateRowsFinal} rows " +
             s"after watermark flush at n=$n (> $bound: windowed-agg " +
-            "state leaked past the watermark)")
+            "state leaked past the watermark)") + " " +
+          gate(p.updPerEvent <= 0.5,
+            f"new_users_join upd/ev ${p.updPerEvent}%.2f > 0.5 at n=$n " +
+              "(one-put-per-touched-key-per-batch contract broken?)")
         println(f"new_users_join        ${p.n}%9d ${p.evsPerSec}%9.0f " +
           f"${p.updPerEvent}%7.2f ${p.rowsRemoved.toDouble / p.n}%7.2f  " +
           f"stateRowsAfterFlush=${p.stateRowsFinal} (bound $bound)  $g")
