@@ -1680,52 +1680,42 @@ object TpcdsQueries {
 
     // q68: cross-dimension INEQUALITY cohort — orders with ANY line
     // supplied from a nation different from the customer's home
-    // nation ("bought from abroad"): a distinct order key set from a
-    // four-table chain with a dim≠dim predicate, semi-restricting an
-    // order-grain aggregate that joins back to the customer. Big
-    // extended-price orders only (> $350k, exact integer cents).
+    // nation ("bought from abroad"), big extended-price orders only
+    // (> $350k, exact integer cents). The dim≠dim predicate is a
+    // CONDITIONAL AGGREGATE (max of the inequality flag) inside the
+    // one order-grain aggregation — NOT a distinct-keyset semi
+    // pre-filter, which would scan lineitem twice to remove almost
+    // nothing (with 25 nations ~96% of multi-line orders have a
+    // foreign line); c_name/n_name ride the group-by (functionally
+    // dependent on the order), so there is no join-back either. ONE
+    // lineitem pass total.
     Q("agg_tpcds_q68",
-      (s, d) => {
-        val abroad = li(s, d)
-          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
-          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
-          .filter(col("s_nationkey") =!= col("c_nationkey"))
-          .select(col("l_orderkey")).distinct()
-        li(s, d)
-          .join(abroad.withColumnRenamed("l_orderkey", "a_orderkey"),
-            col("l_orderkey") === col("a_orderkey"), "left_semi")
-          .groupBy(col("l_orderkey"))
-          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
-            .as("ext_c"),
-            count(lit(1)).as("n_lines"))
-          .filter(col("ext_c") > 35000000L)
-          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_name"), col("n_name"), col("o_orderkey"),
-            col("ext_c"), col("n_lines"))
-      },
-      Some("""WITH abroad AS (
-          SELECT DISTINCT l_orderkey
+      (s, d) => li(s, d)
+        .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("o_orderkey"), col("c_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("ext_c"),
+          count(lit(1)).as("n_lines"),
+          max(when(col("s_nationkey") =!= col("c_nationkey"), 1)
+            .otherwise(0)).as("has_foreign"))
+        .filter(col("has_foreign") === 1 && col("ext_c") > 35000000L)
+        .select(col("c_name"), col("n_name"), col("o_orderkey"),
+          col("ext_c"), col("n_lines")),
+      Some("""SELECT c_name, n_name, o_orderkey, ext_c, n_lines FROM (
+          SELECT l_orderkey AS o_orderkey, c_name, n_name,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ext_c,
+            CAST(count(*) AS BIGINT) AS n_lines,
+            max(CASE WHEN s_nationkey <> c_nationkey THEN 1 ELSE 0 END) AS has_foreign
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
-          WHERE s_nationkey <> c_nationkey),
-        per_order AS (
-          SELECT l_orderkey,
-            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ext_c,
-            CAST(count(*) AS BIGINT) AS n_lines
-          FROM lineitem
-          WHERE l_orderkey IN (SELECT l_orderkey FROM abroad)
-          GROUP BY 1)
-        SELECT c_name, n_name, o_orderkey, ext_c, n_lines
-        FROM per_order
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        WHERE ext_c > 35000000""")),
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2, 3)
+        WHERE has_foreign = 1 AND ext_c > 35000000""")),
 
     // q87: the EXCEPT chain — customers in channel 1 but in NEITHER of
     // the other two (q38 covers the INTERSECT triple; EXCEPT is the

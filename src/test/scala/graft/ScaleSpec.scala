@@ -611,12 +611,13 @@ class ScaleSpec extends SparkSpec {
     assert(ds36.contains("Expand") && ds36.contains("Window") &&
       "Scan parquet".r.findAllIn(ds36).size <= 2,
       "tpcds q36 lost its window-over-rollup shape")
-    // q68: the abroad cohort stays a semi KEY-SET restriction on the
-    // order-grain aggregate — no cartesian, no correlated re-probe
+    // q68: the dim≠dim cohort test is a conditional aggregate inside
+    // ONE order-grain aggregation — exactly one lineitem scan, no
+    // keyset semi pre-pass, no join-back for the names
     val ds68 = plan("agg_tpcds_q68")
-    assert(ds68.contains("LeftSemi") &&
-      !ds68.contains("CartesianProduct"),
-      "tpcds q68 lost its semi key-set cohort shape")
+    assert("Scan parquet".r.findAllIn(ds68).size <= 5 &&
+      !ds68.contains("LeftSemi") && !ds68.contains("CartesianProduct"),
+      "tpcds q68 regained a second pass over the fact")
     // q87: the EXCEPT chain plans as two anti key-set joins over
     // distinct sets — never a nested-loop or a re-scan per branch
     val ds87 = plan("agg_tpcds_q87")
