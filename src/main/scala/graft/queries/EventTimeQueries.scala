@@ -304,25 +304,32 @@ object EventTimeQueries {
         SELECT win_start, event_id, round(value, 4) AS value
         FROM w WHERE value = max_value""")),
 
-    // Nexmark Q8 "monitor new users" (queries/Query8.java — tumbling-
-    // window join of two event kinds): users who signed up AND
-    // purchased within the same 1-hour window.
+    // Nexmark Q8 "monitor new users" (queries/Query8.java — Beam
+    // co-groups the two event kinds per (user, window)): users who
+    // signed up AND purchased within the same 1-hour window. ONE fact
+    // pass — the per-kind presence tests are conditional flags inside
+    // a single (user, window) aggregation (r17, matching the
+    // streaming row's windowed-CoGBK shape), not two distinct sets
+    // joined (two scans + three exchanges).
     Q("win_new_users",
-      (s, d) => {
-        val win = window(col("ts"), "1 hour")
-        val signups = ev(s, d).filter(col("event_type") === "signup")
-          .select(col("user_id"), win.as("w")).distinct()
-        val purchases = ev(s, d).filter(col("event_type") === "purchase")
-          .select(col("user_id"), win.as("w")).distinct()
-        signups.join(purchases, Seq("user_id", "w"))
-          .select(col("user_id"), unix_timestamp(col("w.start")).as("win_start"))
-      },
-      Some("""SELECT DISTINCT s.user_id,
-          CAST(floor(epoch(s.ts) / 3600) * 3600 AS BIGINT) AS win_start
-        FROM events s JOIN events p
-          ON s.user_id = p.user_id
-          AND floor(epoch(s.ts) / 3600) = floor(epoch(p.ts) / 3600)
-        WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""")),
+      (s, d) => ev(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+        .agg(
+          max(when(col("event_type") === "signup", 1).otherwise(0))
+            .as("has_s"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("has_p"))
+        .filter(col("has_s") === 1 && col("has_p") === 1)
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("win_start")),
+      Some("""SELECT user_id,
+          CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+        GROUP BY 1, 2
+        HAVING max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1
+           AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1""")),
 
     // Nexmark Q0 "passthrough" (queries/Query0.java — the measurement
     // floor: deserialize + re-emit every event unchanged).

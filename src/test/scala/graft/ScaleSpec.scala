@@ -636,6 +636,13 @@ class ScaleSpec extends SparkSpec {
     assert(!ds45.contains("Union") && !ds45.contains("CartesianProduct") &&
       "Scan parquet".r.findAllIn(ds45).size <= 6,
       "tpcds q45 disjunctive admission no longer a single-pass left-join form")
+    // Nexmark Q8 batch analog: the per-kind presence tests are
+    // conditional flags in ONE (user, window) aggregation — exactly
+    // one fact scan, no self-join of distinct sets
+    val q8b = plan("win_new_users")
+    assert("Scan parquet".r.findAllIn(q8b).size == 1 &&
+      !q8b.contains("Join"),
+      "win_new_users regained the two-scan distinct-sets self-join")
   }
 
   test("GraftExtensions injects native functions at session build") {
