@@ -176,6 +176,55 @@ class StreamingSpec extends SparkSpec {
       (4L, "2026-01-01 10:10:00", 1L, 1L, 9.0)), s"got=$got")
   }
 
+  test("newUsersJoin: streaming append == batch over randomized replay (unification)") {
+    // 200 random events over 6 users × 3 types × ~45 minutes, fed in 4
+    // arbitrary micro-batches (non-decreasing ts so nothing is
+    // watermark-late): the streamed append output must equal the BATCH
+    // evaluation of the same builder on the same rows, minus windows
+    // the final watermark leaves open — the same unification contract
+    // the tumbling-agg test establishes for plain windowed aggs
+    val rnd = new scala.util.Random(1717L)
+    val events = IndexedSeq.tabulate(200) { i =>
+      Ev(i.toLong, ts(i * 45 / 200, rnd.nextInt(60)),
+        rnd.nextInt(6).toLong,
+        Seq("signup", "view", "click")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 100) / 10.0)
+    }.sortBy(_.ts.getTime)
+    val sentinel = Ev(999, ts(59), 9, "view", 0.0)
+    val mem = MemoryStream[Ev]
+    val joined = StreamOps.newUsersJoin(mem.toDF(),
+      windowSize = "10 minutes", lateness = "0 seconds",
+      leftType = "signup", rightType = "view")
+    val table = freshTable()
+    val q = joined.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    events.grouped(50).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    mem.addData(sentinel)
+    q.processAllAvailable()
+    mem.addData(Ev(1000, ts(59, 30), 9, "view", 0.0)) // carry the watermark
+    runToCompletion(q)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("w.start").cast("string").as("ws"),
+        col("n_left"), col("n_right"),
+        round(col("right_value"), 6).as("rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val got = norm(spark.table(table))
+    // batch run of the SAME builder over the same rows; the final
+    // watermark is the last sentinel's ts, so windows at/after its
+    // window start are still open in the stream
+    val openCut = "2026-01-01 10:50:00"
+    val batch = norm(StreamOps.newUsersJoin(
+        (events :+ sentinel :+ Ev(1000, ts(59, 30), 9, "view", 0.0)).toDF(),
+        windowSize = "10 minutes", lateness = "0 seconds",
+        leftType = "signup", rightType = "view")
+      .filter(col("w.start").cast("string") < openCut))
+    assert(got == batch, s"stream=${got.size} batch=${batch.size} " +
+      s"diff=${(got diff batch) ++ (batch diff got)}")
+    assert(batch.nonEmpty, "degenerate draw: no qualifying user-window")
+  }
+
   test("session windows merge events within gap across micro-batches") {
     val mem = MemoryStream[Ev]
     val sess = StreamOps.sessionAgg(mem.toDF(), "ts", "5 minutes",
