@@ -90,7 +90,7 @@ object Bench {
     "agg_tpcds_q77", "agg_tpcds_q57", "agg_tpcds_q10",
     "agg_tpcds_q54", "agg_tpcds_q70", "agg_tpcds_q44",
     "agg_tpcds_q22", "agg_tpcds_q36", "agg_tpcds_q68",
-    "agg_tpcds_q87", "agg_tpcds_q97", "agg_tpcds_q45",
+    "agg_tpcds_q87", "agg_tpcds_q97", "agg_tpcds_q45", "agg_tpcds_q66",
     // round 14 additions
     "agg_tpcds_q65", "agg_tpcds_q41", "changelog_latest_by_rev",
     "agg_cohort_retention", "scd2_history", "pipeline_data_quality",

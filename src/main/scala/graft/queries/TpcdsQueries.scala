@@ -1805,5 +1805,36 @@ object TpcdsQueries {
         WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
            OR o_custkey IN (SELECT o_custkey FROM buyers)
         GROUP BY 1, 2""")),
+
+    // q66: the WIDE HORIZONTAL PIVOT report — one year's sales spread
+    // into twelve per-month columns plus a total, ALL as conditional
+    // sums inside ONE aggregation pass (q66's web-warehouse report
+    // emits 24 such columns; the shape is the 12-way CASE pivot, which
+    // the generic `pivot_wide` operator covers dynamically but no
+    // TPC-DS analog exercised as a static plan). Integer cents.
+    Q("agg_tpcds_q66",
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val monthCols = (1 to 12).map(m =>
+          sum(when(month(col("o_orderdate")) === m, cents).otherwise(0L))
+            .as(s"m${m}_c"))
+        ord(s, d)
+          .filter(year(col("o_orderdate")) === 1996)
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(monthCols.head,
+            (monthCols.tail :+ sum(cents).as("total_c")): _*)
+      },
+      Some("SELECT n_name,\n" +
+        (1 to 12).map(m =>
+          s"  CAST(sum(CASE WHEN month(o_orderdate) = $m THEN " +
+          s"CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m${m}_c,")
+          .mkString("\n") + """
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE year(o_orderdate) = 1996
+        GROUP BY 1""")),
   )
 }

@@ -636,6 +636,12 @@ class ScaleSpec extends SparkSpec {
     assert(!ds45.contains("Union") && !ds45.contains("CartesianProduct") &&
       "Scan parquet".r.findAllIn(ds45).size <= 6,
       "tpcds q45 disjunctive admission no longer a single-pass left-join form")
+    // q66: the 12-month horizontal pivot is ONE aggregation pass —
+    // thirteen conditional sums, never a scan or union per month
+    val ds66 = plan("agg_tpcds_q66")
+    assert("Scan parquet".r.findAllIn(ds66).size <= 3 &&
+      !ds66.contains("Union") && !ds66.contains("Expand"),
+      "tpcds q66 wide pivot no longer a single conditional-agg pass")
     // Nexmark Q8 batch analog: the per-kind presence tests are
     // conditional flags in ONE (user, window) aggregation — exactly
     // one fact scan, no self-join of distinct sets
