@@ -19,6 +19,14 @@ import graft.streaming.{StatefulV2, StreamOps}
   *   - session_agg (native session_window — Catalyst's own path)
   *   - triggered_windows (fixed windows + trigger/pane machinery)
   *   - match_recognize (full NFA over watermark-closed sessions)
+  *   - ALL FIVE global two-stage ops (r16/r17: heavy_hitters_global,
+  *     reservoir_global, topk_global, tdigest_global,
+  *     approx_distinct_global — decade + flat-state + shard-sweep
+  *     gates each)
+  *   - stream_stream_join (raw symmetric-hash self-join: the
+  *     per-distinct-key residue-floor contract) and new_users_join
+  *     (the r17 windowed-CoGBK bench shape: near-empty post-flush)
+  *   - ann_admission (IVF-PQ ingestion gate at N and 10N corpus)
   *   - minhash_candidates (LSH banded equi-join, N then 10N docs)
   *
   * Workload: `SCALE_PROBE_BASE` events (default 100k; 10× = 1M) over a
