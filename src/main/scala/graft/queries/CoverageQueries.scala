@@ -375,6 +375,34 @@ object CoverageQueries {
         round(sum(o_totalprice * 2), 4) AS sum_key
         FROM orders GROUP BY 1""")),
 
+    // ===== Reshuffle / Reshuffle.viaRandomKey (transforms/
+    // Reshuffle.java:62): values pass through a keyed redistribution
+    // AND a round-robin one unchanged — the oracle's order-insensitive
+    // row-set compare verifies exactly Beam's contract (identity on
+    // values, physical placement free); the partition-count contract
+    // is ScaleSpec's.
+    Q("reshuffle_roundtrip",
+      (s, d) => ev(s, d)
+        .repartition(32, pmod(col("event_id"), lit(97)))  // Reshuffle (keyed)
+        .repartition(16)                                  // viaRandomKey
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value")),
+      Some("""SELECT event_id, user_id, event_type,
+          round(value, 4) AS value
+        FROM events""")),
+
+    // ===== Tee / LogElements (transforms/Tee.java:40): a side
+    // observation attached to the main path — `observe` registers
+    // per-batch accumulators without altering the flow, so the output
+    // must be exactly the input row set (the dead-letter/metrics tee
+    // the reference threads through pipelines).
+    Q("observe_tee",
+      (s, d) => ord(s, d)
+        .observe("tee_stats", count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_tp"))
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Some("SELECT o_orderkey, o_orderstatus FROM orders")),
+
     // ===== Sample.fixedSizeGlobally (transforms/Sample.java:50):
     // exact-size deterministic sample — smallest n by portable hash
     // (a reproducible reservoir; Beam's is random, ours is stable for
