@@ -86,17 +86,19 @@ object Bench {
     "agg_tpcds_q75", "agg_tpcds_q95", "agg_tpcds_q4",
     // round 13 addition
     "agg_tpcds_q64",
-    // round 17 additions
-    "agg_tpcds_q77", "agg_tpcds_q57", "agg_tpcds_q10",
-    "agg_tpcds_q54", "agg_tpcds_q70", "agg_tpcds_q44",
-    "agg_tpcds_q22", "agg_tpcds_q36", "agg_tpcds_q68",
-    "agg_tpcds_q87", "agg_tpcds_q97", "agg_tpcds_q45", "agg_tpcds_q66",
     // round 14 additions
     "agg_tpcds_q65", "agg_tpcds_q41", "changelog_latest_by_rev",
     "agg_cohort_retention", "scd2_history", "pipeline_data_quality",
     "pipeline_stratified_sample", "rag_rrf_fusion",
     "dedup_admit_novel_embedding", "agg_basket_lift",
-    "agg_funnel_steps")
+    "agg_funnel_steps",
+    // round 17 additions
+    "agg_tpcds_q77", "agg_tpcds_q57", "agg_tpcds_q10",
+    "agg_tpcds_q54", "agg_tpcds_q70", "agg_tpcds_q44",
+    "agg_tpcds_q22", "agg_tpcds_q36", "agg_tpcds_q68",
+    "agg_tpcds_q87", "agg_tpcds_q97", "agg_tpcds_q45", "agg_tpcds_q66",
+    // round 18 additions
+    "agg_tpcds_q11", "agg_tpcds_q30", "agg_tpcds_q93", "agg_tpcds_q99")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {
@@ -301,10 +303,35 @@ object Bench {
       (anchors ++ names).distinct
     }
     val byName = results.toMap
-    println(stdoutLine(total, reps, names.size, calTotal,
+    emitFinalLineAndHalt(spark, stdoutLine(total, reps, names.size, calTotal,
       anchorsFirst.map(n => n -> byName(n)),
       streaming.map { case (k, v, _) => (k, v) }, sfDir))
-    spark.stop()
+  }
+
+  /** Print the metric line as the process's FINAL stdout bytes, then
+    * halt. BENCH_r17.json was parsed:null — not a width failure (the
+    * line fit the budget) but TRAILING noise: `spark.stop()` raced a
+    * streaming-teardown, and the async TaskKilled /
+    * RejectedExecutionException scheduler logging landed on stdout
+    * AFTER the println, pushing the line out of the driver's
+    * ~2000-char tail capture. The ordering here is the fix, and
+    * BenchLineSpec's source guard pins it: (1) stop + await every
+    * still-active streaming query, (2) logger OFF so late async
+    * scheduler events can't write, (3) `spark.stop()` BEFORE printing
+    * so any teardown bytes that escape land ahead of the line,
+    * (4) print + flush, (5) `halt` — skipping shutdown hooks, so
+    * nothing in the JVM can write after the line. */
+  private def emitFinalLineAndHalt(spark: SparkSession, line: String): Unit = {
+    spark.streams.active.foreach { q =>
+      try { q.stop(); q.awaitTermination(30000) }
+      catch { case _: Throwable => () }
+    }
+    try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
+    System.out.flush(); System.err.flush()
+    println(line)
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 
   /** Hard budget for the ONE stdout JSON line. The bench driver

@@ -97,6 +97,58 @@ object StreamingBench {
     * denominator. The drain tail (the last panes' delayMs) stays IN
     * the measurement: pane latency is the operator's contract, and the
     * published 3.5 s Q12 wall includes its pipeline drain too. */
+  /** Cumulative progress accumulator (ADVICE r17): `recentProgress` is
+    * a BOUNDED ring buffer (numRecentProgressUpdates), so re-summing it
+    * undercounts once evicted entries fall off — the completion test
+    * could then burn the full deadline and a successful run report -1.
+    * A listener sees EVERY progress event exactly once; totals and the
+    * last-output wall anchor are exact at any batch count. Filtered by
+    * runId, assigned immediately after start() — nothing but empty
+    * batch-0 progress can precede the assignment because the
+    * MemoryStream has no data until the caller feeds it afterwards. */
+  private final class CumulativeProgress
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    @volatile var runId: java.util.UUID = null
+    val inRows = new java.util.concurrent.atomic.AtomicLong
+    val outRows = new java.util.concurrent.atomic.AtomicLong
+    /** epoch-ms end of the last OUTPUT-producing batch (wall anchor) */
+    @volatile var lastOutEndMs: Long = -1L
+    @volatile var batches: Int = 0
+    @volatile var addBatchMs: Long = 0L
+    @volatile var stateCommitMs: Long = 0L
+    @volatile var stateUpdateMs: Long = 0L
+    @volatile var stateRemovalMs: Long = 0L
+    @volatile var rowsUpdated: Long = 0L
+    @volatile var rowsRemoved: Long = 0L
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      synchronized {
+        val p = e.progress
+        if (runId != null && p.runId == runId) {
+          inRows.addAndGet(p.numInputRows)
+          if (p.sink.numOutputRows > 0) {
+            outRows.addAndGet(p.sink.numOutputRows)
+            lastOutEndMs = java.time.Instant.parse(p.timestamp)
+              .toEpochMilli + p.batchDuration
+          }
+          val ops = p.stateOperators
+          batches += 1
+          addBatchMs += graft.tools.ReplayHarness.dur(p, "addBatch")
+          stateCommitMs += ops.map(_.commitTimeMs).sum
+          stateUpdateMs += ops.map(_.allUpdatesTimeMs).sum
+          stateRemovalMs += ops.map(_.allRemovalsTimeMs).sum
+          rowsUpdated += ops.map(_.numRowsUpdated).sum
+          rowsRemoved += ops.map(_.numRowsRemoved).sum
+        }
+      }
+    def breakdown: OpBreakdown = synchronized {
+      OpBreakdown(batches, addBatchMs, stateCommitMs, stateUpdateMs,
+        stateRemovalMs, rowsUpdated, rowsRemoved)
+    }
+  }
+
   private def benchProcTime(spark: SparkSession,
       rows: IndexedSeq[(Long, Double)], delayMs: Long,
       triggerMs: Long): (Double, OpBreakdown) =
@@ -105,6 +157,8 @@ object StreamingBench {
       import spark.implicits._
       val ckptDir = java.nio.file.Files.createTempDirectory("graft_q12_")
       var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      val acc = new CumulativeProgress
+      spark.streams.addListener(acc)
       try {
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Double)]
@@ -116,6 +170,7 @@ object StreamingBench {
           .trigger(org.apache.spark.sql.streaming.Trigger
             .ProcessingTime(s"$triggerMs milliseconds"))
           .start()
+        acc.runId = q.runId
         rows.grouped(math.max(1, rows.size / 20))
           .foreach(g => mem.addData(g: _*))
         val deadline = System.nanoTime() + 120L * 1000000000L
@@ -124,25 +179,19 @@ object StreamingBench {
         var done = false
         while (!done && System.nanoTime() < deadline) {
           Thread.sleep(triggerMs / 2)
-          val prog = q.recentProgress
-          val in = prog.map(_.numInputRows).sum
-          val o = prog.map(_.sink.numOutputRows).filter(_ > 0).sum
+          val o = acc.outRows.get
           if (o > outRows) { outRows = o; quietSinceNs = System.nanoTime() }
-          done = in >= rows.size && outRows > 0 &&
+          done = acc.inRows.get >= rows.size && outRows > 0 &&
             (System.nanoTime() - quietSinceNs) >
               (delayMs + 2L * triggerMs) * 1000000L
         }
-        val prog = q.recentProgress
-        val lastOut = prog.filter(_.sink.numOutputRows > 0).lastOption
-        val wall = lastOut match {
-          case Some(p) =>
-            (java.time.Instant.parse(p.timestamp).toEpochMilli +
-              p.batchDuration - wallT0) / 1e3
-          case None => -1.0
-        }
+        val wall =
+          if (acc.lastOutEndMs > 0) (acc.lastOutEndMs - wallT0) / 1e3
+          else -1.0
         if (wall <= 0) (-1.0, failedBreakdown)
-        else (rows.size / wall, breakdownOf(prog))
+        else (rows.size / wall, acc.breakdown)
       } finally {
+        spark.streams.removeListener(acc)
         if (q != null) { try q.stop() catch { case _: Throwable => () } }
         try {
           import scala.jdk.CollectionConverters._
@@ -327,15 +376,20 @@ object StreamingBench {
     // (map-side partial agg), GC'd clean at window close.
     OpDef("streaming_new_users", (spark, r, name) => {
       import spark.implicits._
-      // sentinels carry a KEPT type ("view"): the type filter is
-      // pushed below the watermark node, so a foreign-typed sentinel
-      // would never advance the watermark (see newUsersJoin's note)
+      // sentinels carry a KEPT type ("view"): the type filter runs
+      // before the watermark node, so a foreign-typed sentinel would
+      // never advance the watermark (see newUsersJoin's param docs).
+      // emitPerRight = true: the published 40,274 ev/s bar is Beam
+      // Query8's per-(person, auction) output grain, so the measured
+      // row must pay the same per-right-event emission (ADVICE r17 —
+      // the aggregated-grain form emits strictly less state+output
+      // and overstated comparability)
       bench(spark, name, r.named,
         Seq((-1L, r.lateTs(3), "view", 0.0), (-1L, r.lateTs(4), "view", 0.0))) { ds =>
         StreamOps.newUsersJoin(
           ds.toDF("user_id", "ts", "event_type", "value"),
           windowSize = "1 hour", lateness = "0 seconds",
-          leftType = "signup", rightType = "view")
+          leftType = "signup", rightType = "view", emitPerRight = true)
       }
     }),
     // Nexmark Q10's log-to-sharded-files (published 25,025 ev/s):

@@ -11,7 +11,7 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port thirty-three of its distinctive PLAN SHAPES onto the driver's
+  * these port FIFTY-ONE of its distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
@@ -1836,5 +1836,201 @@ object TpcdsQueries {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE year(o_orderdate) = 1996
         GROUP BY 1""")),
+
+    // q11: the year-over-year TWO-CHANNEL self-compare (query11.sql —
+    // store vs web customer totals, web growth ratio beating store
+    // growth): here the two channels are two DIFFERENT FACTS — order
+    // headers ("store") and line-level revenue ("web") — each pivoted
+    // to (y1, y2) cells in its OWN single conditional-agg pass, then
+    // one per-customer equi-join and the ratio-of-deltas comparison in
+    // integer cross-multiplied cents (w2/w1 > s2/s1 with both
+    // first-year totals required positive, exactly query11's
+    // CASE-protected ratio). Scale: each channel shuffles once at
+    // customer grain (pre-pivoted, 2 cells/customer), the join carries
+    // one row per customer per side; the customer dim joins back
+    // AFTER the filter for the attribute output, never before.
+    Q("agg_tpcds_q11",
+      (s, d) => {
+        val y = year(col("o_orderdate"))
+        val oCents = round(col("o_totalprice") * 100).cast("long")
+        val lCents = round(rev * 100).cast("long")
+        val store = ord(s, d).filter(y.isin(1995, 1996))
+          .groupBy(col("o_custkey"))
+          .agg(sum(when(y === 1995, oCents).otherwise(0L)).as("s_y1"),
+            sum(when(y === 1996, oCents).otherwise(0L)).as("s_y2"))
+        val web = li(s, d)
+          .join(ord(s, d).filter(y.isin(1995, 1996)),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(when(y === 1995, lCents).otherwise(0L)).as("w_y1"),
+            sum(when(y === 1996, lCents).otherwise(0L)).as("w_y2"))
+        store.join(web, Seq("o_custkey"))
+          .filter(col("s_y1") > 0 && col("w_y1") > 0 &&
+            col("w_y2") * col("s_y1") > col("s_y2") * col("w_y1"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("o_custkey"), col("c_mktsegment"),
+            col("s_y1"), col("s_y2"), col("w_y1"), col("w_y2"))
+      },
+      Some("""WITH store AS (
+          SELECT o_custkey,
+            sum(CASE WHEN year(o_orderdate) = 1995
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS s_y1,
+            sum(CASE WHEN year(o_orderdate) = 1996
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS s_y2
+          FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1
+        ), web AS (
+          SELECT o_custkey,
+            sum(CASE WHEN year(o_orderdate) = 1995
+              THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              ELSE 0 END) AS w_y1,
+            sum(CASE WHEN year(o_orderdate) = 1996
+              THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              ELSE 0 END) AS w_y2
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1)
+        SELECT o_custkey, c_mktsegment,
+          CAST(s_y1 AS BIGINT) AS s_y1, CAST(s_y2 AS BIGINT) AS s_y2,
+          CAST(w_y1 AS BIGINT) AS w_y1, CAST(w_y2 AS BIGINT) AS w_y2
+        FROM store JOIN web USING (o_custkey)
+        JOIN customer ON o_custkey = c_custkey
+        WHERE s_y1 > 0 AND w_y1 > 0 AND w_y2 * s_y1 > s_y2 * w_y1""")),
+
+    // q30: correlated scalar subquery vs the PER-GROUP AVERAGE
+    // (query30.sql — customers whose web-return total exceeds 1.2x the
+    // average return total of their state), decorrelated the SECOND
+    // way: where the q1 analog decorrelates via re-aggregate +
+    // broadcast join-back, this one uses WINDOW functions over the
+    // per-customer frame (sum/count OVER (PARTITION BY nation)) — zero
+    // extra join, one exchange at nation grain, the plan Catalyst
+    // can't reach from the correlated form on its own. The 1.2x
+    // threshold is the integer cross-multiply total*cnt*5 > tot*6;
+    // customer attributes join back AFTER the filter (query30's
+    // c_first_name... emission).
+    Q("agg_tpcds_q30",
+      (s, d) => {
+        val ret = li(s, d).filter(col("l_returnflag") === "R")
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_nationkey"))
+          .agg(sum(round(rev * 100).cast("long")).as("ret_c"))
+        val byNation = Window.partitionBy(col("c_nationkey"))
+        ret
+          .withColumn("tot", sum(col("ret_c")).over(byNation))
+          .withColumn("cnt", count(lit(1)).over(byNation))
+          .filter(col("ret_c") * col("cnt") * 5 > col("tot") * 6)
+          .join(cust(s, d).select(col("c_custkey"), col("c_name"),
+            col("c_acctbal")), Seq("c_custkey"))
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"),
+            col("c_nationkey"), col("ret_c"))
+      },
+      Some("""WITH ret AS (
+          SELECT c_custkey, c_nationkey,
+            sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS ret_c
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE l_returnflag = 'R' GROUP BY 1, 2
+        ), w AS (
+          SELECT *, sum(ret_c) OVER (PARTITION BY c_nationkey) AS tot,
+            count(*) OVER (PARTITION BY c_nationkey) AS cnt
+          FROM ret)
+        SELECT w.c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+          w.c_nationkey, CAST(ret_c AS BIGINT) AS ret_c
+        FROM w JOIN customer ON w.c_custkey = customer.c_custkey
+        WHERE ret_c * cnt * 5 > tot * 6""")),
+
+    // q93: RETURNS-ADJUSTED net quantity (query93.sql — store_sales
+    // LEFT JOIN store_returns on (item, ticket), quantity replaced by
+    // ss_quantity - sr_return_quantity where a return matched): the
+    // fact-to-fact left join with REPLACEMENT semantics. Scale
+    // discipline: the returns side pre-aggregates to its join grain
+    // (orderkey, partkey) BEFORE the fact-fact join — the join carries
+    // one returns row per pair, never line-level multiplicity — and
+    // the replacement CASE rides the join's null flag. Net quantities
+    // are integer-valued doubles summed per customer (exact under any
+    // summation order).
+    Q("agg_tpcds_q93",
+      (s, d) => {
+        val rets = li(s, d).filter(col("l_returnflag") === "R")
+          .groupBy(col("l_orderkey").as("r_orderkey"),
+            col("l_partkey").as("r_partkey"))
+          .agg(sum(col("l_quantity")).as("ret_qty"))
+        li(s, d)
+          .join(rets, col("l_orderkey") === col("r_orderkey") &&
+            col("l_partkey") === col("r_partkey"), "left")
+          .withColumn("net_qty",
+            when(col("ret_qty").isNotNull,
+              col("l_quantity") - col("ret_qty"))
+              .otherwise(col("l_quantity")))
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("net_qty")).cast("long").as("net_quantity"),
+            count(lit(1)).as("n_lines"))
+          .filter(col("net_quantity") > 0)
+      },
+      Some("""WITH rets AS (
+          SELECT l_orderkey AS r_orderkey, l_partkey AS r_partkey,
+            sum(l_quantity) AS ret_qty
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+        SELECT o_custkey,
+          CAST(sum(CASE WHEN ret_qty IS NOT NULL
+            THEN l_quantity - ret_qty ELSE l_quantity END) AS BIGINT)
+            AS net_quantity,
+          count(*) AS n_lines
+        FROM lineitem
+        LEFT JOIN rets ON l_orderkey = r_orderkey AND l_partkey = r_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+        HAVING CAST(sum(CASE WHEN ret_qty IS NOT NULL
+          THEN l_quantity - ret_qty ELSE l_quantity END) AS BIGINT) > 0""")),
+
+    // q99: the shipping-delay interval PIVOT GRID (query99.sql — five
+    // 30-day lateness bands counted per (month, warehouse, ship_mode,
+    // call_center)): where the q62 analog pivots four bands over ONE
+    // categorical dim, this is the full grid — a DERIVED time
+    // dimension (order month) x a star dim (supplier nation) x five
+    // bands on the ship lag, all in ONE fact-pass conditional
+    // aggregate. Scale: supplier and nation broadcast (fixed
+    // cardinality), one fact-fact shuffle join (lineitem x orders),
+    // one aggregate exchange at (nation, month) grain = at most
+    // 25 x 12 rows.
+    Q("agg_tpcds_q99",
+      (s, d) => {
+        val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+        def band(name: String, cond: org.apache.spark.sql.Column) =
+          sum(when(cond, 1).otherwise(0)).cast("long").as(name)
+        li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), month(col("o_orderdate")).as("moy"))
+          .agg(band("d30", lag <= 30),
+            band("d60", lag > 30 && lag <= 60),
+            band("d90", lag > 60 && lag <= 90),
+            band("d120", lag > 90 && lag <= 120),
+            band("d120plus", lag > 120))
+      },
+      Some("""SELECT n_name, CAST(month(o_orderdate) AS INT) AS moy,
+          CAST(count(*) FILTER (WHERE date_diff('day',
+            CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30)
+            AS BIGINT) AS d30,
+          CAST(count(*) FILTER (WHERE date_diff('day',
+            CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+            BETWEEN 31 AND 60) AS BIGINT) AS d60,
+          CAST(count(*) FILTER (WHERE date_diff('day',
+            CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+            BETWEEN 61 AND 90) AS BIGINT) AS d90,
+          CAST(count(*) FILTER (WHERE date_diff('day',
+            CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+            BETWEEN 91 AND 120) AS BIGINT) AS d120,
+          CAST(count(*) FILTER (WHERE date_diff('day',
+            CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 120)
+            AS BIGINT) AS d120plus
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2""")),
   )
 }

@@ -115,25 +115,60 @@ object StreamOps {
     * writes+removes per 100k events); a dedup-before-join variant was
     * measured WORSE (8.1k ev/s) — this data has ~1% duplicate
     * (user, hour) pairs, so dedup added two stateful operators and
-    * removed nothing. Emits one row per (user, window) with ≥1
-    * `leftType` and ≥1 `rightType` event: counts of each plus the
-    * summed right-side `value` (Q8's reserve analog). */
+    * removed nothing.
+    *
+    * OUTPUT GRAIN (ADVICE r17): the reference Query8 emits one row per
+    * (person, auction) pair — per RIGHT event — where the default here
+    * emits one AGGREGATED row per (user, window) with counts and the
+    * summed right `value`: strictly less state and output than the
+    * reference. `emitPerRight = true` restores the reference grain —
+    * the aggregation additionally collects the right-side values
+    * (state per key grows by the right-event list, still written once
+    * per touched key per batch) and the post-aggregation projection
+    * explodes them, one output row per right event carrying `n_left`
+    * and that event's `right_value`. Beam's persons are unique per id
+    * per window, so the pair grain is n_right rows per key; an exact
+    * n_left × n_right cross (both sides multi) would need the left
+    * list collected too and is not the reference's shape. Published-bar
+    * comparisons (BASELINE.md Q8) must quote the `emitPerRight = true`
+    * form.
+    *
+    * @param df columns (user_id, ts, event_type, value); may be batch
+    *           or streaming
+    * @param lateness watermark delay on `ts`. The type filter runs
+    *           BEFORE the watermark is assigned, so ONLY rows of the
+    *           two kept types advance it: a watermark-advancing
+    *           sentinel/heartbeat must carry `leftType` or `rightType`
+    *           — a foreign-typed heartbeat is dropped before event-time
+    *           stats and flushes nothing.
+    * @param emitPerRight false = one aggregated row per (user, window);
+    *           true = the reference's per-right-event grain (above) */
   def newUsersJoin(df: DataFrame, windowSize: String, lateness: String,
-      leftType: String, rightType: String): DataFrame =
-    // NOTE: Catalyst pushes the type filter BELOW the watermark node
-    // (the predicate doesn't reference ts), so only rows of the two
-    // kept types advance the watermark — a watermark-advancing
-    // sentinel/heartbeat must carry one of them (a foreign-typed row
-    // is filtered before event-time stats and flushes nothing)
-    df.withWatermark("ts", lateness)
-      .filter(col("event_type").isin(leftType, rightType))
+      leftType: String, rightType: String,
+      emitPerRight: Boolean = false): DataFrame = {
+    // filter FIRST, then watermark: the kept-type requirement on
+    // watermark advancement is structural, not an artifact of Catalyst
+    // predicate pushdown below the watermark node (ADVICE r17)
+    val typed = df.filter(col("event_type").isin(leftType, rightType))
+    val wm = if (df.isStreaming) typed.withWatermark("ts", lateness) else typed
+    val aggs = Seq(
+      count(when(col("event_type") === leftType, 1)).as("n_left"),
+      count(when(col("event_type") === rightType, 1)).as("n_right"),
+      sum(when(col("event_type") === rightType, col("value")))
+        .as("right_value")) ++
+      (if (emitPerRight)
+        Seq(collect_list(when(col("event_type") === rightType,
+          col("value"))).as("right_values"))
+      else Nil)
+    val agged = wm
       .groupBy(col("user_id"), window(col("ts"), windowSize).as("w"))
-      .agg(
-        count(when(col("event_type") === leftType, 1)).as("n_left"),
-        count(when(col("event_type") === rightType, 1)).as("n_right"),
-        sum(when(col("event_type") === rightType, col("value")))
-          .as("right_value"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_left") > 0 && col("n_right") > 0)
+    if (emitPerRight)
+      agged.select(col("user_id"), col("w"), col("n_left"),
+        explode(col("right_values")).as("right_value"))
+    else agged
+  }
 
   /** Stream-stream join bounded by an event-time range: the Spark
     * equivalent of Beam's windowed CoGBK join. Both sides carry

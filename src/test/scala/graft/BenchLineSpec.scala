@@ -89,6 +89,47 @@ class BenchLineSpec extends AnyFunSuite {
     assert(sf.length <= 130, s"sf not elided: ${sf.length} chars")
   }
 
+  test("nothing can follow the metric line on stdout (BENCH_r17 parsed:null)") {
+    // BENCH_r17 was the first machine-unreadable artifact since r5 — a
+    // NEW failure mode: the line printed fine but async streaming/
+    // scheduler teardown stack traces landed on stdout AFTER it,
+    // pushing it out of the driver's tail capture. The fix is an
+    // ordering contract in Bench.emitFinalLineAndHalt (stop+await
+    // queries → logger OFF → spark.stop → println+flush → halt, which
+    // skips shutdown hooks). Process-exit ordering can't be exercised
+    // in-JVM by a spec, so this guard pins the contract at the source
+    // level: the ONE println in Bench.scala lives inside
+    // emitFinalLineAndHalt, after spark.stop, before halt, and main
+    // delegates its line to it.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val printlns = "println\\(".r.findAllMatchIn(src).map(_.start).toSeq
+    assert(printlns.size == 1,
+      s"Bench.scala must contain exactly ONE println (the metric line); " +
+        s"found ${printlns.size} — extra prints risk landing after the " +
+        "line in the driver's tail capture")
+    val bodyStart = src.indexOf("def emitFinalLineAndHalt")
+    assert(bodyStart >= 0, "emitFinalLineAndHalt missing from Bench.scala")
+    val p = printlns.head
+    assert(p > bodyStart, "the println must live inside emitFinalLineAndHalt")
+    val body = src.substring(bodyStart)
+    val stopIdx = body.indexOf("spark.stop()")
+    val printIdx = body.indexOf("println(")
+    val haltIdx = body.indexOf("Runtime.getRuntime.halt(0)")
+    assert(stopIdx >= 0 && printIdx >= 0 && haltIdx >= 0,
+      "emitFinalLineAndHalt must stop Spark, print, and halt")
+    assert(stopIdx < printIdx && printIdx < haltIdx,
+      "ordering broken: need spark.stop() BEFORE println and halt(0) " +
+        "AFTER it — teardown bytes must land ahead of the metric line " +
+        "and nothing may write after it")
+    assert(src.indexOf("setLogLevel(\"OFF\")") >= 0,
+      "logger must be silenced before the final line (async scheduler " +
+        "events write through log4j after spark.stop)")
+    assert(src.indexOf("emitFinalLineAndHalt(spark,") >= 0,
+      "main must emit its line through emitFinalLineAndHalt")
+  }
+
   test("fill order is priority-preserving and parse survives overflow") {
     // 400 long-named queries: far past any budget — the line must
     // still be valid JSON of bounded length, keeping a PREFIX of the

@@ -649,6 +649,36 @@ class ScaleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(q8b).size == 1 &&
       !q8b.contains("Join"),
       "win_new_users regained the two-scan distinct-sets self-join")
+    // q11 (r18): two-channel year-over-year — each channel pivots to
+    // (y1, y2) in its own single agg pass BEFORE the per-customer
+    // join; the dim joins back after the filter. Four scans max
+    // (orders x2, lineitem, customer), never a union-per-cell or a
+    // cartesian
+    val ds11 = plan("agg_tpcds_q11")
+    assert(!ds11.contains("Union") && !ds11.contains("CartesianProduct") &&
+      "Scan parquet".r.findAllIn(ds11).size <= 4,
+      "tpcds q11 channel compare no longer two pivoted aggs + one join")
+    // q30 (r18): the per-group-average decorrelation runs via WINDOW
+    // functions over the per-customer frame — no re-aggregate, no
+    // extra join for the average
+    val ds30 = plan("agg_tpcds_q30")
+    assert(ds30.contains("Window") && !ds30.contains("Union") &&
+      "Scan parquet".r.findAllIn(ds30).size <= 4,
+      "tpcds q30 lost the window decorrelation (re-agg or re-scan crept in)")
+    // q93 (r18): returns pre-aggregate to (orderkey, partkey) BEFORE
+    // the fact-fact left join — the replacement CASE rides the join's
+    // null flag; three scans (lineitem x2, orders), no cartesian
+    val ds93 = plan("agg_tpcds_q93")
+    assert(!ds93.contains("CartesianProduct") &&
+      "Scan parquet".r.findAllIn(ds93).size <= 3,
+      "tpcds q93 returns-adjusted join re-scans or multiplies the fact")
+    // q99 (r18): the (nation x month x 5-band) pivot grid is ONE
+    // conditional-agg pass — dims broadcast, no expand/union per band
+    val ds99 = plan("agg_tpcds_q99")
+    assert(ds99.contains("BroadcastHashJoin") && !ds99.contains("Union") &&
+      !ds99.contains("Expand") &&
+      "Scan parquet".r.findAllIn(ds99).size <= 4,
+      "tpcds q99 pivot grid no longer a single broadcast-star agg pass")
   }
 
   test("GraftExtensions injects native functions at session build") {
