@@ -250,6 +250,15 @@ object Bench {
           "spark.sql.streaming.stateStore.providerClass" ->
             graft.streaming.StatefulV2.RocksDbProvider,
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+          // r18 (GlobalProfile track sweep): maintaining the
+          // numRowsTotal metric costs a RocksDB point-get per
+          // put/delete — at P=8 that DOUBLED per-key tdigest commit
+          // wall (18.9 s → 6.0 s per 10 batches, 13.4k → 27.2k ev/s);
+          // neutral at P=2. The metric is observability, not
+          // correctness (numRowsUpdated/Removed stay exact); probes
+          // that gate on resident state (ScaleProbe) keep it ON in
+          // their own sessions.
+          "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
           "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
           // the breakdown sums recentProgress, a ring buffer that
           // defaults to 100 entries — keep it above any op's batch

@@ -74,6 +74,45 @@ object GlobalProfile {
 
     val ChangelogKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val TrackKey =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+
+    // r18 sweep: the r16 P x changelog sweep identified the ~55
+    // ms/instance/batch commit floor (section below, GLOBAL_PROFILE_
+    // SWEEP=pclog to re-run); the remaining addressable knob is
+    // trackTotalNumberOfRows — ON (default) pays a RocksDB point-get
+    // per put/delete to maintain the numRowsTotal metric, which at
+    // sketch-state row sizes is bookkeeping, not work. Sweep it at the
+    // bench's P=2 and the deployment-shaped P=8, changelog on.
+    if (sys.env.getOrElse("GLOBAL_PROFILE_SWEEP", "track") == "track") {
+      spark.conf.set(ChangelogKey, "true")
+      println(f"${"op"}%-16s ${"P"}%3s ${"trk"}%4s ${"ev/s"}%8s " +
+        f"${"addBatch"}%9s ${"commit(s1,s2)"}%16s ${"upd(s1,s2)"}%14s rowsUpd")
+      for (p <- Seq(8, 2); track <- Seq(true, false)) {
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        spark.conf.set(TrackKey, track.toString)
+        drive(spark, vals.take(n / 10)) { ds =>
+          StatefulV2.tdigestQuantilesGlobal(ds, 100.0, Seq(0.5), shards = 8) }
+        drive(spark, keyed.take(n / 10)) { ds =>
+          StatefulV2.tdigestQuantiles(ds, 100.0, Seq(0.5)) }
+        val perKey = drive(spark, keyed) { ds =>
+          StatefulV2.tdigestQuantiles(ds, 100.0, Seq(0.5, 0.95, 0.99)) }
+        val global = drive(spark, vals) { ds =>
+          StatefulV2.tdigestQuantilesGlobal(ds, 100.0, Seq(0.5, 0.95, 0.99),
+            shards = 8) }
+        def row(nm: String, s: OpStats): Unit = {
+          val cs = s.perOp.map(_._1).mkString(",")
+          val us = s.perOp.map(_._2).mkString(",")
+          val ru = s.perOp.map(_._3).mkString(",")
+          println(f"$nm%-16s $p%3d ${if (track) "on" else "off"}%4s " +
+            f"${s.evsPerSec}%8.0f ${s.addBatchMs}%8dms ${cs}%16s ${us}%14s $ru")
+        }
+        row("tdigest_per_key", perKey)
+        row("tdigest_global", global)
+      }
+      spark.stop()
+      return
+    }
 
     println(f"${"op"}%-16s ${"P"}%3s ${"clog"}%4s ${"ev/s"}%8s " +
       f"${"addBatch"}%9s ${"commit(s1,s2)"}%16s ${"upd(s1,s2)"}%14s rowsUpd")

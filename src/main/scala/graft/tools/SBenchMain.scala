@@ -8,6 +8,10 @@ object SBenchMain {
         sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // mirror Bench.main's tuned streaming section (r18: numRowsTotal
+      // bookkeeping costs a point-get per put — see GlobalProfile)
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        sys.env.getOrElse("SPARK_GRAFT_TRACK_ROWS", "false"))
       .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -176,6 +176,40 @@ class StreamingSpec extends SparkSpec {
       (4L, "2026-01-01 10:10:00", 1L, 1L, 9.0)), s"got=$got")
   }
 
+  test("newUsersJoin emitPerRight: one output row per right event (reference grain)") {
+    // ADVICE r17: Beam Query8 emits one row per (person, auction) —
+    // per RIGHT event — not the aggregated (user, window) summary.
+    // emitPerRight restores that grain: same single windowed
+    // aggregation, right values collected and exploded post-agg.
+    val mem = MemoryStream[Ev]
+    val joined = StreamOps.newUsersJoin(mem.toDF(),
+      windowSize = "10 minutes", lateness = "0 seconds",
+      leftType = "signup", rightType = "view", emitPerRight = true)
+    val table = freshTable()
+    val q = joined.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    mem.addData(
+      Ev(1, ts(1), 1, "signup", 0.0), Ev(2, ts(2), 1, "view", 5.0),
+      Ev(3, ts(3), 1, "view", 6.0),   // second view -> second row
+      Ev(4, ts(4), 1, "signup", 0.0), // dup signup: n_left=2, no extra row
+      Ev(5, ts(5), 2, "view", 7.0))   // view only -> nothing
+    q.processAllAvailable()
+    mem.addData(Ev(99, ts(50), 9, "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(Ev(100, ts(55), 9, "view", 0.0))
+    runToCompletion(q)
+    val got = spark.table(table)
+      .select(col("user_id"), col("w.start").cast("string"),
+        col("n_left"), col("right_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .toSeq.sorted
+    assert(got == Seq(
+      (1L, "2026-01-01 10:00:00", 2L, 5.0),
+      (1L, "2026-01-01 10:00:00", 2L, 6.0)), s"got=$got")
+  }
+
   test("newUsersJoin: streaming append == batch over randomized replay (unification)") {
     // 200 random events over 6 users × 3 types × ~45 minutes, fed in 4
     // arbitrary micro-batches (non-decreasing ts so nothing is
