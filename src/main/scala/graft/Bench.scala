@@ -98,7 +98,8 @@ object Bench {
     "agg_tpcds_q22", "agg_tpcds_q36", "agg_tpcds_q68",
     "agg_tpcds_q87", "agg_tpcds_q97", "agg_tpcds_q45", "agg_tpcds_q66",
     // round 18 additions
-    "agg_tpcds_q11", "agg_tpcds_q30", "agg_tpcds_q93", "agg_tpcds_q99")
+    "agg_tpcds_q11", "agg_tpcds_q30", "agg_tpcds_q93", "agg_tpcds_q99",
+    "agg_tpcds_q58", "agg_tpcds_q92")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -11,7 +11,7 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port FIFTY-ONE of its distinctive PLAN SHAPES onto the driver's
+  * these port FIFTY-THREE of its distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
@@ -2032,5 +2032,87 @@ object TpcdsQueries {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY 1, 2""")),
+
+    // q58: the SYMMETRIC mutual-band compare (query58.sql — items
+    // whose store/catalog/web revenues are each within 10% of the
+    // others): two channel aggregates at item grain joined once, kept
+    // only when EACH side lies inside the other's ±10% band — the
+    // two-sided inequality pair that admits no semi-join reduction.
+    // Channels here are two sales years of the same fact. All
+    // arithmetic in integer cents with the band as cross-multiplied
+    // longs (9·b ≤ 10·a ≤ 11·b both ways) — no float boundary can
+    // diverge cross-engine. Scale: each channel is one pre-aggregated
+    // pass at part grain; the join carries one row per part per side.
+    Q("agg_tpcds_q58",
+      (s, d) => {
+        val cents = round(rev * 100).cast("long")
+        def yr(y: Int, out: String) = li(s, d)
+          .filter(year(col("l_shipdate")) === y)
+          .groupBy(col("l_partkey"))
+          .agg(sum(cents).as(out))
+        yr(1995, "rev95_c").join(yr(1996, "rev96_c"), Seq("l_partkey"))
+          .filter(
+            col("rev95_c") * 10 >= col("rev96_c") * 9 &&
+            col("rev95_c") * 10 <= col("rev96_c") * 11 &&
+            col("rev96_c") * 10 >= col("rev95_c") * 9 &&
+            col("rev96_c") * 10 <= col("rev95_c") * 11)
+          .select(col("l_partkey"), col("rev95_c"), col("rev96_c"))
+      },
+      Some("""WITH y95 AS (
+          SELECT l_partkey,
+            sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS rev95_c
+          FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1
+        ), y96 AS (
+          SELECT l_partkey,
+            sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS rev96_c
+          FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1)
+        SELECT l_partkey, CAST(rev95_c AS BIGINT) AS rev95_c,
+          CAST(rev96_c AS BIGINT) AS rev96_c
+        FROM y95 JOIN y96 USING (l_partkey)
+        WHERE rev95_c * 10 >= rev96_c * 9 AND rev95_c * 10 <= rev96_c * 11
+          AND rev96_c * 10 >= rev95_c * 9 AND rev96_c * 10 <= rev95_c * 11""")),
+
+    // q92: EXCESS DISCOUNT (query92.sql — web sales whose discount
+    // exceeds 1.3x the item's average discount over a 90-day window,
+    // summed to ONE scalar): the fact-side correlated aggregate —
+    // the subquery averages the SAME fact rows the outer query reads,
+    // bounded by the same date window. Decorrelated: one windowed
+    // scan aggregates (sum, count) of per-item discount basis points,
+    // joined back to the windowed fact rows, the 1.3x test as exact
+    // integer cross-multiply (10·bp·cnt > 13·sum_bp), excess summed
+    // in cents. Scale: the per-item average frame is part-grain
+    // (broadcast-sized vs the fact); one fact scan feeds both sides
+    // under exchange reuse.
+    Q("agg_tpcds_q92",
+      (s, d) => {
+        val inWin = col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1995-07-01")
+        val bp = round(col("l_discount") * 100).cast("long")
+        val win = li(s, d).filter(inWin)
+        val avgF = win.groupBy(col("l_partkey").as("a_partkey"))
+          .agg(sum(bp).as("sum_bp"), count(lit(1)).as("cnt"))
+        win.join(avgF, col("l_partkey") === col("a_partkey"))
+          .filter(bp * col("cnt") * 10 > col("sum_bp") * 13)
+          .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("long")).as("excess_c"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""WITH win AS (
+          SELECT * FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1995-07-01'
+        ), avgf AS (
+          SELECT l_partkey AS a_partkey,
+            sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_bp,
+            count(*) AS cnt
+          FROM win GROUP BY 1)
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+            AS BIGINT)) AS BIGINT) AS excess_c,
+          count(*) AS n_lines
+        FROM win JOIN avgf ON l_partkey = a_partkey
+        WHERE CAST(round(l_discount * 100) AS BIGINT) * cnt * 10
+          > sum_bp * 13""")),
   )
 }

@@ -679,6 +679,21 @@ class ScaleSpec extends SparkSpec {
       !ds99.contains("Expand") &&
       "Scan parquet".r.findAllIn(ds99).size <= 4,
       "tpcds q99 pivot grid no longer a single broadcast-star agg pass")
+    // q58 (r18): two pre-aggregated channel passes joined at part
+    // grain — the mutual ±10% band is a post-join filter, never a
+    // range-join explosion or a union
+    val ds58 = plan("agg_tpcds_q58")
+    assert(!ds58.contains("Union") && !ds58.contains("CartesianProduct") &&
+      "Scan parquet".r.findAllIn(ds58).size <= 2,
+      "tpcds q58 mutual-band compare no longer two agg passes + one join")
+    // q92 (r18): the fact-side correlated average decorrelates to a
+    // part-grain aggregate joined back to the windowed fact — the
+    // ship-date window must reach BOTH scans as a pushed filter
+    val ds92 = plan("agg_tpcds_q92")
+    assert(!ds92.contains("CartesianProduct") &&
+      "Scan parquet".r.findAllIn(ds92).size <= 2 &&
+      ds92.contains("GreaterThanOrEqual(l_shipdate"),
+      "tpcds q92 excess-discount lost the pushed date window or re-scans")
   }
 
   test("GraftExtensions injects native functions at session build") {
