@@ -11,7 +11,7 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port FIFTY-THREE of its distinctive PLAN SHAPES onto the driver's
+  * these port FIFTY-FIVE of its distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
@@ -2114,5 +2114,85 @@ object TpcdsQueries {
         FROM win JOIN avgf ON l_partkey = a_partkey
         WHERE CAST(round(l_discount * 100) AS BIGINT) * cnt * 10
           > sum_bp * 13""")),
+
+    // q13: the DISJUNCTIVE MULTI-BAND scan (query13.sql — one
+    // store_sales pass filtered by an OR of three (demographic x
+    // price-band x quantity-band) conjunctions, aggregating ONE global
+    // row): bands here are (mktsegment, extendedprice range, quantity
+    // range) triples over lineitem x orders x customer. The whole
+    // disjunction is ONE scan predicate — never three unioned passes —
+    // and the measures are exact integers (cents / integer-valued
+    // quantity sums / counts), so no avg-rounding can diverge
+    // cross-engine. Scale: predicate evaluates rowwise post-join;
+    // nothing shuffles but the final single-row fold.
+    Q("agg_tpcds_q13",
+      (s, d) => {
+        def band(seg: String, pLo: Int, pHi: Int, qLo: Int, qHi: Int) =
+          col("c_mktsegment") === seg &&
+            col("l_extendedprice") >= pLo && col("l_extendedprice") < pHi &&
+            col("l_quantity") >= qLo && col("l_quantity") <= qHi
+        li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .filter(band("BUILDING", 1000, 20000, 1, 15) ||
+            band("AUTOMOBILE", 5000, 40000, 10, 35) ||
+            band("MACHINERY", 20000, 60000, 25, 50))
+          .agg(sum(round(rev * 100).cast("long")).as("rev_c"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+            AS BIGINT)) AS BIGINT) AS rev_c,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE (c_mktsegment = 'BUILDING' AND l_extendedprice >= 1000
+            AND l_extendedprice < 20000 AND l_quantity BETWEEN 1 AND 15)
+          OR (c_mktsegment = 'AUTOMOBILE' AND l_extendedprice >= 5000
+            AND l_extendedprice < 40000 AND l_quantity BETWEEN 10 AND 35)
+          OR (c_mktsegment = 'MACHINERY' AND l_extendedprice >= 20000
+            AND l_extendedprice < 60000 AND l_quantity BETWEEN 25 AND 50)""")),
+
+    // q61: the PROMOTIONAL-REVENUE RATIO (query61.sql — promotional
+    // sales over total sales for one store/month, two correlated
+    // scalar subqueries divided): both subqueries read the SAME
+    // dimension-filtered slice, so they FUSE into one conditional
+    // aggregate over one scan (the reference plan runs the fact twice)
+    // with the ratio as exact integer basis points via DIV. Promo
+    // analog: discount >= 5%; slice: 1995 orders by BUILDING-segment
+    // customers. Output is ONE row — the scalar-ratio plan shape.
+    Q("agg_tpcds_q61",
+      (s, d) => {
+        val cents = round(rev * 100).cast("long")
+        li(s, d)
+          .join(ord(s, d).filter(year(col("o_orderdate")) === 1995),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d).filter(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+          .agg(
+            sum(when(col("l_discount") >= 0.05, cents).otherwise(0L))
+              .as("promo_c"),
+            sum(cents).as("total_c"))
+          .selectExpr("promo_c", "total_c",
+            "promo_c * 10000 DIV total_c AS promo_bp")
+      },
+      Some("""WITH t AS (
+          SELECT
+            sum(CASE WHEN l_discount >= 0.05
+              THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) ELSE 0 END) AS promo_c,
+            sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)) AS total_c
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE year(o_orderdate) = 1995 AND c_mktsegment = 'BUILDING')
+        SELECT CAST(promo_c AS BIGINT) AS promo_c,
+          CAST(total_c AS BIGINT) AS total_c,
+          CAST(promo_c * 10000 // total_c AS BIGINT) AS promo_bp
+        FROM t""")),
   )
 }

@@ -694,6 +694,19 @@ class ScaleSpec extends SparkSpec {
       "Scan parquet".r.findAllIn(ds92).size <= 2 &&
       ds92.contains("GreaterThanOrEqual(l_shipdate"),
       "tpcds q92 excess-discount lost the pushed date window or re-scans")
+    // q13 (r18): the OR-of-three-bands disjunction is ONE scan
+    // predicate — never three unioned passes over the fact
+    val ds13 = plan("agg_tpcds_q13")
+    assert(!ds13.contains("Union") &&
+      "Scan parquet".r.findAllIn(ds13).size <= 3,
+      "tpcds q13 disjunctive bands no longer a single filtered pass")
+    // q61 (r18): the two correlated scalar subqueries FUSE into one
+    // conditional aggregate — one lineitem scan, no self-join of the
+    // same slice
+    val ds61 = plan("agg_tpcds_q61")
+    assert(!ds61.contains("Union") && !ds61.contains("CartesianProduct") &&
+      "Scan parquet".r.findAllIn(ds61).size <= 3,
+      "tpcds q61 promo ratio re-reads the slice per scalar subquery")
   }
 
   test("GraftExtensions injects native functions at session build") {
