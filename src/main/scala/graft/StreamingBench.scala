@@ -383,7 +383,10 @@ object StreamingBench {
       // Query8's per-(person, auction) output grain, so the measured
       // row must pay the same per-right-event emission (ADVICE r17 —
       // the aggregated-grain form emits strictly less state+output
-      // and overstated comparability)
+      // and overstated comparability). Q8Profile's r18 paired sweep
+      // measures the grains at parity (identical rowsUpdated 39,489;
+      // one state row per touched key per batch either way — the list
+      // only widens the row).
       bench(spark, name, r.named,
         Seq((-1L, r.lateTs(3), "view", 0.0), (-1L, r.lateTs(4), "view", 0.0))) { ds =>
         StreamOps.newUsersJoin(
@@ -391,7 +394,14 @@ object StreamingBench {
           windowSize = "1 hour", lateness = "0 seconds",
           leftType = "signup", rightType = "view", emitPerRight = true)
       }
-    }),
+      // P=2 (Q8Profile r18, track-off): at SMOKE volume the RocksDB
+      // per-instance commit floor outweighs update parallelism for
+      // this op too — per-right 26.4k @ P=8 (commit 4,926 ms/12
+      // batches) -> 28.8k @ P=2 (743 ms); addBatch wall also FELL
+      // (2,624 -> 2,296 ms), so parallelism wasn't binding. At
+      // deployment scale P sizes with data (SCALE.md §3b) — this is
+      // the same bench-volume amortization the five globals document.
+    }, confs = Seq("spark.sql.shuffle.partitions" -> "2")),
     // Nexmark Q10's log-to-sharded-files (published 25,025 ev/s):
     // every event to parquet files sharded by event type, through the
     // EXACTLY-ONCE file sink (atomic _spark_metadata commit log per
@@ -646,7 +656,10 @@ object StreamingBench {
       .sortBy(_._2.getTime)
       .toIndexedSeq
     val replay = Replay(ev, ev.last._2.getTime)
-    ops.map { op =>
+    // dev-only subset filter (comma-separated op names; the bench
+    // driver sets no env) — mirrors Verify's GRAFT_VERIFY_ONLY
+    val only = sys.env.get("SBENCH_OPS").map(_.split(",").map(_.trim).toSet)
+    ops.filter(op => only.forall(_.contains(op.name))).map { op =>
       val prev = op.confs.map { case (k, _) => k -> spark.conf.getOption(k) }
       op.confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {

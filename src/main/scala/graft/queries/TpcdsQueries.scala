@@ -11,7 +11,7 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port FIFTY-FIVE of its distinctive PLAN SHAPES onto the driver's
+  * these port FIFTY-SIX of its distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
   * and dimensions map to year()/month(), part, nation):
   *
@@ -2194,5 +2194,53 @@ object TpcdsQueries {
           CAST(total_c AS BIGINT) AS total_c,
           CAST(promo_c * 10000 // total_c AS BIGINT) AS promo_bp
         FROM t""")),
+
+    // q6: the DIMENSION-SIDE correlated average (query6.sql — count
+    // customers per state buying items priced above 1.2x their
+    // category's average, HAVING >= 10): the third decorrelation
+    // variant in the suite — q1/q30 decorrelate per-GROUP averages of
+    // fact aggregates (re-agg + join-back / window); here the
+    // correlated subquery reads only the part DIMENSION, so it
+    // becomes one dim-grain aggregate + a broadcast join-back INSIDE
+    // the dim before the fact ever joins — the fact scan sees a
+    // pre-reduced key set. Threshold 1.03x (not query6's 1.2x: this
+    // data's retail prices are uniform within ~±5% of the mean, so
+    // 1.2x selects nothing — same shape, tightened constant), as the
+    // exact integer cross-multiply price_c*cnt*100 > sum_c*103.
+    Q("agg_tpcds_q6",
+      (s, d) => {
+        val priceC = round(col("p_retailprice") * 100).cast("long")
+        val typAvg = prt(s, d).groupBy(col("p_type").as("t_type"))
+          .agg(sum(priceC).as("sum_c"), count(lit(1)).as("cnt"))
+        val richParts = prt(s, d)
+          .join(broadcast(typAvg), col("p_type") === col("t_type"))
+          .filter(priceC * col("cnt") * 100 > col("sum_c") * 103)
+          .select(col("p_partkey"))
+        li(s, d)
+          .join(broadcast(richParts), col("l_partkey") === col("p_partkey"))
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 10)
+      },
+      Some("""WITH typavg AS (
+          SELECT p_type AS t_type,
+            sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sum_c,
+            count(*) AS cnt
+          FROM part GROUP BY 1
+        ), rich AS (
+          SELECT p_partkey FROM part JOIN typavg ON p_type = t_type
+          WHERE CAST(round(p_retailprice * 100) AS BIGINT) * cnt * 100
+            > sum_c * 103)
+        SELECT n_name, count(*) AS cnt
+        FROM lineitem
+        JOIN rich ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+        HAVING count(*) >= 10""")),
   )
 }

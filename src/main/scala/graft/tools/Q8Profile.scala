@@ -39,6 +39,9 @@ object Q8Profile {
       .config("spark.sql.streaming.stateStore.providerClass",
         StatefulV2.RocksDbProvider)
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // match the bench's tuned section (r18): numRowsTotal
+      // bookkeeping off — see GlobalProfile's track sweep
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .getOrCreate()
@@ -57,19 +60,25 @@ object Q8Profile {
     def late(h: Int) =
       (-1L, new java.sql.Timestamp(maxTs + h * 3600000L), "view", 0.0)
 
-    println(f"${"P"}%3s ${"ev/s"}%8s ${"addBatch"}%9s ${"commit"}%8s rowsUpd")
-    for (p <- Seq(8, 4, 2, 1)) {
+    // r18: the sweep runs BOTH output grains — the aggregated
+    // (user, window) summary (API default) and emitPerRight (the
+    // reference Query8's per-(person, auction) emission, what the
+    // bench row pays since ADVICE r17) — so the grain cost is a
+    // same-host paired measurement, not a cross-round inference.
+    println(f"${"grain"}%9s ${"P"}%3s ${"ev/s"}%8s ${"addBatch"}%9s ${"commit"}%8s rowsUpd")
+    for (perRight <- Seq(false, true); p <- Seq(8, 4, 2, 1)) {
       spark.conf.set("spark.sql.shuffle.partitions", p.toString)
       // warm pass at 1/10 volume (plan + janino)
       drive(spark, ev.take(ev.size / 10), Seq(late(3))) { ds =>
         StreamOps.newUsersJoin(ds.toDF("user_id", "ts", "event_type", "value"),
-          "1 hour", "0 seconds", "signup", "view")
+          "1 hour", "0 seconds", "signup", "view", emitPerRight = perRight)
       }
       val (evs, ab, cm, ru) = drive(spark, ev, Seq(late(3), late(4))) { ds =>
         StreamOps.newUsersJoin(ds.toDF("user_id", "ts", "event_type", "value"),
-          "1 hour", "0 seconds", "signup", "view")
+          "1 hour", "0 seconds", "signup", "view", emitPerRight = perRight)
       }
-      println(f"$p%3d $evs%8.0f $ab%8dms $cm%7dms $ru")
+      val g = if (perRight) "per-right" else "agg"
+      println(f"$g%9s $p%3d $evs%8.0f $ab%8dms $cm%7dms $ru")
     }
     spark.stop()
   }

@@ -707,6 +707,16 @@ class ScaleSpec extends SparkSpec {
     assert(!ds61.contains("Union") && !ds61.contains("CartesianProduct") &&
       "Scan parquet".r.findAllIn(ds61).size <= 3,
       "tpcds q61 promo ratio re-reads the slice per scalar subquery")
+    // q6 (r18): the dim-side correlated average resolves INSIDE the
+    // part dimension (dim-grain agg + broadcast join-back) — the fact
+    // joins a pre-reduced broadcast key set, never a re-scan per row
+    // six scans by design: part twice (dim-grain agg + join-back),
+    // lineitem, orders, customer, nation — the FACT is read once
+    val ds6 = plan("agg_tpcds_q6")
+    assert(ds6.contains("BroadcastHashJoin") && !ds6.contains("Union") &&
+      "Scan parquet".r.findAllIn(ds6).size <= 6 &&
+      "Scan parquet .*lineitem".r.findAllIn(ds6).size == 1,
+      "tpcds q6 dim-side decorrelation lost its broadcast key-set shape")
   }
 
   test("GraftExtensions injects native functions at session build") {
