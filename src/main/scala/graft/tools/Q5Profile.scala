@@ -40,6 +40,13 @@ object Q5Profile {
       .config("spark.sql.streaming.stateStore.providerClass",
         StatefulV2.RocksDbProvider)
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // r18 re-probe knob: the faithful sliding shape is WRITE-VOLUME
+      // bound (385k state writes / 100k events), so the track-off
+      // saving (a point-get per put — GlobalProfile) hits it hardest;
+      // default matches the bench (off), SPARK_GRAFT_TRACK_ROWS=true
+      // reproduces the r17 measurement
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        sys.env.getOrElse("SPARK_GRAFT_TRACK_ROWS", "false"))
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .getOrCreate()
