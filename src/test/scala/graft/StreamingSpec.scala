@@ -259,6 +259,52 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "degenerate draw: no qualifying user-window")
   }
 
+  test("newUsersJoin emitPerRight: streaming append == batch over randomized replay") {
+    // the same unification contract as the default grain's property,
+    // at the REFERENCE grain the bench row pays (ADVICE r17): each
+    // closed (user, window) with both types emits exactly its right
+    // events, streamed == batch. Multiset compare (a user may view
+    // the same value twice).
+    val rnd = new scala.util.Random(4242L)
+    val events = IndexedSeq.tabulate(200) { i =>
+      Ev(i.toLong, ts(i * 45 / 200, rnd.nextInt(60)),
+        rnd.nextInt(6).toLong,
+        Seq("signup", "view", "click")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 100) / 10.0)
+    }.sortBy(_.ts.getTime)
+    val sentinel = Ev(999, ts(59), 9, "view", 0.0)
+    val carry = Ev(1000, ts(59, 30), 9, "view", 0.0)
+    val mem = MemoryStream[Ev]
+    val joined = StreamOps.newUsersJoin(mem.toDF(),
+      windowSize = "10 minutes", lateness = "0 seconds",
+      leftType = "signup", rightType = "view", emitPerRight = true)
+    val table = freshTable()
+    val q = joined.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    events.grouped(50).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    mem.addData(sentinel)
+    q.processAllAvailable()
+    mem.addData(carry)
+    runToCompletion(q)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("w.start").cast("string").as("ws"),
+        col("n_left"), round(col("right_value"), 6).as("rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(identity).view.mapValues(_.size).toMap // multiset
+    val got = norm(spark.table(table))
+    val openCut = "2026-01-01 10:50:00"
+    val batch = norm(StreamOps.newUsersJoin(
+        (events :+ sentinel :+ carry).toDF(),
+        windowSize = "10 minutes", lateness = "0 seconds",
+        leftType = "signup", rightType = "view", emitPerRight = true)
+      .filter(col("w.start").cast("string") < openCut))
+    assert(got == batch,
+      s"stream=${got.values.sum} batch=${batch.values.sum} rows; " +
+        s"diff keys=${(got.keySet diff batch.keySet) ++ (batch.keySet diff got.keySet)}")
+    assert(batch.nonEmpty, "degenerate draw: no qualifying user-window")
+  }
+
   test("session windows merge events within gap across micro-batches") {
     val mem = MemoryStream[Ev]
     val sess = StreamOps.sessionAgg(mem.toDF(), "ts", "5 minutes",
