@@ -331,6 +331,40 @@ object EventTimeQueries {
         HAVING max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1
            AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1""")),
 
+    // The PER-RIGHT-EVENT grain of the same Q8 CoGBK — the reference
+    // Query8's per-(person, auction) emission and exactly the builder
+    // the streaming bench row runs (`StreamOps.newUsersJoin(
+    // emitPerRight = true)`, ADVICE r17): one output row per purchase
+    // in a qualifying (user, window), carrying that window's signup
+    // count. Registry-verifying THE builder (not a re-derivation)
+    // closes the loop between the benched shape and the oracle.
+    Q("win_new_users_pairs",
+      (s, d) => graft.streaming.StreamOps.newUsersJoin(
+          ev(s, d), windowSize = "1 hour", lateness = "0 seconds",
+          leftType = "signup", rightType = "purchase",
+          emitPerRight = true)
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("win_start"),
+          col("n_left"), round(col("right_value"), 6).as("right_value")),
+      Some("""WITH qual AS (
+          SELECT user_id,
+            CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+            count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_left
+          FROM events
+          WHERE event_type IN ('signup', 'purchase')
+          GROUP BY 1, 2
+          HAVING count(CASE WHEN event_type = 'signup' THEN 1 END) > 0
+             AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0)
+        SELECT e.user_id,
+          CAST(floor(epoch(e.ts) / 3600) * 3600 AS BIGINT) AS win_start,
+          CAST(n_left AS BIGINT) AS n_left,
+          round(e.value, 6) AS right_value
+        FROM events e
+        JOIN qual ON e.user_id = qual.user_id
+          AND CAST(floor(epoch(e.ts) / 3600) * 3600 AS BIGINT)
+              = qual.win_start
+        WHERE e.event_type = 'purchase'""")),
+
     // Nexmark Q0 "passthrough" (queries/Query0.java — the measurement
     // floor: deserialize + re-emit every event unchanged).
     Q("nexmark_q0_passthrough",

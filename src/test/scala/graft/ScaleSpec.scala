@@ -649,6 +649,12 @@ class ScaleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(q8b).size == 1 &&
       !q8b.contains("Join"),
       "win_new_users regained the two-scan distinct-sets self-join")
+    // the per-right grain (r18): SAME one-pass CoGBK — one scan, the
+    // right list exploded post-agg (Generate), still no join
+    val q8p = plan("win_new_users_pairs")
+    assert("Scan parquet".r.findAllIn(q8p).size == 1 &&
+      q8p.contains("Generate") && !q8p.contains("Join"),
+      "win_new_users_pairs lost the one-pass agg+explode shape")
     // q11 (r18): two-channel year-over-year — each channel pivots to
     // (y1, y2) in its own single agg pass BEFORE the per-customer
     // join; the dim joins back after the filter. Four scans max
