@@ -85,18 +85,6 @@ object StreamingBench {
       case _: Throwable => (-1.0, failedBreakdown)
     }
 
-  /** Nexmark Q12 analog (processing-time windows) measured for REAL:
-    * `processAllAvailable` replay cannot time wall-clock pane delays
-    * (every published round noted the gap), but a genuine
-    * wall-clock-triggered run can — start the query on a
-    * `Trigger.ProcessingTime` cadence, feed the whole stream, then
-    * poll until the final panes fire (input fully consumed AND no new
-    * sink rows for a full delay + two triggers). Wall time comes from
-    * the query's OWN progress telemetry — start of query to end of the
-    * last output-producing batch — so poll latency never inflates the
-    * denominator. The drain tail (the last panes' delayMs) stays IN
-    * the measurement: pane latency is the operator's contract, and the
-    * published 3.5 s Q12 wall includes its pipeline drain too. */
   /** Cumulative progress accumulator (ADVICE r17): `recentProgress` is
     * a BOUNDED ring buffer (numRecentProgressUpdates), so re-summing it
     * undercounts once evicted entries fall off — the completion test
@@ -149,6 +137,18 @@ object StreamingBench {
     }
   }
 
+  /** Nexmark Q12 analog (processing-time windows) measured for REAL:
+    * `processAllAvailable` replay cannot time wall-clock pane delays
+    * (every published round noted the gap), but a genuine
+    * wall-clock-triggered run can — start the query on a
+    * `Trigger.ProcessingTime` cadence, feed the whole stream, then
+    * poll until the final panes fire (input fully consumed AND no new
+    * sink rows for a full delay + two triggers). Wall time comes from
+    * the query's OWN progress telemetry — start of query to end of the
+    * last output-producing batch — so poll latency never inflates the
+    * denominator. The drain tail (the last panes' delayMs) stays IN
+    * the measurement: pane latency is the operator's contract, and the
+    * published 3.5 s Q12 wall includes its pipeline drain too. */
   private def benchProcTime(spark: SparkSession,
       rows: IndexedSeq[(Long, Double)], delayMs: Long,
       triggerMs: Long): (Double, OpBreakdown) =
