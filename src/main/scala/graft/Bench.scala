@@ -99,7 +99,9 @@ object Bench {
     "agg_tpcds_q87", "agg_tpcds_q97", "agg_tpcds_q45", "agg_tpcds_q66",
     // round 18 additions
     "agg_tpcds_q11", "agg_tpcds_q30", "agg_tpcds_q93", "agg_tpcds_q99",
-    "agg_tpcds_q58", "agg_tpcds_q92", "agg_tpcds_q13", "agg_tpcds_q61", "agg_tpcds_q6", "win_new_users_pairs")
+    "agg_tpcds_q58", "agg_tpcds_q92", "agg_tpcds_q13", "agg_tpcds_q61", "agg_tpcds_q6", "win_new_users_pairs",
+    // round 19 additions
+    "win_hot_items_sliding")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

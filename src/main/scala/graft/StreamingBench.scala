@@ -304,6 +304,24 @@ object StreamingBench {
           windowMs = 3600000L)
       }
     }),
+    // Nexmark Q5 "hot items" in its FAITHFUL sliding-window form
+    // (published 20,174 ev/s): 1 h windows every 15 min, per-window
+    // hottest item — ONE stateful agg keyed by the sliding window with
+    // the per-item counts folded into the HotItemAgg map buffer
+    // (state rows = windows; 2,927 RocksDB writes per 100k events vs
+    // 385k for the textbook groupBy(window, item) + re-agg chain,
+    // which measured 7.6–9.2k ev/s — tools.Q5Profile r19). This row
+    // replaces r17/r18's fixed-window proxy as the BASELINE.md Q5
+    // comparison; `streaming_triggered_windows` below remains as the
+    // trigger-machinery row.
+    OpDef("streaming_hot_items", (spark, r, name) => {
+      import spark.implicits._
+      bench(spark, name, r.tvd,
+        Seq((-1L, r.lateTs(3), 0.0), (-1L, r.lateTs(4), 0.0))) { ds =>
+        StreamOps.hotItemsSliding(ds.toDF("item", "ts", "value"),
+          "ts", "item", "1 hour", "15 minutes", "0 seconds")
+      }
+    }),
     // merging session windows under the same machinery (round 9)
     OpDef("streaming_triggered_sessions", (spark, r, name) => {
       import spark.implicits._

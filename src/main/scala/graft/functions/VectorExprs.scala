@@ -567,6 +567,7 @@ object GraftFunctions {
       CountMinEstimate(e(0), e(1), litInt(e(2)), litInt(e(3)))),
     "theta_sketch_agg" -> ((e: Seq[Expression]) =>
       ThetaSketchAgg(e(0), litInt(e(1)))),
+    "hot_item_agg" -> ((e: Seq[Expression]) => HotItemAgg(e(0))),
     "theta_merge_agg" -> ((e: Seq[Expression]) =>
       ThetaMergeAgg(e(0), litInt(e(1)))),
     "tdigest_agg" -> ((e: Seq[Expression]) =>

@@ -279,6 +279,28 @@ object EventTimeQueries {
         QUALIFY row_number() OVER (PARTITION BY win_start
           ORDER BY n DESC, event_type ASC) = 1""")),
 
+    // The FAITHFUL Nexmark Q5 sliding form (1 h / 15 m — the published
+    // bar's own window parameters), registry-verifying THE builder the
+    // `streaming_hot_items` bench row runs (StreamOps.hotItemsSliding:
+    // ONE window-keyed stateful aggregation whose buffer is the
+    // per-item count map, argmax at close — r19, replacing the
+    // fixed-window proxy in BASELINE.md's Q5 comparison). Each event
+    // belongs to size/slide = 4 windows; ties break to smallest item.
+    Q("win_hot_items_sliding",
+      (s, d) => graft.streaming.StreamOps.hotItemsSliding(
+          ev(s, d), "ts", "user_id", "1 hour", "15 minutes", "0 seconds")
+        .select(Windowing.windowStartSec(col("w")).as("win_start"),
+          col("hot_item"), col("n_hot")),
+      Some("""WITH c AS (
+          SELECT (CAST(floor(epoch(ts) / 900) AS BIGINT) - o.i) * 900
+              AS win_start,
+            user_id, count(*) AS n
+          FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) o
+          GROUP BY 1, 2)
+        SELECT win_start, user_id AS hot_item, n AS n_hot FROM c
+        QUALIFY row_number() OVER (PARTITION BY win_start
+          ORDER BY n DESC, user_id ASC) = 1""")),
+
     // Nexmark Q7 "highest bid" (queries/Query7.java — max per fixed
     // window via a Max side input, then filter to the rows achieving
     // it): window-max broadcast back as the side input. Tie-break:

@@ -49,6 +49,83 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** PANE-BASED sliding-window aggregation — Beam's own sliding
+    * strategy (windowing/SlidingWindows.java:42 assigns size/slide
+    * windows per element, but the runner's combiner lifting
+    * — beam_runner_api.proto:383-407 — partial-aggregates BEFORE the
+    * per-window fan-out). The naive streaming form writes size/slide
+    * durable state rows per touched (key, window) per batch (4× write
+    * amplification at 1 h / 15 m — measured 385k RocksDB writes per
+    * 100k events, tools.Q5Profile); this form cuts it to ~1×:
+    *
+    *  1. partial-aggregate per SLIDE-GRAIN TUMBLING PANE — one state
+    *     row per (key, pane), written once per touched key per batch
+    *     (Catalyst's map-side partial agg), closed when the watermark
+    *     passes the pane end;
+    *  2. fan each CLOSED pane (one row per (key, pane), not per
+    *     event) into the ⌈size/slide⌉ sliding windows containing it —
+    *     `window(window_time(pane), size, slide)`, the chained-window
+    *     form — and sum the pane partials per (key, window);
+    *  3. per-window argmax read-out (Nexmark Q5's hot item).
+    *
+    * Three chained stateful operators in append mode (Spark 3.5+
+    * multi-stateful support); stages 2–3 run at PANE-CLOSE grain, so
+    * their state traffic scales with distinct (key, pane), not events.
+    * `aggs` must be DECOMPOSABLE over panes (count/sum/min/max — the
+    * same CombineFn-associativity Beam's lifting requires); each
+    * `(paneAgg, mergeAgg)` pair gives the pane partial and the
+    * cross-pane merge of the column named by the partial's alias.
+    * Requires size = k × slide (slide-aligned panes tile windows
+    * exactly; enforced). Batch and streaming: identical plan.
+    */
+  def slidingAggPaned(df: DataFrame, tsCol: String, itemCol: String,
+      size: String, slide: String, lateness: String,
+      paneAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
+    require(paneAggs.nonEmpty && paneAggs.size == mergeAggs.size,
+      "paneAggs and mergeAggs must pair up")
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, lateness) else df
+    val panes = wm
+      .groupBy(window(col(tsCol), slide).as("pane"), col(itemCol))
+      .agg(paneAggs.head, paneAggs.tail: _*)
+    panes
+      .groupBy(window(window_time(col("pane")), size, slide).as("w"),
+        col(itemCol))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+  }
+
+  /** Nexmark Q5 "hot items" over TRUE sliding windows (reference:
+    * nexmark/.../queries/Query5.java — Count.perElement within the
+    * window, then Max over the counts), in the state-grain-per-WINDOW
+    * form: ONE stateful aggregation keyed by the sliding window whose
+    * buffer is the per-item count map ([[graft.functions.HotItemAgg]]),
+    * argmax evaluated at window close. Count ties break to the
+    * smallest item (the batch `win_hot_items` convention).
+    *
+    * Why not groupBy(window, item) + re-agg: that faithful-textbook
+    * plan keeps one DURABLE state row per (item, window) — size/slide
+    * amplification on every touched item — and a second stateful
+    * operator for the argmax; measured 7.6–9.2k ev/s vs this form
+    * (tools.Q5Profile, sf0.1, where distinct (item, window) ≈ events
+    * so pane pre-aggregation has nothing to combine). Here state rows
+    * = windows and per-batch writes = windows TOUCHED by the batch's
+    * time span (time-ordered streams touch a bounded frontier);
+    * Catalyst's partial aggregation merges each partition's events
+    * into one map partial before the exchange — Beam's combiner
+    * lifting, with the map as the accumulator. Scale trade: the map
+    * buffer is O(distinct items per window) — bounded for
+    * Nexmark-style item universes; for unbounded per-window item
+    * cardinality prefer [[slidingAggPaned]] (O(1) rows, size/slide of
+    * them per item). */
+  def hotItemsSliding(df: DataFrame, tsCol: String, itemCol: String,
+      size: String, slide: String, lateness: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, lateness) else df
+    wm.groupBy(window(col(tsCol), size, slide).as("w"))
+      .agg(expr(s"hot_item_agg($itemCol)").as("h"))
+      .select(col("w"), col("h.hot_item").as("hot_item"),
+        col("h.n_hot").as("n_hot"))
+  }
+
   /** Session windows (gap-merged per key) — native `session_window`,
     * including merge across micro-batches backed by the state store. */
   def sessionAgg(df: DataFrame, tsCol: String, gap: String,

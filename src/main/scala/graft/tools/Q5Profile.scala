@@ -87,6 +87,47 @@ object Q5Profile {
         .agg(count(lit(1)).as("n"))
     }
     println(f"q5_counts    ${evs1}%8.0f ev/s addBatch=${ab1}ms commit=${cm1}ms rowsUpd=$ru1")
+
+    // (c) r19: PANE-BASED faithful sliding (Beam's combiner-lifted
+    // sliding strategy): slide-grain tumbling pane partials (1 state
+    // write per touched (item, pane) per batch) → closed panes fanned
+    // ×4 into their sliding windows → per-window argmax. Three chained
+    // stateful ops, but stages 2–3 run at pane-close grain. On THIS
+    // distribution (distinct (item, pane) ≈ events) panes combine
+    // nothing, so the fan-out just moves downstream — kept as the
+    // measured record of why the map-agg form (e) was adopted instead.
+    val (evs3, ab3, cm3, ru3) = drive(spark, ev, Seq(late(3), late(4))) { ds =>
+      graft.streaming.StreamOps.slidingAggPaned(
+        ds.toDF("item", "ts", "value"),
+        "ts", "item", "1 hour", "15 minutes", "0 seconds",
+        paneAggs = Seq(count(lit(1)).as("n")),
+        mergeAggs = Seq(sum(col("n")).as("n")))
+        .groupBy(col("w"))
+        .agg(min_by(col("item"), struct((-col("n")).as("nn"),
+          col("item"))).as("hot"), max(col("n")).as("n_hot"))
+    }
+    println(f"q5_paned     ${evs3}%8.0f ev/s addBatch=${ab3}ms commit=${cm3}ms rowsUpd=$ru3")
+
+    // (d) pane counts WITHOUT the argmax stage — attributes variant
+    // (c)'s cost between the pane machinery and the final read-out
+    val (evs4, ab4, cm4, ru4) = drive(spark, ev, Seq(late(3), late(4))) { ds =>
+      graft.streaming.StreamOps.slidingAggPaned(
+        ds.toDF("item", "ts", "value"),
+        "ts", "item", "1 hour", "15 minutes", "0 seconds",
+        paneAggs = Seq(count(lit(1)).as("n")),
+        mergeAggs = Seq(sum(col("n")).as("n")))
+    }
+    println(f"q5_paned_nrm ${evs4}%8.0f ev/s addBatch=${ab4}ms commit=${cm4}ms rowsUpd=$ru4")
+
+    // (e) r19 adopted form: ONE stateful agg keyed by window, per-item
+    // counts folded into the HotItemAgg map buffer — state rows =
+    // windows, writes = windows touched per batch
+    val (evs5, ab5, cm5, ru5) = drive(spark, ev, Seq(late(3), late(4))) { ds =>
+      graft.streaming.StreamOps.hotItemsSliding(
+        ds.toDF("item", "ts", "value"),
+        "ts", "item", "1 hour", "15 minutes", "0 seconds")
+    }
+    println(f"q5_mapagg    ${evs5}%8.0f ev/s addBatch=${ab5}ms commit=${cm5}ms rowsUpd=$ru5")
     spark.stop()
   }
 }

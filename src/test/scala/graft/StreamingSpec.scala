@@ -210,6 +210,119 @@ class StreamingSpec extends SparkSpec {
       (1L, "2026-01-01 10:00:00", 2L, 6.0)), s"got=$got")
   }
 
+  test("hotItemsSliding: streaming append == batch over randomized replay (unification)") {
+    // the faithful Nexmark Q5 sliding shape (r19): ONE window-keyed
+    // stateful agg with the per-item count map folded into the
+    // HotItemAgg buffer — streamed append output must equal the BATCH
+    // evaluation of the same builder, minus windows the final
+    // watermark leaves open. 300 random events over 8 items ×
+    // ~45 minutes, 10 min / 5 min sliding (each event in 2 windows).
+    val rnd = new scala.util.Random(2424L)
+    val events = IndexedSeq.tabulate(300) { i =>
+      Ev(i.toLong, ts(i * 45 / 300, rnd.nextInt(60)),
+        rnd.nextInt(8).toLong, "view", 1.0)
+    }.sortBy(_.ts.getTime)
+    val sentinel = Ev(999, ts(59), 9, "view", 0.0)
+    val mem = MemoryStream[Ev]
+    val hot = StreamOps.hotItemsSliding(mem.toDF(), "ts", "user_id",
+      "10 minutes", "5 minutes", "0 seconds")
+    val table = freshTable()
+    val q = hot.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    events.grouped(75).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    mem.addData(sentinel)
+    runToCompletion(q)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("w.start").cast("string").as("ws"),
+        col("hot_item"), col("n_hot"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = norm(spark.table(table))
+    // the final watermark is the sentinel's ts → windows ending after
+    // it are still open in the stream
+    val batch = norm(StreamOps.hotItemsSliding(
+        (events :+ sentinel).toDF(), "ts", "user_id",
+        "10 minutes", "5 minutes", "0 seconds")
+      .filter(col("w.end") <= ts(59)))
+    assert(got == batch, s"stream=${got.size} batch=${batch.size} " +
+      s"diff=${(got diff batch) ++ (batch diff got)}")
+    assert(batch.size > 5, s"degenerate draw: ${batch.size} closed windows")
+  }
+
+  test("hotItemsSliding: count ties break to the smallest item") {
+    // window [10:00, 10:10): items 9 and 3 both count 1 → hot = 3
+    val events = Seq(
+      Ev(1, ts(1), 9, "view", 1.0), Ev(2, ts(2), 3, "view", 1.0))
+    val got = StreamOps.hotItemsSliding(events.toDF(), "ts", "user_id",
+        "10 minutes", "10 minutes", "0 seconds")
+      .select(col("hot_item"), col("n_hot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((3L, 1L)), s"got=$got")
+  }
+
+  test("slidingAggPaned: pane-combined == direct sliding agg (batch) and streaming append == batch") {
+    // the decomposable-agg pane form (Beam's combiner-lifted sliding
+    // strategy, kept for hot-key distributions): count/sum combined
+    // from slide-grain pane partials must equal the direct
+    // window(size, slide) aggregation on the same rows — and the
+    // streamed chained 2-stage form must match the batch one.
+    val rnd = new scala.util.Random(909L)
+    val events = IndexedSeq.tabulate(200) { i =>
+      Ev(i.toLong, ts(i * 40 / 200, rnd.nextInt(60)),
+        rnd.nextInt(4).toLong, "view", (rnd.nextInt(50) + 1).toDouble)
+    }.sortBy(_.ts.getTime)
+    def normPaned(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("w.start").cast("string").as("ws"), col("user_id"),
+        col("n"), col("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val paned = StreamOps.slidingAggPaned(events.toDF(), "ts", "user_id",
+      "10 minutes", "5 minutes", "0 seconds",
+      paneAggs = Seq(count(lit(1)).as("n"), sum("value").as("sv")),
+      mergeAggs = Seq(sum(col("n")).as("n"), sum(col("sv")).as("sv")))
+    val direct = events.toDF()
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    assert(normPaned(paned) == normPaned(direct),
+      "pane-combined != direct sliding")
+
+    val sentinel = Ev(999, ts(59), 9, "view", 0.0)
+    val mem = MemoryStream[Ev]
+    val streamed = StreamOps.slidingAggPaned(mem.toDF(), "ts", "user_id",
+      "10 minutes", "5 minutes", "0 seconds",
+      paneAggs = Seq(count(lit(1)).as("n"), sum("value").as("sv")),
+      mergeAggs = Seq(sum(col("n")).as("n"), sum(col("sv")).as("sv")))
+    val table = freshTable()
+    val q = streamed.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    events.grouped(50).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    mem.addData(sentinel)
+    runToCompletion(q)
+    val got = normPaned(spark.table(table))
+    // stage 2 closes a sliding window only once the watermark passes
+    // the END of its LAST pane's re-windowed fan-out — conservatively
+    // compare on windows whose end is at least one slide before the
+    // final watermark
+    val closedEnd = ts(54)
+    val batchClosed = normPaned(
+      StreamOps.slidingAggPaned((events :+ sentinel).toDF(), "ts",
+        "user_id", "10 minutes", "5 minutes", "0 seconds",
+        paneAggs = Seq(count(lit(1)).as("n"), sum("value").as("sv")),
+        mergeAggs = Seq(sum(col("n")).as("n"), sum(col("sv")).as("sv")))
+      .filter(col("w.end") <= closedEnd))
+    assert(batchClosed.subsetOf(got),
+      s"missing closed windows: ${(batchClosed diff got).take(5)}")
+    assert(got.subsetOf(normPaned(
+      StreamOps.slidingAggPaned((events :+ sentinel).toDF(), "ts",
+        "user_id", "10 minutes", "5 minutes", "0 seconds",
+        paneAggs = Seq(count(lit(1)).as("n"), sum("value").as("sv")),
+        mergeAggs = Seq(sum(col("n")).as("n"), sum(col("sv")).as("sv"))))),
+      "stream emitted a row batch never produces")
+    assert(batchClosed.size > 5, s"degenerate draw: ${batchClosed.size}")
+  }
+
   test("newUsersJoin: streaming append == batch over randomized replay (unification)") {
     // 200 random events over 6 users × 3 types × ~45 minutes, fed in 4
     // arbitrary micro-batches (non-decreasing ts so nothing is
