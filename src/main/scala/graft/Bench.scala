@@ -101,7 +101,7 @@ object Bench {
     "agg_tpcds_q11", "agg_tpcds_q30", "agg_tpcds_q93", "agg_tpcds_q99",
     "agg_tpcds_q58", "agg_tpcds_q92", "agg_tpcds_q13", "agg_tpcds_q61", "agg_tpcds_q6", "win_new_users_pairs",
     // round 19 additions
-    "win_hot_items_sliding")
+    "win_hot_items_sliding", "win_new_users_packed")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -397,28 +397,27 @@ object StreamingBench {
       // sentinels carry a KEPT type ("view"): the type filter runs
       // before the watermark node, so a foreign-typed sentinel would
       // never advance the watermark (see newUsersJoin's param docs).
-      // emitPerRight = true: the published 40,274 ev/s bar is Beam
-      // Query8's per-(person, auction) output grain, so the measured
-      // row must pay the same per-right-event emission (ADVICE r17 —
-      // the aggregated-grain form emits strictly less state+output
-      // and overstated comparability). Q8Profile's r18 paired sweep
-      // measures the grains at parity (identical rowsUpdated 39,489;
-      // one state row per touched key per batch either way — the list
-      // only widens the row).
+      // r19: the WINDOW-GRAIN packed form (newUsersJoinPacked) — the
+      // same per-right-event output grain the reference Query8 pays
+      // (ADVICE r17; output ≡ newUsersJoin(emitPerRight = true),
+      // spec'd + oracle row win_new_users_packed), with the per-user
+      // accumulation folded into the NewUsersAgg buffer so state rows
+      // = windows: 731 RocksDB writes per 100k events vs 39,489 for
+      // the per-(user, window) grain, 23.2k → 28.7k ev/s in the r19
+      // same-host paired sweep (tools.Q8Profile).
       bench(spark, name, r.named,
         Seq((-1L, r.lateTs(3), "view", 0.0), (-1L, r.lateTs(4), "view", 0.0))) { ds =>
-        StreamOps.newUsersJoin(
+        StreamOps.newUsersJoinPacked(
           ds.toDF("user_id", "ts", "event_type", "value"),
           windowSize = "1 hour", lateness = "0 seconds",
-          leftType = "signup", rightType = "view", emitPerRight = true)
+          leftType = "signup", rightType = "view")
       }
-      // P=2 (Q8Profile r18, track-off): at SMOKE volume the RocksDB
-      // per-instance commit floor outweighs update parallelism for
-      // this op too — per-right 26.4k @ P=8 (commit 4,926 ms/12
-      // batches) -> 28.8k @ P=2 (743 ms); addBatch wall also FELL
-      // (2,624 -> 2,296 ms), so parallelism wasn't binding. At
-      // deployment scale P sizes with data (SCALE.md §3b) — this is
-      // the same bench-volume amortization the five globals document.
+      // P=2 (Q8Profile r19 sweep at local[32], the bench's master):
+      // packed 21.3k @ P=8 (commit floor 10.6 s) / 27.6k @ P=4 /
+      // 32.9k @ P=2 / 33.6k @ P=1 — with ~720 window-grain state rows
+      // the RocksDB per-instance commit floor dominates everything;
+      // P=2 keeps a second instance for skew headroom at negligible
+      // cost. At deployment scale P sizes with data (SCALE.md §3b).
     }, confs = Seq("spark.sql.shuffle.partitions" -> "2")),
     // Nexmark Q10's log-to-sharded-files (published 25,025 ev/s):
     // every event to parquet files sharded by event type, through the

@@ -568,6 +568,8 @@ object GraftFunctions {
     "theta_sketch_agg" -> ((e: Seq[Expression]) =>
       ThetaSketchAgg(e(0), litInt(e(1)))),
     "hot_item_agg" -> ((e: Seq[Expression]) => HotItemAgg(e(0))),
+    "new_users_agg" -> ((e: Seq[Expression]) =>
+      NewUsersAgg(e(0), e(1), e(2))),
     "theta_merge_agg" -> ((e: Seq[Expression]) =>
       ThetaMergeAgg(e(0), litInt(e(1)))),
     "tdigest_agg" -> ((e: Seq[Expression]) =>

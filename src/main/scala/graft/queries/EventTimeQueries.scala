@@ -387,6 +387,38 @@ object EventTimeQueries {
               = qual.win_start
         WHERE e.event_type = 'purchase'""")),
 
+    // The same per-right grain through the WINDOW-GRAIN packed buffer
+    // (StreamOps.newUsersJoinPacked, r19 — the builder the
+    // `streaming_new_users` bench row runs): identical output contract
+    // to win_new_users_pairs, verified against the same oracle, so the
+    // benched shape stays registry-verified after the state-layout
+    // change.
+    Q("win_new_users_packed",
+      (s, d) => graft.streaming.StreamOps.newUsersJoinPacked(
+          ev(s, d), windowSize = "1 hour", lateness = "0 seconds",
+          leftType = "signup", rightType = "purchase")
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("win_start"),
+          col("n_left"), round(col("right_value"), 6).as("right_value")),
+      Some("""WITH qual AS (
+          SELECT user_id,
+            CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+            count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_left
+          FROM events
+          WHERE event_type IN ('signup', 'purchase')
+          GROUP BY 1, 2
+          HAVING count(CASE WHEN event_type = 'signup' THEN 1 END) > 0
+             AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0)
+        SELECT e.user_id,
+          CAST(floor(epoch(e.ts) / 3600) * 3600 AS BIGINT) AS win_start,
+          CAST(n_left AS BIGINT) AS n_left,
+          round(e.value, 6) AS right_value
+        FROM events e
+        JOIN qual ON e.user_id = qual.user_id
+          AND CAST(floor(epoch(e.ts) / 3600) * 3600 AS BIGINT)
+              = qual.win_start
+        WHERE e.event_type = 'purchase'""")),
+
     // Nexmark Q0 "passthrough" (queries/Query0.java — the measurement
     // floor: deserialize + re-emit every event unchanged).
     Q("nexmark_q0_passthrough",

@@ -234,8 +234,14 @@ object StreamOps {
       sum(when(col("event_type") === rightType, col("value")))
         .as("right_value")) ++
       (if (emitPerRight)
+        // collect a STRUCT, not the bare value: collect_list skips
+        // nulls, so a right event with a NULL value would be counted
+        // in n_right yet emit no row — diverging from the reference
+        // grain's one-row-per-right-event contract (ADVICE r18). The
+        // struct wrapper is non-null whenever the type matches, so
+        // every right event survives the collect.
         Seq(collect_list(when(col("event_type") === rightType,
-          col("value"))).as("right_values"))
+          struct(col("value")))).as("right_values"))
       else Nil)
     val agged = wm
       .groupBy(col("user_id"), window(col("ts"), windowSize).as("w"))
@@ -243,8 +249,37 @@ object StreamOps {
       .filter(col("n_left") > 0 && col("n_right") > 0)
     if (emitPerRight)
       agged.select(col("user_id"), col("w"), col("n_left"),
-        explode(col("right_values")).as("right_value"))
+        explode(col("right_values")).as("rv"))
+        .select(col("user_id"), col("w"), col("n_left"),
+          col("rv.value").as("right_value"))
     else agged
+  }
+
+  /** [[newUsersJoin]]'s per-right-event grain with the STATE FLIPPED
+    * TO WINDOW GRAIN (r19): ONE stateful aggregation keyed by the
+    * tumbling window whose buffer packs the per-user accumulation
+    * ([[graft.functions.NewUsersAgg]] — left count + right values per
+    * user), exploded to the reference's per-(person, auction) rows at
+    * window close. Output ≡ `newUsersJoin(emitPerRight = true)`
+    * (spec'd); state rows = windows instead of (user, window) —
+    * measured 39,489 → ~900 RocksDB writes per 100k events on data
+    * where distinct (user, window) ≈ events (tools.Q8Profile r19).
+    * Scale trade: one window's state row is O(its active users); for
+    * pathologically hot windows use [[newUsersJoin]] (O(1) rows).
+    * Same watermark contract as [[newUsersJoin]]: the type filter
+    * precedes the watermark, so only kept-type rows advance it. */
+  def newUsersJoinPacked(df: DataFrame, windowSize: String,
+      lateness: String, leftType: String, rightType: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val typed = df.filter(col("event_type").isin(leftType, rightType))
+    val wm = if (df.isStreaming) typed.withWatermark("ts", lateness) else typed
+    wm.groupBy(window(col("ts"), windowSize).as("w"))
+      .agg(expr(s"new_users_agg(user_id, event_type = '$leftType', value)")
+        .as("pairs"))
+      .select(col("w"), explode(col("pairs")).as("p"))
+      .select(col("p.user_id").as("user_id"), col("w"),
+        col("p.n_left").as("n_left"),
+        col("p.right_value").as("right_value"))
   }
 
   /** Stream-stream join bounded by an event-time range: the Spark

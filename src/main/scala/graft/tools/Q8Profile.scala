@@ -66,19 +66,22 @@ object Q8Profile {
     // bench row pays since ADVICE r17) — so the grain cost is a
     // same-host paired measurement, not a cross-round inference.
     println(f"${"grain"}%9s ${"P"}%3s ${"ev/s"}%8s ${"addBatch"}%9s ${"commit"}%8s rowsUpd")
-    for (perRight <- Seq(false, true); p <- Seq(8, 4, 2, 1)) {
+    for (grain <- Seq("agg", "per-right", "packed"); p <- Seq(8, 4, 2, 1)) {
       spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      def build(ds: Dataset[(Long, java.sql.Timestamp, String, Double)]) =
+        grain match {
+          case "packed" => StreamOps.newUsersJoinPacked(
+            ds.toDF("user_id", "ts", "event_type", "value"),
+            "1 hour", "0 seconds", "signup", "view")
+          case g => StreamOps.newUsersJoin(
+            ds.toDF("user_id", "ts", "event_type", "value"),
+            "1 hour", "0 seconds", "signup", "view",
+            emitPerRight = g == "per-right")
+        }
       // warm pass at 1/10 volume (plan + janino)
-      drive(spark, ev.take(ev.size / 10), Seq(late(3))) { ds =>
-        StreamOps.newUsersJoin(ds.toDF("user_id", "ts", "event_type", "value"),
-          "1 hour", "0 seconds", "signup", "view", emitPerRight = perRight)
-      }
-      val (evs, ab, cm, ru) = drive(spark, ev, Seq(late(3), late(4))) { ds =>
-        StreamOps.newUsersJoin(ds.toDF("user_id", "ts", "event_type", "value"),
-          "1 hour", "0 seconds", "signup", "view", emitPerRight = perRight)
-      }
-      val g = if (perRight) "per-right" else "agg"
-      println(f"$g%9s $p%3d $evs%8.0f $ab%8dms $cm%7dms $ru")
+      drive(spark, ev.take(ev.size / 10), Seq(late(3)))(build)
+      val (evs, ab, cm, ru) = drive(spark, ev, Seq(late(3), late(4)))(build)
+      println(f"$grain%9s $p%3d $evs%8.0f $ab%8dms $cm%7dms $ru")
     }
     spark.stop()
   }

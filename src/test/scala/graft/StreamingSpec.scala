@@ -323,6 +323,75 @@ class StreamingSpec extends SparkSpec {
     assert(batchClosed.size > 5, s"degenerate draw: ${batchClosed.size}")
   }
 
+  test("newUsersJoinPacked: == emitPerRight grain (batch) and streaming append == batch") {
+    // the r19 window-grain state layout must produce EXACTLY the
+    // per-right-event rows of newUsersJoin(emitPerRight = true), and
+    // its streamed append output must equal its own batch evaluation
+    // minus open windows. Multiset compare (duplicate values happen).
+    val rnd = new scala.util.Random(5151L)
+    val events = IndexedSeq.tabulate(250) { i =>
+      Ev(i.toLong, ts(i * 45 / 250, rnd.nextInt(60)),
+        rnd.nextInt(6).toLong,
+        Seq("signup", "view", "click")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 100) / 10.0)
+    }.sortBy(_.ts.getTime)
+    val sentinel = Ev(999, ts(59), 9, "view", 0.0)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("w.start").cast("string").as("ws"),
+        col("n_left"), round(col("right_value"), 6).as("rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .toSeq.sorted
+    val all = (events :+ sentinel).toDF()
+    val packedBatch = norm(StreamOps.newUsersJoinPacked(all,
+      "10 minutes", "0 seconds", "signup", "view"))
+    val perRightBatch = norm(StreamOps.newUsersJoin(all,
+      "10 minutes", "0 seconds", "signup", "view", emitPerRight = true))
+    assert(packedBatch == perRightBatch,
+      s"packed=${packedBatch.size} perRight=${perRightBatch.size}")
+    assert(packedBatch.size > 10, s"degenerate draw: ${packedBatch.size}")
+
+    val mem = MemoryStream[Ev]
+    val streamed = StreamOps.newUsersJoinPacked(mem.toDF(),
+      "10 minutes", "0 seconds", "signup", "view")
+    val table = freshTable()
+    val q = streamed.writeStream.format("memory")
+      .queryName(table).outputMode("append").start()
+    events.grouped(60).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    mem.addData(sentinel)
+    runToCompletion(q)
+    val got = norm(spark.table(table))
+    val openCut = "2026-01-01 10:50:00"
+    val batchClosed = norm(StreamOps.newUsersJoinPacked(all,
+        "10 minutes", "0 seconds", "signup", "view")
+      .filter(col("w.start").cast("string") < openCut))
+    assert(got == batchClosed, s"stream=${got.size} batch=${batchClosed.size}")
+  }
+
+  test("newUsersJoin emitPerRight: right event with NULL value still emits its row") {
+    // ADVICE r18: collect_list skips nulls — the struct-wrapped
+    // collect must keep the one-row-per-right-event contract even
+    // when the right value is NULL (both grains).
+    val rows = Seq(
+      (1L, ts(1), "signup", Some(1.0)),
+      (1L, ts(2), "view", None),
+      (1L, ts(3), "view", Some(7.0)))
+      .toDF("user_id", "ts", "event_type", "value")
+    def got(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("n_left"), col("right_value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSeq.sortBy(_._2.isDefined)
+    val perRight = got(StreamOps.newUsersJoin(rows, "10 minutes",
+      "0 seconds", "signup", "view", emitPerRight = true))
+    val packed = got(StreamOps.newUsersJoinPacked(rows, "10 minutes",
+      "0 seconds", "signup", "view"))
+    val want = Seq((1L, None), (1L, Some(7.0)))
+    assert(perRight == want, s"perRight=$perRight")
+    assert(packed == want, s"packed=$packed")
+  }
+
   test("newUsersJoin: streaming append == batch over randomized replay (unification)") {
     // 200 random events over 6 users × 3 types × ~45 minutes, fed in 4
     // arbitrary micro-batches (non-decreasing ts so nothing is
