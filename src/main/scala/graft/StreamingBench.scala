@@ -192,7 +192,16 @@ object StreamingBench {
         else (rows.size / wall, acc.breakdown)
       } finally {
         spark.streams.removeListener(acc)
-        if (q != null) { try q.stop() catch { case _: Throwable => () } }
+        if (q != null) {
+          // drain the in-flight wall-clock-triggered batch before
+          // stopping — stop() mid-batch kills its write tasks
+          // (aborted-commit noise in the artifact tail, wasted work);
+          // only when the input is fully consumed, so a wedged query
+          // can't hang the drain
+          try { if (acc.inRows.get >= rows.size) q.processAllAvailable() }
+          catch { case _: Throwable => () }
+          try q.stop() catch { case _: Throwable => () }
+        }
         try {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq

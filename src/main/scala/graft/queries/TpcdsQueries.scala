@@ -11,9 +11,21 @@ import graft.sources.Tables
   * suite as benchmark-as-test
   * (sdks/java/testing/tpcds/src/main/resources/queries/query1..99.sql,
   * runner sdks/java/testing/tpcds/.../SqlTransformRunner.java:73);
-  * these port FIFTY-SIX of its distinctive PLAN SHAPES onto the driver's
+  * these port SEVENTY of its distinctive PLAN SHAPES onto the driver's
   * TPC-H-ish star schema (there is no date_dim/item/store, so filters
-  * and dimensions map to year()/month(), part, nation):
+  * and dimensions map to year()/month(), part, nation). Round-19
+  * additions: q14b (full INTERSECT-CTE cross-items + exact-decimal
+  * scalar threshold), q15 (disjunctive CROSS-TABLE OR), q16 (dual
+  * same-fact EXISTS/NOT EXISTS → one grouped flag pass), q18
+  * (averages under ROLLUP, quantized), q24 (fine-grain CTE + scalar
+  * avg HAVING by decimal cross-multiply), q33/q56 (grouped-union
+  * channel family, shared broadcast dim set), q34 (frequency-band +
+  * join-back), q40 (pivot split × returns netting in one pass), q43
+  * (day-of-week pivot; calendar-mapping trap), q46 (two roles of one
+  * dimension compared post-agg), q69 (three existence flags in one
+  * pass), q72 (the many-join fact chain: inventory role pre-agged,
+  * cross-fact inequality in integers, two LEFT joins), q90 (ratio of
+  * two scalar aggregates from one scan). Earlier rounds:
   *
   *   q1   correlated scalar subquery per group, decorrelated
   *   q2   WITH-chain reuse: one CTE consumed twice via a shifted join
@@ -1945,10 +1957,18 @@ object TpcdsQueries {
     // ss_quantity - sr_return_quantity where a return matched): the
     // fact-to-fact left join with REPLACEMENT semantics. Scale
     // discipline: the returns side pre-aggregates to its join grain
-    // (orderkey, partkey) BEFORE the fact-fact join — the join carries
-    // one returns row per pair, never line-level multiplicity — and
-    // the replacement CASE rides the join's null flag. Net quantities
-    // are integer-valued doubles summed per customer (exact under any
+    // (orderkey, partkey) BEFORE the fact-fact join, so the join
+    // carries one returns row per pair. OUTER-SIDE MULTIPLICITY
+    // CAVEAT (ADVICE r18): unlike TPC-DS tickets, TPC-H lineitem can
+    // hold several lines per (orderkey, partkey) — each matching
+    // outer line then subtracts the pair's WHOLE aggregated ret_qty
+    // (and 'R' lines subtract their pair total from themselves), so
+    // the analog's replacement semantics are per-LINE-vs-pair-total,
+    // intentionally coarser than q93's per-ticket subtraction. The
+    // oracle mirrors the identical rule; what the pre-aggregation
+    // buys is the scale shape (no line-level fan-out through the
+    // join), not per-line apportionment. Net quantities are
+    // integer-valued doubles summed per customer (exact under any
     // summation order).
     Q("agg_tpcds_q93",
       (s, d) => {
@@ -2242,5 +2262,634 @@ object TpcdsQueries {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1
         HAVING count(*) >= 10""")),
+
+    // ================= round 19 additions (VERDICT r18 #4) =========
+
+    // q14b (query14b.sql — the full INTERSECT-CTE form the r9 q14
+    // grouping-sets analog skipped): cross_items = the brand set sold
+    // in ALL THREE channels (INTERSECT of per-channel distinct sets),
+    // avg_sales = a scalar threshold over every channel's group sums,
+    // then per-channel brand sales filtered to cross_items AND above
+    // the scalar. Scale shape: the brand sets are dimension-grain
+    // (distinct on an already-grouped key), the scalar broadcasts, and
+    // the threshold compares in EXACT decimal cross-multiply
+    // (s · nGroups > total) so no float-boundary row can flip.
+    Q("agg_tpcds_q14b",
+      (s, d) => {
+        val chans = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+        val base = li(s, d)
+          .join(ord(s, d).filter(col("o_orderpriority").isin(chans: _*)),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("o_orderpriority").as("channel"), col("p_brand"),
+            rev.cast("decimal(38,4)").as("r"))
+        val crossBrands = chans.map(c =>
+            base.filter(col("channel") === c).select("p_brand").distinct())
+          .reduce(_ intersect _)
+        val grouped = base.groupBy(col("channel"), col("p_brand"))
+          .agg(sum(col("r")).as("s"), count(lit(1)).as("n"))
+        val stats = grouped.agg(sum(col("s")).as("tot"),
+          count(lit(1)).as("ng"))
+        grouped
+          .join(broadcast(crossBrands), Seq("p_brand"))
+          .crossJoin(broadcast(stats))
+          .filter(col("s") * col("ng") > col("tot"))
+          .select(col("channel"), col("p_brand"),
+            round(col("s").cast("double"), 4).as("sales"), col("n"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderpriority AS channel, p_brand,
+            CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)) AS r
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        ), cross_brands AS (
+          SELECT p_brand FROM base WHERE channel = '1-URGENT'
+          INTERSECT
+          SELECT p_brand FROM base WHERE channel = '2-HIGH'
+          INTERSECT
+          SELECT p_brand FROM base WHERE channel = '3-MEDIUM'
+        ), grouped AS (
+          SELECT channel, p_brand, sum(r) AS s, count(*) AS n
+          FROM base GROUP BY 1, 2
+        ), stats AS (
+          SELECT sum(s) AS tot, count(*) AS ng FROM grouped)
+        SELECT channel, g.p_brand,
+          round(CAST(s AS DOUBLE), 4) AS sales, n
+        FROM grouped g
+        JOIN cross_brands cb ON g.p_brand = cb.p_brand
+        CROSS JOIN stats
+        WHERE s * ng > tot""")),
+
+    // q15 (query15.sql): the DISJUNCTIVE CROSS-TABLE predicate — the
+    // OR spans three tables (customer zip list OR state list OR a
+    // fact-price floor), so it can only evaluate post-join as ONE
+    // filter; what the planner must still do is push the
+    // CONJUNCTIVE date filter to the orders scan below the joins
+    // (never a union of three filtered passes — q13's single-scan
+    // discipline, now across tables).
+    Q("agg_tpcds_q15",
+      (s, d) => ord(s, d)
+        .filter(year(col("o_orderdate")) === 1996 &&
+          quarter(col("o_orderdate")) === 2)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") ||
+          col("n_name").isin("NATION_3", "NATION_7", "NATION_11") ||
+          col("o_totalprice") > 300000)
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(38,2)"))
+            .cast("double"), 2).as("total_sales"),
+          count(lit(1)).as("n_orders")),
+      Some("""SELECT n_name,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 2)
+            AS total_sales,
+          count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 2
+          AND (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+            OR n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+            OR o_totalprice > 300000)
+        GROUP BY 1""")),
+
+    // q16 (query16.sql): order-count report with TWO correlated
+    // existence predicates on the SAME fact — EXISTS (another line of
+    // the order from a DIFFERENT supplier) AND NOT EXISTS (a returned
+    // line) — decorrelated into ONE grouped flag pass over lineitem
+    // (countDistinct suppkey ≥ 2, max returnflag) instead of two
+    // correlated scans; the qualifying-order keys then gate the line
+    // scan for the money sums. Both exchanges hash on l_orderkey, so
+    // the partitioning is planned once and reused. Money in exact
+    // decimal (price × tax is 4-dec exact); the distinct order count
+    // is the output grain guard.
+    Q("agg_tpcds_q16",
+      (s, d) => {
+        val flags = li(s, d).groupBy(col("l_orderkey").as("f_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+            max(when(col("l_returnflag") === "R", 1).otherwise(0))
+              .as("has_ret"))
+        val qual = ord(s, d)
+          .filter(col("o_orderdate") >= lit("1996-04-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-06-01").cast("timestamp") &&
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .join(cust(s, d).filter(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+          .join(flags, col("o_orderkey") === col("f_orderkey"))
+          .filter(col("nsupp") >= 2 && col("has_ret") === 0)
+          .select(col("o_orderkey"))
+        li(s, d).join(qual, col("l_orderkey") === col("o_orderkey"))
+          .agg(countDistinct(col("l_orderkey")).as("order_count"),
+            round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              col("l_tax").cast("decimal(8,2)")).cast("double"), 2)
+              .as("total_tax"),
+            round(sum(rev.cast("decimal(38,4)")).cast("double"), 2)
+              .as("total_rev"))
+      },
+      Some("""WITH flags AS (
+          SELECT l_orderkey AS f_orderkey,
+            count(DISTINCT l_suppkey) AS nsupp,
+            max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+          FROM lineitem GROUP BY 1
+        ), qual AS (
+          SELECT o_orderkey
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN flags ON o_orderkey = f_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+            AND o_orderdate < TIMESTAMP '1996-06-01'
+            AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+            AND c_mktsegment = 'BUILDING'
+            AND nsupp >= 2 AND has_ret = 0)
+        SELECT count(DISTINCT l_orderkey) AS order_count,
+          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE), 2) AS total_tax,
+          round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(38,4))) AS DOUBLE), 2) AS total_rev
+        FROM lineitem JOIN qual ON l_orderkey = o_orderkey""")),
+
+    // q18 (query18.sql — AVERAGES under ROLLUP): per (nation, segment)
+    // rollup of average quantity / account balance / order price. The
+    // cross-engine trap is the division: int-sum ÷ count lands on
+    // exact half-boundaries often enough (1/32 = .03125) that
+    // round()'s HALF_UP (Spark) vs HALF_EVEN (DuckDB) diverge — so
+    // averages quantize via the floor(x·1e4 + 0.5) idiom (identical
+    // IEEE doubles both sides, gap_fill_interpolate's discipline);
+    // sums accumulate in exact decimal before the one division.
+    Q("agg_tpcds_q18",
+      (s, d) => {
+        def qavg(sumC: org.apache.spark.sql.Column,
+            cnt: org.apache.spark.sql.Column) =
+          floor(sumC.cast("double") / cnt * 1e4 + 0.5) / 1e4
+        ord(s, d)
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("sp"),
+            sum(col("c_acctbal").cast("decimal(38,2)")).as("sb"),
+            count(lit(1)).as("n"))
+          .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            qavg(col("sp"), col("n")).as("avg_price"),
+            qavg(col("sb"), col("n")).as("avg_acctbal"),
+            col("n"))
+      },
+      Some("""SELECT coalesce(n_name, 'ALL') AS n_name,
+          coalesce(c_mktsegment, 'ALL') AS segment,
+          floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+            / count(*) * 1e4 + 0.5) / 1e4 AS avg_price,
+          floor(CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+            / count(*) * 1e4 + 0.5) / 1e4 AS avg_acctbal,
+          count(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)""")),
+
+    // q24 (query24a.sql): a FINE-GRAIN CTE (ssales at (customer,
+    // supplier, brand, type) grain) re-aggregated coarser, kept only
+    // above a SCALAR threshold (0.05 × the avg over ALL ssales rows).
+    // The threshold is the lesson: avg = total/N, so `paid >
+    // 0.05·total/N` cross-multiplies to `paid·20·N > total` — every
+    // operand an EXACT decimal/integer, no division, no float
+    // boundary. The scalar (total, N) broadcasts; the CTE aggregates
+    // once and feeds both the outer group-by and the scalar.
+    Q("agg_tpcds_q24",
+      (s, d) => {
+        val ssales = li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("c_name"), col("s_name"), col("p_brand"),
+            col("p_type"))
+          .agg(sum(rev.cast("decimal(38,4)")).as("netpaid"))
+        val stats = ssales.agg(sum(col("netpaid")).as("tot"),
+          count(lit(1)).as("nrows"))
+        ssales.filter(col("p_type") === "PROMO")
+          .groupBy(col("c_name"), col("s_name"))
+          .agg(sum(col("netpaid")).as("paid"))
+          .crossJoin(broadcast(stats))
+          .filter(col("paid") * 20 * col("nrows") > col("tot"))
+          // floor-quantized, not round(): the exact 4-dec decimal sum
+          // lands on half-cents (….775) where Spark HALF_UP and DuckDB
+          // HALF_EVEN disagree (caught at sf0.01)
+          .select(col("c_name"), col("s_name"),
+            (floor(col("paid").cast("double") * 100 + 0.5) / 100)
+              .as("paid"))
+      },
+      Some("""WITH ssales AS (
+          SELECT c_name, s_name, p_brand, p_type,
+            sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+              AS netpaid
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2, 3, 4
+        ), stats AS (
+          SELECT sum(netpaid) AS tot, count(*) AS nrows FROM ssales)
+        SELECT c_name, s_name,
+          floor(CAST(sum(netpaid) AS DOUBLE) * 100 + 0.5) / 100 AS paid
+        FROM ssales CROSS JOIN stats
+        WHERE p_type = 'PROMO'
+        GROUP BY c_name, s_name, tot, nrows
+        HAVING sum(netpaid) * 20 * nrows > tot""")),
+
+    // q33 (query33.sql — the GROUPED-UNION channel family): three
+    // channel scans each restricted to a DIM-SUBQUERY item set, their
+    // per-manufacturer sums unioned and re-summed. The set
+    // (PROMO-type parts) is computed ONCE and broadcast to all three
+    // arms — never three copies of the dim subquery; the arms differ
+    // only in the channel predicate, so the union re-aggregation is
+    // one exchange over (brand) grain rows.
+    Q("agg_tpcds_q33",
+      (s, d) => {
+        val promoParts = prt(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"), col("p_brand"))
+        val chans = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+        val arms = chans.map { c =>
+          li(s, d)
+            .join(ord(s, d).filter(col("o_orderpriority") === c &&
+              year(col("o_orderdate")) === 1996),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(promoParts),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(sum(rev.cast("decimal(38,4)")).as("total_sales"))
+        }
+        arms.reduce(_ unionByName _)
+          .groupBy(col("p_brand"))
+          .agg(round(sum(col("total_sales")).cast("double"), 4)
+            .as("total_sales"))
+      },
+      Some("""WITH promo AS (
+          SELECT p_partkey, p_brand FROM part WHERE p_type = 'PROMO'
+        ), arms AS (
+          SELECT p_brand,
+            sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+              AS total_sales
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN promo ON l_partkey = p_partkey
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+            AND year(o_orderdate) = 1996
+          GROUP BY p_brand, o_orderpriority)
+        SELECT p_brand,
+          round(CAST(sum(total_sales) AS DOUBLE), 4) AS total_sales
+        FROM arms GROUP BY 1""")),
+
+    // q56 (query56.sql — the same grouped-union family as q33, keyed
+    // by a DERIVED band instead of a dim attribute): identical
+    // three-arm shape over size decades — kept as its own row because
+    // the reference treats q33/q56/q60 as distinct plan fixtures and
+    // the band key exercises expression-grouping under the union.
+    Q("agg_tpcds_q56",
+      (s, d) => {
+        val promoParts = prt(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"), (floor(col("p_size") / 10) * 10)
+            .cast("long").as("size_band"))
+        val chans = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+        val arms = chans.map { c =>
+          li(s, d)
+            .join(ord(s, d).filter(col("o_orderpriority") === c &&
+              year(col("o_orderdate")) === 1996),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(promoParts),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("size_band"))
+            .agg(sum(rev.cast("decimal(38,4)")).as("total_sales"))
+        }
+        arms.reduce(_ unionByName _)
+          .groupBy(col("size_band"))
+          .agg(round(sum(col("total_sales")).cast("double"), 4)
+            .as("total_sales"))
+      },
+      Some("""WITH promo AS (
+          SELECT p_partkey,
+            CAST(floor(p_size / 10) * 10 AS BIGINT) AS size_band
+          FROM part WHERE p_type = 'PROMO'
+        ), arms AS (
+          SELECT size_band,
+            sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+              AS total_sales
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN promo ON l_partkey = p_partkey
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+            AND year(o_orderdate) = 1996
+          GROUP BY size_band, o_orderpriority)
+        SELECT size_band,
+          round(CAST(sum(total_sales) AS DOUBLE), 4) AS total_sales
+        FROM arms GROUP BY 1""")),
+
+    // q34 (query34.sql): the FREQUENCY-BAND ticket report — per-order
+    // line counts under a compound disjunctive calendar/demographic
+    // filter, banded (3..5), then joined back to the customer dim for
+    // display attributes. Differs from q73 (plain HAVING range) in the
+    // dual-disjunction filter shape: (month band OR month band) AND
+    // priority set must collapse into ONE scan predicate.
+    Q("agg_tpcds_q34",
+      (s, d) => li(s, d)
+        .join(ord(s, d)
+          .filter((month(col("o_orderdate")).isin(1, 2) ||
+            month(col("o_orderdate")).isin(11, 12)) &&
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(3, 5))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_mktsegment"), col("o_orderkey"),
+          col("cnt")),
+      Some("""WITH dn AS (
+          SELECT o_orderkey, o_custkey, count(*) AS cnt
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE (month(o_orderdate) IN (1, 2)
+              OR month(o_orderdate) IN (11, 12))
+            AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+          GROUP BY 1, 2
+          HAVING count(*) BETWEEN 3 AND 5)
+        SELECT c_name, c_mktsegment, o_orderkey, cnt
+        FROM dn JOIN customer ON o_custkey = c_custkey""")),
+
+    // q40 (query40.sql): BEFORE/AFTER pivot split with RETURNS
+    // NETTING — per brand, net quantity (returned lines subtract)
+    // summed on each side of a pivot date, in ONE conditional-agg
+    // scan: the q21 pivot-split composed with q75's returns netting,
+    // never a sales-pass + returns-pass union. Net quantities are
+    // exact integers.
+    Q("agg_tpcds_q40",
+      (s, d) => {
+        val pivot = lit("1996-07-01").cast("timestamp")
+        val net = when(col("l_returnflag") === "R", -col("l_quantity"))
+          .otherwise(col("l_quantity"))
+        li(s, d)
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            sum(when(col("l_shipdate") < pivot, net).otherwise(lit(0)))
+              .cast("long").as("net_before"),
+            sum(when(col("l_shipdate") >= pivot, net).otherwise(lit(0)))
+              .cast("long").as("net_after"))
+      },
+      Some("""SELECT p_brand,
+          CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1996-07-01'
+            THEN CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                 ELSE l_quantity END ELSE 0 END) AS BIGINT) AS net_before,
+          CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-07-01'
+            THEN CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                 ELSE l_quantity END ELSE 0 END) AS BIGINT) AS net_after
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1""")),
+
+    // q43 (query43.sql): the DAY-OF-WEEK pivot — seven conditional
+    // sums per nation in one scan. Calendar mapping is the
+    // cross-engine trap: Spark dayofweek() is 1=Sunday..7=Saturday,
+    // DuckDB's is 0=Sunday..6=Saturday — the oracle shifts by one.
+    Q("agg_tpcds_q43",
+      (s, d) => {
+        val dow = dayofweek(col("o_orderdate"))
+        val names = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+        val aggs = names.zipWithIndex.map { case (n, i) =>
+          round(sum(when(dow === (i + 1),
+            col("o_totalprice").cast("decimal(38,2)"))
+            .otherwise(lit(0).cast("decimal(38,2)"))).cast("double"), 2)
+            .as(s"${n}_sales")
+        }
+        ord(s, d)
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(aggs.head, aggs.tail: _*)
+      },
+      Some("""SELECT n_name,
+          round(CAST(sum(CASE WHEN dayofweek(o_orderdate) = 0
+            THEN CAST(o_totalprice AS DECIMAL(38,2))
+            ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE), 2) AS sun_sales,
+          round(CAST(sum(CASE WHEN dayofweek(o_orderdate) = 1
+            THEN CAST(o_totalprice AS DECIMAL(38,2))
+            ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE), 2) AS mon_sales,
+          round(CAST(sum(CASE WHEN dayofweek(o_orderdate) = 2
+            THEN CAST(o_totalprice AS DECIMAL(38,2))
+            ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE), 2) AS tue_sales,
+          round(CAST(sum(CASE WHEN dayofweek(o_orderdate) = 3
+            THEN CAST(o_totalprice AS DECIMAL(38,2))
+            ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE), 2) AS wed_sales,
+          round(CAST(sum(CASE WHEN dayofweek(o_orderdate) = 4
+            THEN CAST(o_totalprice AS DECIMAL(38,2))
+            ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE), 2) AS thu_sales,
+          round(CAST(sum(CASE WHEN dayofweek(o_orderdate) = 5
+            THEN CAST(o_totalprice AS DECIMAL(38,2))
+            ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE), 2) AS fri_sales,
+          round(CAST(sum(CASE WHEN dayofweek(o_orderdate) = 6
+            THEN CAST(o_totalprice AS DECIMAL(38,2))
+            ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE), 2) AS sat_sales
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1""")),
+
+    // q46 (query46.sql): TWO ROLES OF THE SAME DIMENSION compared
+    // after aggregation — per-order revenue grouped WITH the
+    // supplier's nation binding, joined back to the customer's
+    // CURRENT nation binding, keeping only cross-nation orders
+    // (bought_city <> current ca_city in the reference). The nation
+    // dim binds twice through different fact FKs; the inequality can
+    // only evaluate after the join-back.
+    Q("agg_tpcds_q46",
+      (s, d) => li(s, d)
+        .join(ord(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_orderkey"), col("o_custkey"),
+          col("s_nationkey").as("bought_nation"))
+        .agg(round(sum(rev.cast("decimal(38,4)")).cast("double"), 4)
+          .as("amt"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("bought_nation") =!= col("c_nationkey"))
+        .select(col("c_name"), col("bought_nation"),
+          col("c_nationkey").as("home_nation"), col("l_orderkey"),
+          col("amt")),
+      Some("""WITH dn AS (
+          SELECT l_orderkey, o_custkey, s_nationkey AS bought_nation,
+            round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(38,4))) AS DOUBLE), 4) AS amt
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE o_orderpriority = '1-URGENT'
+          GROUP BY 1, 2, 3)
+        SELECT c_name, bought_nation,
+          CAST(c_nationkey AS INTEGER) AS home_nation, l_orderkey, amt
+        FROM dn JOIN customer ON o_custkey = c_custkey
+        WHERE bought_nation <> c_nationkey""")),
+
+    // q69 (query69.sql): THREE existence predicates on the same fact
+    // (EXISTS store ∧ NOT EXISTS web ∧ NOT EXISTS catalog) —
+    // decorrelated to ONE grouped flag pass computing all three
+    // channel flags per customer at once, where q35's shape (the r11
+    // analog) spends a semi/anti join per predicate. Demographic
+    // group counts over the surviving customers.
+    Q("agg_tpcds_q69",
+      (s, d) => {
+        val flags = ord(s, d)
+          .filter(year(col("o_orderdate")) === 1996 &&
+            month(col("o_orderdate")).between(1, 3))
+          .groupBy(col("o_custkey"))
+          .agg(
+            max(when(col("o_orderpriority") === "1-URGENT", 1)
+              .otherwise(0)).as("has_s"),
+            max(when(col("o_orderpriority") === "2-HIGH", 1)
+              .otherwise(0)).as("has_w"),
+            max(when(col("o_orderpriority") === "3-MEDIUM", 1)
+              .otherwise(0)).as("has_c"))
+          .filter(col("has_s") === 1 && col("has_w") === 0 &&
+            col("has_c") === 0)
+        cust(s, d)
+          .join(flags, col("c_custkey") === col("o_custkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH flags AS (
+          SELECT o_custkey,
+            max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS has_s,
+            max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+              AS has_w,
+            max(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+              AS has_c
+          FROM orders
+          WHERE year(o_orderdate) = 1996
+            AND month(o_orderdate) BETWEEN 1 AND 3
+          GROUP BY 1
+          HAVING max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 1
+            AND max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) = 0
+            AND max(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) = 0)
+        SELECT n_name, c_mktsegment, count(*) AS cnt
+        FROM customer
+        JOIN flags ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2""")),
+
+    // q72 (query72.sql — the notorious MANY-JOIN fact chain): sales ⋈
+    // orders (date role 1) ⋈ part ⋈ supplier ⋈ INVENTORY (a second
+    // fact role: per (part, month) stock proxy) under a CROSS-FACT
+    // INEQUALITY (on-hand below the line's demand), a second date
+    // inequality (shipped > 5 days after ordering), a LEFT join to
+    // the promo set and a LEFT join to pre-aggregated returns.
+    // Inequality operands cross-multiply in integers (sum < qty·cnt ⟺
+    // avg < qty) so no division/float enters the JOIN condition; the
+    // inventory role pre-aggregates to its join grain (q93's
+    // discipline) so the chain never fans out.
+    Q("agg_tpcds_q72",
+      (s, d) => {
+        val inv = li(s, d)
+          .groupBy(col("l_partkey").as("i_partkey"),
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .as("i_ym"))
+          .agg(sum(col("l_quantity")).cast("long").as("inv_sum"),
+            count(lit(1)).as("inv_cnt"))
+        val promoParts = prt(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey").as("pp_partkey"))
+        val rets = li(s, d).filter(col("l_returnflag") === "R")
+          .groupBy(col("l_orderkey").as("r_orderkey"),
+            col("l_partkey").as("r_partkey"))
+          .agg(count(lit(1)).as("n_ret"))
+        li(s, d)
+          .join(ord(s, d).filter(year(col("o_orderdate")) === 1996 &&
+            col("o_orderpriority") === "3-MEDIUM"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(inv, col("l_partkey") === col("i_partkey") &&
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+              === col("i_ym") &&
+            col("inv_sum") < col("l_quantity") * col("inv_cnt"))
+          .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 5)
+          .join(broadcast(promoParts),
+            col("l_partkey") === col("pp_partkey"), "left")
+          .join(rets, col("l_orderkey") === col("r_orderkey") &&
+            col("l_partkey") === col("r_partkey"), "left")
+          .groupBy(col("p_brand"),
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+              .as("ym"))
+          .agg(
+            sum(when(col("pp_partkey").isNull, 1).otherwise(0))
+              .cast("long").as("no_promo"),
+            sum(when(col("pp_partkey").isNotNull, 1).otherwise(0))
+              .cast("long").as("promo"),
+            sum(when(col("n_ret").isNotNull, 1).otherwise(0))
+              .cast("long").as("returned"),
+            count(lit(1)).as("total_cnt"))
+      },
+      Some("""WITH inv AS (
+          SELECT l_partkey AS i_partkey,
+            year(l_shipdate) * 100 + month(l_shipdate) AS i_ym,
+            CAST(sum(l_quantity) AS BIGINT) AS inv_sum,
+            count(*) AS inv_cnt
+          FROM lineitem GROUP BY 1, 2
+        ), promo AS (
+          SELECT p_partkey AS pp_partkey FROM part WHERE p_type = 'PROMO'
+        ), rets AS (
+          SELECT l_orderkey AS r_orderkey, l_partkey AS r_partkey,
+            count(*) AS n_ret
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+        SELECT p_brand,
+          year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+          CAST(sum(CASE WHEN pp_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS no_promo,
+          CAST(sum(CASE WHEN pp_partkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS promo,
+          CAST(sum(CASE WHEN n_ret IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS returned,
+          count(*) AS total_cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN inv ON l_partkey = i_partkey
+          AND year(o_orderdate) * 100 + month(o_orderdate) = i_ym
+          AND inv_sum < l_quantity * inv_cnt
+        LEFT JOIN promo ON l_partkey = pp_partkey
+        LEFT JOIN rets ON l_orderkey = r_orderkey
+          AND l_partkey = r_partkey
+        WHERE year(o_orderdate) = 1996
+          AND o_orderpriority = '3-MEDIUM'
+          AND date_diff('day', o_orderdate, l_shipdate) > 5
+        GROUP BY 1, 2""")),
+
+    // q90 (query90.sql): the RATIO OF TWO SCALAR AGGREGATES (am/pm
+    // order count) — both numerator and denominator computed in the
+    // SAME single-scan conditional aggregation (never two subquery
+    // scans), ratio emitted in integer basis points with a zero
+    // guard.
+    Q("agg_tpcds_q90",
+      (s, d) => ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(dayofmonth(col("o_orderdate")).between(1, 10), 1)
+            .otherwise(0)).cast("long").as("early_cnt"),
+          sum(when(dayofmonth(col("o_orderdate")).between(20, 29), 1)
+            .otherwise(0)).cast("long").as("late_cnt"))
+        .select(col("o_orderpriority"), col("early_cnt"), col("late_cnt"),
+          expr("CASE WHEN late_cnt > 0 " +
+            "THEN early_cnt * 10000 div late_cnt END").as("ratio_bp")),
+      Some("""SELECT o_orderpriority,
+          CAST(sum(CASE WHEN day(o_orderdate) BETWEEN 1 AND 10
+            THEN 1 ELSE 0 END) AS BIGINT) AS early_cnt,
+          CAST(sum(CASE WHEN day(o_orderdate) BETWEEN 20 AND 29
+            THEN 1 ELSE 0 END) AS BIGINT) AS late_cnt,
+          CAST(CASE WHEN sum(CASE WHEN day(o_orderdate) BETWEEN 20 AND 29
+              THEN 1 ELSE 0 END) > 0
+            THEN sum(CASE WHEN day(o_orderdate) BETWEEN 1 AND 10
+              THEN 1 ELSE 0 END) * 10000
+              // sum(CASE WHEN day(o_orderdate) BETWEEN 20 AND 29
+              THEN 1 ELSE 0 END) END AS BIGINT) AS ratio_bp
+        FROM orders GROUP BY 1""")),
   )
 }

