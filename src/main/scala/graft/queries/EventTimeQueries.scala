@@ -667,6 +667,29 @@ object EventTimeQueries {
           count(*) AS n_rows
         FROM g GROUP BY user_id, wid""")),
 
+    // Beam OrderedListState (state/OrderedListState.java:28) as an
+    // operator (r19): per-user ORDERED-BUFFER REPLAY — events buffer
+    // into the timestamp-keyed ordered list and emit in (ts, event_id)
+    // order with a per-key sequence index. This registry row runs the
+    // ONE processor's batch path (emitOnInput; timers cannot fire in
+    // batch); the streaming path drains by watermark range-reads and
+    // is spec'd equal in StatefulV2Spec (incl. checkpoint recovery).
+    Q("ordered_replay_events",
+      (s, d) => {
+        import s.implicits._
+        graft.streaming.StatefulV2.ensureBatchTws(s)
+        val ds = ev(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .as[(Long, java.sql.Timestamp, Long)]
+        graft.streaming.StatefulV2.orderedReplay(ds, emitOnInput = true)
+          .toDF("user_id", "seq", "ts_ms", "event_id")
+      },
+      Some("""SELECT user_id,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts), event_id) AS seq,
+          epoch_ms(ts) AS ts_ms, event_id
+        FROM events""")),
+
     // Beam Deduplicate (transforms/Deduplicate.java:70): keep first event
     // per (user, type) in event time, deterministic tie-break on id.
     Q("dedup_events_first",

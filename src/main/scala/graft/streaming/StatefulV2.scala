@@ -12,6 +12,8 @@ import org.apache.spark.sql.streaming._
   * | ValueState (ValueState.java:27)  | handle.getValueState        |
   * | BagState (BagState.java:31)      | handle.getListState         |
   * | MapState (MapState.java:33)      | handle.getMapState          |
+  * | MultimapState (MultimapState.java:33) | [[MultimapUserState]]  |
+  * | OrderedListState (OrderedListState.java:28) | [[OrderedListUserState]] |
   * | @TimerId / Timer (Timer.java:42) | handle.registerTimer        |
   * | state TTL (Deduplicate.java:70)  | TTLConfig(Duration)         |
   *
@@ -26,12 +28,203 @@ object StatefulV2 {
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Prepare a session for BATCH `transformWithState` (r19): the
+    * executor-side store still loads through the provider (only
+    * RocksDB implements the TWS column families), and the provider's
+    * load path reports to the driver's StateStoreCoordinator RPC
+    * endpoint — which Spark only creates when a STREAMING query
+    * starts. A pure-batch session (graft.Verify) therefore fails with
+    * `RpcEndpointNotFoundException: ...StateStoreCoordinator` unless
+    * the coordinator is touched first; the accessor is public on the
+    * classic StreamingQueryManager. */
+  def ensureBatchTws(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RocksDbProvider)
+    // `private[sql]` in Scala but public at the JVM level — reflect
+    spark.streams.getClass.getMethod("stateStoreCoordinator")
+      .invoke(spark.streams)
+    ()
+  }
+
   /** `toArray` for an unbounded-generic buffer without threading a
     * ClassTag through every processor's public signature: ListState's
     * appendList/put only ITERATE the array (T is erased), so an
     * Object-array cast is safe here. */
   private def toArr[T](b: scala.collection.mutable.ArrayBuffer[T]): Array[T] =
     b.toArray[Any](scala.reflect.ClassTag.Any).asInstanceOf[Array[T]]
+
+  // ===== Beam's two remaining user-state KINDS (r19, VERDICT r18 #6):
+  // MultimapState and OrderedListState as thin, documented encodings
+  // over the handle's MapState — constructed inside any processor's
+  // init() from a MapState it owns, so they compose with timers/TTL
+  // exactly like the primitive cells.
+
+  /** Beam MultimapState (sdks/java/core/.../state/MultimapState.java:33
+    * — put/get/remove/keys/entries where get returns a BAG per map
+    * key), encoded over `MapState[MK, Seq[MV]]`: one state row per map
+    * key holding that key's bag. put() is read-modify-write of ONE
+    * bag row (Beam's runners pay the same per-mapkey rewrite); at
+    * 100 TB a hot map key's bag is the row that grows — same contract
+    * as Beam, worth a window/TTL bound in the owning processor. */
+  final class MultimapUserState[MK, MV](m: MapState[MK, Seq[MV]]) {
+    def put(k: MK, v: MV): Unit =
+      m.updateValue(k, (if (m.containsKey(k)) m.getValue(k) else Seq.empty[MV]) :+ v)
+    /** The bag under `k` (empty if absent) — MultimapState.get(). */
+    def get(k: MK): Seq[MV] =
+      if (m.containsKey(k)) m.getValue(k) else Seq.empty[MV]
+    def containsKey(k: MK): Boolean = m.containsKey(k)
+    /** Drop the whole bag under `k` — MultimapState.remove(). */
+    def remove(k: MK): Unit = m.removeKey(k)
+    def keys(): Iterator[MK] = m.keys()
+    /** Flattened (key, value) pairs — MultimapState.entries(). */
+    def entries(): Iterator[(MK, MV)] =
+      m.iterator().flatMap { case (k, vs) => vs.iterator.map((k, _)) }
+    def clear(): Unit = m.clear()
+  }
+
+  /** Beam OrderedListState (state/OrderedListState.java:28 —
+    * timestamped values readable/clearable by TIMESTAMP RANGE),
+    * encoded over `MapState[Long, Seq[V]]` keyed by the timestamp
+    * (multiple values per instant keep arrival order in their bag).
+    * Range reads filter the map iterator and sort client-side — the
+    * map holds one row per DISTINCT timestamp, so a read touches only
+    * resident rows of this user key, and clearRange() deletes whole
+    * timestamp rows (the GC path a watermark-driven replay needs). */
+  final class OrderedListUserState[V](m: MapState[Long, Seq[V]]) {
+    def add(tsMs: Long, v: V): Unit =
+      m.updateValue(tsMs, (if (m.containsKey(tsMs)) m.getValue(tsMs)
+        else Seq.empty[V]) :+ v)
+    /** All (ts, value) pairs with minMs <= ts < maxMs, ts-ascending;
+      * values at equal ts in insertion order — readRange(). */
+    def readRange(minMs: Long, maxMs: Long): Seq[(Long, V)] =
+      m.iterator().filter { case (ts, _) => ts >= minMs && ts < maxMs }
+        .toSeq.sortBy(_._1)
+        .flatMap { case (ts, vs) => vs.map((ts, _)) }
+    /** The full ordered contents — OrderedListState.read(). */
+    def read(): Seq[(Long, V)] = readRange(Long.MinValue, Long.MaxValue)
+    /** Delete every entry with minMs <= ts < maxMs — clearRange(). */
+    def clearRange(minMs: Long, maxMs: Long): Unit =
+      m.keys().filter(ts => ts >= minMs && ts < maxMs).toSeq
+        .foreach(m.removeKey)
+    def isEmpty: Boolean = !m.keys().hasNext
+    def clear(): Unit = m.clear()
+  }
+
+  /** Ordered-buffer REPLAY through [[OrderedListUserState]]: buffer
+    * (ts, value) per key, emit in (ts, value) order with a per-key
+    * sequence index. Streaming: each watermark advance drains exactly
+    * the ripe prefix via readRange(−∞, watermark) + clearRange (the
+    * range-read contract OrderedListState exists for) — late-arriving
+    * rows inside the watermark still sort into their place because
+    * emission happens only when their timestamp range closes.
+    * `emitOnInput = true` is the BATCH path (timers never fire in a
+    * batch run): buffer then drain at the end of the input iterator —
+    * same code path through the state encoding, spec'd ≡ streaming. */
+  class OrderedReplayProcessor[K](emitOnInput: Boolean)
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, Long), (K, Long, Long, Long)] {
+    @transient private var buf: OrderedListUserState[Long] = _
+    @transient private var seq: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = new OrderedListUserState[Long](
+        getHandle.getMapState[Long, Seq[Long]]("buf", Encoders.scalaLong,
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[Seq[Long]](), TTLConfig.NONE))
+      seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    private def drain(key: K, uptoMs: Long): Iterator[(K, Long, Long, Long)] = {
+      val ripe = buf.readRange(Long.MinValue, uptoMs)
+      if (ripe.isEmpty) Iterator.empty
+      else {
+        buf.clearRange(Long.MinValue, uptoMs)
+        var s = if (seq.exists()) seq.get() else 0L
+        val out = ripe.sortBy(p => (p._1, p._2)).map { case (ts, v) =>
+          s += 1; (key, s, ts, v)
+        }
+        seq.update(s)
+        out.iterator
+      }
+    }
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, Long)],
+        timers: TimerValues): Iterator[(K, Long, Long, Long)] = {
+      rows.foreach { case (_, ts, v) => buf.add(ts.getTime, v) }
+      if (emitOnInput) drain(key, Long.MaxValue)
+      else {
+        // one timer at the current frontier; re-registered every batch
+        // so each watermark advance ripens the next prefix
+        getHandle.registerTimer(timers.getCurrentWatermarkInMs() + 1)
+        Iterator.empty
+      }
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(K, Long, Long, Long)] = {
+      // ripe = ts <= watermark (the watermark PASSED the instant);
+      // re-arm while anything is still buffered so the next watermark
+      // advance wakes this key even without new input (the armChain
+      // discipline every event-time processor here follows)
+      val out = drain(key, timers.getCurrentWatermarkInMs() + 1)
+      if (!buf.isEmpty)
+        getHandle.registerTimer(timers.getCurrentWatermarkInMs() + 1)
+      out
+    }
+  }
+
+  /** [[OrderedReplayProcessor]] as an operator: input (key, ts,
+    * value), output (key, seq, tsMs, value) in per-key (ts, value)
+    * order. Batch and streaming from the ONE processor — the batch
+    * path sets `emitOnInput` and runs TimeMode.None (timers cannot
+    * fire in batch runs); streaming callers attach `.withWatermark`
+    * on the ts column first. */
+  def orderedReplay[K: Encoder](ds: Dataset[(K, java.sql.Timestamp, Long)],
+      emitOnInput: Boolean = false)(
+      implicit outEnc: Encoder[(K, Long, Long, Long)]): Dataset[(K, Long, Long, Long)] =
+    ds.groupByKey(_._1).transformWithState(
+      new OrderedReplayProcessor[K](emitOnInput),
+      if (emitOnInput) TimeMode.None() else TimeMode.EventTime(),
+      OutputMode.Append())
+
+  /** Multimap GROUP-AND-DRAIN through [[MultimapUserState]]: per user
+    * key, values bag up under their map key (attribute); a foreign
+    * `drainMarker` row drains every bag, emitting (key, mapKey,
+    * values-in-arrival-order) and clearing — the smallest op that
+    * exercises put/get/keys/entries/remove across batches. */
+  class MultimapGroupProcessor[K](drainMarker: String)
+      extends StatefulProcessor[K, (K, String, Long), (K, String, Seq[Long])] {
+    @transient private var mm: MultimapUserState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mm = new MultimapUserState[String, Long](
+        getHandle.getMapState[String, Seq[Long]]("mm", Encoders.STRING,
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[Seq[Long]](), TTLConfig.NONE))
+
+    override def handleInputRows(key: K, rows: Iterator[(K, String, Long)],
+        timers: TimerValues): Iterator[(K, String, Seq[Long])] = {
+      var drain = false
+      rows.foreach { case (_, mk, v) =>
+        if (mk == drainMarker) drain = true else mm.put(mk, v)
+      }
+      if (!drain) Iterator.empty
+      else {
+        val out = mm.keys().toSeq.sorted.map(mk => (key, mk, mm.get(mk)))
+        out.foreach { case (_, mk, _) => mm.remove(mk) }
+        out.iterator
+      }
+    }
+  }
+
+  /** [[MultimapGroupProcessor]] as an operator. */
+  def multimapGroup[K: Encoder](ds: Dataset[(K, String, Long)],
+      drainMarker: String = "__drain__")(
+      implicit outEnc: Encoder[(K, String, Seq[Long])]): Dataset[(K, String, Seq[Long])] =
+    ds.groupByKey(_._1).transformWithState(
+      new MultimapGroupProcessor[K](drainMarker),
+      TimeMode.None(), OutputMode.Append())
 
   /** Beam GroupIntoBatches (transforms/GroupIntoBatches.java:108) with
     * real timers: BagState buffer + ValueState count + a processing-time

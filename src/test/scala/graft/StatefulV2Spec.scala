@@ -2469,4 +2469,128 @@ class StatefulV2Spec extends SparkSpec {
       q.stop()
     }
   }
+
+  // ===== r19: Multimap / OrderedList user-state KINDS (VERDICT r18
+  // #6 — MultimapState.java:33, OrderedListState.java:28 as thin
+  // encodings over MapState with range-read support)
+
+  test("multimapGroup: put/get/keys/entries semantics across micro-batches") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, String, Long)]
+      val out = StatefulV2.multimapGroup(mem.toDS())
+      val table = freshTable()
+      val q = startMemorySink(out, table)
+      // bags accumulate ACROSS batches per (user key, map key)
+      mem.addData((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 1L))
+      q.processAllAvailable()
+      mem.addData((1L, "a", 11L))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 0, "nothing drains before marker")
+      mem.addData((1L, "__drain__", 0L))
+      q.processAllAvailable()
+      val got = spark.table(table).as[(Long, String, Seq[Long])]
+        .collect().toSet
+      // per-mapkey bags in arrival order; key 2 untouched
+      assert(got == Set((1L, "a", Seq(10L, 11L)), (1L, "b", Seq(20L))),
+        s"got $got")
+      // remove() cleared the bags: a second drain emits nothing new
+      mem.addData((1L, "__drain__", 0L))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 2, "bags not cleared by remove()")
+      q.stop()
+    }
+  }
+
+  test("multimap state survives a query restart (checkpoint recovery)") {
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-mmck").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-mmout").toString
+      val mem = MemoryStream[(Long, String, Long)]
+      def start() = StatefulV2.multimapGroup(mem.toDS())
+        .toDF("key", "mk", "vals")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData((1L, "a", 10L), (1L, "a", 11L), (1L, "b", 20L))
+      q1.processAllAvailable()
+      q1.stop() // bags buffered, nothing drained
+      val q2 = start()
+      mem.addData((1L, "__drain__", 0L))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .as[(Long, String, Seq[Long])].collect().toSet
+      assert(got == Set((1L, "a", Seq(10L, 11L)), (1L, "b", Seq(20L))),
+        s"multimap bags lost across restart: $got")
+      q2.stop()
+    }
+  }
+
+  test("orderedReplay: watermark drains the ripe prefix in (ts, value) order; batch == stream") {
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val out = StatefulV2.orderedReplay(
+        mem.toDS().withWatermark("_2", "0 seconds"))
+      val table = freshTable()
+      val q = startMemorySink(out, table)
+      // out-of-order WITHIN a batch (the buffer must sort), plus a
+      // same-timestamp pair (tie breaks by value)
+      mem.addData((1L, t(5), 50L), (1L, t(2), 20L), (1L, t(5), 40L))
+      q.processAllAvailable()
+      mem.addData((9L, t(7), 0L)) // watermark -> 10:00:05: drains <= t5
+      q.processAllAvailable()
+      // t(10) is AHEAD of the watermark (10:00:07) — buffered, not
+      // late-dropped; a t(30) co-rider moves the frontier past it
+      mem.addData((1L, t(10), 10L), (9L, t(30), 1L))
+      q.processAllAvailable()
+      mem.addData((9L, t(50), 2L)) // watermark -> 10:00:30: drains t10
+      q.processAllAvailable()
+      mem.addData((9L, t(55), 3L))
+      q.processAllAvailable()
+      val streamed = spark.table(table).filter("_1 = 1")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+      // seq follows (ts, value) order: 20@2, 40@5, 50@5, 10@10
+      assert(streamed.map(r => (r._2, r._4)) ==
+        Seq((1L, 20L), (2L, 40L), (3L, 50L), (4L, 10L)), s"got $streamed")
+      q.stop()
+
+      // the BATCH path (emitOnInput, TimeMode.None) over the same rows
+      // must produce the same ordered sequence — one processor, two
+      // execution modes
+      val batch = StatefulV2.orderedReplay(
+          Seq((1L, t(5), 50L), (1L, t(2), 20L), (1L, t(5), 40L),
+            (1L, t(10), 10L)).toDS(), emitOnInput = true)
+        .collect().toSeq.sortBy(_._2)
+      assert(batch.map(r => (r._2, r._4)) ==
+        streamed.map(r => (r._2, r._4)), s"batch $batch != stream $streamed")
+    }
+  }
+
+  test("orderedReplay state survives a query restart (checkpoint recovery)") {
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-orck").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-orout").toString
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      def start() = StatefulV2.orderedReplay(
+          mem.toDS().withWatermark("_2", "0 seconds"))
+        .toDF("key", "seq", "ts", "v")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData((1L, t(5), 50L), (1L, t(2), 20L))
+      q1.processAllAvailable()
+      q1.stop() // both buffered in the ordered list, nothing ripe
+      val q2 = start()
+      mem.addData((9L, t(40), 0L)) // watermark past both
+      q2.processAllAvailable()
+      mem.addData((9L, t(50), 0L))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).filter("key = 1")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+      assert(got.map(r => (r._2, r._4)) == Seq((1L, 20L), (2L, 50L)),
+        s"ordered buffer lost across restart: $got")
+      q2.stop()
+    }
+  }
 }
