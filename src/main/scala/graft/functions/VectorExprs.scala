@@ -570,6 +570,10 @@ object GraftFunctions {
     "hot_item_agg" -> ((e: Seq[Expression]) => HotItemAgg(e(0))),
     "new_users_agg" -> ((e: Seq[Expression]) =>
       NewUsersAgg(e(0), e(1), e(2))),
+    "zeta_hll_agg" -> ((e: Seq[Expression]) =>
+      ZetaHllAgg(e(0), litInt(e(1)))),
+    "zeta_hll_merge_agg" -> ((e: Seq[Expression]) => ZetaHllMergeAgg(e(0))),
+    "zeta_hll_info" -> ((e: Seq[Expression]) => ZetaHllInfo(e(0))),
     "theta_merge_agg" -> ((e: Seq[Expression]) =>
       ThetaMergeAgg(e(0), litInt(e(1)))),
     "tdigest_agg" -> ((e: Seq[Expression]) =>

@@ -363,6 +363,54 @@ object RelationalQueries {
           CAST(1 AS BIGINT) AS within_10pct
         FROM lineitem GROUP BY 1""")),
 
+    // HllCount in the ZETASKETCH WIRE LAYOUT (r19, VERDICT r18 #5 —
+    // extensions/zetasketch/.../HllCount.java:45-79): per-group
+    // sketches built by zeta_hll_agg, rolled up to an ALL row through
+    // zeta_hll_merge_agg (a decode → register-max merge → re-encode
+    // round-trip by construction — HllCount.MergePartial), framing
+    // fields decoded back by zeta_hll_info and oracle-checked EXACTLY
+    // (type=112, version=2, precision, num_values == row count);
+    // estimates gate on the ±2.5% (3σ at p=14) bound flag like
+    // agg_approx_distinct. Hash-layer interchange caveat: see
+    // functions/ZetaSketch.scala scaladoc.
+    Q("agg_hll_zetasketch",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val per = li(s, d).groupBy(col("l_returnflag").as("grp"))
+          .agg(expr("zeta_hll_agg(cast(l_orderkey as string), 14)").as("sk"),
+            countDistinct(col("l_orderkey")).as("exact_distinct"))
+        val globExact = li(s, d)
+          .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        val glob = per.agg(expr("zeta_hll_merge_agg(sk)").as("sk"))
+          .crossJoin(broadcast(globExact))
+          .select(lit("ALL").as("grp"), col("sk"), col("exact_distinct"))
+        per.select(col("grp"), col("sk"), col("exact_distinct"))
+          .unionByName(glob)
+          .withColumn("info", expr("zeta_hll_info(sk)"))
+          .select(col("grp"),
+            col("info.sk_type").as("sk_type"),
+            col("info.encoding_version").as("encoding_version"),
+            col("info.precision").as("precision"),
+            col("info.num_values").as("num_values"),
+            col("exact_distinct"),
+            (abs(col("info.estimate") - col("exact_distinct")) * 40
+              <= col("exact_distinct")).cast("long").as("within_3sigma"))
+      },
+      Some("""WITH per AS (
+          SELECT l_returnflag AS grp, count(*) AS num_values,
+            count(DISTINCT l_orderkey) AS exact_distinct
+          FROM lineitem GROUP BY 1
+        ), tot AS (
+          SELECT 'ALL' AS grp, count(*) AS num_values,
+            count(DISTINCT l_orderkey) AS exact_distinct
+          FROM lineitem)
+        SELECT grp, CAST(112 AS INTEGER) AS sk_type,
+          CAST(2 AS INTEGER) AS encoding_version,
+          CAST(14 AS INTEGER) AS precision,
+          num_values, exact_distinct,
+          CAST(1 AS BIGINT) AS within_3sigma
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)""")),
+
     // ===== Latest / Top (Beam Latest.java:56, Top.java:58)
     Q("latest_per_key",
       (s, d) => Relational.latestPerKey(ord(s, d), Seq(col("o_custkey")),
