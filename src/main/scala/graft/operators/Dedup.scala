@@ -173,12 +173,32 @@ object Dedup {
     * then estimate Jaccard as fraction of agreeing signature components.
     * Returns (idA, idB, est_jaccard) with idA < idB, deduplicated across
     * bands. The join is a plain shuffle-hash equi-join on the bucket key
-    * — linear in candidates, never materializes the O(n²) pair space. */
+    * — linear in candidates, never materializes the O(n²) pair space.
+    *
+    * @param maxBucket when > 0, drop band buckets holding more than
+    *        this many docs BEFORE the self-join (the hot-bucket cap,
+    *        same trade as [[simHashPairs]]' — r19): a bucket of size s
+    *        emits s·(s−1)/2 candidates, so one degenerate bucket
+    *        (boilerplate-heavy shingles, near-empty docs) is locally
+    *        quadratic at any corpus size. The trade is RECALL on
+    *        exactly the docs sharing that degenerate signature slice —
+    *        typically template boilerplate a curation pipeline wants
+    *        length/repetition filters to handle anyway; ScaleProbe's
+    *        dedup_pipeline section measures the occupancy the cap
+    *        would act on (p99 ~1 on non-degenerate corpora). */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, numBands: Int = 4,
-      minEstJaccard: Double = 0.0): DataFrame = {
+      minEstJaccard: Double = 0.0, maxBucket: Long = 0L): DataFrame = {
     val sig = minHashSignatures(df, idCol, textCol, numHashes).cache()
-    val buckets = minHashBuckets(sig, idCol, numHashes, numBands)
+    val buckets0 = minHashBuckets(sig, idCol, numHashes, numBands)
+    val buckets =
+      if (maxBucket <= 0) buckets0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))
+        buckets0.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      }
     val a = buckets.as("a")
     val b = buckets.as("b")
     val pairs = a.join(b,

@@ -611,9 +611,23 @@ object Similarity {
     // excludeSelf drops (id, id) pairs — right for intra-corpus top-k
     // where every query IS a corpus row; admission gates set false
     // (an incoming row legitimately shares its duplicate's id)
-    val cand0 = q.select("query_id", "cell")
-      .join(encoded.select("match_id", "cell", "codes", "cn_hat"),
-        Seq("cell"))
+    // BROADCAST the (query, probed-cell) side (r19 — measured at 10M
+    // corpus rows): a plain equi-join shuffles the WHOLE encoded
+    // corpus on cell to meet a few hundred query-cell rows; broadcast
+    // flips it to one streaming corpus scan probing a tiny hash table
+    // — the query path never shuffles the corpus. The probed-cell IN
+    // filter ADDITIONALLY prunes that scan at the source: under a
+    // cell-clustered corpus layout (partitioned/sorted/cached by cell
+    // — the deployment rule, same idea as Layout.zorder) it becomes
+    // partition/cached-batch pruning and the scan itself is
+    // O(candidates), not O(corpus).
+    // bounded: ≤ queries × nProbe distinct cell ids — the probe set,
+    // index-sized by construction, never data-sized
+    val probedCells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand0 = encoded.select("match_id", "cell", "codes", "cn_hat")
+      .filter(col("cell").isInCollection(probedCells))
+      .join(broadcast(q.select("query_id", "cell")), Seq("cell"))
     val cand = (if (excludeSelf)
         cand0.filter(col("query_id") =!= col("match_id"))
       else cand0)
@@ -634,8 +648,12 @@ object Similarity {
     val qVecs = broadcast(q0.select("query_id", "qv", "qn"))
     val cVecs = corpusVecs.select(col(idCol).as("match_id"),
       col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
-    val scored = shortlist.join(qVecs, "query_id")
-      .join(cVecs, "match_id")
+    // same discipline for the exact-rerank fetch: the shortlist is
+    // queries×k×rerank rows — broadcast IT so the corpus-vector fetch
+    // is a streamed scan, never a shuffle+sort of the corpus (at 10M
+    // vectors the SMJ shuffle dominated the whole search wall)
+    val scored = cVecs
+      .join(broadcast(shortlist.join(qVecs, "query_id")), "match_id")
       .select(col("query_id"), col("match_id"),
         round(call_function("vec_dot", col("qv"), col("cv"))
           / (col("qn") * col("cn")), 6).as("sim"))

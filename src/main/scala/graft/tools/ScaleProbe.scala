@@ -28,6 +28,13 @@ import graft.streaming.{StatefulV2, StreamOps}
   *     (the r17 windowed-CoGBK bench shape: near-empty post-flush)
   *   - ann_admission (IVF-PQ ingestion gate at N and 10N corpus)
   *   - minhash_candidates (LSH banded equi-join, N then 10N docs)
+  *   - dedup_pipeline (r19: the FULL minHashCandidates →
+  *     connectedComponents chain, expression-generated corpus so the
+  *     10M third point runs — pair-linearity, bucket-occupancy-p99,
+  *     cluster-count, and CC-wall gates)
+  *   - ivf_pq_search (r19: the ivfPqTopKEncoded query path at √N
+  *     cells — planted recall, cell-occupancy balance, candidate
+  *     growth, sub-linear wall)
   *
   * Workload: `SCALE_PROBE_BASE` events (default 100k; 10× = 1M) over a
   * FIXED 2,000-key population with cubic skew (hot keys ~30× the
@@ -566,6 +573,194 @@ object ScaleProbe {
       println(gate(latGrowth <= 4.0,
         f"ann_admission batch latency grew ${latGrowth}%.1fx across 10x corpus") match {
         case "ok" => f"ann_admission latency growth ${latGrowth}%.2fx across 10x corpus ok"
+        case s => s
+      })
+    }
+
+    // ===== Dedup PIPELINE decade gates (r19, VERDICT r18 #3): the
+    // full minHashCandidates → connectedComponents chain over a
+    // DISTRIBUTIVELY generated corpus (the driver-RAM genDocs caps out
+    // near 1M docs; expression-generated docs scale to the 10M third
+    // point: SCALE_PROBE_SCALES-style env override on the base).
+    // Corpus: every 10th doc is a one-word-swapped near-copy of its
+    // predecessor ⇒ true pairs ≈ n/10, clusters of size 2. Gates:
+    //   (1) candidate pairs grow ~linearly (≤ 3× per-doc per decade)
+    //   (2) per-(band, bucket) occupancy FLAT: p99 at 10× within 2×
+    //       of the 1× point (the hot-bucket signal minHashCandidates'
+    //       maxBucket cap acts on — trade documented on the operator)
+    //   (3) connected components: cluster count within 20% of the
+    //       planted n/10 and wall-time exponent ≤ 0.30 per decade
+    //       (the pinned-partitioner fixpoint is O(log diameter) rounds)
+    if (want("dedup_pipeline")) {
+      import graft.operators.Dedup
+      def genDocsDist(n: Long) = {
+        // base(i) = the doc whose words row i copies; near-copies swap
+        // word p(i) = hash(i) % 30 for a vocabulary-disjoint 'x' word
+        spark.range(n).selectExpr("id AS doc_id",
+          """concat_ws(' ', transform(sequence(0, 29), j ->
+               CASE WHEN id % 10 = 9
+                      AND j = CAST(pmod(xxhash64(id), 30) AS INT)
+                    THEN concat('x', pmod(xxhash64(id, j, 777777), 5000))
+                    ELSE concat('w', pmod(xxhash64(
+                      id - CASE WHEN id % 10 = 9 THEN 1 ELSE 0 END,
+                      j), 5000)) END)) AS text""")
+      }
+      val dpBase = sys.env.getOrElse("SCALE_PROBE_DEDUP_BASE",
+        math.max(2000, base / 10).toString).toLong
+      val stats = Seq(dpBase, dpBase * 10).map { n =>
+        val docs = genDocsDist(n)
+        // occupancy of the banded index (what a hot-bucket cap acts on)
+        val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 16)
+        val occ = Dedup.minHashBuckets(sig, "doc_id", 16, 4)
+          .groupBy("band", "bucket").agg(count(lit(1)).as("s"))
+          .agg(max(col("s")).as("mx"),
+            expr("percentile_approx(s, 0.99, 10000)").as("p99"),
+            avg(col("s")).as("mean"))
+          .collect()(0)
+        val (occMax, occP99) = (occ.getLong(0), occ.getLong(1))
+        val t0 = System.nanoTime()
+        val pairs = Dedup.minHashCandidates(docs, "doc_id", "text",
+          numHashes = 16, numBands = 4, minEstJaccard = 0.5).cache()
+        val nPairs = pairs.count()
+        val candDt = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nClusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .select("cluster").distinct().count()
+        val ccDt = (System.nanoTime() - t1) / 1e9
+        pairs.unpersist()
+        println(f"dedup_pipeline         $n%9d ${n / candDt}%9.0f docs/s  " +
+          f"pairs=$nPairs occP99=$occP99 occMax=$occMax " +
+          f"cc=${ccDt}%6.2fs clusters=$nClusters")
+        (n, nPairs, occP99, ccDt, nClusters)
+      }
+      val (n1, p1, o1, cc1, cl1) = stats.head
+      val (n2, p2, o2, cc2, cl2) = stats.last
+      println(gate(p2.toDouble / math.max(1L, p1) <= 30.0,
+        f"dedup_pipeline pairs grew ${p2.toDouble / math.max(1L, p1)}%.1fx " +
+          "across 10x docs (O(n^2)?)") match {
+        case "ok" => f"dedup_pipeline pairs ${p1} -> ${p2} across 10x docs (linear band) ok"
+        case s => s
+      })
+      println(gate(o2 <= math.max(4L, o1 * 2),
+        s"dedup_pipeline bucket-occupancy p99 not flat: $o1 -> $o2 " +
+          "across 10x docs (hot buckets forming — engage maxBucket)") match {
+        case "ok" => s"dedup_pipeline occupancy p99 flat ($o1 -> $o2) across 10x docs ok"
+        case s => s
+      })
+      Seq((n1, cl1), (n2, cl2)).foreach { case (n, cl) =>
+        val planted = n / 10
+        println(gate(math.abs(cl - planted) <= planted / 5,
+          s"dedup_pipeline clusters $cl vs planted ~$planted at n=$n") match {
+          case "ok" => s"dedup_pipeline clusters $cl ~= planted $planted at n=$n ok"
+          case s => s
+        })
+      }
+      val ccExp = math.log10((cc2 / n2.toDouble) / (cc1 / n1.toDouble))
+      println(gate(ccExp <= 0.30,
+        f"dedup_pipeline cc per-doc wall exponent $ccExp%.2f > 0.30/decade") match {
+        case "ok" => f"dedup_pipeline cc per-doc wall exponent $ccExp%+6.3f ok"
+        case s => s
+      })
+    }
+
+    // ===== IVF-PQ SEARCH decade gates (r19, VERDICT r18 #3 — the
+    // query path twin of ann_admission's ingestion gates):
+    // ivfPqTopKEncoded at N and 10N corpus vectors, √N cells. Gates:
+    //   (1) planted-neighbor recall@10 ≥ 0.8 at BOTH scales (100
+    //       queries = exact copies of corpus vectors; the source id
+    //       must rank in the top 10)
+    //   (2) IVF CELL occupancy stays balanced: p99 ≤ 8× the mean cell
+    //       size at both scales (a collapsed k-means would funnel the
+    //       corpus into few cells — the probe-side hot-bucket analog)
+    //   (3) per-query candidate volume grows ≤ 4.5× per corpus decade
+    //       (√N cells ⇒ ~√10 ≈ 3.2× expected) — THE algorithmic
+    //       sub-linearity gate
+    //   (4) search wall strictly SUB-LINEAR (≤ 10× per corpus decade)
+    //       at fixed queries: the wall is candidates-term (~3.3×) +
+    //       an O(corpus) scan term this single-JVM probe cannot
+    //       eliminate (measured 7.7× at 1M→10M after the r19 fixes:
+    //       broadcast ADC/rerank joins + probed-cell scan pruning);
+    //       at cluster width the scan term parallelizes and the
+    //       partition-pruned layout removes it — the gate here exists
+    //       to catch super-linear regressions (a reintroduced corpus
+    //       shuffle measured 8.9×→52 s before the broadcast fix)
+    if (want("ivf_pq_search")) {
+      import graft.operators.Similarity
+      val sBase = sys.env.getOrElse("SCALE_PROBE_ANN_BASE",
+        math.max(2000, base / 20).toString).toInt
+      val sStats = Seq(sBase, sBase * 10).map { n =>
+        val rnd = new scala.util.Random(29L)
+        val vecs = IndexedSeq.tabulate(n)(i =>
+          (i.toLong, Array.fill(64)(rnd.nextFloat())))
+        val corpus = vecs.toDF("vec_id", "embedding").repartition(8).cache()
+        corpus.count()
+        val nCells = math.max(16, math.round(math.sqrt(n)).toInt)
+        val index = Similarity.fitPqIndex(corpus, "vec_id", "embedding",
+          nCells = nCells, m = 16, kCodes = 32, pqIters = 1)
+        // CELL-CLUSTERED index layout (the deployment rule the operator
+        // docs state): range-partition + sort the encoded corpus by
+        // cell before caching, so the probed-cell IN filter prunes
+        // cached batches and the search scan is O(candidates)
+        val encoded = Similarity
+          .encodePq(corpus, "vec_id", "embedding", index)
+          .repartitionByRange(8, col("cell"))
+          .sortWithinPartitions("cell").cache()
+        encoded.count()
+        val occ = encoded.groupBy("cell").agg(count(lit(1)).as("s"))
+          .agg(expr("percentile_approx(s, 0.99, 10000)").as("p99"),
+            avg(col("s")).as("mean")).collect()(0)
+        val (cellP99, cellMean) = (occ.getLong(0).toDouble, occ.getDouble(1))
+        val step = n / 100
+        val queries = vecs.grouped(step).map(_.head).take(100)
+          .map { case (id, v) => (-id - 1L, v, id) }.toIndexedSeq
+        val qDf = queries.map(q => (q._1, q._2)).toDF("vec_id", "embedding")
+        val candRow = Similarity.ivfCandidateCount(qDf, encoded,
+          "vec_id", "embedding", index, nProbe = 4).collect()(0)
+        val candPerQuery = candRow.getLong(1).toDouble / candRow.getLong(0)
+        // best-of-2 (first pass pays codegen)
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val hits = Similarity.ivfPqTopKEncoded(qDf, encoded, corpus,
+              "vec_id", "embedding", index, k = 10, nProbe = 4, rerank = 4)
+            .select("query_id", "match_id").collect()
+            .groupBy(_.getLong(0)).map { case (q, rs) =>
+              q -> rs.map(_.getLong(1)).toSet }
+          ((System.nanoTime() - t0) / 1e9, hits)
+        }
+        val (dt, hits) = runs.minBy(_._1)
+        val recall = queries.count(q =>
+          hits.getOrElse(q._1, Set.empty).contains(q._3)) / 100.0
+        println(f"ivf_pq_search          $n%9d nCells=$nCells%-5d " +
+          f"recall@10=$recall%.2f cand/query=$candPerQuery%9.1f " +
+          f"cellP99/mean=${cellP99 / cellMean}%.1f  search=${dt}%6.3fs")
+        println(gate(recall >= 0.8,
+          f"ivf_pq_search recall@10 $recall%.2f < 0.8 at corpus=$n") match {
+          case "ok" => f"ivf_pq_search recall@10 $recall%.2f at corpus=$n ok"
+          case s => s
+        })
+        println(gate(cellP99 <= 8 * cellMean,
+          f"ivf_pq_search cell p99 ${cellP99}%.0f > 8x mean $cellMean%.1f " +
+            s"at corpus=$n (k-means collapsed?)") match {
+          case "ok" => f"ivf_pq_search cell occupancy balanced " +
+            f"(p99/mean ${cellP99 / cellMean}%.1f) at corpus=$n ok"
+          case s => s
+        })
+        corpus.unpersist(); encoded.unpersist()
+        (candPerQuery, dt)
+      }
+      val candGrowth = sStats.last._1 / sStats.head._1
+      println(gate(candGrowth <= 4.5,
+        f"ivf_pq_search cand/query grew ${candGrowth}%.1fx across 10x " +
+          "corpus (> 4.5x — not following the √N cell rule?)") match {
+        case "ok" =>
+          f"ivf_pq_search cand/query growth ${candGrowth}%.2fx across 10x corpus ok"
+        case s => s
+      })
+      val latGrowth = sStats.last._2 / sStats.head._2
+      println(gate(latGrowth <= 10.0,
+        f"ivf_pq_search wall grew ${latGrowth}%.1fx across 10x corpus " +
+          "(super-linear: a corpus shuffle crept back into the query path?)") match {
+        case "ok" => f"ivf_pq_search wall growth ${latGrowth}%.2fx across 10x corpus ok"
         case s => s
       })
     }
