@@ -172,7 +172,14 @@ object Bench {
     // and a concurrently-running session's are younger too) at startup.
     sweepStaleTempDirs()
     val all = SparkEntry.queries
+    // dev-only subset filter (comma-separated; the driver sets no env)
+    // — mirrors StreamingBench's SBENCH_OPS for fast optimization
+    // iteration on individual batch queries with the exact bench
+    // methodology (warmup + interleaved best-of-reps + dropCaches)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = headline.filter(all.contains)
+      .filter(n => only.forall(_.contains(n)))
     // warmup: touch every table once so IO cache state is uniform
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "events", "documents", "embeddings").foreach { t =>

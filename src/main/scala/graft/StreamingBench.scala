@@ -195,11 +195,24 @@ object StreamingBench {
         if (q != null) {
           // drain the in-flight wall-clock-triggered batch before
           // stopping — stop() mid-batch kills its write tasks
-          // (aborted-commit noise in the artifact tail, wasted work);
-          // only when the input is fully consumed, so a wedged query
-          // can't hang the drain
-          try { if (acc.inRows.get >= rows.size) q.processAllAvailable() }
-          catch { case _: Throwable => () }
+          // (aborted-commit noise in the artifact tail, wasted work).
+          // BOUNDED (r19 inherited-state fix): under a ProcessingTime
+          // trigger with timer-driven no-data batches,
+          // processAllAvailable()'s noNewData signal can starve
+          // indefinitely (observed: two bench JVMs parked here >1 h,
+          // batches still firing) — so the drain runs on a daemon
+          // thread joined for ≤10 s, and the sink is noop here anyway
+          // (stop() mid-batch has nothing to abort).
+          try {
+            if (acc.inRows.get >= rows.size) {
+              val drain = new Thread(() =>
+                try q.processAllAvailable()
+                catch { case _: Throwable => () })
+              drain.setDaemon(true)
+              drain.start()
+              drain.join(10000L)
+            }
+          } catch { case _: Throwable => () }
           try q.stop() catch { case _: Throwable => () }
         }
         try {

@@ -126,7 +126,17 @@ object Joins {
       pmod(xxhash64(saltBy: _*), lit(fanout)).cast("int"))
     val sd = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(fanout - 1))))
-    sf.join(sd, Seq(key, "__salt")).drop("__salt")
+    // SHUFFLE_HASH hint (r19 opt, guide §3.1): the dim is "too large to
+    // broadcast" by this operator's own precondition, but Catalyst's
+    // size estimator does not inflate through the ×fanout Generate and
+    // silently planned a BroadcastHashJoin of the EXPLODED dim
+    // (measured: a 68 MiB broadcast at sf0.01 — ×10 at the bench SF —
+    // paying driver collect + full-relation build, and defeating the
+    // very skew-spreading this operator exists to demonstrate). The
+    // hint pins the salted (key, salt) SHUFFLE with a per-partition
+    // hash build of the dim side — the actual salted-join plan, at any
+    // scale.
+    sf.join(sd.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** HYBRID skew join: salt only the keys that are actually hot.

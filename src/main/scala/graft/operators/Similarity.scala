@@ -283,16 +283,30 @@ object Similarity {
     * nCells·dim fit artifact, repeat. Empty cells keep their previous
     * seed. This is the production IVF training path; iters=0 is the
     * plan-time-deterministic quantizer. */
+  /** The deterministic seed-row scan shared by [[kmeansSeeds]] and
+    * [[pqCodebooks]]: the `n` corpus vectors with the smallest
+    * md5(id) — ONE scan + top-n, collected as a bounded fit artifact.
+    * Factored out (r19 opt, guide §1.2 "remove unnecessary passes") so
+    * [[fitPqIndex]] collects max(nCells, kCodes) rows once instead of
+    * running the identical scan-sort-collect job twice. */
+  private[operators] def seedRowsByHash(corpus: DataFrame, idCol: String,
+      vecCol: String, n: Int): Seq[Seq[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .withColumn("h", graft.functions.PortableHash.md5Long(col("id")))
+      .orderBy("h").limit(n)
+      .select("v").as[Seq[Float]].collect().toSeq // bounded: limit(n) fit artifact
+  }
+
   def kmeansSeeds(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 0): Seq[Seq[Float]] = {
     GraftFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
-    var seeds: Seq[Seq[Float]] = corpus
-      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
-      .withColumn("h", graft.functions.PortableHash.md5Long(col("id")))
-      .orderBy("h").limit(nCells)
-      .select("v").as[Seq[Float]].collect().toSeq // bounded: limit(nCells) fit artifact
+    var seeds: Seq[Seq[Float]] =
+      seedRowsByHash(corpus, idCol, vecCol, nCells)
     // empty corpus → no seeds; skip refinement (cellsRankedFor over
     // zero seeds is not a well-typed expression)
     for (_ <- 0 until (if (seeds.isEmpty) 0 else iters)) {
@@ -439,15 +453,20 @@ object Similarity {
     * Returns books(s)(j) = centroid j of subspace s (length dim/m),
     * or empty when the corpus has fewer than 1 row. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, kCodes: Int, iters: Int = 1): Seq[Seq[Seq[Float]]] = {
+      m: Int, kCodes: Int, iters: Int = 1): Seq[Seq[Seq[Float]]] =
+    pqCodebooksFrom(corpus, idCol, vecCol,
+      seedRowsByHash(corpus, idCol, vecCol, kCodes), m, kCodes, iters)
+
+  /** [[pqCodebooks]] over PRE-COLLECTED seed rows (the first `kCodes`
+    * entries of a [[seedRowsByHash]] result) — lets [[fitPqIndex]]
+    * share one seed scan between the coarse quantizer and the PQ
+    * codebooks. */
+  private[operators] def pqCodebooksFrom(corpus: DataFrame, idCol: String,
+      vecCol: String, seedRows: Seq[Seq[Float]], m: Int, kCodes: Int,
+      iters: Int): Seq[Seq[Seq[Float]]] = {
     GraftFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val seedRows: Seq[Seq[Float]] = corpus
-      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
-      .withColumn("h", graft.functions.PortableHash.md5Long(col("id")))
-      .orderBy("h").limit(kCodes)
-      .select("v").as[Seq[Float]].collect().toSeq // bounded: limit(kCodes) fit artifact
     if (seedRows.isEmpty) return Seq.empty
     val dim = seedRows.head.size
     require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m subspaces")
@@ -527,9 +546,17 @@ object Similarity {
     * [[pqCodebooks]] for the per-stage scale shapes). */
   def fitPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 16, kCodes: Int = 32,
-      pqIters: Int = 1): PqIndex =
-    PqIndex(kmeansSeeds(corpus, idCol, vecCol, nCells),
-      pqCodebooks(corpus, idCol, vecCol, m, kCodes, pqIters))
+      pqIters: Int = 1): PqIndex = {
+    // ONE seed scan serves both stages (r19 opt, guide §1.2): the
+    // coarse-quantizer seeds and the PQ codebook seeds are both "the n
+    // smallest-md5(id) corpus rows" — collect max(nCells, kCodes) once
+    // and slice, instead of two identical scan-sort-collect jobs.
+    GraftFunctions.register(corpus.sparkSession)
+    val top = seedRowsByHash(corpus, idCol, vecCol, math.max(nCells, kCodes))
+    PqIndex(top.take(nCells),
+      pqCodebooksFrom(corpus, idCol, vecCol, top.take(kCodes), m, kCodes,
+        pqIters))
+  }
 
   /** Encode a corpus against a fitted index: one narrow scan emitting
     * (match_id, cell, codes, cn_hat) — the compressed, persistable form

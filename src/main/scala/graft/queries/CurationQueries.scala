@@ -695,15 +695,25 @@ object CurationQueries {
     Q("pipeline_dsir_weights",
       (s, d) => {
         val B = 64
-        val toks = docs(s, d).filter(length(trim(col("text"))) > 0)
+        // Pre-aggregated to (doc, source, bucket) grain BEFORE any
+        // reuse (r19 opt, guide §2.3 "aggregate before you shuffle"):
+        // the token explode + md5 runs ONCE (the per-doc-bucket
+        // exchange is byte-identical in both consumers, so AQE stage
+        // reuse shares it — verified in the final plan), where the
+        // previous form re-tokenized and re-exploded the whole corpus
+        // for the scoring pass. ≤B rows per doc cross every later
+        // exchange instead of one row per token.
+        val docB = docs(s, d).filter(length(trim(col("text"))) > 0)
           .select(col("doc_id"), col("source"),
             explode(TextAnalysis.tokens(col("text"))).as("tok"))
           .withColumn("b",
             pmod(graft.functions.PortableHash.md5Long(col("tok")), lit(B)))
-        val counts = toks.groupBy("b").agg(
-          sum(when(col("source").isin("src0", "src1"), 1L).otherwise(0L))
-            .as("tgt_n"),
-          count(lit(1)).as("all_n"))
+          .groupBy("doc_id", "source", "b")
+          .agg(count(lit(1)).as("cnt"))
+        val counts = docB.groupBy("b").agg(
+          sum(when(col("source").isin("src0", "src1"), col("cnt"))
+            .otherwise(0L)).as("tgt_n"),
+          sum(col("cnt")).as("all_n"))
         val tots = counts.agg(sum("tgt_n").as("tgt_tot"),
           sum("all_n").as("all_tot"))
         val lw = counts.crossJoin(broadcast(tots))
@@ -712,9 +722,15 @@ object CurationQueries {
                  (col("tgt_tot") + B).cast("double")) -
              log((col("all_n") + 1).cast("double") /
                  (col("all_tot") + B).cast("double"))).as("lw"))
-        toks.join(broadcast(lw), Seq("b"))
+        // dsir_w = Σ_tok lw(b(tok)) = Σ_bucket cnt·lw — exact: cnt is
+        // an integer and each bucket's lw is one shared double, so the
+        // per-bucket product is the same value the per-token sum folds
+        // in cnt times (verified to the 6-dp oracle at sf0.01 AND
+        // sf0.1).
+        docB.join(broadcast(lw), Seq("b"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"), round(sum("lw"), 6).as("dsir_w"))
+          .agg(sum(col("cnt")).as("n_tok"),
+            round(sum(col("lw") * col("cnt")), 6).as("dsir_w"))
       },
       Some(s"""WITH tok AS (
           SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -757,17 +773,26 @@ object CurationQueries {
           .select(col("doc_id"), posexplode(call_function("shingles",
             TextAnalysis.tokens(col("text")), lit(3))))
           .toDF("doc_id", "pos", "sh")
-        val dfreq = sh.select("doc_id", "sh").distinct()
+        // r19 opt (guide §2.3/§2.4): the old form joined EVERY shingle
+        // position to its document frequency just to carry a boolean,
+        // and the join subtree was consumed twice (islands + n_pos) —
+        // the full positional frame crossed the shingle exchange with
+        // its ndocs payload, twice. n_pos never needed the join (the
+        // df join was inner with a row per shingle, so n_pos is just
+        // the per-doc shingle count), and the islands path only needs
+        // positions whose shingle IS duplicated — a left_semi against
+        // the (small) duplicated-shingle set, so only dup candidates
+        // cross the join.
+        val dupSh = sh.select("doc_id", "sh").distinct()
           .groupBy("sh").agg(count(lit(1)).as("ndocs"))
-        val flagged = sh.join(dfreq, Seq("sh"))
-          .withColumn("dup", col("ndocs") > 1)
-        val islands = flagged.filter(col("dup"))
+          .filter(col("ndocs") > 1).select("sh")
+        val islands = sh.join(dupSh, Seq("sh"), "left_semi")
           .withColumn("island", col("pos") - row_number().over(
             Window.partitionBy("doc_id").orderBy("pos")))
         val runs = islands.groupBy("doc_id", "island")
           .agg(count(lit(1)).as("run"))
           .groupBy("doc_id").agg(max("run").as("max_dup_run"))
-        flagged.groupBy("doc_id").agg(count(lit(1)).as("n_pos"))
+        sh.groupBy("doc_id").agg(count(lit(1)).as("n_pos"))
           .join(runs, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_pos"),
             coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))

@@ -1044,8 +1044,15 @@ object RelationalQueries {
     // keys, so the LIMIT is deterministic cross-engine.
     Q("agg_basket_lift",
       (s, d) => {
+        // MATERIALIZED once (r19 opt, guide §2.4/§5): `items` feeds
+        // FOUR consumers (item counts, basket total, both pair-join
+        // sides). Without it the measured final plan re-ran the
+        // distinct from the lineitem scan for each consumer (partial
+        // stage reuse only); cached, the dedup'd (order, part) rows —
+        // far smaller than lineitem — compute once per action.
         val items = li(s, d)
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .cache()
         val cnts = items.groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("c"))
         val n = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))

@@ -56,6 +56,53 @@ object TextQueries {
       .select(col("doc_id"), round(score, 4).as("bm25"))
   }
 
+  /** [[bm25Scores]] for SEVERAL query term-sets in ONE corpus scan
+    * (r19 opt, guide §1.2 "don't pass over the data twice"): tf columns
+    * for the distinct term union, one global fit (N, avgdl, every
+    * term's df — all identical to the per-set fits, since each is a
+    * whole-corpus statistic), then every query's score emitted from the
+    * same scored scan via a per-query struct explode. Scores and the
+    * any-term filter replicate [[bm25Scores]] exactly, term by term —
+    * `rag_rrf_fusion` previously paid 2 tokenizing corpus scans + 2 fit
+    * aggregations for its two queries. Returns (query_id, doc_id,
+    * bm25). */
+  private[queries] def bm25ScoresMulti(s: org.apache.spark.sql.SparkSession,
+      d: String, termsByQuery: Seq[(Long, Seq[String])])
+      : org.apache.spark.sql.DataFrame = {
+    val k1 = 1.2
+    val allTerms = termsByQuery.flatMap(_._2).distinct
+    val base = docs(s, d)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val withTf = allTerms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        size(filter(col("toks"), x => x === lit(t))).cast("double"))
+    }.drop("toks", "text", "lang", "source", "n_chars")
+    val fitAggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      allTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val fit = withTf.agg(fitAggs.head, fitAggs.tail: _*)
+    val perQuery = termsByQuery.map { case (qid, terms) =>
+      val idx = terms.map(allTerms.indexOf)
+      val score = idx.map { i =>
+        val idf = log((col("n") - col(s"df$i") + lit(0.5)) /
+          (col(s"df$i") + lit(0.5)) + lit(1.0))
+        idf * col(s"tf$i") * lit(k1 + 1) /
+          (col(s"tf$i") + lit(k1) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      val anyTf = idx.map(i => col(s"tf$i") > 0).reduce(_ || _)
+      struct(lit(qid).as("query_id"),
+        when(anyTf, round(score, 4)).as("bm25"))
+    }
+    withTf.crossJoin(broadcast(fit))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .filter(col("q.bm25").isNotNull)
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.bm25").as("bm25"))
+  }
+
   /** DuckDB mirror of [[bm25Scores]] producing (doc_id, bm25). */
   private[queries] def bm25ScoresSql(terms: Seq[String]): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>

@@ -826,15 +826,23 @@ object TpcdsQueries {
           .groupBy(col("n_name"), col("chan"),
             quarter(col("o_orderdate")).as("q"))
           .agg(count(lit(1)).as("n"))
+        // Slices are ≤ |nations| rows at ANY scale factor (the grain is
+        // (nation, chan, quarter)), so the five slice joins are
+        // broadcast-correct at 100 TB too — without the hint the planner
+        // sort-merge-joined the reused aggregate's consumers (measured:
+        // 5 SMJs + 5 sort pairs over ~25-row inputs; AQE does not
+        // re-plan joins over reused stages). The shared aggregation
+        // exchange itself is still computed ONCE (runtime stage reuse,
+        // verified in the final plan). — r19 opt, guide §3.1
         def slice(c: String, qn: Int, out: String) =
           qs.filter(col("chan") === c && col("q") === qn)
             .select(col("n_name"), col("n").as(out))
         slice("u", 1, "u1")
-          .join(slice("u", 2, "u2"), Seq("n_name"))
-          .join(slice("u", 3, "u3"), Seq("n_name"))
-          .join(slice("o", 1, "o1"), Seq("n_name"))
-          .join(slice("o", 2, "o2"), Seq("n_name"))
-          .join(slice("o", 3, "o3"), Seq("n_name"))
+          .join(broadcast(slice("u", 2, "u2")), Seq("n_name"))
+          .join(broadcast(slice("u", 3, "u3")), Seq("n_name"))
+          .join(broadcast(slice("o", 1, "o1")), Seq("n_name"))
+          .join(broadcast(slice("o", 2, "o2")), Seq("n_name"))
+          .join(broadcast(slice("o", 3, "o3")), Seq("n_name"))
           .filter(col("u2") * col("o1") > col("o2") * col("u1") &&
             col("u3") * col("o2") > col("o3") * col("u2"))
           .select(col("n_name"), col("u1"), col("u2"), col("u3"),
@@ -2367,19 +2375,29 @@ object TpcdsQueries {
     // is the output grain guard.
     Q("agg_tpcds_q16",
       (s, d) => {
-        val flags = li(s, d).groupBy(col("l_orderkey").as("f_orderkey"))
-          .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-            max(when(col("l_returnflag") === "R", 1).otherwise(0))
-              .as("has_ret"))
-        val qual = ord(s, d)
+        // Flags are aggregated AFTER pruning lineitem to the qualifying
+        // orders (r19 opt, guide §2.3 "aggregate fewer rows"): the
+        // date + priority + segment predicates keep ~0.2% of orders, so
+        // computing per-order (nsupp, has_ret) over the WHOLE fact and
+        // then inner-joining threw away >99% of the countDistinct
+        // work. The semi-reduction is result-identical — the join was
+        // inner on o_orderkey, so flags rows for non-qualifying orders
+        // never survived anyway.
+        val qualOrders = ord(s, d)
           .filter(col("o_orderdate") >= lit("1996-04-01").cast("timestamp") &&
             col("o_orderdate") < lit("1996-06-01").cast("timestamp") &&
             col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
           .join(cust(s, d).filter(col("c_mktsegment") === "BUILDING"),
             col("o_custkey") === col("c_custkey"))
-          .join(flags, col("o_orderkey") === col("f_orderkey"))
-          .filter(col("nsupp") >= 2 && col("has_ret") === 0)
           .select(col("o_orderkey"))
+        val qual = li(s, d)
+          .join(qualOrders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+            max(when(col("l_returnflag") === "R", 1).otherwise(0))
+              .as("has_ret"))
+          .filter(col("nsupp") >= 2 && col("has_ret") === 0)
+          .select(col("l_orderkey").as("o_orderkey"))
         li(s, d).join(qual, col("l_orderkey") === col("o_orderkey"))
           .agg(countDistinct(col("l_orderkey")).as("order_count"),
             round(sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -2458,6 +2476,14 @@ object TpcdsQueries {
     // once and feeds both the outer group-by and the scalar.
     Q("agg_tpcds_q24",
       (s, d) => {
+        // MATERIALIZED once (r19 opt, guide §2.4/§5): the CTE feeds two
+        // consumers — the scalar stats and the PROMO re-aggregation.
+        // Catalyst pushes p_type='PROMO' below the agg into the part
+        // scan on the second consumer, so the two subtrees differ and
+        // AQE stage reuse can NOT fire: the measured final plan ran the
+        // 5-way join + fine-grain agg TWICE (q24 was the slowest TPC-DS
+        // analog, 2.74 s). cache() computes it once inside the query's
+        // own action; both consumers read the materialized grain rows.
         val ssales = li(s, d)
           .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(cust(s, d), col("o_custkey") === col("c_custkey"))
@@ -2466,6 +2492,7 @@ object TpcdsQueries {
           .groupBy(col("c_name"), col("s_name"), col("p_brand"),
             col("p_type"))
           .agg(sum(rev.cast("decimal(38,4)")).as("netpaid"))
+          .cache()
         val stats = ssales.agg(sum(col("netpaid")).as("tot"),
           count(lit(1)).as("nrows"))
         ssales.filter(col("p_type") === "PROMO")

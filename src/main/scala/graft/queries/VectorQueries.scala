@@ -363,10 +363,11 @@ object VectorQueries {
         val termsByQuery = Seq(
           0L -> Seq("data", "query", "spark"),
           250L -> Seq("join", "hash", "stream"))
-        val lexScores = termsByQuery.map { case (qid, terms) =>
-          TextQueries.bm25Scores(s, d, terms)
-            .select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
-        }.reduce(_ unionByName _)
+        // ONE tokenizing corpus scan + ONE fit for both queries (r19
+        // opt, guide §1.2) — bm25ScoresMulti replicates the per-set
+        // scores exactly; the union-of-two-bm25Scores form paid the
+        // corpus tokenization and the fit aggregation twice.
+        val lexScores = TextQueries.bm25ScoresMulti(s, d, termsByQuery)
         val wLex = Window.partitionBy("query_id")
           .orderBy(col("bm25").desc, col("doc_id").asc)
         val lex = lexScores
