@@ -532,14 +532,23 @@ object TpcdsQueries {
     // order).
     Q("agg_tpcds_q17",
       (s, d) => {
-        def side(f: org.apache.spark.sql.Column, out: String) =
-          li(s, d).filter(f)
-            .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-            .groupBy(col("l_partkey"), col("o_custkey"))
-            .agg(sum(col("l_quantity")).as(out))
-        side(col("l_returnflag") =!= "R", "s_qty")
-          .join(side(col("l_returnflag") === "R", "r_qty"),
-            Seq("l_partkey", "o_custkey"))
+        // ONE fact pass (r19 opt, guide §1.2/§2.3): the original q17
+        // joins three DISTINCT fact tables, but this schema's analog
+        // derives both sides from lineitem with complementary
+        // returnflag filters — so the two branch scans + aggregations +
+        // their merge join fuse into one li⋈ord pass with conditional
+        // sums. `sum(when(cond, qty))` is NULL exactly when the branch
+        // had no rows for the key, so the non-null filter reproduces
+        // the inner join's both-branches-present semantics row for row.
+        li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_partkey"), col("o_custkey"))
+          .agg(
+            sum(when(col("l_returnflag") =!= "R", col("l_quantity")))
+              .as("s_qty"),
+            sum(when(col("l_returnflag") === "R", col("l_quantity")))
+              .as("r_qty"))
+          .filter(col("s_qty").isNotNull && col("r_qty").isNotNull)
           .join(prt(s, d), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n_pairs"),
@@ -567,14 +576,27 @@ object TpcdsQueries {
     // report. Same pre-aggregate-before-fact-join discipline as q17.
     Q("agg_tpcds_q25",
       (s, d) => {
-        def chan(p: String, out: String) = ord(s, d)
-          .filter(col("o_orderpriority") === p)
+        // ONE fact pass (r19 opt, guide §1.2/§2.3) — same single-fact
+        // fusion as q17: the three "channels" are priority slices of
+        // the SAME orders⋈lineitem join, so three scans + three aggs +
+        // two merge joins collapse into one pass with conditional
+        // sums; the all-non-null filter reproduces the 3-way inner
+        // join's every-channel-present semantics.
+        val chan = Map("1-URGENT" -> "q_urgent", "2-HIGH" -> "q_high",
+          "3-MEDIUM" -> "q_medium")
+        ord(s, d)
+          .filter(col("o_orderpriority").isin(chan.keys.toSeq: _*))
           .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("l_partkey"))
-          .agg(sum(col("l_quantity")).as(out))
-        chan("1-URGENT", "q_urgent")
-          .join(chan("2-HIGH", "q_high"), Seq("l_partkey"))
-          .join(chan("3-MEDIUM", "q_medium"), Seq("l_partkey"))
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT",
+              col("l_quantity"))).as("q_urgent"),
+            sum(when(col("o_orderpriority") === "2-HIGH",
+              col("l_quantity"))).as("q_high"),
+            sum(when(col("o_orderpriority") === "3-MEDIUM",
+              col("l_quantity"))).as("q_medium"))
+          .filter(col("q_urgent").isNotNull && col("q_high").isNotNull &&
+            col("q_medium").isNotNull)
           .join(prt(s, d), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n_parts"),
@@ -608,18 +630,27 @@ object TpcdsQueries {
     // composite (item, customer) key, reported per brand.
     Q("agg_tpcds_q29",
       (s, d) => {
-        def phase(f: org.apache.spark.sql.Column, y0: Int, y1: Int,
-            out: String) =
-          li(s, d).filter(f)
-            .join(ord(s, d).filter(year(col("o_orderdate")).between(y0, y1)),
-              col("l_orderkey") === col("o_orderkey"))
-            .groupBy(col("l_partkey"), col("o_custkey"))
-            .agg(sum(col("l_quantity")).as(out))
-        phase(col("l_returnflag") =!= "R", 1995, 1995, "sold_qty")
-          .join(phase(col("l_returnflag") === "R", 1995, 1996, "ret_qty"),
-            Seq("l_partkey", "o_custkey"))
-          .join(phase(col("l_returnflag") =!= "R", 1996, 1997, "rebuy_qty"),
-            Seq("l_partkey", "o_custkey"))
+        // ONE fact pass (r19 opt, guide §1.2/§2.3) — the q17/q25
+        // single-fact fusion applied to the temporal chain: the three
+        // phases are (returnflag × year-window) slices of the SAME
+        // li⋈ord join, so one pass over years 1995–1997 with three
+        // conditional sums replaces three scans + three aggs + two
+        // merge joins; the all-non-null filter keeps exactly the
+        // (item, customer) pairs present in every phase.
+        val y = year(col("o_orderdate"))
+        li(s, d)
+          .join(ord(s, d).filter(y.between(1995, 1997)),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_partkey"), col("o_custkey"))
+          .agg(
+            sum(when(col("l_returnflag") =!= "R" && y === 1995,
+              col("l_quantity"))).as("sold_qty"),
+            sum(when(col("l_returnflag") === "R" && y.between(1995, 1996),
+              col("l_quantity"))).as("ret_qty"),
+            sum(when(col("l_returnflag") =!= "R" && y.between(1996, 1997),
+              col("l_quantity"))).as("rebuy_qty"))
+          .filter(col("sold_qty").isNotNull && col("ret_qty").isNotNull &&
+            col("rebuy_qty").isNotNull)
           .join(prt(s, d), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n_chains"),
