@@ -413,11 +413,18 @@ object Dedup {
     val raw = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairCount = raw.count()
+    // Partitioner sized from the UPSTREAM partition count (r19 opt,
+    // guide §1.2 "remove unnecessary passes"): the old exact
+    // pairCount sizing spent a full count() job + a persist pass on
+    // `raw` before any CC work. Upstream partitions are a
+    // size-proportional proxy at any scale (AQE coalesces the
+    // candidate join's output to ~advisory-sized partitions, so a
+    // tiny sf graph still runs single-partition rounds and a
+    // billion-edge graph still runs at session width), without
+    // materializing the edge list twice.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val nPart = math.max(1L,
-      math.min(sessionParts.toLong, pairCount * 2 / 250000L + 1L)).toInt
+    val nPart = math.max(1,
+      math.min(sessionParts, raw.getNumPartitions))
     val part = new HashPartitioner(nPart)
     // symmetrized edges, co-partitioned by src for the whole loop
     val edges = raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
@@ -437,7 +444,6 @@ object Dedup {
     def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
       r.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
     var prevSum = labelSum(labels)
-    raw.unpersist(blocking = false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -1044,15 +1044,15 @@ object RelationalQueries {
     // keys, so the LIMIT is deterministic cross-engine.
     Q("agg_basket_lift",
       (s, d) => {
-        // MATERIALIZED once (r19 opt, guide §2.4/§5): `items` feeds
-        // FOUR consumers (item counts, basket total, both pair-join
-        // sides). Without it the measured final plan re-ran the
-        // distinct from the lineitem scan for each consumer (partial
-        // stage reuse only); cached, the dedup'd (order, part) rows —
-        // far smaller than lineitem — compute once per action.
+        // `items` feeds four consumers; its distinct's exchange subtree
+        // is identical in all of them, so AQE stage reuse already
+        // shares the computation (verified in the final plan). An
+        // explicit cache() was tried in r19 and MEASURED SLOWER on the
+        // bench (2.09 → 2.73 s best-of-3): materialization serializes
+        // the consumers that previously ran concurrently and pays the
+        // columnar encode — reverted.
         val items = li(s, d)
           .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .cache()
         val cnts = items.groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("c"))
         val n = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))

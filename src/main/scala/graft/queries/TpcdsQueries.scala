@@ -2507,14 +2507,19 @@ object TpcdsQueries {
     // once and feeds both the outer group-by and the scalar.
     Q("agg_tpcds_q24",
       (s, d) => {
-        // MATERIALIZED once (r19 opt, guide §2.4/§5): the CTE feeds two
-        // consumers — the scalar stats and the PROMO re-aggregation.
+        // ONE consumption of the 5-way join (r19 opt, guide §2.4
+        // "share one exchange"): the CTE feeds two consumers — the
+        // scalar stats (ALL rows) and the PROMO re-aggregation — and
         // Catalyst pushes p_type='PROMO' below the agg into the part
-        // scan on the second consumer, so the two subtrees differ and
-        // AQE stage reuse can NOT fire: the measured final plan ran the
-        // 5-way join + fine-grain agg TWICE (q24 was the slowest TPC-DS
-        // analog, 2.74 s). cache() computes it once inside the query's
-        // own action; both consumers read the materialized grain rows.
+        // scan on the second, so the two subtrees diverge and stage
+        // reuse can NOT fire: the measured final plan ran the join +
+        // fine-grain agg TWICE (q24 was the slowest analog, 2.74 s; an
+        // explicit cache() measured WORSE, 3.2 s normalized — it
+        // serializes consumers and pays columnar encode). GROUPING SETS
+        // computes both grains in one pass over ssales: the ((c,s), ())
+        // expansion carries the PROMO sum conditionally, the () row IS
+        // the stats scalar, and every consumer filter sits on
+        // grouping_id ABOVE the shared aggregation exchange.
         val ssales = li(s, d)
           .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(cust(s, d), col("o_custkey") === col("c_custkey"))
@@ -2523,12 +2528,23 @@ object TpcdsQueries {
           .groupBy(col("c_name"), col("s_name"), col("p_brand"),
             col("p_type"))
           .agg(sum(rev.cast("decimal(38,4)")).as("netpaid"))
-          .cache()
-        val stats = ssales.agg(sum(col("netpaid")).as("tot"),
-          count(lit(1)).as("nrows"))
-        ssales.filter(col("p_type") === "PROMO")
-          .groupBy(col("c_name"), col("s_name"))
-          .agg(sum(col("netpaid")).as("paid"))
+        val gs = ssales
+          .groupingSets(Seq(Seq(col("c_name"), col("s_name")), Seq()),
+            col("c_name"), col("s_name"))
+          .agg(sum(when(col("p_type") === "PROMO", col("netpaid")))
+              .as("paid"),
+            sum(col("netpaid")).as("tot"), count(lit(1)).as("nrows"),
+            grouping_id().as("gid"))
+        // global-agg wrapper over the single () row: provably scalar
+        // (one row feeds it; max == identity), so the cross join below
+        // keeps the "broadcast scalar fit" shape ScaleLint verifies —
+        // a bare filter(gid=3) has no 1-row cardinality proof
+        val stats = gs.filter(col("gid") === 3)
+          .agg(max(col("tot")).as("tot"), max(col("nrows")).as("nrows"))
+        // paid is NULL for (c,s) groups with no PROMO rows — exactly
+        // the groups the old post-filter aggregation never produced
+        gs.filter(col("gid") === 0 && col("paid").isNotNull)
+          .select(col("c_name"), col("s_name"), col("paid"))
           .crossJoin(broadcast(stats))
           .filter(col("paid") * 20 * col("nrows") > col("tot"))
           // floor-quantized, not round(): the exact 4-dec decimal sum
@@ -2846,7 +2862,17 @@ object TpcdsQueries {
     // discipline) so the chain never fans out.
     Q("agg_tpcds_q72",
       (s, d) => {
+        // inv is only ever probed at the 1996 order months (the join
+        // key is year(o_orderdate)·100+month with orders filtered to
+        // 1996), so the inventory aggregation input prunes to
+        // year(l_shipdate)=1996 — a pushed scan filter that drops ~6/7
+        // of the fact rows feeding the widest aggregate (r19 opt,
+        // guide §6 predicate pushdown; the static form of the
+        // partition pruning a date-partitioned 100 TB layout would get
+        // dynamically). Join-identical: i_ym ∈ [199601,199612] ⇔
+        // shipdate year 1996.
         val inv = li(s, d)
+          .filter(year(col("l_shipdate")) === 1996)
           .groupBy(col("l_partkey").as("i_partkey"),
             (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
               .as("i_ym"))

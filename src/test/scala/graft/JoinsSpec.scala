@@ -59,6 +59,23 @@ class JoinsSpec extends SparkSpec {
     assert(salts > 1)
   }
 
+  test("saltedJoin plans the salted SHUFFLE, never a broadcast of the exploded dim") {
+    import spark.implicits._
+    // r19 opt guard: Catalyst's size estimator does not inflate through
+    // the ×fanout Generate, so without the SHUFFLE_HASH hint the planner
+    // silently broadcast the exploded dim — defeating the skew-spreading
+    // shuffle this operator exists for.
+    val fact = (1 to 50).map(i => (i.toLong % 5, i)).toDF("k", "seq")
+    val dim = (0L to 4L).map(k => (k, s"v$k")).toDF("k", "label")
+    val plan = Joins.saltedJoin(fact, dim, "k", fanout = 4,
+      saltBy = Seq(col("k"), col("seq")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected ShuffledHashJoin in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"exploded dim must not broadcast:\n$plan")
+  }
+
   test("hybridSkewJoin == plain join at any threshold; only hot keys salt") {
     import spark.implicits._
     // key 1 is hot (90 rows), keys 2..6 are cold (4 each)

@@ -421,13 +421,17 @@ class ScaleSpec extends SparkSpec {
     val ds1 = plan("agg_tpcds_q1")
     assert(ds1.contains("BroadcastHashJoin"),
       "tpcds q1 nation-average join not broadcast")
-    // TPC-DS q17 analog (multi-fact star): both fact branches
-    // pre-aggregate to (partkey, custkey) BEFORE the fact-fact join —
-    // the join carries one row per pair per side, never line-level
-    // multiplicity (2 aggs per side + the brand agg = >= 6 nodes)
+    // TPC-DS q17 analog: since the r19 single-fact fusion, BOTH branch
+    // aggregates fold into ONE li⋈ord pass with conditional sums — the
+    // contract is now exactly one fact scan pair (2 scans), one
+    // (partkey, custkey) aggregation, and NO branch-merge join; the
+    // line-level multiplicity guard (no cartesian) stands
     val ds17 = plan("agg_tpcds_q17")
-    assert("HashAggregate".r.findAllIn(ds17).size >= 6,
-      "tpcds q17 lost its pre-join per-pair aggregation")
+    assert("Scan parquet".r.findAllIn(ds17).size <= 3,
+      "tpcds q17 re-scans a fact branch (single-pass fusion lost)")
+    assert("SortMergeJoin".r.findAllIn(ds17).isEmpty ||
+      "Exchange".r.findAllIn(ds17).size <= 3,
+      "tpcds q17 regrew a branch-merge join")
     assert(!ds17.contains("CartesianProduct"),
       "tpcds q17 degenerated to a cross product")
     // TPC-DS q78 analog: the returned-pairs exclusion stays an ANTI

@@ -314,6 +314,21 @@ class VectorSpec extends SparkSpec {
       s"persisted-index query diverged: disk=${fromDisk.size} fresh=${fresh.size}")
   }
 
+  test("fitPqIndex's fused seed scan == the unfused kmeansSeeds + pqCodebooks") {
+    // r19 opt guard: fitPqIndex collects one top-max(nCells,kCodes)
+    // seed scan and slices it for both stages; the result must be
+    // byte-identical to running the two stages' own seed scans.
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val fused = Similarity.fitPqIndex(emb, "vec_id", "embedding",
+      nCells = 8, m = 16, kCodes = 16, pqIters = 1)
+    val unfused = Similarity.PqIndex(
+      Similarity.kmeansSeeds(emb, "vec_id", "embedding", nCells = 8),
+      Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 16,
+        kCodes = 16, iters = 1))
+    assert(fused.seeds == unfused.seeds, "coarse seeds diverged")
+    assert(fused.books == unfused.books, "PQ codebooks diverged")
+  }
+
   test("semantic dedup pair join stays a label equi-join (never a BNLJ)") {
     // the SemDeDup plan contract: pairwise cosine work is confined to
     // cluster cells by a hash-joinable equality on the label — a
