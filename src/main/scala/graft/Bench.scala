@@ -335,10 +335,11 @@ object Bench {
     // entries as fit under the tail window, highest-signal first:
     // BASELINE.md Nexmark anchors, then the TPC-H suite, then the
     // dedup/vector north-star ops, then everything else.
+    // The driver-compared perfAnchors are GUARANTEED on the line —
+    // they fill before the streaming block (VERDICT r19 item 2).
+    val guaranteed = perfAnchors.filter(names.contains)
     val anchorsFirst: Seq[String] = {
-      val anchors = names.filter(n => n.startsWith("nexmark_")) ++
-        Seq("win_hot_items", "win_highest_value", "win_new_users",
-          "win_session").filter(names.contains) ++
+      val anchors = guaranteed ++
         names.filter(_.startsWith("agg_tpch_")) ++
         names.filter(n => n.startsWith("dedup_") || n.startsWith("vec_"))
       (anchors ++ names).distinct
@@ -346,7 +347,9 @@ object Bench {
     val byName = results.toMap
     emitFinalLineAndHalt(spark, stdoutLine(total, reps, names.size, calTotal,
       anchorsFirst.map(n => n -> byName(n)),
-      streaming.map { case (k, v, _) => (k, v) }, sfDir))
+      streaming.map { case (k, v, _) => (k, v) }, sfDir,
+      nAnchors = guaranteed.size,
+      subsetOf = only.map(_ => names.size)))
   }
 
   /** Best-effort startup sweep of STALE temp trees from prior bench
@@ -404,8 +407,36 @@ object Bench {
     * that front-truncates — losing `"metric"/"value"` and the `cal`
     * field bench_diff's host normalization needs (the exact
     * parsed:null failure of BENCH_r01..r05 and again r14 when the
-    * query/streaming maps grew). 1600 = 2000 with 20% headroom. */
-  private[graft] val stdoutLineBudget = 1600
+    * query/streaming maps grew).
+    *
+    * r20: 1600 → 1900. The capture window is exactly 2000 chars
+    * (measured: the `tail` field of BENCH_r17/r18/r19.json is 2000
+    * chars each), and [[emitFinalLineAndHalt]] guarantees the line
+    * holds the FINAL stdout bytes, so the only residual failure mode
+    * is the line itself exceeding 2000 — 1900 keeps 5% margin. The
+    * old 20% headroom guarded against trailing teardown noise, which
+    * the halt-ordering contract (BenchLineSpec source guard)
+    * eliminated in r17; meanwhile the 1600 cap silently dropped the
+    * driver-compared agg_tpch_q8/q9 entries in r19 (PERF_r19
+    * "dropped_from_bench" — a near-false-regression verdict). */
+  private[graft] val stdoutLineBudget = 1900
+
+  /** The driver-compared anchor queries (PERF_r{N}.json's common set:
+    * the Nexmark analogs, the win_* suite, TPC-H q1–q9). These entries
+    * fill the stdout line FIRST — before the streaming block — so a
+    * growing streaming section can never push a cross-round comparison
+    * anchor off the printed line again (VERDICT r19 item 2: the r19
+    * line lost agg_tpch_q8/q9 to streaming growth and the driver,
+    * which compares only the printed line, reported them dropped).
+    * BenchLineSpec asserts every member fits at worst-case widths. */
+  private[graft] val perfAnchors = Seq(
+    "nexmark_q0_passthrough", "nexmark_q1_convert", "nexmark_q2_filter",
+    "nexmark_q3_join", "nexmark_q4_avg_price", "nexmark_q6_avg_last10",
+    "nexmark_q9_winning_bid", "nexmark_q10_shard",
+    "win_hot_items", "win_highest_value", "win_new_users", "win_session",
+    "agg_tpch_q1", "agg_tpch_q2", "agg_tpch_q3", "agg_tpch_q4",
+    "agg_tpch_q5", "agg_tpch_q6", "agg_tpch_q7", "agg_tpch_q8",
+    "agg_tpch_q9")
 
   /** Locale-pinned numeric formatting for the machine-parsed line:
     * the `f` interpolator uses the default locale, and a comma-decimal
@@ -430,17 +461,26 @@ object Bench {
 
   /** Assemble the stdout line UNDER [[stdoutLineBudget]] by
     * construction: the scalar fields (total, cal, n_queries — the
-    * ones the driver and bench_diff require) are unconditional;
+    * ones the driver and bench_diff require) are unconditional; the
+    * first `nAnchors` query entries (the driver-compared
+    * [[perfAnchors]]) fill FIRST — cross-round comparison anchors can
+    * never be pushed off by streaming growth (the r19 q8/q9 drop);
     * streaming rows (the BASELINE.md like-for-like side, in suite
-    * order) fill next but always leave ≥300 chars for batch anchors;
-    * batch query entries (caller's priority order) fill the
-    * remainder. Dropped entries are NOT lost — the full map is in
-    * bench_details.json, which main() writes before printing. */
+    * order) fill next but always leave ≥300 chars for further batch
+    * entries; remaining batch query entries (caller's priority order)
+    * fill the remainder. Dropped entries are NOT lost — the full map
+    * is in bench_details.json, which main() writes before printing.
+    *
+    * `subsetOf` (ADVICE r19): when the dev-only SPARK_GRAFT_ONLY
+    * filter is active, the line carries a loud `"subset":N` marker so
+    * a filtered run can never be mistaken for a full one. */
   private[graft] def stdoutLine(total: Double, reps: Int, nQueries: Int,
       cal: Double, queries: Seq[(String, Double)],
-      streaming: Seq[(String, Double)], sfDir: String): String = {
+      streaming: Seq[(String, Double)], sfDir: String,
+      nAnchors: Int = 0, subsetOf: Option[Int] = None): String = {
+    val subset = subsetOf.map(n => s""""subset":$n,""").getOrElse("")
     val head = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec",""" +
-      s""""reps":$reps,"n_queries":$nQueries,"cal":${num("%.3f", cal)},""" +
+      s""""reps":$reps,"n_queries":$nQueries,$subset"cal":${num("%.3f", cal)},""" +
       s""""detail":"bench_details.json""""
     val tail = s""","sf":"${jsonPath(sfDir)}"}"""
     // greedy in-order fill: stop at the FIRST entry that would
@@ -462,12 +502,25 @@ object Bench {
     val wrappers = ",\"queries\":{}".length + ",\"streaming\":{}".length
     val avail = math.max(0,
       stdoutLineBudget - head.length - tail.length - wrappers)
+    val qEntries = queries.map { case (k, v) =>
+      "\"" + k + "\":" + num("%.2f", v) }
+    val (anchorEntries, restEntries) = qEntries.splitAt(math.max(0, nAnchors))
+    val aBody = fill(anchorEntries, avail)
+    // post-streaming reserve shrunk 300 → 100 (r20): the driver-compared
+    // anchors are ALREADY guaranteed ahead of the streaming block, so
+    // the reserve only keeps a couple of north-star extras on the line
+    // at worst-case widths — 300 would starve the streaming rows instead
     val sBody = fill(
       streaming.map { case (k, v) => "\"" + k + "\":" + num("%.1f", v) },
-      math.max(0, avail - 300))
-    val qBody = fill(
-      queries.map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) },
-      avail - sBody.length)
+      math.max(0, avail - aBody.length - 100))
+    // the rest of the batch entries join aBody with one comma
+    val restCap = avail - aBody.length - sBody.length -
+      (if (aBody.nonEmpty) 1 else 0)
+    val rBody = fill(restEntries, math.max(0, restCap))
+    val qBody =
+      if (aBody.isEmpty) rBody
+      else if (rBody.isEmpty) aBody
+      else aBody + "," + rBody
     head + s""","queries":{$qBody},"streaming":{$sBody}""" + tail
   }
 }

@@ -380,6 +380,80 @@ case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
     })
 }
 
+/** `pq_adc(lut, codes)` → double: the per-candidate ADC accumulation
+  * Σ_s lut(s)(codes(s)) — the inner loop of IVF-PQ search, evaluated
+  * once per (query, candidate) pair. The equivalent Catalyst tree —
+  * m chained `element_at(element_at(lut, s), codes[s]+1)` nodes —
+  * paid ~17µs/row in generic array dispatch (measured r20: the ADC
+  * projection was 0.7 s of vec_ann_ivfpq's 2.0 s at sf0.1); this
+  * native loop is the same arithmetic (ascending-s left fold in
+  * double, bit-identical) in one expression node. Codes are 0-based
+  * (the [[PqEncode]] output); out-of-range codes fail loudly rather
+  * than the element_at chain's silent null. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires (array<array<double>>, array<int>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(l: Any, c: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val m = lut.numElements()
+    require(codes.numElements() == m,
+      s"pq_adc: ${codes.numElements()} codes vs $m lut subspaces")
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val row = lut.getArray(s)
+      val j = codes.getInt(s)
+      require(j >= 0 && j < row.numElements(),
+        s"pq_adc: code $j out of range [0, ${row.numElements()}) at subspace $s")
+      acc += row.getDouble(j)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $lut.numElements();
+         |if ($codes.numElements() != $m) {
+         |  throw new IllegalArgumentException("pq_adc: " +
+         |    $codes.numElements() + " codes vs " + $m + " lut subspaces");
+         |}
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $lut.getArray($s);
+         |  int $j = $codes.getInt($s);
+         |  if ($j < 0 || $j >= $row.numElements()) {
+         |    throw new IllegalArgumentException("pq_adc: code " + $j +
+         |      " out of range [0, " + $row.numElements() + ") at subspace " + $s);
+         |  }
+         |  $acc += $row.getDouble($j);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `ivf_cells(vec, norm, seeds, n)` → array<int>: the query/corpus
   * side of IVF coarse quantization — the `n` nearest cells by cosine
   * (dot(vec, seed) / (norm · |seed|), ties → lowest cell id), best
@@ -548,6 +622,7 @@ object GraftFunctions {
       IvfCells(e(0), e(1), litSeeds(e(2)), litInt(e(3)))),
     "pq_encode" -> ((e: Seq[Expression]) => PqEncode(e(0), litBooks(e(1)))),
     "pq_lut" -> ((e: Seq[Expression]) => PqLut(e(0), litBooks(e(1)))),
+    "pq_adc" -> ((e: Seq[Expression]) => PqAdc(e(0), e(1))),
     "bpe_encode" -> ((e: Seq[Expression]) => BpeEncode(e(0), {
       // plan-time array<array<string>> literal → merge pairs
       val ad = e(1).eval().asInstanceOf[ArrayData]

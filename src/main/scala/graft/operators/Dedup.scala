@@ -417,14 +417,66 @@ object Dedup {
     // guide §1.2 "remove unnecessary passes"): the old exact
     // pairCount sizing spent a full count() job + a persist pass on
     // `raw` before any CC work. Upstream partitions are a
-    // size-proportional proxy at any scale (AQE coalesces the
-    // candidate join's output to ~advisory-sized partitions, so a
-    // tiny sf graph still runs single-partition rounds and a
-    // billion-edge graph still runs at session width), without
-    // materializing the edge list twice.
+    // size-proportional proxy at any scale, without materializing the
+    // edge list twice. ASSUMES AQE (the engine default, and every
+    // session this engine builds): coalescing shrinks a tiny graph's
+    // candidate-join output to ~advisory-sized partitions, so small
+    // graphs run narrow and a billion-edge graph runs at session
+    // width. With AQE off the proxy degrades to session width — still
+    // correct (any HashPartitioner width is), just not
+    // size-proportional (ADVICE r19).
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val nPart = math.max(1,
       math.min(sessionParts, raw.getNumPartitions))
+    // SINGLE-PARTITION fast path (r20 opt, guide §1.2/§2.4): when the
+    // edge list has already been AQE-coalesced into ONE partition —
+    // i.e. the whole graph is advisory-partition-sized — the
+    // distributed fixpoint degenerates to 5-8 jobs of 1-task shuffle
+    // rounds whose wall is pure scheduling latency (measured r20:
+    // ~0.8 s of dedup_clusters' 1.5 s at sf0.1 for a 6.7k-edge
+    // graph). Run the textbook local base case instead: union-find
+    // (by-min roots + path halving) INSIDE that one task — executor-
+    // side, one job, one stage, no driver collect. Identical output:
+    // every node labeled with its component's min id. Any multi-
+    // partition graph takes the pinned-partitioner loop below.
+    if (nPart == 1) {
+      val labels = raw.mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { // path halving
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          // union by MIN: the surviving root is the component minimum,
+          // so final find(x) IS the keep-smallest cluster id
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().asScala.toSeq.sorted.iterator
+          .map(id => (id, find(id)))
+      }
+      return spark.createDataFrame(
+        labels.map { case (id, cl) => org.apache.spark.sql.Row(id, cl) },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .select(col("id").cast(idType).as("id"),
+          col("cluster").cast(idType).as("cluster"))
+    }
     val part = new HashPartitioner(nPart)
     // symmetrized edges, co-partitioned by src for the whole loop
     val edges = raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }

@@ -157,4 +157,24 @@ object Layout {
       .max(BigInt(1)).min(BigInt(1 << 20)).toInt
     df.repartition(parts)
   }
+
+  /** Scale-ADAPTIVE input re-sharding for CPU-heavy per-row projections
+    * (r20, guide §2 "make partitioning scale-adaptive rather than a
+    * constant tuned for either local mode or the cluster"): when the
+    * input plans FEWER partitions than half the session's parallelism
+    * — one small file, a coalesced upstream — every expensive
+    * projection above it (minhash signatures, text quality scoring)
+    * runs on ONE core regardless of cluster width; measured r20: the
+    * single-split sf0.1 documents scan serialized a 0.4 s signature
+    * pass under dedup_clusters/pipeline_curation while 31 cores idled.
+    * Round-robin re-shard to the default parallelism in exactly that
+    * case. The exchange's cost is bounded by the small input that
+    * triggers it; any real data size (a 100 TB scan has ~10^6 splits)
+    * takes the no-op branch, so no unconditional shuffle is added.
+    * Row placement does not affect results — callers compute
+    * per-row/keyed-deterministic operators above it. */
+  def parallelizeSmallInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
 }

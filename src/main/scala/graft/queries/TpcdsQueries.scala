@@ -1741,7 +1741,9 @@ object TpcdsQueries {
     // dependent on the order), so there is no join-back either. ONE
     // lineitem pass total.
     Q("agg_tpcds_q68",
-      (s, d) => li(s, d)
+      // r20: re-shard the 3-split fact scan — the 4-join + wide-key
+      // aggregation stage ran 3-wide (0.87 s CPU); see q24's note
+      (s, d) => graft.operators.Layout.parallelizeSmallInput(li(s, d))
         .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(cust(s, d), col("o_custkey") === col("c_custkey"))
@@ -2520,7 +2522,14 @@ object TpcdsQueries {
         // expansion carries the PROMO sum conditionally, the () row IS
         // the stats scalar, and every consumer filter sits on
         // grouping_id ABOVE the shared aggregation exchange.
-        val ssales = li(s, d)
+        // r20 (guide §2 scale-adaptive partitioning): the sf-scale
+        // lineitem file splits into only 3 scan tasks (10.8 MB, 4 MB
+        // effective split), so the 4-probe join + 4-string-key partial
+        // aggregation — 1.6 s of CPU, the whole query's hot stage —
+        // ran 3-wide on a 32-core session. Re-shard the small scan
+        // once; a real-scale input (many splits) takes the no-op
+        // branch, so no unconditional fact shuffle is added.
+        val ssales = graft.operators.Layout.parallelizeSmallInput(li(s, d))
           .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(cust(s, d), col("o_custkey") === col("c_custkey"))
           .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))

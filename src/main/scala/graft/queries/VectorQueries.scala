@@ -35,9 +35,12 @@ object VectorQueries {
   def queries: Seq[Q] = Seq(
 
     Q("vec_norms",
-      (s, d) => emb(s, d).select(col("vec_id"),
-        size(col("embedding")).cast("long").as("dim"),
-        round(Similarity.l2Norm(col("embedding")), 6).as("norm")),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s) // l2Norm is native vec_norm (r20)
+        emb(s, d).select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(Similarity.l2Norm(col("embedding")), 6).as("norm"))
+      },
       Some(s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         round(${norm2Sql("embedding")}, 6) AS norm FROM embeddings""")),
 

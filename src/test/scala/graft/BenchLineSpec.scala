@@ -5,10 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Guards the bench's ONE stdout JSON line against the parsed:null
   * regression (BENCH_r01..r05, r14): the driver captures only the
   * LAST ~2000 chars of stdout, so the line must stay under
-  * [[Bench.stdoutLineBudget]] (1600 = 2000 with 20% headroom) no
-  * matter how large the headline/streaming suites grow — the scalar
-  * fields (`value`, `cal`, `n_queries`) are what bench_diff's host
-  * normalization needs and must never be front-truncated away. */
+  * [[Bench.stdoutLineBudget]] (1900; the capture window measured
+  * exactly 2000 chars across BENCH_r17–r19) no matter how large the
+  * headline/streaming suites grow — the scalar fields (`value`,
+  * `cal`, `n_queries`) are what bench_diff's host normalization needs
+  * and must never be front-truncated away, and the driver-compared
+  * [[Bench.perfAnchors]] must all stay on the line (r19 lost
+  * agg_tpch_q8/q9 to streaming growth → a near-false "dropped"
+  * verdict). */
 class BenchLineSpec extends AnyFunSuite {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -18,13 +22,17 @@ class BenchLineSpec extends AnyFunSuite {
     * 6 digits — wider than anything observed, so the guard holds with
     * margin. Streaming names come from [[StreamingBench.opNames]] —
     * the SAME list Bench.main's section iterates — so suite growth can
-    * never leave this guard testing a stale universe (ADVICE r15). */
-  private def realLine(): String = {
-    val qs = Bench.headline.map(n => n -> 999.99)
-    val ss = StreamingBench.opNames.map(n => n -> 999999.9)
+    * never leave this guard testing a stale universe (ADVICE r15).
+    * Queries ride in main()'s priority order: perfAnchors first. */
+  private def realLine(extraStreaming: Seq[String] = Nil): String = {
+    val ordered = (Bench.perfAnchors.filter(Bench.headline.contains) ++
+      Bench.headline).distinct
+    val qs = ordered.map(n => n -> 999.99)
+    val ss = (StreamingBench.opNames ++ extraStreaming).map(n => n -> 999999.9)
     Bench.stdoutLine(total = 999.999, reps = 3, nQueries = qs.size,
       cal = 99.999, queries = qs, streaming = ss,
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      nAnchors = Bench.perfAnchors.count(Bench.headline.contains))
   }
 
   test("stdout line stays under the driver tail-capture budget") {
@@ -34,6 +42,40 @@ class BenchLineSpec extends AnyFunSuite {
         " — the driver's ~2000-char tail capture would front-truncate it" +
         " (the BENCH_r14 parsed:null failure); trim the anchor/streaming" +
         " maps in Bench.stdoutLine")
+  }
+
+  test("every driver-compared perfAnchor fits on the line (VERDICT r19 #2)") {
+    // all perfAnchors must be real headline members (a renamed/removed
+    // member would silently shrink the guaranteed set)...
+    val missing = Bench.perfAnchors.filterNot(Bench.headline.contains)
+    assert(missing.isEmpty,
+      s"perfAnchors not in headline: ${missing.mkString(", ")}")
+    // ...and at worst-case widths with the FULL streaming suite plus a
+    // hypothetical growth row, every anchor must still be printed —
+    // streaming growth degrades its own tail rows, never the anchors.
+    val node = mapper.readTree(
+      realLine(extraStreaming = Seq("streaming_hypothetical_next")))
+    val kept = {
+      val it = node.get("queries").fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val dropped = Bench.perfAnchors.filterNot(kept.contains)
+    assert(dropped.isEmpty,
+      s"driver-compared anchors fell off the stdout line: " +
+        s"${dropped.mkString(", ")} — the PERF_r19 q8/q9 regression " +
+        "shape; grow stdoutLineBudget or trim the streaming reserve")
+  }
+
+  test("SPARK_GRAFT_ONLY runs carry a loud subset marker (ADVICE r19)") {
+    val line = Bench.stdoutLine(1.0, 3, 5, 1.0, Seq("q" -> 1.0),
+      Seq("s" -> 1.0), "/tmp/x", subsetOf = Some(5))
+    val node = mapper.readTree(line)
+    assert(node.has("subset") && node.get("subset").asInt() == 5,
+      "a filtered bench run must be distinguishable from a full one")
+    // and a full run must NOT carry it
+    assert(!mapper.readTree(realLine()).has("subset"))
   }
 
   test("stdout line is valid JSON with the fields bench_diff needs") {
@@ -59,16 +101,12 @@ class BenchLineSpec extends AnyFunSuite {
     // Guard: today's full suite PLUS one worst-case-width hypothetical
     // row must still fit every streaming entry on the line, so the
     // next addition either fits or fails THIS test at build time.
-    val qs = Bench.headline.map(n => n -> 999.99)
-    val ss = (StreamingBench.opNames :+ "streaming_hypothetical_next")
-      .map(n => n -> 999999.9)
-    val line = Bench.stdoutLine(total = 999.999, reps = 3,
-      nQueries = qs.size, cal = 99.999, queries = qs, streaming = ss,
-      sfDir = "/root/testdata/sf0.1")
+    val line = realLine(extraStreaming = Seq("streaming_hypothetical_next"))
     assert(line.length <= Bench.stdoutLineBudget)
     val node = mapper.readTree(line)
-    assert(node.get("streaming").size() == ss.size,
-      s"no headroom left: a ${ss.size}th streaming row would silently " +
+    val ssSize = StreamingBench.opNames.size + 1
+    assert(node.get("streaming").size() == ssSize,
+      s"no headroom left: a ${ssSize}th streaming row would silently " +
         s"degrade to bench_details.json (got ${node.get("streaming").size()}" +
         " on-line rows) — grow stdoutLineBudget headroom or consciously" +
         " route new rows to the details file")

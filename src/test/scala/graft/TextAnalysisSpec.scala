@@ -216,6 +216,23 @@ class TextAnalysisSpec extends SparkSpec {
       "doc10" -> "doc10", "doc11" -> "doc10"))
   }
 
+  test("connectedComponents single-partition fast path == loop (r20)") {
+    // a 1-partition edge list takes the in-task union-find base case
+    // (no shuffle rounds); labels must match the loop's exactly, and
+    // long chains converge regardless of maxIter (no fixpoint rounds)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (10L, 11L), (12L, 12L))
+    val onePart = edges.toDF("id_a", "id_b").coalesce(1)
+    val multi = edges.toDF("id_a", "id_b").repartition(4)
+    val fast = Dedup.connectedComponents(onePart, "id_a", "id_b",
+        maxIter = 1) // would throw in the loop: proves the base case ran
+      .as[(Long, Long)].collect().toMap
+    val loop = Dedup.connectedComponents(multi, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop, s"fast=$fast loop=$loop")
+    assert(fast(8L) == 1L && fast(11L) == 10L && fast(12L) == 12L)
+  }
+
   test("connectedComponents refuses to return non-converged labels") {
     // a 6-node chain cannot stabilize in one round even with pointer
     // jumping; a silent exit here would corrupt canonical-doc picks

@@ -128,22 +128,62 @@ class VectorSpec extends SparkSpec {
     assert(perQuery.forall(_ <= 5))
   }
 
-  test("ivfCosineTopK dedups candidate pairs BEFORE the vector join") {
-    // contract: a pair surfacing via several probed cells pays ONE
-    // vec_dot — the distinct runs on bare (query_id, match_id) ids
-    // below the scoring join (same order as lshCosineTopK), never on
-    // scored rows (which would multiply the dominant cost by nProbe)
+  test("ivfCosineTopK: unique pairs by construction, corpus never shuffled") {
+    // r20 contract (replaces the r19 "dedups candidate pairs" guard):
+    // every corpus row is assigned EXACTLY ONE cell, so a
+    // (query_id, match_id) pair can only surface through the single
+    // probed cell the match lives in — candidate pairs are unique BY
+    // CONSTRUCTION and the old bare-pair distinct (a full exchange of
+    // the candidate set) is gone. The corpus vectors now ride THROUGH
+    // the cell join (no second corpus scan, no match_id shuffle): the
+    // only shuffle left is the final per-query top-k window.
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") % 100 === 0)
     val df = Similarity.ivfCosineTopK(q, emb, "vec_id", "embedding", k = 5)
+    // (a) results still hold the per-pair uniqueness the distinct used
+    // to enforce
+    val pairs = df.select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length,
+      "duplicate (query, match) pairs — single-cell assignment broken")
+    // (b) no aggregation anywhere below the window (the removed
+    // distinct was the only one)
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val aggs = df.queryExecution.optimizedPlan.collect {
-      case a: Aggregate => a.output.map(_.name).toSet
-    }
-    assert(aggs.contains(Set("query_id", "match_id")),
-      s"no bare-pair distinct below the scoring join: $aggs")
-    assert(!aggs.exists(_.contains("sim")),
-      s"distinct runs over scored rows — pairs pay nProbe dots: $aggs")
+      case a: Aggregate => a.output.map(_.name).toSet }
+    assert(aggs.isEmpty, s"unexpected aggregate in the IVF path: $aggs")
+    // (c) every join is a broadcast — the corpus side is never
+    // exchanged (SMJ/SHJ would shuffle O(corpus) rows on match_id)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-shuffling join in the IVF query path:\n$plan")
+  }
+
+  test("ivfPqTopKEncoded: one collect serves the query side; no pair distinct") {
+    // r20: the query frame is collected ONCE (it is broadcast-sized by
+    // contract) and re-emitted as local relations, so the ADC chain's
+    // query-side joins build from LocalTableScan instead of
+    // re-executing the query subtree, and the probed-cell filter needs
+    // no separate distinct+collect job. Candidate pairs are unique by
+    // construction (one cell per encoded row) — no distinct exchange.
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val index = Similarity.fitPqIndex(emb, "vec_id", "embedding",
+      nCells = 8, m = 16, kCodes = 16, pqIters = 1)
+    val enc = Similarity.encodePq(emb, "vec_id", "embedding", index)
+    val df = Similarity.ivfPqTopKEncoded(qs, enc, emb, "vec_id",
+      "embedding", index, k = 5)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length,
+      "duplicate (query, match) pairs — single-cell assignment broken")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-shuffling join in the ADC query path:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      "query-side joins must build from the one collected artifact")
   }
 
   test("kmeansSeeds Lloyd rounds improve the quantizer objective") {
