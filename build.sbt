@@ -38,6 +38,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // localCheckpoint intermediates; at 8g the storage pool evicts into
   // GC thrash and the shuffle-join timings degrade 3-6x.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // r20 (VERDICT r19 item 9 — session-growth hygiene): the bench JVM
+  // JIT-compiles generated code for 256 queries × 3 passes plus the
+  // streaming suite; the JDK 17 default ReservedCodeCacheSize (240m)
+  // forces method flushing late in the session, so later passes re-pay
+  // compilation that earlier passes already did — one source of the
+  // uniform ~10% drift on sub-second queries as the suite grows.
+  "-XX:ReservedCodeCacheSize=512m",
 )
 // Stale XML reports from since-deleted specs inflate the visible suite
 // count (round 9's ScratchDebugSpec). Wipe the report dir before each

@@ -23,22 +23,32 @@ import json, re, sys
 
 # the FIXED calibration subset — must mirror Bench.scala `calibration`
 # (Bench asserts the registry contains all ten at startup)
+# cal_version 2 (r20): agg_tpcds_q78 left the probe (it became an
+# optimization target); agg_tpcds_q93 replaced it. Files of different
+# cal_version have incomparable quiesced totals -- host_factor falls
+# back to the members common to BOTH versions, whose code is unchanged.
 CAL_QUERIES = [
     "agg_tpch_q1", "agg_tpch_q6", "join_multiway", "window_running",
     "dedup_minhash_pairs", "vec_cosine_topk", "text_stats",
-    "agg_tpcds_q78", "pattern_match", "agg_approx_quantiles",
+    "agg_tpcds_q93", "pattern_match", "agg_approx_quantiles",
 ]
+# v1 probe (pre-r20), kept for cross-version fallback intersection
+CAL_QUERIES_V1 = [q if q != "agg_tpcds_q93" else "agg_tpcds_q78"
+                  for q in CAL_QUERIES]
 
 
 def load(path):
     raw = json.load(open(path))
     queries = cal = None
+    ver = 1
     if "queries" in raw:
         queries = raw["queries"]
         cal = raw.get("calibration", {}).get("total")
+        ver = raw.get("calibration", {}).get("cal_version", 1)
     elif raw.get("parsed"):
         queries = raw["parsed"]["queries"]
         cal = raw["parsed"].get("cal")
+        ver = raw["parsed"].get("cal_version", 1)
     else:
         # driver tail capture — possibly FRONT-TRUNCATED (rounds 1-5
         # were): scrape every "name":float pair, drop the meta keys
@@ -48,10 +58,19 @@ def load(path):
         meta = {"metric", "value", "reps", "n_queries", "sf", "n", "rc",
                 "cpus", "cal"}
         queries = {k: float(v) for k, v in pairs if k not in meta}
-    return queries, cal
+        m = re.search(r'"cal_version":(\d+)', raw.get("tail", ""))
+        if m:
+            ver = int(m.group(1))
+    return queries, cal, ver
 
 
-def host_factor(old, cal_old, new, cal_new):
+def host_factor(old, cal_old, new, cal_new, ver_old=1, ver_new=1):
+    if ver_old != ver_new:
+        # quiesced totals span different probe sets: normalize with the
+        # in-run times of the members common to both versions instead
+        print(f"cal_version {ver_old} vs {ver_new}: quiesced totals not "
+              "comparable, using common fixed-code members")
+        cal_old = cal_new = None
     # Bench publishes total = -1.0 when any probe member failed every
     # rep — a poisoned denominator must fall back, not normalize
     if cal_old is not None and cal_old <= 0:
@@ -66,7 +85,7 @@ def host_factor(old, cal_old, new, cal_new):
     # stdout map may be truncated: fall back to the calibration-subset
     # members present in BOTH in-run maps (still fixed-code queries,
     # just timed inside the interleaved pass instead of quiesced)
-    both = [q for q in CAL_QUERIES
+    both = [q for q in set(CAL_QUERIES) & set(CAL_QUERIES_V1)
             if old.get(q, 0) > 0 and new.get(q, 0) > 0]
     if len(both) >= 3:
         co, cn = sum(old[q] for q in both), sum(new[q] for q in both)
@@ -78,9 +97,10 @@ def host_factor(old, cal_old, new, cal_new):
 
 
 def main():
-    (old, cal_old), (new, cal_new) = load(sys.argv[1]), load(sys.argv[2])
+    (old, cal_old, ver_old) = load(sys.argv[1])
+    (new, cal_new, ver_new) = load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    factor = host_factor(old, cal_old, new, cal_new)
+    factor = host_factor(old, cal_old, new, cal_new, ver_old, ver_new)
     common = sorted(set(old) & set(new))
     rows = [(new[q] / old[q] / factor if old[q] > 0 else float("inf"),
              old[q], new[q], q) for q in common]

@@ -796,12 +796,27 @@ object TpcdsQueries {
     // integer basis points.
     Q("agg_tpcds_q78",
       (s, d) => {
-        val retPairs = li(s, d).filter(col("l_returnflag") === "R")
+        // r20 (guide §1.2/§2.3 — one fact pass): the anti-join form ran
+        // the li⋈ord chain TWICE (the returnflag filters fork the scans,
+        // so no subtree reuse was possible: R-rows → distinct pairs,
+        // non-R rows → anti-join probe). One joined pass instead, with
+        // the "pair was ever returned" flag as a window max over the
+        // (o_custkey, l_partkey) partition — every row of the pair (R
+        // or not) is in that partition, so anyret=0 ⟺ the pair never
+        // appears with returnflag R, exactly the anti-join predicate.
+        // Equivalence needs non-null join/partition keys (TPC-H NOT
+        // NULL columns; an all-null key group would differ: anti-join
+        // keeps null-keyed rows, a window would group them) — holds on
+        // this generator, oracle-checked at two SFs.
+        val byPair = Window.partitionBy(col("o_custkey"), col("l_partkey"))
+        li(s, d)
           .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey"), col("l_partkey")).distinct()
-        li(s, d).filter(col("l_returnflag") =!= "R")
-          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(retPairs, Seq("o_custkey", "l_partkey"), "left_anti")
+          .select(col("o_custkey"), col("l_partkey"), col("l_quantity"),
+            col("l_returnflag"), col("o_orderdate"), col("o_orderpriority"))
+          .withColumn("anyret",
+            max(when(col("l_returnflag") === "R", 1).otherwise(0))
+              .over(byPair))
+          .filter(col("l_returnflag") =!= "R" && col("anyret") === 0)
           .groupBy(year(col("o_orderdate")).as("o_year"), col("o_custkey"))
           .agg(
             sum(when(col("o_orderpriority") === "1-URGENT",
@@ -1217,7 +1232,14 @@ object TpcdsQueries {
     // integer cents.
     Q("agg_tpcds_q95",
       (s, d) => {
-        val keyset = li(s, d).groupBy(col("l_orderkey"))
+        // r20: re-shard measured SLOWER here (paired best-of-3:
+        // 1.79 → 2.44 s) — the consumer is agg-only, so a full-row
+        // round-robin exchange on the serial scan path costs more than
+        // the width it buys (the partial countDistinct was already
+        // fused into the scan stage). Left as-is; contrast q24/q68,
+        // whose multi-join CPU above the scan does pay for the shard.
+        val keyset = li(s, d)
+          .groupBy(col("l_orderkey"))
           .agg(countDistinct(col("l_suppkey")).as("ns"),
             max(when(col("l_returnflag") === "R", 1).otherwise(0))
               .as("has_ret"))
@@ -1271,6 +1293,11 @@ object TpcdsQueries {
     // sides — never a fact×fact multiplicity. Money in integer cents.
     Q("agg_tpcds_q64",
       (s, d) => {
+        // r20: re-shard measured MUCH slower here (paired best-of-3:
+        // 1.73 → 3.27 s) — per-consumer column pruning forks the
+        // repartition exchange into TWO full-row round-robin exchanges
+        // (one per fact consumer), each on the serial scan path. Left
+        // as-is; contrast q24/q68 where one consumer's join CPU pays.
         val l = li(s, d)
         // cs_ui analog: the refund-screened key set, from the same fact
         val ui = l.groupBy(col("l_partkey").as("ui_partkey"))
@@ -2318,6 +2345,18 @@ object TpcdsQueries {
     Q("agg_tpcds_q14b",
       (s, d) => {
         val chans = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+        // r20 NEGATIVE RESULT, kept as-is after measurement: a
+        // single-pass rewrite (windows over `grouped` for both the
+        // cross-channel gate and the stats scalar, plus the q24-style
+        // re-shard) measured 1.48 s best-of-8 vs 0.84 s for THIS form
+        // on an adjacent same-host run — 1.7x SLOWER despite running
+        // one fact pass instead of three. Cause: the three channel
+        // branches below are INDEPENDENT plan subtrees, so their three
+        // single-row-group scans execute as CONCURRENT stages (3 cores
+        // decode in parallel, wall = max not sum), while the fused
+        // form serializes one decode + a full-row exchange on the
+        // critical path. At a real many-split scale the one-pass form
+        // wins on work — but per guide §1 the measured wall rules.
         val base = li(s, d)
           .join(ord(s, d).filter(col("o_orderpriority").isin(chans: _*)),
             col("l_orderkey") === col("o_orderkey"))
