@@ -434,13 +434,15 @@ object StreamingBench {
           windowSize = "1 hour", lateness = "0 seconds",
           leftType = "signup", rightType = "view")
       }
-      // P=2 (Q8Profile r19 sweep at local[32], the bench's master):
-      // packed 21.3k @ P=8 (commit floor 10.6 s) / 27.6k @ P=4 /
-      // 32.9k @ P=2 / 33.6k @ P=1 — with ~720 window-grain state rows
-      // the RocksDB per-instance commit floor dominates everything;
-      // P=2 keeps a second instance for skew headroom at negligible
-      // cost. At deployment scale P sizes with data (SCALE.md §3b).
-    }, confs = Seq("spark.sql.shuffle.partitions" -> "2")),
+      // P=1 (r20; Q8Profile sweeps): packed P=1 beat P=2 in BOTH
+      // same-host paired sweeps — 33.6k vs 32.9k (r19 host) and 27.4k
+      // vs 22.2k (r20 host) — with ~720 window-grain state rows the
+      // per-RocksDB-instance commit floor plus per-partition partial-
+      // agg serialization dominate, and a second instance buys nothing
+      // at this state cardinality (the r19 "skew headroom" argument
+      // measured as a 2-23% tax, not negligible). At deployment scale
+      // P sizes with data (SCALE.md §3b).
+    }, confs = Seq("spark.sql.shuffle.partitions" -> "1")),
     // Nexmark Q10's log-to-sharded-files (published 25,025 ev/s):
     // every event to parquet files sharded by event type, through the
     // EXACTLY-ONCE file sink (atomic _spark_metadata commit log per

@@ -2568,14 +2568,28 @@ object TpcdsQueries {
         // ran 3-wide on a 32-core session. Re-shard the small scan
         // once; a real-scale input (many splits) takes the no-op
         // branch, so no unconditional fact shuffle is added.
-        val ssales = graft.operators.Layout.parallelizeSmallInput(li(s, d))
+        // r20 (guide §2.3 "aggregate before joining dimensions"): the
+        // customer/supplier probes and their NAME strings used to ride
+        // the 600k-row fact path into the fine-grain agg — per row, two
+        // more broadcast probes plus hashing two ~18-char strings in
+        // the partial agg. Aggregate on the KEYS (o_custkey, l_suppkey)
+        // and attach names to the aggregated output instead. Grain
+        // equivalence: c_name/s_name are functionally dependent on
+        // their keys AND unique per key on this generator
+        // ("Customer#%09d"/"Supplier#%09d"), so (custkey, suppkey,
+        // brand, type) groups = (c_name, s_name, brand, type) groups
+        // row-for-row — oracle-checked at two SFs.
+        val ssalesK = graft.operators.Layout.parallelizeSmallInput(li(s, d))
           .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
-          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(prt(s, d), col("l_partkey") === col("p_partkey"))
-          .groupBy(col("c_name"), col("s_name"), col("p_brand"),
+          .groupBy(col("o_custkey"), col("l_suppkey"), col("p_brand"),
             col("p_type"))
           .agg(sum(rev.cast("decimal(38,4)")).as("netpaid"))
+        val ssales = ssalesK
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_name"), col("s_name"), col("p_brand"),
+            col("p_type"), col("netpaid"))
         val gs = ssales
           .groupingSets(Seq(Seq(col("c_name"), col("s_name")), Seq()),
             col("c_name"), col("s_name"))
