@@ -434,10 +434,18 @@ class ScaleSpec extends SparkSpec {
       "tpcds q17 regrew a branch-merge join")
     assert(!ds17.contains("CartesianProduct"),
       "tpcds q17 degenerated to a cross product")
-    // TPC-DS q78 analog: the returned-pairs exclusion stays an ANTI
-    // join (no row multiplication, no NOT-IN null trap)
-    assert(plan("agg_tpcds_q78").contains("LeftAnti"),
-      "tpcds q78 lost the anti join")
+    // TPC-DS q78 analog: since the r20 single-pass rewrite the
+    // returned-pairs exclusion is a window max over the
+    // (o_custkey, l_partkey) partition on ONE li⋈ord pass — the
+    // contract is one lineitem scan (no forked fact chain), the
+    // exclusion window present, and no anti join / no NOT-IN trap
+    val ds78 = plan("agg_tpcds_q78")
+    assert(ds78.contains("Window"),
+      "tpcds q78 lost the returned-pair exclusion window")
+    assert("lineitem".r.findAllIn(ds78).size <= 1,
+      "tpcds q78 re-grew the second lineitem pass")
+    assert(!ds78.contains("LeftAnti"),
+      "tpcds q78 regressed to the two-pass anti-join form")
     // TPC-DS q62 analog: four lateness bands in ONE conditional-agg
     // pass over one join — no per-band re-scan, no union
     val ds62 = plan("agg_tpcds_q62")
