@@ -1056,10 +1056,21 @@ object RelationalQueries {
         val cnts = items.groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("c"))
         val n = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-        val a = items.toDF("okey", "p1")
-        val b = items.toDF("okey", "p2")
-        a.join(b, Seq("okey"))
-          .filter(col("p1") < col("p2"))
+        // r20: pairs generate per basket from a sorted item array
+        // (posexplode + tail slice = C(k,2) rows) instead of the okey
+        // self-join, which materialized k^2 join rows per basket
+        // before the p1 < p2 filter halved them. Equivalent row set:
+        // items are DISTINCT per basket so the sorted array has no
+        // duplicates and position order is strict p1 < p2; NULL
+        // partkeys produce no pairs either way (collect_list skips
+        // nulls; NULL < x is NULL in the join form). Same single okey
+        // shuffle; the join and its doubled agg input disappear.
+        val baskets = items.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        baskets
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("p1"),
+            explode(expr("slice(ps, pos + 2, size(ps))")).as("p2"))
           .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt_ab"))
           .filter(col("cnt_ab") >= 2)
           .join(broadcast(cnts.toDF("p1", "cnt_a")), Seq("p1"))
